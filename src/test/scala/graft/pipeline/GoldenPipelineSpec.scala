@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuite
+
+/** End-to-end golden test against the reference's own fixture and output:
+  * sample_data.json (17 adversarial records) → cleaned_output.json (7
+  * records, byte-stable across reference environments — SURVEY.md §0).
+  * Funnel counts pinned to the *intended* semantics (null = missing), which
+  * match the checked-in golden report: 17 → 4 incomplete → 2 dupes → 11
+  * cleaned → 7 passed / 4 failed (SURVEY.md H3).
+  */
+class GoldenPipelineSpec extends SparkSuite {
+
+  private val refDir = "/root/reference/week3assigment/week3-assignment"
+
+  private def rowsOf(df: DataFrame): Seq[Map[String, String]] = {
+    val cols = df.columns.sorted.toSeq
+    df.collect().toSeq.map { r =>
+      cols.flatMap(c => Option(r.getAs[Any](c)).map(v => c -> v.toString)).toMap
+    }
+  }
+
+  test("pipeline reproduces the reference's cleaned_output.json and funnel") {
+    val outDir = Files.createTempDirectory("graft-golden").toString
+    val outJson = s"$outDir/cleaned_output.json"
+    val outReport = s"$outDir/quality_report.txt"
+
+    val result = ArticlePipeline.run(
+      spark, s"$refDir/sample_data.json", outJson, outReport, prettyArray = true)
+
+    // --- funnel ---
+    val s = result.stats
+    assert(s.originalCount == 17)
+    assert(s.deletedIncomplete == 4)
+    assert(s.deletedDuplicates == 2)
+    assert(s.cleanedCount == 11)
+    assert(s.passed == 7)
+    assert(s.failed == 4)
+    assert(math.abs(s.passRate - 63.6) < 0.1)
+    assert(math.abs(s.validPct - 41.2) < 0.1)
+
+    // --- failure distribution: 2 short_content + 2 invalid_url (golden) ---
+    assert(s.reasons.map(r => r.reason -> r.count).toMap ==
+      Map("short_content" -> 2L, "invalid_url" -> 2L))
+
+    // --- date coverage: 10/11 valid, 2025-01-15 → 2025-09-15 ---
+    val dr = s.dateRange.get
+    assert(dr.withDate == 10)
+    assert(dr.earliest.get.toInstant.toString.startsWith("2025-01-15"))
+    assert(dr.latest.get.toInstant.toString.startsWith("2025-09-15"))
+
+    // --- golden output: parsed-JSON equality, in order ---
+    val golden = spark.read.option("multiLine", true).json(s"$refDir/cleaned_output.json")
+    val ours = spark.read.option("multiLine", true).json(outJson)
+    assert(ours.count() == 7)
+    val gRows = rowsOf(golden)
+    val oRows = rowsOf(ours)
+    assert(oRows == gRows)
+  }
+
+  test("report contains the stable golden metrics lines") {
+    val outDir = Files.createTempDirectory("graft-golden2").toString
+    val result = ArticlePipeline.run(
+      spark, s"$refDir/sample_data.json", s"$outDir/out.json", s"$outDir/report.txt")
+    val rep = result.report
+    assert(rep.contains("Total records processed:   17"))
+    assert(rep.contains("Cleaned record count:      11"))
+    assert(rep.contains("    - Missing (incomplete):  4"))
+    assert(rep.contains("    - Duplicates:            2"))
+    assert(rep.contains("Total validation passed:   7"))
+    assert(rep.contains("Pass rate:                 63.6%"))
+    assert(rep.contains("End-to-end retention:  41.2% (7/17 records saved)"))
+    assert(rep.contains("Earliest:  2025-01-15 00:00:00"))
+    assert(rep.contains("Latest:    2025-09-15 00:00:00"))
+    assert(rep.contains("Records with date: 10/11"))
+  }
+}
