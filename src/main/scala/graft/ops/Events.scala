@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-time windowing over the `events` table — tumbling, sliding, and
+  * session windows, in shapes that move unchanged to Structured Streaming
+  * (`readStream` + `withWatermark`; see [[graft.streaming.EventStreams]]).
+  *
+  * Scale notes:
+  *  - tumbling/sliding use the built-in `window()` generator → a single
+  *    hash aggregate on (window, key), partial-agg'd map-side;
+  *  - sessionization is gaps-and-islands with a window partitioned BY USER
+  *    (never global): lag → gap flag → running sum → session id. At 100 TB
+  *    the shuffle is one exchange on user_id, and AQE handles skewed users.
+  *    The same algorithm is the DuckDB oracle, line for line.
+  */
+object Events {
+
+  val SessionGapSeconds = 1800L // 30 min
+
+  /** Tumbling 1-hour windows per event type: count + value sum. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd'T'HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("value_sum"))
+      .orderBy("window_start", "event_type")
+
+  val tumblingSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** Sliding windows: 1 hour long, every 15 minutes, per event type. Each
+    * event lands in 4 windows; `window()` generates them without a join.
+    */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd'T'HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+
+  // Oracle: expand each event into its 4 enclosing sliding windows
+  // (time_bucket to the 15-min grid, then offsets 0/15/30/45 back).
+  val slidingSql: String =
+    """SELECT strftime(ws, '%Y-%m-%dT%H:%M:%S') AS window_start, event_type, count(*) AS n
+      |FROM (
+      |  SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS ws,
+      |    event_type
+      |  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k))
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** Sessionization: per-user sessions split at >30-minute gaps.
+    * Gaps-and-islands — lag over (user_id ORDER BY ts), gap flag, running
+    * sum as session index — then one aggregate per session.
+    */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    // Exact integer microsecond arithmetic (unix_micros / epoch_us) — a
+    // seconds-granularity cast truncates differently across engines at
+    // gap boundaries.
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val prev = lag(col("ts"), 1).over(byUser)
+    val isNew = when(prev.isNull ||
+      unix_micros(col("ts")) - unix_micros(prev) > SessionGapSeconds * 1000000L, 1)
+      .otherwise(0)
+    Tables(spark, dir, "events")
+      .withColumn("is_new", isNew)
+      .withColumn("session_idx", sum(col("is_new")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd'T'HH:mm:ss").as("session_start"),
+        count(lit(1)).as("n_events"),
+        round((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).cast("double")
+          / 1000000.0, 3).as("duration_sec"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val sessionsSql: String =
+    """SELECT user_id, session_idx,
+      |  strftime(min(ts), '%Y-%m-%dT%H:%M:%S') AS session_start,
+      |  count(*) AS n_events,
+      |  round((epoch_us(max(ts)) - epoch_us(min(ts)))::double / 1000000.0, 3) AS duration_sec,
+      |  round(sum(value), 2) AS value_sum
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM (
+      |    SELECT user_id, ts, value,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |        OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+      |        THEN 1 ELSE 0 END AS is_new
+      |    FROM events))
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`embeddings.embedding`,
+  * array<float>[64]).
+  *
+  *  - [[annTopKBrute]]: exact top-k by cosine — the correctness baseline.
+  *    The *query* side is small (sampled ids) and broadcast, so the scan of
+  *    the big side stays shuffle-free: plan = Scan ⋈(BNL,broadcast) →
+  *    per-query top-k window. At 1000 executors this is one pass over the
+  *    corpus per query batch — the right brute-force shape.
+  *  - [[annLshBuckets]]: random-hyperplane (sign) LSH — each vector maps to
+  *    a 16-bit bucket; queries only compare against their bucket's members.
+  *    Hyperplane components are derived deterministically from xxhash64, so
+  *    the index needs no stored model and recomputes identically on any
+  *    cluster. The scale path: bucket join is an equi-join (shuffle on
+  *    bucket id), candidate set per query ≈ n/2¹⁶ of the corpus.
+  *
+  * All vector math is higher-order-function column expressions in double
+  * precision (zip_with + aggregate) — no UDFs, codegen-friendly.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns (left-to-right accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Exact cosine top-k for the sampled query set (vec_id ≡ 0 mod 50). */
+  def annTopKBrute(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_v"), col("v")).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("c"), 4).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  val annTopKSql: String =
+    """SELECT q_id, n_id, rank, cos FROM (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+      |               e.vec_id) AS rank,
+      |    round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cos
+      |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      |  WHERE q.vec_id % 50 = 0)
+      |WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
+    * xxhash64 folded into [-1, 1). No RNG, no stored model — reproducible
+    * on any cluster topology.
+    */
+  private def planeComponent(j: Column, d: Column): Column =
+    (pmod(xxhash64(concat_ws("_", lit("plane"), j, d)), lit(2000001)).cast("double")
+      - 1000000.0) / 1000000.0
+
+  /** 16-bit sign-LSH bucket id of a vector column. */
+  def lshBucket(v: Column, bits: Int = 16): Column =
+    (0 until bits).map { j =>
+      val proj = aggregate(
+        transform(v, (x, d) => x * planeComponent(lit(j), d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce[Column](_.bitwiseOR(_))
+
+  /** LSH-bucketed approximate top-k: candidates share the query's bucket.
+    * Recall < 1 by construction (bucket boundaries); rows-only oracle.
+    */
+  def annLshTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), bits = 8))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("bucket"))
+    val scored = e.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), cosine(col("q_v"), col("v")).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("c"), 4).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines over the `documents` table:
+  * token statistics, quality scoring, stopword-based language ID, and
+  * content fingerprinting. Pure column expressions — one narrow projection
+  * per query, no shuffle except the final (tiny) sort for deterministic
+  * output.
+  *
+  * Ratios divide integer-derived doubles, so results are bit-identical
+  * across engines; score combinators are fixed-order IEEE ops.
+  */
+object TextAnalysis {
+
+  import Dedup.tokens
+
+  /** Per-language stopword lists for the heuristic language scorer. The
+    * testdata corpus is synthetic English-ish word bags, so 'en' dominates —
+    * the point is the *shape*: N parallel set-intersection scores + argmax,
+    * which is how a real n-gram/stopword lang-ID runs at scale.
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Token statistics: count, distinct count, mean token length, TTR. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val meanLen = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / nTok
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_types"),
+      round(meanLen, 4).as("mean_token_len"),
+      round(size(array_distinct(t)).cast("double") / nTok, 4).as("ttr"))
+      .orderBy("doc_id")
+  }
+
+  val tokenStatsSql: String =
+    """SELECT doc_id,
+      |  len(t) AS n_tokens,
+      |  len(list_distinct(t)) AS n_types,
+      |  round(list_sum(list_transform(t, x -> length(x)))::double / len(t), 4) AS mean_token_len,
+      |  round(len(list_distinct(t))::double / len(t), 4) AS ttr
+      |FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Heuristic quality score à la corpus-filtering pipelines: token count
+    * band, type/token ratio, mean token length band, stopword presence.
+    * Deterministic arithmetic; thresholds tuned to spread on the testdata.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val meanLen = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / nTok
+    val stopHits = size(array_intersect(t, array(Stopwords.head._2.map(lit): _*)))
+    val score =
+      when(size(t) >= 30, lit(0.25)).otherwise(lit(0.0)) +
+      when(ttr >= 0.4, lit(0.25)).otherwise(lit(0.0)) +
+      when(meanLen >= lit(3.5) && meanLen <= lit(6.5), lit(0.25)).otherwise(lit(0.0)) +
+      when(stopHits >= 2, lit(0.25)).otherwise(lit(0.0))
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      round(ttr, 4).as("ttr"),
+      round(meanLen, 4).as("mean_len"),
+      stopHits.as("stop_hits"),
+      round(score, 2).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String =
+    """SELECT doc_id, n_tokens, ttr, mean_len, stop_hits,
+      |  round((CASE WHEN n_tokens >= 30 THEN 0.25 ELSE 0 END
+      |       + CASE WHEN ttr >= 0.4 THEN 0.25 ELSE 0 END
+      |       + CASE WHEN mean_len >= 3.5 AND mean_len <= 6.5 THEN 0.25 ELSE 0 END
+      |       + CASE WHEN stop_hits >= 2 THEN 0.25 ELSE 0 END), 2) AS quality
+      |FROM (
+      |  SELECT doc_id, len(t) AS n_tokens,
+      |    round(len(list_distinct(t))::double / len(t), 4) AS ttr,
+      |    round(list_sum(list_transform(t, x -> length(x)))::double / len(t), 4) AS mean_len,
+      |    len(list_intersect(t, ['the', 'a', 'of', 'and', 'to'])) AS stop_hits
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Stopword-vote language ID: score per language = stopword hits; predict
+    * the argmax (ties resolved by list order), 'und' when all zero.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val hits = Stopwords.map { case (lang, words) =>
+      lang -> size(array_intersect(t, array(words.map(lit): _*)))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val predicted = hits.foldRight(lit("und")) { case ((lang, h), acc) =>
+      when(h === best && best > 0, lang).otherwise(acc)
+    }
+    // foldRight puts earlier list entries in OUTER when-clauses → first
+    // max wins, matching the documented tie order.
+    Tables(spark, dir, "documents").select(
+      col("doc_id"), col("lang").as("labeled"),
+      predicted.as("predicted"),
+      (predicted === col("lang")).as("is_match"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String =
+    """SELECT doc_id, lang AS labeled,
+      |  CASE WHEN best = 0 THEN 'und'
+      |       WHEN h_en = best THEN 'en'
+      |       WHEN h_es = best THEN 'es'
+      |       WHEN h_de = best THEN 'de'
+      |       WHEN h_fr = best THEN 'fr'
+      |       WHEN h_zh = best THEN 'zh' END AS predicted,
+      |  (CASE WHEN best = 0 THEN 'und'
+      |       WHEN h_en = best THEN 'en'
+      |       WHEN h_es = best THEN 'es'
+      |       WHEN h_de = best THEN 'de'
+      |       WHEN h_fr = best THEN 'fr'
+      |       WHEN h_zh = best THEN 'zh' END = lang) AS is_match
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    greatest(h_en, h_es, h_de, h_fr, h_zh) AS best,
+      |    h_en, h_es, h_de, h_fr, h_zh
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      len(list_intersect(t, ['the','a','of','and','to'])) AS h_en,
+      |      len(list_intersect(t, ['el','la','de','y','que'])) AS h_es,
+      |      len(list_intersect(t, ['der','die','das','und','zu'])) AS h_de,
+      |      len(list_intersect(t, ['le','la','de','et','que'])) AS h_fr,
+      |      len(list_intersect(t, ['的','是','了','在','我'])) AS h_zh
+      |    FROM (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS t FROM documents)))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Content fingerprint: md5 of the whitespace-normalized, lower-cased
+    * text — the exact-dedup key as a first-class derived column.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      md5(lower(graft.pipeline.TextClean.collapseWs(col("text")))).as("fp"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Star-schema join/aggregate queries over the TPC-H-ish testdata tables.
+  *
+  * These exercise the relational surface beyond the reference (which has no
+  * joins — SURVEY.md §2.1): multi-way joins, broadcast of dimension tables,
+  * partial aggregation, top-k. Written scale-first:
+  *
+  *  - dimension tables (`region`, `nation`, `customer`, `supplier`) are
+  *    explicitly `broadcast()` — at 100 TB the fact tables shuffle on the
+  *    join key otherwise, and customer at SF-100k is still ≪ the 8 GB
+  *    broadcast ceiling after filters;
+  *  - aggregates are plain `groupBy` — Catalyst plans partial (map-side)
+  *    aggregation automatically, so each shuffle moves pre-combined rows;
+  *  - top-k uses `orderBy(...).limit(k)` → `TakeOrderedAndProject`, which
+  *    never materializes a global sort.
+  *
+  * Money sums are rounded to 2 decimals in BOTH engines so double
+  * summation-order noise (~1e-9 at sf0.1) can't flip the comparison.
+  */
+object Tpch {
+
+  /** TPC-H Q1 shape: pricing summary over lineitem (scan + one hash agg). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: shipping-priority join — one broadcast dim (customer
+    * after segment filter) + fact-fact join, top-10 revenue orders.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li   = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  o_orderpriority,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: 6-table star join, revenue per nation for one region
+    * and a one-year order window. All four dims broadcast; the only shuffle
+    * left is orders⋈lineitem plus the final tiny aggregate.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables(spark, dir, "nation")
+    val cust   = Tables(spark, dir, "customer")
+    val supp   = Tables(spark, dir, "supplier")
+    val ord = Tables(spark, dir, "orders").filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+    val li = Tables(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q4 shape: order-priority checking via EXISTS → left-semi join. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+    val li  = Tables(spark, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Top-k customers by lifetime order value, nation name via broadcast. */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(round(sum(col("o_totalprice")), 2).as("total_spent"),
+        count(lit(1)).as("n_orders"))
+    totals
+      .join(broadcast(Tables(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("total_spent"), col("n_orders"))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  val topCustomersSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  round(sum(o_totalprice), 2) AS total_spent,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY total_spent DESC, c_custkey
+      |LIMIT 10""".stripMargin
+
+  /** Distinct aggregation: distinct parts and suppliers per return flag. */
+  def distinctParts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val distinctPartsSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+}
