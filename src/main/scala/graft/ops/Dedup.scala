@@ -42,7 +42,9 @@ object Dedup {
     val grams = transform(
       sequence(lit(0), size(t) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))
-    array_distinct(when(size(t) >= n, grams).otherwise(array(c)))
+    // fallback tokens are lowercased, so the short-doc fallback must be too
+    // (matches the oracle's `[lower(text)]`)
+    array_distinct(when(size(t) >= n, grams).otherwise(array(lower(c))))
   }
 
   /** Exact dedup: group by content hash, keep lowest doc_id, count members.
@@ -54,8 +56,18 @@ object Dedup {
     docs.unionAll(docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
       .groupBy(md5(col("text")).as("k"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("dup_count"))
+      .select("keeper_id", "dup_count")
       .orderBy("keeper_id")
   }
+
+  val exactDedupSql: String =
+    """SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
+      |FROM (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+      |GROUP BY md5(text)
+      |ORDER BY keeper_id""".stripMargin
 
   /** Jaccard similarity of two pre-distinct array columns. Integer
     * cardinalities → exact double division, bit-identical across engines.
@@ -120,11 +132,16 @@ object Dedup {
     val sh = Tables(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("sig", minhashSignature(col("sh")))
+    // Band count is a compile-time constant: unroll at the Scala level so
+    // `slice` gets Int start/length (the Column-lambda variant has no
+    // Int-length overload) and each band hash is an independent codegen'd
+    // expression.
+    val bandHashes = (0 until Bands).map { b =>
+      xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))
+    }
     val banded = sh.select(
       col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), b)))
-        .as(Seq("band", "band_hash")))
+      posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
     val a = banded.select(col("band"), col("band_hash"),
       col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = banded.select(col("band"), col("band_hash"),
@@ -164,10 +181,13 @@ object Dedup {
     */
   def simhashNearDup(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     val fp = simhash(spark, dir)
+    // Four 16-bit segments, unrolled at the Scala level (`shiftright` takes
+    // an Int shift, not a Column).
+    val segVals = (0 until 4).map { s =>
+      shiftright(col("simhash"), s * 16).bitwiseAND(0xFFFFL)
+    }
     val seg = fp.select(col("doc_id"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        s => shiftright(col("simhash"), s * 16).bitwiseAND(0xFFFFL)))
-        .as(Seq("seg", "seg_val")))
+      posexplode(array(segVals: _*)).as(Seq("seg", "seg_val")))
     val a = seg.select(col("seg"), col("seg_val"), col("doc_id").as("a_id"), col("simhash").as("a_fp"))
     val b = seg.select(col("seg"), col("seg_val"), col("doc_id").as("b_id"), col("simhash").as("b_fp"))
     val hamming = bit_count(col("a_fp").bitwiseXOR(col("b_fp")))

@@ -29,6 +29,14 @@ object DocValidation {
     Tables(spark, dir, "documents")
       .filter(!isBlank(col("text")) && !isBlank(col("lang")))
       .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  val filterIncompleteSql: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents
+      |WHERE NOT (text IS NULL OR trim(text) = '')
+      |  AND NOT (lang IS NULL OR trim(lang) = '')
+      |ORDER BY doc_id""".stripMargin
 
   /** O8/O9: validation flags + first-failure reason code, as pure column
     * expressions (reference does a Python row loop, validator.py:151).
@@ -55,9 +63,14 @@ object DocValidation {
       (nErrors === 0).as("passed"),
       reason.as("reason"),
       nErrors.cast("int").as("n_errors"))
+      .orderBy("doc_id") // the oracle ends ORDER BY doc_id — keep them aligned
   }
 
-  val validateFlagsSql: String =
+  /** Shared DuckDB flags subquery — `doc_id, passed, reason, n_errors` —
+    * reused by the validate/histogram/top-1 oracles so the rule text exists
+    * exactly once.
+    */
+  private val flagsSubquery: String =
     s"""SELECT doc_id,
        |  (n_errors = 0) AS passed,
        |  CASE WHEN text_blank THEN 'missing_text'
@@ -77,8 +90,26 @@ object DocValidation {
        |      (length(text) > $MaxTextLength) AS too_long,
        |      (lang IS NULL OR trim(lang) = '' OR lang NOT IN ('en','de','es','fr','zh')) AS lang_bad,
        |      (source IS NULL OR trim(source) = '' OR NOT regexp_matches(source, '^src[0-9]+$$')) AS src_bad
-       |    FROM documents))
+       |    FROM documents))""".stripMargin
+
+  val validateFlagsSql: String =
+    s"""$flagsSubquery
        |ORDER BY doc_id""".stripMargin
+
+  val reasonHistogramSql: String =
+    s"""SELECT reason, count(*) AS n
+       |FROM ($flagsSubquery)
+       |WHERE NOT passed
+       |GROUP BY reason
+       |ORDER BY n DESC, reason""".stripMargin
+
+  val top1ReasonSql: String =
+    s"""SELECT reason, count(*) AS n
+       |FROM ($flagsSubquery)
+       |WHERE NOT passed
+       |GROUP BY reason
+       |ORDER BY n DESC, reason
+       |LIMIT 1""".stripMargin
 
   /** O11: failure-reason histogram, descending (Counter.most_common). */
   def reasonHistogram(spark: SparkSession, dir: String): DataFrame =
@@ -97,12 +128,24 @@ object DocValidation {
   def completeness(spark: SparkSession, dir: String): DataFrame = {
     val df = Tables(spark, dir, "documents")
     val cols = Seq("text", "lang", "source")
+    // count(when(...)) not sum(when(...)) — keeps the type BIGINT in both
+    // engines (DuckDB widens integer sums to HUGEINT).
     val aggs = cols.flatMap { c =>
-      val ok = sum(when(!isBlank(col(c)), 1).otherwise(0))
-      Seq(ok.cast("long").as(s"${c}_ok"),
-          round(ok / count(lit(1)), 4).as(s"${c}_ratio"))
+      val ok = count(when(!isBlank(col(c)), 1))
+      Seq(ok.as(s"${c}_ok"),
+          round(ok.cast("double") / count(lit(1)), 4).as(s"${c}_ratio"))
     } :+ count(lit(1)).as("n_rows")
     df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  val completenessSql: String = {
+    val cols = Seq("text", "lang", "source")
+    val exprs = cols.flatMap { c =>
+      Seq(
+        s"count(CASE WHEN NOT ($c IS NULL OR trim($c) = '') THEN 1 END) AS ${c}_ok",
+        s"round(count(CASE WHEN NOT ($c IS NULL OR trim($c) = '') THEN 1 END)::double / count(*), 4) AS ${c}_ratio")
+    } :+ "count(*) AS n_rows"
+    s"SELECT\n  ${exprs.mkString(",\n  ")}\nFROM documents"
   }
 
   /** O14: date-range aggregate over the events table (min/max/count). ISO
@@ -114,20 +157,20 @@ object DocValidation {
       date_format(max(col("ts")), "yyyy-MM-dd'T'HH:mm:ss").as("ts_max"),
       count(col("ts")).as("n_ts"))
 
+  val dateRangeSql: String =
+    """SELECT
+      |  strftime(min(ts), '%Y-%m-%dT%H:%M:%S') AS ts_min,
+      |  strftime(max(ts), '%Y-%m-%dT%H:%M:%S') AS ts_max,
+      |  count(ts) AS n_ts
+      |FROM events""".stripMargin
+
   /** O6: keep-first dedup at scale — `min_by`-style two-phase aggregate on
     * the dedup key, NOT a global window (SURVEY.md §7 H1). Input is the
     * documents table unioned with a shifted copy of itself so duplicates
     * actually exist; "first" = lowest doc_id, the ingest order stand-in.
     */
-  def dedupKeepFirst(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
-    val doubled = docs.unionAll(
-      docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-    doubled
-      .groupBy(md5(col("text")).as("k"))
-      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("dup_count"))
-      .orderBy("keeper_id")
-  }
+  def dedupKeepFirst(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(spark, dir)
 
   /** O2: whitespace-collapse normalization, demonstrated on a deliberately
     * messed-up projection of `text` (tabs + padding) so the clean is
@@ -141,6 +184,14 @@ object DocValidation {
       .orderBy("doc_id")
   }
 
+  val cleanTextSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(
+      |    '  ' || regexp_replace(text, ' ', chr(9) || ' ' || chr(9), 'g') || ' ' || chr(9),
+      |    '\s+', ' ', 'g')) AS cleaned
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** O3: multi-format date parsing — round-trips orders.o_orderdate through
     * a "MMM dd, yyyy" string and the full parse chain back to ISO.
     */
@@ -151,4 +202,13 @@ object DocValidation {
         graft.pipeline.Dates.parseIsoDate(str).as("iso"))
       .orderBy("o_orderkey")
   }
+
+  // o_orderdate is midnight-only in the testdata, so the round-trip through
+  // "MMM dd, yyyy" is lossless and the oracle can format the source directly.
+  val parseDatesSql: String =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%b %d, %Y') AS date_str,
+      |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
 }

