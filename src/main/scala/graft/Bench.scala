@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: JVM/codegen/parquet-footer cold-start otherwise lands
+    // entirely on whichever query happens to run first.
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

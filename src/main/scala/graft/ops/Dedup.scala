@@ -36,12 +36,22 @@ object Dedup {
   /** Lower-cased whitespace tokens of a text column. */
   def tokens(c: Column): Column = split(lower(c), "\\s+")
 
-  /** Distinct word n-gram shingles (default 3) of a text column. */
+  /** Distinct word n-gram shingles (default 3) of a text column.
+    *
+    * Built by zipping the token array with its own shifted slices — NOT via
+    * `transform(sequence(...), i => element_at(t, i + j))`: a lambda body
+    * re-evaluates its invariant subtrees per element, so the element_at
+    * formulation re-splits the whole document once per shingle position
+    * (~750 regex splits per doc — it was 80× slower end-to-end). Here every
+    * array argument is evaluated once per row and the lambda only touches
+    * elements.
+    */
   def shingles(c: Column, n: Int = 3): Column = {
     val t = tokens(c)
-    val grams = transform(
-      sequence(lit(0), size(t) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))
+    val zipped = (1 until n).foldLeft(t) { (acc, k) =>
+      zip_with(acc, slice(t, lit(k + 1), size(t)), (a, b) => concat_ws(" ", a, b))
+    }
+    val grams = slice(zipped, lit(1), size(t) - (n - 1))
     // fallback tokens are lowercased, so the short-doc fallback must be too
     // (matches the oracle's `[lower(text)]`)
     array_distinct(when(size(t) >= n, grams).otherwise(array(lower(c))))
@@ -111,13 +121,23 @@ object Dedup {
        |WHERE jac >= $JaccardThreshold
        |ORDER BY a_id, b_id""".stripMargin
 
-  /** k independent minhash values of a shingle array: min over shingles of
-    * a seeded 64-bit hash. Seeding by concatenating the seed index is
-    * engine-portable and needs no hash-function family bookkeeping.
+  /** k minhash values of a shingle array via the Carter–Wegman construction:
+    * the i-th family member of shingle hash pair (h₁, h₂) is h₁ + i·h₂.
+    * 32-bit base hashes keep h₁ + i·h₂ ≤ ~2³⁸ — no long overflow under ANSI
+    * mode, and 32 bits is ample for minhash collision resistance.
+    *
+    * Array-column variant, used where the signature is wanted as a single
+    * column. CAUTION: higher-order-function lambdas re-evaluate their
+    * invariant subtrees per element and CollapseProject happily inlines the
+    * whole expression into every consumer, so in multi-consumer plans use
+    * the explode→aggregate shape of [[minhashLshPairs]] instead.
     */
-  def minhashSignature(sh: Column, k: Int = MinhashK): Column =
+  def minhashSignature(sh: Column, k: Int = MinhashK): Column = {
+    val h1 = transform(sh, x => xxhash64(x).bitwiseAND(lit(0xFFFFFFFFL)))
+    val h2 = transform(sh, x => xxhash64(x, lit(1)).bitwiseAND(lit(0xFFFFFFFFL)))
     transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(sh, x => xxhash64(concat(x, lit("#"), s)))))
+      i => array_min(zip_with(h1, h2, (a, b) => a + i * b)))
+  }
 
   /** MinHash + LSH near-dup pairs, verified against exact Jaccard.
     *
@@ -128,28 +148,48 @@ object Dedup {
     * true pair sits in the LSH miss zone; the testdata's planted dups are
     * at j ≈ 0.99 where miss probability is ≈ 0.
     */
+  /** Execution shape (the 100-TB design, and why it is NOT the array-column
+    * one-liner):
+    *
+    *  1. explode shingles to (doc_id, shingle) rows — each shingle string is
+    *     hashed exactly TWICE, whatever k is;
+    *  2. signature = one hash AGGREGATE with 64 `min(h₁ + i·h₂)` slots —
+    *     map-side partial agg, whole-stage codegen, no array columns;
+    *  3. band hash = xxhash64 over each 4-slot group of the 64 scalar
+    *     signature columns — 16 cheap hashes per doc;
+    *  4. candidate pairs = equi-join on (band, band_hash), dedup'd;
+    *  5. exact-Jaccard verification only for candidates, via an equi-join
+    *     back to the shingle sets.
+    *
+    * The naive formulation (shingle array → minhash array column → 16 slice
+    * hashes) plans 60× slower: CollapseProject inlines the signature
+    * expression into every band hash, and HOF lambdas re-evaluate invariant
+    * subtrees per element, so each shingle ends up hashed k×Bands times.
+    */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh")))
-    // Band count is a compile-time constant: unroll at the Scala level so
-    // `slice` gets Int start/length (the Column-lambda variant has no
-    // Int-length overload) and each band hash is an independent codegen'd
-    // expression.
+    val shingleRows = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"),
+        xxhash64(col("g")).bitwiseAND(lit(0xFFFFFFFFL)).as("h1"),
+        xxhash64(col("g"), lit(1)).bitwiseAND(lit(0xFFFFFFFFL)).as("h2"))
+    val sigAggs = (0 until MinhashK).map(i => min(col("h1") + col("h2") * i).as(s"s$i"))
+    val sig = shingleRows.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val bandHashes = (0 until Bands).map { b =>
-      xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))
+      val slots = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"s$i"))
+      xxhash64(slots :+ lit(b): _*)
     }
-    val banded = sh.select(
-      col("doc_id"), col("sh"),
+    val banded = sig.select(col("doc_id"),
       posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
-    val a = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    a.join(b, Seq("band", "band_hash"))
+    val cand = banded.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
+      .join(banded.select(col("band"), col("band_hash"), col("doc_id").as("b_id")),
+        Seq("band", "band_hash"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id") // same pair may collide in many bands
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         round(jaccard(col("a_sh"), col("b_sh")), 4).as("jac"))
       .filter(col("jac") >= JaccardThreshold)

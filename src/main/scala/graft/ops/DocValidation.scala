@@ -40,8 +40,15 @@ object DocValidation {
 
   /** O8/O9: validation flags + first-failure reason code, as pure column
     * expressions (reference does a Python row loop, validator.py:151).
+    * Sorted for the oracle compare; aggregation consumers use [[flags]].
     */
-  def validateFlags(spark: SparkSession, dir: String): DataFrame = {
+  def validateFlags(spark: SparkSession, dir: String): DataFrame =
+    flags(spark, dir).orderBy("doc_id") // the oracle ends ORDER BY doc_id
+
+  /** Unsorted flag derivation — the input to histogram/top-1 aggregates,
+    * which must not inherit a useless total sort below an aggregation.
+    */
+  private def flags(spark: SparkSession, dir: String): DataFrame = {
     val df = Tables(spark, dir, "documents")
     val textBlank = isBlank(col("text"))
     val tooShort  = length(col("text")) < MinTextLength
@@ -63,7 +70,6 @@ object DocValidation {
       (nErrors === 0).as("passed"),
       reason.as("reason"),
       nErrors.cast("int").as("n_errors"))
-      .orderBy("doc_id") // the oracle ends ORDER BY doc_id — keep them aligned
   }
 
   /** Shared DuckDB flags subquery — `doc_id, passed, reason, n_errors` —
@@ -113,7 +119,7 @@ object DocValidation {
 
   /** O11: failure-reason histogram, descending (Counter.most_common). */
   def reasonHistogram(spark: SparkSession, dir: String): DataFrame =
-    validateFlags(spark, dir)
+    flags(spark, dir)
       .filter(!col("passed"))
       .groupBy("reason").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("reason"))

@@ -71,12 +71,13 @@ object ArticlePipeline {
       deletedIncomplete = originalCount - afterDrop,
       deletedDuplicates = afterDrop - afterDedup)
 
+    // Global sort only on the pretty-array (golden-parity, test-scale) path —
+    // the scalable JSONL sink has no ordering contract, so forcing a total
+    // sort there would be a wasted exchange at scale.
     val valid = flagged.filter(col("passed"))
-      .orderBy("row_id")
-      .drop(flagCols: _*)
-
-    if (prettyArray) writePrettyJsonArray(valid, outputPath)
-    else valid.write.mode("overwrite").json(outputPath)
+    if (prettyArray)
+      writePrettyJsonArray(valid.orderBy("row_id").drop(flagCols: _*), outputPath)
+    else valid.drop(flagCols: _*).write.mode("overwrite").json(outputPath)
 
     val report = Reports.qualityReport(stats, cfg)
     Option(Paths.get(reportPath).getParent).foreach(Files.createDirectories(_))

@@ -3,7 +3,6 @@ package graft.pipeline
 import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextClean.isBlank
@@ -90,19 +89,28 @@ object Stats {
       .toSeq
 
     // --- failure details (O10): positional index in the cleaned frame, as the
-    // reference reports (SURVEY.md H2). The global-order window is a
-    // report-only path over the (bounded) failure set; at scale this listing
-    // would go to a side sink keyed by row_id instead.
+    // reference reports (SURVEY.md H2). Computed WITHOUT a global window
+    // (which would funnel every row through one partition): filter first,
+    // then count each failed row's predecessors via a broadcast nested-loop
+    // join — map-side partial aggregation emits ≤ |failed| rows per input
+    // partition, so no exchange ever carries the full frame.
     val failedDetails =
       if (!includeFailedDetails) Seq.empty
-      else flagged
-        .withColumn("_idx", row_number().over(Window.orderBy("row_id")).cast("long") - 1)
-        .filter(!col("passed"))
-        .select(col("_idx"), col("reason"), col("message"))
-        .orderBy("_idx")
-        .collect()
-        .map(r => FailedDetail(r.getLong(0), r.getString(1), r.getString(2)))
-        .toSeq
+      else {
+        val failed = flagged.filter(!col("passed"))
+          .select(col("row_id"), col("reason"), col("message"))
+        val preceding = flagged.select(col("row_id").as("_all_id"))
+          .join(broadcast(failed.select(col("row_id").as("_f_id"))),
+            col("_all_id") < col("_f_id"))
+          .groupBy(col("_f_id")).agg(count(lit(1)).as("_idx"))
+        failed.join(preceding, col("row_id") === col("_f_id"), "left")
+          .select(coalesce(col("_idx"), lit(0L)).as("_idx"),
+            col("reason"), col("message"))
+          .orderBy("_idx")
+          .collect()
+          .map(r => FailedDetail(r.getLong(0), r.getString(1), r.getString(2)))
+          .toSeq
+      }
 
     QualityStats(
       originalCount = originalCount,
