@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, DocValidation, Events, Similarity, TextAnalysis, Tpch}
+import graft.ops.{Dedup, DocValidation, Events, Multimodal, Similarity, TextAnalysis, Tpch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,7 +60,11 @@ object SparkEntry {
     "embedding_near_dup"  -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     // --- similarity search ---
     "ann_topk_brute" -> ((s, d) => Similarity.annTopKBrute(s, d)),
-    "ann_lsh_topk"   -> ((s, d) => Similarity.annLshTopK(s, d))
+    "ann_lsh_topk"   -> ((s, d) => Similarity.annLshTopK(s, d)),
+    // --- multimodal binary-column plumbing ---
+    "media_stats"      -> (Multimodal.mediaStats _),
+    "frame_sample"     -> ((s, d) => Multimodal.frameSample(s, d)),
+    "extract_features" -> ((s, d) => Multimodal.extractFeatures(s, d))
   )
 
   /** DuckDB oracle SQL for each query above. Omitted (rows-only check):
@@ -96,7 +100,8 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardSql,
     "minhash_lsh_pairs"   -> Dedup.ngramJaccardSql,
     "embedding_near_dup"  -> Dedup.embeddingNearDupSql,
-    "ann_topk_brute" -> Similarity.annTopKSql
+    "ann_topk_brute" -> Similarity.annTopKSql,
+    "media_stats"    -> Multimodal.mediaStatsSql
   )
 
   /** Headline bench set: every query that is scale-shaped. The two O(n²)
@@ -113,6 +118,7 @@ object SparkEntry {
     "events_tumbling", "events_sliding", "events_sessions",
     "token_stats", "quality_score", "lang_id", "fingerprint",
     "minhash_lsh_pairs", "simhash", "simhash_near_dup",
-    "ann_topk_brute", "ann_lsh_topk"
+    "ann_topk_brute", "ann_lsh_topk",
+    "media_stats", "frame_sample", "extract_features"
   )
 }

@@ -14,9 +14,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * `clean_text_series` (reference: cleaner.py:42). Implemented as a native
   * Catalyst expression with `doGenCode` so it participates in whole-stage
   * codegen (no Scala-UDF serialization / row conversion on the hot path).
-  * Backed by commons-text `StringEscapeUtils.unescapeHtml4`, which decodes
-  * the same named (`&amp;` `&nbsp;` `&lt;`) and numeric (`&#65;` `&#x42;`)
-  * entity families as Python's `html.unescape`.
+  *
+  * Coverage vs Python's `html.unescape` (which implements the full HTML5
+  * table): the HTML 4.0 named set + numeric (`&#65;` `&#x42;`) entities via
+  * commons-text `unescapeHtml4`, extended with `&apos;` (HTML5/XML, not in
+  * HTML4) and the common legacy semicolon-less forms (`&amp` `&lt` `&gt`
+  * `&quot` `&nbsp` `&copy` `&reg`, upper-case where HTML5 lists a twin)
+  * that HTML5 also accepts.
+  * NOT covered: the long tail of HTML5-only names (e.g. `&planck;`) and the
+  * remaining ~100 semicolon-less legacy entities — none appear in the
+  * reference corpus.
   */
 case class HtmlUnescape(child: Expression) extends UnaryExpression {
 
@@ -40,11 +47,39 @@ case class HtmlUnescape(child: Expression) extends UnaryExpression {
 }
 
 object HtmlUnescape {
+
+  import org.apache.commons.text.StringEscapeUtils
+  import org.apache.commons.text.translate.{AggregateTranslator, LookupTranslator}
+
+  /** HTML5 compatibility layer over the HTML4 table: `&apos;` plus the
+    * common semicolon-less legacy entities. Both the `;`-terminated and bare
+    * forms live in ONE LookupTranslator so its longest-key match consumes
+    * `&amp;` whole rather than `&amp` + dangling `;`.
+    */
+  private val translator = {
+    val html5Compat = new java.util.HashMap[CharSequence, CharSequence]
+    html5Compat.put("&apos;", "'")
+    // Per the HTML5 named-references table: these entities accept a bare
+    // (semicolon-less) form; the upper-case twin exists only where listed.
+    val legacy = Seq(
+      "amp" -> "&", "AMP" -> "&", "lt" -> "<", "LT" -> "<",
+      "gt" -> ">", "GT" -> ">", "quot" -> "\"", "QUOT" -> "\"",
+      "nbsp" -> " ", "copy" -> "©", "COPY" -> "©",
+      "reg" -> "®", "REG" -> "®")
+    for ((n, repl) <- legacy) {
+      html5Compat.put(s"&$n;", repl)
+      html5Compat.put(s"&$n", repl)
+    }
+    new AggregateTranslator(
+      new LookupTranslator(html5Compat),
+      StringEscapeUtils.UNESCAPE_HTML4)
+  }
+
   /** Static hook invoked from generated code. Fast path: no '&' → no alloc. */
   def unescape(s: UTF8String): UTF8String = {
     val str = s.toString
     if (str.indexOf('&') < 0) s
-    else UTF8String.fromString(org.apache.commons.text.StringEscapeUtils.unescapeHtml4(str))
+    else UTF8String.fromString(translator.translate(str))
   }
 
   /** Column-level entry point: `html_unescape($"title")`. */

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming variants of the batch [[graft.ops.Events]] shapes.
+  *
+  * Each function takes an unbounded DataFrame (from `readStream`) with the
+  * events schema (`ts timestamp, user_id long, event_type string,
+  * value double`) and returns a streaming aggregation. The batch versions in
+  * `graft.ops.Events` run the SAME logical shapes eagerly; these add the two
+  * things streaming needs:
+  *
+  *  - a watermark on `ts`, which bounds state (windows older than the
+  *    watermark are finalized and evicted) and defines the late-data cutoff;
+  *  - `session_window` for sessionization — the stateful generalization of
+  *    the batch gaps-and-islands algorithm. Both split a user's events at
+  *    >30-minute silences; the streaming form lets Spark merge/expire
+  *    session state incrementally instead of requiring a total per-user
+  *    sort.
+  *
+  * Scale notes: all three are single hash-aggregations keyed by
+  * (window, key) — partial aggregation map-side, state store sharded by the
+  * grouping key, so a 1000-executor cluster shards state horizontally. The
+  * watermark keeps per-key state bounded regardless of stream length.
+  */
+object EventStreams {
+
+  val DefaultWatermark = "2 hours"
+  val SessionGap = "30 minutes" // == Events.SessionGapSeconds
+
+  /** Tumbling 1-hour windows per event type: count + value sum. */
+  def tumbling(events: DataFrame, watermark: String = DefaultWatermark): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .select(col("w.start").as("window_start"),
+        col("event_type"), col("n"), col("value_sum"))
+
+  /** Sliding windows: 1 hour long, every 15 minutes, per event type. */
+  def sliding(events: DataFrame, watermark: String = DefaultWatermark): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Per-user sessions split at >30-minute gaps (built-in session_window
+    * state: sessions merge as events arrive, finalize when the watermark
+    * passes their close).
+    */
+  def sessions(events: DataFrame, watermark: String = DefaultWatermark): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), SessionGap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
+      .select(col("w.start").as("session_start"), col("user_id"),
+        col("n_events"), col("value_sum"))
+}

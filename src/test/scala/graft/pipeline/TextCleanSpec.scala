@@ -25,6 +25,25 @@ class TextCleanSpec extends SparkSuite {
     ))
   }
 
+  test("decodes HTML5 additions: &apos; and semicolon-less legacy forms") {
+    // Python html.unescape implements the HTML5 table: &apos; (absent from
+    // HTML4) and bare legacy names like &amp decode there — so they must
+    // decode here too. The ; form must win over the bare prefix.
+    assert(clean(Seq(
+      "It&apos;s here",
+      "A &amp B",
+      "x&ampz",
+      "1 &lt 2 &GT 0",
+      "&quot.&QUOT;"
+    )) == Seq(
+      "It's here",
+      "A & B",
+      "x&z",
+      "1 < 2 > 0",
+      "\".\""
+    ))
+  }
+
   test("collapses unicode whitespace including &nbsp; (U+00A0)") {
     // &nbsp; decodes to U+00A0; Java \\s is ASCII-only so the (?U) flag is load-bearing
     assert(clean(Seq("Climate&nbsp;Change &amp; Sustainability")) ==

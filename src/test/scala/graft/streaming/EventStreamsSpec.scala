@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSuite
+
+case class TestEvent(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class EventStreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def t(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+
+  private def runStream(name: String, df: org.apache.spark.sql.DataFrame,
+      mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("tumbling windows aggregate streamed events per hour and type") {
+    val input = MemoryStream[TestEvent](spark)
+    input.addData(
+      TestEvent(t(5), 1, "click", 1.0),
+      TestEvent(t(20), 1, "click", 2.0),
+      TestEvent(t(65), 2, "view", 5.0))
+    runStream("tumbling_out", EventStreams.tumbling(input.toDF()), OutputMode.Complete())
+    val rows = spark.table("tumbling_out")
+      .orderBy("window_start", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(rows == Seq(
+      (t(0), "click", 2L, 3.0),
+      (t(60), "view", 1L, 5.0)))
+  }
+
+  test("sliding windows place each event in 4 overlapping windows") {
+    val input = MemoryStream[TestEvent](spark)
+    input.addData(TestEvent(t(50), 1, "click", 1.0))
+    runStream("sliding_out", EventStreams.sliding(input.toDF()), OutputMode.Complete())
+    val starts = spark.table("sliding_out")
+      .orderBy("window_start")
+      .select("window_start").as[Timestamp].collect().toSeq
+    assert(starts == Seq(t(0), t(15), t(30), t(45)))
+  }
+
+  test("session windows merge events within the gap and split across it") {
+    val input = MemoryStream[TestEvent](spark)
+    input.addData(
+      // user 1: two events 10 min apart (one session), then a 40-min gap
+      TestEvent(t(0), 1, "click", 1.0),
+      TestEvent(t(10), 1, "click", 2.0),
+      TestEvent(t(50), 1, "click", 4.0),
+      // user 2: single event
+      TestEvent(t(5), 2, "view", 8.0))
+    runStream("sessions_out", EventStreams.sessions(input.toDF()), OutputMode.Complete())
+    val rows = spark.table("sessions_out")
+      .orderBy("user_id", "session_start")
+      .as[(Timestamp, Long, Long, Double)].collect().toSeq
+    assert(rows == Seq(
+      (t(0), 1L, 2L, 3.0),
+      (t(50), 1L, 1L, 4.0),
+      (t(5), 2L, 1L, 8.0)))
+  }
+
+  test("append mode drops events later than the watermark") {
+    val input = MemoryStream[TestEvent](spark)
+    val agg = EventStreams.tumbling(input.toDF(), watermark = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: event at 02:05 → watermark advances to 01:35, finalizing the
+    // 00:00 and 01:00 windows
+    input.addData(TestEvent(t(125), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: hopelessly late event for the already-closed 00:00 window
+    input.addData(TestEvent(t(5), 1, "click", 99.0))
+    q.processAllAvailable()
+    // batch 3: push the watermark past 03:00 so the 02:00 window emits
+    input.addData(TestEvent(t(230), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("late_out")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    // the late 00:05 event was dropped: no 00:00 window in the output
+    assert(emitted.map(_._1).contains(t(120)))
+    assert(!emitted.map(_._1).contains(t(0)))
+  }
+}
