@@ -167,9 +167,9 @@ object Dedup {
     * subtrees per element, so each shingle ends up hashed k×Bands times.
     */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables(spark, dir, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val shingleRows = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val shingleRows = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
       .select(col("doc_id"),
         xxhash64(col("g")).bitwiseAND(lit(0xFFFFFFFFL)).as("h1"),
         xxhash64(col("g"), lit(1)).bitwiseAND(lit(0xFFFFFFFFL)).as("h2"))
@@ -179,17 +179,30 @@ object Dedup {
       val slots = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"s$i"))
       xxhash64(slots :+ lit(b): _*)
     }
+    // The banded signature table IS the LSH index artifact: 16 (band, hash)
+    // rows per doc, no text. Persist it — Spark plans the self-join's two
+    // legs as independent subtrees (no ReusedExchange fires here), so
+    // without this the whole shingle→signature pipeline executes twice.
+    // At production scale this is the table you'd write to storage.
     val banded = sig.select(col("doc_id"),
       posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
+      .persist()
     val cand = banded.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
       .join(banded.select(col("band"), col("band_hash"), col("doc_id").as("b_id")),
         Seq("band", "band_hash"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id") // same pair may collide in many bands
+    // Exact-Jaccard verification: semi-join the candidate ids FIRST so
+    // shingles are recomputed only for colliding docs (a few), not the
+    // whole corpus per join leg.
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
+    val candSh = docs.join(broadcast(candIds), Seq("doc_id"))
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
     cand
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .join(candSh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(candSh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         round(jaccard(col("a_sh"), col("b_sh")), 4).as("jac"))
       .filter(col("jac") >= JaccardThreshold)

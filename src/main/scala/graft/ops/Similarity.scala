@@ -75,30 +75,56 @@ object Similarity {
     Array.fill(dims)(rng.nextDouble() * 2 - 1)
   }
 
-  /** Sign-LSH bucket id of a vector column: bit j = sign of ⟨v, plane_j⟩.
-    * Each projection is one zip_with+aggregate over a literal plane array —
-    * fully codegen'd, no per-row hashing.
+  /** Sign-LSH bucket id of a vector column: bit j = sign of ⟨v, plane_j⟩
+    * for this table's plane set. Each projection is one zip_with+aggregate
+    * over a literal plane array — fully codegen'd, no per-row hashing.
     */
-  def lshBucket(v: Column, bits: Int = 16, dims: Int = LshDims): Column =
+  def lshBucket(v: Column, bits: Int = 16, dims: Int = LshDims, table: Int = 0): Column =
     (0 until bits).map { j =>
       val proj = aggregate(
-        zip_with(v, lit(planeRow(j, dims)), (x, p) => x * p),
+        zip_with(v, lit(planeRow(table * 1000 + j, dims)), (x, p) => x * p),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce[Column](_.bitwiseOR(_))
 
-  /** LSH-bucketed approximate top-k: candidates share the query's bucket.
-    * Recall < 1 by construction (bucket boundaries); rows-only oracle.
+  // Tuned for THIS corpus: synthetic 64-dim vectors whose true neighbors sit
+  // at cos ≈ 0.3–0.5 (nearly orthogonal), the hardest regime for sign-LSH —
+  // 5 bits × 12 tables ≈ 0.37·n candidates per query, measured recall@10
+  // ≈ 0.6 at sf0.01. A production embedding corpus (neighbors at cos ≥ 0.7)
+  // would run 8–10 bits × 8 tables for ≪ 1% scan fraction at high recall.
+  val LshBits = 5     // 32 buckets per table
+  val LshTables = 12  // candidate union over 12 independent tables
+
+  /** Multi-table LSH approximate top-k: a vector lands in one bucket PER
+    * TABLE; a query's candidate set is the union of its buckets across all
+    * tables. For vectors at angle θ the per-table collision probability is
+    * (1 − θ/π)^bits, so L tables lift recall to 1 − (1 − p)^L while the
+    * scan stays at ~L·n/2^bits candidates per query instead of n.
+    *
+    * The scale path: the bucket join is an equi-join on (table, bucket) —
+    * shuffle-partitioned by bucket id, skew-safe under AQE. Recall < 1 by
+    * construction (this corpus's neighbors sit at cos ≈ 0.4–0.5, where
+    * sign-LSH is genuinely probabilistic) → rows-only oracle;
+    * [[annTopKBrute]] is the exact anchor.
     */
   def annLshTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), bits = 8))
-    val queries = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("bucket"))
-    val scored = e.join(broadcast(queries), Seq("bucket"))
+    val buckets = (0 until LshTables).map(l => lshBucket(col("v"), LshBits, LshDims, l))
+    // Persisted for the same reason as the minhash banded table: the
+    // 60-projection bucket computation feeds both join legs, and Spark
+    // plans them as independent subtrees. This is the ANN index artifact.
+    val banded = e.select(col("vec_id"), col("v"),
+      posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
+      .persist()
+    val queries = banded.filter(col("vec_id") % 50 === 0)
+      .select(col("table"), col("bucket"), col("vec_id").as("q_id"), col("v").as("q_v"))
+    val cand = banded.join(broadcast(queries), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), cosine(col("q_v"), col("v")).as("c"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("q_v"), col("v"))
+      .dropDuplicates("q_id", "n_id") // union across tables
+    val scored = cand.select(col("q_id"), col("n_id"),
+      cosine(col("q_v"), col("v")).as("c"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -57,6 +57,12 @@ object Stats {
     val baseAggs = Seq(
       count(lit(1)).as("_total"),
       count(when(col("passed"), 1)).as("_passed"))
+    // O13 semantics note: null counts as MISSING here (intended semantics,
+    // README "empty/None/whitespace"). The reference's live behavior differs:
+    // its astype(str) cast turns null into the literal "None", so its golden
+    // report shows published_date at 100% where this reports 90.9% — a
+    // documented deviation (SURVEY.md §0 item 2 / H3), pinned in
+    // GoldenPipelineSpec.
     val complAggs = dataCols.toSeq.map(c =>
       count(when(!isBlank(col(c).cast("string")), 1)).as(s"_ok_$c"))
     val dateAggs = dateCol.toSeq.flatMap { c =>

@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cosine: exact on known vectors") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0), 1.0),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0), 0.0),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0), -1.0),
+      (Seq(3.0, 4.0), Seq(3.0, 4.0), 1.0)
+    ).toDF("a", "b", "expected")
+    val bad = df.filter(
+      abs(Similarity.cosine(col("a"), col("b")) - col("expected")) > 1e-12).count()
+    assert(bad == 0)
+  }
+
+  test("multi-table LSH top-k: recall against the brute-force anchor") {
+    val dir = "/root/testdata/sf0.01"
+    val brute = Similarity.annTopKBrute(spark, dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.annLshTopK(spark, dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // This corpus's neighbors sit at cos ≈ 0.3–0.5 (near-orthogonal), the
+    // worst regime for sign-LSH; 5 bits × 12 tables measures ≈ 0.57 here.
+    // The bound is a regression floor, not a quality target.
+    assert(recall >= 0.4, s"LSH recall@10 degraded: $recall")
+  }
+}

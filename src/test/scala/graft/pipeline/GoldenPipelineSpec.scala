@@ -77,5 +77,13 @@ class GoldenPipelineSpec extends SparkSuite {
     assert(rep.contains("Earliest:  2025-01-15 00:00:00"))
     assert(rep.contains("Latest:    2025-09-15 00:00:00"))
     assert(rep.contains("Records with date: 10/11"))
+
+    // Completeness: INTENDED semantics — null counts as missing, so the
+    // unparseable-date row leaves published_date at 10/11 = 90.9%. The
+    // checked-in reference golden says 100.0% only because its pandas
+    // astype(str) turned null into the literal string "None" (stale-pandas
+    // artifact, SURVEY.md §0 item 2 / H3) — a deliberate deviation.
+    assert(rep.contains("published_date              90.9%  (10/11)"))
+    assert(rep.contains("title                      100.0%  (11/11)"))
   }
 }
