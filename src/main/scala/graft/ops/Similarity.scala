@@ -23,16 +23,31 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns (left-to-right accumulation). */
+  /** Dot product of two array<double> columns (left-to-right accumulation).
+    * HOF formulation — kept as the reference implementation; the hot paths
+    * use the codegen'd [[graft.functions.CosineSimilarity]] instead.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double precision. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in double precision: a native Catalyst expression
+    * that accumulates dot + both norms in ONE generated loop (the HOF
+    * equivalent is interpreted and walks the arrays three times). Bit-equal
+    * to `dot(a,b)/(norm(a)*norm(b))` — same left-to-right accumulation.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSimilarity(a, b)
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Test helper: self-paired double vectors from the embeddings table. */
+  private[ops] def asDoubleForTest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    e.select(col("vec_id"), col("v").as("a"))
+      .join(e.select((col("vec_id") + 1).as("vec_id"), col("v").as("b")), "vec_id")
+  }
 
   /** Exact cosine top-k for the sampled query set (vec_id ≡ 0 mod 50). */
   def annTopKBrute(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {

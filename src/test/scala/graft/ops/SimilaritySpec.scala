@@ -19,6 +19,15 @@ class SimilaritySpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("codegen cosine expression is bit-equal to the HOF formulation") {
+    val vecs = Similarity.asDoubleForTest(spark, "/root/testdata/sf0.001")
+    val hof = Similarity.dot(col("a"), col("b")) /
+      (Similarity.norm(col("a")) * Similarity.norm(col("b")))
+    val bad = vecs.filter(
+      graft.functions.CosineSimilarity(col("a"), col("b")) =!= hof).count()
+    assert(bad == 0)
+  }
+
   test("multi-table LSH top-k: recall against the brute-force anchor") {
     val dir = "/root/testdata/sf0.01"
     val brute = Similarity.annTopKBrute(spark, dir)
