@@ -36,7 +36,14 @@ object Dedup {
   /** Lower-cased whitespace tokens of a text column. */
   def tokens(c: Column): Column = split(lower(c), "\\s+")
 
-  /** Distinct word n-gram shingles (default 3) of a text column.
+  /** Distinct word n-gram shingles (default 3) of a text column — the
+    * codegen'd [[graft.functions.WordNGrams]] expression: one pass, no
+    * interpreted HOF lambdas on the dedup hot path.
+    */
+  def shingles(c: Column, n: Int = 3): Column = graft.functions.WordNGrams(c, n)
+
+  /** Builtin-composition formulation of [[shingles]], kept as the reference
+    * implementation the custom expression is verified against.
     *
     * Built by zipping the token array with its own shifted slices — NOT via
     * `transform(sequence(...), i => element_at(t, i + j))`: a lambda body
@@ -46,7 +53,7 @@ object Dedup {
     * array argument is evaluated once per row and the lambda only touches
     * elements.
     */
-  def shingles(c: Column, n: Int = 3): Column = {
+  private[graft] def shinglesHof(c: Column, n: Int = 3): Column = {
     val t = tokens(c)
     val zipped = (1 until n).foldLeft(t) { (acc, k) =>
       zip_with(acc, slice(t, lit(k + 1), size(t)), (a, b) => concat_ws(" ", a, b))

@@ -1,0 +1,23 @@
+package graft
+
+class GraftExtensionsSpec extends SparkSuite {
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  html_unescape('AI &amp; ML &apos;26') AS s,
+        |  cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c_same,
+        |  cosine_similarity(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS c_orth
+        |""".stripMargin).head()
+    assert(row.getString(0) == "AI & ML '26")
+    assert(row.getDouble(1) == 1.0)
+    assert(row.getDouble(2) == 0.0)
+  }
+
+  test("registration is idempotent and survives re-registration") {
+    GraftFunctions.register(spark)
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT html_unescape('&lt;x&gt;')").head().getString(0) == "<x>")
+  }
+}

@@ -1,0 +1,29 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("WordNGrams expression equals the builtin-composition shingles") {
+    // edge cases: empty, whitespace-only, < n tokens (uppercase to check the
+    // lowercased fallback), exactly n, repeated shingles (distinct), and
+    // trailing whitespace (Spark split keeps trailing empty tokens)
+    val edge = Seq("", "   ", "One TWO", "a b c", "x y z x y z x y z",
+      "tab\tsep\ntokens here", "trailing space ")
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text")).as[String].collect().toSeq
+    val df = (edge ++ corpus).toDF("text")
+    val bad = df.filter(
+      Dedup.shingles(col("text")) =!= Dedup.shinglesHof(col("text"))).count()
+    assert(bad == 0)
+  }
+
+  test("shingle contract: distinct trigrams in first-occurrence order") {
+    val got = Seq("the cat sat on the cat sat").toDF("text")
+      .select(Dedup.shingles(col("text")).as("sh")).as[Seq[String]].head()
+    assert(got == Seq("the cat sat", "cat sat on", "sat on the", "on the cat"))
+  }
+}
