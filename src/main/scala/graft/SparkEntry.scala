@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, DocValidation, Events, Multimodal, Similarity, TextAnalysis, Tpch}
+import graft.ops.{AsofJoin, Dedup, DocValidation, Events, Multimodal, Similarity, Skew, TextAnalysis, Tpch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,6 +47,9 @@ object SparkEntry {
     "events_tumbling" -> (Events.tumbling _),
     "events_sliding"  -> (Events.sliding _),
     "events_sessions" -> (Events.sessions _),
+    "asof_last_click" -> (AsofJoin.asofLastClick _),
+    "salted_user_age" -> (Skew.saltedUserAge _),
+    "distinct_parts_approx" -> ((s, d) => Skew.distinctPartsApprox(s, d)),
     // --- text analysis ---
     "token_stats"   -> (TextAnalysis.tokenStats _),
     "quality_score" -> (TextAnalysis.qualityScore _),
@@ -93,6 +96,8 @@ object SparkEntry {
     "events_tumbling" -> Events.tumblingSql,
     "events_sliding"  -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
+    "asof_last_click" -> AsofJoin.asofLastClickSql,
+    "salted_user_age" -> Skew.saltedUserAgeSql,
     "token_stats"   -> TextAnalysis.tokenStatsSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "lang_id"       -> TextAnalysis.langIdSql,
@@ -116,6 +121,7 @@ object SparkEntry {
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "top_customers",
     "distinct_parts",
     "events_tumbling", "events_sliding", "events_sessions",
+    "asof_last_click", "salted_user_age", "distinct_parts_approx",
     "token_stats", "quality_score", "lang_id", "fingerprint",
     "minhash_lsh_pairs", "simhash", "simhash_near_dup",
     "ann_topk_brute", "ann_lsh_topk",

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — the classic time-series operator Spark has no builtin for:
+  * for each left row, attach the payload of the latest right row with
+  * `right.time < left.time` (strictly earlier) sharing the join key.
+  *
+  * Execution shape (the reason this beats the naive formulations):
+  * tag both sides, UNION them, and run ONE window over
+  * (key, ORDER BY time, side-tag): `last(payload, ignoreNulls)` at each
+  * left row is exactly the most recent prior right row. Cost = one shuffle
+  * on the key + a per-key sort — no range join (O(n·m) BroadcastNestedLoop
+  * in Spark), no per-row subquery. Skewed keys are one partition's sort,
+  * handled by AQE; at 100 TB this is the standard "merge the two streams"
+  * design.
+  *
+  * Strictness: rows sort by (time, side) with left rows BEFORE right rows
+  * at equal time, so a right row at exactly left.time is NOT matched
+  * (asof `>` semantics, matching the DuckDB `ASOF LEFT JOIN ... ON l.t >
+  * r.t` oracle).
+  */
+object AsofJoin {
+
+  /** Generic form: left keeps all its columns; each right payload column
+    * (everything but `key` and `time`) is attached as `<prefix><name>`,
+    * plus `<prefix><time>` = the matched row's time; all null when no prior
+    * right row exists.
+    */
+  def asofLastPrior(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      prefix: String = "asof_"): DataFrame = {
+
+    val payload = right.columns.filterNot(c => c == key || c == time).toSeq
+    val outCols = (payload :+ time).map(p => s"$prefix$p")
+
+    val leftSide = outCols.foldLeft(left.withColumn("_src", lit(0))) { (df, c) =>
+      val srcName = c.stripPrefix(prefix)
+      df.withColumn(c, lit(null).cast(right.schema(srcName).dataType))
+    }
+    val rightSide = {
+      val base = right.select(
+        Seq(col(key), col(time)) ++
+          payload.map(p => col(p).as(s"$prefix$p")) :+
+          col(time).as(s"$prefix$time"): _*)
+        .withColumn("_src", lit(1))
+      left.columns.filterNot(c => c == key || c == time)
+        .foldLeft(base)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    }
+
+    val w = Window.partitionBy(key).orderBy(col(time), col("_src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = outCols.foldLeft(leftSide.unionByName(rightSide)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_src") === 0).drop("_src")
+  }
+
+  /** Concrete query: for every event, the same user's most recent PRIOR
+    * click (its timestamp and value). Left join semantics — events before
+    * any click carry nulls.
+    */
+  def asofLastClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    asofLastPrior(
+      ev.select(col("event_id"), col("user_id"), col("ts")),
+      clicks, key = "user_id", time = "ts")
+      .select(col("event_id"),
+        date_format(col("asof_ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("last_click_ts"),
+        col("asof_value").as("last_click_value"))
+      .orderBy("event_id")
+  }
+
+  val asofLastClickSql: String =
+    """SELECT e.event_id,
+      |  strftime(c.ts, '%Y-%m-%dT%H:%M:%S.%f') AS last_click_ts,
+      |  c.value AS last_click_value
+      |FROM events e ASOF LEFT JOIN
+      |  (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      |  ON e.user_id = c.user_id AND e.ts > c.ts
+      |ORDER BY e.event_id""".stripMargin
+}
