@@ -240,7 +240,10 @@ object Dedup {
     * maxDist ≤ 3), so the candidate join is an equi-join, not O(n²).
     */
   def simhashNearDup(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
-    val fp = simhash(spark, dir)
+    // Persisted for the same reason as the minhash/ann index tables: the
+    // self-join's two legs are planned as independent subtrees, which would
+    // run the token-explode + 64-agg fingerprint pipeline twice.
+    val fp = simhash(spark, dir).persist()
     // Four 16-bit segments, unrolled at the Scala level (`shiftright` takes
     // an Int shift, not a Column).
     val segVals = (0 until 4).map { s =>
