@@ -4,7 +4,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HtmlUnescape}
+import org.apache.spark.sql.catalyst.expressions.{Literal, Lower}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{CosineSimilarity, HtmlUnescape, WordNGrams}
 
 /** SQL surface for the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT html_unescape(title) ...")` works alongside the
@@ -37,7 +40,17 @@ object GraftFunctions {
       (children: Seq[Expression]) => HtmlUnescape(children.head)),
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => children match {
+        // Lower composed here (not inside the expression) so case folding
+        // always comes from Spark's own ICU-backed Lower.
+        case Seq(text) => WordNGrams(Lower(text), 3)
+        case Seq(text, Literal(n: Int, IntegerType)) => WordNGrams(Lower(text), n)
+        case _ => throw new IllegalArgumentException(
+          "word_ngrams(text[, n]) requires a string and an optional integer literal")
+      }))
 
   /** Register every custom function into an existing session. Idempotent. */
   def register(spark: SparkSession): Unit =

@@ -9,19 +9,24 @@ import org.apache.spark.sql.graft.ColumnShim
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct word n-gram shingles of a raw text column, as ONE codegen'd
-  * expression: lowercase → whitespace-split → n-gram join → distinct, in a
-  * single pass with no intermediate array columns.
+/** Distinct word n-gram shingles of a text column, as ONE codegen'd
+  * expression: whitespace-split → n-gram join → distinct, in a single pass
+  * with no intermediate array columns.
   *
   * Replaces the builtin composition
-  * `array_distinct(zip_with(zip_with(split(lower(c)), …)))` on the dedup
-  * hot path — zip_with is a lambda higher-order function, which Catalyst
+  * `array_distinct(zip_with(zip_with(split(c), …)))` on the dedup hot
+  * path — zip_with is a lambda higher-order function, which Catalyst
   * evaluates interpreted, and the composition walks the token array once
   * per shingle position. Semantics are IDENTICAL to the composition
   * (verified by spec): tokens come from `\s+`-split with Java limit -1
   * (matching Spark's `split`, which KEEPS trailing empty strings), and
-  * texts with fewer than n tokens fall back to `[lower(text)]` — the same
-  * contract the DuckDB Jaccard oracle implements.
+  * texts with fewer than n tokens fall back to `[text]`.
+  *
+  * Deliberately does NOT fold case: Spark 4's `lower()` uses ICU collation
+  * tables while the JVM's `toLowerCase` carries older Unicode data — the
+  * two disagree on rare codepoints (found by the property spec: U+A7C0).
+  * Callers compose `lower()` themselves ([[WordNGrams.apply]] does), so
+  * case folding always comes from Spark's own expression.
   */
 case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
 
@@ -50,11 +55,11 @@ object WordNGrams {
 
   /** Static hook shared by interpreted eval and generated code. */
   def compute(s: UTF8String, n: Int): ArrayData = {
-    val lower = s.toLowerCase.toString
+    val str = s.toString
     // limit -1: keep trailing empty strings, matching Spark's split()
-    val tokens = ws.split(lower, -1)
+    val tokens = ws.split(str, -1)
     if (tokens.length < n) {
-      new GenericArrayData(Array[Any](UTF8String.fromString(lower)))
+      new GenericArrayData(Array[Any](UTF8String.fromString(str)))
     } else {
       // LinkedHashSet: distinct while preserving first-occurrence order,
       // matching array_distinct's stable semantics
@@ -80,7 +85,10 @@ object WordNGrams {
     }
   }
 
-  /** Column-level entry point: `word_ngrams($"text", 3)`. */
+  /** Column-level entry point: lowercased distinct n-grams of `c` —
+    * `word_ngrams(lower($"text"), 3)` with Spark's own case folding.
+    */
   def apply(c: Column, n: Int): Column =
-    ColumnShim.column(WordNGrams(ColumnShim.expression(c), n))
+    ColumnShim.column(WordNGrams(
+      ColumnShim.expression(org.apache.spark.sql.functions.lower(c)), n))
 }

@@ -13,6 +13,9 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(row.getString(0) == "AI & ML '26")
     assert(row.getDouble(1) == 1.0)
     assert(row.getDouble(2) == 0.0)
+    val grams = spark.sql("SELECT word_ngrams('a b c d'), word_ngrams('a b c d', 2)").head()
+    assert(grams.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(grams.getSeq[String](1) == Seq("a b", "b c", "c d"))
   }
 
   test("registration is idempotent and survives re-registration") {

@@ -21,6 +21,19 @@ class DedupSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("property: WordNGrams equals the composition on random strings") {
+    import org.scalacheck.{Arbitrary, Gen}
+    // lone surrogates don't survive the UTF-8 roundtrip (encoding artifact
+    // of the test path, not the operator) — drop them, as in TextCleanSpec
+    val gen = Gen.listOfN(300,
+      Arbitrary.arbitrary[String].map(_.filterNot(_.isSurrogate)))
+    val samples = gen.sample.get ++ Seq("a b c d", "ONE two THREE four")
+    val df = samples.toDF("text")
+    val bad = df.filter(
+      Dedup.shingles(col("text")) =!= Dedup.shinglesHof(col("text"))).count()
+    assert(bad == 0)
+  }
+
   test("shingle contract: distinct trigrams in first-occurrence order") {
     val got = Seq("the cat sat on the cat sat").toDF("text")
       .select(Dedup.shingles(col("text")).as("sh")).as[Seq[String]].head()
