@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{AsofJoin, Dedup, DocValidation, Events, Multimodal, Similarity, Skew, TextAnalysis, Tpch}
+import graft.ops.{AsofJoin, Dedup, DocValidation, Events, Multimodal, Sampling, Similarity, Skew, TextAnalysis, Tpch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -67,7 +67,10 @@ object SparkEntry {
     // --- multimodal binary-column plumbing ---
     "media_stats"      -> (Multimodal.mediaStats _),
     "frame_sample"     -> ((s, d) => Multimodal.frameSample(s, d)),
-    "extract_features" -> ((s, d) => Multimodal.extractFeatures(s, d))
+    "extract_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
+    // --- corpus sampling / splitting ---
+    "split_counts"      -> (Sampling.splitCounts _),
+    "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d))
   )
 
   /** DuckDB oracle SQL for each query above. Omitted (rows-only check):
@@ -106,7 +109,8 @@ object SparkEntry {
     "minhash_lsh_pairs"   -> Dedup.ngramJaccardSql,
     "embedding_near_dup"  -> Dedup.embeddingNearDupSql,
     "ann_topk_brute" -> Similarity.annTopKSql,
-    "media_stats"    -> Multimodal.mediaStatsSql
+    "media_stats"    -> Multimodal.mediaStatsSql,
+    "split_counts"   -> Sampling.splitCountsSql
   )
 
   /** Headline bench set: every query that is scale-shaped. The two O(n²)
@@ -125,6 +129,7 @@ object SparkEntry {
     "token_stats", "quality_score", "lang_id", "fingerprint",
     "minhash_lsh_pairs", "simhash", "simhash_near_dup",
     "ann_topk_brute", "ann_lsh_topk",
-    "media_stats", "frame_sample", "extract_features"
+    "media_stats", "frame_sample", "extract_features",
+    "split_counts", "stratified_sample"
   )
 }

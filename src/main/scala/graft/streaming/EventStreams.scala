@@ -54,4 +54,16 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
       .select(col("w.start").as("session_start"), col("user_id"),
         col("n_events"), col("value_sum"))
+
+  /** Streaming exact dedup on `event_id` — the ingest-side counterpart of
+    * the batch dedup suite. `dropDuplicatesWithinWatermark` keys state by
+    * the id and EVICTS each key once the watermark passes its event time,
+    * so state is bounded by the watermark horizon (a plain
+    * `dropDuplicates` on a stream would grow state forever). Duplicates
+    * arriving within the horizon — the realistic at-least-once-delivery
+    * case — are suppressed exactly.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = DefaultWatermark): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
 }

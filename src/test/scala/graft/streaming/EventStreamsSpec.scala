@@ -8,6 +8,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSuite
 
 case class TestEvent(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class IdEvent(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
 
 class EventStreamsSpec extends SparkSuite {
   import spark.implicits._
@@ -63,6 +64,26 @@ class EventStreamsSpec extends SparkSuite {
       (t(0), 1L, 2L, 3.0),
       (t(50), 1L, 1L, 4.0),
       (t(5), 2L, 1L, 8.0)))
+  }
+
+  test("streaming dedup suppresses duplicate ids within the watermark horizon") {
+    val input = MemoryStream[IdEvent](spark)
+    val q = EventStreams.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: id 1 twice in the same batch, id 2 once
+    input.addData(
+      IdEvent(1, t(0), 1, 1.0),
+      IdEvent(1, t(1), 1, 1.0),
+      IdEvent(2, t(2), 1, 2.0))
+    q.processAllAvailable()
+    // batch 2: id 1 again (redelivery across batches) + a new id
+    input.addData(IdEvent(1, t(3), 1, 1.0), IdEvent(3, t(4), 2, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L))
   }
 
   test("append mode drops events later than the watermark") {
