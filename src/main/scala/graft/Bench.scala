@@ -16,15 +16,19 @@ object Bench {
     // Min of two runs per query: this environment shows 2-4× multi-thread
     // scheduling noise run-to-run (single-thread perf is stable), so a
     // single sample measures the scheduler, not the plan. The first run also
-    // absorbs that plan's codegen compile.
+    // absorbs that plan's codegen compile. clearCache between runs keeps the
+    // second run honest for queries that persist an index table internally
+    // (otherwise run 2 would time a CacheManager hit, not the plan).
+    // A throwing query is reported as -1, never as its time-to-throw.
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       }
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

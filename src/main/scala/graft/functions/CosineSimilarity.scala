@@ -35,12 +35,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    CosineSimilarity.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // Different-length arrays → null, matching the HOF formulation (zip_with
+  // pads the shorter side with nulls, which nulls the whole fold). A silent
+  // prefix-cosine would be a wrong-but-plausible number.
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) null
+    else CosineSimilarity.compute(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.CosineSimilarity.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.CosineSimilarity.compute($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
@@ -49,9 +63,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object CosineSimilarity {
 
-  /** Static hook shared by interpreted eval and generated code. */
+  /** Static hook shared by interpreted eval and generated code. Callers
+    * guarantee equal lengths (the expression returns null otherwise).
+    */
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

@@ -37,17 +37,19 @@ object AsofJoin {
       prefix: String = "asof_"): DataFrame = {
 
     val payload = right.columns.filterNot(c => c == key || c == time).toSeq
-    val outCols = (payload :+ time).map(p => s"$prefix$p")
 
-    val leftSide = outCols.foldLeft(left.withColumn("_src", lit(0))) { (df, c) =>
-      val srcName = c.stripPrefix(prefix)
-      df.withColumn(c, lit(null).cast(right.schema(srcName).dataType))
-    }
-    val rightSide = {
-      val base = right.select(
-        Seq(col(key), col(time)) ++
-          payload.map(p => col(p).as(s"$prefix$p")) :+
-          col(time).as(s"$prefix$time"): _*)
+    // The matched right row travels as ONE struct — `last(..., ignoreNulls)`
+    // then selects the whole row atomically. Filling each payload column
+    // with its own independent `last` would be wrong when payload values
+    // are null: ignoreNulls would skip back to an OLDER right row for just
+    // that column, stitching together fields from different right rows.
+    val rightStruct = struct(payload.map(col) :+ col(time).as(time): _*)
+    val leftSide = left.withColumn("_src", lit(0))
+      .withColumn("_asof", lit(null).cast(
+        right.select(rightStruct.as("_asof")).schema("_asof").dataType))
+    val rightFull = {
+      val base = right
+        .select(col(key), col(time), rightStruct.as("_asof"))
         .withColumn("_src", lit(1))
       left.columns.filterNot(c => c == key || c == time)
         .foldLeft(base)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
@@ -55,10 +57,12 @@ object AsofJoin {
 
     val w = Window.partitionBy(key).orderBy(col(time), col("_src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = outCols.foldLeft(leftSide.unionByName(rightSide)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = leftSide.unionByName(rightFull)
+      .withColumn("_asof", last(col("_asof"), ignoreNulls = true).over(w))
+    val unpacked = (payload :+ time).foldLeft(filled) { (df, p) =>
+      df.withColumn(s"$prefix$p", col("_asof").getField(p))
     }
-    filled.filter(col("_src") === 0).drop("_src")
+    unpacked.filter(col("_src") === 0).drop("_src", "_asof")
   }
 
   /** Concrete query: for every event, the same user's most recent PRIOR

@@ -73,8 +73,11 @@ object Multimodal {
     val media = mediaTable(spark, dir)
     val nFrames = ceil(col("meta.n_bytes").cast("double") / FrameBytes).cast("int")
     media
+      // zero-byte (or null) payloads have zero frames — without this filter
+      // the sequence endpoint clamp would emit one phantom empty frame
+      .filter(col("meta.n_bytes") > 0)
       .select(col("doc_id"), col("payload"),
-        posexplode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(every)))
+        posexplode(sequence(lit(0), nFrames - 1, lit(every)))
           .as(Seq("sample_idx", "frame_idx")))
       .select(col("doc_id"), col("frame_idx"),
         substring(col("payload"), col("frame_idx") * FrameBytes + 1, lit(FrameBytes))

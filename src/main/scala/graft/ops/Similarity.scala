@@ -11,15 +11,16 @@ import org.apache.spark.sql.functions._
   *    the big side stays shuffle-free: plan = Scan ⋈(BNL,broadcast) →
   *    per-query top-k window. At 1000 executors this is one pass over the
   *    corpus per query batch — the right brute-force shape.
-  *  - [[annLshBuckets]]: random-hyperplane (sign) LSH — each vector maps to
-  *    a 16-bit bucket; queries only compare against their bucket's members.
-  *    Hyperplane components are derived deterministically from xxhash64, so
-  *    the index needs no stored model and recomputes identically on any
-  *    cluster. The scale path: bucket join is an equi-join (shuffle on
-  *    bucket id), candidate set per query ≈ n/2¹⁶ of the corpus.
+  *  - [[annLshTopK]]: multi-table random-hyperplane (sign) LSH —
+  *    [[LshTables]] tables of [[LshBits]]-bit buckets; a query's candidate
+  *    set is the union of its buckets across tables. Plane matrices are
+  *    seeded plan-time literals, so the index needs no stored model and
+  *    recomputes identically on any cluster. The bucket join is an
+  *    equi-join on (table, bucket).
   *
-  * All vector math is higher-order-function column expressions in double
-  * precision (zip_with + aggregate) — no UDFs, codegen-friendly.
+  * Vector math: the codegen'd one-pass [[graft.functions.CosineSimilarity]]
+  * on the hot paths; the HOF formulation ([[dot]]/[[norm]]) kept as the
+  * reference implementation it is verified against.
   */
 object Similarity {
 

@@ -48,7 +48,8 @@ object Stats {
       originalCount: Long,
       deletedIncomplete: Long,
       deletedDuplicates: Long,
-      includeFailedDetails: Boolean = true): QualityStats = {
+      includeFailedDetails: Boolean = true,
+      maxFailedDetails: Long = 10000): QualityStats = {
 
     val dataCols = flagged.columns.filterNot(metaCols.contains)
     val dateCol = Seq("published_date", "published").find(flagged.columns.contains)
@@ -99,9 +100,12 @@ object Stats {
     // (which would funnel every row through one partition): filter first,
     // then count each failed row's predecessors via a broadcast nested-loop
     // join — map-side partial aggregation emits ≤ |failed| rows per input
-    // partition, so no exchange ever carries the full frame.
+    // partition. The NLJ does |rows| × |failed| comparisons, so the listing
+    // is gated on |failed| ≤ maxFailedDetails: a report that would print
+    // >10k per-row lines is useless anyway, and past the cap the scalable
+    // answer is a side sink keyed by row_id, not a report section.
     val failedDetails =
-      if (!includeFailedDetails) Seq.empty
+      if (!includeFailedDetails || (total - passed) > maxFailedDetails) Seq.empty
       else {
         val failed = flagged.filter(!col("passed"))
           .select(col("row_id"), col("reason"), col("message"))

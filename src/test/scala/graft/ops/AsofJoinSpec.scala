@@ -1,0 +1,39 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSuite
+
+class AsofJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def t(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  test("as-of picks the latest prior right row atomically — null payloads included") {
+    // user 1 clicks: t1 (value 5.0), t2 (value NULL). The correct match for
+    // an event at t3 is the t2 click WITH its null value — per-column
+    // ignoreNulls filling would wrongly stitch t2's ts to t1's value.
+    val left = Seq((10L, 1L, t(3)), (11L, 1L, t(1)), (12L, 2L, t(5)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, t(1), Some(5.0)),
+      (1L, t(2), None),
+      (2L, t(9), Some(7.0))) // after user 2's event — must not match
+      .toDF("user_id", "ts", "value")
+    val out = AsofJoin.asofLastPrior(left, right, "user_id", "ts")
+      .select("event_id", "asof_ts", "asof_value")
+      .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1)), Option(r.get(2))))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      (10L, Some(t(2)), None),       // latest prior is the NULL-valued click
+      (11L, None, None),             // no prior click at all
+      (12L, None, None)))            // right row exists but is later
+  }
+
+  test("strict inequality: a right row at exactly left.time is not matched") {
+    val left = Seq((1L, 1L, t(5))).toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, t(5), 9.0)).toDF("user_id", "ts", "value")
+    val out = AsofJoin.asofLastPrior(left, right, "user_id", "ts").head()
+    assert(out.getAs[Any]("asof_value") == null)
+  }
+}

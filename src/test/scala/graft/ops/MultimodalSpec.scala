@@ -28,11 +28,11 @@ class MultimodalSpec extends SparkSuite {
       length(col("frame")) > Multimodal.FrameBytes ||
       col("frame_idx") % 4 =!= 0).count()
     assert(bad == 0)
-    // a doc with n_bytes bytes yields ceil(n/64/4) sampled frames (every=4)
+    // a doc with n_bytes bytes yields ceil(ceil(n/64)/4) sampled frames
     val perDoc = frames.groupBy("doc_id").count()
       .join(Multimodal.mediaTable(spark, dir).select(col("doc_id"), col("meta.n_bytes").as("n")), "doc_id")
       .withColumn("expected", ceil(ceil(col("n") / Multimodal.FrameBytes) / 4))
-      .filter(col("count") =!= greatest(col("expected"), lit(1)))
+      .filter(col("count") =!= col("expected"))
     assert(perDoc.count() == 0)
     frames.unpersist()
   }
