@@ -61,6 +61,8 @@ object SparkEntry {
     "simhash"             -> (Dedup.simhash _),
     "simhash_near_dup"    -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "embedding_near_dup"  -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "embedding_near_dup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
+    "events_rollup" -> (Events.rollupByTypeDay _),
     // --- similarity search ---
     "ann_topk_brute" -> ((s, d) => Similarity.annTopKBrute(s, d)),
     "ann_lsh_topk"   -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -101,6 +103,7 @@ object SparkEntry {
     "events_sessions" -> Events.sessionsSql,
     "asof_last_click" -> AsofJoin.asofLastClickSql,
     "salted_user_age" -> Skew.saltedUserAgeSql,
+    "events_rollup"   -> Events.rollupSql,
     "token_stats"   -> TextAnalysis.tokenStatsSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "lang_id"       -> TextAnalysis.langIdSql,
@@ -128,6 +131,7 @@ object SparkEntry {
     "asof_last_click", "salted_user_age", "distinct_parts_approx",
     "token_stats", "quality_score", "lang_id", "fingerprint",
     "minhash_lsh_pairs", "simhash", "simhash_near_dup",
+    "embedding_near_dup_lsh", "events_rollup",
     "ann_topk_brute", "ann_lsh_topk",
     "media_stats", "frame_sample", "extract_features",
     "split_counts", "stratified_sample"

@@ -278,6 +278,33 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** LSH-bucketed embedding near-dup — the 100-TB path the brute variant
+    * anchors: candidates come from the multi-table sign-LSH bucket join
+    * (same index as [[Similarity.annLshTopK]]), then exact cosine filters
+    * at τ. Approximate by construction: on THIS corpus the qualifying pairs
+    * sit at cos ≈ 0.4–0.5 where sign-LSH collision probability is ~0.77
+    * across 12 tables (recall pinned by spec, not an oracle); a production
+    * near-dup corpus (cos ≥ 0.9) would see recall ≈ 1.
+    */
+  def embeddingNearDupLsh(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val buckets = (0 until Similarity.LshTables)
+      .map(l => Similarity.lshBucket(col("v"), Similarity.LshBits, Similarity.LshDims, l))
+    val banded = e.select(col("vec_id"), col("v"),
+      posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
+      .persist()
+    banded.select(col("table"), col("bucket"), col("vec_id").as("a_id"), col("v").as("a_v"))
+      .join(banded.select(col("table"), col("bucket"), col("vec_id").as("b_id"), col("v").as("b_v")),
+        Seq("table", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(Similarity.cosine(col("a_v"), col("b_v")), 4).as("cos"))
+      .filter(col("cos") >= tau)
+      .orderBy("a_id", "b_id")
+  }
+
   val embeddingNearDupSql: String =
     """SELECT a_id, b_id, cos FROM (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -58,6 +58,24 @@ object Events {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Rollup aggregation: event counts and value sums per (event_type, day)
+    * with ROLLUP subtotals — per-type totals and the grand total in the
+    * same pass (Expand + one hash aggregate; no second scan per level).
+    */
+  def rollupByTypeDay(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      .rollup("event_type", "day")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+
+  val rollupSql: String =
+    """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |  count(*) AS n, round(sum(value), 2) AS value_sum
+      |FROM events
+      |GROUP BY ROLLUP(event_type, day)
+      |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
+
   /** Sessionization: per-user sessions split at >30-minute gaps.
     * Gaps-and-islands — lag over (user_id ORDER BY ts), gap flag, running
     * sum as session index — then one aggregate per session.

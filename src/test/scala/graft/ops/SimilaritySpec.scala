@@ -28,6 +28,19 @@ class SimilaritySpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("LSH embedding near-dup: recall against the brute-force anchor") {
+    val dir = "/root/testdata/sf0.01"
+    val brute = Dedup.embeddingNearDup(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates are a subset — no false pairs (exact cosine verifies)
+    assert((lsh -- brute).isEmpty)
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // cos 0.4-0.5 pairs → per-table p ≈ 0.11, 12 tables → ~0.77 expected
+    assert(recall >= 0.5, s"LSH near-dup recall degraded: $recall")
+  }
+
   test("multi-table LSH top-k: recall against the brute-force anchor") {
     val dir = "/root/testdata/sf0.01"
     val brute = Similarity.annTopKBrute(spark, dir)
