@@ -291,14 +291,22 @@ object Dedup {
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val buckets = (0 until Similarity.LshTables)
       .map(l => Similarity.lshBucket(col("v"), Similarity.LshBits, Similarity.LshDims, l))
-    val banded = e.select(col("vec_id"), col("v"),
+    // Candidates travel as BARE ID PAIRS through the bucket join and the
+    // cross-table dedup — carrying the two 64-dim vectors through
+    // dropDuplicates would shuffle ~1 KB per candidate pair (it was 5× the
+    // whole query's cost). Vectors re-attach afterwards via two slim joins.
+    val banded = e.select(col("vec_id"),
       posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
       .persist()
-    banded.select(col("table"), col("bucket"), col("vec_id").as("a_id"), col("v").as("a_v"))
-      .join(banded.select(col("table"), col("bucket"), col("vec_id").as("b_id"), col("v").as("b_v")),
+    val cand = banded.select(col("table"), col("bucket"), col("vec_id").as("a_id"))
+      .join(banded.select(col("table"), col("bucket"), col("vec_id").as("b_id")),
         Seq("table", "bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         round(Similarity.cosine(col("a_v"), col("b_v")), 4).as("cos"))
       .filter(col("cos") >= tau)
