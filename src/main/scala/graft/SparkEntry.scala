@@ -41,6 +41,8 @@ object SparkEntry {
     "tpch_q3"        -> (Tpch.q3ShippingPriority _),
     "tpch_q4"        -> (Tpch.q4OrderPriority _),
     "tpch_q5"        -> (Tpch.q5LocalSupplier _),
+    "tpch_q6"        -> (Tpch.q6ForecastRevenue _),
+    "tpch_q10"       -> (Tpch.q10ReturnedItems _),
     "top_customers"  -> (Tpch.topCustomers _),
     "distinct_parts" -> (Tpch.distinctParts _),
     // --- event-time windowing (streaming-ready shapes) ---
@@ -96,6 +98,8 @@ object SparkEntry {
     "tpch_q3"        -> Tpch.q3Sql,
     "tpch_q4"        -> Tpch.q4Sql,
     "tpch_q5"        -> Tpch.q5Sql,
+    "tpch_q6"        -> Tpch.q6Sql,
+    "tpch_q10"       -> Tpch.q10Sql,
     "top_customers"  -> Tpch.topCustomersSql,
     "distinct_parts" -> Tpch.distinctPartsSql,
     "events_tumbling" -> Events.tumblingSql,
@@ -125,8 +129,8 @@ object SparkEntry {
     "filter_incomplete", "validate_flags", "reason_histogram", "top1_reason",
     "completeness", "date_range", "dedup_exact_keep_first", "clean_text",
     "parse_dates",
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "top_customers",
-    "distinct_parts",
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
+    "top_customers", "distinct_parts",
     "events_tumbling", "events_sliding", "events_sessions",
     "asof_last_click", "salted_user_age", "distinct_parts_approx",
     "token_stats", "quality_score", "lang_id", "fingerprint",

@@ -173,6 +173,58 @@ object Tpch {
       |ORDER BY total_spent DESC, c_custkey
       |LIMIT 10""".stripMargin
 
+  /** TPC-H Q6 shape: forecast-revenue-change — pure scan + filter + scalar
+    * aggregate, the canonical predicate-pushdown benchmark (every filter
+    * reaches the parquet scan; no shuffle at all beyond the final combine).
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.04) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  val q6Sql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.02 AND 0.04
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10 shape: returned-item reporting — fact-fact join restricted
+    * by a quarter window, customer/nation broadcast, top-20 by revenue.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders").filter(
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+      col("o_orderdate") <  lit("1997-04-01").cast("timestamp"))
+    val li = Tables(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   /** Distinct aggregation: distinct parts and suppliers per return flag. */
   def distinctParts(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
