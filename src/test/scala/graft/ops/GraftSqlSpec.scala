@@ -1,0 +1,31 @@
+package graft.ops
+
+import graft.SparkSuite
+
+/** The ANSI-portable oracle SQL strings must produce the same result when
+  * executed by Spark itself over temp views as the DataFrame-API queries do
+  * — one query surface, two front-ends.
+  */
+class GraftSqlSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val portable: Seq[(String, String)] = Seq(
+    "tpch_q1" -> Tpch.q1Sql,
+    "tpch_q4" -> Tpch.q4Sql,
+    "tpch_q5" -> Tpch.q5Sql,
+    "tpch_q6" -> Tpch.q6Sql,
+    "tpch_q10" -> Tpch.q10Sql,
+    "top_customers" -> Tpch.topCustomersSql,
+    "distinct_parts" -> Tpch.distinctPartsSql)
+
+  test("ANSI oracle SQL runs on Spark and matches the DataFrame API") {
+    GraftSql.registerTables(spark, dir)
+    for ((name, sql) <- portable) {
+      val viaSql = spark.sql(sql).collect().map(_.toString).toSeq
+      val viaApi = graft.SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(viaSql == viaApi, s"$name: SQL and DataFrame results differ")
+    }
+  }
+}
