@@ -1,7 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed rows for the custom-state sessionizer. */
+case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+case class OpenSession(startMs: Long, lastMs: Long, n: Long, valueSum: Double)
+case class SessionRecord(
+    user_id: Long, session_start: Timestamp, n_events: Long,
+    duration_sec: Double, value_sum: Double)
 
 /** Structured Streaming variants of the batch [[graft.ops.Events]] shapes.
   *
@@ -54,6 +64,64 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
       .select(col("w.start").as("session_start"), col("user_id"),
         col("n_events"), col("value_sum"))
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — for
+    * per-session logic `session_window` cannot express (custom eviction,
+    * early emission, enrichment of the closing record). State = the one
+    * open session per user; an event inside the gap extends it, an event
+    * past the gap closes it (emitting a [[SessionRecord]]) and opens a new
+    * one; the event-time timeout closes a session when the watermark passes
+    * its gap horizon, so state stays bounded exactly like the built-in
+    * session_window's.
+    */
+  def sessionsWithState(
+      events: DataFrame,
+      watermark: String = DefaultWatermark,
+      gapMs: Long = 30 * 60 * 1000L): Dataset[SessionRecord] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def close(userId: Long, s: OpenSession): SessionRecord =
+      SessionRecord(userId, new Timestamp(s.startMs), s.n,
+        (s.lastMs - s.startMs) / 1000.0, s.valueSum)
+
+    events.select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionRecord](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (batch.isEmpty) {
+            // timeout: the watermark passed the open session's gap horizon
+            val out = state.getOption.map(close(userId, _)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[SessionRecord]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(OpenSession(s.startMs, t, s.n + 1, s.valueSum + e.value))
+                case Some(s) =>
+                  closed += close(userId, s)
+                  cur = Some(OpenSession(t, t, 1, e.value))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1, e.value))
+              }
+            }
+            val open = cur.get
+            state.update(open)
+            // timeout must be beyond the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+              math.max(open.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Streaming exact dedup on `event_id` — the ingest-side counterpart of
     * the batch dedup suite. `dropDuplicatesWithinWatermark` keys state by

@@ -66,6 +66,41 @@ class EventStreamsSpec extends SparkSuite {
       (t(5), 2L, 1L, 8.0)))
   }
 
+  test("flatMapGroupsWithState sessionizer: gap-close and timeout-close") {
+    val input = MemoryStream[TestEvent](spark)
+    val sessions = EventStreams.sessionsWithState(
+      input.toDF(), watermark = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("fmgws_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: user 1 session of two events; user 2 single event
+    input.addData(
+      TestEvent(t(0), 1, "click", 1.0),
+      TestEvent(t(10), 1, "click", 2.0),
+      TestEvent(t(12), 2, "view", 8.0))
+    q.processAllAvailable()
+    // batch 2: a later user-1 event PAST the 30-min gap closes the first
+    // session inline (gap-close path)
+    input.addData(TestEvent(t(60), 1, "click", 4.0))
+    q.processAllAvailable()
+    // batches 3+4: push the watermark far ahead so event-time timeouts fire
+    // (timeouts are evaluated against the PREVIOUS batch's watermark, hence
+    // two batches)
+    input.addData(TestEvent(t(600), 3, "click", 0.5))
+    q.processAllAvailable()
+    input.addData(TestEvent(t(610), 3, "click", 0.5))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fmgws_out")
+      .as[(Long, java.sql.Timestamp, Long, Double, Double)]
+      .collect().toSeq.sortBy(r => (r._1, r._2.getTime))
+    // user 1: first session (2 events, 600s, sum 3.0) closed by the gap;
+    // second session (1 event at t60) closed by timeout.
+    // user 2: single-event session closed by timeout.
+    assert(rows.map(r => (r._1, r._3, r._4, r._5)).contains((1L, 2L, 600.0, 3.0)))
+    assert(rows.map(r => (r._1, r._3, r._5)).contains((1L, 1L, 4.0)))
+    assert(rows.map(r => (r._1, r._3, r._5)).contains((2L, 1L, 8.0)))
+  }
+
   test("streaming dedup suppresses duplicate ids within the watermark horizon") {
     val input = MemoryStream[IdEvent](spark)
     val q = EventStreams.dedupEvents(input.toDF())
