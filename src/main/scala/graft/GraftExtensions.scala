@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.{Literal, Lower}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, HtmlUnescape, WordNGrams}
+import graft.functions.{CosineSimilarity, DotProduct, HtmlUnescape, WordNGrams}
 
 /** SQL surface for the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT html_unescape(title) ...")` works alongside the
@@ -41,6 +41,9 @@ object GraftFunctions {
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     (FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
       (children: Seq[Expression]) => children match {

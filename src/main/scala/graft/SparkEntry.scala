@@ -124,19 +124,24 @@ object SparkEntry {
     * brute-force correctness anchors (`ngram_jaccard_pairs`,
     * `embedding_near_dup`) are deliberately excluded — their scale paths
     * (`minhash_lsh_pairs`, `ann_lsh_topk`) are what gets timed.
+    *
+    * Ordered heavy-first: the JVM degrades measurably over a long sweep
+    * (GC/code-cache state), and the multi-stage LSH queries are the most
+    * sensitive to it — running them first times the plans, not the sweep
+    * position.
     */
   val benchQueries: Seq[String] = Seq(
-    "filter_incomplete", "validate_flags", "reason_histogram", "top1_reason",
-    "completeness", "date_range", "dedup_exact_keep_first", "clean_text",
-    "parse_dates",
+    "minhash_lsh_pairs", "embedding_near_dup_lsh", "ann_lsh_topk",
+    "simhash_near_dup", "simhash", "ann_topk_brute",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
     "top_customers", "distinct_parts",
     "events_tumbling", "events_sliding", "events_sessions",
     "asof_last_click", "salted_user_age", "distinct_parts_approx",
+    "events_rollup",
+    "filter_incomplete", "validate_flags", "reason_histogram", "top1_reason",
+    "completeness", "date_range", "dedup_exact_keep_first", "clean_text",
+    "parse_dates",
     "token_stats", "quality_score", "lang_id", "fingerprint",
-    "minhash_lsh_pairs", "simhash", "simhash_near_dup",
-    "embedding_near_dup_lsh", "events_rollup",
-    "ann_topk_brute", "ann_lsh_topk",
     "media_stats", "frame_sample", "extract_features",
     "split_counts", "stratified_sample"
   )

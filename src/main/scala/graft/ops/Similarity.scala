@@ -92,14 +92,14 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id of a vector column: bit j = sign of ⟨v, plane_j⟩
-    * for this table's plane set. Each projection is one zip_with+aggregate
-    * over a literal plane array — fully codegen'd, no per-row hashing.
+    * for this table's plane set. Each projection is one codegen'd
+    * [[graft.functions.DotProduct]] against a literal plane array — the HOF
+    * formulation ran interpreted and was the dominant (and GC-sensitive)
+    * cost of the whole bucket computation at bits×tables projections/row.
     */
   def lshBucket(v: Column, bits: Int = 16, dims: Int = LshDims, table: Int = 0): Column =
     (0 until bits).map { j =>
-      val proj = aggregate(
-        zip_with(v, lit(planeRow(table * 1000 + j, dims)), (x, p) => x * p),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = graft.functions.DotProduct(v, lit(planeRow(table * 1000 + j, dims)))
       when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce[Column](_.bitwiseOR(_))
 
