@@ -54,9 +54,11 @@ object SparkEntry {
     "distinct_parts_approx" -> ((s, d) => Skew.distinctPartsApprox(s, d)),
     // --- text analysis ---
     "token_stats"   -> (TextAnalysis.tokenStats _),
+    "bpe_token_stats" -> (TextAnalysis.bpeTokenStats _),
     "quality_score" -> (TextAnalysis.qualityScore _),
     "lang_id"       -> (TextAnalysis.langId _),
     "fingerprint"   -> (TextAnalysis.fingerprint _),
+    "winnow_fingerprints" -> (TextAnalysis.winnowFingerprints _),
     // --- deduplication suite ---
     "ngram_jaccard_pairs" -> (Dedup.ngramJaccardPairs _),
     "minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
@@ -109,6 +111,7 @@ object SparkEntry {
     "salted_user_age" -> Skew.saltedUserAgeSql,
     "events_rollup"   -> Events.rollupSql,
     "token_stats"   -> TextAnalysis.tokenStatsSql,
+    "bpe_token_stats" -> TextAnalysis.bpeTokenStatsSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "lang_id"       -> TextAnalysis.langIdSql,
     "fingerprint"   -> TextAnalysis.fingerprintSql,
@@ -141,7 +144,8 @@ object SparkEntry {
     "filter_incomplete", "validate_flags", "reason_histogram", "top1_reason",
     "completeness", "date_range", "dedup_exact_keep_first", "clean_text",
     "parse_dates",
-    "token_stats", "quality_score", "lang_id", "fingerprint",
+    "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
+    "winnow_fingerprints",
     "media_stats", "frame_sample", "extract_features",
     "split_counts", "stratified_sample"
   )

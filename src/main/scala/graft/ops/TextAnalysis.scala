@@ -139,6 +139,43 @@ object TextAnalysis {
       |    FROM (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS t FROM documents)))
       |ORDER BY doc_id""".stripMargin
 
+  /** GPT-style pre-tokenizer pattern, restricted to the subset both Java
+    * regex (Spark) and RE2 (DuckDB) support — i.e. the classic contraction/
+    * letter-run/digit-run/punctuation-run classes WITHOUT the trailing
+    * lookahead variants (RE2 has no lookahead). Space-prefixed runs mirror
+    * byte-level BPE's leading-space convention.
+    */
+  val BpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token statistics: subword-style token count vs whitespace
+    * token count per document — the "how many tokens will the model see"
+    * estimate a training pipeline budgets by.
+    */
+  def bpeTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+    val wsTok = tokens(col("text"))
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      size(bpe).as("n_bpe"),
+      size(array_distinct(bpe)).as("n_bpe_distinct"),
+      size(wsTok).as("n_ws"),
+      round(size(bpe).cast("double") / size(wsTok), 4).as("bpe_per_word"))
+      .orderBy("doc_id")
+  }
+
+  val bpeTokenStatsSql: String =
+    """SELECT doc_id,
+      |  len(b) AS n_bpe,
+      |  len(list_distinct(b)) AS n_bpe_distinct,
+      |  len(regexp_split_to_array(lower(text), '\s+')) AS n_ws,
+      |  round(len(b)::double / len(regexp_split_to_array(lower(text), '\s+')), 4) AS bpe_per_word
+      |FROM (
+      |  SELECT doc_id, text,
+      |    regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+') AS b
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** Content fingerprint: md5 of the whitespace-normalized, lower-cased
     * text — the exact-dedup key as a first-class derived column.
     */
@@ -153,4 +190,21 @@ object TextAnalysis {
       |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** Winnowing fingerprint summary per document (rolling-hash k-grams +
+    * rightmost-min window selection — [[graft.functions.Winnow]]). The
+    * fingerprint SET is the dedup artifact; this query surfaces its
+    * deterministic summary scalars. Rows-only oracle (the wrap-mod-2⁶⁴
+    * rolling hash has no DuckDB twin); the winnowing guarantee itself is
+    * spec-verified.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.functions.Winnow(col("text"))
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      size(fp).as("n_fp"),
+      array_min(fp).as("fp_min"),
+      array_max(fp).as("fp_max"))
+      .orderBy("doc_id")
+  }
 }
