@@ -70,6 +70,7 @@ object SparkEntry {
     // --- similarity search ---
     "ann_topk_brute" -> ((s, d) => Similarity.annTopKBrute(s, d)),
     "ann_lsh_topk"   -> ((s, d) => Similarity.annLshTopK(s, d)),
+    "ann_ivf_topk"   -> ((s, d) => Similarity.annIvfTopK(s, d)),
     // --- multimodal binary-column plumbing ---
     "media_stats"      -> (Multimodal.mediaStats _),
     "frame_sample"     -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -135,7 +136,7 @@ object SparkEntry {
     */
   val benchQueries: Seq[String] = Seq(
     "minhash_lsh_pairs", "embedding_near_dup_lsh", "ann_lsh_topk",
-    "simhash_near_dup", "simhash", "ann_topk_brute",
+    "ann_ivf_topk", "simhash_near_dup", "simhash", "ann_topk_brute",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
     "top_customers", "distinct_parts",
     "events_tumbling", "events_sliding", "events_sessions",

@@ -111,6 +111,63 @@ object Similarity {
   val LshBits = 5     // 32 buckets per table
   val LshTables = 12  // candidate union over 12 independent tables
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN
+    * architecture beside LSH: a KMeans coarse quantizer (seeded,
+    * deterministic) partitions the corpus into `nCentroids` cells; a query
+    * scans only its `nProbe` nearest cells. At scale the cell id is a
+    * partitioning/bucketing column, so a probe is a partition-pruned scan —
+    * candidates ≈ nProbe/nCentroids of the corpus instead of all of it.
+    * Training cost is one KMeans fit over a sample (here: the corpus).
+    *
+    * Recall < 1 by construction (Voronoi boundaries) → rows-only oracle;
+    * spec pins a floor against [[annTopKBrute]].
+    */
+  def annIvfTopK(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val feats = e.withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+      .fit(feats)
+    val assigned = model.transform(feats)
+      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+      .persist()
+
+    // probe ranking against the literal centroid list: KMeans cells are
+    // L2-Voronoi, so rank by (negative) squared distance —
+    // |q−c|² = |q|² − 2⟨q,c⟩ + |c|², and |q|² is constant per query, so
+    // rank by ⟨q,c⟩ − |c|²/2.
+    val centroids = model.clusterCenters.map(_.toArray)
+    val probeRank = centroids.zipWithIndex.map { case (c, i) =>
+      val halfNormSq = c.map(x => x * x).sum / 2.0
+      struct((graft.functions.DotProduct(col("q_v"), lit(c)) - halfNormSq).as("score"),
+        lit(i).as("cell"))
+    }
+    val queries = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      .withColumn("probes",
+        slice(reverse(array_sort(array(probeRank: _*))), 1, nProbe))
+      .select(col("q_id"), col("q_v"), explode(col("probes.cell")).as("cell"))
+
+    val scored = assigned.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_v"), col("v")).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("c"), 4).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Multi-table LSH approximate top-k: a vector lands in one bucket PER
     * TABLE; a query's candidate set is the union of its buckets across all
     * tables. For vectors at angle θ the per-table collision probability is

@@ -41,6 +41,21 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"LSH near-dup recall degraded: $recall")
   }
 
+  test("IVF top-k: recall against the brute-force anchor, deterministic") {
+    val dir = "/root/testdata/sf0.01"
+    val brute = Similarity.annTopKBrute(spark, dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf1 = Similarity.annIvfTopK(spark, dir).collect()
+    val ivf2 = Similarity.annIvfTopK(spark, dir).collect()
+    assert(ivf1.map(_.toString).toSeq == ivf2.map(_.toString).toSeq,
+      "seeded KMeans quantizer must make IVF deterministic")
+    val ivfSet = ivf1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivfSet).size.toDouble / brute.size
+    // 4/16 cells probed on near-orthogonal vectors — a recall floor, not a
+    // quality target (see the LSH note above)
+    assert(recall >= 0.3, s"IVF recall@10 degraded: $recall")
+  }
+
   test("multi-table LSH top-k: recall against the brute-force anchor") {
     val dir = "/root/testdata/sf0.01"
     val brute = Similarity.annTopKBrute(spark, dir)
