@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-shape regression guards: the properties PlanAudit prints, asserted.
+  * A change that silently drops a broadcast, un-pushes a filter, or turns
+  * an equi-join into a nested loop should fail here, not surface as a
+  * mystery slowdown in a later round's bench.
+  */
+class PlanSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def count(plan: String, p: String): Int = p.r.findAllIn(plan).length
+
+  test("star joins broadcast their dimensions and never fall back to sort-merge") {
+    for (q <- Seq("tpch_q3", "tpch_q5", "tpch_q10", "top_customers")) {
+      val plan = planOf(q)
+      assert(count(plan, "BroadcastHashJoin") >= 2, s"$q lost its broadcasts")
+      assert(count(plan, "SortMergeJoin") == 0, s"$q fell back to sort-merge at test SF")
+    }
+  }
+
+  test("filters reach the parquet scans") {
+    for (q <- Seq("tpch_q1", "tpch_q6", "filter_incomplete")) {
+      val plan = planOf(q)
+      assert(plan.contains("PushedFilters: ["), s"$q scan has no pushed filters")
+    }
+  }
+
+  test("q6 reads only the four referenced lineitem columns") {
+    val plan = planOf("tpch_q6")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_returnflag"),
+      s"q6 scan reads unreferenced columns: $readSchema")
+  }
+
+  test("LSH pipelines join on equi-keys, never via nested-loop products") {
+    for (q <- Seq("minhash_lsh_pairs", "simhash_near_dup", "embedding_near_dup_lsh")) {
+      val plan = planOf(q)
+      assert(count(plan, "CartesianProduct") == 0, s"$q plans a cartesian product")
+    }
+  }
+
+  test("the scalable dedup path aggregates instead of windowing globally") {
+    val plan = planOf("dedup_exact_keep_first")
+    assert(!plan.contains("Window"), "keep-first dedup regressed to a window")
+    assert(count(plan, "HashAggregate") >= 2, "expected partial+final aggregation")
+  }
+}
