@@ -49,6 +49,8 @@ object SparkEntry {
     "events_tumbling" -> (Events.tumbling _),
     "events_sliding"  -> (Events.sliding _),
     "events_sessions" -> (Events.sessions _),
+    "conversion_funnel" -> (Events.conversionFunnel _),
+    "value_percentiles" -> (Events.valuePercentiles _),
     "asof_last_click" -> (AsofJoin.asofLastClick _),
     "salted_user_age" -> (Skew.saltedUserAge _),
     "distinct_parts_approx" -> ((s, d) => Skew.distinctPartsApprox(s, d)),
@@ -62,6 +64,7 @@ object SparkEntry {
     // --- deduplication suite ---
     "ngram_jaccard_pairs" -> (Dedup.ngramJaccardPairs _),
     "minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
+    "winnow_near_dup"     -> ((s, d) => Dedup.winnowNearDupPairs(s, d)),
     "simhash"             -> (Dedup.simhash _),
     "simhash_near_dup"    -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "embedding_near_dup"  -> ((s, d) => Dedup.embeddingNearDup(s, d)),
@@ -108,6 +111,8 @@ object SparkEntry {
     "events_tumbling" -> Events.tumblingSql,
     "events_sliding"  -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
+    "conversion_funnel" -> Events.conversionFunnelSql,
+    "value_percentiles" -> Events.valuePercentilesSql,
     "asof_last_click" -> AsofJoin.asofLastClickSql,
     "salted_user_age" -> Skew.saltedUserAgeSql,
     "events_rollup"   -> Events.rollupSql,
@@ -140,6 +145,7 @@ object SparkEntry {
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
     "top_customers", "distinct_parts",
     "events_tumbling", "events_sliding", "events_sessions",
+    "conversion_funnel", "value_percentiles", "winnow_near_dup",
     "asof_last_click", "salted_user_age", "distinct_parts_approx",
     "events_rollup",
     "filter_incomplete", "validate_flags", "reason_histogram", "top1_reason",

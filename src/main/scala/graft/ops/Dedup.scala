@@ -216,6 +216,46 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Winnowing-fingerprint near-dup pairs: docs sharing ≥ `minShared`
+    * selected fingerprints ([[graft.functions.Winnow]]) are candidate
+    * near-dups — the substring-overlap detector (MOSS), complementary to
+    * token-set Jaccard. Input doubled with shifted ids (planted exact dups)
+    * like [[exactDedup]].
+    *
+    * Scale shape: explode fingerprints → remove stop-fingerprints (doc
+    * frequency > `maxDf`, the fingerprints of boilerplate substrings that
+    * would otherwise quadratically blow up the self-join) → equi-join on
+    * fingerprint → count shared per pair. Rows-only oracle (no rolling hash
+    * in DuckDB); the planted pairs are spec-verified.
+    */
+  def winnowNearDupPairs(
+      spark: SparkSession,
+      dir: String,
+      minShared: Int = 2,
+      maxDf: Int = 20): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val doubled = docs.unionAll(
+      docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    // k = 20 chars ≈ a three-word phrase on this corpus — the same
+    // granularity as the trigram shingles. At k = 8 (single word-ish) the
+    // small synthetic vocabulary makes nearly every gram a stop-fingerprint
+    // and the df filter would erase the signal.
+    val fps = doubled.select(col("doc_id"),
+      explode(graft.functions.Winnow(col("text"), k = 20, w = 16)).as("fp"))
+      .persist()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val filtered = fps.join(rare, Seq("fp"))
+    filtered.select(col("fp"), col("doc_id").as("a_id"))
+      .join(filtered.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("a_id", "b_id")
+  }
+
   /** 64-bit SimHash of the token multiset: sign of the per-bit weighted sum
     * of token hashes. Computed with a single aggregate over a per-token
     * ±1 bit-vector expansion — no UDF.

@@ -58,6 +58,66 @@ object Events {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Conversion funnel view → click → purchase: per-user first-view time,
+    * first click AFTER that view, first purchase AFTER that click — three
+    * aggregations on the same user_id key (one partitioning, reused) plus
+    * a final scalar combine. The standard sequential-funnel shape without
+    * MATCH_RECOGNIZE.
+    */
+  def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("tv"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("tv"))
+      .groupBy("user_id").agg(min(col("ts")).as("tc"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") > col("tc"))
+      .groupBy("user_id").agg(min(col("ts")).as("tp"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  val conversionFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS tv FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+      |SELECT
+      |  (SELECT count(*) FROM v) AS n_view,
+      |  (SELECT count(*) FROM c) AS n_view_click,
+      |  (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin
+
+  /** Exact percentiles of event value per type — `percentile()` (exact,
+    * linear interpolation), NOT percentile_approx: the exact form matches
+    * DuckDB's quantile_cont definition so the oracle can compare values.
+    * At 100 TB the approx sketch is the right default; the exact variant
+    * documents the semantics it approximates.
+    */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val valuePercentilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.95), 4) AS p95,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Rollup aggregation: event counts and value sums per (event_type, day)
     * with ROLLUP subtotals — per-type totals and the grand total in the
     * same pass (Expand + one hash aggregate; no second scan per level).

@@ -34,6 +34,18 @@ class DedupSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("winnow near-dup finds every planted duplicate pair") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents").count()
+    val pairs = Dedup.winnowNearDupPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the doubled corpus plants (i, i+1000000) exact-dup pairs — identical
+    // text shares ALL fingerprints, so each must surface
+    val planted = (0L until docs).map(i => (i, i + 1000000L)).toSet
+    assert((planted -- pairs).isEmpty,
+      s"missed ${(planted -- pairs).size} planted duplicate pairs")
+  }
+
   test("shingle contract: distinct trigrams in first-occurrence order") {
     val got = Seq("the cat sat on the cat sat").toDF("text")
       .select(Dedup.shingles(col("text")).as("sh")).as[Seq[String]].head()
