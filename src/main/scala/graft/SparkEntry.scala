@@ -43,6 +43,8 @@ object SparkEntry {
     "tpch_q5"        -> (Tpch.q5LocalSupplier _),
     "tpch_q6"        -> (Tpch.q6ForecastRevenue _),
     "tpch_q10"       -> (Tpch.q10ReturnedItems _),
+    "tpch_q14"       -> (Tpch.q14PromoRevenue _),
+    "customers_without_urgent" -> (Tpch.customersWithoutUrgent _),
     "top_customers"  -> (Tpch.topCustomers _),
     "distinct_parts" -> (Tpch.distinctParts _),
     // --- event-time windowing (streaming-ready shapes) ---
@@ -106,6 +108,8 @@ object SparkEntry {
     "tpch_q5"        -> Tpch.q5Sql,
     "tpch_q6"        -> Tpch.q6Sql,
     "tpch_q10"       -> Tpch.q10Sql,
+    "tpch_q14"       -> Tpch.q14Sql,
+    "customers_without_urgent" -> Tpch.customersWithoutUrgentSql,
     "top_customers"  -> Tpch.topCustomersSql,
     "distinct_parts" -> Tpch.distinctPartsSql,
     "events_tumbling" -> Events.tumblingSql,
@@ -143,6 +147,7 @@ object SparkEntry {
     "minhash_lsh_pairs", "embedding_near_dup_lsh", "ann_lsh_topk",
     "ann_ivf_topk", "simhash_near_dup", "simhash", "ann_topk_brute",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
+    "tpch_q14", "customers_without_urgent",
     "top_customers", "distinct_parts",
     "events_tumbling", "events_sliding", "events_sessions",
     "conversion_funnel", "value_percentiles", "winnow_near_dup",

@@ -225,6 +225,49 @@ object Tpch {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q14 shape: promotion-revenue share — lineitem⋈part for one
+    * month, conditional aggregation over the joined rows. Part is
+    * broadcast; the promo share is a ratio of two sums from one pass.
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").filter(
+      col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+      col("l_shipdate") <  lit("1997-04-01").cast("timestamp"))
+    val part = Tables(spark, dir, "part")
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0))) * 100.0
+          / sum(rev), 4).as("promo_revenue_pct"))
+  }
+
+  val q14Sql: String =
+    """SELECT round(
+      |  sum(CASE WHEN p_type LIKE 'PROMO%'
+      |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0
+      |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin
+
+  /** Set-operation query: customers who placed orders but never a
+    * high-priority one — EXCEPT over key sets (hash-dedup'd set difference;
+    * Spark plans it as a left-anti aggregate, no full sort).
+    */
+  def customersWithoutUrgent(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+    ord.select(col("o_custkey"))
+      .except(ord.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  val customersWithoutUrgentSql: String =
+    """SELECT o_custkey FROM orders
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_custkey""".stripMargin
+
   /** Distinct aggregation: distinct parts and suppliers per return flag. */
   def distinctParts(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
