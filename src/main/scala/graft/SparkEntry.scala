@@ -79,7 +79,7 @@ object SparkEntry {
     // --- multimodal binary-column plumbing ---
     "media_stats"      -> (Multimodal.mediaStats _),
     "frame_sample"     -> ((s, d) => Multimodal.frameSample(s, d)),
-    "extract_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
+    "extract_features" -> ((s, d) => Multimodal.extractFeaturesSummary(s, d)),
     // --- corpus sampling / splitting ---
     "split_counts"      -> (Sampling.splitCounts _),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d))

@@ -158,41 +158,33 @@ object Dedup {
   /** Execution shape (the 100-TB design, and why it is NOT the array-column
     * one-liner):
     *
-    *  1. explode shingles to (doc_id, shingle) rows — each shingle string is
-    *     hashed exactly TWICE, whatever k is;
-    *  2. signature = one hash AGGREGATE with 64 `min(h₁ + i·h₂)` slots —
-    *     map-side partial agg, whole-stage codegen, no array columns;
-    *  3. band hash = xxhash64 over each 4-slot group of the 64 scalar
-    *     signature columns — 16 cheap hashes per doc;
-    *  4. candidate pairs = equi-join on (band, band_hash), dedup'd;
-    *  5. exact-Jaccard verification only for candidates, via an equi-join
+    *  1. band hashes = ONE map-side pass per document
+    *     ([[graft.functions.MinHashBands]]): shingle → (h₁, h₂) → k=64
+    *     incremental mins → 16 band hashes, all inside a single generated
+    *     call — each shingle string is hashed exactly twice, and NOTHING
+    *     shuffles to build the index (the previous explode→64-buffer
+    *     HashAggregate shuffled ~3.7 M shingle rows at sf0.1 and its
+    *     64-expression generated update method fell off the JIT fast path:
+    *     45–56 s isolated; this shape measures well under 2 s);
+    *  2. candidate pairs = equi-join on (band, band_hash), dedup'd;
+    *  3. exact-Jaccard verification only for candidates, via an equi-join
     *     back to the shingle sets.
     *
     * The naive formulation (shingle array → minhash array column → 16 slice
-    * hashes) plans 60× slower: CollapseProject inlines the signature
+    * hashes) plans 60× slower still: CollapseProject inlines the signature
     * expression into every band hash, and HOF lambdas re-evaluate invariant
     * subtrees per element, so each shingle ends up hashed k×Bands times.
     */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
-    val shingleRows = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
-      .select(col("doc_id"),
-        xxhash64(col("g")).bitwiseAND(lit(0xFFFFFFFFL)).as("h1"),
-        xxhash64(col("g"), lit(1)).bitwiseAND(lit(0xFFFFFFFFL)).as("h2"))
-    val sigAggs = (0 until MinhashK).map(i => min(col("h1") + col("h2") * i).as(s"s$i"))
-    val sig = shingleRows.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-    val bandHashes = (0 until Bands).map { b =>
-      val slots = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"s$i"))
-      xxhash64(slots :+ lit(b): _*)
-    }
     // The banded signature table IS the LSH index artifact: 16 (band, hash)
     // rows per doc, no text. Persist it — Spark plans the self-join's two
     // legs as independent subtrees (no ReusedExchange fires here), so
-    // without this the whole shingle→signature pipeline executes twice.
+    // without this the scan + shingle + signature work executes twice.
     // At production scale this is the table you'd write to storage.
-    val banded = sig.select(col("doc_id"),
-      posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
+    val banded = docs.select(col("doc_id"),
+      posexplode(graft.functions.MinHashBands(shingles(col("text")), MinhashK, Bands))
+        .as(Seq("band", "band_hash")))
       .persist()
     val cand = banded.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
       .join(banded.select(col("band"), col("band_hash"), col("doc_id").as("b_id")),

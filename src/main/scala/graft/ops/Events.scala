@@ -172,8 +172,10 @@ object Events {
       |  round(sum(value), 2) AS value_sum
       |FROM (
       |  SELECT user_id, ts, value,
-      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |    -- ::BIGINT: DuckDB's sum(int) is HUGEINT, which lands in pandas as
+      |    -- float64 and hash-mismatches Spark's int64 even with equal values
+      |    (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_idx
       |  FROM (
       |    SELECT user_id, ts, value,
       |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

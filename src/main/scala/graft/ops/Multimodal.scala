@@ -123,4 +123,22 @@ object Multimodal {
     }(encoder)
     out.orderBy("doc_id")
   }
+
+  /** Driver-facing query surface over [[extractFeatures]]: the raw
+    * `array<float>` column is not hashable by the driver's pandas-side
+    * compare (rows-only check crashes sorting ndarray cells), so the
+    * REGISTERED query projects the vector to deterministic scalars — length,
+    * a rounded element, and an md5 digest of the rounded-and-joined array.
+    * Library callers wanting vectors use [[extractFeatures]] directly.
+    */
+  def extractFeaturesSummary(spark: SparkSession, dir: String, dim: Int = 8): DataFrame =
+    extractFeatures(spark, dir, dim)
+      .select(
+        col("doc_id"), col("mime"),
+        size(col("feature")).as("n_dims"),
+        round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
+        md5(concat_ws(",",
+          transform(col("feature"), f => round(f.cast("double"), 6).cast("string")))
+          .cast("binary")).as("feature_md5"))
+      .orderBy("doc_id")
 }

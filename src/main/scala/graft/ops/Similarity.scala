@@ -134,8 +134,21 @@ object Similarity {
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val feats = e.withColumn("features", array_to_vector(col("v")))
+    // The coarse quantizer trains on a BOUNDED, deterministic sample — at
+    // 100 TB fitting over the full corpus is a scale-killer (and even at
+    // sf0.1 the per-iteration job overhead of a full-corpus fit dominated
+    // the query). Hash-mod sampling (not .sample()) is stable under any
+    // partitioning; coalesce(1) makes each KMeans iteration one task
+    // instead of a 32-partition job over a few thousand rows. At production
+    // scale the fitted centroid table is a persisted model artifact; the
+    // cap is the training budget, not a correctness knob (Voronoi cells
+    // from a representative sample serve the same pruning role).
+    val fitSample = feats.select("features")
+      .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
+      .limit(50000)
+      .coalesce(1)
     val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
-      .fit(feats)
+      .fit(fitSample)
     val assigned = model.transform(feats)
       .select(col("vec_id"), col("v"), col("prediction").as("cell"))
       .persist()
@@ -186,18 +199,27 @@ object Similarity {
     val buckets = (0 until LshTables).map(l => lshBucket(col("v"), LshBits, LshDims, l))
     // Persisted for the same reason as the minhash banded table: the
     // 60-projection bucket computation feeds both join legs, and Spark
-    // plans them as independent subtrees. This is the ANN index artifact.
-    val banded = e.select(col("vec_id"), col("v"),
+    // plans them as independent subtrees. This is the ANN index artifact —
+    // BARE IDS only: carrying the 64-dim vector into every (table, bucket)
+    // row would duplicate it 12× through the exchange and drag ~1 KB per
+    // candidate through dropDuplicates (the exact pattern that cost 5× in
+    // embeddingNearDupLsh before the same fix). Vectors re-attach after
+    // the cross-table dedup via two slim joins.
+    val banded = e.select(col("vec_id"),
       posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
       .persist()
     val queries = banded.filter(col("vec_id") % 50 === 0)
-      .select(col("table"), col("bucket"), col("vec_id").as("q_id"), col("v").as("q_v"))
+      .select(col("table"), col("bucket"), col("vec_id").as("q_id"))
     val cand = banded.join(broadcast(queries), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), col("q_v"), col("v"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
       .dropDuplicates("q_id", "n_id") // union across tables
-    val scored = cand.select(col("q_id"), col("n_id"),
-      cosine(col("q_v"), col("v")).as("c"))
+    val qVecs = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val scored = cand
+      .join(e.select(col("vec_id").as("n_id"), col("v")), Seq("n_id"))
+      .join(broadcast(qVecs), Seq("q_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_v"), col("v")).as("c"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))

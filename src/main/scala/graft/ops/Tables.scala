@@ -14,11 +14,17 @@ import org.apache.spark.sql.functions.expr
   * with integer division — the same truncation DuckDB applies when it
   * coerces TIMESTAMP_NS to its microsecond TIMESTAMP, so both engines see
   * identical values. (Double division would lose precision at 1.7e18 ns.)
+  *
+  * `nanosAsLong` must be set at SESSION BUILD time (Verify, Bench,
+  * SparkSuite all do) — the loader is pure and never mutates session
+  * config: a global toggle flipped as a side effect of a table read is a
+  * race in any multi-session deployment.
   */
 object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else {

@@ -96,15 +96,27 @@ object Validator {
   }
 
   /** Append `errors`, `passed`, `reason`, `message` columns (reference E3 API). */
-  def withFlags(df: DataFrame, cfg: ValidationConfig = ValidationConfig()): DataFrame = {
-    val cs = checks(df, cfg)
+  def withFlags(df: DataFrame, cfg: ValidationConfig = ValidationConfig()): DataFrame =
+    withChecks(df, checks(df, cfg))
+
+  /** [[withFlags]] over an explicit check list — the composable E3 surface:
+    * callers append custom `(predicate, code, message)` checks to
+    * [[checks]]. A custom check with a `null` code falls through to the
+    * `validation_failed` reason, like the reference's unrecognized-message
+    * fallback (validator.py:99-117).
+    */
+  def withChecks(df: DataFrame, cs: Seq[(Column, String, Column)]): DataFrame = {
     val errors = array_compact(array(cs.map { case (p, _, msg) =>
       when(p, msg).otherwise(lit(null).cast("string"))
     }: _*))
     // Reason code of the FIRST failing check, in reference check order.
+    // The trailing literal mirrors validator.py:99-117's fallback: an error
+    // whose message maps to no known code classifies as `validation_failed`
+    // (reachable only for caller-supplied checks without a code — the nine
+    // built-in checks all carry one).
     val reason = coalesce(cs.map { case (p, code, _) =>
       when(p, lit(code)).otherwise(lit(null).cast("string"))
-    }: _*)
+    } :+ lit("validation_failed"): _*)
     df.withColumn("errors", errors)
       .withColumn("passed", size(col("errors")) === 0)
       .withColumn("reason", when(!col("passed"), reason))

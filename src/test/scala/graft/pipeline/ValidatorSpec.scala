@@ -103,4 +103,25 @@ class ValidatorSpec extends SparkSuite {
     val Seq(r) = Validator.withFlags(df, cfg).select("passed", "reason").collect().toSeq
     assert(!r.getBoolean(0) && r.getString(1) == "title_too_long")
   }
+
+  test("custom check without a code falls back to validation_failed reason") {
+    // mirrors validator.py:99-117: an error whose message maps to no known
+    // code classifies as validation_failed
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val long = "c" * 150
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("Fine title", long, "https://e.com/a", "2025-01-01", null),
+        Row("x" * 30, long, "https://e.com/b", "2025-01-01", null)), 1), schema)
+    val custom = Validator.checks(df, ValidationConfig()) :+
+      ((length(col("title")) > 20, null: String, lit("Custom house rule failed.")))
+    val out = Validator.withChecks(df, custom)
+      .select("title", "passed", "reason", "message").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("Fine title").getBoolean(1)) // unaffected row still passes
+    val failed = out("x" * 30)
+    assert(!failed.getBoolean(1))
+    assert(failed.getString(2) == "validation_failed")
+    assert(failed.getString(3) == "Custom house rule failed.")
+  }
 }
