@@ -51,6 +51,7 @@ object SparkEntry {
     "events_tumbling" -> (Events.tumbling _),
     "events_sliding"  -> (Events.sliding _),
     "events_sessions" -> (Events.sessions _),
+    "events_sessions_sw" -> (Events.sessionsViaSessionWindow _),
     "conversion_funnel" -> (Events.conversionFunnel _),
     "value_percentiles" -> (Events.valuePercentiles _),
     "asof_last_click" -> (AsofJoin.asofLastClick _),
@@ -115,6 +116,7 @@ object SparkEntry {
     "events_tumbling" -> Events.tumblingSql,
     "events_sliding"  -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
+    "events_sessions_sw" -> Events.sessionsWindowSql,
     "conversion_funnel" -> Events.conversionFunnelSql,
     "value_percentiles" -> Events.valuePercentilesSql,
     "asof_last_click" -> AsofJoin.asofLastClickSql,
@@ -150,6 +152,7 @@ object SparkEntry {
     "tpch_q14", "customers_without_urgent",
     "top_customers", "distinct_parts",
     "events_tumbling", "events_sliding", "events_sessions",
+    "events_sessions_sw",
     "conversion_funnel", "value_percentiles", "winnow_near_dup",
     "asof_last_click", "salted_user_age", "distinct_parts_approx",
     "events_rollup",

@@ -164,6 +164,60 @@ object Events {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Sessionization via Spark's own `session_window()` generator — the
+    * batch twin of the Structured Streaming sessionizer (the generator is
+    * the same operator Spark uses under `groupBy(session_window(...))` in a
+    * stream; see [[graft.streaming.EventStreams]]). One hash aggregate with
+    * session-merge, no window functions.
+    *
+    * Boundary semantics differ from [[sessions]] BY CONSTRUCTION: a
+    * session_window spans [first, last + gap), so an event exactly `gap`
+    * after the previous one starts a NEW session (`>=` split), while the
+    * gaps-and-islands formulation splits strictly at `>` — the oracle twin
+    * below uses `>=` accordingly. On data without exact-boundary gaps
+    * (nanosecond timestamps make one vanishingly unlikely) the two produce
+    * identical output, which the spec asserts.
+    */
+  def sessionsViaSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$SessionGapSeconds seconds").as("w"))
+      .agg(
+        min(col("ts")).as("t0"), max(col("ts")).as("t1"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("t0"))
+    agg.select(col("user_id"),
+        row_number().over(byUser).cast("long").as("session_idx"),
+        date_format(col("t0"), "yyyy-MM-dd'T'HH:mm:ss").as("session_start"),
+        col("n_events"),
+        round((unix_micros(col("t1")) - unix_micros(col("t0"))).cast("double")
+          / 1000000.0, 3).as("duration_sec"),
+        col("value_sum"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Same gaps-and-islands oracle as [[sessionsSql]], with the `>=` session
+    * split matching session_window's [first, last + gap) span.
+    */
+  val sessionsWindowSql: String =
+    """SELECT user_id, session_idx,
+      |  strftime(min(ts), '%Y-%m-%dT%H:%M:%S') AS session_start,
+      |  count(*) AS n_events,
+      |  round((epoch_us(max(ts)) - epoch_us(min(ts)))::double / 1000000.0, 3) AS duration_sec,
+      |  round(sum(value), 2) AS value_sum
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |    (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_idx
+      |  FROM (
+      |    SELECT user_id, ts, value,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |        OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+      |        THEN 1 ELSE 0 END AS is_new
+      |    FROM events))
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
   val sessionsSql: String =
     """SELECT user_id, session_idx,
       |  strftime(min(ts), '%Y-%m-%dT%H:%M:%S') AS session_start,

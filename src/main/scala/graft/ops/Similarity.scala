@@ -147,7 +147,11 @@ object Similarity {
       .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
       .limit(50000)
       .coalesce(1)
+    // random init, not kmeans||: the parallel init runs extra distributed
+    // passes whose scheduling overhead dwarfs any centroid-quality gain a
+    // coarse quantizer could use (recall floor is spec-pinned)
     val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+      .setInitMode("random")
       .fit(fitSample)
     val assigned = model.transform(feats)
       .select(col("vec_id"), col("v"), col("prediction").as("cell"))

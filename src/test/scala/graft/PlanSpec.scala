@@ -44,6 +44,22 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("minhash LSH index is built map-side: no aggregate, no exchange") {
+    // the banded index subtree must be scan → project(MinHashBands) →
+    // posexplode; a HashAggregate or Exchange here means the signature
+    // regressed to the shuffling explode→64-buffer formulation that fell
+    // off the JIT fast path (45–56 s isolated at sf0.1)
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val docs = graft.ops.Tables(spark, dir, "documents").select("doc_id", "text")
+    val banded = docs.select(col("doc_id"),
+      posexplode(graft.functions.MinHashBands(
+        graft.ops.Dedup.shingles(col("text")), graft.ops.Dedup.MinhashK, graft.ops.Dedup.Bands))
+        .as(Seq("band", "band_hash")))
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(count(plan, "HashAggregate") == 0, "minhash index subtree aggregates")
+    assert(count(plan, "Exchange") == 0, "minhash index subtree shuffles")
+  }
+
   test("the scalable dedup path aggregates instead of windowing globally") {
     val plan = planOf("dedup_exact_keep_first")
     assert(!plan.contains("Window"), "keep-first dedup regressed to a window")
