@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{AsofJoin, Dedup, DocValidation, Events, Multimodal, Sampling, Similarity, Skew, TextAnalysis, Tpch}
+import graft.ops.{AsofJoin, Corpus, Dedup, DocValidation, Events, Multimodal, Sampling, Similarity, Skew, TextAnalysis, Tpch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -83,7 +83,12 @@ object SparkEntry {
     "extract_features" -> ((s, d) => Multimodal.extractFeaturesSummary(s, d)),
     // --- corpus sampling / splitting ---
     "split_counts"      -> (Sampling.splitCounts _),
-    "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d))
+    "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    // --- corpus preparation (repetition filter, PII, decontamination, packing) ---
+    "repetition_stats" -> ((s, d) => Corpus.repetitionStats(s, d)),
+    "pii_scrub"        -> (Corpus.piiScrub _),
+    "decontaminate"    -> ((s, d) => Corpus.decontaminate(s, d)),
+    "pack_sequences"   -> ((s, d) => Corpus.packSequences(s, d))
   )
 
   /** DuckDB oracle SQL for each query above. Omitted (rows-only check):
@@ -132,7 +137,11 @@ object SparkEntry {
     "embedding_near_dup"  -> Dedup.embeddingNearDupSql,
     "ann_topk_brute" -> Similarity.annTopKSql,
     "media_stats"    -> Multimodal.mediaStatsSql,
-    "split_counts"   -> Sampling.splitCountsSql
+    "split_counts"   -> Sampling.splitCountsSql,
+    "repetition_stats" -> Corpus.repetitionStatsSql,
+    "pii_scrub"        -> Corpus.piiScrubSql,
+    "decontaminate"    -> Corpus.decontaminateSql,
+    "pack_sequences"   -> Corpus.packSequencesSql
   )
 
   /** Headline bench set: every query that is scale-shaped. The two O(n²)
@@ -162,6 +171,7 @@ object SparkEntry {
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
     "winnow_fingerprints",
     "media_stats", "frame_sample", "extract_features",
-    "split_counts", "stratified_sample"
+    "split_counts", "stratified_sample",
+    "repetition_stats", "pii_scrub", "decontaminate", "pack_sequences"
   )
 }

@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Callers compose `lower()` themselves ([[WordNGrams.apply]] does), so
   * case folding always comes from Spark's own expression.
   */
-case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+case class WordNGrams(child: Expression, n: Int, distinct: Boolean = true)
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -40,10 +41,10 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_ngrams"
 
   override def nullSafeEval(input: Any): Any =
-    WordNGrams.compute(input.asInstanceOf[UTF8String], n)
+    WordNGrams.compute(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordNGrams.compute($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNGrams.compute($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): WordNGrams =
     copy(child = newChild)
@@ -53,8 +54,11 @@ object WordNGrams {
 
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
-  /** Static hook shared by interpreted eval and generated code. */
-  def compute(s: UTF8String, n: Int): ArrayData = {
+  /** Static hook shared by interpreted eval and generated code. When
+    * `distinct` is false, every occurrence is kept in position order — the
+    * multiset the repetition-statistics operator counts.
+    */
+  def compute(s: UTF8String, n: Int, distinct: Boolean = true): ArrayData = {
     val str = s.toString
     // limit -1: keep trailing empty strings, matching Spark's split()
     val tokens = ws.split(str, -1)
@@ -62,8 +66,11 @@ object WordNGrams {
       new GenericArrayData(Array[Any](UTF8String.fromString(str)))
     } else {
       // LinkedHashSet: distinct while preserving first-occurrence order,
-      // matching array_distinct's stable semantics
-      val grams = new java.util.LinkedHashSet[String]()
+      // matching array_distinct's stable semantics (plain list when the
+      // full multiset is wanted)
+      val grams: java.util.Collection[String] =
+        if (distinct) new java.util.LinkedHashSet[String]()
+        else new java.util.ArrayList[String](tokens.length)
       val sb = new java.lang.StringBuilder
       var i = 0
       while (i <= tokens.length - n) {
@@ -91,4 +98,10 @@ object WordNGrams {
   def apply(c: Column, n: Int): Column =
     ColumnShim.column(WordNGrams(
       ColumnShim.expression(org.apache.spark.sql.functions.lower(c)), n))
+
+  /** Lowercased n-gram MULTISET (all occurrences, position order). */
+  def all(c: Column, n: Int): Column =
+    ColumnShim.column(WordNGrams(
+      ColumnShim.expression(org.apache.spark.sql.functions.lower(c)), n,
+      distinct = false))
 }

@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale LLM training-data pipeline
+  * runs between raw text and the tokenizer: repetition-based quality
+  * filtering (the Gopher/C4 family), PII scrubbing, train/test
+  * decontamination, and sequence packing.
+  *
+  * Scale shapes:
+  *  - repetition stats: explode n-gram multiset → two-level aggregate,
+  *    both keyed by doc_id (the second shuffle carries only distinct-gram
+  *    counts, a fraction of the first);
+  *  - PII scrub: pure per-row regex projection, no shuffle;
+  *  - decontamination: the held-out set is SMALL by construction, so its
+  *    shingle index broadcasts — the corpus-side scan stays shuffle-free
+  *    until the final per-doc aggregate;
+  *  - packing: per-group running sum (one window partitioned by the pack
+  *    group), then one aggregate — packing parallelism = number of groups,
+  *    which is why a production packer keys by (shard, language), never a
+  *    single global order.
+  */
+object Corpus {
+
+  /** Repetition statistics per document (the Gopher repetition-filter
+    * family): n-gram multiset size, the top gram's occurrence count, and
+    * the fraction of gram occurrences that are duplicates; `keep` applies
+    * the duplicate-fraction threshold.
+    *
+    * Uses the n-gram MULTISET ([[graft.functions.WordNGrams.all]]) — the
+    * dedup-side shingle operator is distinct-only, which cannot see
+    * repetition.
+    */
+  def repetitionStats(spark: SparkSession, dir: String, n: Int = 3,
+      maxDupFrac: Double = 0.2): DataFrame =
+    repetitionStatsOf(Tables(spark, dir, "documents"), n, maxDupFrac)
+
+  /** [[repetitionStats]] over any `(doc_id, text)` frame (library surface). */
+  def repetitionStatsOf(docs: DataFrame, n: Int = 3,
+      maxDupFrac: Double = 0.2): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(graft.functions.WordNGrams.all(col("text"), n)).as("g"))
+    val counts = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_grams"),
+        max(col("c")).as("top_gram_count"),
+        round(sum(when(col("c") > 1, col("c")).otherwise(lit(0))).cast("double")
+          / sum(col("c")), 4).as("dup_gram_frac"))
+      .withColumn("keep", col("dup_gram_frac") <= maxDupFrac)
+      .orderBy("doc_id")
+  }
+
+  val repetitionStatsSql: String =
+    """SELECT *, (dup_gram_frac <= 0.2) AS keep FROM (
+      |  SELECT doc_id, sum(c)::BIGINT AS n_grams, max(c) AS top_gram_count,
+      |    round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::double / sum(c), 4) AS dup_gram_frac
+      |  FROM (
+      |    SELECT doc_id, g, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |        THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+      |        ELSE [lower(text)] END) AS g
+      |      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents)
+      |        JOIN documents USING (doc_id))
+      |    GROUP BY doc_id, g)
+      |  GROUP BY doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Regex patterns in the Java∩RE2 subset (no lookaround), so the DuckDB
+    * oracle runs the identical scrub.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+  /** PII scrubbing: find + redact emails and phone numbers, reporting match
+    * counts and the digest of the scrubbed text. Pure per-row projection —
+    * the shape of every regex-scrub pass (secrets, URLs, boilerplate) a
+    * corpus pipeline runs at 100 TB.
+    *
+    * The synthetic corpus contains no PII, so the query plants
+    * deterministic contact strings on every 5th document first (both
+    * engines derive the identical planted text — the scrub itself is what
+    * is being verified).
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = when(col("doc_id") % 5 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+    piiScrubOf(Tables(spark, dir, "documents")
+      .select(col("doc_id"), planted.as("text")))
+  }
+
+  /** The redacted text itself (library surface). */
+  def scrubbed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(text, lit(EmailRe), lit("[EMAIL]")),
+      lit(PhoneRe), lit("[PHONE]"))
+
+  /** [[piiScrub]] over any `(doc_id, text)` frame (library surface). */
+  def piiScrubOf(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+      md5(scrubbed(col("text")).cast("binary")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(planted, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(planted, '$PhoneRe')) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(planted, '$EmailRe', '[EMAIL]', 'g'),
+       |      '$PhoneRe', '[PHONE]', 'g')) AS scrubbed_md5
+       |FROM (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN text || ' contact user' || doc_id::VARCHAR || '@example.com or +1-555-'
+       |        || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+       |      ELSE text END AS planted
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Train/test decontamination: flag training documents sharing ≥
+    * `minShared` distinct word n-grams with any held-out document — the
+    * benchmark-leakage scan every LLM data pipeline runs before training.
+    * Held-out set = doc_id ≡ 0 (mod 50), matching the ANN query set.
+    *
+    * Scale shape: the held-out side is small by construction → its
+    * exploded shingle index BROADCASTS; the training corpus is scanned
+    * once, candidate grams hash-join map-side, and the only shuffle is the
+    * final per-train-doc aggregate.
+    */
+  def decontaminate(spark: SparkSession, dir: String,
+      n: Int = 5, minShared: Int = 2): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    def gramRows(df: DataFrame, idName: String) = df.select(
+      col("doc_id").as(idName), explode(Dedup.shingles(col("text"), n)).as("g"))
+    val testG = gramRows(docs.filter(col("doc_id") % 50 === 0), "test_id")
+    val trainG = gramRows(docs.filter(col("doc_id") % 50 =!= 0), "train_id")
+    trainG.join(broadcast(testG), Seq("g"))
+      .groupBy("train_id")
+      .agg(
+        countDistinct(col("g")).as("n_shared_grams"),
+        countDistinct(col("test_id")).as("n_test_docs"))
+      .filter(col("n_shared_grams") >= minShared)
+      .orderBy("train_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 5
+      |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+      |          FOR i IN range(1, len(t) - 3)]
+      |    ELSE [lower(text)] END) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents)
+      |    JOIN documents USING (doc_id)
+      |), tr AS (SELECT doc_id AS train_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 <> 0
+      |), te AS (SELECT doc_id AS test_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0)
+      |SELECT train_id,
+      |  count(DISTINCT g) AS n_shared_grams,
+      |  count(DISTINCT test_id) AS n_test_docs
+      |FROM tr JOIN te USING (g)
+      |GROUP BY train_id
+      |HAVING count(DISTINCT g) >= 2
+      |ORDER BY train_id""".stripMargin
+
+  /** Sequence packing: concatenate documents per language in doc_id order
+    * and chunk the token stream into fixed `budget`-token context windows —
+    * a document belongs to the bin where it STARTS. This is the standard
+    * concat-then-chunk packing of LM pre-training. Output: per-(lang, bin)
+    * document and token totals.
+    *
+    * The running sum is one window per pack group; parallelism = number of
+    * groups (language here; a production packer keys by (shard, lang) so
+    * no single group serializes the job).
+    */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(Dedup.tokens(col("text"))).as("n_tok"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", expr(s"start_off div $budget"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  val packSequencesSql: String =
+    """SELECT lang, bin, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+      |FROM (
+      |  SELECT lang, n_tok,
+      |    ((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 512)::BIGINT AS bin
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n_tok
+      |    FROM documents))
+      |GROUP BY lang, bin
+      |ORDER BY lang, bin""".stripMargin
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class CorpusSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("repetitionStats: degenerate repetition is measured and dropped") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "every word here appears exactly once in this clean document")
+    ).toDF("doc_id", "text")
+    val out = Corpus.repetitionStatsOf(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_gram_frac"), r.getAs[Boolean]("keep"))).toMap
+    // "spam spam spam" ×8 occurrences, all duplicates of one gram
+    assert(out(1L)._1 == 1.0 && !out(1L)._2)
+    assert(out(2L)._1 == 0.0 && out(2L)._2)
+  }
+
+  test("piiScrub: plants are found, scrubbed text has no residual matches") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Corpus.piiScrub(spark, dir)
+    val planted = out.filter(col("doc_id") % 5 === 0)
+    assert(planted.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1).count() == 0)
+    assert(out.filter(col("doc_id") % 5 =!= 0)
+      .filter(col("n_emails") =!= 0 || col("n_phones") =!= 0).count() == 0)
+    // idempotence: scrubbing already-scrubbed text finds nothing
+    val df = Seq((0L, "reach me at a.b+c@mail.example.org or +44-201-9999 ok"))
+      .toDF("doc_id", "text")
+    val once = df.select(col("doc_id"), Corpus.scrubbed(col("text")).as("text"))
+    val counts = Corpus.piiScrubOf(once).head()
+    assert(counts.getAs[Int]("n_emails") == 0 && counts.getAs[Int]("n_phones") == 0)
+    assert(once.head().getString(1) == "reach me at [EMAIL] or [PHONE] ok")
+  }
+
+  test("decontaminate: flagged train docs really share grams; near-dup planted pair is caught") {
+    val dir = "/root/testdata/sf0.001"
+    val flagged = Corpus.decontaminate(spark, dir).collect()
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 5).as("sh"))
+    val test = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("test_id"), col("sh").as("test_sh"))
+    for (r <- flagged) {
+      val shared = docs.filter(col("doc_id") === r.getAs[Long]("train_id"))
+        .crossJoin(test)
+        .select(size(array_intersect(col("sh"), col("test_sh"))).as("k"))
+        .agg(max(col("k"))).head().getInt(0)
+      assert(shared >= 2, s"train ${r.getAs[Long]("train_id")} flagged but shares $shared grams")
+    }
+  }
+
+  test("packSequences: token totals preserved, packing starts at bin 0") {
+    val dir = "/root/testdata/sf0.001"
+    val packed = Corpus.packSequences(spark, dir)
+    val perLang = packed.groupBy("lang")
+      .agg(sum(col("n_tokens")).as("packed_tok"), min(col("bin")).as("bin0"))
+    val truth = Tables(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(sum(size(Dedup.tokens(col("text")))).as("true_tok"))
+    val joined = perLang.join(truth, "lang").collect()
+    assert(joined.nonEmpty)
+    for (r <- joined) {
+      assert(r.getAs[Long]("packed_tok") == r.getAs[Long]("true_tok"), r.toString)
+      assert(r.getAs[Long]("bin0") == 0L, r.toString)
+    }
+  }
+}
