@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.{Literal, Lower}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, DotProduct, HtmlUnescape, WordNGrams}
+import graft.functions.{CosineSimilarity, DotProduct, HtmlUnescape, MinHashBands, SimHash64, Winnow, WordNGrams}
 
 /** SQL surface for the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT html_unescape(title) ...")` works alongside the
@@ -53,6 +53,27 @@ object GraftFunctions {
         case Seq(text, Literal(n: Int, IntegerType)) => WordNGrams(Lower(text), n)
         case _ => throw new IllegalArgumentException(
           "word_ngrams(text[, n]) requires a string and an optional integer literal")
+      }),
+    (FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr) => MinHashBands(arr, 64, 16)
+        case Seq(arr, Literal(k: Int, IntegerType), Literal(b: Int, IntegerType)) =>
+          MinHashBands(arr, k, b)
+        case _ => throw new IllegalArgumentException(
+          "minhash_bands(shingles[, k, bands]) requires an array and optional integer literals")
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)),
+    (FunctionIdentifier("winnow"),
+      new ExpressionInfo(classOf[Winnow].getName, "winnow"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => Winnow(text, 8, 16)
+        case Seq(text, Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+          Winnow(text, k, w)
+        case _ => throw new IllegalArgumentException(
+          "winnow(text[, k, w]) requires a string and optional integer literals")
       }))
 
   /** Register every custom function into an existing session. Idempotent. */

@@ -249,23 +249,16 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token multiset: sign of the per-bit weighted sum
-    * of token hashes. Computed with a single aggregate over a per-token
-    * ±1 bit-vector expansion — no UDF.
+    * of token hashes — ONE map-side pass per document
+    * ([[graft.functions.SimHash64]]): each token hashed once, no explode,
+    * no shuffle (the former explode→64-sum-buffer aggregate shuffled every
+    * token row; parity with it is spec-pinned).
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val df = Tables(spark, dir, "documents")
-    val toks = df.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    // per (doc, bit): contribution +1 if hash bit set else -1
-    val bitCols = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val agg = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val fp = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce[Column](_.bitwiseOR(_))
-    agg.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
-  }
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.SimHash64(tokens(col("text"))).as("simhash"))
+      .orderBy("doc_id")
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked on
     * 16-bit fingerprint segments (pigeonhole ⇒ no false negatives for
@@ -274,7 +267,7 @@ object Dedup {
   def simhashNearDup(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     // Persisted for the same reason as the minhash/ann index tables: the
     // self-join's two legs are planned as independent subtrees, which would
-    // run the token-explode + 64-agg fingerprint pipeline twice.
+    // run the scan + fingerprint pass twice.
     val fp = simhash(spark, dir).persist()
     // Four 16-bit segments, unrolled at the Scala level (`shiftright` takes
     // an Int shift, not a Column).

@@ -16,6 +16,16 @@ class GraftExtensionsSpec extends SparkSuite {
     val grams = spark.sql("SELECT word_ngrams('a b c d'), word_ngrams('a b c d', 2)").head()
     assert(grams.getSeq[String](0) == Seq("a b c", "b c d"))
     assert(grams.getSeq[String](1) == Seq("a b", "b c", "c d"))
+    val hashes = spark.sql(
+      """SELECT minhash_bands(word_ngrams('a b c d e')) AS mb,
+        |  simhash64(split('a b c', ' ')) AS sh,
+        |  winnow('the quick brown fox jumps over the lazy dog') AS wf
+        |""".stripMargin).head()
+    assert(hashes.getSeq[Long](0).length == 16)
+    // fingerprints are deterministic — same input, same value
+    assert(hashes.getLong(1) ==
+      spark.sql("SELECT simhash64(split('a b c', ' '))").head().getLong(0))
+    assert(hashes.getSeq[Long](2).nonEmpty)
   }
 
   test("registration is idempotent and survives re-registration") {

@@ -76,6 +76,25 @@ class DedupSpec extends SparkSuite {
     assert(viaAgg.exceptAll(viaExpr).count() == 0)
   }
 
+  test("SimHash64 equals the explode→aggregate formulation") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val viaExpr = docs.select(col("doc_id"),
+      graft.functions.SimHash64(Dedup.tokens(col("text"))).as("simhash"))
+    val toks = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitCols = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val fp = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce[org.apache.spark.sql.Column](_.bitwiseOR(_))
+    val viaAgg = agg.select(col("doc_id"), fp.as("simhash"))
+    assert(viaExpr.exceptAll(viaAgg).count() == 0)
+    assert(viaAgg.exceptAll(viaExpr).count() == 0)
+  }
+
   test("shingle contract: distinct trigrams in first-occurrence order") {
     val got = Seq("the cat sat on the cat sat").toDF("text")
       .select(Dedup.shingles(col("text")).as("sh")).as[Seq[String]].head()
