@@ -54,6 +54,7 @@ object SparkEntry {
     "events_sessions_sw" -> (Events.sessionsViaSessionWindow _),
     "conversion_funnel" -> (Events.conversionFunnel _),
     "value_percentiles" -> (Events.valuePercentiles _),
+    "value_percentiles_approx" -> ((s, d) => Events.valuePercentilesApprox(s, d)),
     "asof_last_click" -> (AsofJoin.asofLastClick _),
     "salted_user_age" -> (Skew.saltedUserAge _),
     "distinct_parts_approx" -> ((s, d) => Skew.distinctPartsApprox(s, d)),
@@ -162,7 +163,8 @@ object SparkEntry {
     "top_customers", "distinct_parts",
     "events_tumbling", "events_sliding", "events_sessions",
     "events_sessions_sw",
-    "conversion_funnel", "value_percentiles", "winnow_near_dup",
+    "conversion_funnel", "value_percentiles", "value_percentiles_approx",
+    "winnow_near_dup",
     "asof_last_click", "salted_user_age", "distinct_parts_approx",
     "events_rollup",
     "filter_incomplete", "validate_flags", "reason_histogram", "top1_reason",

@@ -118,6 +118,23 @@ object Events {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Approximate percentiles — the 100-TB default [[valuePercentiles]]
+    * documents: `percentile_approx` (Greenwald–Khanna sketch) is one pass,
+    * fixed memory per group, and mergeable across partitions, where the
+    * exact form must materialize every group's values. Accuracy 10000 ⇒
+    * rank error ≤ 1/10000. Rows-only oracle (sketch internals are
+    * engine-specific); the error bound vs the exact form is spec-pinned.
+    */
+  def valuePercentilesApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr(s"percentile_approx(value, 0.5, $accuracy)"), 4).as("p50"),
+        round(expr(s"percentile_approx(value, 0.95, $accuracy)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** Rollup aggregation: event counts and value sums per (event_type, day)
     * with ROLLUP subtotals — per-type totals and the grand total in the
     * same pass (Expand + one hash aggregate; no second scan per level).

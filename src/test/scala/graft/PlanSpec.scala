@@ -60,6 +60,19 @@ class PlanSpec extends SparkSuite {
     assert(count(plan, "Exchange") == 0, "minhash index subtree shuffles")
   }
 
+  test("decontamination broadcasts the held-out index; corpus side never sort-merges") {
+    val plan = planOf("decontaminate")
+    assert(count(plan, "BroadcastHashJoin") >= 1, "held-out gram index is not broadcast")
+    assert(count(plan, "SortMergeJoin") == 0, "corpus side fell back to sort-merge")
+    assert(count(plan, "CartesianProduct") == 0)
+  }
+
+  test("sequence packing runs one window per pack group, no products") {
+    val plan = planOf("pack_sequences")
+    assert(count(plan, "Window") >= 1, "running-sum window missing")
+    assert(count(plan, "CartesianProduct") == 0)
+  }
+
   test("the scalable dedup path aggregates instead of windowing globally") {
     val plan = planOf("dedup_exact_keep_first")
     assert(!plan.contains("Window"), "keep-first dedup regressed to a window")

@@ -4,6 +4,22 @@ import graft.SparkSuite
 
 class EventsSpec extends SparkSuite {
 
+  test("approx percentiles stay within the sketch's rank-error bound of exact") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.01"
+    val exact = Events.valuePercentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Events.valuePercentilesApprox(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    // accuracy 10000 on ~2k-row groups → the sketch is near-exact; allow a
+    // loose 5% relative envelope so the spec pins the bound, not the noise
+    for ((k, (p50, p95)) <- exact) {
+      assert(math.abs(approx(k)._1 - p50) <= 0.05 * math.abs(p50) + 1e-6, s"$k p50")
+      assert(math.abs(approx(k)._2 - p95) <= 0.05 * math.abs(p95) + 1e-6, s"$k p95")
+    }
+  }
+
   test("session_window twin equals the gaps-and-islands sessionization") {
     // the two differ only on exact-gap boundaries (> vs >=); nanosecond
     // event timestamps make such a gap vanishingly unlikely, so on the
