@@ -1,0 +1,45 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSuite
+
+case class TestDoc(doc_id: Long, ts: Timestamp, text: String)
+
+class DocStreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def t(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  test("streaming ingest scrubs, fingerprints, and dedups on the redacted text") {
+    val input = MemoryStream[TestDoc](spark)
+    input.addData(
+      TestDoc(1, t(1), "the quick brown fox writes to alice@example.com daily"),
+      // same content, DIFFERENT leaked email — must collapse with doc 1
+      // because the fingerprint is computed on the scrubbed text
+      TestDoc(2, t(2), "the quick brown fox writes to bob@corp.example.org daily"),
+      TestDoc(3, t(3), "a completely different document about sequence packing"))
+    val q = DocStreams.cleanedDocs(input.toDF())
+      .writeStream.format("memory").queryName("docs_out")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("docs_out").orderBy("doc_id").collect()
+    assert(out.length == 2, s"expected 2 deduped docs, got ${out.length}")
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L))
+    val kept = out.head
+    assert(kept.getAs[String]("text") ==
+      "the quick brown fox writes to [EMAIL] daily")
+    // the streaming fingerprint/simhash columns equal the batch expressions
+    // applied to the same scrubbed text
+    val batch = Seq(kept.getAs[String]("text")).toDF("text").select(
+      md5(lower(graft.pipeline.TextClean.collapseWs(col("text"))).cast("binary")).as("fp"),
+      graft.functions.SimHash64(graft.ops.Dedup.tokens(col("text"))).as("simhash")).head()
+    assert(kept.getAs[String]("fp") == batch.getString(0))
+    assert(kept.getAs[Long]("simhash") == batch.getLong(1))
+  }
+}
