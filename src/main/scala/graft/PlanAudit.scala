@@ -10,11 +10,13 @@ object PlanAudit {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val audited = Seq("tpch_q5", "tpch_q3", "tpch_q1", "top_customers",
-      "filter_incomplete", "events_sessions", "dedup_exact_keep_first",
-      "asof_last_click", "minhash_lsh_pairs")
+      "filter_incomplete", "events_sessions", "events_sessions_sw",
+      "dedup_exact_keep_first", "asof_last_click", "minhash_lsh_pairs",
+      "decontaminate", "repetition_stats", "pack_sequences", "pii_scrub")
     for (name <- audited) {
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString

@@ -89,7 +89,8 @@ object SparkEntry {
     "repetition_stats" -> ((s, d) => Corpus.repetitionStats(s, d)),
     "pii_scrub"        -> (Corpus.piiScrub _),
     "decontaminate"    -> ((s, d) => Corpus.decontaminate(s, d)),
-    "pack_sequences"   -> ((s, d) => Corpus.packSequences(s, d))
+    "pack_sequences"   -> ((s, d) => Corpus.packSequences(s, d)),
+    "chunk_documents"  -> ((s, d) => Corpus.chunkDocuments(s, d))
   )
 
   /** DuckDB oracle SQL for each query above. Omitted (rows-only check):
@@ -142,7 +143,8 @@ object SparkEntry {
     "repetition_stats" -> Corpus.repetitionStatsSql,
     "pii_scrub"        -> Corpus.piiScrubSql,
     "decontaminate"    -> Corpus.decontaminateSql,
-    "pack_sequences"   -> Corpus.packSequencesSql
+    "pack_sequences"   -> Corpus.packSequencesSql,
+    "chunk_documents"  -> Corpus.chunkDocumentsSql
   )
 
   /** Headline bench set: every query that is scale-shaped. The two O(n²)
@@ -174,6 +176,7 @@ object SparkEntry {
     "winnow_fingerprints",
     "media_stats", "frame_sample", "extract_features",
     "split_counts", "stratified_sample",
-    "repetition_stats", "pii_scrub", "decontaminate", "pack_sequences"
+    "repetition_stats", "pii_scrub", "decontaminate", "pack_sequences",
+    "chunk_documents"
   )
 }

@@ -168,6 +168,40 @@ object Corpus {
       |HAVING count(DISTINCT g) >= 2
       |ORDER BY train_id""".stripMargin
 
+  /** Sliding-window document chunking — the split-long complement of
+    * [[packSequences]]' concat-short: each document becomes
+    * `1 + ceil(max(0, n_tok − width) / stride)` overlapping token windows
+    * (the RAG / long-context training chunking everyone runs). Pure
+    * generate + slice — the token array rides the generator output a
+    * handful of rows, no shuffle until the final sort.
+    */
+  // Registered defaults sized to THIS corpus (docs average ~54 tokens, max
+  // 99), so the driver's oracle compare exercises real multi-chunk slicing;
+  // a production pipeline passes its context width (e.g. 2048/1536).
+  def chunkDocuments(spark: SparkSession, dir: String,
+      width: Int = 32, stride: Int = 24): DataFrame =
+    chunkDocumentsOf(Tables(spark, dir, "documents"), width, stride)
+
+  /** [[chunkDocuments]] over any `(doc_id, text)` frame (library surface). */
+  def chunkDocumentsOf(docs: DataFrame,
+      width: Int = 128, stride: Int = 96): DataFrame = {
+    val toks = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+    // integer chunk count: 1 + ceil(max(0, n - width) / stride), as exact
+    // floor arithmetic (values ≪ 2⁵³, so the double division is exact)
+    val extra = greatest(lit(0), size(col("t")) - width)
+    toks
+      .withColumn("n_chunks",
+        (lit(1) + floor((extra + (stride - 1)) / lit(stride))).cast("int"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("t"), col("chunk_idx") * stride + lit(1), lit(width)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_tokens"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Sequence packing: concatenate documents per language in doc_id order
     * and chunk the token stream into fixed `budget`-token context windows —
     * a document belongs to the bin where it STARTS. This is the standard
@@ -191,6 +225,20 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy("lang", "bin")
   }
+
+  val chunkDocumentsSql: String =
+    """SELECT doc_id, chunk_idx,
+      |  len(chunk) AS n_tokens,
+      |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+      |FROM (
+      |  SELECT doc_id, chunk_idx,
+      |    t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32] AS chunk
+      |  FROM (
+      |    SELECT doc_id, t,
+      |      unnest(range(0, 1 + ((greatest(0, len(t) - 32) + 23) // 24))) AS chunk_idx
+      |    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+      |          FROM documents)))
+      |ORDER BY doc_id, chunk_idx""".stripMargin
 
   val packSequencesSql: String =
     """SELECT lang, bin, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens

@@ -52,6 +52,48 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("chunkDocuments: full coverage, correct overlap, no phantom chunks") {
+    val dir = "/root/testdata/sf0.001"
+    val width = 128; val stride = 96
+    val chunks = Corpus.chunkDocuments(spark, dir, width, stride)
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), max(col("chunk_idx")).as("last_idx"),
+        min(col("n_tokens")).as("min_tok"), max(col("n_tokens")).as("max_tok"))
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(Dedup.tokens(col("text"))).as("n_tok"))
+    val joined = perDoc.join(toks, "doc_id").collect()
+    assert(joined.nonEmpty)
+    for (r <- joined) {
+      val (n, nChunks, lastIdx) =
+        (r.getAs[Int]("n_tok"), r.getAs[Long]("n_chunks"), r.getAs[Int]("last_idx"))
+      val expected = 1 + math.ceil(math.max(0, n - width).toDouble / stride).toLong
+      assert(nChunks == expected, s"doc ${r.getAs[Long]("doc_id")}: $nChunks vs $expected")
+      assert(lastIdx == expected - 1)
+      // chunks are width tokens except possibly the last; coverage: the
+      // last chunk's start (lastIdx*stride) + its length reaches n
+      assert(r.getAs[Int]("max_tok") <= width)
+      assert(lastIdx * stride + r.getAs[Int]("min_tok") >= n ||
+        r.getAs[Int]("min_tok") == width)
+    }
+  }
+
+  test("chunkDocuments: multi-chunk slicing is exact on a planted long doc") {
+    // 300 numbered tokens, width 128 / stride 96 → 3 chunks starting at
+    // 0, 96, 192; the last holds 108 tokens
+    val longDoc = (0 until 300).map(i => s"w$i").mkString(" ")
+    val df = Seq((7L, longDoc)).toDF("doc_id", "text")
+    val chunks = Corpus.chunkDocumentsOf(df).collect()
+    assert(chunks.length == 3)
+    assert(chunks.map(_.getAs[Int]("n_tokens")).toSeq == Seq(128, 128, 108))
+    // chunk digests match the directly-sliced token windows
+    val expected = Seq(0, 96, 192).map { start =>
+      val s = (start until math.min(start + 128, 300)).map(i => s"w$i").mkString(" ")
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    assert(chunks.map(_.getAs[String]("chunk_md5")).toSeq == expected)
+  }
+
   test("packSequences: token totals preserved, packing starts at bin 0") {
     val dir = "/root/testdata/sf0.001"
     val packed = Corpus.packSequences(spark, dir)
