@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{AsofJoin, Corpus, Dedup, DocValidation, Events, Multimodal, Sampling, Similarity, Skew, TextAnalysis, Tpch}
+import graft.ops.{AsofJoin, Corpus, Dedup, DocValidation, Events, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis, Tpch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,6 +56,7 @@ object SparkEntry {
     "value_percentiles" -> (Events.valuePercentiles _),
     "value_percentiles_approx" -> ((s, d) => Events.valuePercentilesApprox(s, d)),
     "asof_last_click" -> (AsofJoin.asofLastClick _),
+    "events_in_windows" -> (RangeJoin.eventsInWindows _),
     "salted_user_age" -> (Skew.saltedUserAge _),
     "distinct_parts_approx" -> ((s, d) => Skew.distinctPartsApprox(s, d)),
     // --- text analysis ---
@@ -127,6 +128,7 @@ object SparkEntry {
     "conversion_funnel" -> Events.conversionFunnelSql,
     "value_percentiles" -> Events.valuePercentilesSql,
     "asof_last_click" -> AsofJoin.asofLastClickSql,
+    "events_in_windows" -> RangeJoin.eventsInWindowsSql,
     "salted_user_age" -> Skew.saltedUserAgeSql,
     "events_rollup"   -> Events.rollupSql,
     "token_stats"   -> TextAnalysis.tokenStatsSql,
@@ -167,7 +169,8 @@ object SparkEntry {
     "events_sessions_sw",
     "conversion_funnel", "value_percentiles", "value_percentiles_approx",
     "winnow_near_dup",
-    "asof_last_click", "salted_user_age", "distinct_parts_approx",
+    "asof_last_click", "events_in_windows", "salted_user_age",
+    "distinct_parts_approx",
     "events_rollup",
     "filter_incomplete", "validate_flags", "reason_histogram", "top1_reason",
     "completeness", "date_range", "dedup_exact_keep_first", "clean_text",

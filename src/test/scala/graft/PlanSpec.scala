@@ -73,6 +73,15 @@ class PlanSpec extends SparkSuite {
     assert(count(plan, "CartesianProduct") == 0)
   }
 
+  test("interval join runs as an equi-join on buckets, never a nested loop") {
+    val plan = planOf("events_in_windows")
+    assert(count(plan, "BroadcastNestedLoopJoin") == 0,
+      "range join regressed to a nested loop")
+    assert(count(plan, "CartesianProduct") == 0)
+    assert(count(plan, "BroadcastHashJoin") + count(plan, "SortMergeJoin") +
+      count(plan, "ShuffledHashJoin") >= 1, "no equi-join found")
+  }
+
   test("the scalable dedup path aggregates instead of windowing globally") {
     val plan = planOf("dedup_exact_keep_first")
     assert(!plan.contains("Window"), "keep-first dedup regressed to a window")

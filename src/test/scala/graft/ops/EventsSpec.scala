@@ -20,6 +20,15 @@ class EventsSpec extends SparkSuite {
     }
   }
 
+  test("bucketized interval join equals the naive non-equi join") {
+    val dir = "/root/testdata/sf0.001"
+    val bucketed = RangeJoin.eventsInWindows(spark, dir)
+    val brute = RangeJoin.eventsInWindowsBrute(spark, dir)
+    assert(bucketed.count() > 0)
+    assert(bucketed.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(bucketed).count() == 0)
+  }
+
   test("session_window twin equals the gaps-and-islands sessionization") {
     // the two differ only on exact-gap boundaries (> vs >=); nanosecond
     // event timestamps make such a gap vanishingly unlikely, so on the
