@@ -75,6 +75,8 @@ object SparkEntry {
     "embedding_near_dup"  -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "embedding_near_dup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "events_rollup" -> (Events.rollupByTypeDay _),
+    "events_cube"   -> (Events.cubeByTypeDay _),
+    "events_pivot"  -> (Events.eventsPivot _),
     // --- similarity search ---
     "ann_topk_brute" -> ((s, d) => Similarity.annTopKBrute(s, d)),
     "ann_lsh_topk"   -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -131,6 +133,8 @@ object SparkEntry {
     "events_in_windows" -> RangeJoin.eventsInWindowsSql,
     "salted_user_age" -> Skew.saltedUserAgeSql,
     "events_rollup"   -> Events.rollupSql,
+    "events_cube"     -> Events.cubeSql,
+    "events_pivot"    -> Events.eventsPivotSql,
     "token_stats"   -> TextAnalysis.tokenStatsSql,
     "bpe_token_stats" -> TextAnalysis.bpeTokenStatsSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
@@ -171,7 +175,7 @@ object SparkEntry {
     "winnow_near_dup",
     "asof_last_click", "events_in_windows", "salted_user_age",
     "distinct_parts_approx",
-    "events_rollup",
+    "events_rollup", "events_cube", "events_pivot",
     "filter_incomplete", "validate_flags", "reason_histogram", "top1_reason",
     "completeness", "date_range", "dedup_exact_keep_first", "clean_text",
     "parse_dates",

@@ -153,6 +153,51 @@ object Events {
       |GROUP BY ROLLUP(event_type, day)
       |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
 
+  /** Per-day event counts pivoted to one column per event type. The value
+    * list is EXPLICIT — `pivot(col)` without it runs an extra
+    * distinct-collect job to discover columns and makes the output schema
+    * data-dependent, both wrong at 100 TB. With the list it is a single
+    * hash aggregate producing N counter columns.
+    */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
+  val eventsPivotSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS "view",
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS "click",
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS "purchase",
+      |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS "signup",
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) AS "error"
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
+  /** CUBE aggregation: counts and value sums for every subset of
+    * (event_type, day) — per-type, per-day, per-pair, and grand total in
+    * ONE pass (Expand ×4 + a single hash aggregate), completing the
+    * grouping-sets family next to [[rollupByTypeDay]].
+    */
+  def cubeByTypeDay(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      .cube("event_type", "day")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+
+  val cubeSql: String =
+    """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |  count(*) AS n, round(sum(value), 2) AS value_sum
+      |FROM events
+      |GROUP BY CUBE(event_type, day)
+      |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
+
   /** Sessionization: per-user sessions split at >30-minute gaps.
     * Gaps-and-islands — lag over (user_id ORDER BY ts), gap flag, running
     * sum as session index — then one aggregate per session.
