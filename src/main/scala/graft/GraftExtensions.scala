@@ -23,10 +23,15 @@ import graft.functions.{CosineSimilarity, DotProduct, HtmlUnescape, MinHashBands
   *    session already exists).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    // optimizer rule: naive range joins → bucketized equi-joins. For a
+    // live session (tests, shells) use
+    // `spark.experimental.extraOptimizations :+= BucketedRangeJoin`.
+    ext.injectOptimizerRule(_ => graft.plans.BucketedRangeJoin)
+  }
 }
 
 object GraftFunctions {
