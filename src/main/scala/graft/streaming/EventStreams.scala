@@ -123,6 +123,37 @@ object EventStreams {
       }
   }
 
+  /** Stream–stream join: attribute each purchase to the same user's clicks
+    * in the preceding `horizon` — the canonical streaming attribution
+    * join. Both sides are watermarked and the join condition carries the
+    * TIME-RANGE bound; together they let Spark compute how long a buffered
+    * click can still match and EVICT it, so two unbounded streams join
+    * with bounded state (an unconstrained stream–stream join would buffer
+    * both streams forever — Spark rejects it in Append mode).
+    *
+    * Scale shape: state is sharded by the equi key (user_id), exactly like
+    * the aggregation state stores; the range bound is the state-retention
+    * contract.
+    */
+  def clickPurchaseAttribution(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      watermark: String = DefaultWatermark,
+      horizon: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("click_ts"), col("purchase_value"), col("click_value"))
+  }
+
   /** Streaming exact dedup on `event_id` — the ingest-side counterpart of
     * the batch dedup suite. `dropDuplicatesWithinWatermark` keys state by
     * the id and EVICTS each key once the watermark passes its event time,

@@ -101,6 +101,29 @@ class EventStreamsSpec extends SparkSuite {
     assert(rows.map(r => (r._1, r._3, r._5)).contains((2L, 1L, 8.0)))
   }
 
+  test("stream-stream join attributes purchases to clicks within the horizon") {
+    val clicks = MemoryStream[TestEvent](spark)
+    val purchases = MemoryStream[TestEvent](spark)
+    clicks.addData(
+      TestEvent(t(10), 1, "click", 1.0),   // within 1h of the purchase → match
+      TestEvent(t(20), 1, "click", 2.0),   // within 1h → match
+      TestEvent(t(300), 1, "click", 3.0),  // AFTER the purchase → no match
+      TestEvent(t(15), 2, "click", 4.0))   // other user → no match for user 1
+    purchases.addData(TestEvent(t(60), 1, "purchase", 50.0))
+    val joined = EventStreams.clickPurchaseAttribution(
+      clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attr_out")
+      .orderBy("click_ts")
+      .as[(Long, Timestamp, Timestamp, Double, Double)].collect().toSeq
+    assert(rows == Seq(
+      (1L, t(60), t(10), 50.0, 1.0),
+      (1L, t(60), t(20), 50.0, 2.0)))
+  }
+
   test("streaming dedup suppresses duplicate ids within the watermark horizon") {
     val input = MemoryStream[IdEvent](spark)
     val q = EventStreams.dedupEvents(input.toDF())
