@@ -93,7 +93,8 @@ object SparkEntry {
     "pii_scrub"        -> (Corpus.piiScrub _),
     "decontaminate"    -> ((s, d) => Corpus.decontaminate(s, d)),
     "pack_sequences"   -> ((s, d) => Corpus.packSequences(s, d)),
-    "chunk_documents"  -> ((s, d) => Corpus.chunkDocuments(s, d))
+    "chunk_documents"  -> ((s, d) => Corpus.chunkDocuments(s, d)),
+    "unigram_logprob"  -> (Corpus.unigramLogProbScore _)
   )
 
   /** DuckDB oracle SQL for each query above. Omitted (rows-only check):
@@ -150,7 +151,8 @@ object SparkEntry {
     "pii_scrub"        -> Corpus.piiScrubSql,
     "decontaminate"    -> Corpus.decontaminateSql,
     "pack_sequences"   -> Corpus.packSequencesSql,
-    "chunk_documents"  -> Corpus.chunkDocumentsSql
+    "chunk_documents"  -> Corpus.chunkDocumentsSql,
+    "unigram_logprob"  -> Corpus.unigramLogProbScoreSql
   )
 
   /** Headline bench set: every query that is scale-shaped. The two O(n²)
@@ -184,6 +186,6 @@ object SparkEntry {
     "media_stats", "frame_sample", "extract_features",
     "split_counts", "stratified_sample",
     "repetition_stats", "pii_scrub", "decontaminate", "pack_sequences",
-    "chunk_documents"
+    "chunk_documents", "unigram_logprob"
   )
 }

@@ -168,6 +168,42 @@ object Corpus {
       |HAVING count(DISTINCT g) >= 2
       |ORDER BY train_id""".stripMargin
 
+  /** Unigram log-probability quality score — the CCNet/KenLM-style
+    * "perplexity filter" shape in miniature: TRAIN a token-frequency model
+    * over the corpus (one aggregate), BROADCAST it, and score every
+    * document as its mean token log-probability (add-one smoothed). Low
+    * scorers are gibberish / out-of-domain; this two-stage
+    * aggregate-then-broadcast-score is exactly how a real LM-based quality
+    * filter deploys at 100 TB (the model is a stored top-K vocab table
+    * with an OOV floor; here the synthetic corpus' whole vocabulary is 31
+    * tokens, so the full table broadcasts).
+    */
+  def unigramLogProbScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val model = counts.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        log((col("c") + 1).cast("double") / (col("n") + col("v"))).as("logp"))
+    toks.join(broadcast(model), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("logp")), 4).as("logp_avg"))
+      .orderBy("doc_id")
+  }
+
+  val unigramLogProbScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+      |  FROM documents),
+      |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |totals AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+      |model AS (SELECT tok, ln((c + 1)::double / (n + v)) AS logp FROM counts, totals)
+      |SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 4) AS logp_avg
+      |FROM toks JOIN model USING (tok)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Sliding-window document chunking — the split-long complement of
     * [[packSequences]]' concat-short: each document becomes
     * `1 + ceil(max(0, n_tok − width) / stride)` overlapping token windows

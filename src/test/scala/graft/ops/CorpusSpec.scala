@@ -94,6 +94,16 @@ class CorpusSpec extends SparkSuite {
     assert(chunks.map(_.getAs[String]("chunk_md5")).toSeq == expected)
   }
 
+  test("unigramLogProbScore: negative mean logprobs that actually discriminate") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Corpus.unigramLogProbScore(spark, dir)
+    assert(out.count() == Tables(spark, dir, "documents").count())
+    // log of a probability < 1 is negative, for every document
+    assert(out.filter(col("logp_avg") >= 0).count() == 0)
+    // and the score separates documents (not a constant)
+    assert(out.select("logp_avg").distinct().count() > 1)
+  }
+
   test("packSequences: token totals preserved, packing starts at bin 0") {
     val dir = "/root/testdata/sf0.001"
     val packed = Corpus.packSequences(spark, dir)
