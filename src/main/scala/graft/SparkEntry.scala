@@ -45,6 +45,8 @@ object SparkEntry {
     "tpch_q10"       -> (Tpch.q10ReturnedItems _),
     "tpch_q14"       -> (Tpch.q14PromoRevenue _),
     "customers_without_urgent" -> (Tpch.customersWithoutUrgent _),
+    "parts_in_both_years" -> (Tpch.partsInBothYears _),
+    "suppliers_no_returns" -> (Tpch.suppliersNoReturns _),
     "top_customers"  -> (Tpch.topCustomers _),
     "distinct_parts" -> (Tpch.distinctParts _),
     // --- event-time windowing (streaming-ready shapes) ---
@@ -122,6 +124,8 @@ object SparkEntry {
     "tpch_q10"       -> Tpch.q10Sql,
     "tpch_q14"       -> Tpch.q14Sql,
     "customers_without_urgent" -> Tpch.customersWithoutUrgentSql,
+    "parts_in_both_years" -> Tpch.partsInBothYearsSql,
+    "suppliers_no_returns" -> Tpch.suppliersNoReturnsSql,
     "top_customers"  -> Tpch.topCustomersSql,
     "distinct_parts" -> Tpch.distinctPartsSql,
     "events_tumbling" -> Events.tumblingSql,
@@ -169,7 +173,8 @@ object SparkEntry {
     "minhash_lsh_pairs", "embedding_near_dup_lsh", "ann_lsh_topk",
     "ann_ivf_topk", "simhash_near_dup", "simhash", "ann_topk_brute",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
-    "tpch_q14", "customers_without_urgent",
+    "tpch_q14", "customers_without_urgent", "parts_in_both_years",
+    "suppliers_no_returns",
     "top_customers", "distinct_parts",
     "events_tumbling", "events_sliding", "events_sessions",
     "events_sessions_sw",

@@ -268,6 +268,55 @@ object Tpch {
       |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
       |ORDER BY o_custkey""".stripMargin
 
+  /** Set-operation query: parts shipped in BOTH 1994 and 1996 — INTERSECT
+    * over key sets, completing the set-op family next to the EXCEPT query
+    * (Spark plans it as a left-semi aggregate over deduped sides).
+    */
+  def partsInBothYears(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    def shippedEarly(year: Int) = li
+      .filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"$year-03-01").cast("timestamp"))
+      .select(col("l_partkey"))
+    shippedEarly(1996).intersect(shippedEarly(1998)).orderBy("l_partkey")
+  }
+
+  val partsInBothYearsSql: String =
+    """SELECT l_partkey FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-03-01'
+      |INTERSECT
+      |SELECT l_partkey FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-03-01'
+      |ORDER BY l_partkey""".stripMargin
+
+  /** Anti-join query: suppliers with no high-quantity returns in 1999 —
+    * an explicit `left_anti` join (NOT EXISTS), the join type the EXCEPT
+    * query only reaches through set-op rewriting. Broadcast of the
+    * (deduped) offending keys keeps the anti probe shuffle-free on the
+    * supplier side; the filters push into the lineitem scan.
+    */
+  def suppliersNoReturns(spark: SparkSession, dir: String): DataFrame = {
+    val returned = Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 48 &&
+        col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+      .select(col("l_suppkey")).distinct()
+    Tables(spark, dir, "supplier")
+      .join(broadcast(returned), col("s_suppkey") === col("l_suppkey"), "left_anti")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  val suppliersNoReturnsSql: String =
+    """SELECT s_suppkey, s_name FROM supplier s
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_suppkey = s.s_suppkey AND l_returnflag = 'R'
+      |    AND l_quantity >= 48
+      |    AND l_shipdate >= TIMESTAMP '1999-01-01'
+      |    AND l_shipdate < TIMESTAMP '2000-01-01')
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Distinct aggregation: distinct parts and suppliers per return flag. */
   def distinctParts(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
