@@ -17,7 +17,10 @@ class GraftSqlSpec extends SparkSuite {
     "tpch_q6" -> Tpch.q6Sql,
     "tpch_q10" -> Tpch.q10Sql,
     "top_customers" -> Tpch.topCustomersSql,
-    "distinct_parts" -> Tpch.distinctPartsSql)
+    "distinct_parts" -> Tpch.distinctPartsSql,
+    "customers_without_urgent" -> Tpch.customersWithoutUrgentSql,
+    "parts_in_both_years" -> Tpch.partsInBothYearsSql,
+    "suppliers_no_returns" -> Tpch.suppliersNoReturnsSql)
 
   test("ANSI oracle SQL runs on Spark and matches the DataFrame API") {
     GraftSql.registerTables(spark, dir)
