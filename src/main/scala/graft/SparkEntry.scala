@@ -71,6 +71,7 @@ object SparkEntry {
     // --- deduplication suite ---
     "ngram_jaccard_pairs" -> (Dedup.ngramJaccardPairs _),
     "minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
+    "near_dup_clusters"   -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "winnow_near_dup"     -> ((s, d) => Dedup.winnowNearDupPairs(s, d)),
     "simhash"             -> (Dedup.simhash _),
     "simhash_near_dup"    -> ((s, d) => Dedup.simhashNearDup(s, d)),
@@ -147,6 +148,7 @@ object SparkEntry {
     "fingerprint"   -> TextAnalysis.fingerprintSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardSql,
     "minhash_lsh_pairs"   -> Dedup.ngramJaccardSql,
+    "near_dup_clusters"   -> Dedup.nearDupClustersSql,
     "embedding_near_dup"  -> Dedup.embeddingNearDupSql,
     "ann_topk_brute" -> Similarity.annTopKSql,
     "media_stats"    -> Multimodal.mediaStatsSql,
@@ -170,7 +172,7 @@ object SparkEntry {
     * position.
     */
   val benchQueries: Seq[String] = Seq(
-    "minhash_lsh_pairs", "embedding_near_dup_lsh", "ann_lsh_topk",
+    "minhash_lsh_pairs", "near_dup_clusters", "embedding_near_dup_lsh", "ann_lsh_topk",
     "ann_ivf_topk", "simhash_near_dup", "simhash", "ann_topk_brute",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
     "tpch_q14", "customers_without_urgent", "parts_in_both_years",

@@ -208,6 +208,100 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Near-dup CLUSTERS from the LSH pair graph — the step every dedup
+    * pipeline needs after pair generation: near-duplication is transitive
+    * in effect (A~B, B~C ⇒ keep one of {A,B,C}), so pairs must become
+    * connected components before a keeper can be chosen. Min-label
+    * propagation to fixpoint: every node's label becomes the component's
+    * minimum doc_id, which doubles as the keeper id.
+    *
+    * Scale shape: the iteration runs over the PAIR GRAPH — orders of
+    * magnitude smaller than the corpus (only colliding docs appear) — as a
+    * driver-bounded loop of equi-joins + min-aggregates, the standard
+    * iterate-over-distributed-ops shape (GraphX/MLlib do the same); the
+    * driver never holds data, only the convergence count. Label
+    * propagation converges in O(diameter) rounds; web-dedup components
+    * are shallow (the alternating large-star/small-star variant bounds
+    * pathological chains at 100 TB).
+    */
+  def nearDupClusters(spark: SparkSession, dir: String, maxIter: Int = 20): DataFrame =
+    clusterPairs(minhashLshPairs(spark, dir), maxIter)
+
+  /** Connected components of any `(a_id, b_id)` pair frame (library
+    * surface; the propagation loop documented on [[nearDupClusters]]).
+    *
+    * `graphPartitions` sizes the ITERATION's shuffles to the pair graph,
+    * not the corpus: the graph is ~0.1% of the corpus by construction, and
+    * running each tiny propagation round through the session's full
+    * shuffle-partition count made the loop pure scheduling overhead (19 s
+    * for a few-hundred-node graph at 32 partitions; <2 s at 1). At 100 TB
+    * set it to pair-graph scale (e.g. pairs/10⁶).
+    */
+  def clusterPairs(
+      pairFrame: DataFrame,
+      maxIter: Int = 20,
+      graphPartitions: Int = 1): DataFrame = {
+    val pairs = pairFrame.select("a_id", "b_id")
+      .repartition(graphPartitions).persist()
+    val edges = pairs.unionAll(
+      pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).persist()
+    var labels = edges.select(col("a_id").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b_id"), col("label").as("nbr_label")), Seq("b_id"))
+        .groupBy(col("a_id").as("id"))
+        .agg(min(col("nbr_label")).as("min_nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+        .repartition(graphPartitions).persist()
+      changed = next.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: transitive closure by recursive CTE over the same pair set
+    * (valid because [[minhashLshPairs]] ≙ the brute Jaccard pairs on this
+    * corpus — see the `minhash_lsh_pairs` oracle note), then min per node.
+    */
+  val nearDupClustersSql: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(t) >= 3
+       |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+       |      ELSE [lower(text)] END) AS sh
+       |  FROM toks JOIN documents USING (doc_id)
+       |), pairs AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |      round(len(list_intersect(a.sh, b.sh))::double
+       |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |  WHERE jac >= $JaccardThreshold
+       |), edges AS (
+       |  SELECT a_id, b_id FROM pairs UNION ALL SELECT b_id, a_id FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT DISTINCT a_id, a_id FROM edges
+       |  UNION
+       |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON reach.id = e.b_id
+       |)
+       |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
+       |FROM reach
+       |GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
   /** Winnowing-fingerprint near-dup pairs: docs sharing ≥ `minShared`
     * selected fingerprints ([[graft.functions.Winnow]]) are candidate
     * near-dups — the substring-overlap detector (MOSS), complementary to

@@ -95,6 +95,16 @@ class DedupSpec extends SparkSuite {
     assert(viaAgg.exceptAll(viaExpr).count() == 0)
   }
 
+  test("clusterPairs: transitive chains collapse to one component, min id keeps") {
+    // chain 1-2-3-4 (forces >1 propagation round), separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val out = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false), 4L -> (1L, false),
+      10L -> (10L, true), 11L -> (10L, false)))
+  }
+
   test("shingle contract: distinct trigrams in first-occurrence order") {
     val got = Seq("the cat sat on the cat sat").toDF("text")
       .select(Dedup.shingles(col("text")).as("sh")).as[Seq[String]].head()
