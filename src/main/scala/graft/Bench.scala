@@ -24,6 +24,8 @@ object Bench {
     // Local-iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset.
     // The driver sets only SPARK_GRAFT_SF_DIR/CPUS → full sweep.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    only.foreach(_.diff(SparkEntry.benchQueries.toSet).foreach(n =>
+      System.err.println(s"[bench] WARNING: '$n' matches no bench query — typo?")))
     val results = SparkEntry.benchQueries
       .filter(name => only.forall(_.contains(name)))
       .map { name =>

@@ -62,7 +62,8 @@ object GraftFunctions {
     (FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
       (children: Seq[Expression]) => children match {
-        case Seq(arr) => MinHashBands(arr, 64, 16)
+        // defaults = the canonical LSH parameters the DataFrame path uses
+        case Seq(arr) => MinHashBands(arr, graft.ops.Dedup.MinhashK, graft.ops.Dedup.Bands)
         case Seq(arr, Literal(k: Int, IntegerType), Literal(b: Int, IntegerType)) =>
           MinHashBands(arr, k, b)
         case _ => throw new IllegalArgumentException(
@@ -70,7 +71,11 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr) => SimHash64(arr)
+        case _ => throw new IllegalArgumentException(
+          "simhash64(tokens) requires exactly one array argument")
+      }),
     (FunctionIdentifier("winnow"),
       new ExpressionInfo(classOf[Winnow].getName, "winnow"),
       (children: Seq[Expression]) => children match {

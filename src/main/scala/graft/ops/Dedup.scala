@@ -264,6 +264,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // a silently non-converged result would split one true component into
+    // several bogus clusters and keep the wrong documents — fail instead
+    require(changed == 0,
+      s"clusterPairs did not converge in $maxIter rounds ($changed labels still " +
+        "changing) — raise maxIter (components deeper than maxIter hops exist)")
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("is_keeper"))

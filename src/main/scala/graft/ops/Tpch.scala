@@ -268,9 +268,12 @@ object Tpch {
       |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
       |ORDER BY o_custkey""".stripMargin
 
-  /** Set-operation query: parts shipped in BOTH 1994 and 1996 — INTERSECT
-    * over key sets, completing the set-op family next to the EXCEPT query
-    * (Spark plans it as a left-semi aggregate over deduped sides).
+  /** Set-operation query: parts shipped in BOTH early 1996 and early 1998
+    * (Jan 1 – Mar 1 of each) — INTERSECT over key sets, completing the
+    * set-op family next to the EXCEPT query (Spark plans it as a left-semi
+    * aggregate over deduped sides). Windows chosen so the result is
+    * non-empty and non-universal on the testdata (shipdates span
+    * 1995–2001).
     */
   def partsInBothYears(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")

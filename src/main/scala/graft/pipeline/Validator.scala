@@ -109,14 +109,15 @@ object Validator {
     val errors = array_compact(array(cs.map { case (p, _, msg) =>
       when(p, msg).otherwise(lit(null).cast("string"))
     }: _*))
-    // Reason code of the FIRST failing check, in reference check order.
-    // The trailing literal mirrors validator.py:99-117's fallback: an error
-    // whose message maps to no known code classifies as `validation_failed`
-    // (reachable only for caller-supplied checks without a code — the nine
-    // built-in checks all carry one).
+    // Reason code of the FIRST failing check, in list order. A check
+    // without a code classifies as `validation_failed` IN ITS PLACE —
+    // mirroring validator.py:99-117's unrecognized-message fallback —
+    // rather than falling through to a later coded check (which would make
+    // `reason` and `errors[0]` describe different checks).
     val reason = coalesce(cs.map { case (p, code, _) =>
-      when(p, lit(code)).otherwise(lit(null).cast("string"))
-    } :+ lit("validation_failed"): _*)
+      when(p, lit(if (code == null) "validation_failed" else code))
+        .otherwise(lit(null).cast("string"))
+    }: _*)
     df.withColumn("errors", errors)
       .withColumn("passed", size(col("errors")) === 0)
       .withColumn("reason", when(!col("passed"), reason))

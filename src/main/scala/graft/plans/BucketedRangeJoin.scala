@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, LongType, TimestampType}
 
 /** Optimizer rule: rewrite a pure range join into its bucketized equi-join
   * form — the whole-plan counterpart of [[graft.ops.RangeJoin]]'s manual
@@ -35,23 +36,39 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * Conservative trigger: INNER join, condition already resolved, NO
   * existing cross-side equi predicate (those plans already hash-join), and
   * a ≥/> + </≤ pair on the same timestamp expression with both bounds from
-  * the opposite side. Null bounds explode to zero bucket rows and a null t
-  * never equi-matches — exactly inner-join range semantics. Registered via
-  * `GraftExtensions` (injectOptimizerRule) or post-hoc through
+  * the opposite side. Empty/inverted intervals (hi ≤ lo — e.g. corrupt
+  * rows) and null bounds produce ZERO bucket rows, and a null t never
+  * equi-matches — exactly inner-join range semantics, never a runtime
+  * Sequence error.
+  *
+  * OPT-IN (`spark.graft.rangeJoin.enabled`, default false), like every
+  * production range-join rewrite (Databricks' is hint/conf-gated too):
+  * the bucket explosion is linear in interval width ÷ bucket width, so an
+  * open-ended interval (SCD `valid_to = '9999-12-31'`) would generate
+  * millions of bucket rows per interval. Enable it where interval widths
+  * are bounded, and size `spark.graft.rangeJoin.bucketSeconds`
+  * (default 3600) to the typical width. Registered via `GraftExtensions`
+  * (injectOptimizerRule) or post-hoc through
   * `spark.experimental.extraOptimizations`.
   */
 object BucketedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
 
+  val EnabledConf = "spark.graft.rangeJoin.enabled"
   val BucketSecondsConf = "spark.graft.rangeJoin.bucketSeconds"
+
+  private def enabled: Boolean =
+    conf.getConfString(EnabledConf, "false").toBoolean
 
   private def bucketWidthMicros: Long =
     conf.getConfString(BucketSecondsConf, "3600").toLong * 1000000L
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, Inner, Some(cond), _)
-        if j.resolved && !hasCrossSideEquiKey(cond, j) =>
-      rewrite(j, cond).getOrElse(j)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transform {
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if j.resolved && !hasCrossSideEquiKey(cond, j) =>
+        rewrite(j, cond).getOrElse(j)
+    }
 
   /** An existing cross-side equi predicate means Spark already plans a hash
     * join — adding a bucket key would only duplicate rows through the
@@ -129,11 +146,19 @@ object BucketedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       // explicit timeZoneId: Sequence is TimeZoneAwareExpression and the
       // analyzer's ResolveTimeZone has already run — without it the new
       // subtree reports unresolved and plan validation rejects the rewrite
-      val seq = Sequence(
-        IntegralDivide(Subtract(UnixMicros(lo), Pmod(UnixMicros(lo), Literal(w))), Literal(w)),
-        IntegralDivide(Subtract(endUs, Pmod(endUs, Literal(w))), Literal(w)),
-        Some(Literal(1L)),
-        Some(conf.sessionLocalTimeZone))
+      val startBucket =
+        IntegralDivide(Subtract(UnixMicros(lo), Pmod(UnixMicros(lo), Literal(w))), Literal(w))
+      val endBucket =
+        IntegralDivide(Subtract(endUs, Pmod(endUs, Literal(w))), Literal(w))
+      // Sequence THROWS on inverted boundaries (start > stop with step 1),
+      // so guard: empty/inverted intervals (and null bounds — the null
+      // comparison routes to the else branch) yield an empty bucket array
+      // → zero generated rows → no matches, the nested-loop semantics
+      val seq = If(
+        GreaterThanOrEqual(endBucket, startBucket),
+        Sequence(startBucket, endBucket, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
+        Literal.create(new GenericArrayData(Array.empty[Any]),
+          ArrayType(LongType, containsNull = false)))
       val genOut = AttributeReference("__graft_bucket_g", LongType, nullable = false)()
       val generatedSide =
         Generate(Explode(seq), Seq.empty, outer = false, None, Seq(genOut), bSide)
