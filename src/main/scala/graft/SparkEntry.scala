@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{AsofJoin, Corpus, Dedup, DocValidation, Events, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis, Tpch}
+import graft.ops.{AsofJoin, Corpus, Dedup, DocValidation, Events, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis, Tpch, TpchTail}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,6 +49,15 @@ object SparkEntry {
     "suppliers_no_returns" -> (Tpch.suppliersNoReturns _),
     "top_customers"  -> (Tpch.topCustomers _),
     "distinct_parts" -> (Tpch.distinctParts _),
+    // --- decision-support tail (subquery / outer-join shapes) ---
+    "tpch_q7"  -> (TpchTail.q7VolumeShipping _),
+    "tpch_q8"  -> (TpchTail.q8MarketShare _),
+    "tpch_q13" -> (TpchTail.q13OrderDistribution _),
+    "tpch_q15" -> (TpchTail.q15TopSupplier _),
+    "tpch_q17" -> (TpchTail.q17SmallQuantity _),
+    "tpch_q18" -> (TpchTail.q18LargeVolume _),
+    "tpch_q19" -> (TpchTail.q19DiscountedRevenue _),
+    "tpch_q22" -> (TpchTail.q22SalesOpportunity _),
     // --- event-time windowing (streaming-ready shapes) ---
     "events_tumbling" -> (Events.tumbling _),
     "events_sliding"  -> (Events.sliding _),
@@ -129,6 +138,14 @@ object SparkEntry {
     "suppliers_no_returns" -> Tpch.suppliersNoReturnsSql,
     "top_customers"  -> Tpch.topCustomersSql,
     "distinct_parts" -> Tpch.distinctPartsSql,
+    "tpch_q7"  -> TpchTail.q7Sql,
+    "tpch_q8"  -> TpchTail.q8Sql,
+    "tpch_q13" -> TpchTail.q13Sql,
+    "tpch_q15" -> TpchTail.q15Sql,
+    "tpch_q17" -> TpchTail.q17Sql,
+    "tpch_q18" -> TpchTail.q18Sql,
+    "tpch_q19" -> TpchTail.q19Sql,
+    "tpch_q22" -> TpchTail.q22Sql,
     "events_tumbling" -> Events.tumblingSql,
     "events_sliding"  -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
@@ -177,6 +194,8 @@ object SparkEntry {
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
     "tpch_q14", "customers_without_urgent", "parts_in_both_years",
     "suppliers_no_returns",
+    "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q22",
     "top_customers", "distinct_parts",
     "events_tumbling", "events_sliding", "events_sessions",
     "events_sessions_sw",

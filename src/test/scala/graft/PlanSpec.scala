@@ -87,4 +87,20 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Window"), "keep-first dedup regressed to a window")
     assert(count(plan, "HashAggregate") >= 2, "expected partial+final aggregation")
   }
+
+  test("decision-support tail: decorrelated subqueries broadcast, top-k never sorts globally") {
+    for (q <- Seq("tpch_q7", "tpch_q8", "tpch_q15", "tpch_q17", "tpch_q19")) {
+      val plan = planOf(q)
+      assert(count(plan, "BroadcastHashJoin") >= 1, s"$q lost its broadcasts")
+      assert(count(plan, "SortMergeJoin") == 0, s"$q fell back to sort-merge at test SF")
+      assert(count(plan, "CartesianProduct") == 0, s"$q plans a cartesian product")
+    }
+    assert(planOf("tpch_q18").contains("TakeOrderedAndProject"),
+      "q18 top-100 materializes a global sort instead of TakeOrderedAndProject")
+    // q17's magic-set decorrelation: the per-part average must aggregate the
+    // BRAND-FILTERED lineitem (2 aggs incl. the final scalar, both after the
+    // semi-reduction join), never a second full-table pass
+    val q17 = planOf("tpch_q17")
+    assert(count(q17, "BroadcastHashJoin") >= 2, "q17 lost a broadcast side")
+  }
 }

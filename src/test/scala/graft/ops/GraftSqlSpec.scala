@@ -20,7 +20,15 @@ class GraftSqlSpec extends SparkSuite {
     "distinct_parts" -> Tpch.distinctPartsSql,
     "customers_without_urgent" -> Tpch.customersWithoutUrgentSql,
     "parts_in_both_years" -> Tpch.partsInBothYearsSql,
-    "suppliers_no_returns" -> Tpch.suppliersNoReturnsSql)
+    "suppliers_no_returns" -> Tpch.suppliersNoReturnsSql,
+    // decision-support tail (q18 omitted: its oracle uses DuckDB strftime)
+    "tpch_q7" -> TpchTail.q7Sql,
+    "tpch_q8" -> TpchTail.q8Sql,
+    "tpch_q13" -> TpchTail.q13Sql,
+    "tpch_q15" -> TpchTail.q15Sql,
+    "tpch_q17" -> TpchTail.q17Sql,
+    "tpch_q19" -> TpchTail.q19Sql,
+    "tpch_q22" -> TpchTail.q22Sql)
 
   test("ANSI oracle SQL runs on Spark and matches the DataFrame API") {
     GraftSql.registerTables(spark, dir)
