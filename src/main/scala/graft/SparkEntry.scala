@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{AsofJoin, Corpus, Dedup, DocValidation, Events, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis, Tpch, TpchTail}
+import graft.ops.{Analytics, AsofJoin, Corpus, Dedup, DocValidation, Events, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis, Tpch, TpchTail}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +58,11 @@ object SparkEntry {
     "tpch_q18" -> (TpchTail.q18LargeVolume _),
     "tpch_q19" -> (TpchTail.q19DiscountedRevenue _),
     "tpch_q22" -> (TpchTail.q22SalesOpportunity _),
+    // --- analytic windows (running total, top-n per group, lag, ntile) ---
+    "running_revenue"         -> (Analytics.runningRevenue _),
+    "top_orders_per_customer" -> (Analytics.topOrdersPerCustomer _),
+    "user_event_gaps"         -> (Analytics.userEventGaps _),
+    "value_quartiles"         -> (Analytics.valueQuartiles _),
     // --- event-time windowing (streaming-ready shapes) ---
     "events_tumbling" -> (Events.tumbling _),
     "events_sliding"  -> (Events.sliding _),
@@ -146,6 +151,10 @@ object SparkEntry {
     "tpch_q18" -> TpchTail.q18Sql,
     "tpch_q19" -> TpchTail.q19Sql,
     "tpch_q22" -> TpchTail.q22Sql,
+    "running_revenue"         -> Analytics.runningRevenueSql,
+    "top_orders_per_customer" -> Analytics.topOrdersPerCustomerSql,
+    "user_event_gaps"         -> Analytics.userEventGapsSql,
+    "value_quartiles"         -> Analytics.valueQuartilesSql,
     "events_tumbling" -> Events.tumblingSql,
     "events_sliding"  -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
@@ -196,6 +205,8 @@ object SparkEntry {
     "suppliers_no_returns",
     "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q22",
+    "running_revenue", "top_orders_per_customer", "user_event_gaps",
+    "value_quartiles",
     "top_customers", "distinct_parts",
     "events_tumbling", "events_sliding", "events_sessions",
     "events_sessions_sw",

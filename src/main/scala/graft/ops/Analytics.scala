@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The analytic-window family: running totals, top-n per group, lag
+  * deltas, and ntile bucketing — the `WindowExec` surface that the
+  * aggregate/join suites never exercise.
+  *
+  * Every window here PARTITIONS BY a real key, so at 100 TB each state
+  * fits one task and the only movement is the hash shuffle to co-locate
+  * partitions; none of these is a global ordered window (the
+  * one-task-sorts-everything anti-pattern — see `q15TopSupplier`'s note
+  * for how a global extreme is taken without one). Determinism: every
+  * `orderBy` carries a unique tie-break column (`event_id`,
+  * `o_orderkey`), so lag/ntile/row_number agree across engines even on
+  * duplicate sort keys — the same rule that fixed the round-2
+  * `events_sessions` hash mismatch.
+  */
+object Analytics {
+
+  /** Running (cumulative) revenue per nation by order month. The monthly
+    * aggregate is rounded BEFORE the running sum, so both engines
+    * accumulate identical doubles in the window's defined order and the
+    * cumulative values can't drift apart.
+    */
+  def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir, "orders")
+      .join(broadcast(Tables(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+    val w = Window.partitionBy("n_name").orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("cum_revenue", round(sum(col("revenue")).over(w), 2))
+      .orderBy("n_name", "month")
+  }
+
+  val runningRevenueSql: String =
+    """SELECT n_name, month, revenue,
+      |  round(sum(revenue) OVER (PARTITION BY n_name ORDER BY month
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+      |FROM (
+      |  SELECT n_name, strftime(o_orderdate, '%Y-%m') AS month,
+      |    round(sum(o_totalprice), 2) AS revenue
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, month)
+      |ORDER BY n_name, month""".stripMargin
+
+  /** Top-3 orders by value per customer — the canonical top-n-per-group:
+    * `row_number` over a per-customer window, filtered to n. Unlike a
+    * global `orderBy().limit()`, this keeps all customers; the window
+    * shuffles once on the partition key and each task ranks its own
+    * customers.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val topOrdersPerCustomerSql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Inter-event gap statistics per user — `lag` over the per-user event
+    * stream, then an aggregate of the deltas. Gaps are computed in integer
+    * microseconds (`unix_micros` ≙ DuckDB `epoch_us`) so the lag delta is
+    * exact; only the final average becomes a rounded double.
+    */
+  def userEventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_us")) / 1e6, 2).as("avg_gap_sec"),
+        max(col("gap_us")).as("max_gap_us"))
+      // integer division (`div` ≙ DuckDB `//`): Column./ on longs is
+      // double division and would change both value and dtype
+      .withColumn("max_gap_sec", expr("max_gap_us div 1000000"))
+      .drop("max_gap_us")
+      .orderBy("user_id")
+  }
+
+  val userEventGapsSql: String =
+    """SELECT user_id, count(*) AS n_gaps,
+      |  round(avg(gap_us) / 1e6, 2) AS avg_gap_sec,
+      |  max(gap_us) // 1000000 AS max_gap_sec
+      |FROM (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |WHERE gap_us IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Value quartiles per event type — `ntile(4)` bucket assignment, then
+    * the per-bucket profile (count, min, max). The tie-break on
+    * `event_id` makes bucket boundaries engine-independent.
+    *
+    * Scale note: event_type is LOW-cardinality, so each window partition
+    * is ~1/|types| of the table — the one window in this family whose
+    * per-partition sort is large. At 100 TB, assign quantile buckets from
+    * an `approx_percentile` histogram join instead of an exact ntile (the
+    * [[Events.valuePercentilesApprox]] pattern); the exact form is kept
+    * here as the correctness anchor.
+    */
+  def valueQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables(spark, dir, "events")
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("event_type", "quartile")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 2).as("lo"),
+        round(max(col("value")), 2).as("hi"))
+      .orderBy("event_type", "quartile")
+  }
+
+  val valueQuartilesSql: String =
+    """SELECT event_type, quartile, count(*) AS n,
+      |  round(min(value), 2) AS lo, round(max(value), 2) AS hi
+      |FROM (
+      |  SELECT event_type, value,
+      |    CAST(ntile(4) OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS INT) AS quartile
+      |  FROM events)
+      |GROUP BY event_type, quartile
+      |ORDER BY event_type, quartile""".stripMargin
+}

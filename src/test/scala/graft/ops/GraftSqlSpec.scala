@@ -28,7 +28,11 @@ class GraftSqlSpec extends SparkSuite {
     "tpch_q15" -> TpchTail.q15Sql,
     "tpch_q17" -> TpchTail.q17Sql,
     "tpch_q19" -> TpchTail.q19Sql,
-    "tpch_q22" -> TpchTail.q22Sql)
+    "tpch_q22" -> TpchTail.q22Sql,
+    // analytic windows (running_revenue / user_event_gaps omitted: their
+    // oracles use DuckDB strftime / epoch_us)
+    "top_orders_per_customer" -> Analytics.topOrdersPerCustomerSql,
+    "value_quartiles" -> Analytics.valueQuartilesSql)
 
   test("ANSI oracle SQL runs on Spark and matches the DataFrame API") {
     GraftSql.registerTables(spark, dir)
