@@ -69,6 +69,7 @@ object SparkEntry {
     "events_sessions" -> (Events.sessions _),
     "events_sessions_sw" -> (Events.sessionsViaSessionWindow _),
     "conversion_funnel" -> (Events.conversionFunnel _),
+    "view_purchase_recon" -> (Events.viewPurchaseRecon _),
     "value_percentiles" -> (Events.valuePercentiles _),
     "value_percentiles_approx" -> ((s, d) => Events.valuePercentilesApprox(s, d)),
     "asof_last_click" -> (AsofJoin.asofLastClick _),
@@ -160,6 +161,7 @@ object SparkEntry {
     "events_sessions" -> Events.sessionsSql,
     "events_sessions_sw" -> Events.sessionsWindowSql,
     "conversion_funnel" -> Events.conversionFunnelSql,
+    "view_purchase_recon" -> Events.viewPurchaseReconSql,
     "value_percentiles" -> Events.valuePercentilesSql,
     "asof_last_click" -> AsofJoin.asofLastClickSql,
     "events_in_windows" -> RangeJoin.eventsInWindowsSql,
@@ -210,7 +212,8 @@ object SparkEntry {
     "top_customers", "distinct_parts",
     "events_tumbling", "events_sliding", "events_sessions",
     "events_sessions_sw",
-    "conversion_funnel", "value_percentiles", "value_percentiles_approx",
+    "conversion_funnel", "view_purchase_recon",
+    "value_percentiles", "value_percentiles_approx",
     "winnow_near_dup",
     "asof_last_click", "events_in_windows", "salted_user_age",
     "distinct_parts_approx",

@@ -300,4 +300,44 @@ object Events {
       |    FROM events))
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
+
+  /** View-vs-purchase reconciliation per (user, day) — the FULL OUTER join:
+    * both sides must survive (users who viewed but never bought AND
+    * purchases with no recorded view), which no other join type expresses.
+    * Keys are `coalesce`d across sides and missing counts default to 0 —
+    * the standard reconciliation projection. Both inputs are aggregates of
+    * the same co-partitioned scan; at 100 TB the join shuffles once on the
+    * (user_id, day) key both sides already hash on.
+    */
+  def viewPurchaseRecon(spark: SparkSession, dir: String): DataFrame = {
+    def daily(eventType: String, as: String) = Tables(spark, dir, "events")
+      .filter(col("event_type") === eventType)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as(as))
+    val v = daily("view", "n_views")
+    val p = daily("purchase", "n_purchases")
+      .withColumnsRenamed(Map("user_id" -> "p_user_id", "day" -> "p_day"))
+    v.join(p, col("user_id") === col("p_user_id") && col("day") === col("p_day"),
+        "full_outer")
+      .select(
+        coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        coalesce(col("day"), col("p_day")).as("day"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy("user_id", "day")
+  }
+
+  val viewPurchaseReconSql: String =
+    """SELECT coalesce(v.user_id, p.user_id) AS user_id,
+      |  coalesce(v.day, p.day) AS day,
+      |  coalesce(n_views, 0) AS n_views,
+      |  coalesce(n_purchases, 0) AS n_purchases
+      |FROM (
+      |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_views
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2) v
+      |FULL OUTER JOIN (
+      |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_purchases
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p
+      |ON v.user_id = p.user_id AND v.day = p.day
+      |ORDER BY user_id, day""".stripMargin
 }
