@@ -94,6 +94,7 @@ object SparkEntry {
     "embedding_near_dup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "events_rollup" -> (Events.rollupByTypeDay _),
     "events_cube"   -> (Events.cubeByTypeDay _),
+    "events_grouping_sets" -> (Events.groupingSetsByTypeDay _),
     "events_pivot"  -> (Events.eventsPivot _),
     // --- similarity search ---
     "ann_topk_brute" -> ((s, d) => Similarity.annTopKBrute(s, d)),
@@ -168,6 +169,7 @@ object SparkEntry {
     "salted_user_age" -> Skew.saltedUserAgeSql,
     "events_rollup"   -> Events.rollupSql,
     "events_cube"     -> Events.cubeSql,
+    "events_grouping_sets" -> Events.groupingSetsSql,
     "events_pivot"    -> Events.eventsPivotSql,
     "token_stats"   -> TextAnalysis.tokenStatsSql,
     "bpe_token_stats" -> TextAnalysis.bpeTokenStatsSql,
@@ -217,7 +219,7 @@ object SparkEntry {
     "winnow_near_dup",
     "asof_last_click", "events_in_windows", "salted_user_age",
     "distinct_parts_approx",
-    "events_rollup", "events_cube", "events_pivot",
+    "events_rollup", "events_cube", "events_grouping_sets", "events_pivot",
     "filter_incomplete", "validate_flags", "reason_histogram", "top1_reason",
     "completeness", "date_range", "dedup_exact_keep_first", "clean_text",
     "parse_dates",

@@ -245,8 +245,9 @@ object Dedup {
       .repartition(graphPartitions).persist()
     val edges = pairs.unionAll(
       pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).persist()
-    var labels = edges.select(col("a_id").as("id")).distinct()
+    var cached = edges.select(col("a_id").as("id")).distinct()
       .withColumn("label", col("id")).persist()
+    var labels = cached
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -254,14 +255,18 @@ object Dedup {
         .join(labels.select(col("id").as("b_id"), col("label").as("nbr_label")), Seq("b_id"))
         .groupBy(col("a_id").as("id"))
         .agg(min(col("nbr_label")).as("min_nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+      // keep the old label alongside the stepped one: `changed` is then a
+      // filter-count over this same persisted frame instead of a second
+      // join back against the previous labels (one join + one shuffle
+      // fewer per round — the loop is scheduling-bound, not data-bound)
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
         .repartition(graphPartitions).persist()
-      changed = next.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = stepped.filter(col("label") =!= col("old_label")).count()
+      cached.unpersist()
+      cached = stepped
+      labels = stepped.select("id", "label")
       iter += 1
     }
     // a silently non-converged result would split one true component into

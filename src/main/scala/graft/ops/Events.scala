@@ -198,6 +198,26 @@ object Events {
       |GROUP BY CUBE(event_type, day)
       |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS: the per-type and per-day slices ONLY — no
+    * pair cell, no grand total — which neither `rollup` (hierarchy) nor
+    * `cube` (powerset) expresses. Same Expand-then-one-hash-agg physical
+    * shape as the other two, with exactly 2 replicas per row.
+    */
+  def groupingSetsByTypeDay(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      .groupingSets(Seq(Seq(col("event_type")), Seq(col("day"))),
+        col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+
+  val groupingSetsSql: String =
+    """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |  count(*) AS n, round(sum(value), 2) AS value_sum
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (day))
+      |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
+
   /** Sessionization: per-user sessions split at >30-minute gaps.
     * Gaps-and-islands — lag over (user_id ORDER BY ts), gap flag, running
     * sum as session index — then one aggregate per session.
