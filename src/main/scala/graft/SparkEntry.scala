@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, AsofJoin, Corpus, Dedup, DocValidation, Events, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis, Tpch, TpchTail}
+import graft.ops.{Analytics, AsofJoin, Corpus, Dedup, DocValidation, Events, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis, Tpch, TpchAdapted, TpchTail}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +58,14 @@ object SparkEntry {
     "tpch_q18" -> (TpchTail.q18LargeVolume _),
     "tpch_q19" -> (TpchTail.q19DiscountedRevenue _),
     "tpch_q22" -> (TpchTail.q22SalesOpportunity _),
+    // --- the partsupp/shipmode-dependent remainder, schema-adapted ---
+    "tpch_q2"  -> (TpchAdapted.q2MinCostSupplier _),
+    "tpch_q9"  -> (TpchAdapted.q9ProductProfit _),
+    "tpch_q11" -> (TpchAdapted.q11ImportantParts _),
+    "tpch_q12" -> (TpchAdapted.q12LateShipments _),
+    "tpch_q16" -> (TpchAdapted.q16SupplierCounts _),
+    "tpch_q20" -> (TpchAdapted.q20ShareOfPart _),
+    "tpch_q21" -> (TpchAdapted.q21WaitingSupplier _),
     // --- analytic windows (running total, top-n per group, lag, ntile) ---
     "running_revenue"         -> (Analytics.runningRevenue _),
     "top_orders_per_customer" -> (Analytics.topOrdersPerCustomer _),
@@ -153,6 +161,13 @@ object SparkEntry {
     "tpch_q18" -> TpchTail.q18Sql,
     "tpch_q19" -> TpchTail.q19Sql,
     "tpch_q22" -> TpchTail.q22Sql,
+    "tpch_q2"  -> TpchAdapted.q2Sql,
+    "tpch_q9"  -> TpchAdapted.q9Sql,
+    "tpch_q11" -> TpchAdapted.q11Sql,
+    "tpch_q12" -> TpchAdapted.q12Sql,
+    "tpch_q16" -> TpchAdapted.q16Sql,
+    "tpch_q20" -> TpchAdapted.q20Sql,
+    "tpch_q21" -> TpchAdapted.q21Sql,
     "running_revenue"         -> Analytics.runningRevenueSql,
     "top_orders_per_customer" -> Analytics.topOrdersPerCustomerSql,
     "user_event_gaps"         -> Analytics.userEventGapsSql,
@@ -209,6 +224,8 @@ object SparkEntry {
     "suppliers_no_returns",
     "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q22",
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
+    "tpch_q21",
     "running_revenue", "top_orders_per_customer", "user_event_gaps",
     "value_quartiles",
     "top_customers", "distinct_parts",

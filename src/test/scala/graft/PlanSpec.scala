@@ -103,4 +103,19 @@ class PlanSpec extends SparkSuite {
     val q17 = planOf("tpch_q17")
     assert(count(q17, "BroadcastHashJoin") >= 2, "q17 lost a broadcast side")
   }
+
+  test("schema-adapted remainder: broadcasts hold, no cartesian, top-k stays bounded") {
+    for (q <- Seq("tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20")) {
+      val plan = planOf(q)
+      assert(count(plan, "BroadcastHashJoin") >= 1, s"$q lost its broadcasts")
+      assert(count(plan, "SortMergeJoin") == 0, s"$q fell back to sort-merge at test SF")
+      assert(count(plan, "CartesianProduct") == 0, s"$q plans a cartesian product")
+    }
+    // q12/q21 join two fact derivations — shuffle joins are expected there,
+    // but never a nested-loop product
+    for (q <- Seq("tpch_q12", "tpch_q21"))
+      assert(count(planOf(q), "CartesianProduct") == 0, s"$q plans a cartesian product")
+    assert(planOf("tpch_q21").contains("TakeOrderedAndProject"),
+      "q21 top-100 materializes a global sort instead of TakeOrderedAndProject")
+  }
 }

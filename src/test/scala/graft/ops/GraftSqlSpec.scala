@@ -29,6 +29,14 @@ class GraftSqlSpec extends SparkSuite {
     "tpch_q17" -> TpchTail.q17Sql,
     "tpch_q19" -> TpchTail.q19Sql,
     "tpch_q22" -> TpchTail.q22Sql,
+    // the schema-adapted remainder — all seven oracles are ANSI-portable
+    "tpch_q2" -> TpchAdapted.q2Sql,
+    "tpch_q9" -> TpchAdapted.q9Sql,
+    "tpch_q11" -> TpchAdapted.q11Sql,
+    "tpch_q12" -> TpchAdapted.q12Sql,
+    "tpch_q16" -> TpchAdapted.q16Sql,
+    "tpch_q20" -> TpchAdapted.q20Sql,
+    "tpch_q21" -> TpchAdapted.q21Sql,
     // analytic windows (running_revenue / user_event_gaps omitted: their
     // oracles use DuckDB strftime / epoch_us)
     "top_orders_per_customer" -> Analytics.topOrdersPerCustomerSql,
