@@ -36,6 +36,7 @@ object SparkEntry {
     "dedup_exact_keep_first" -> (DocValidation.dedupKeepFirst _),
     "clean_text"             -> (DocValidation.cleanText _),
     "parse_dates"            -> (DocValidation.parseDates _),
+    "article_funnel"         -> (DocValidation.articleFunnel _),
     // --- relational/star-schema suite (joins, aggregates, top-k) ---
     "tpch_q1"        -> (Tpch.q1PricingSummary _),
     "tpch_q3"        -> (Tpch.q3ShippingPriority _),
@@ -142,6 +143,7 @@ object SparkEntry {
     "dedup_exact_keep_first" -> Dedup.exactDedupSql,
     "clean_text"             -> DocValidation.cleanTextSql,
     "parse_dates"            -> DocValidation.parseDatesSql,
+    "article_funnel"         -> DocValidation.articleFunnelSql,
     "tpch_q1"        -> Tpch.q1Sql,
     "tpch_q3"        -> Tpch.q3Sql,
     "tpch_q4"        -> Tpch.q4Sql,
@@ -242,7 +244,7 @@ object SparkEntry {
     "events_rollup", "events_cube", "events_grouping_sets", "events_pivot",
     "filter_incomplete", "validate_flags", "reason_histogram", "top1_reason",
     "completeness", "date_range", "dedup_exact_keep_first", "clean_text",
-    "parse_dates",
+    "parse_dates", "article_funnel",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
     "winnow_fingerprints",
     "media_stats", "frame_sample", "extract_features",

@@ -198,6 +198,86 @@ object DocValidation {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** O19 as ONE registered query: the reference's end-to-end funnel
+    * (cleaner.py:284-393 — load → drop incomplete → keep-first dedup →
+    * validate → save valid) over the documents table, reduced to the funnel
+    * arithmetic the reference reports (counts per stage, pass rate,
+    * retention). Input doubled with shifted ids like [[dedupKeepFirst]] so
+    * the dedup stage actually removes rows.
+    *
+    * Scale shape: one scan for the load/incomplete counts, and one
+    * shuffle (on the 128-bit dedup key) whose `min_by` keeps the full
+    * first row per group — validation flags are then pure column math over
+    * the keepers and fold into the same aggregate. The two 1-row frames
+    * meet in a crossJoin (scalar broadcast, the Events.scala pattern).
+    */
+  def articleFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text", "lang", "source")
+    val doubled = docs.unionAll(
+      docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang"), col("source")))
+    val loadStats = doubled.agg(
+      count(lit(1)).as("n_loaded"),
+      count(when(isBlank(col("text")) || isBlank(col("lang")), 1)).as("n_incomplete"))
+    val kept = doubled
+      .filter(!isBlank(col("text")) && !isBlank(col("lang")))
+      .groupBy(md5(col("text")).as("k"))
+      .agg(min_by(struct(col("doc_id"), col("text"), col("lang"), col("source")),
+        col("doc_id")).as("r"))
+      .select("r.*")
+    val passed = (!isBlank(col("text"))) &&
+      length(col("text")) >= MinTextLength && length(col("text")) <= MaxTextLength &&
+      !isBlank(col("lang")) && col("lang").isin(KnownLangs: _*) &&
+      !isBlank(col("source")) && col("source").rlike("^src[0-9]+$")
+    val keptStats = kept.agg(
+      count(lit(1)).as("n_after_cleaning"),
+      count(when(passed, 1)).as("n_valid"))
+    loadStats.crossJoin(keptStats).select(
+      col("n_loaded"),
+      col("n_incomplete"),
+      (col("n_loaded") - col("n_incomplete") - col("n_after_cleaning")).as("n_duplicates"),
+      col("n_after_cleaning"),
+      col("n_valid"),
+      (col("n_after_cleaning") - col("n_valid")).as("n_invalid"),
+      round(col("n_valid") * lit(100.0) / col("n_after_cleaning"), 1).as("pass_rate_pct"),
+      round(col("n_valid") * lit(100.0) / col("n_loaded"), 1).as("retention_pct"))
+  }
+
+  val articleFunnelSql: String =
+    s"""WITH doubled AS (
+       |  SELECT doc_id, text, lang, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text, lang, source FROM documents
+       |), load_stats AS (
+       |  SELECT count(*) AS n_loaded,
+       |    count(CASE WHEN (text IS NULL OR trim(text) = '')
+       |                 OR (lang IS NULL OR trim(lang) = '') THEN 1 END) AS n_incomplete
+       |  FROM doubled
+       |), kept AS (
+       |  SELECT min(doc_id) AS doc_id,
+       |    arg_min(text, doc_id) AS text,
+       |    arg_min(lang, doc_id) AS lang,
+       |    arg_min(source, doc_id) AS source
+       |  FROM doubled
+       |  WHERE NOT (text IS NULL OR trim(text) = '')
+       |    AND NOT (lang IS NULL OR trim(lang) = '')
+       |  GROUP BY md5(text)
+       |), kept_stats AS (
+       |  SELECT count(*) AS n_after_cleaning,
+       |    count(CASE WHEN NOT (text IS NULL OR trim(text) = '')
+       |      AND length(text) >= $MinTextLength AND length(text) <= $MaxTextLength
+       |      AND NOT (lang IS NULL OR trim(lang) = '') AND lang IN ('en','de','es','fr','zh')
+       |      AND NOT (source IS NULL OR trim(source) = '')
+       |      AND regexp_matches(source, '^src[0-9]+$$') THEN 1 END) AS n_valid
+       |  FROM kept
+       |)
+       |SELECT n_loaded, n_incomplete,
+       |  n_loaded - n_incomplete - n_after_cleaning AS n_duplicates,
+       |  n_after_cleaning, n_valid,
+       |  n_after_cleaning - n_valid AS n_invalid,
+       |  round(n_valid * 100.0 / n_after_cleaning, 1) AS pass_rate_pct,
+       |  round(n_valid * 100.0 / n_loaded, 1) AS retention_pct
+       |FROM load_stats, kept_stats""".stripMargin
+
   /** O3: multi-format date parsing — round-trips orders.o_orderdate through
     * a "MMM dd, yyyy" string and the full parse chain back to ISO.
     */
