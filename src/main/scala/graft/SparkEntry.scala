@@ -116,7 +116,7 @@ object SparkEntry {
     "extract_features" -> ((s, d) => Multimodal.extractFeaturesSummary(s, d)),
     // --- corpus sampling / splitting ---
     "split_counts"      -> (Sampling.splitCounts _),
-    "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "stratified_sample" -> ((s, d) => Sampling.stratifiedSampleHash(s, d)),
     // --- corpus preparation (repetition filter, PII, decontamination, packing) ---
     "repetition_stats" -> ((s, d) => Corpus.repetitionStats(s, d)),
     "pii_scrub"        -> (Corpus.piiScrub _),
@@ -194,6 +194,7 @@ object SparkEntry {
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "lang_id"       -> TextAnalysis.langIdSql,
     "fingerprint"   -> TextAnalysis.fingerprintSql,
+    "winnow_fingerprints" -> TextAnalysis.winnowFingerprintsSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardSql,
     "minhash_lsh_pairs"   -> Dedup.ngramJaccardSql,
     "near_dup_clusters"   -> Dedup.nearDupClustersSql,
@@ -201,6 +202,7 @@ object SparkEntry {
     "ann_topk_brute" -> Similarity.annTopKSql,
     "media_stats"    -> Multimodal.mediaStatsSql,
     "split_counts"   -> Sampling.splitCountsSql,
+    "stratified_sample" -> Sampling.stratifiedSampleHashSql,
     "repetition_stats" -> Corpus.repetitionStatsSql,
     "pii_scrub"        -> Corpus.piiScrubSql,
     "decontaminate"    -> Corpus.decontaminateSql,

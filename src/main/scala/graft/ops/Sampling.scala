@@ -41,7 +41,12 @@ object Sampling {
   /** Seeded stratified sample: per-language fractions via `sampleBy`
     * (Bernoulli per row, deterministic for a fixed seed and partitioning).
     * Engine-specific RNG → no value oracle; the spec pins determinism and
-    * per-stratum bounds.
+    * per-stratum bounds. The REGISTERED stratified sample is
+    * [[stratifiedSampleHash]], whose membership is a pure function of the
+    * key and therefore oracle-checkable — the property [[withSplit]]
+    * argues for anyway (re-runs and other engines must agree on what was
+    * held out). This RNG variant stays as the library surface for the
+    * case where the key itself must not bias selection.
     */
   def stratifiedSample(
       spark: SparkSession,
@@ -53,4 +58,43 @@ object Sampling {
       .stat.sampleBy("lang", fractions, seed)
       .select("doc_id", "lang")
       .orderBy("doc_id")
+
+  private val HashFractions: Seq[(String, Double)] = Seq(
+    "en" -> 0.5, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.75)
+
+  private val HashSeed = 42L
+
+  /** Hash-Bernoulli stratified sample: a row is kept iff the first 4 hex
+    * digits of md5(seed:key) — a uniform 16-bit draw that is a pure
+    * function of (seed, key) — fall below its stratum's threshold
+    * `floor(fraction · 16⁴)` (compared as hex strings; '0'–'9' < 'a'–'f'
+    * lexicographically, so string order IS numeric order). Same rows on
+    * any engine, any partitioning, any run — and per-stratum rates land
+    * within binomial noise of the requested fractions.
+    */
+  def stratifiedSampleHash(
+      spark: SparkSession,
+      dir: String,
+      fractions: Seq[(String, Double)] = HashFractions,
+      seed: Long = HashSeed): DataFrame = {
+    val draw = substring(
+      md5(concat(lit(s"$seed:"), col("doc_id").cast("string")).cast("binary")), 1, 4)
+    val keep = fractions.map { case (lang, f) =>
+      (col("lang") === lang) && draw < lit(f"${(f * 65536).toInt}%04x")
+    }.reduce(_ || _)
+    Tables(spark, dir, "documents")
+      .filter(keep)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  val stratifiedSampleHashSql: String = {
+    val arms = HashFractions.map { case (lang, f) =>
+      f"(lang = '$lang' AND substr(md5('$HashSeed:' || doc_id::VARCHAR), 1, 4) < '${(f * 65536).toInt}%04x')"
+    }.mkString("\n   OR ")
+    s"""SELECT doc_id, lang
+       |FROM documents
+       |WHERE $arms
+       |ORDER BY doc_id""".stripMargin
+  }
 }

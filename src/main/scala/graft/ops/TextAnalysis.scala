@@ -194,9 +194,8 @@ object TextAnalysis {
   /** Winnowing fingerprint summary per document (rolling-hash k-grams +
     * rightmost-min window selection — [[graft.functions.Winnow]]). The
     * fingerprint SET is the dedup artifact; this query surfaces its
-    * deterministic summary scalars. Rows-only oracle (the wrap-mod-2⁶⁴
-    * rolling hash has no DuckDB twin); the winnowing guarantee itself is
-    * spec-verified.
+    * deterministic summary scalars, oracle-checked by a DuckDB
+    * re-derivation of the whole scheme ([[winnowFingerprintsSql]]).
     */
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val fp = graft.functions.Winnow(col("text"))
@@ -207,4 +206,60 @@ object TextAnalysis {
       array_max(fp).as("fp_max"))
       .orderBy("doc_id")
   }
+
+  /** The winnow scheme rebuilt in SQL, position by position:
+    *
+    *  - k-gram hash = Σ code(p+j)·257^(7−j) in HUGEINT, one mod 2⁶⁴ at the
+    *    end — identical to the Scala loop's wrapping-long arithmetic (the
+    *    constants are 257^j; the largest term stays under 2⁶⁴ for ASCII,
+    *    and the sum under 2⁶⁷, so nothing wraps early). The unsigned
+    *    residue then maps to the signed-long value Spark emits.
+    *  - window selection: `min(struct(h, -p))` over a w-row frame picks
+    *    each window's RIGHTMOST minimum (ties → larger p → smaller -p),
+    *    exactly the `<=` scan in Winnow.compute; the selected set is the
+    *    union over valid window starts (p ≤ m−w+1), with the m ≤ w branch
+    *    reducing to one fingerprint per document.
+    *
+    * Valid for BMP text only (DuckDB `ord` = codepoint, Scala `charAt` =
+    * UTF-16 unit — equal below U+10000; the corpus is ASCII). Verified
+    * branch-by-branch against a reference implementation including the
+    * short-document cases the corpus never hits.
+    */
+  val winnowFingerprintsSql: String =
+    """WITH grams AS (
+      |  SELECT doc_id, length(text) - 7 AS m, text,
+      |    unnest(range(1, length(text) - 6)) AS p
+      |  FROM documents
+      |  WHERE length(text) >= 8
+      |), signed AS (
+      |  SELECT doc_id, m, p,
+      |    ((CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616 ELSE hu END))::BIGINT AS h
+      |  FROM (
+      |    SELECT doc_id, m, p,
+      |      (ord(substr(text, p+0, 1))::HUGEINT * 74051159531521793
+      |       + ord(substr(text, p+1, 1))::HUGEINT * 288136807515649
+      |       + ord(substr(text, p+2, 1))::HUGEINT * 1121154893057
+      |       + ord(substr(text, p+3, 1))::HUGEINT * 4362470401
+      |       + ord(substr(text, p+4, 1))::HUGEINT * 16974593
+      |       + ord(substr(text, p+5, 1))::HUGEINT * 66049
+      |       + ord(substr(text, p+6, 1))::HUGEINT * 257
+      |       + ord(substr(text, p+7, 1))::HUGEINT) % 18446744073709551616 AS hu
+      |    FROM grams)
+      |), win AS (
+      |  SELECT doc_id, m, p,
+      |    min({'h': h, 'np': -p}) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS sel
+      |  FROM signed
+      |), picked AS (
+      |  SELECT doc_id, (sel).h AS fp FROM win WHERE m > 16 AND p <= m - 15
+      |  UNION ALL
+      |  SELECT doc_id, (min({'h': h, 'np': -p})).h AS fp
+      |  FROM signed WHERE m <= 16 GROUP BY doc_id
+      |), agg AS (
+      |  SELECT doc_id, count(DISTINCT fp) AS n_fp, min(fp) AS fp_min, max(fp) AS fp_max
+      |  FROM picked GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, coalesce(a.n_fp, 0) AS n_fp, a.fp_min, a.fp_max
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

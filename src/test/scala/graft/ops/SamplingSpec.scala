@@ -16,6 +16,22 @@ class SamplingSpec extends SparkSuite {
     assert(frac > 0.10 && frac < 0.40, s"test fraction $frac far from 25%")
   }
 
+  test("hash stratified sample: per-stratum rates within binomial noise") {
+    val byLang = Tables(spark, dir, "documents").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Sampling.stratifiedSampleHash(spark, dir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.75)
+    for ((lang, f) <- want if byLang.getOrElse(lang, 0L) > 0) {
+      val n = byLang(lang)
+      val got = sampled.getOrElse(lang, 0L).toDouble / n
+      // 4 sigma of Binomial(n, f) — deterministic given the data, the
+      // bound just documents that the hex-threshold draw is unbiased
+      val tol = 4 * math.sqrt(f * (1 - f) / n)
+      assert(math.abs(got - f) <= tol, s"$lang: rate $got vs $f (n=$n, tol $tol)")
+    }
+  }
+
   test("stratified sample: deterministic for a seed, fractions roughly honored") {
     val s1 = Sampling.stratifiedSample(spark, dir).collect().toSeq
     val s2 = Sampling.stratifiedSample(spark, dir).collect().toSeq
