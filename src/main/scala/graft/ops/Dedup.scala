@@ -230,19 +230,32 @@ object Dedup {
   /** Connected components of any `(a_id, b_id)` pair frame (library
     * surface; the propagation loop documented on [[nearDupClusters]]).
     *
-    * `graphPartitions` sizes the ITERATION's shuffles to the pair graph,
-    * not the corpus: the graph is ~0.1% of the corpus by construction, and
-    * running each tiny propagation round through the session's full
-    * shuffle-partition count made the loop pure scheduling overhead (19 s
-    * for a few-hundred-node graph at 32 partitions; <2 s at 1). At 100 TB
-    * set it to pair-graph scale (e.g. pairs/10⁶).
+    * Two execution paths behind one gate, both exact:
+    *
+    *  - pair graph ≤ `collectBound` edges: union-find on the driver. The
+    *    expensive work (shingling, LSH join, Jaccard verify) stays
+    *    distributed; the component resolution runs over a graph orders of
+    *    magnitude smaller than the corpus, where a driver pass beats any
+    *    number of tiny scheduled rounds (the same bounded-driver-step
+    *    pattern as Stats' positional failure indices). 5M edges ≈ 80 MB —
+    *    trivially driver-safe.
+    *  - larger graphs: min-label propagation to fixpoint as distributed
+    *    equi-joins + min-aggregates. `graphPartitions` sizes the
+    *    ITERATION's shuffles to the pair graph, not the corpus: the graph
+    *    is ~0.1% of the corpus by construction, and running each tiny
+    *    propagation round through the session's full shuffle-partition
+    *    count made the loop pure scheduling overhead (19 s for a
+    *    few-hundred-node graph at 32 partitions; <2 s at 1). At 100 TB set
+    *    it to pair-graph scale (e.g. pairs/10⁶).
     */
   def clusterPairs(
       pairFrame: DataFrame,
       maxIter: Int = 20,
-      graphPartitions: Int = 1): DataFrame = {
-    val pairs = pairFrame.select("a_id", "b_id")
-      .repartition(graphPartitions).persist()
+      graphPartitions: Int = 1,
+      collectBound: Long = 5000000L): DataFrame = {
+    val slim = pairFrame.select("a_id", "b_id").persist()
+    if (slim.count() <= collectBound) return clusterPairsDriver(slim)
+    val pairs = slim.repartition(graphPartitions).persist()
     val edges = pairs.unionAll(
       pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).persist()
     var cached = edges.select(col("a_id").as("id")).distinct()
@@ -278,6 +291,35 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("is_keeper"))
       .orderBy("doc_id")
+  }
+
+  /** Driver union-find over a collect-bounded edge list (gate:
+    * [[clusterPairs]]): roots are kept at the component minimum by always
+    * attaching the larger root under the smaller, so the root IS the
+    * cluster/keeper id; `find` path-compresses. Output contract identical
+    * to the distributed loop (parity spec-pinned).
+    */
+  private def clusterPairsDriver(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.toSeq.sorted
+      .map(id => (id, find(id), id == find(id)))
+      .toDF("doc_id", "cluster_id", "is_keeper")
   }
 
   /** Oracle: transitive closure by recursive CTE over the same pair set

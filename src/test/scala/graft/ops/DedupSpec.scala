@@ -105,6 +105,18 @@ class DedupSpec extends SparkSuite {
       10L -> (10L, true), 11L -> (10L, false)))
   }
 
+  test("clusterPairs: distributed loop and driver union-find agree") {
+    // chains + a star + an isolated pair — deep enough to need >1 round
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (20L, 21L), (20L, 22L), (20L, 23L),
+      (30L, 31L)).toDF("a_id", "b_id")
+    val driver = Dedup.clusterPairs(pairs).collect().map(_.toSeq).toSet
+    val loop = Dedup.clusterPairs(pairs, collectBound = 0).collect().map(_.toSeq).toSet
+    assert(driver == loop)
+    assert(driver.nonEmpty)
+  }
+
   test("shingle contract: distinct trigrams in first-occurrence order") {
     val got = Seq("the cat sat on the cat sat").toDF("text")
       .select(Dedup.shingles(col("text")).as("sh")).as[Seq[String]].head()
