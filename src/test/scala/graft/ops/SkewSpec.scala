@@ -21,6 +21,41 @@ class SkewSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  /** The 100-TB default for skewed JOINS: AQE's OptimizeSkewedJoin splits
+    * the oversized shuffle partition at runtime — no manual salting
+    * needed. This spec proves the rewrite fires (plan-level) and that the
+    * result is unchanged. Manual salting ([[Skew.saltedUserAge]]) remains
+    * required where AQE cannot rewrite: skewed AGGREGATIONS (a hot group
+    * lands on one task regardless) and stateful/streaming joins.
+    */
+  test("AQE splits the skewed join partition the salted join handles manually") {
+    import org.apache.spark.sql.functions._
+    // isolated SQL conf (shared SparkContext): lowered thresholds so the
+    // skew shows at test scale without a multi-GB fixture
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // ~70% of fact rows share key 7; dim has one row per key
+    val fact = s.range(100000L).select(
+      when(col("id") % 10 < 7, lit(7L)).otherwise(pmod(col("id"), lit(100L))).as("k"),
+      concat(lit("x" * 64), col("id")).as("payload"))
+    val dim = s.range(100L).select(col("id").as("k"), (col("id") * 10).as("attr"))
+    val joined = fact.join(dim, "k")
+    // collect() executes THIS Dataset's QueryExecution — count() would spin
+    // up a different one and leave the adaptive plan unfinalized
+    assert(joined.collect().length == 100000, "every fact row matches exactly one dim row")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin(skew=true)"),
+      s"expected the skew-split join in:\n$plan")
+    assert(plan.contains("isFinalPlan=true"))
+  }
+
   test("approx distinct counts stay within the configured error of exact") {
     val exact = Tpch.distinctParts(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
