@@ -198,6 +198,7 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardSql,
     "minhash_lsh_pairs"   -> Dedup.ngramJaccardSql,
     "near_dup_clusters"   -> Dedup.nearDupClustersSql,
+    "winnow_near_dup"     -> Dedup.winnowNearDupSql,
     "embedding_near_dup"  -> Dedup.embeddingNearDupSql,
     "ann_topk_brute" -> Similarity.annTopKSql,
     "media_stats"    -> Multimodal.mediaStatsSql,

@@ -363,8 +363,10 @@ object Dedup {
     * Scale shape: explode fingerprints → remove stop-fingerprints (doc
     * frequency > `maxDf`, the fingerprints of boilerplate substrings that
     * would otherwise quadratically blow up the self-join) → equi-join on
-    * fingerprint → count shared per pair. Rows-only oracle (no rolling hash
-    * in DuckDB); the planted pairs are spec-verified.
+    * fingerprint → count shared per pair. Oracle: [[winnowNearDupSql]]
+    * re-derives the whole scheme in SQL (the TextAnalysis winnow-oracle
+    * machinery at k = 20); the planted pairs are additionally
+    * spec-verified.
     */
   def winnowNearDupPairs(
       spark: SparkSession,
@@ -392,6 +394,64 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy("a_id", "b_id")
+  }
+
+  /** 257^(19−j) mod 2⁶⁴ for j = 0..19 — the k-gram hash coefficients of
+    * [[winnowNearDupPairs]]'s k = 20 winnow, pre-reduced so each SQL term
+    * stays far inside HUGEINT range (the sum mod 2⁶⁴ is unchanged by
+    * reducing coefficients first).
+    */
+  private val WinnowK20Coeffs: Seq[BigInt] = {
+    val m = BigInt(2).pow(64)
+    (0 until 20).map(j => BigInt(257).modPow(BigInt(19 - j), m))
+  }
+
+  /** The winnow near-dup pipeline rebuilt in SQL — same construction as
+    * [[TextAnalysis.winnowFingerprintsSql]] (signed-long mapping,
+    * rightmost-min window via `min(struct(h, -p))`, short-document
+    * branch), at k = 20 / w = 16 over the doubled corpus, then the
+    * distinct-fingerprint, stop-fingerprint (df ≤ 20) and shared-count
+    * (≥ 2) stages. BMP text only, like the k = 8 oracle.
+    */
+  val winnowNearDupSql: String = {
+    val terms = WinnowK20Coeffs.zipWithIndex.map { case (c, j) =>
+      s"ord(substr(text, p+$j, 1))::HUGEINT * $c"
+    }.mkString("\n       + ")
+    s"""WITH doubled AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+       |), grams AS (
+       |  SELECT doc_id, length(text) - 19 AS m, text,
+       |    unnest(range(1, length(text) - 18)) AS p
+       |  FROM doubled WHERE length(text) >= 20
+       |), signed AS (
+       |  SELECT doc_id, m, p,
+       |    ((CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616 ELSE hu END))::BIGINT AS h
+       |  FROM (
+       |    SELECT doc_id, m, p,
+       |      ($terms) % 18446744073709551616 AS hu
+       |    FROM grams)
+       |), win AS (
+       |  SELECT doc_id, m, p,
+       |    min({'h': h, 'np': -p}) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS sel
+       |  FROM signed
+       |), picked AS (
+       |  SELECT DISTINCT doc_id, (sel).h AS fp FROM win WHERE m > 16 AND p <= m - 15
+       |  UNION
+       |  SELECT doc_id, (min({'h': h, 'np': -p})).h AS fp
+       |  FROM signed WHERE m <= 16 GROUP BY doc_id
+       |), rare AS (
+       |  SELECT fp FROM (SELECT fp, count(*) AS df FROM picked GROUP BY fp) WHERE df <= 20
+       |), filtered AS (
+       |  SELECT doc_id, fp FROM picked JOIN rare USING (fp)
+       |)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+       |FROM filtered a JOIN filtered b USING (fp)
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= 2
+       |ORDER BY a_id, b_id""".stripMargin
   }
 
   /** 64-bit SimHash of the token multiset: sign of the per-bit weighted sum
