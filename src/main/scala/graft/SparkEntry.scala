@@ -113,6 +113,7 @@ object SparkEntry {
     // --- multimodal binary-column plumbing ---
     "media_stats"      -> (Multimodal.mediaStats _),
     "frame_sample"     -> ((s, d) => Multimodal.frameSample(s, d)),
+    "frame_sample_digest" -> ((s, d) => Multimodal.frameSampleDigest(s, d)),
     "extract_features" -> ((s, d) => Multimodal.extractFeaturesSummary(s, d)),
     // --- corpus sampling / splitting ---
     "split_counts"      -> (Sampling.splitCounts _),
@@ -202,6 +203,7 @@ object SparkEntry {
     "embedding_near_dup"  -> Dedup.embeddingNearDupSql,
     "ann_topk_brute" -> Similarity.annTopKSql,
     "media_stats"    -> Multimodal.mediaStatsSql,
+    "frame_sample_digest" -> Multimodal.frameSampleDigestSql,
     "split_counts"   -> Sampling.splitCountsSql,
     "stratified_sample" -> Sampling.stratifiedSampleHashSql,
     "repetition_stats" -> Corpus.repetitionStatsSql,
@@ -250,7 +252,7 @@ object SparkEntry {
     "parse_dates", "article_funnel",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
     "winnow_fingerprints",
-    "media_stats", "frame_sample", "extract_features",
+    "media_stats", "frame_sample", "frame_sample_digest", "extract_features",
     "split_counts", "stratified_sample",
     "repetition_stats", "pii_scrub", "decontaminate", "pack_sequences",
     "chunk_documents", "unigram_logprob"

@@ -84,6 +84,38 @@ object Multimodal {
           .as("frame"))
   }
 
+  /** [[frameSample]] reduced to driver-hashable scalars: per frame, its
+    * byte length and md5 digest — the registered oracle-checked twin (raw
+    * binary cells defeat the driver's pandas-side value hash, so the raw
+    * variant stays rows-only while THIS query pins the slicing logic
+    * cross-engine byte-for-byte).
+    */
+  def frameSampleDigest(spark: SparkSession, dir: String, every: Int = 4): DataFrame =
+    frameSample(spark, dir, every)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).as("frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** Valid because the synthetic payload is the ASCII text's UTF-8 bytes:
+    * byte slicing ≙ character slicing, and DuckDB's md5 hashes the same
+    * UTF-8 bytes Spark's md5-over-binary sees.
+    */
+  val frameSampleDigestSql: String =
+    s"""WITH media AS (
+       |  SELECT doc_id, text, length(text) AS n_bytes FROM documents
+       |), frames AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, (n_bytes + ${FrameBytes - 1}) // $FrameBytes, 4)) AS frame_idx,
+       |    text
+       |  FROM media WHERE n_bytes > 0
+       |)
+       |SELECT doc_id, frame_idx,
+       |  length(substr(text, frame_idx * $FrameBytes + 1, $FrameBytes)) AS frame_bytes,
+       |  md5(substr(text, frame_idx * $FrameBytes + 1, $FrameBytes)) AS frame_md5
+       |FROM frames
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** The stubbed codec boundary. A real pipeline implements `decode` with an
     * actual image/audio library; everything around it (batching,
     * partitioning, schema) stays as-is.
