@@ -127,9 +127,18 @@ object SparkEntry {
     "unigram_logprob"  -> (Corpus.unigramLogProbScore _)
   )
 
-  /** DuckDB oracle SQL for each query above. Omitted (rows-only check):
-    * `simhash`, `simhash_near_dup`, `ann_lsh_topk` — their xxhash64 /
-    * hyperplane-projection internals have no DuckDB equivalent.
+  /** DuckDB oracle SQL for each query above. Omitted (rows-only check),
+    * each for a stated reason:
+    *  - `simhash`, `simhash_near_dup`: xxhash64 has no DuckDB twin;
+    *  - `ann_lsh_topk`, `ann_ivf_topk`, `embedding_near_dup_lsh`:
+    *    hyperplane-projection / seeded-KMeans internals are engine-specific
+    *    (recall bounds spec-pinned instead);
+    *  - `distinct_parts_approx`, `value_percentiles_approx`,
+    *    `value_quartiles_approx`: HLL/GK sketch internals are
+    *    engine-specific (error envelopes spec-pinned vs the exact twins);
+    *  - `extract_features`: the stub codec is a JVM PRNG;
+    *  - `frame_sample`: raw binary cells defeat the driver's value hash —
+    *    its slicing logic is oracled via `frame_sample_digest`.
     * `minhash_lsh_pairs` is checked against the BRUTE-FORCE Jaccard oracle:
     * at sf0.01 every qualifying pair has j ≥ 0.9, where the 16-band/4-row
     * LSH miss probability is ≈ 4e-8, so the candidate sets coincide.
