@@ -93,6 +93,7 @@ object SparkEntry {
     "lang_id"       -> (TextAnalysis.langId _),
     "fingerprint"   -> (TextAnalysis.fingerprint _),
     "winnow_fingerprints" -> (TextAnalysis.winnowFingerprints _),
+    "vocab_top_terms" -> ((s, d) => TextAnalysis.vocabTopTerms(s, d)),
     // --- deduplication suite ---
     "ngram_jaccard_pairs" -> (Dedup.ngramJaccardPairs _),
     "minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
@@ -205,6 +206,7 @@ object SparkEntry {
     "lang_id"       -> TextAnalysis.langIdSql,
     "fingerprint"   -> TextAnalysis.fingerprintSql,
     "winnow_fingerprints" -> TextAnalysis.winnowFingerprintsSql,
+    "vocab_top_terms" -> TextAnalysis.vocabTopTermsSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardSql,
     "minhash_lsh_pairs"   -> Dedup.ngramJaccardSql,
     "near_dup_clusters"   -> Dedup.nearDupClustersSql,
@@ -260,7 +262,7 @@ object SparkEntry {
     "completeness", "date_range", "dedup_exact_keep_first", "clean_text",
     "parse_dates", "article_funnel",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
-    "winnow_fingerprints",
+    "winnow_fingerprints", "vocab_top_terms",
     "media_stats", "frame_sample", "frame_sample_digest", "extract_features",
     "split_counts", "stratified_sample",
     "repetition_stats", "pii_scrub", "decontaminate", "pack_sequences",

@@ -207,6 +207,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary / heavy hitters: top terms by total frequency with
+    * document frequency — the scan that seeds a tokenizer vocab or a
+    * stopword list.
+    *
+    * Scale shape: explode is map-side; the aggregation is TWO-LEVEL —
+    * first (doc_id, token) counts (pre-aggregated before the shuffle by
+    * partial aggregation), then per-token (Σtf, df) — so document
+    * frequency is a plain `count` over the first level, never a
+    * `count(DISTINCT doc_id)` Expand over the raw token stream. The final
+    * top-k is TakeOrderedAndProject, not a global sort.
+    */
+  def vocabTopTerms(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+      .groupBy("token")
+      .agg(sum(col("n")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
+
+  val vocabTopTermsSql: String =
+    """SELECT token, sum(n)::BIGINT AS tf, count(*) AS df
+      |FROM (
+      |  SELECT doc_id, token, count(*) AS n
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+      |    FROM documents)
+      |  GROUP BY doc_id, token)
+      |GROUP BY token
+      |ORDER BY tf DESC, token
+      |LIMIT 100""".stripMargin
+
   /** The winnow scheme rebuilt in SQL, position by position:
     *
     *  - k-gram hash = Σ code(p+j)·257^(7−j) in HUGEINT, one mod 2⁶⁴ at the
