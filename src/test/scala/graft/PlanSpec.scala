@@ -104,6 +104,24 @@ class PlanSpec extends SparkSuite {
     assert(count(q17, "BroadcastHashJoin") >= 2, "q17 lost a broadcast side")
   }
 
+  test("round-4 additions keep their scale shapes") {
+    // vocab: two-level aggregation (≥2 HashAggregate pairs), bounded top-k
+    val vocab = planOf("vocab_top_terms")
+    assert(vocab.contains("TakeOrderedAndProject"),
+      "vocab top-k materializes a global sort")
+    assert(count(vocab, "HashAggregate") >= 4, "vocab lost its two-level aggregation")
+    assert(!vocab.contains("Expand"), "df regressed to a count-distinct Expand")
+    // article funnel: keep-first dedup aggregates (no window), scalar combine
+    // broadcasts — never a real cartesian over data
+    val funnel = planOf("article_funnel")
+    assert(!funnel.contains("Window"), "funnel keep-first regressed to a window")
+    assert(count(funnel, "HashAggregate") >= 4, "funnel lost its aggregates")
+    // approx quartiles: boundaries broadcast back, no per-type sort
+    val quart = planOf("value_quartiles_approx")
+    assert(count(quart, "BroadcastHashJoin") >= 1, "quartile boundaries not broadcast")
+    assert(!quart.contains("Window"), "approx quartiles regressed to a window")
+  }
+
   test("schema-adapted remainder: broadcasts hold, no cartesian, top-k stays bounded") {
     for (q <- Seq("tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20")) {
       val plan = planOf(q)
