@@ -80,7 +80,14 @@ object Sampling {
     val draw = substring(
       md5(concat(lit(s"$seed:"), col("doc_id").cast("string")).cast("binary")), 1, 4)
     val keep = fractions.map { case (lang, f) =>
-      (col("lang") === lang) && draw < lit(f"${(f * 65536).toInt}%04x")
+      // f ≥ 1 must short-circuit: its threshold would render as the 5-char
+      // "10000", which sorts BELOW any draw starting 'a'–'f' and would
+      // silently drop ~37% of a keep-everything stratum; f ≤ 0 likewise
+      val pass =
+        if (f >= 1.0) lit(true)
+        else if (f <= 0.0) lit(false)
+        else draw < lit(f"${(f * 65536).toInt}%04x")
+      (col("lang") === lang) && pass
     }.reduce(_ || _)
     Tables(spark, dir, "documents")
       .filter(keep)

@@ -32,6 +32,15 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("hash stratified sample: fraction 1.0 keeps every row, 0.0 keeps none") {
+    val n = Tables(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("lang") === "en").count()
+    val all = Sampling.stratifiedSampleHash(spark, dir, Seq("en" -> 1.0)).count()
+    val none = Sampling.stratifiedSampleHash(spark, dir, Seq("en" -> 0.0)).count()
+    assert(all == n, s"fraction 1.0 kept $all of $n")
+    assert(none == 0L)
+  }
+
   test("stratified sample: deterministic for a seed, fractions roughly honored") {
     val s1 = Sampling.stratifiedSample(spark, dir).collect().toSeq
     val s2 = Sampling.stratifiedSample(spark, dir).collect().toSeq
