@@ -94,6 +94,8 @@ object SparkEntry {
     "fingerprint"   -> (TextAnalysis.fingerprint _),
     "winnow_fingerprints" -> (TextAnalysis.winnowFingerprints _),
     "vocab_top_terms" -> ((s, d) => TextAnalysis.vocabTopTerms(s, d)),
+    "length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
+    "distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(s, d)),
     // --- deduplication suite ---
     "ngram_jaccard_pairs" -> (Dedup.ngramJaccardPairs _),
     "minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
@@ -207,6 +209,8 @@ object SparkEntry {
     "fingerprint"   -> TextAnalysis.fingerprintSql,
     "winnow_fingerprints" -> TextAnalysis.winnowFingerprintsSql,
     "vocab_top_terms" -> TextAnalysis.vocabTopTermsSql,
+    "length_histogram" -> TextAnalysis.lengthHistogramSql,
+    "distinctive_terms" -> TextAnalysis.distinctiveTermsSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardSql,
     "minhash_lsh_pairs"   -> Dedup.ngramJaccardSql,
     "near_dup_clusters"   -> Dedup.nearDupClustersSql,
@@ -262,7 +266,8 @@ object SparkEntry {
     "completeness", "date_range", "dedup_exact_keep_first", "clean_text",
     "parse_dates", "article_funnel",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
-    "winnow_fingerprints", "vocab_top_terms",
+    "winnow_fingerprints", "vocab_top_terms", "length_histogram",
+    "distinctive_terms",
     "media_stats", "frame_sample", "frame_sample_digest", "extract_features",
     "split_counts", "stratified_sample",
     "repetition_stats", "pii_scrub", "decontaminate", "pack_sequences",

@@ -240,6 +240,88 @@ object TextAnalysis {
       |ORDER BY tf DESC, token
       |LIMIT 100""".stripMargin
 
+  /** Corpus length profiling: equi-width histogram of document length per
+    * language — the distribution scan behind truncation/packing decisions.
+    * Bucket arithmetic is integer (`div`), shares are exact IEEE divisions
+    * of integer counts; one hash aggregate, no window.
+    */
+  def lengthHistogram(spark: SparkSession, dir: String, bucketChars: Int = 100): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    docs
+      .groupBy(col("lang"), expr(s"length(text) div $bucketChars").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      // per-lang share: tiny second agg joined back (broadcast) — NOT a
+      // window over the whole table
+      .join(broadcast(docs.groupBy("lang").agg(count(lit(1)).as("lang_n"))), Seq("lang"))
+      .select(col("lang"), col("bucket"), col("n"),
+        round(col("n").cast("double") / col("lang_n"), 4).as("share"))
+      .orderBy("lang", "bucket")
+  }
+
+  val lengthHistogramSql: String =
+    """SELECT h.lang AS lang, bucket, n,
+      |  round(n::double / lang_n, 4) AS share
+      |FROM (
+      |  SELECT lang, length(text) // 100 AS bucket, count(*) AS n
+      |  FROM documents GROUP BY 1, 2) h
+      |JOIN (
+      |  SELECT lang, count(*) AS lang_n FROM documents GROUP BY lang) t
+      |  ON h.lang = t.lang
+      |ORDER BY h.lang, bucket""".stripMargin
+
+  /** Distinctive terms per document: top-3 tokens ranked by tf/df — term
+    * frequency in the document over corpus document frequency, the
+    * TF-IDF deployment shape (ranking by tf/df is idf-monotone for fixed
+    * tf and avoids `ln`, whose libm rounding is not cross-engine exact;
+    * IEEE division IS correctly rounded, so the scores hash identically).
+    *
+    * Scale shape: (doc, token) counts → per-token df aggregate (the small
+    * side, broadcast back) → per-doc top-k window partitioned by doc_id.
+    * The window partitions by the HIGH-cardinality key, so no task ever
+    * sorts more than one document's terms.
+    */
+  def distinctiveTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docTerm = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = docTerm.groupBy("token").agg(count(lit(1)).as("df"))
+    // rank on the RAW ratio (IEEE division is correctly rounded → identical
+    // cross-engine); only the OUTPUT is rounded. Ranking on the rounded
+    // score would let two engines break post-rounding ties differently.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("raw_score").desc, col("token"))
+    docTerm.join(broadcast(df), Seq("token"))
+      .withColumn("raw_score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+        round(col("raw_score"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val distinctiveTermsSql: String =
+    """SELECT doc_id, rank, token, tf, df, score FROM (
+      |  SELECT doc_id, token, tf, df,
+      |    round(tf::double / df, 6) AS score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tf::double / df DESC, token) AS INT) AS rank
+      |  FROM (
+      |    SELECT doc_id, token, count(*) AS tf
+      |    FROM (
+      |      SELECT doc_id,
+      |        unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+      |      FROM documents)
+      |    GROUP BY doc_id, token) dt
+      |  JOIN (
+      |    SELECT token, count(*) AS df
+      |    FROM (
+      |      SELECT DISTINCT doc_id,
+      |        unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+      |      FROM documents)
+      |    GROUP BY token) d USING (token))
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   /** The winnow scheme rebuilt in SQL, position by position:
     *
     *  - k-gram hash = Σ code(p+j)·257^(7−j) in HUGEINT, one mod 2⁶⁴ at the
