@@ -120,6 +120,15 @@ class PlanSpec extends SparkSuite {
     val quart = planOf("value_quartiles_approx")
     assert(count(quart, "BroadcastHashJoin") >= 1, "quartile boundaries not broadcast")
     assert(!quart.contains("Window"), "approx quartiles regressed to a window")
+    // length histogram: lang totals broadcast back, never a window share
+    val hist = planOf("length_histogram")
+    assert(count(hist, "BroadcastHashJoin") >= 1, "lang totals not broadcast")
+    assert(!hist.contains("Window"), "histogram shares regressed to a window")
+    // distinctive terms: df broadcast, ranking windowed per doc, no product
+    val terms = planOf("distinctive_terms")
+    assert(count(terms, "BroadcastHashJoin") >= 1, "df side not broadcast")
+    assert(count(terms, "Window") >= 1, "per-doc ranking window missing")
+    assert(count(terms, "CartesianProduct") == 0)
   }
 
   test("schema-adapted remainder: broadcasts hold, no cartesian, top-k stays bounded") {
