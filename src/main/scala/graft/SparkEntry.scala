@@ -121,6 +121,7 @@ object SparkEntry {
     // --- corpus sampling / splitting ---
     "split_counts"      -> (Sampling.splitCounts _),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSampleHash(s, d)),
+    "mixture_sample"    -> ((s, d) => Sampling.mixtureSample(s, d)),
     // --- corpus preparation (repetition filter, PII, decontamination, packing) ---
     "repetition_stats" -> ((s, d) => Corpus.repetitionStats(s, d)),
     "pii_scrub"        -> (Corpus.piiScrub _),
@@ -221,6 +222,7 @@ object SparkEntry {
     "frame_sample_digest" -> Multimodal.frameSampleDigestSql,
     "split_counts"   -> Sampling.splitCountsSql,
     "stratified_sample" -> Sampling.stratifiedSampleHashSql,
+    "mixture_sample"    -> Sampling.mixtureSampleSql,
     "repetition_stats" -> Corpus.repetitionStatsSql,
     "pii_scrub"        -> Corpus.piiScrubSql,
     "decontaminate"    -> Corpus.decontaminateSql,
@@ -269,7 +271,7 @@ object SparkEntry {
     "winnow_fingerprints", "vocab_top_terms", "length_histogram",
     "distinctive_terms",
     "media_stats", "frame_sample", "frame_sample_digest", "extract_features",
-    "split_counts", "stratified_sample",
+    "split_counts", "stratified_sample", "mixture_sample",
     "repetition_stats", "pii_scrub", "decontaminate", "pack_sequences",
     "chunk_documents", "unigram_logprob"
   )

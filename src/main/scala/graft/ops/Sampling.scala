@@ -95,6 +95,91 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Target mixture shares for [[mixtureSample]] — deliberately different
+    * from the corpus's natural lang distribution so resampling does real
+    * work.
+    */
+  private val MixtureTargets: Seq[(String, Double)] = Seq(
+    "en" -> 0.4, "de" -> 0.3, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.05)
+
+  /** Corpus mixture resampling: downsample each language stratum toward a
+    * target mixture — the data-mixing step before training. The limiting
+    * stratum (largest target/available ratio) is kept whole; every other
+    * stratum's acceptance fraction scales so achieved shares track the
+    * targets. Membership uses the same md5 draw as
+    * [[stratifiedSampleHash]], so the kept set is a pure function of
+    * (seed, key) and the whole operator is oracle-checkable.
+    *
+    * Scale shape: one tiny per-lang count aggregate (broadcast back as the
+    * fraction table), then a scan-and-filter — no window, no sort, no
+    * per-stratum top-N (which would sort 1/|langs| of the corpus on one
+    * task). Exact-N selection is deliberately traded for binomial-noise-N:
+    * at training-corpus scale nobody needs exact counts, and the
+    * threshold form keeps the plan embarrassingly parallel.
+    *
+    * Output: per-lang kept counts + achieved share, rounded — the report
+    * a mixing job logs.
+    */
+  def mixtureSample(
+      spark: SparkSession,
+      dir: String,
+      targets: Seq[(String, Double)] = MixtureTargets,
+      seed: Long = HashSeed): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val langCounts = docs.groupBy("lang").agg(count(lit(1)).as("lang_n"))
+    val targetDf = targets.toDF("lang", "target_share")
+    // scale s.t. the tightest stratum is kept whole: s = min(n_l / t_l);
+    // fraction_l = s * t_l / n_l ≤ 1
+    val scaled = langCounts.join(broadcast(targetDf), Seq("lang"))
+      .withColumn("ratio", col("lang_n").cast("double") / col("target_share"))
+    val sFactor = scaled.agg(min(col("ratio")).as("s"))
+    val fractions = scaled.crossJoin(broadcast(sFactor))
+      .withColumn("keep_frac",
+        least(lit(1.0), col("s") * col("target_share") / col("lang_n")))
+      .select("lang", "target_share", "keep_frac")
+    val draw = substring(
+      md5(concat(lit(s"$seed:"), col("doc_id").cast("string")).cast("binary")), 1, 4)
+    // draw/65536 < keep_frac — compared NUMERICALLY (conv hex → int), since
+    // a fractional threshold can't be a 4-hex-digit string boundary
+    val drawInt = conv(draw, 16, 10).cast("double")
+    val kept = docs.join(broadcast(fractions), Seq("lang"))
+      .filter(drawInt / 65536.0 < col("keep_frac"))
+    kept.groupBy("lang").agg(count(lit(1)).as("kept_n"))
+      .join(broadcast(fractions), Seq("lang"))
+      .crossJoin(broadcast(kept.agg(count(lit(1)).as("total_kept"))))
+      .select(col("lang"), col("kept_n"), col("target_share"),
+        round(col("kept_n").cast("double") / col("total_kept"), 3).as("achieved_share"))
+      .orderBy("lang")
+  }
+
+  val mixtureSampleSql: String = {
+    val targetRows = MixtureTargets
+      .map { case (l, t) => s"('$l', $t)" }.mkString(", ")
+    s"""WITH targets(lang, target_share) AS (VALUES $targetRows),
+       |lang_counts AS (
+       |  SELECT lang, count(*) AS lang_n FROM documents GROUP BY lang
+       |), scaled AS (
+       |  SELECT c.lang AS lang, lang_n, target_share,
+       |    lang_n::double / target_share AS ratio
+       |  FROM lang_counts c JOIN targets USING (lang)
+       |), fractions AS (
+       |  SELECT lang, target_share,
+       |    least(1.0, (SELECT min(ratio) FROM scaled) * target_share / lang_n) AS keep_frac
+       |  FROM scaled
+       |), kept AS (
+       |  SELECT d.lang AS lang
+       |  FROM documents d JOIN fractions f ON d.lang = f.lang
+       |  WHERE ('0x' || substr(md5('$HashSeed:' || doc_id::VARCHAR), 1, 4))::INT / 65536.0
+       |    < keep_frac
+       |)
+       |SELECT k.lang AS lang, kept_n, target_share,
+       |  round(kept_n::double / (SELECT count(*) FROM kept), 3) AS achieved_share
+       |FROM (SELECT lang, count(*) AS kept_n FROM kept GROUP BY lang) k
+       |JOIN fractions USING (lang)
+       |ORDER BY lang""".stripMargin
+  }
+
   val stratifiedSampleHashSql: String = {
     val arms = HashFractions.map { case (lang, f) =>
       f"(lang = '$lang' AND substr(md5('$HashSeed:' || doc_id::VARCHAR), 1, 4) < '${(f * 65536).toInt}%04x')"

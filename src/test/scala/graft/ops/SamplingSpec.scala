@@ -41,6 +41,23 @@ class SamplingSpec extends SparkSuite {
     assert(none == 0L)
   }
 
+  test("mixture sample: achieved shares track the targets, limiting stratum kept whole") {
+    import org.apache.spark.sql.functions.col
+    val out = Sampling.mixtureSample(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set("en", "de", "es", "fr", "zh"))
+    for ((lang, (_, target, achieved)) <- out)
+      // strata here have O(100) docs → binomial noise on a share is a few
+      // points; 0.08 pins the mixing logic without pinning the noise
+      assert(math.abs(achieved - target) < 0.08, s"$lang: $achieved vs $target")
+    // the limiting stratum (min lang_n/target) must be kept in full
+    val byLang = Tables(spark, dir, "documents").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val limiting = out.keys.minBy(l => byLang(l) / out(l)._2)
+    assert(out(limiting)._1 == byLang(limiting),
+      s"limiting stratum $limiting lost rows: ${out(limiting)._1} of ${byLang(limiting)}")
+  }
+
   test("stratified sample: deterministic for a seed, fractions roughly honored") {
     val s1 = Sampling.stratifiedSample(spark, dir).collect().toSeq
     val s2 = Sampling.stratifiedSample(spark, dir).collect().toSeq
