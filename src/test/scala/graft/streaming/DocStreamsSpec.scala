@@ -42,4 +42,32 @@ class DocStreamsSpec extends SparkSuite {
     assert(kept.getAs[String]("fp") == batch.getString(0))
     assert(kept.getAs[Long]("simhash") == batch.getLong(1))
   }
+
+  test("hash-Bernoulli sampling filter is batch-stream identical (stateless)") {
+    // the deterministic md5-draw sampler is a pure per-row filter, so the
+    // SAME rows must survive whether the corpus arrives as a table or as a
+    // stream — the property that makes hash-based splits safe to apply at
+    // ingest time rather than in a later batch pass
+    val seed = 42L
+    val draw = substring(
+      md5(concat(lit(s"$seed:"), col("doc_id").cast("string")).cast("binary")), 1, 4)
+    val keep = draw < lit("8000") // fraction 0.5
+    val docs = (1L to 200L).map(i => TestDoc(i, t((i % 50).toInt), s"doc number $i"))
+
+    val batchKept = docs.toDF().filter(keep)
+      .select("doc_id").as[Long].collect().toSet
+
+    val input = MemoryStream[TestDoc](spark)
+    input.addData(docs: _*)
+    val q = input.toDF().filter(keep)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("sample_out")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamKept = spark.table("sample_out").as[Long].collect().toSet
+
+    assert(batchKept == streamKept)
+    assert(batchKept.nonEmpty && batchKept.size < docs.size)
+  }
 }
