@@ -26,10 +26,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     only.foreach(_.diff(SparkEntry.benchQueries.toSet).foreach(n =>
       System.err.println(s"[bench] WARNING: '$n' matches no bench query — typo?")))
-    // Three samples per query, reporting BOTH min (the plan's cost with the
-    // least scheduling noise — the headline, comparable to earlier rounds)
-    // and median (the spread self-description the judge needs to tell VM
-    // contention from a plan regression without re-running anything).
+    // Three samples per query, reporting min (headline), median, AND the raw
+    // run-order samples — so spread is self-describing and outlier
+    // adjudication never needs a re-run. NOTE (cross-round comparability):
+    // rounds ≤3 used min-of-2; min-of-3 is stochastically slightly lower, so
+    // cross-round deltas within that bias band are noise, not plan changes —
+    // recorded in BASELINE.md's protocol section.
     val samples = SparkEntry.benchQueries
       .filter(name => only.forall(_.contains(name)))
       .map { name =>
@@ -40,16 +42,21 @@ object Bench {
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
-      name -> (if (times.contains(-1.0)) Seq(-1.0, -1.0) else
-        Seq(times.min, times.sorted.apply(1))) // (min, median-of-3)
+      name -> (if (times.contains(-1.0)) Seq(-1.0, -1.0, -1.0) else times)
     }
     def obj(sel: Seq[Double] => Double): String = samples
       .map { case (k, v) => "\"" + k + "\":" + f"${sel(v)}%.4f" }
       .mkString("{", ",", "}")
-    val total = f"${samples.map(_._2.head).sum}%.4f"
-    val totalMedian = f"${samples.map(_._2(1)).sum}%.4f"
+    def minOf(v: Seq[Double]): Double = v.min
+    def medOf(v: Seq[Double]): Double = v.sorted.apply(v.size / 2)
+    val sampleObj = samples
+      .map { case (k, v) =>
+        "\"" + k + "\":" + v.map(t => f"$t%.4f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val total = f"${samples.map(s => minOf(s._2)).sum}%.4f"
+    val totalMedian = f"${samples.map(s => medOf(s._2)).sum}%.4f"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_.head)},"queries_median":${obj(_(1))},"value_median":$totalMedian,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(minOf)},"queries_median":${obj(medOf)},"queries_samples":$sampleObj,"value_median":$totalMedian,"sf":"$sfDir"}"""
     println(json)
     // The driver greps this line out of sbt's log; BENCH_r03.json came back
     // "parsed": null when the log interleaved — a file is deterministic.

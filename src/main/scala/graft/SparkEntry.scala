@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, AsofJoin, Corpus, Dedup, DocValidation, Events, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis, Tpch, TpchAdapted, TpchTail}
+import graft.ops.{Analytics, AsofJoin, Corpus, Dedup, DocValidation, Events, Multimodal, RangeJoin, Sampling, SimHashOracle, Similarity, Skew, TextAnalysis, Tpch, TpchAdapted, TpchTail}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -133,7 +133,6 @@ object SparkEntry {
 
   /** DuckDB oracle SQL for each query above. Omitted (rows-only check),
     * each for a stated reason:
-    *  - `simhash`, `simhash_near_dup`: xxhash64 has no DuckDB twin;
     *  - `ann_lsh_topk`, `ann_ivf_topk`, `embedding_near_dup_lsh`:
     *    hyperplane-projection / seeded-KMeans internals are engine-specific
     *    (recall bounds spec-pinned instead);
@@ -214,6 +213,8 @@ object SparkEntry {
     "distinctive_terms" -> TextAnalysis.distinctiveTermsSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardSql,
     "minhash_lsh_pairs"   -> Dedup.ngramJaccardSql,
+    "simhash"             -> SimHashOracle.simhashSql,
+    "simhash_near_dup"    -> SimHashOracle.simhashNearDupSql,
     "near_dup_clusters"   -> Dedup.nearDupClustersSql,
     "winnow_near_dup"     -> Dedup.winnowNearDupSql,
     "embedding_near_dup"  -> Dedup.embeddingNearDupSql,

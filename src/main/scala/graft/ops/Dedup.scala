@@ -237,8 +237,11 @@ object Dedup {
     *    distributed; the component resolution runs over a graph orders of
     *    magnitude smaller than the corpus, where a driver pass beats any
     *    number of tiny scheduled rounds (the same bounded-driver-step
-    *    pattern as Stats' positional failure indices). 5M edges ≈ 80 MB —
-    *    trivially driver-safe.
+    *    pattern as Stats' positional failure indices). Honest sizing: 2M
+    *    collected edge tuples plus an open-addressed LongMap over up to 4M
+    *    nodes is low-hundreds-of-MB of driver heap — safe on multi-GB
+    *    drivers, and the bound exists precisely so a bigger graph never
+    *    lands here. Raise `collectBound` only with driver memory to match.
     *  - larger graphs: min-label propagation to fixpoint as distributed
     *    equi-joins + min-aggregates. `graphPartitions` sizes the
     *    ITERATION's shuffles to the pair graph, not the corpus: the graph
@@ -252,9 +255,13 @@ object Dedup {
       pairFrame: DataFrame,
       maxIter: Int = 20,
       graphPartitions: Int = 1,
-      collectBound: Long = 5000000L): DataFrame = {
+      collectBound: Long = 2000000L): DataFrame = {
     val slim = pairFrame.select("a_id", "b_id").persist()
-    if (slim.count() <= collectBound) return clusterPairsDriver(slim)
+    if (slim.count() <= collectBound) {
+      // clusterPairsDriver collects eagerly, so slim can be released here —
+      // without this, every library call left a pair frame pinned in cache
+      try return clusterPairsDriver(slim) finally slim.unpersist()
+    }
     val pairs = slim.repartition(graphPartitions).persist()
     val edges = pairs.unionAll(
       pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).persist()
@@ -287,10 +294,17 @@ object Dedup {
     require(changed == 0,
       s"clusterPairs did not converge in $maxIter rounds ($changed labels still " +
         "changing) — raise maxIter (components deeper than maxIter hops exist)")
-    labels
+    // localCheckpoint (eager) truncates the iteration lineage so every
+    // intermediate cache can be released before returning — otherwise each
+    // call pinned slim/pairs/edges plus the final labels frame forever. The
+    // checkpoint holds only the graph-sized label table.
+    val out = labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("is_keeper"))
       .orderBy("doc_id")
+      .localCheckpoint()
+    cached.unpersist(); edges.unpersist(); pairs.unpersist(); slim.unpersist()
+    out
   }
 
   /** Driver union-find over a collect-bounded edge list (gate:
@@ -302,7 +316,11 @@ object Dedup {
   private def clusterPairsDriver(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    // LongMap keeps keys unboxed (open addressing), and collecting as
+    // Dataset[(Long, Long)] avoids GenericRow-per-edge overhead — together
+    // the driver footprint is a small multiple of the raw 16 B/edge, not
+    // the Row+HashMap blow-up the old path paid.
+    val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
       while (parent(r) != r) r = parent(r)
@@ -310,8 +328,7 @@ object Dedup {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    pairs.collect().foreach { row =>
-      val a = row.getLong(0); val b = row.getLong(1)
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
       parent.getOrElseUpdate(a, a)
       parent.getOrElseUpdate(b, b)
       val ra = find(a); val rb = find(b)

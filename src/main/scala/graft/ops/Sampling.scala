@@ -181,8 +181,15 @@ object Sampling {
   }
 
   val stratifiedSampleHashSql: String = {
+    // mirror the Scala side's degenerate-fraction guard: f ≥ 1 would render
+    // the 5-char '10000', which sorts below draws starting 'a'–'f' and would
+    // silently drop ~37% of a keep-everything stratum; f ≤ 0 likewise
     val arms = HashFractions.map { case (lang, f) =>
-      f"(lang = '$lang' AND substr(md5('$HashSeed:' || doc_id::VARCHAR), 1, 4) < '${(f * 65536).toInt}%04x')"
+      val pass =
+        if (f >= 1.0) "TRUE"
+        else if (f <= 0.0) "FALSE"
+        else f"substr(md5('$HashSeed:' || doc_id::VARCHAR), 1, 4) < '${(f * 65536).toInt}%04x'"
+      s"(lang = '$lang' AND $pass)"
     }.mkString("\n   OR ")
     s"""SELECT doc_id, lang
        |FROM documents

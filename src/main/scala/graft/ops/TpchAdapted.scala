@@ -47,12 +47,19 @@ object TpchAdapted {
     val supp = Tables(spark, dir, "supplier")
       .join(broadcast(euroNations), col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    // `cost` feeds two consumers (the per-part min and the final join) —
+    // persisted so the filtered lineitem scan+aggregate runs ONCE per
+    // execution instead of twice. The frame is one row per qualifying
+    // (part, supplier): bounded by the dimension cross-product, not by
+    // lineitem, so it caches cheaply even at 100 TB. Released by
+    // clearCache/session close (the bench clears between runs).
     val cost = Tables(spark, dir, "lineitem")
       .join(broadcast(part.select("p_partkey")), col("l_partkey") === col("p_partkey"))
       .join(broadcast(supp.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
       .groupBy("l_partkey", "l_suppkey")
       .agg(round(avg(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("avg_cost"))
+      .persist()
     val minCost = cost.groupBy(col("l_partkey").as("min_partkey"))
       .agg(min(col("avg_cost")).as("min_cost"))
     cost
@@ -130,9 +137,8 @@ object TpchAdapted {
     * nation's suppliers exceeds a fixed fraction of that nation's total —
     * a group-HAVING against a scalar subquery over the SAME aggregate. The
     * per-part aggregate feeds both the 1-row total (broadcast back) and
-    * the filter, so lineitem aggregates once per run; at 100 TB the
-    * aggregate would persist as a table rather than recompute for the two
-    * consumers. The output rounds to FOUR decimals, not two: line values
+    * the filter; it is persisted so lineitem scans+aggregates ONCE per run
+    * for both consumers (one row per part — bounded at any scale). The output rounds to FOUR decimals, not two: line values
     * are (2dp price)×(2dp discount) products, so every group sum lies ON
     * the 4-decimal grid — and the 2dp rounding boundary (x.xx50) is a grid
     * point, where Spark (BigDecimal of the shortest decimal repr, HALF_UP)
@@ -155,6 +161,7 @@ object TpchAdapted {
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy("l_partkey")
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("value"))
+      .persist() // feeds both the 1-row total and the filter — aggregate once
     partval
       .join(broadcast(partval.agg((sum(col("value")) * 0.0002).as("threshold"))),
         col("value") > col("threshold"))
@@ -255,12 +262,17 @@ object TpchAdapted {
   def q20ShareOfPart(spark: SparkSession, dir: String): DataFrame = {
     val smallParts = Tables(spark, dir, "part")
       .filter(col("p_name").startsWith("small")).select("p_partkey")
+    // `qty` feeds two consumers (the 20% thresholds and the qualifying
+    // join) — persisted so the date+part-filtered lineitem scan+aggregate
+    // runs ONCE per execution. One row per (small part, supplier): bounded,
+    // cheap to cache at any scale. Released by clearCache/session close.
     val qty = Tables(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
       .groupBy("l_partkey", "l_suppkey")
       .agg(sum(col("l_quantity")).as("supp_qty"))
+      .persist()
     val thresholds = qty.groupBy(col("l_partkey").as("t_partkey"))
       .agg((sum(col("supp_qty")) * 0.2).as("qty_threshold"))
     val qualifying = qty
