@@ -1,0 +1,171 @@
+package graft
+
+/** Table-driven plan-shape digest for EVERY benched query ([[PlanSpec]]
+  * keeps the deeper family-level assertions; this spec is the blanket
+  * tripwire): per query, the counts of the operators that decide whether a
+  * plan survives a 100× scale-up —
+  *
+  *  - `cartesian`  CartesianProduct (always a scale-killer; pinned 0)
+  *  - `nestedLoop` BroadcastNestedLoopJoin (legitimate ONLY as the
+  *    scalar-combine pattern: a 1-row aggregate crossed back onto a frame)
+  *  - `sortMerge`  SortMergeJoin (legitimate only fact⋈fact)
+  *  - `globalSort` global Sort nodes (`Sort [...], true`) — final
+  *    presentation ordering of a SMALL result is fine; one appearing over
+  *    a corpus-sized input is not (those queries pin 0 and their top-k
+  *    runs via TakeOrderedAndProject)
+  *  - `shuffles`   Exchange minus BroadcastExchange/ReusedExchange
+  *  - `windows`    Window operators
+  *
+  * Asserted as `<=` the pinned value (a count DROPPING is an improvement,
+  * not a break): the build fails the moment any registered query's plan
+  * GAINS a product, an unexpected exchange, a window, or a global sort.
+  * The pins were recorded at sf0.001 under the suite session config
+  * (local[4], shuffle=4) — regenerate after a deliberate plan change with
+  * `SPARK_GRAFT_DIGEST_RECORD=1 sbt "testOnly graft.PlanShapeSpec"` and
+  * review every diff line for its 100-TB story before pasting.
+  */
+class PlanShapeSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private case class Digest(cartesian: Int, nestedLoop: Int, sortMerge: Int,
+      globalSort: Int, shuffles: Int, windows: Int) {
+    def rendered: String =
+      s"($cartesian, $nestedLoop, $sortMerge, $globalSort, $shuffles, $windows)"
+    def within(pin: Digest): Boolean =
+      cartesian <= pin.cartesian && nestedLoop <= pin.nestedLoop &&
+        sortMerge <= pin.sortMerge && globalSort <= pin.globalSort &&
+        shuffles <= pin.shuffles && windows <= pin.windows
+  }
+
+  private def digestOf(name: String): Digest = {
+    val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    spark.catalog.clearCache() // a few queries persist an internal index
+    def count(p: String) = p.r.findAllIn(plan).length
+    Digest(
+      count("CartesianProduct"),
+      count("BroadcastNestedLoopJoin"),
+      count("SortMergeJoin"),
+      count("Sort \\[[^\\]]*\\], true"),
+      count("Exchange") - count("BroadcastExchange") - count("ReusedExchange"),
+      count("Window"))
+  }
+
+  // name -> (cartesian, nestedLoop, sortMerge, globalSort, shuffles, windows)
+  private val Pinned: Map[String, (Int, Int, Int, Int, Int, Int)] = Map(
+    "minhash_lsh_pairs" -> (0, 0, 2, 1, 12, 0),
+    "near_dup_clusters" -> (0, 0, 0, 0, 0, 0),
+    "embedding_near_dup_lsh" -> (0, 0, 0, 1, 2, 0),
+    "ann_lsh_topk" -> (0, 0, 0, 1, 3, 3),
+    "ann_ivf_topk" -> (0, 0, 0, 1, 2, 3),
+    "simhash_near_dup" -> (0, 0, 0, 3, 4, 0),
+    "simhash" -> (0, 0, 0, 1, 1, 0),
+    "ann_topk_brute" -> (0, 1, 0, 1, 2, 3),
+    "tpch_q1" -> (0, 0, 0, 1, 2, 0),
+    "tpch_q3" -> (0, 0, 0, 0, 1, 0),
+    "tpch_q4" -> (0, 0, 0, 1, 2, 0),
+    "tpch_q5" -> (0, 0, 0, 1, 2, 0),
+    "tpch_q6" -> (0, 0, 0, 0, 1, 0),
+    "tpch_q10" -> (0, 0, 0, 0, 1, 0),
+    "tpch_q14" -> (0, 0, 0, 0, 1, 0),
+    "customers_without_urgent" -> (0, 0, 0, 1, 2, 0),
+    "parts_in_both_years" -> (0, 0, 0, 1, 2, 0),
+    "suppliers_no_returns" -> (0, 0, 0, 1, 2, 0),
+    "tpch_q7" -> (0, 0, 0, 1, 2, 0),
+    "tpch_q8" -> (0, 0, 0, 1, 2, 0),
+    "tpch_q13" -> (0, 0, 0, 1, 3, 0),
+    "tpch_q15" -> (0, 0, 0, 1, 4, 0),
+    "tpch_q17" -> (0, 0, 0, 0, 2, 0),
+    "tpch_q18" -> (0, 0, 0, 0, 1, 0),
+    "tpch_q19" -> (0, 0, 0, 0, 1, 0),
+    "tpch_q22" -> (0, 1, 0, 1, 4, 0),
+    "tpch_q2" -> (0, 0, 0, 0, 5, 0),
+    "tpch_q9" -> (0, 0, 0, 1, 2, 0),
+    "tpch_q11" -> (0, 1, 0, 1, 4, 0),
+    "tpch_q12" -> (0, 0, 0, 1, 2, 0),
+    "tpch_q16" -> (0, 0, 0, 1, 3, 0),
+    "tpch_q20" -> (0, 0, 0, 1, 5, 0),
+    "tpch_q21" -> (0, 0, 0, 0, 3, 0),
+    "running_revenue" -> (0, 0, 0, 1, 3, 1),
+    "top_orders_per_customer" -> (0, 0, 0, 1, 2, 3),
+    "user_event_gaps" -> (0, 0, 0, 1, 2, 1),
+    "value_quartiles_approx" -> (0, 0, 0, 1, 3, 0),
+    "top_customers" -> (0, 0, 0, 0, 1, 0),
+    "distinct_parts" -> (0, 0, 0, 1, 3, 0),
+    "events_tumbling" -> (0, 0, 0, 1, 2, 0),
+    "events_sliding" -> (0, 0, 0, 1, 2, 0),
+    "events_sessions" -> (0, 0, 0, 1, 2, 2),
+    "events_sessions_sw" -> (0, 0, 0, 1, 2, 1),
+    "conversion_funnel" -> (0, 2, 0, 0, 8, 0),
+    "view_purchase_recon" -> (0, 0, 1, 1, 3, 0),
+    "value_percentiles" -> (0, 0, 0, 1, 2, 0),
+    "value_percentiles_approx" -> (0, 0, 0, 1, 2, 0),
+    "winnow_near_dup" -> (0, 0, 0, 1, 4, 0),
+    "asof_last_click" -> (0, 0, 0, 1, 2, 1),
+    "events_in_windows" -> (0, 0, 0, 1, 3, 0),
+    "salted_user_age" -> (0, 0, 0, 1, 3, 0),
+    "distinct_parts_approx" -> (0, 0, 0, 1, 2, 0),
+    "events_rollup" -> (0, 0, 0, 1, 2, 0),
+    "events_cube" -> (0, 0, 0, 1, 2, 0),
+    "events_grouping_sets" -> (0, 0, 0, 1, 2, 0),
+    "events_pivot" -> (0, 0, 0, 1, 3, 0),
+    "filter_incomplete" -> (0, 0, 0, 1, 1, 0),
+    "validate_flags" -> (0, 0, 0, 1, 1, 0),
+    "reason_histogram" -> (0, 0, 0, 1, 2, 0),
+    "top1_reason" -> (0, 0, 0, 0, 1, 0),
+    "completeness" -> (0, 0, 0, 0, 1, 0),
+    "date_range" -> (0, 0, 0, 0, 1, 0),
+    "dedup_exact_keep_first" -> (0, 0, 0, 1, 2, 0),
+    "clean_text" -> (0, 0, 0, 1, 1, 0),
+    "parse_dates" -> (0, 0, 0, 1, 1, 0),
+    "article_funnel" -> (0, 1, 0, 0, 3, 0),
+    "token_stats" -> (0, 0, 0, 1, 1, 0),
+    "bpe_token_stats" -> (0, 0, 0, 1, 1, 0),
+    "quality_score" -> (0, 0, 0, 1, 1, 0),
+    "lang_id" -> (0, 0, 0, 1, 1, 0),
+    "fingerprint" -> (0, 0, 0, 1, 1, 0),
+    "winnow_fingerprints" -> (0, 0, 0, 1, 1, 0),
+    "vocab_top_terms" -> (0, 0, 0, 0, 2, 0),
+    "length_histogram" -> (0, 0, 0, 1, 3, 0),
+    "distinctive_terms" -> (0, 0, 0, 1, 5, 3),
+    "media_stats" -> (0, 0, 0, 1, 2, 0),
+    "frame_sample" -> (0, 0, 0, 0, 0, 0),
+    "frame_sample_digest" -> (0, 0, 0, 1, 1, 0),
+    "extract_features" -> (0, 0, 0, 1, 1, 0),
+    "split_counts" -> (0, 0, 0, 1, 2, 0),
+    "stratified_sample" -> (0, 0, 0, 1, 1, 0),
+    "mixture_sample" -> (0, 4, 0, 1, 12, 0),
+    "repetition_stats" -> (0, 0, 0, 1, 3, 0),
+    "pii_scrub" -> (0, 0, 0, 1, 1, 0),
+    "decontaminate" -> (0, 0, 0, 1, 3, 0),
+    "pack_sequences" -> (0, 0, 0, 1, 2, 1),
+    "chunk_documents" -> (0, 0, 0, 1, 1, 0),
+    "unigram_logprob" -> (0, 1, 0, 1, 5, 0)
+  )
+
+  test("every benched query's physical plan stays free of scale-killers") {
+    if (sys.env.contains("SPARK_GRAFT_DIGEST_RECORD")) {
+      val lines = SparkEntry.benchQueries.map { name =>
+        s"""    "$name" -> ${digestOf(name).rendered},"""
+      }
+      println("=== DIGEST TABLE (paste into Pinned) ===")
+      lines.foreach(println)
+      println("=== END DIGEST TABLE ===")
+    } else {
+      val missing = SparkEntry.benchQueries.filterNot(Pinned.contains)
+      assert(missing.isEmpty,
+        s"benched queries without a pinned plan digest: ${missing.mkString(", ")} " +
+          "(record with SPARK_GRAFT_DIGEST_RECORD=1)")
+      val breaks = SparkEntry.benchQueries.flatMap { name =>
+        val d = digestOf(name)
+        val p = Pinned(name)
+        val pin = Digest(p._1, p._2, p._3, p._4, p._5, p._6)
+        if (d.within(pin)) None
+        else Some(s"$name: now ${d.rendered}, pinned ${pin.rendered}")
+      }
+      assert(breaks.isEmpty,
+        "plan-shape regressions (cartesian, nestedLoop, sortMerge, globalSort, " +
+          s"shuffles, windows):\n  ${breaks.mkString("\n  ")}")
+    }
+  }
+}
