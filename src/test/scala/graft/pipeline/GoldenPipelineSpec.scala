@@ -112,4 +112,23 @@ class GoldenPipelineSpec extends SparkSuite {
     assert(diffs(1)._2 ==
       diffs(1)._3 + " Published date is missing or empty.")
   }
+
+  test("report file is byte-identical to the checked-in expected rendering") {
+    // strict parity mode: the WRITTEN report file must reproduce
+    // src/test/resources/expected_quality_report.txt byte-for-byte. The
+    // expected file is the reference golden with ONLY the two documented
+    // pandas-artifact lines corrected (the line-diff test above pins that
+    // relationship) — so this test freezes the full rendering: every
+    // header, padding width, percent format, and blank line.
+    val outDir = Files.createTempDirectory("graft-golden4").toString
+    val reportPath = s"$outDir/report.txt"
+    ArticlePipeline.run(
+      spark, s"$refDir/sample_data.json", s"$outDir/out.json", reportPath)
+    val expected = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/expected_quality_report.txt").toURI)), "UTF-8")
+    val written = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(reportPath)), "UTF-8")
+    assert(written == expected,
+      "rendered quality report deviates from the checked-in expected bytes")
+  }
 }
