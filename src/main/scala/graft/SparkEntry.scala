@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, AsofJoin, Corpus, Dedup, DocValidation, Events, Multimodal, RangeJoin, Sampling, SimHashOracle, Similarity, Skew, TextAnalysis, Tpch, TpchAdapted, TpchTail}
+import graft.ops.{Analytics, AsofJoin, Corpus, Dedup, DocValidation, Events, Multimodal, RangeJoin, Sampling, SimHashOracle, Similarity, Skew, StorageLayout, TextAnalysis, Tpch, TpchAdapted, TpchTail}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -118,6 +118,9 @@ object SparkEntry {
     "frame_sample"     -> ((s, d) => Multimodal.frameSample(s, d)),
     "frame_sample_digest" -> ((s, d) => Multimodal.frameSampleDigest(s, d)),
     "extract_features" -> ((s, d) => Multimodal.extractFeaturesSummary(s, d)),
+    // --- storage layout (bucketed co-located join, partition-pruned scan) ---
+    "bucketed_join_revenue" -> ((s, d) => StorageLayout.bucketedJoinRevenue(s, d)),
+    "partition_pruned_events" -> ((s, d) => StorageLayout.prunedEventsDaily(s, d)),
     // --- corpus sampling / splitting ---
     "split_counts"      -> (Sampling.splitCounts _),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSampleHash(s, d)),
@@ -221,6 +224,8 @@ object SparkEntry {
     "ann_topk_brute" -> Similarity.annTopKSql,
     "media_stats"    -> Multimodal.mediaStatsSql,
     "frame_sample_digest" -> Multimodal.frameSampleDigestSql,
+    "bucketed_join_revenue" -> StorageLayout.bucketedJoinRevenueSql,
+    "partition_pruned_events" -> StorageLayout.prunedEventsDailySql,
     "split_counts"   -> Sampling.splitCountsSql,
     "stratified_sample" -> Sampling.stratifiedSampleHashSql,
     "mixture_sample"    -> Sampling.mixtureSampleSql,
@@ -272,6 +277,7 @@ object SparkEntry {
     "winnow_fingerprints", "vocab_top_terms", "length_histogram",
     "distinctive_terms",
     "media_stats", "frame_sample", "frame_sample_digest", "extract_features",
+    "bucketed_join_revenue", "partition_pruned_events",
     "split_counts", "stratified_sample", "mixture_sample",
     "repetition_stats", "pii_scrub", "decontaminate", "pack_sequences",
     "chunk_documents", "unigram_logprob"

@@ -1,0 +1,133 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout machinery for the 100-TB deployment: bucketed tables for
+  * shuffle-free co-located fact⋈fact joins, and date-partitioned sinks whose
+  * scans prune to the queried partitions.
+  *
+  * Both are WRITE-side investments that repay every downstream read:
+  *
+  *  - '''Bucketing''': a fact table bucketed (and sorted) on its join key is
+  *    already hash-distributed the way a shuffle would distribute it, so a
+  *    join of two tables bucketed on the same key with the same bucket count
+  *    runs as a sort-merge join with NO Exchange on either side — at 100 TB
+  *    that deletes the two largest shuffles in the pipeline (lineitem and
+  *    orders each rewritten across the cluster). The bucket count here is
+  *    sized for the test SFs; a cluster deployment sizes it to
+  *    `table_bytes / target_partition_bytes` (e.g. 100 TB / 256 MB ≈ 400k —
+  *    in practice capped by file-count pressure and paired with AQE).
+  *  - '''Partitioned layout''': a sink partitioned by a low-cardinality
+  *    query-predicate column (event day) turns time-range scans into
+  *    directory pruning — the scan lists only matching partitions and reads
+  *    none of the rest, the same effect partition pruning has on a 100-TB
+  *    event log where a 7-day query must not touch 3 years of files.
+  *
+  * The demo tables are written once per (session, sfDir) under the JVM temp
+  * dir and registered in the session catalog; repeat calls reuse them (the
+  * first bench sample pays the write, later samples time the join itself —
+  * which is the steady-state a production bucketed table amortizes to).
+  */
+object StorageLayout {
+
+  private def tag(dir: String): String = {
+    val base = Paths.get(dir).getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
+    s"${base}_${Integer.toHexString(dir.hashCode).takeRight(6)}"
+  }
+
+  private def tmpRoot: String =
+    sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_layout"
+
+  /** Write `table` bucketed+sorted on `key` (idempotent per session+dir). */
+  def bucketedTable(spark: SparkSession, dir: String, table: String,
+      key: String, buckets: Int = 8): String = {
+    val name = s"graft_b_${table}_${tag(dir)}"
+    if (!spark.catalog.tableExists(name)) {
+      val path = s"$tmpRoot/${tag(dir)}/bucketed_$table"
+      Tables(spark, dir, table).write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path", path)
+        .saveAsTable(name)
+    }
+    name
+  }
+
+  /** Revenue by order priority off a co-located orders⋈lineitem join: both
+    * sides bucketed on the order key with the same bucket count, so the join
+    * itself needs no Exchange (pinned by [[graft.StorageLayoutSpec]]); the
+    * only shuffle left is the 5-group aggregate above it. The merge hint
+    * keeps the plan on the bucket-aligned sort-merge path even at test SF,
+    * where the optimizer would otherwise broadcast `orders` and the
+    * co-location property would go unexercised.
+    */
+  def bucketedJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.table(bucketedTable(spark, dir, "orders", "o_orderkey"))
+    val lineitem = spark.table(bucketedTable(spark, dir, "lineitem", "l_orderkey"))
+    // exact-decimal money sum: five groups each aggregate ~20% of lineitem,
+    // where double-sum reordering error exceeds the cent at large SF (see
+    // TpchAdapted.q9ProductProfit for the derivation and cast-safety note)
+    lineitem.hint("merge")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum(col("l_extendedprice").cast("decimal(15,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)"))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Oracle: the join result is layout-independent, so the reference
+    * formulation is the plain join+aggregate over the original parquet. */
+  val bucketedJoinRevenueSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(round(sum(l_extendedprice::DECIMAL(15,2)
+      |                   * (1 - l_discount::DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Write events partitioned by day (idempotent per session+dir). */
+  def partitionedEvents(spark: SparkSession, dir: String): String = {
+    val name = s"graft_p_events_${tag(dir)}"
+    if (!spark.catalog.tableExists(name)) {
+      val path = s"$tmpRoot/${tag(dir)}/partitioned_events"
+      Tables(spark, dir, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .option("path", path)
+        .saveAsTable(name)
+    }
+    name
+  }
+
+  /** Seven-day activity summary over the date-partitioned events sink. The
+    * `day` predicate is a partition filter: the scan lists 7 of the 30 day
+    * directories and reads nothing else ([[graft.StorageLayoutSpec]] pins
+    * `PartitionFilters` non-empty and the pruned-partition count).
+    * `day` is cast back to string because partition-column type inference
+    * may surface ISO dates as DATE; the cast renders the same ISO form
+    * either way, keeping the schema aligned with the oracle.
+    */
+  def prunedEventsDaily(spark: SparkSession, dir: String): DataFrame =
+    spark.table(partitionedEvents(spark, dir))
+      .withColumn("day", col("day").cast("string"))
+      .filter(col("day").between("2024-01-08", "2024-01-14"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("day", "event_type")
+
+  val prunedEventsDailySql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS value_sum
+      |FROM events
+      |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14'
+      |GROUP BY day, event_type
+      |ORDER BY day, event_type""".stripMargin
+}

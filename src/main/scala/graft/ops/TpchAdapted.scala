@@ -99,6 +99,20 @@ object TpchAdapted {
     * leg becomes `0.1 * p_retailprice * l_quantity` — still a cost column
     * sourced from a second dimension join, preserving the 5-table shape.
     * Only lineitem⋈orders shuffles; part and supplier⋈nation broadcast.
+    *
+    * Money arithmetic is EXACT DECIMAL, not double: the per-nation-year
+    * profit sums millions of line values, and at the sf1 scale cross-check
+    * the double-sum reordering error (bound ≈ n·ε·Σ|x|) already exceeded
+    * the 2-decimal rounding margin — 7 of 175 groups differed from the
+    * oracle in the last cent. Summation order is the one thing a
+    * distributed engine cannot pin, so at 100 TB money aggregates belong
+    * on the decimal grid where reordering is a no-op. The input casts are
+    * loss-free: every money column sits within 1e-9 of its 2-dp grid
+    * point (verified on the driver data), quantities are integral, and
+    * the product precision (DECIMAL(21,4) / DECIMAL(16,3)) stays far
+    * inside Spark's 38-digit cap, so Spark and DuckDB compute bit-equal
+    * sums at every scale. The rounded result is cast back to double to
+    * keep the published schema.
     */
   def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
     val redParts = Tables(spark, dir, "part")
@@ -108,22 +122,28 @@ object TpchAdapted {
       .join(broadcast(Tables(spark, dir, "nation")),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "n_name")
+    val profit =
+      col("l_extendedprice").cast("decimal(15,2)") *
+        (lit(1) - col("l_discount").cast("decimal(4,2)")) -
+        lit(new java.math.BigDecimal("0.1")) *
+          col("p_retailprice").cast("decimal(10,2)") *
+          col("l_quantity").cast("decimal(3,0)")
     Tables(spark, dir, "lineitem")
       .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(Tables(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-      .agg(round(sum(
-        col("l_extendedprice") * (lit(1) - col("l_discount")) -
-          lit(0.1) * col("p_retailprice") * col("l_quantity")), 2).as("sum_profit"))
+      .agg(round(sum(profit), 2).cast("double").as("sum_profit"))
       .orderBy(col("nation"), col("o_year").desc)
   }
 
   val q9Sql: String =
     """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-      |  round(sum(l_extendedprice * (1 - l_discount)
-      |            - 0.1 * p_retailprice * l_quantity), 2) AS sum_profit
+      |  CAST(round(sum(l_extendedprice::DECIMAL(15,2)
+      |                   * (1 - l_discount::DECIMAL(4,2))
+      |                 - 0.1 * p_retailprice::DECIMAL(10,2)
+      |                   * l_quantity::DECIMAL(3,0)), 2) AS DOUBLE) AS sum_profit
       |FROM lineitem
       |JOIN part ON p_partkey = l_partkey
       |JOIN supplier ON s_suppkey = l_suppkey

@@ -132,6 +132,11 @@ class PlanShapeSpec extends SparkSuite {
     "frame_sample" -> (0, 0, 0, 0, 0, 0),
     "frame_sample_digest" -> (0, 0, 0, 1, 1, 0),
     "extract_features" -> (0, 0, 0, 1, 1, 0),
+    // sortMerge=1 is the point: the co-located bucketed join (its
+    // shuffle-freedom below the join is pinned by StorageLayoutSpec);
+    // the two exchanges are the 5-group aggregate and the final sort
+    "bucketed_join_revenue" -> (0, 0, 1, 1, 2, 0),
+    "partition_pruned_events" -> (0, 0, 0, 1, 2, 0),
     "split_counts" -> (0, 0, 0, 1, 2, 0),
     "stratified_sample" -> (0, 0, 0, 1, 1, 0),
     "mixture_sample" -> (0, 4, 0, 1, 12, 0),
