@@ -99,6 +99,7 @@ object SparkEntry {
     // --- deduplication suite ---
     "ngram_jaccard_pairs" -> (Dedup.ngramJaccardPairs _),
     "minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
+    "incremental_near_dup" -> (Dedup.incrementalNearDup _),
     "near_dup_clusters"   -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "winnow_near_dup"     -> ((s, d) => Dedup.winnowNearDupPairs(s, d)),
     "simhash"             -> (Dedup.simhash _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSampleHash(s, d)),
     "mixture_sample"    -> ((s, d) => Sampling.mixtureSample(s, d)),
     // --- corpus preparation (repetition filter, PII, decontamination, packing) ---
+    "quality_filter"   -> (Corpus.qualityFilter _),
     "repetition_stats" -> ((s, d) => Corpus.repetitionStats(s, d)),
     "pii_scrub"        -> (Corpus.piiScrub _),
     "decontaminate"    -> ((s, d) => Corpus.decontaminate(s, d)),
@@ -216,6 +218,7 @@ object SparkEntry {
     "distinctive_terms" -> TextAnalysis.distinctiveTermsSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardSql,
     "minhash_lsh_pairs"   -> Dedup.ngramJaccardSql,
+    "incremental_near_dup" -> Dedup.incrementalNearDupSql,
     "simhash"             -> SimHashOracle.simhashSql,
     "simhash_near_dup"    -> SimHashOracle.simhashNearDupSql,
     "near_dup_clusters"   -> Dedup.nearDupClustersSql,
@@ -229,6 +232,7 @@ object SparkEntry {
     "split_counts"   -> Sampling.splitCountsSql,
     "stratified_sample" -> Sampling.stratifiedSampleHashSql,
     "mixture_sample"    -> Sampling.mixtureSampleSql,
+    "quality_filter"   -> Corpus.qualityFilterSql,
     "repetition_stats" -> Corpus.repetitionStatsSql,
     "pii_scrub"        -> Corpus.piiScrubSql,
     "decontaminate"    -> Corpus.decontaminateSql,
@@ -266,7 +270,7 @@ object SparkEntry {
     "events_sessions_sw",
     "conversion_funnel", "view_purchase_recon",
     "value_percentiles", "value_percentiles_approx",
-    "winnow_near_dup",
+    "winnow_near_dup", "incremental_near_dup",
     "asof_last_click", "events_in_windows", "salted_user_age",
     "distinct_parts_approx",
     "events_rollup", "events_cube", "events_grouping_sets", "events_pivot",
@@ -279,6 +283,7 @@ object SparkEntry {
     "media_stats", "frame_sample", "frame_sample_digest", "extract_features",
     "bucketed_join_revenue", "partition_pruned_events",
     "split_counts", "stratified_sample", "mixture_sample",
+    "quality_filter",
     "repetition_stats", "pii_scrub", "decontaminate", "pack_sequences",
     "chunk_documents", "unigram_logprob"
   )

@@ -68,6 +68,102 @@ object Corpus {
       |  GROUP BY doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style composite quality filter: the rule battery a corpus
+    * pipeline runs before the tokenizer — token-count bounds, mean word
+    * length, stopword density, n-gram repetition — with the FIRST failing
+    * rule as the drop reason (the reference validator's reason-code
+    * pattern, applied to corpus prep: a fixed precedence makes the drop
+    * histogram stable and auditable).
+    *
+    * Scale shape: the per-row metrics (token count, mean length, stopword
+    * fraction) project once per document BEFORE the n-gram explode —
+    * Catalyst plans the projection under the Generate, so they ride the
+    * two-level repetition aggregate as carried `first()` columns and the
+    * whole filter costs exactly what [[repetitionStats]] costs: explode +
+    * two doc_id-keyed aggregates, no extra join against a second scan of
+    * the corpus. Thresholds compare on the RAW IEEE ratios (deterministic
+    * per doc — no summation-order dependence), and the published columns
+    * round for display; both choices are mirrored in the oracle.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualityFilterOf(Tables(spark, dir, "documents"))
+
+  def qualityFilterOf(docs: DataFrame, n: Int = 3): DataFrame = {
+    val t = Dedup.tokens(col("text"))
+    val stoplist = array(TextAnalysis.Stopwords.head._2.map(lit): _*)
+    val exploded = docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+        .as("mean_len_raw"),
+      (size(filter(t, x => array_contains(stoplist, x))).cast("double") / size(t))
+        .as("stop_frac_raw"),
+      explode(graft.functions.WordNGrams.all(col("text"), n)).as("g"))
+    val gramCounts = exploded.groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"),
+        first("n_tokens").as("n_tokens"),
+        first("mean_len_raw").as("mean_len_raw"),
+        first("stop_frac_raw").as("stop_frac_raw"))
+    val perDoc = gramCounts.groupBy("doc_id")
+      .agg(
+        first("n_tokens").as("n_tokens"),
+        first("mean_len_raw").as("mean_len_raw"),
+        first("stop_frac_raw").as("stop_frac_raw"),
+        (sum(when(col("c") > 1, col("c")).otherwise(lit(0))).cast("double")
+          / sum(col("c"))).as("dup_frac_raw"))
+    val reason =
+      when(col("n_tokens") < 15, "too_short")
+        .when(col("n_tokens") > 2000, "too_long")
+        .when(col("mean_len_raw") < 2.0 || col("mean_len_raw") > 8.0, "bad_word_length")
+        .when(col("stop_frac_raw") < 0.01, "low_stopword")
+        .when(col("dup_frac_raw") > 0.2, "repetitive")
+        .otherwise("ok")
+    perDoc.select(
+      col("doc_id"),
+      col("n_tokens"),
+      round(col("mean_len_raw"), 4).as("mean_len"),
+      round(col("stop_frac_raw"), 4).as("stop_frac"),
+      round(col("dup_frac_raw"), 4).as("dup_gram_frac"),
+      reason.as("reason"),
+      (reason === "ok").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qualityFilterSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
+      |), metrics AS (
+      |  SELECT doc_id, len(t) AS n_tokens,
+      |    list_sum(list_transform(t, x -> len(x)))::double / len(t) AS mean_len_raw,
+      |    len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to')))::double
+      |      / len(t) AS stop_frac_raw
+      |  FROM toks
+      |), gc AS (
+      |  SELECT doc_id, g, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+      |      ELSE [lower(text)] END) AS g
+      |    FROM toks JOIN documents USING (doc_id))
+      |  GROUP BY doc_id, g
+      |), rep AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN c > 1 THEN c ELSE 0 END)::double / sum(c) AS dup_frac_raw
+      |  FROM gc GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_tokens, round(mean_len_raw, 4) AS mean_len,
+      |  round(stop_frac_raw, 4) AS stop_frac, round(dup_frac_raw, 4) AS dup_gram_frac,
+      |  reason, (reason = 'ok') AS keep
+      |FROM (
+      |  SELECT m.doc_id, m.n_tokens, m.mean_len_raw, m.stop_frac_raw, r.dup_frac_raw,
+      |    CASE WHEN m.n_tokens < 15 THEN 'too_short'
+      |         WHEN m.n_tokens > 2000 THEN 'too_long'
+      |         WHEN m.mean_len_raw < 2.0 OR m.mean_len_raw > 8.0 THEN 'bad_word_length'
+      |         WHEN m.stop_frac_raw < 0.01 THEN 'low_stopword'
+      |         WHEN r.dup_frac_raw > 0.2 THEN 'repetitive'
+      |         ELSE 'ok' END AS reason
+      |  FROM metrics m JOIN rep r USING (doc_id))
+      |ORDER BY doc_id""".stripMargin
+
   /** Regex patterns in the Java∩RE2 subset (no lookaround), so the DuckDB
     * oracle runs the identical scrub.
     */

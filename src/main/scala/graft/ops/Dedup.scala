@@ -208,6 +208,76 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Incremental near-duplicate detection: a NEW ingest batch checked
+    * against the banded-signature index of the EXISTING corpus — the
+    * operation a production pipeline actually runs per ingest, where
+    * re-running all-corpus dedup per batch would rescan 100 TB daily.
+    *
+    * Scale shape: the history side contributes only its (band, band_hash,
+    * doc_id) index rows — at scale a STORED table written by the last full
+    * dedup (here recomputed from the same corpus, which is why no persist:
+    * one consumer, one computation; the artifact-table reuse story lives
+    * in README §Deploying). The incoming batch is small by construction,
+    * so its banded signatures build map-side and the candidate join is an
+    * equi-join on (band, band_hash) producing incoming×history collisions
+    * ONLY — history×history pairs (already resolved by the last full run)
+    * never form. Exact-Jaccard verification recomputes shingles just for
+    * colliding ids (semi-join first), same as [[minhashLshPairs]], and the
+    * same 16-band/4-row miss-probability argument applies (planted dups
+    * sit at j ≈ 0.99 where the miss rate is ≈ 4e-8).
+    *
+    * The 80/20 split on `doc_id % 10` stands in for the batch boundary a
+    * real pipeline gets from ingest partitioning; it is mirrored verbatim
+    * in the oracle, whose brute-force Jaccard runs over incoming×history
+    * pairs only.
+    */
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val isIncoming = col("doc_id") % 10 >= 8
+    def bandsOf(d: DataFrame) = d.select(col("doc_id"),
+      posexplode(graft.functions.MinHashBands(shingles(col("text")), MinhashK, Bands))
+        .as(Seq("band", "band_hash")))
+    val cand = bandsOf(docs.filter(isIncoming))
+      .select(col("band"), col("band_hash"), col("doc_id").as("inc_id"))
+      .join(bandsOf(docs.filter(!isIncoming))
+          .select(col("band"), col("band_hash"), col("doc_id").as("hist_id")),
+        Seq("band", "band_hash"))
+      .select("inc_id", "hist_id")
+      .dropDuplicates("inc_id", "hist_id") // a pair may collide in many bands
+    val candIds = cand.select(col("inc_id").as("doc_id"))
+      .unionAll(cand.select(col("hist_id").as("doc_id"))).distinct()
+    val candSh = docs.join(broadcast(candIds), Seq("doc_id"))
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    cand
+      .join(candSh.select(col("doc_id").as("inc_id"), col("sh").as("inc_sh")), Seq("inc_id"))
+      .join(candSh.select(col("doc_id").as("hist_id"), col("sh").as("hist_sh")), Seq("hist_id"))
+      .select(col("inc_id"), col("hist_id"),
+        round(jaccard(col("inc_sh"), col("hist_sh")), 4).as("jac"))
+      .filter(col("jac") >= JaccardThreshold)
+      .orderBy("inc_id", "hist_id")
+  }
+
+  /** Oracle: brute-force Jaccard restricted to incoming×history pairs —
+    * exact, because every qualifying pair in the testdata sits far above
+    * the LSH miss zone (same argument as `minhash_lsh_pairs`). */
+  val incrementalNearDupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(t) >= 3
+       |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+       |      ELSE [lower(text)] END) AS sh
+       |  FROM toks JOIN documents USING (doc_id)
+       |)
+       |SELECT inc_id, hist_id, jac FROM (
+       |  SELECT b.doc_id AS inc_id, a.doc_id AS hist_id,
+       |    round(len(list_intersect(b.sh, a.sh))::double
+       |      / (len(b.sh) + len(a.sh) - len(list_intersect(b.sh, a.sh))), 4) AS jac
+       |  FROM sh a JOIN sh b ON (a.doc_id % 10 < 8) AND (b.doc_id % 10 >= 8))
+       |WHERE jac >= $JaccardThreshold
+       |ORDER BY inc_id, hist_id""".stripMargin
+
   /** Near-dup CLUSTERS from the LSH pair graph — the step every dedup
     * pipeline needs after pair generation: near-duplication is transitive
     * in effect (A~B, B~C ⇒ keep one of {A,B,C}), so pairs must become

@@ -101,6 +101,9 @@ class PlanShapeSpec extends SparkSuite {
     "value_percentiles" -> (0, 0, 0, 1, 2, 0),
     "value_percentiles_approx" -> (0, 0, 0, 1, 2, 0),
     "winnow_near_dup" -> (0, 0, 0, 1, 4, 0),
+    // same shape as minhash_lsh_pairs (banded index join + candidate-only
+    // verify); the 2 sort-merges are the test-SF fact-fact verify joins
+    "incremental_near_dup" -> (0, 0, 2, 1, 12, 0),
     "asof_last_click" -> (0, 0, 0, 1, 2, 1),
     "events_in_windows" -> (0, 0, 0, 1, 3, 0),
     "salted_user_age" -> (0, 0, 0, 1, 3, 0),
@@ -140,6 +143,7 @@ class PlanShapeSpec extends SparkSuite {
     "split_counts" -> (0, 0, 0, 1, 2, 0),
     "stratified_sample" -> (0, 0, 0, 1, 1, 0),
     "mixture_sample" -> (0, 4, 0, 1, 12, 0),
+    "quality_filter" -> (0, 0, 0, 1, 3, 0),
     "repetition_stats" -> (0, 0, 0, 1, 3, 0),
     "pii_scrub" -> (0, 0, 0, 1, 1, 0),
     "decontaminate" -> (0, 0, 0, 1, 3, 0),

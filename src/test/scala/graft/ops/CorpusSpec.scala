@@ -104,6 +104,42 @@ class CorpusSpec extends SparkSuite {
     assert(out.select("logp_avg").distinct().count() > 1)
   }
 
+  test("qualityFilter: each rule fires, in its documented precedence") {
+    import spark.implicits._
+    // one doc per rule, plus one hitting TWO rules to pin precedence:
+    // too_short wins over low_stopword when both apply. The base doc has
+    // no repeated trigram (repetition is the LAST rule, so every earlier
+    // fixture must be clean of it).
+    val good = "the quick brown fox jumps over a lazy dog and runs to " +
+      "the river of silver light under bright autumn skies while children " +
+      "watch from tall grass near an old wooden bridge"
+    val docs = Seq(
+      1L -> good,                               // ok
+      2L -> "tiny doc of the day",              // too_short (5 tokens, has stopwords)
+      3L -> ("w " * 3000).trim,                 // too_long
+      4L -> (("pneumonoultramicroscopic " * 20) + "the of and a to " * 4).trim, // bad_word_length
+      5L -> ("alpha bravo charlie delta echo " * 6).trim, // low_stopword (0 hits)
+      6L -> (good + " " + ("spam ham jam " * 30).trim)    // repetitive trigrams, has stopwords
+    ).toDF("doc_id", "text")
+    val out = Corpus.qualityFilterOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(out(1L) == "ok")
+    assert(out(2L) == "too_short")
+    assert(out(3L) == "too_long")
+    assert(out(4L) == "bad_word_length")
+    assert(out(5L) == "low_stopword")
+    assert(out(6L) == "repetitive")
+  }
+
+  test("qualityFilter: keep is exactly reason == ok and the funnel drops something real") {
+    val out = Corpus.qualityFilter(spark, "/root/testdata/sf0.001")
+    val bad = out.filter(col("keep") =!= (col("reason") === "ok")).count()
+    assert(bad == 0)
+    val kept = out.filter(col("keep")).count()
+    val total = out.count()
+    assert(kept > 0 && kept < total, s"degenerate funnel: $kept of $total kept")
+  }
+
   test("packSequences: token totals preserved, packing starts at bin 0") {
     val dir = "/root/testdata/sf0.001"
     val packed = Corpus.packSequences(spark, dir)

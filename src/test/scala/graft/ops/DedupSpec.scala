@@ -122,4 +122,24 @@ class DedupSpec extends SparkSuite {
       .select(Dedup.shingles(col("text")).as("sh")).as[Seq[String]].head()
     assert(got == Seq("the cat sat", "cat sat on", "sat on the", "on the cat"))
   }
+
+  test("incrementalNearDup: equals the cross-batch restriction of the full pair set") {
+    val dir = "/root/testdata/sf0.001"
+    val inc = Dedup.incrementalNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the full brute-force pair set, restricted to pairs that cross the
+    // 80/20 batch split (either orientation), re-keyed (incoming, history)
+    val full = Dedup.ngramJaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full.flatMap { case (a, b, j) =>
+      (a % 10 >= 8, b % 10 >= 8) match {
+        case (true, false) => Some((a, b, j))
+        case (false, true) => Some((b, a, j))
+        case _             => None // same-batch pair: not this operator's job
+      }
+    }.toSet
+    assert(inc == expected, s"got $inc\nexpected $expected")
+    // purity: every pair is (incoming, history) — never history×history
+    assert(inc.forall { case (i, h, _) => i % 10 >= 8 && h % 10 < 8 })
+  }
 }
