@@ -126,6 +126,7 @@ object SparkEntry {
     "split_counts"      -> (Sampling.splitCounts _),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSampleHash(s, d)),
     "mixture_sample"    -> ((s, d) => Sampling.mixtureSample(s, d)),
+    "shuffle_shards"    -> ((s, d) => Sampling.shuffleShards(s, d)),
     // --- corpus preparation (repetition filter, PII, decontamination, packing) ---
     "quality_filter"   -> (Corpus.qualityFilter _),
     "repetition_stats" -> ((s, d) => Corpus.repetitionStats(s, d)),
@@ -232,6 +233,7 @@ object SparkEntry {
     "split_counts"   -> Sampling.splitCountsSql,
     "stratified_sample" -> Sampling.stratifiedSampleHashSql,
     "mixture_sample"    -> Sampling.mixtureSampleSql,
+    "shuffle_shards"    -> Sampling.shuffleShardsSql,
     "quality_filter"   -> Corpus.qualityFilterSql,
     "repetition_stats" -> Corpus.repetitionStatsSql,
     "pii_scrub"        -> Corpus.piiScrubSql,
@@ -282,7 +284,7 @@ object SparkEntry {
     "distinctive_terms",
     "media_stats", "frame_sample", "frame_sample_digest", "extract_features",
     "bucketed_join_revenue", "partition_pruned_events",
-    "split_counts", "stratified_sample", "mixture_sample",
+    "split_counts", "stratified_sample", "mixture_sample", "shuffle_shards",
     "quality_filter",
     "repetition_stats", "pii_scrub", "decontaminate", "pack_sequences",
     "chunk_documents", "unigram_logprob"

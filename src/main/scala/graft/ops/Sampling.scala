@@ -196,4 +196,46 @@ object Sampling {
        |WHERE $arms
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Deterministic corpus shuffle + shard assignment: the "global shuffle"
+    * every training run needs so that no shard is dominated by one source,
+    * language, or crawl batch — but REPRODUCIBLE, because the order key is
+    * md5(seed:doc_id), a pure function of the key and seed, not of an RNG
+    * stream or partitioning (same discipline as [[withSplit]]; a re-run,
+    * a backfill, or another engine derives the identical order).
+    *
+    * Shard = first hex nibble of the order key (16 shards here); position
+    * within shard = rank by (order key, doc_id). Scale shape: shard
+    * assignment is a pure projection; the per-shard ordering is what a
+    * production writer gets for free from `repartitionByRange(order_key)`
+    * + sorted write — the window below materializes the same positions at
+    * test scale, partitioned on the shard key so state is per-shard. In
+    * production shard counts are sized in the thousands (bounded shard
+    * bytes), not 16, which also bounds the per-partition sort.
+    */
+  def shuffleShards(spark: SparkSession, dir: String, seed: String = "s42"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val okey = md5(concat(lit(seed), lit(":"), col("doc_id").cast("string")).cast("binary"))
+    val nibble = substring(col("okey"), 1, 1)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), okey.as("okey"))
+      // SQL-form locate: the needle is a COLUMN (the Scala `locate` helper
+      // only takes a literal needle); hex nibble → 0..15
+      .withColumn("shard",
+        expr("cast(locate(substring(okey, 1, 1), '0123456789abcdef') - 1 as int)"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(nibble).orderBy(col("okey"), col("doc_id"))))
+      .select("doc_id", "lang", "shard", "pos", "okey")
+      .orderBy("shard", "pos")
+  }
+
+  val shuffleShardsSql: String =
+    """SELECT doc_id, lang, shard, pos, okey FROM (
+      |  SELECT doc_id, lang, okey,
+      |    (strpos('0123456789abcdef', substr(okey, 1, 1)) - 1)::INT AS shard,
+      |    row_number() OVER (PARTITION BY substr(okey, 1, 1)
+      |                       ORDER BY okey, doc_id) AS pos
+      |  FROM (SELECT doc_id, lang, md5('s42:' || doc_id::VARCHAR) AS okey
+      |        FROM documents))
+      |ORDER BY shard, pos""".stripMargin
 }

@@ -143,6 +143,7 @@ class PlanShapeSpec extends SparkSuite {
     "split_counts" -> (0, 0, 0, 1, 2, 0),
     "stratified_sample" -> (0, 0, 0, 1, 1, 0),
     "mixture_sample" -> (0, 4, 0, 1, 12, 0),
+    "shuffle_shards" -> (0, 0, 0, 1, 2, 1),
     "quality_filter" -> (0, 0, 0, 1, 3, 0),
     "repetition_stats" -> (0, 0, 0, 1, 3, 0),
     "pii_scrub" -> (0, 0, 0, 1, 1, 0),

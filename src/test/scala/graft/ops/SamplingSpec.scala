@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSuite
 
 class SamplingSpec extends SparkSuite {
@@ -65,5 +67,34 @@ class SamplingSpec extends SparkSuite {
     val total = Tables(spark, dir, "documents").count()
     val frac = s1.size.toDouble / total
     assert(frac > 0.3 && frac < 0.7, s"sample fraction $frac far from 0.5")
+  }
+
+  test("shuffleShards: every doc lands once, positions dense per shard, order deterministic") {
+    val out = Sampling.shuffleShards(spark, dir).collect()
+    val total = Tables(spark, dir, "documents").count()
+    assert(out.length == total)
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == total)
+    // positions within each shard are exactly 1..n_shard
+    out.groupBy(_.getAs[Int]("shard")).foreach { case (s, rows) =>
+      val ps = rows.map(_.getAs[Int]("pos")).sorted
+      assert(ps.toSeq == (1 to rows.length), s"shard $s positions not dense")
+      assert(s >= 0 && s < 16)
+    }
+    // deterministic: a second run yields the identical order
+    val again = Sampling.shuffleShards(spark, dir).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("shuffleShards: shards actually mix the languages (that is the point)") {
+    val out = Sampling.shuffleShards(spark, dir)
+    val langsPerShard = out.groupBy("shard")
+      .agg(countDistinct(col("lang")).as("n_langs"), count(lit(1)).as("n"))
+      .collect()
+    // the fixture has 5 languages; a shard big enough to statistically
+    // contain several must not be monolingual (a sorted-by-source layout
+    // would be — the shuffle is what prevents it)
+    for (r <- langsPerShard if r.getAs[Long]("n") >= 20)
+      assert(r.getAs[Long]("n_langs") >= 3,
+        s"shard ${r.get(0)} with ${r.getAs[Long]("n")} docs has only ${r.get(1)} langs")
   }
 }
