@@ -231,4 +231,50 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), round(col("c"), 4).as("cos"))
       .orderBy("q_id", "rank")
   }
+
+  /** EXACT DuckDB oracle for [[annLshTopK]], generated from the SAME seeded
+    * plane generator the query plans with: the 12×5 hyperplanes are emitted
+    * as DOUBLE[] literals (Java shortest-repr `toString` round-trips to the
+    * identical bits through DuckDB's correctly-rounded parser), each sign
+    * bit is `list_dot_product(v, plane) >= 0`, and DuckDB's
+    * `list_dot_product` accumulates left-to-right exactly like the
+    * codegen'd [[graft.functions.DotProduct]] loop (verified with a
+    * catastrophic-cancellation probe: `[1e16, 1, -1e16]·[1,1,1]` returns 0,
+    * the left-to-right result), so every bucket id — and therefore the
+    * candidate set, the exact-cosine ranking, and the top-k — is
+    * reproduced bit-exactly. This retires the recall-floor-only check:
+    * LSH internals ARE cross-engine derivable when the projection
+    * arithmetic is pinned.
+    */
+  def annLshTopKSql: String = {
+    def lit64(a: Array[Double]): String =
+      a.mkString("[", ", ", "]::DOUBLE[]")
+    val tableSelects = (0 until LshTables).map { t =>
+      val bits = (0 until LshBits).map { j =>
+        val plane = planeRow(t * 1000 + j, LshDims)
+        s"(CASE WHEN list_dot_product(v, ${lit64(plane)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n      + ")
+      s"  SELECT vec_id, $t AS tbl,\n      $bits AS bucket FROM ev"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ev AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), banded AS (
+       |$tableSelects
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, e.vec_id AS n_id
+       |  FROM banded e JOIN banded q ON e.tbl = q.tbl AND e.bucket = q.bucket
+       |  WHERE q.vec_id % 50 = 0 AND e.vec_id <> q.vec_id
+       |)
+       |SELECT q_id, n_id, rank, cos FROM (
+       |  SELECT c.q_id, c.n_id,
+       |    row_number() OVER (PARTITION BY c.q_id
+       |      ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) DESC,
+       |               c.n_id) AS rank,
+       |    round(list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 4) AS cos
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.q_id
+       |  JOIN embeddings ne ON ne.vec_id = c.n_id)
+       |WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
 }
