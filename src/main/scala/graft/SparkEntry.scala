@@ -140,13 +140,10 @@ object SparkEntry {
   /** DuckDB oracle SQL for each query above. Omitted (rows-only check),
     * each for a stated reason:
     *  - `ann_ivf_topk`: the KMeans quantizer is data-fitted — centroids
-    *    are not re-derivable in SQL (recall floor spec-pinned instead);
-    *  - `embedding_near_dup_lsh`: shares the seeded-hyperplane machinery
-    *    that `ann_lsh_topk`'s EXACT generated oracle now reproduces
-    *    (planes as literals + `list_dot_product`), but its bucket join
-    *    feeds a pair-dedup whose oracle would be the O(n²) brute-force —
-    *    already the excluded `embedding_near_dup` anchor (recall +
-    *    no-false-pairs spec-pinned instead);
+    *    are not re-derivable in SQL (recall floor spec-pinned instead;
+    *    the LSH siblings `ann_lsh_topk` / `embedding_near_dup_lsh` ARE
+    *    exact since round 5 — their seeded hyperplanes embed as literals
+    *    in generated SQL);
     *  - `distinct_parts_approx`, `value_percentiles_approx`,
     *    `value_quartiles_approx`: HLL/GK sketch internals are
     *    engine-specific (error envelopes spec-pinned vs the exact twins);
@@ -230,6 +227,7 @@ object SparkEntry {
     "near_dup_clusters"   -> Dedup.nearDupClustersSql,
     "winnow_near_dup"     -> Dedup.winnowNearDupSql,
     "embedding_near_dup"  -> Dedup.embeddingNearDupSql,
+    "embedding_near_dup_lsh" -> Dedup.embeddingNearDupLshSql,
     "ann_topk_brute" -> Similarity.annTopKSql,
     "ann_lsh_topk"   -> Similarity.annLshTopKSql,
     "media_stats"    -> Multimodal.mediaStatsSql,

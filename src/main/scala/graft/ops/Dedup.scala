@@ -638,4 +638,29 @@ object Dedup {
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
       |WHERE cos >= 0.45
       |ORDER BY a_id, b_id""".stripMargin
+
+  /** EXACT generated oracle for [[embeddingNearDupLsh]] — same embedded
+    * hyperplane literals + `list_dot_product` bucket re-derivation as
+    * [[Similarity.annLshTopKSql]] (see the bit-exactness argument there),
+    * with the candidate stage being the bucket self-join instead of the
+    * query probe: the oracle reproduces exactly which pairs the LSH path
+    * CAN see, then applies the same rounded-cosine τ filter. The recall
+    * spec against the brute anchor stays — it documents what the bucket
+    * construction misses; this oracle pins that the implementation
+    * faithfully computes its own construction.
+    */
+  def embeddingNearDupLshSql: String =
+    s"""${Similarity.bandedSqlCtes}, cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id
+       |)
+       |SELECT a_id, b_id, cos FROM (
+       |  SELECT c.a_id, c.b_id,
+       |    round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cos
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.a_id
+       |  JOIN embeddings eb ON eb.vec_id = c.b_id)
+       |WHERE cos >= 0.45
+       |ORDER BY a_id, b_id""".stripMargin
 }

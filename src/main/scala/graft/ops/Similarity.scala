@@ -246,7 +246,10 @@ object Similarity {
     * LSH internals ARE cross-engine derivable when the projection
     * arithmetic is pinned.
     */
-  def annLshTopKSql: String = {
+  /** The `ev` + `banded` CTE prefix shared by the generated LSH oracles:
+    * every vector's 12 bucket ids, computed from the embedded plane
+    * literals. */
+  private[ops] def bandedSqlCtes: String = {
     def lit64(a: Array[Double]): String =
       a.mkString("[", ", ", "]::DOUBLE[]")
     val tableSelects = (0 until LshTables).map { t =>
@@ -260,7 +263,11 @@ object Similarity {
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |), banded AS (
        |$tableSelects
-       |), cand AS (
+       |)""".stripMargin
+  }
+
+  def annLshTopKSql: String = {
+    s"""$bandedSqlCtes, cand AS (
        |  SELECT DISTINCT q.vec_id AS q_id, e.vec_id AS n_id
        |  FROM banded e JOIN banded q ON e.tbl = q.tbl AND e.bucket = q.bucket
        |  WHERE q.vec_id % 50 = 0 AND e.vec_id <> q.vec_id
