@@ -1,0 +1,57 @@
+package graft
+
+/** Registry-hygiene tripwire: the driver contract lives in three parallel
+  * structures (`queries`, `oracleSql`, `benchQueries`) plus a documented
+  * rows-only allowlist. This spec fails the build the moment they drift —
+  * a new query landing without an oracle (or without a documented reason
+  * for not having one) is exactly the kind of silent coverage erosion a
+  * later round would otherwise discover in the correctness report.
+  */
+class RegistrySpec extends SparkSuite {
+
+  /** Every rows-only query, each with its reason documented on
+    * `SparkEntry.oracleSql`'s scaladoc. Adding to this list requires
+    * adding the reason there too. */
+  private val documentedRowsOnly = Set(
+    "ann_ivf_topk",             // KMeans quantizer is data-fitted
+    "distinct_parts_approx",    // HLL sketch internals are engine-specific
+    "value_percentiles_approx", // GK sketch internals are engine-specific
+    "value_quartiles_approx",   // approx_percentile boundaries are engine-specific
+    "extract_features",         // stub codec is a JVM PRNG
+    "frame_sample"              // raw binary cells defeat the driver's value hash
+  )
+
+  test("every registered query has an oracle or a documented rows-only reason") {
+    val undocumented = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- documentedRowsOnly
+    assert(undocumented.isEmpty,
+      s"queries with neither oracle nor documented reason: ${undocumented.mkString(", ")}")
+  }
+
+  test("no orphan oracles or stale rows-only entries") {
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphanOracles.isEmpty, s"oracles without a query: ${orphanOracles.mkString(", ")}")
+    val convertedButListed = documentedRowsOnly & SparkEntry.oracleSql.keySet
+    assert(convertedButListed.isEmpty,
+      s"rows-only entries that now HAVE oracles (drop from the list): ${convertedButListed.mkString(", ")}")
+    val ghostRowsOnly = documentedRowsOnly -- SparkEntry.queries.keySet
+    assert(ghostRowsOnly.isEmpty, s"rows-only entries with no query: ${ghostRowsOnly.mkString(", ")}")
+  }
+
+  test("the bench set is a subset of the registry") {
+    val ghosts = SparkEntry.benchQueries.toSet -- SparkEntry.queries.keySet
+    assert(ghosts.isEmpty, s"benched but unregistered: ${ghosts.mkString(", ")}")
+    assert(SparkEntry.benchQueries.distinct.size == SparkEntry.benchQueries.size,
+      "duplicate entries in benchQueries")
+  }
+
+  test("every query runs against the smoke SF and returns a non-empty schema") {
+    // plan-only instantiation (no execution): catches a query whose builder
+    // throws on construction or resolves to zero columns
+    for ((name, fn) <- SparkEntry.queries) {
+      val df = fn(spark, "/root/testdata/sf0.001")
+      assert(df.schema.fields.nonEmpty, s"$name resolves to an empty schema")
+      spark.catalog.clearCache()
+    }
+  }
+}
