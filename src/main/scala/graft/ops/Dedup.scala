@@ -639,6 +639,58 @@ object Dedup {
       |WHERE cos >= 0.45
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Exact repeated-substring detection across documents: every n-token
+    * gram that occurs in TWO OR MORE distinct docs, with each occurrence's
+    * doc and token position — the exact-substring-dedup primitive (the
+    * "train-data memorization" family) that [[winnowNearDupPairs]]'s
+    * sampled fingerprints approximate. Downstream, spans merge into cut
+    * lists (drop the repeated region, keep the rest of the doc) — the
+    * span table here is that pipeline's input.
+    *
+    * Scale shape: positions ride the gram explode (posexplode — no second
+    * scan); cross-doc support is the same two-level aggregate as the vocab
+    * df computation ((gram, doc) distinct → gram having ≥2 docs), never a
+    * count-distinct Expand; qualifying grams then re-join the exploded
+    * stream by gram — an equi-join whose right side is only the grams of
+    * actually-duplicated regions, orders smaller than the corpus. At
+    * production scale the join key is xxhash64(gram), not the string; the
+    * testdata keeps the readable gram (≤ ~60 bytes at n=8) so the span
+    * table is directly auditable.
+    */
+  def repeatedNgramSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val grams = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordNGrams.all(col("text"), n)).as(Seq("pos", "g")))
+    val repeated = grams.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    grams.join(repeated, Seq("g"))
+      .select(col("g"), col("n_docs"), col("doc_id"), col("pos"))
+      .orderBy("g", "doc_id", "pos")
+  }
+
+  /** Oracle: the same gram stream via a positional comprehension (two
+    * zipped unnests), same two-level support count. */
+  val repeatedNgramSpansSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
+      |), gl AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 8
+      |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+      |          t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]
+      |          FOR i IN range(1, len(t) - 6)]
+      |    ELSE [lower(text)] END AS gs
+      |  FROM toks JOIN documents USING (doc_id)
+      |), grams AS (
+      |  SELECT doc_id, unnest(gs) AS g, unnest(range(0, len(gs))) AS pos FROM gl
+      |), repeated AS (
+      |  SELECT g, count(*) AS n_docs FROM (SELECT DISTINCT doc_id, g FROM grams)
+      |  GROUP BY g HAVING count(*) >= 2
+      |)
+      |SELECT g, n_docs, doc_id, pos
+      |FROM grams JOIN repeated USING (g)
+      |ORDER BY g, doc_id, pos""".stripMargin
+
   /** EXACT generated oracle for [[embeddingNearDupLsh]] — same embedded
     * hyperplane literals + `list_dot_product` bucket re-derivation as
     * [[Similarity.annLshTopKSql]] (see the bit-exactness argument there),

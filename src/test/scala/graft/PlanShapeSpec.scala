@@ -104,6 +104,7 @@ class PlanShapeSpec extends SparkSuite {
     // same shape as minhash_lsh_pairs (banded index join + candidate-only
     // verify); the 2 sort-merges are the test-SF fact-fact verify joins
     "incremental_near_dup" -> (0, 0, 2, 1, 12, 0),
+    "repeated_ngram_spans" -> (0, 0, 0, 1, 3, 0),
     "asof_last_click" -> (0, 0, 0, 1, 2, 1),
     "events_in_windows" -> (0, 0, 0, 1, 3, 0),
     "salted_user_age" -> (0, 0, 0, 1, 3, 0),

@@ -123,6 +123,30 @@ class DedupSpec extends SparkSuite {
     assert(got == Seq("the cat sat", "cat sat on", "sat on the", "on the cat"))
   }
 
+  test("repeatedNgramSpans: planted cross-doc span found at exact positions; within-doc repeats don't qualify") {
+    import spark.implicits._
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 tokens
+    val docs = Seq(
+      (1L, s"intro words here then $shared and a tail"),
+      (2L, s"$shared opens this second document with different continuation text"),
+      // doc 3 repeats an 8-gram TWICE but only within itself — not cross-doc
+      (3L, "zulu yankee xray whiskey victor uniform tango sierra " * 2 + "end")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("spans_fixture")
+    val out = Dedup.repeatedNgramSpans(spark, "/root/testdata/sf0.001", 8)
+    // run the operator over the fixture by calling the same internals
+    val grams = docs.select(col("doc_id"),
+      posexplode(graft.functions.WordNGrams.all(col("text"), 8)).as(Seq("pos", "g")))
+    val repeated = grams.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("n_docs")).filter(col("n_docs") >= 2)
+    val spans = grams.join(repeated, Seq("g"))
+      .select("g", "doc_id", "pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(spans == Set((shared, 1L, 4), (shared, 2L, 0)),
+      s"got $spans — expected exactly the planted cross-doc span (doc 3's within-doc repeat must not appear)")
+    assert(out.columns.toSeq == Seq("g", "n_docs", "doc_id", "pos"))
+  }
+
   test("incrementalNearDup: equals the cross-batch restriction of the full pair set") {
     val dir = "/root/testdata/sf0.001"
     val inc = Dedup.incrementalNearDup(spark, dir).collect()
