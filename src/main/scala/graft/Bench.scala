@@ -60,7 +60,11 @@ object Bench {
     println(json)
     // The driver greps this line out of sbt's log; BENCH_r03.json came back
     // "parsed": null when the log interleaved — a file is deterministic.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RESULT.json"),
+    // Subset runs (SPARK_GRAFT_BENCH_ONLY) write a separate .partial file so
+    // an isolated adjudication can never clobber the full sweep of record.
+    val outFile =
+      if (only.isDefined) "BENCH_RESULT.partial.json" else "BENCH_RESULT.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }

@@ -47,12 +47,31 @@ object ScaleData {
     val base = spark.read.parquet(s"$srcDir/$table.parquet")
     val keys = keyCols(table)
     if (keys.isEmpty) base
-    else (0 until copies).map { i =>
-      keys.foldLeft(base) { (df, k) =>
-        // preserve the exact source column type (int64 keys stay int64)
-        df.withColumn(k, (col(k) + lit(i * KeyStride)).cast(base.schema(k).dataType))
+    else {
+      // Overflow guard: the shifted key must fit the SOURCE column type —
+      // a narrower key column (int32) would silently wrap past copy ~21
+      // (offset > 2³¹) and collide across replicas, corrupting referential
+      // integrity of the scaled corpus. Refuse loudly instead.
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      keys.foreach { k =>
+        val maxShift = (copies - 1).toLong * KeyStride
+        val headroom = base.schema(k).dataType match {
+          case LongType    => Long.MaxValue - maxShift
+          case IntegerType => Int.MaxValue.toLong - maxShift
+          case other => sys.error(
+            s"$table.$k: unsupported key type ${other.catalogString} for scaling")
+        }
+        val maxKey = base.agg(max(col(k)).cast("long")).head.getLong(0)
+        require(maxKey <= headroom,
+          s"$table.$k: max key $maxKey + shift $maxShift overflows ${base.schema(k).dataType.catalogString}")
       }
-    }.reduce(_ unionAll _)
+      (0 until copies).map { i =>
+        keys.foldLeft(base) { (df, k) =>
+          // preserve the exact source column type (int64 keys stay int64)
+          df.withColumn(k, (col(k) + lit(i * KeyStride)).cast(base.schema(k).dataType))
+        }
+      }.reduce(_ unionAll _)
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -33,12 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object StorageLayout {
 
-  private def tag(dir: String): String = {
+  private[graft] def tag(dir: String): String = {
     val base = Paths.get(dir).getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
     s"${base}_${Integer.toHexString(dir.hashCode).takeRight(6)}"
   }
 
-  private def tmpRoot: String =
+  private[graft] def tmpRoot: String =
     sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_layout"
 
   /** Write `table` bucketed+sorted on `key` (idempotent per session+dir). */

@@ -46,8 +46,11 @@ class RegistrySpec extends SparkSuite {
   }
 
   test("every query runs against the smoke SF and returns a non-empty schema") {
-    // plan-only instantiation (no execution): catches a query whose builder
-    // throws on construction or resolves to zero columns
+    // Builder instantiation: catches a query whose builder throws on
+    // construction or resolves to zero columns. NOT side-effect-free — the
+    // StorageLayout builders write their bucketed/partitioned tables to the
+    // JVM temp dir on first touch and ann_ivf_topk fits its KMeans
+    // quantizer — but none of the final DataFrames are executed.
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, "/root/testdata/sf0.001")
       assert(df.schema.fields.nonEmpty, s"$name resolves to an empty schema")

@@ -80,12 +80,11 @@ class StorageLayoutSpec extends SparkSuite {
 
   test("the partitioned sink actually has more partitions than the query reads") {
     StorageLayout.partitionedEvents(spark, dir) // ensure written
+    // Scoped to THIS dir's tag subdirectory — a glob over every tag under
+    // graft_layout could be satisfied by a stale write for another sfDir.
     val root = new java.io.File(
-      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_layout")
+      s"${StorageLayout.tmpRoot}/${StorageLayout.tag(dir)}/partitioned_events")
     val dayDirs = Option(root.listFiles()).toSeq.flatten
-      .flatMap(d => Option(d.listFiles()).toSeq.flatten)
-      .filter(_.getName == "partitioned_events")
-      .flatMap(d => Option(d.listFiles()).toSeq.flatten)
       .count(_.getName.startsWith("day="))
     assert(dayDirs > 7, s"only $dayDirs day partitions on disk — nothing to prune")
   }
