@@ -117,6 +117,8 @@ object SparkEntry {
     "ann_ivf_topk"   -> ((s, d) => Similarity.annIvfTopK(s, d)),
     // --- multimodal binary-column plumbing ---
     "media_stats"      -> (Multimodal.mediaStats _),
+    "media_phash"      -> (Multimodal.mediaPhash _),
+    "media_near_dup"   -> ((s, d) => Multimodal.mediaNearDup(s, d)),
     "frame_sample"     -> ((s, d) => Multimodal.frameSample(s, d)),
     "frame_sample_digest" -> ((s, d) => Multimodal.frameSampleDigest(s, d)),
     "extract_features" -> ((s, d) => Multimodal.extractFeaturesSummary(s, d)),
@@ -233,6 +235,8 @@ object SparkEntry {
     "ann_topk_brute" -> Similarity.annTopKSql,
     "ann_lsh_topk"   -> Similarity.annLshTopKSql,
     "media_stats"    -> Multimodal.mediaStatsSql,
+    "media_phash"    -> Multimodal.mediaPhashSql,
+    "media_near_dup" -> Multimodal.mediaNearDupSql,
     "frame_sample_digest" -> Multimodal.frameSampleDigestSql,
     "bucketed_join_revenue" -> StorageLayout.bucketedJoinRevenueSql,
     "partition_pruned_events" -> StorageLayout.prunedEventsDailySql,
@@ -288,7 +292,8 @@ object SparkEntry {
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
     "winnow_fingerprints", "vocab_top_terms", "length_histogram",
     "distinctive_terms",
-    "media_stats", "frame_sample", "frame_sample_digest", "extract_features",
+    "media_stats", "media_phash", "media_near_dup",
+    "frame_sample", "frame_sample_digest", "extract_features",
     "bucketed_join_revenue", "partition_pruned_events",
     "split_counts", "stratified_sample", "mixture_sample", "shuffle_shards",
     "quality_filter",

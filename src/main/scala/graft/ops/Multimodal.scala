@@ -116,6 +116,123 @@ object Multimodal {
        |FROM frames
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Per-payload perceptual fingerprint ([[graft.functions.DHash64]]):
+    * dHash over a 65-window byte grid, one codegen'd map-side pass, no
+    * shuffle. The media twin of [[Dedup.simhash]].
+    */
+  def mediaPhash(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.DHash64(col("payload")).as("phash"))
+      .orderBy("doc_id")
+
+  /** Perceptual near-dup pairs over any `(doc_id, payload)` frame: dHash
+    * fingerprints, blocked on 16-bit fingerprint segments (pigeonhole ⇒ no
+    * false negatives for maxDist ≤ 3) so the candidate join is an equi-join,
+    * never O(n²) — the same scale shape as [[Dedup.simhashNearDup]].
+    */
+  def mediaNearDupFrom(media: DataFrame, maxDist: Int = 3): DataFrame = {
+    // Persisted like the simhash index: the self-join's two legs are
+    // independent subtrees that would each recompute the fingerprint scan.
+    val fp = media.select(col("doc_id"),
+      graft.functions.DHash64(col("payload")).as("phash")).persist()
+    val segVals = (0 until 4).map { s =>
+      shiftright(col("phash"), s * 16).bitwiseAND(0xFFFFL)
+    }
+    val seg = fp.select(col("doc_id"), col("phash"),
+      posexplode(array(segVals: _*)).as(Seq("seg", "seg_val")))
+    val a = seg.select(col("seg"), col("seg_val"),
+      col("doc_id").as("a_id"), col("phash").as("a_fp"))
+    val b = seg.select(col("seg"), col("seg_val"),
+      col("doc_id").as("b_id"), col("phash").as("b_fp"))
+    val hamming = bit_count(col("a_fp").bitwiseXOR(col("b_fp")))
+    a.join(b, Seq("seg", "seg_val"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"), hamming.as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Registered near-dup query: the media table doubled with shifted ids
+    * (planted exact duplicates, like [[Dedup.winnowNearDupPairs]]) so the
+    * pair set is guaranteed non-degenerate at every SF, plus whatever
+    * genuine perceptual collisions the corpus holds.
+    */
+  def mediaNearDup(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val media = mediaTable(spark, dir).select("doc_id", "payload")
+    val doubled = media.unionAll(
+      media.select((col("doc_id") + 1000000).as("doc_id"), col("payload")))
+    mediaNearDupFrom(doubled, maxDist)
+  }
+
+  /** dHash re-derived in DuckDB (valid because the synthetic payload is the
+    * ASCII text's UTF-8 bytes — `ord` of a one-char substring IS the byte,
+    * the same caveat as the winnow/simhash oracles): byte i of n lands in
+    * window `(i*65)//n`, window mean = integer floor division, missing
+    * windows fill 0, bit i compares window i+1 to window i, and the 64-bit
+    * fingerprint converts unsigned→signed exactly like
+    * [[SimHashOracle]]'s HUGEINT mapping.
+    */
+  private val phashBitsRows: String =
+    (0 until 64).map(i => s"($i, ${BigInt(2).pow(i)}::HUGEINT)").mkString(", ")
+
+  private val phashCore: String =
+    s"""WITH media AS (
+       |  SELECT doc_id, text, length(text) AS n FROM documents
+       |), bytes AS (
+       |  SELECT doc_id, n, unnest(range(0, n)) AS i, text FROM media WHERE n > 0
+       |), cellsums AS (
+       |  SELECT doc_id, (i * 65) // n AS cell,
+       |    sum(ord(substr(text, (i + 1)::BIGINT, 1))) AS s, count(*) AS c
+       |  FROM bytes GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT m.doc_id, g.cell, coalesce(cs.s // cs.c, 0) AS a
+       |  FROM (SELECT doc_id FROM media) m
+       |  CROSS JOIN (SELECT unnest(range(0, 65)) AS cell) g
+       |  LEFT JOIN cellsums cs ON cs.doc_id = m.doc_id AND cs.cell = g.cell
+       |), bits(bit, pw) AS (VALUES $phashBitsRows),
+       |fp AS (
+       |  SELECT lo.doc_id AS doc_id,
+       |    coalesce(sum(CASE WHEN hi.a > lo.a THEN pw ELSE 0 END), 0)::HUGEINT AS hu
+       |  FROM grid lo
+       |  JOIN grid hi ON hi.doc_id = lo.doc_id AND hi.cell = lo.cell + 1
+       |  JOIN bits b ON b.bit = lo.cell
+       |  GROUP BY lo.doc_id
+       |), sfp AS (
+       |  SELECT doc_id, hu,
+       |    ((CASE WHEN hu >= ${BigInt(2).pow(63)} THEN hu - ${BigInt(2).pow(64)} ELSE hu END))::BIGINT AS phash
+       |  FROM fp
+       |)""".stripMargin
+
+  val mediaPhashSql: String =
+    phashCore + "\nSELECT doc_id, phash FROM sfp ORDER BY doc_id"
+
+  /** Blocking + verify mirror of [[mediaNearDup]] over the doubled corpus
+    * (copies share the source text, so each fingerprint is computed once
+    * and re-labeled): 16-bit segments via integer powers, per-segment
+    * equi-join, Hamming via `bit_count(xor(...))` on the signed value —
+    * the [[SimHashOracle.simhashNearDupSql]] tail verbatim.
+    */
+  val mediaNearDupSql: String =
+    phashCore +
+      s""",
+         |doubled AS (
+         |  SELECT doc_id, hu, phash FROM sfp
+         |  UNION ALL SELECT doc_id + 1000000, hu, phash FROM sfp
+         |),
+         |segpw(seg, pw) AS (VALUES (0, 1::HUGEINT), (1, 65536::HUGEINT),
+         |  (2, 4294967296::HUGEINT), (3, 281474976710656::HUGEINT)),
+         |segs AS (
+         |  SELECT doc_id, phash, seg, (hu // pw) % 65536 AS seg_val
+         |  FROM doubled CROSS JOIN segpw
+         |)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  bit_count(xor(a.phash, b.phash)) AS hamming
+         |FROM segs a JOIN segs b ON a.seg = b.seg AND a.seg_val = b.seg_val
+         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin
+
   /** The stubbed codec boundary. A real pipeline implements `decode` with an
     * actual image/audio library; everything around it (batching,
     * partitioning, schema) stays as-is.

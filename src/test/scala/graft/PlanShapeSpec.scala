@@ -133,6 +133,10 @@ class PlanShapeSpec extends SparkSuite {
     "length_histogram" -> (0, 0, 0, 1, 3, 0),
     "distinctive_terms" -> (0, 0, 0, 1, 5, 3),
     "media_stats" -> (0, 0, 0, 1, 2, 0),
+    // near_dup's 2 exchanges: the pair-dedup aggregate + final sort; the
+    // segment-blocked candidate join itself broadcasts the fingerprint side
+    "media_phash" -> (0, 0, 0, 1, 1, 0),
+    "media_near_dup" -> (0, 0, 0, 1, 2, 0),
     "frame_sample" -> (0, 0, 0, 0, 0, 0),
     "frame_sample_digest" -> (0, 0, 0, 1, 1, 0),
     "extract_features" -> (0, 0, 0, 1, 1, 0),

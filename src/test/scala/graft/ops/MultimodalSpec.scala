@@ -46,6 +46,56 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.map(_.toString).toSeq == f2.map(_.toString).toSeq)
   }
 
+  test("DHash64: ramp payload sets every bit, constant payload none") {
+    import spark.implicits._
+    // 130 bytes, 2 per window, strictly increasing → every window mean
+    // exceeds its predecessor → all 64 comparison bits set → fp == -1L
+    val ramp = Array.tabulate[Byte](130)(i => i.toByte)
+    val flat = Array.fill[Byte](130)(7)
+    val df = Seq((1L, ramp), (2L, flat), (3L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), graft.functions.DHash64(col("payload")).as("fp"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == -1L, s"ramp fingerprint ${got(1L)}")
+    assert(got(2L) == 0L)
+    assert(got(3L) == 0L)
+  }
+
+  test("mediaNearDup: planted perturbed duplicates are recalled, distinct media are not paired") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    // three unrelated 1300-byte payloads + a lightly perturbed copy of each
+    // (3 bytes nudged by +5 — window means move < 1, so dHash flips at most
+    // the adjacent comparison bits)
+    val bases = (0 until 3).map { i =>
+      (i.toLong, Array.fill[Byte](1300)((rng.nextInt(64) + 32).toByte))
+    }
+    val dups = bases.map { case (id, b) =>
+      val c = b.clone()
+      Seq(100, 600, 1100).foreach(p => c(p) = (c(p) + 5).toByte)
+      (id + 10, c)
+    }
+    val media = (bases ++ dups).toDF("doc_id", "payload")
+    val pairs = Multimodal.mediaNearDupFrom(media, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted (base, perturbed) pair recalled…
+    for (id <- 0L until 3L)
+      assert(pairs.contains((id, id + 10)), s"planted pair ($id, ${id + 10}) missed: $pairs")
+    // …and no pair joins two different base payloads
+    val crossFamily = pairs.filter { case (a, b) => b % 10 != a % 10 }
+    assert(crossFamily.isEmpty, s"unrelated media paired: $crossFamily")
+  }
+
+  test("media_near_dup: every doc pairs with its planted exact twin at hamming 0") {
+    val docs = Tables(spark, dir, "documents").count()
+    val pairs = Multimodal.mediaNearDup(spark, dir).cache()
+    val exact = pairs
+      .filter(col("b_id") === col("a_id") + 1000000 && col("hamming") === 0)
+      .count()
+    assert(exact == docs, s"$exact of $docs planted twins found")
+    pairs.unpersist()
+  }
+
   test("mediaStats: modality partition of all docs, byte totals consistent") {
     val stats = Multimodal.mediaStats(spark, dir).collect()
     assert(stats.map(_.getAs[String]("mime")).toSeq ==
