@@ -101,6 +101,7 @@ object SparkEntry {
     "minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
     "incremental_near_dup" -> (Dedup.incrementalNearDup _),
     "repeated_ngram_spans" -> ((s, d) => Dedup.repeatedNgramSpans(s, d)),
+    "cross_doc_spans"     -> ((s, d) => Dedup.crossDocSpans(s, d)),
     "near_dup_clusters"   -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "winnow_near_dup"     -> ((s, d) => Dedup.winnowNearDupPairs(s, d)),
     "simhash"             -> (Dedup.simhash _),
@@ -226,6 +227,7 @@ object SparkEntry {
     "minhash_lsh_pairs"   -> Dedup.ngramJaccardSql,
     "incremental_near_dup" -> Dedup.incrementalNearDupSql,
     "repeated_ngram_spans" -> Dedup.repeatedNgramSpansSql,
+    "cross_doc_spans"     -> Dedup.crossDocSpansSql,
     "simhash"             -> SimHashOracle.simhashSql,
     "simhash_near_dup"    -> SimHashOracle.simhashNearDupSql,
     "near_dup_clusters"   -> Dedup.nearDupClustersSql,
@@ -283,6 +285,7 @@ object SparkEntry {
     "conversion_funnel", "view_purchase_recon",
     "value_percentiles", "value_percentiles_approx",
     "winnow_near_dup", "incremental_near_dup", "repeated_ngram_spans",
+    "cross_doc_spans",
     "asof_last_click", "events_in_windows", "salted_user_age",
     "distinct_parts_approx",
     "events_rollup", "events_cube", "events_grouping_sets", "events_pivot",

@@ -669,6 +669,109 @@ object Dedup {
       .orderBy("g", "doc_id", "pos")
   }
 
+  /** Cross-document repeated-substring spans (the Lee et al. exact-substring
+    * dedup primitive): maximal runs of consecutive matching token n-grams
+    * between two documents, reported as spans — doc pair, start position in
+    * each doc, run length in grams and tokens. Downstream, a training
+    * pipeline cuts the span from all but one occurrence.
+    *
+    * Method: position-carrying grams ([[repeatedNgramSpans]]'s stream) →
+    * stop-gram cap (grams in > maxDf docs are boilerplate that would blow up
+    * the pair join quadratically — the [[winnowNearDupPairs]] discipline) →
+    * gram equi-join across doc pairs → runs via the classic gaps-and-islands
+    * key (`a_pos − row_number` per (pair, diagonal) — consecutive matches on
+    * one diagonal share it) → per-run aggregate. A shared substring of L
+    * tokens yields L−n+1 consecutive matches on a single diagonal, so
+    * `span_tokens = n_grams + n − 1` recovers L exactly.
+    *
+    * Scale shape: one explode, two hash aggregates for the df cap, one
+    * bounded equi-join (stop-gram cap bounds fan-out), one window whose
+    * partitions are per-(pair, diagonal) match lists — each a few rows. No
+    * cartesian, no global state.
+    */
+  def crossDocSpans(
+      spark: SparkSession,
+      dir: String,
+      n: Int = 8,
+      minRun: Int = 2,
+      maxDf: Int = 20): DataFrame =
+    crossDocSpansFrom(Tables(spark, dir, "documents"), n, minRun, maxDf)
+
+  /** [[crossDocSpans]] over any `(doc_id, text)` frame. */
+  def crossDocSpansFrom(
+      docs: DataFrame,
+      n: Int = 8,
+      minRun: Int = 2,
+      maxDf: Int = 20): DataFrame = {
+    // Persisted: feeds the df count and both legs of the pair join.
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordNGrams.all(col("text"), n)).as(Seq("pos", "g")))
+      .persist()
+    val joinable = grams.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs").between(2, maxDf))
+      .select("g")
+    val filtered = grams.join(joinable, Seq("g"))
+    val matches = filtered
+      .select(col("g"), col("doc_id").as("a_id"), col("pos").as("a_pos"))
+      .join(filtered.select(col("g"), col("doc_id").as("b_id"), col("pos").as("b_pos")),
+        Seq("g"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("diag", col("b_pos") - col("a_pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id", "b_id", "diag").orderBy("a_pos")
+    matches
+      .withColumn("run_key", col("a_pos") - row_number().over(w))
+      .groupBy("a_id", "b_id", "diag", "run_key")
+      .agg(
+        min("a_pos").as("a_start"),
+        min("b_pos").as("b_start"),
+        count(lit(1)).as("n_grams"))
+      .filter(col("n_grams") >= minRun)
+      .select(col("a_id"), col("b_id"), col("a_start"), col("b_start"),
+        col("n_grams"), (col("n_grams") + (n - 1)).as("span_tokens"))
+      .orderBy("a_id", "b_id", "a_start", "b_start")
+  }
+
+  /** Exact mirror: [[repeatedNgramSpansSql]]'s gram stream, then the same
+    * df cap, pair join, and gaps-and-islands run aggregation. */
+  val crossDocSpansSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
+      |), gl AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 8
+      |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+      |          t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]
+      |          FOR i IN range(1, len(t) - 6)]
+      |    ELSE [lower(text)] END AS gs
+      |  FROM toks JOIN documents USING (doc_id)
+      |), grams AS (
+      |  SELECT doc_id, unnest(gs) AS g, unnest(range(0, len(gs))) AS pos FROM gl
+      |), joinable AS (
+      |  SELECT g FROM (
+      |    SELECT g, count(*) AS n_docs
+      |    FROM (SELECT DISTINCT doc_id, g FROM grams) GROUP BY g)
+      |  WHERE n_docs BETWEEN 2 AND 20
+      |), filtered AS (
+      |  SELECT doc_id, g, pos FROM grams JOIN joinable USING (g)
+      |), matches AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS a_pos, b.pos AS b_pos,
+      |    b.pos - a.pos AS diag
+      |  FROM filtered a JOIN filtered b USING (g)
+      |  WHERE a.doc_id < b.doc_id
+      |), runs AS (
+      |  SELECT a_id, b_id, diag,
+      |    a_pos - row_number() OVER (PARTITION BY a_id, b_id, diag ORDER BY a_pos) AS run_key,
+      |    a_pos, b_pos
+      |  FROM matches
+      |)
+      |SELECT a_id, b_id, min(a_pos) AS a_start, min(b_pos) AS b_start,
+      |  count(*) AS n_grams, count(*) + 7 AS span_tokens
+      |FROM runs GROUP BY a_id, b_id, diag, run_key
+      |HAVING count(*) >= 2
+      |ORDER BY a_id, b_id, a_start, b_start""".stripMargin
+
   /** Oracle: the same gram stream via a positional comprehension (two
     * zipped unnests), same two-level support count. */
   val repeatedNgramSpansSql: String =

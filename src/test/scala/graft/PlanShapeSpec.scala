@@ -105,6 +105,9 @@ class PlanShapeSpec extends SparkSuite {
     // verify); the 2 sort-merges are the test-SF fact-fact verify joins
     "incremental_near_dup" -> (0, 0, 2, 1, 12, 0),
     "repeated_ngram_spans" -> (0, 0, 0, 1, 3, 0),
+    // the window is the per-(pair,diagonal) gaps-and-islands run key —
+    // partitions are bounded match lists, not corpus-sized
+    "cross_doc_spans" -> (0, 0, 0, 1, 6, 1),
     "asof_last_click" -> (0, 0, 0, 1, 2, 1),
     "events_in_windows" -> (0, 0, 0, 1, 3, 0),
     "salted_user_age" -> (0, 0, 0, 1, 3, 0),

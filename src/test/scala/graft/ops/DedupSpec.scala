@@ -147,6 +147,40 @@ class DedupSpec extends SparkSuite {
     assert(out.columns.toSeq == Seq("g", "n_docs", "doc_id", "pos"))
   }
 
+  test("crossDocSpans: planted shared paragraph recovered with exact positions and length") {
+    import spark.implicits._
+    // a 12-token paragraph shared verbatim by docs 1 and 2 at different
+    // offsets: 12 tokens of 8-grams → 5 consecutive matches on one diagonal
+    val para = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    val docs = Seq(
+      (1L, s"one two three $para tail words after the shared region"),
+      (2L, s"$para followed by its own unrelated continuation of this document"),
+      // docs 3/4 share a single 8-gram only — one match, below minRun
+      (3L, "zulu yankee xray whiskey victor uniform tango sierra plus padding"),
+      (4L, "prefix zulu yankee xray whiskey victor uniform tango sierra suffix")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.crossDocSpansFrom(docs, n = 8, minRun = 2, maxDf = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // para starts at token 3 in doc 1, token 0 in doc 2; 12 tokens → 5 grams
+    assert(spans == Seq((1L, 2L, 3, 0, 5L, 12L)),
+      s"got $spans — expected exactly the planted (1,2) span; the single-gram (3,4) overlap must not qualify")
+  }
+
+  test("crossDocSpans: boilerplate grams above the df cap never form spans") {
+    import spark.implicits._
+    val boiler = "standard legal disclaimer text repeated on every single document"
+    val docs = (1L to 6L).map(i => (i, s"$boiler unique$i tail$i")).toDF("doc_id", "text")
+    // cap 3 < 6 docs carrying the 8-gram ⇒ the gram is a stop-gram ⇒ no spans
+    val spans = Dedup.crossDocSpansFrom(docs, n = 8, minRun = 1, maxDf = 3)
+    assert(spans.count() == 0)
+    // raising the cap to 20 re-admits it: the 9-token boilerplate yields 2
+    // consecutive shared grams → one span per doc pair, C(6,2) = 15 spans
+    val open = Dedup.crossDocSpansFrom(docs, n = 8, minRun = 1, maxDf = 20)
+    assert(open.count() == 15, s"expected 15 spans, got ${open.count()}")
+  }
+
   test("incrementalNearDup: equals the cross-batch restriction of the full pair set") {
     val dir = "/root/testdata/sf0.001"
     val inc = Dedup.incrementalNearDup(spark, dir).collect()
