@@ -131,6 +131,7 @@ object SparkEntry {
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSampleHash(s, d)),
     "mixture_sample"    -> ((s, d) => Sampling.mixtureSample(s, d)),
     "shuffle_shards"    -> ((s, d) => Sampling.shuffleShards(s, d)),
+    "url_host_caps"     -> ((s, d) => Sampling.urlHostCaps(s, d)),
     // --- corpus preparation (repetition filter, PII, decontamination, packing) ---
     "quality_filter"   -> (Corpus.qualityFilter _),
     "repetition_stats" -> ((s, d) => Corpus.repetitionStats(s, d)),
@@ -246,6 +247,7 @@ object SparkEntry {
     "stratified_sample" -> Sampling.stratifiedSampleHashSql,
     "mixture_sample"    -> Sampling.mixtureSampleSql,
     "shuffle_shards"    -> Sampling.shuffleShardsSql,
+    "url_host_caps"     -> Sampling.urlHostCapsSql,
     "quality_filter"   -> Corpus.qualityFilterSql,
     "repetition_stats" -> Corpus.repetitionStatsSql,
     "pii_scrub"        -> Corpus.piiScrubSql,
@@ -299,6 +301,7 @@ object SparkEntry {
     "frame_sample", "frame_sample_digest", "extract_features",
     "bucketed_join_revenue", "partition_pruned_events",
     "split_counts", "stratified_sample", "mixture_sample", "shuffle_shards",
+    "url_host_caps",
     "quality_filter",
     "repetition_stats", "pii_scrub", "decontaminate", "pack_sequences",
     "chunk_documents", "unigram_logprob"

@@ -238,4 +238,46 @@ object Sampling {
       |  FROM (SELECT doc_id, lang, md5('s42:' || doc_id::VARCHAR) AS okey
       |        FROM documents))
       |ORDER BY shard, pos""".stripMargin
+
+  /** Domain/URL frequency capping — the standard web-corpus curation rule
+    * "keep at most `cap` documents per host" (a handful of mega-hosts
+    * otherwise dominate a crawl). WHICH docs survive is deterministic:
+    * rank per host by md5(seed:doc_id) (the [[shuffleShards]] order-key
+    * discipline — a pure function of key and seed, so re-runs, backfills,
+    * and other engines retain the identical subset), keep ranks ≤ cap.
+    *
+    * Skew is the design point at 100 TB: a single host can hold 10⁸ docs.
+    * The declarative rank-then-filter is deliberately left to Catalyst,
+    * which plans it as a two-phase WindowGroupLimit (plan-pinned by spec):
+    * a PARTIAL top-`cap` per host runs map-side before the exchange, so
+    * at most `cap` rows per host per input slice ever shuffle, and the
+    * final per-host rank sorts a capped, not corpus-sized, partition —
+    * the hand-rolled salted two-phase rank, for free.
+    */
+  def urlHostCapsFrom(docs: DataFrame, cap: Int = 10, seed: String = "s42"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val okey = md5(concat(lit(seed), lit(":"), col("doc_id").cast("string")).cast("binary"))
+    val exact = Window.partitionBy("host").orderBy(col("okey"), col("doc_id"))
+    docs.select(col("doc_id"), col("host"), okey.as("okey"))
+      .withColumn("host_rank", row_number().over(exact))
+      .filter(col("host_rank") <= cap)
+      .select("doc_id", "host", "host_rank")
+      .orderBy("host", "host_rank")
+  }
+
+  /** Registered query: cap the documents table at 10 docs per `source`
+    * (standing in for the URL host). */
+  def urlHostCaps(spark: SparkSession, dir: String, cap: Int = 10): DataFrame =
+    urlHostCapsFrom(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("source").as("host")),
+      cap)
+
+  val urlHostCapsSql: String =
+    """SELECT doc_id, host, host_rank FROM (
+      |  SELECT doc_id, source AS host,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY md5('s42:' || doc_id::VARCHAR), doc_id) AS host_rank
+      |  FROM documents)
+      |WHERE host_rank <= 10
+      |ORDER BY host, host_rank""".stripMargin
 }

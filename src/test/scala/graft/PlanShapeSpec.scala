@@ -152,6 +152,9 @@ class PlanShapeSpec extends SparkSuite {
     "stratified_sample" -> (0, 0, 0, 1, 1, 0),
     "mixture_sample" -> (0, 4, 0, 1, 12, 0),
     "shuffle_shards" -> (0, 0, 0, 1, 2, 1),
+    // 3 "Window" matches = 1 Window + 2 WindowGroupLimit (the Partial/Final
+    // map-side top-cap phases — the skew armor SamplingSpec pins)
+    "url_host_caps" -> (0, 0, 0, 1, 2, 3),
     "quality_filter" -> (0, 0, 0, 1, 3, 0),
     "repetition_stats" -> (0, 0, 0, 1, 3, 0),
     "pii_scrub" -> (0, 0, 0, 1, 1, 0),

@@ -85,6 +85,53 @@ class SamplingSpec extends SparkSuite {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("urlHostCaps: cap boundary — under, at, and over the cap; md5 order decides survivors") {
+    import spark.implicits._
+    // host a: 3 docs (< cap), host b: 5 (== cap), host c: 9 (> cap)
+    val docs = ((1L to 3L).map(i => (i, "a")) ++ (10L to 14L).map(i => (i, "b")) ++
+      (20L to 28L).map(i => (i, "c"))).toDF("doc_id", "host")
+    val out = Sampling.urlHostCapsFrom(docs, cap = 5).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    val byHost = out.groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    assert(byHost("a").length == 3 && byHost("b").length == 5 && byHost("c").length == 5)
+    // ranks are dense 1..kept per host
+    for ((h, rows) <- byHost)
+      assert(rows.map(_._3).toSeq == (1 to rows.length), s"host $h ranks not dense")
+    // host c's survivors are exactly the top 5 by md5(seed:id) — recomputed
+    // independently of the operator
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def okey(id: Long): String =
+      md.digest(s"s42:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectC = (20L to 28L).sortBy(id => (okey(id), id)).take(5).toSet
+    assert(byHost("c").map(_._2).toSet == expectC)
+  }
+
+  test("urlHostCaps: result is independent of the input partitioning") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"h${i % 3}")).toDF("doc_id", "host")
+    val one = Sampling.urlHostCapsFrom(docs.coalesce(1), cap = 7).collect().map(_.toSeq)
+    val many = Sampling.urlHostCapsFrom(docs.repartition(13), cap = 7).collect().map(_.toSeq)
+    assert(one.toSeq == many.toSeq,
+      "capped rank must not depend on physical partitioning")
+  }
+
+  test("urlHostCaps: Catalyst plans the map-side partial cap (skew armor at 100 TB)") {
+    val plan = Sampling.urlHostCaps(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the rank<=cap filter must compile to a two-phase WindowGroupLimit:
+    // a Partial top-cap per host BEFORE the host exchange (so a mega-host
+    // ships at most cap rows per input slice), then the Final pass after
+    val partialAt = plan.indexOf("WindowGroupLimit")
+    assert(partialAt >= 0 && plan.indexOf("WindowGroupLimit", partialAt + 1) > 0,
+      s"expected two-phase WindowGroupLimit in:\n$plan")
+    assert(plan.contains("Partial") && plan.contains("Final"),
+      s"expected Partial+Final WindowGroupLimit phases in:\n$plan")
+    val exchangeAt = plan.indexOf("Exchange hashpartitioning(host")
+    val partialPhaseAt = plan.indexOf("row_number(), 10, Partial")
+    assert(exchangeAt >= 0 && partialPhaseAt > exchangeAt,
+      "the Partial WindowGroupLimit must sit BELOW (after, in tree print order) the host exchange")
+  }
+
   test("shuffleShards: shards actually mix the languages (that is the point)") {
     val out = Sampling.shuffleShards(spark, dir)
     val langsPerShard = out.groupBy("shard")
