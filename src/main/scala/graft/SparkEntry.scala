@@ -116,6 +116,7 @@ object SparkEntry {
     "ann_topk_brute" -> ((s, d) => Similarity.annTopKBrute(s, d)),
     "ann_lsh_topk"   -> ((s, d) => Similarity.annLshTopK(s, d)),
     "ann_ivf_topk"   -> ((s, d) => Similarity.annIvfTopK(s, d)),
+    "semdedup_clusters" -> (Similarity.semDedup _),
     // --- multimodal binary-column plumbing ---
     "media_stats"      -> (Multimodal.mediaStats _),
     "media_phash"      -> (Multimodal.mediaPhash _),
@@ -144,8 +145,9 @@ object SparkEntry {
 
   /** DuckDB oracle SQL for each query above. Omitted (rows-only check),
     * each for a stated reason:
-    *  - `ann_ivf_topk`: the KMeans quantizer is data-fitted — centroids
-    *    are not re-derivable in SQL (recall floor spec-pinned instead;
+    *  - `ann_ivf_topk`, `semdedup_clusters`: the KMeans quantizer is
+    *    data-fitted — centroids are not re-derivable in SQL (recall floor /
+    *    determinism + planted-dup + keep-rule specs pinned instead;
     *    the LSH siblings `ann_lsh_topk` / `embedding_near_dup_lsh` ARE
     *    exact since round 5 — their seeded hyperplanes embed as literals
     *    in generated SQL);
@@ -269,7 +271,8 @@ object SparkEntry {
     */
   val benchQueries: Seq[String] = Seq(
     "minhash_lsh_pairs", "near_dup_clusters", "embedding_near_dup_lsh", "ann_lsh_topk",
-    "ann_ivf_topk", "simhash_near_dup", "simhash", "ann_topk_brute",
+    "ann_ivf_topk", "semdedup_clusters", "simhash_near_dup", "simhash",
+    "ann_topk_brute",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
     "tpch_q14", "customers_without_urgent", "parts_in_both_years",
     "suppliers_no_returns",

@@ -266,6 +266,56 @@ object Similarity {
        |)""".stripMargin
   }
 
+  /** SemDeDup-style semantic deduplication (the embedding-space member of
+    * the dedup family, alongside token-set MinHash, bit-space SimHash, and
+    * substring winnowing): a seeded KMeans coarse quantizer partitions the
+    * corpus into cells — the SAME bounded-sample fit discipline as
+    * [[annIvfTopK]] — then near-duplicate pruning runs only WITHIN each
+    * cell: a vector is dropped iff some lower-id vector in its cell has
+    * cosine ≥ τ (deterministic min-id representative, no RNG in the keep
+    * rule). Output: every vector with its cell and keep flag.
+    *
+    * Scale shape: the pairwise stage is an equi-join on the cell id, so
+    * its cost is Σ|cell|², bounded by the quantizer granularity (SemDeDup
+    * runs ~100k cells at web scale so cells stay small); nothing is ever
+    * all-pairs over the corpus. Rows-only oracle — the quantizer is
+    * data-fitted, like `ann_ivf_topk` — with determinism, planted-dup
+    * recall, and keep-rule semantics spec-pinned instead.
+    */
+  def semDedupFrom(e: DataFrame, nCentroids: Int = 16, tau: Double = 0.45): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = e.withColumn("features", array_to_vector(col("v")))
+    // bounded, partitioning-stable fit sample (see annIvfTopK's rationale)
+    val fitSample = feats.select("features")
+      .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
+      .limit(50000)
+      .coalesce(1)
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+      .setInitMode("random")
+      .fit(fitSample)
+    val assigned = model.transform(feats)
+      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+      .persist()
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("v").as("a_v"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("v").as("b_v"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id") && cosine(col("a_v"), col("b_v")) >= tau)
+      .select(col("b_id").as("vec_id"))
+      .distinct()
+      .withColumn("dropped", lit(true))
+    assigned.select("vec_id", "cell")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(!col("dropped"), lit(true)).as("is_kept"))
+      .orderBy("vec_id")
+  }
+
+  /** Registered query: SemDeDup over the embeddings table. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupFrom(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+
   def annLshTopKSql: String = {
     s"""$bandedSqlCtes, cand AS (
        |  SELECT DISTINCT q.vec_id AS q_id, e.vec_id AS n_id

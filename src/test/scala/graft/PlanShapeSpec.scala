@@ -58,6 +58,9 @@ class PlanShapeSpec extends SparkSuite {
     "embedding_near_dup_lsh" -> (0, 0, 0, 1, 2, 0),
     "ann_lsh_topk" -> (0, 0, 0, 1, 3, 3),
     "ann_ivf_topk" -> (0, 0, 0, 1, 2, 3),
+    // the sort-merge is the intra-cell pair join (both legs are the
+    // persisted cell assignment — cell-bounded, never corpus all-pairs)
+    "semdedup_clusters" -> (0, 0, 1, 1, 3, 0),
     "simhash_near_dup" -> (0, 0, 0, 3, 4, 0),
     "simhash" -> (0, 0, 0, 1, 1, 0),
     "ann_topk_brute" -> (0, 1, 0, 1, 2, 3),

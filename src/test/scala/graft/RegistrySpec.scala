@@ -14,6 +14,7 @@ class RegistrySpec extends SparkSuite {
     * adding the reason there too. */
   private val documentedRowsOnly = Set(
     "ann_ivf_topk",             // KMeans quantizer is data-fitted
+    "semdedup_clusters",        // same data-fitted KMeans quantizer
     "distinct_parts_approx",    // HLL sketch internals are engine-specific
     "value_percentiles_approx", // GK sketch internals are engine-specific
     "value_quartiles_approx",   // approx_percentile boundaries are engine-specific

@@ -56,6 +56,46 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.3, s"IVF recall@10 degraded: $recall")
   }
 
+  test("semDedup: planted near-identical vectors dropped in favor of the min id; originals kept") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // 40 near-orthogonal base vectors (random 64-d) — mutually dissimilar —
+    // plus an exact copy of every 4th one at id+1000
+    val bases = (0L until 40L).map(i => (i, Array.fill(64)(rng.nextDouble() * 2 - 1)))
+    val copies = bases.filter(_._1 % 4 == 0).map { case (id, v) => (id + 1000, v.clone()) }
+    val e = (bases ++ copies).map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "v")
+    val out = Similarity.semDedupFrom(e, nCentroids = 4, tau = 0.99).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // every base vector kept (random 64-d vectors are far below cos 0.99)…
+    for ((id, _) <- bases) assert(out(id), s"base $id wrongly dropped")
+    // …and every planted copy dropped (its lower-id twin is in the corpus)
+    for ((id, _) <- copies) assert(!out(id), s"planted copy $id not dropped")
+  }
+
+  test("semDedup: deterministic, and the keep rule is exactly 'no similar lower id in my cell'") {
+    val dir = "/root/testdata/sf0.01"
+    val r1 = Similarity.semDedup(spark, dir).collect()
+    val r2 = Similarity.semDedup(spark, dir).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
+      "seeded quantizer + id-ordered keep rule must be deterministic")
+    // recompute the rule from the output's own cell assignment + raw vectors
+    val cells = r1.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kept = r1.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val vecs = Tables(spark, dir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((id, c) <- cells) {
+      val similarLower = cells.exists { case (o, oc) =>
+        oc == c && o < id && cos(vecs(o), vecs(id)) >= 0.45
+      }
+      assert(kept(id) == !similarLower, s"keep rule violated for vec $id")
+    }
+  }
+
   test("multi-table LSH top-k: recall against the brute-force anchor") {
     val dir = "/root/testdata/sf0.01"
     val brute = Similarity.annTopKBrute(spark, dir)
