@@ -138,6 +138,7 @@ object SparkEntry {
     "repetition_stats" -> ((s, d) => Corpus.repetitionStats(s, d)),
     "pii_scrub"        -> (Corpus.piiScrub _),
     "decontaminate"    -> ((s, d) => Corpus.decontaminate(s, d)),
+    "decontaminate_bloom" -> ((s, d) => Corpus.decontaminateBloom(s, d)),
     "pack_sequences"   -> ((s, d) => Corpus.packSequences(s, d)),
     "chunk_documents"  -> ((s, d) => Corpus.chunkDocuments(s, d)),
     "unigram_logprob"  -> (Corpus.unigramLogProbScore _)
@@ -155,6 +156,9 @@ object SparkEntry {
     *    `value_quartiles_approx`: HLL/GK sketch internals are
     *    engine-specific (error envelopes spec-pinned vs the exact twins);
     *  - `extract_features`: the stub codec is a JVM PRNG;
+    *  - `decontaminate_bloom`: the Bloom bit pattern depends on the
+    *    engine's sketch hashes (no-false-negative superset of the exact
+    *    `decontaminate` + fpp bound spec-pinned instead);
     *  - `frame_sample`: raw binary cells defeat the driver's value hash —
     *    its slicing logic is oracled via `frame_sample_digest`.
     * `minhash_lsh_pairs` is checked against the BRUTE-FORCE Jaccard oracle:
@@ -306,7 +310,8 @@ object SparkEntry {
     "split_counts", "stratified_sample", "mixture_sample", "shuffle_shards",
     "url_host_caps",
     "quality_filter",
-    "repetition_stats", "pii_scrub", "decontaminate", "pack_sequences",
+    "repetition_stats", "pii_scrub", "decontaminate", "decontaminate_bloom",
+    "pack_sequences",
     "chunk_documents", "unigram_logprob"
   )
 }

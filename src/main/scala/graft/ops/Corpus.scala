@@ -246,6 +246,46 @@ object Corpus {
       .orderBy("train_id")
   }
 
+  /** [[decontaminate]]'s deployable 100-TB shape: the exact variant
+    * broadcasts the ENTIRE held-out shingle index — fine while the
+    * held-out set is benchmark-sized, a multi-GB ship once it grows. A
+    * Bloom filter side is FIXED-SIZE (~9.6 bits per gram at 1% fpp — a
+    * 10⁹-gram held-out index rides in ~1.2 GB regardless of gram length),
+    * probes map-side on the broadcast bits with no join at all, and errs
+    * only toward over-flagging: `mightContain` has NO false negatives, so
+    * every document the exact scan flags is flagged here too (spec-pinned),
+    * plus a bounded-fpp tail of extras — the safe direction for leakage
+    * screening (over-remove, never under-remove). fpp sizing matters at
+    * the DOC level: a doc probing G grams false-flags at ~P(Poisson(G·fpp)
+    * ≥ minShared), so the default is 10⁻³ (≈0.1% of 50-gram docs), not the
+    * sketch-conventional 1% (which would false-flag ~9% of them).
+    *
+    * The probe is a scalar call into the broadcast sketch
+    * (`BloomFilter.mightContainString` — the same `spark.util.sketch`
+    * family Spark's own runtime-filter injection uses); a UDF, but a
+    * broadcast-local lookup with no shuffle, and the only exchange in the
+    * plan is the final per-train-doc aggregate.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String,
+      n: Int = 5, minShared: Int = 2, fpp: Double = 0.001): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val testGrams = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(Dedup.shingles(col("text"), n)).as("g")).distinct()
+    // capacity = the actual distinct-gram count here; at production scale
+    // this is a capacity BUDGET chosen up front (the sketch degrades to a
+    // higher fpp past it, never to false negatives)
+    val bf = testGrams.stat.bloomFilter("g", math.max(testGrams.count(), 1L), fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => bfB.value.mightContainString(g))
+    docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id").as("train_id"), explode(Dedup.shingles(col("text"), n)).as("g"))
+      .filter(mightContain(col("g")))
+      .groupBy("train_id")
+      .agg(countDistinct(col("g")).as("n_hit_grams"))
+      .filter(col("n_hit_grams") >= minShared)
+      .orderBy("train_id")
+  }
+
   val decontaminateSql: String =
     """WITH sh AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 5

@@ -162,6 +162,9 @@ class PlanShapeSpec extends SparkSuite {
     "repetition_stats" -> (0, 0, 0, 1, 3, 0),
     "pii_scrub" -> (0, 0, 0, 1, 1, 0),
     "decontaminate" -> (0, 0, 0, 1, 3, 0),
+    // same exchange budget as the exact variant, but with no gram join at
+    // all — the bloom probe is a broadcast-local scalar lookup
+    "decontaminate_bloom" -> (0, 0, 0, 1, 3, 0),
     "pack_sequences" -> (0, 0, 0, 1, 2, 1),
     "chunk_documents" -> (0, 0, 0, 1, 1, 0),
     "unigram_logprob" -> (0, 1, 0, 1, 5, 0)

@@ -19,6 +19,7 @@ class RegistrySpec extends SparkSuite {
     "value_percentiles_approx", // GK sketch internals are engine-specific
     "value_quartiles_approx",   // approx_percentile boundaries are engine-specific
     "extract_features",         // stub codec is a JVM PRNG
+    "decontaminate_bloom",      // Bloom bit pattern is engine-specific (sketch hashes)
     "frame_sample"              // raw binary cells defeat the driver's value hash
   )
 

@@ -52,6 +52,45 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("decontaminateBloom: superset of the exact scan (no false negatives), fpp-bounded extras") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = Corpus.decontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("train_id") -> r.getAs[Long]("n_shared_grams")).toMap
+    val bloom = Corpus.decontaminateBloom(spark, dir).collect()
+      .map(r => r.getAs[Long]("train_id") -> r.getAs[Long]("n_hit_grams")).toMap
+    // mightContain never misses a member: every exactly-flagged doc is
+    // bloom-flagged, with at least as many hit grams as true shared grams
+    for ((id, nShared) <- exact) {
+      assert(bloom.contains(id), s"exactly-flagged train doc $id missed by the bloom scan")
+      assert(bloom(id) >= nShared,
+        s"doc $id: ${bloom(id)} bloom hits < $nShared true shared grams")
+    }
+    // false-positive tail is fpp-bounded: probe every distinct non-member
+    // train gram against the same filter and measure the per-gram FP rate
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val testGramSet = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(Dedup.shingles(col("text"), 5)).as("g"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val trainGrams = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(explode(Dedup.shingles(col("text"), 5)).as("g"))
+      .distinct().collect().map(_.getString(0))
+    val bf = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(Dedup.shingles(col("text"), 5)).as("g")).distinct()
+      .stat.bloomFilter("g", math.max(testGramSet.size, 1).toLong, 0.001)
+    val nonMembers = trainGrams.filterNot(testGramSet)
+    val fps = nonMembers.count(bf.mightContainString)
+    val rate = fps.toDouble / math.max(nonMembers.length, 1)
+    // 5x slack over the configured 1e-3: the bound is a guarantee-shaped
+    // regression check, not a statistical knife edge
+    assert(rate <= 0.005, s"bloom false-positive rate $rate over ${nonMembers.length} probes")
+    // and at the DOC level the over-flagging tail is small: extras beyond
+    // the exact scan stay under 1% of the train corpus
+    val nTrain = docs.filter(col("doc_id") % 50 =!= 0).count()
+    val extras = bloom.keySet -- exact.keySet
+    assert(extras.size <= math.max(1, nTrain / 100),
+      s"${extras.size} bloom-only flagged docs of $nTrain train docs")
+  }
+
   test("chunkDocuments: full coverage, correct overlap, no phantom chunks") {
     val dir = "/root/testdata/sf0.001"
     val width = 128; val stride = 96
