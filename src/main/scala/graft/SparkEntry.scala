@@ -102,6 +102,7 @@ object SparkEntry {
     "incremental_near_dup" -> (Dedup.incrementalNearDup _),
     "repeated_ngram_spans" -> ((s, d) => Dedup.repeatedNgramSpans(s, d)),
     "cross_doc_spans"     -> ((s, d) => Dedup.crossDocSpans(s, d)),
+    "cut_spans"           -> ((s, d) => Dedup.cutSpans(s, d)),
     "near_dup_clusters"   -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "winnow_near_dup"     -> ((s, d) => Dedup.winnowNearDupPairs(s, d)),
     "simhash"             -> (Dedup.simhash _),
@@ -235,6 +236,7 @@ object SparkEntry {
     "incremental_near_dup" -> Dedup.incrementalNearDupSql,
     "repeated_ngram_spans" -> Dedup.repeatedNgramSpansSql,
     "cross_doc_spans"     -> Dedup.crossDocSpansSql,
+    "cut_spans"           -> Dedup.cutSpansSql,
     "simhash"             -> SimHashOracle.simhashSql,
     "simhash_near_dup"    -> SimHashOracle.simhashNearDupSql,
     "near_dup_clusters"   -> Dedup.nearDupClustersSql,
@@ -294,7 +296,7 @@ object SparkEntry {
     "conversion_funnel", "view_purchase_recon",
     "value_percentiles", "value_percentiles_approx",
     "winnow_near_dup", "incremental_near_dup", "repeated_ngram_spans",
-    "cross_doc_spans",
+    "cross_doc_spans", "cut_spans",
     "asof_last_click", "events_in_windows", "salted_user_age",
     "distinct_parts_approx",
     "events_rollup", "events_cube", "events_grouping_sets", "events_pivot",

@@ -734,6 +734,107 @@ object Dedup {
       .orderBy("a_id", "b_id", "a_start", "b_start")
   }
 
+  /** The cut stage that completes exact-substring dedup: remove every
+    * cross-document repeated span from the LOSING side and keep the rest
+    * of the document. Span pairs come from [[crossDocSpansFrom]]; the
+    * lower doc_id keeps its copy (the deterministic a<b convention), the
+    * higher one has the span's token range deleted. Output: every document
+    * with its cleaned text (tokens re-joined by single spaces), kept and
+    * removed token counts — `n_removed = 0` for untouched docs, and a doc
+    * that was entirely repeated material comes back with empty text rather
+    * than vanishing.
+    *
+    * Scale shape: the cut itself is a slim anti-join of the token stream
+    * against the exploded covered-position set (orders smaller than the
+    * corpus — only duplicated regions generate positions), then one
+    * per-doc aggregate to reassemble; the span detection dominates and its
+    * shape is [[crossDocSpansFrom]]'s.
+    */
+  def cutSpans(spark: SparkSession, dir: String, n: Int = 8,
+      minRun: Int = 2, maxDf: Int = 20): DataFrame =
+    cutSpansFrom(Tables(spark, dir, "documents"), n, minRun, maxDf)
+
+  /** [[cutSpans]] over any `(doc_id, text)` frame. */
+  def cutSpansFrom(docs: DataFrame, n: Int = 8, minRun: Int = 2,
+      maxDf: Int = 20): DataFrame = {
+    val spans = crossDocSpansFrom(docs, n, minRun, maxDf)
+    val covered = spans.select(col("b_id").as("doc_id"),
+        explode(sequence(col("b_start"),
+          col("b_start") + col("span_tokens") - 1)).as("pos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(lower(col("text")), "\\s+", -1)).as(Seq("pos", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("cleaned_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    totals.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact mirror of [[cutSpans]]: the [[crossDocSpansSql]] machinery up to
+    * the runs, then b-side position expansion, token-stream ANTI JOIN, and
+    * order-preserving reassembly via `string_agg ... ORDER BY pos`. */
+  val cutSpansSql: String =
+    """WITH toksrc AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
+      |), gl AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 8
+      |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+      |          t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]
+      |          FOR i IN range(1, len(t) - 6)]
+      |    ELSE [lower(text)] END AS gs
+      |  FROM toksrc JOIN documents USING (doc_id)
+      |), grams AS (
+      |  SELECT doc_id, unnest(gs) AS g, unnest(range(0, len(gs))) AS pos FROM gl
+      |), joinable AS (
+      |  SELECT g FROM (
+      |    SELECT g, count(*) AS n_docs
+      |    FROM (SELECT DISTINCT doc_id, g FROM grams) GROUP BY g)
+      |  WHERE n_docs BETWEEN 2 AND 20
+      |), filtered AS (
+      |  SELECT doc_id, g, pos FROM grams JOIN joinable USING (g)
+      |), matches AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS a_pos, b.pos AS b_pos,
+      |    b.pos - a.pos AS diag
+      |  FROM filtered a JOIN filtered b USING (g)
+      |  WHERE a.doc_id < b.doc_id
+      |), runs AS (
+      |  SELECT a_id, b_id, diag,
+      |    a_pos - row_number() OVER (PARTITION BY a_id, b_id, diag ORDER BY a_pos) AS run_key,
+      |    a_pos, b_pos
+      |  FROM matches
+      |), spans AS (
+      |  SELECT b_id AS doc_id, min(b_pos) AS b_start, count(*) + 7 AS span_tokens
+      |  FROM runs GROUP BY a_id, b_id, diag, run_key
+      |  HAVING count(*) >= 2
+      |), covered AS (
+      |  SELECT DISTINCT doc_id, unnest(range(b_start, b_start + span_tokens)) AS pos
+      |  FROM spans
+      |), tokens AS (
+      |  SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS pos FROM toksrc
+      |), kept AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text,
+      |    count(*) AS n_kept
+      |  FROM tokens ANTI JOIN covered USING (doc_id, pos)
+      |  GROUP BY doc_id
+      |), totals AS (
+      |  SELECT doc_id, count(*) AS n_tokens FROM tokens GROUP BY doc_id
+      |)
+      |SELECT t.doc_id, coalesce(k.cleaned_text, '') AS cleaned_text,
+      |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+      |  (t.n_tokens - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+      |FROM totals t LEFT JOIN kept k USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   /** Exact mirror: [[repeatedNgramSpansSql]]'s gram stream, then the same
     * df cap, pair join, and gaps-and-islands run aggregation. */
   val crossDocSpansSql: String =

@@ -111,6 +111,10 @@ class PlanShapeSpec extends SparkSuite {
     // the window is the per-(pair,diagonal) gaps-and-islands run key —
     // partitions are bounded match lists, not corpus-sized
     "cross_doc_spans" -> (0, 0, 0, 1, 6, 1),
+    // span detection (the 6 exchanges above) + covered-position anti-join,
+    // per-doc reassembly aggregate, totals join, final sort; the sort-merge
+    // is the token⋈covered anti-join at the suite's tiny broadcast budget
+    "cut_spans" -> (0, 0, 1, 2, 11, 1),
     "asof_last_click" -> (0, 0, 0, 1, 2, 1),
     "events_in_windows" -> (0, 0, 0, 1, 3, 0),
     "salted_user_age" -> (0, 0, 0, 1, 3, 0),

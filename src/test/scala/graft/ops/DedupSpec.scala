@@ -181,6 +181,36 @@ class DedupSpec extends SparkSuite {
     assert(open.count() == 15, s"expected 15 spans, got ${open.count()}")
   }
 
+  test("cutSpans: the losing copy of a shared paragraph is cut exactly; the keeper is untouched") {
+    import spark.implicits._
+    val para = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    val docs = Seq(
+      (1L, s"one two three $para tail words after the shared region"),
+      (2L, s"$para followed by its own unrelated continuation of this document"),
+      (3L, "independent filler content with no overlap whatsoever here at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutSpansFrom(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 (lower id) keeps everything
+    assert(out(1L) == (s"one two three $para tail words after the shared region", 21L, 0L))
+    // doc 2 loses exactly the 12 shared tokens from its front
+    assert(out(2L) == ("followed by its own unrelated continuation of this document", 9L, 12L))
+    // doc 3 untouched
+    assert(out(3L)._3 == 0L)
+  }
+
+  test("cutSpans: a fully repeated document empties instead of vanishing; token accounting holds") {
+    import spark.implicits._
+    val body = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec papa oscar"
+    val docs = Seq((10L, body), (20L, body)).toDF("doc_id", "text")
+    val out = Dedup.cutSpansFrom(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(10L) == (body, 12L, 0L), "keeper must stay whole")
+    assert(out(20L) == ("", 0L, 12L), "full duplicate must come back empty, not vanish")
+    // conservation: kept + removed = the doc's token count, for every doc
+    for ((_, (_, k, r)) <- out) assert(k + r == 12L)
+  }
+
   test("incrementalNearDup: equals the cross-batch restriction of the full pair set") {
     val dir = "/root/testdata/sf0.001"
     val inc = Dedup.incrementalNearDup(spark, dir).collect()
