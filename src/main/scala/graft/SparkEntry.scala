@@ -96,6 +96,7 @@ object SparkEntry {
     "vocab_top_terms" -> ((s, d) => TextAnalysis.vocabTopTerms(s, d)),
     "length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(s, d)),
+    "bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     // --- deduplication suite ---
     "ngram_jaccard_pairs" -> (Dedup.ngramJaccardPairs _),
     "minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
@@ -231,6 +232,7 @@ object SparkEntry {
     "vocab_top_terms" -> TextAnalysis.vocabTopTermsSql,
     "length_histogram" -> TextAnalysis.lengthHistogramSql,
     "distinctive_terms" -> TextAnalysis.distinctiveTermsSql,
+    "bm25_topk" -> TextAnalysis.bm25TopKSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardSql,
     "minhash_lsh_pairs"   -> Dedup.ngramJaccardSql,
     "incremental_near_dup" -> Dedup.incrementalNearDupSql,
@@ -305,7 +307,7 @@ object SparkEntry {
     "parse_dates", "article_funnel",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
     "winnow_fingerprints", "vocab_top_terms", "length_histogram",
-    "distinctive_terms",
+    "distinctive_terms", "bm25_topk",
     "media_stats", "media_phash", "media_near_dup",
     "frame_sample", "frame_sample_digest", "extract_features",
     "bucketed_join_revenue", "partition_pruned_events",

@@ -340,6 +340,98 @@ object TextAnalysis {
     * branch-by-branch against a reference implementation including the
     * short-document cases the corpus never hits.
     */
+  /** BM25 "more-like-this" retrieval: for each sampled query document
+    * (doc_id ≡ 0 mod 50 — the ANN query-set convention), the top-k other
+    * documents by Okapi BM25 over the query's distinct terms. The lexical
+    * retrieval primitive beside the embedding ANN family — a RAG corpus
+    * pipeline runs exactly this shape for hybrid (sparse+dense) recall.
+    *
+    * Scale shape: tf is one (doc, term) aggregate over the token explode;
+    * df and (N, avgdl) are two-level tiny aggregates off tf; query terms
+    * broadcast like ANN query batches; the candidate join is an equi-join
+    * on the term, whose right side is only the query vocabulary — never a
+    * corpus×corpus product. Per-query top-k runs as a rank-limited window
+    * (WindowGroupLimit pushes the partial top-k map-side).
+    *
+    * Ranking uses the ROUNDED score (4 dp) with doc_id tiebreak —
+    * deliberately the inverse of [[distinctiveTerms]]' raw-score rule:
+    * there the raw score is a single correctly-rounded division (bit-equal
+    * cross-engine), here it is an UNORDERED float sum over matched terms,
+    * so the raw bits differ by reassociation noise (~1e-15) between any
+    * two engines — only the rounded value is cross-engine stable.
+    */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKFrom(Tables(spark, dir, "documents"), k, k1, b)
+
+  /** [[bm25TopK]] over any `(doc_id, text)` frame. */
+  def bm25TopKFrom(docs: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist() // feeds dl, df, query terms, and the candidate join
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val qterms = tf.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("q_id"), col("tok"))
+    val scored = tf.join(broadcast(qterms), Seq("tok"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(df, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("s",
+        col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(col("s")), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("rank"), col("score"))
+      .orderBy("q_id", "rank")
+  }
+
+  val bm25TopKSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+      |), stats AS (
+      |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+      |), df AS (
+      |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+      |), qterms AS (
+      |  SELECT doc_id AS q_id, tok FROM tf WHERE doc_id % 50 = 0
+      |), scored AS (
+      |  SELECT q.q_id, t.doc_id,
+      |    round(sum(
+      |      ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+      |        * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+      |    ), 4) AS score
+      |  FROM tf t
+      |  JOIN qterms q USING (tok)
+      |  JOIN df USING (tok)
+      |  JOIN dl ON dl.doc_id = t.doc_id
+      |  CROSS JOIN stats s
+      |  WHERE t.doc_id <> q.q_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT q_id, doc_id, rank, score FROM (
+      |  SELECT q_id, doc_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank,
+      |    score
+      |  FROM scored)
+      |WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   val winnowFingerprintsSql: String =
     """WITH grams AS (
       |  SELECT doc_id, length(text) - 7 AS m, text,

@@ -142,6 +142,10 @@ class PlanShapeSpec extends SparkSuite {
     "vocab_top_terms" -> (0, 0, 0, 0, 2, 0),
     "length_histogram" -> (0, 0, 0, 1, 3, 0),
     "distinctive_terms" -> (0, 0, 0, 1, 5, 3),
+    // the BNL is the 1-row (N, avgdl) scalar-combine cross join; 12
+    // exchanges = the persisted tf feeding dl/df/qterms aggregates plus
+    // the candidate join tree; 3 = Window + its two WindowGroupLimits
+    "bm25_topk" -> (0, 1, 0, 1, 12, 3),
     "media_stats" -> (0, 0, 0, 1, 2, 0),
     // near_dup's 2 exchanges: the pair-dedup aggregate + final sort; the
     // segment-blocked candidate join itself broadcasts the fingerprint side

@@ -1,0 +1,33 @@
+package graft.ops
+
+import graft.SparkSuite
+
+class Bm25Spec extends SparkSuite {
+  import spark.implicits._
+
+  test("bm25: rare shared terms outrank ubiquitous ones; ranks dense, scores non-increasing, no self-match") {
+    // doc 0 is the query (0 % 50 == 0). "quasar pulsar" are rare (query +
+    // doc 1 only); "data table" appear in every doc — IDF must make doc 1
+    // beat doc 2, which shares only the ubiquitous terms.
+    val docs = Seq(
+      (0L, "quasar pulsar data table analysis"),
+      (1L, "quasar pulsar data table discussion"),
+      (2L, "data table data table data table"),
+      (3L, "completely unrelated content here"),
+      (4L, "data table something else entirely")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopKFrom(docs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val q0 = out.filter(_._1 == 0L).sortBy(_._3)
+    assert(q0.nonEmpty)
+    // dense ranks from 1, strictly no self-match
+    assert(q0.map(_._3).toSeq == (1 to q0.length), s"ranks not dense: $q0")
+    assert(q0.forall(_._2 != 0L), "query doc retrieved itself")
+    // scores non-increasing in rank order
+    assert(q0.map(_._4).toSeq == q0.map(_._4).sortBy(-_).toSeq)
+    // the rare-term sharer is ranked first, above the common-term-only doc
+    assert(q0.head._2 == 1L, s"expected doc 1 (rare terms) first, got $q0")
+    val pos = q0.map(_._2).indexOf(2L)
+    assert(pos > 0, s"doc 2 (common terms only) should be retrieved but not first: $q0")
+  }
+}
