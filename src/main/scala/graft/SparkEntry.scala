@@ -90,6 +90,7 @@ object SparkEntry {
     "token_stats"   -> (TextAnalysis.tokenStats _),
     "bpe_token_stats" -> (TextAnalysis.bpeTokenStats _),
     "quality_score" -> (TextAnalysis.qualityScore _),
+    "quality_prune" -> ((s, d) => TextAnalysis.qualityPrune(s, d)),
     "lang_id"       -> (TextAnalysis.langId _),
     "fingerprint"   -> (TextAnalysis.fingerprint _),
     "winnow_fingerprints" -> (TextAnalysis.winnowFingerprints _),
@@ -116,6 +117,7 @@ object SparkEntry {
     "events_pivot"  -> (Events.eventsPivot _),
     // --- similarity search ---
     "ann_topk_brute" -> ((s, d) => Similarity.annTopKBrute(s, d)),
+    "hybrid_rrf_topk" -> ((s, d) => Similarity.hybridRrfTopK(s, d)),
     "ann_lsh_topk"   -> ((s, d) => Similarity.annLshTopK(s, d)),
     "ann_ivf_topk"   -> ((s, d) => Similarity.annIvfTopK(s, d)),
     "semdedup_clusters" -> (Similarity.semDedup _),
@@ -232,6 +234,7 @@ object SparkEntry {
     "vocab_top_terms" -> TextAnalysis.vocabTopTermsSql,
     "length_histogram" -> TextAnalysis.lengthHistogramSql,
     "distinctive_terms" -> TextAnalysis.distinctiveTermsSql,
+    "quality_prune" -> TextAnalysis.qualityPruneSql,
     "bm25_topk" -> TextAnalysis.bm25TopKSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardSql,
     "minhash_lsh_pairs"   -> Dedup.ngramJaccardSql,
@@ -246,6 +249,7 @@ object SparkEntry {
     "embedding_near_dup"  -> Dedup.embeddingNearDupSql,
     "embedding_near_dup_lsh" -> Dedup.embeddingNearDupLshSql,
     "ann_topk_brute" -> Similarity.annTopKSql,
+    "hybrid_rrf_topk" -> Similarity.hybridRrfTopKSql,
     "ann_lsh_topk"   -> Similarity.annLshTopKSql,
     "media_stats"    -> Multimodal.mediaStatsSql,
     "media_phash"    -> Multimodal.mediaPhashSql,
@@ -307,7 +311,7 @@ object SparkEntry {
     "parse_dates", "article_funnel",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
     "winnow_fingerprints", "vocab_top_terms", "length_histogram",
-    "distinctive_terms", "bm25_topk",
+    "distinctive_terms", "bm25_topk", "quality_prune", "hybrid_rrf_topk",
     "media_stats", "media_phash", "media_near_dup",
     "frame_sample", "frame_sample_digest", "extract_features",
     "bucketed_join_revenue", "partition_pruned_events",

@@ -316,6 +316,58 @@ object Similarity {
     semDedupFrom(Tables(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v")))
 
+  /** Hybrid sparse+dense retrieval via reciprocal-rank fusion: the BM25
+    * top-k ([[TextAnalysis.bm25TopK]], lexical) and the exact cosine top-k
+    * ([[annTopKBrute]], dense — `vec_id` is the document's embedding id,
+    * the testdata's parallel id space) fuse as
+    * `rrf = Σ 1/(c + rank)` over the lists that retrieved the candidate —
+    * the standard fusion that needs no score calibration between the two
+    * retrievers (Cormack & Clarke's RRF, c = 60). This is the recall stage
+    * of a hybrid RAG pipeline as one declarative plan: both retrievers'
+    * plans compose, and the fusion is a full outer join on (query, doc) +
+    * one windowed top-k.
+    *
+    * Cross-engine exactness: each side's rank is already oracle-exact; the
+    * rrf value is a fixed-order sum of at most two correctly-rounded
+    * divisions, so it is bit-equal across engines — ranking uses the raw
+    * rrf with doc_id tiebreak.
+    */
+  def hybridRrfTopK(spark: SparkSession, dir: String, k: Int = 10, c: Int = 60): DataFrame = {
+    val sparse = TextAnalysis.bm25TopK(spark, dir, k)
+      .select(col("q_id"), col("doc_id"), col("rank").as("r_sparse"))
+    val dense = annTopKBrute(spark, dir, k)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rank").as("r_dense"))
+    val fused = sparse.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("r_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("r_dense")), lit(0.0)))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("rank"), round(col("rrf"), 6).as("rrf"))
+      .orderBy("q_id", "rank")
+  }
+
+  def hybridRrfTopKSql: String =
+    s"""WITH sparse AS (
+       |${TextAnalysis.bm25TopKSql}
+       |), dense AS (
+       |$annTopKSql
+       |), fused AS (
+       |  SELECT coalesce(s.q_id, d.q_id) AS q_id,
+       |    coalesce(s.doc_id, d.n_id) AS doc_id,
+       |    coalesce(1.0::DOUBLE / (60 + s.rank), 0) + coalesce(1.0::DOUBLE / (60 + d.rank), 0) AS rrf
+       |  FROM sparse s FULL JOIN dense d ON s.q_id = d.q_id AND s.doc_id = d.n_id
+       |)
+       |SELECT q_id, doc_id, rank, rrf FROM (
+       |  SELECT q_id, doc_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank,
+       |    round(rrf, 6) AS rrf
+       |  FROM fused)
+       |WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+
   def annLshTopKSql: String = {
     s"""$bandedSqlCtes, cand AS (
        |  SELECT DISTINCT q.vec_id AS q_id, e.vec_id AS n_id

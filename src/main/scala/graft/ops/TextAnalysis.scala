@@ -432,6 +432,49 @@ object TextAnalysis {
       |WHERE rank <= 10
       |ORDER BY q_id, rank""".stripMargin
 
+  /** Per-language quality pruning: keep the top `keepFrac` of each
+    * language's documents by [[qualityScore]], rank ties broken by doc_id —
+    * the curation step that follows scoring in a training pipeline (prune
+    * per language, never globally, so low-resource languages aren't wiped
+    * out by a quality distribution shifted against them).
+    *
+    * Exactly-fractional semantics need a per-language rank, which is a
+    * per-language sort: fine when languages number in the dozens and
+    * partitions in the millions of rows (repartitionByRange + sort at
+    * production scale). When a corpus-sized language makes even that too
+    * heavy, the standard relaxation is a per-language score THRESHOLD from
+    * an approximate quantile (one pass, no sort) at the cost of over/under-
+    * keeping ties — with this corpus's 5-point score grid that would
+    * over-keep entire tie classes, so the exact rank is the right default.
+    */
+  def qualityPrune(spark: SparkSession, dir: String, keepFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityScore(spark, dir)
+      .join(Tables(spark, dir, "documents").select("doc_id", "lang"), Seq("doc_id"))
+    val byLang = Window.partitionBy("lang")
+    val w = byLang.orderBy(col("quality").desc, col("doc_id"))
+    scored
+      .withColumn("lang_rank", row_number().over(w))
+      .withColumn("n_lang", count(lit(1)).over(byLang))
+      .filter(col("lang_rank") <= ceil(lit(keepFrac) * col("n_lang")))
+      .select(col("doc_id"), col("lang"), col("quality"), col("lang_rank"))
+      .orderBy("doc_id")
+  }
+
+  def qualityPruneSql: String =
+    s"""WITH scored AS (
+       |${qualityScoreSql.stripSuffix("\nORDER BY doc_id")}
+       |), ranked AS (
+       |  SELECT s.doc_id, d.lang, s.quality,
+       |    row_number() OVER (PARTITION BY d.lang
+       |                       ORDER BY s.quality DESC, s.doc_id) AS lang_rank,
+       |    count(*) OVER (PARTITION BY d.lang) AS n_lang
+       |  FROM scored s JOIN documents d USING (doc_id)
+       |)
+       |SELECT doc_id, lang, quality, lang_rank
+       |FROM ranked WHERE lang_rank <= ceil(0.5 * n_lang)
+       |ORDER BY doc_id""".stripMargin
+
   val winnowFingerprintsSql: String =
     """WITH grams AS (
       |  SELECT doc_id, length(text) - 7 AS m, text,

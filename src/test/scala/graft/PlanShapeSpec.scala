@@ -146,6 +146,12 @@ class PlanShapeSpec extends SparkSuite {
     // exchanges = the persisted tf feeding dl/df/qterms aggregates plus
     // the candidate join tree; 3 = Window + its two WindowGroupLimits
     "bm25_topk" -> (0, 1, 0, 1, 12, 3),
+    // quality_prune's 2 windows share one lang partitioning (rank + count)
+    "quality_prune" -> (0, 0, 0, 1, 2, 2),
+    // the composition of both retrievers' plans: bm25's BNL scalar-combine
+    // + ann's broadcast nested loop (its pinned shape), their window top-ks
+    // (each with WindowGroupLimit pair) + the fusion window
+    "hybrid_rrf_topk" -> (0, 2, 1, 1, 16, 9),
     "media_stats" -> (0, 0, 0, 1, 2, 0),
     // near_dup's 2 exchanges: the pair-dedup aggregate + final sort; the
     // segment-blocked candidate join itself broadcasts the fingerprint side

@@ -30,4 +30,23 @@ class Bm25Spec extends SparkSuite {
     val pos = q0.map(_._2).indexOf(2L)
     assert(pos > 0, s"doc 2 (common terms only) should be retrieved but not first: $q0")
   }
+
+  test("qualityPrune: per-language keep counts are exactly ceil(n/2), and the kept set is the rank-top") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val kept = TextAnalysis.qualityPrune(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val all = TextAnalysis.qualityScore(spark, dir)
+      .join(Tables(spark, dir, "documents").select("doc_id", "lang"), Seq("doc_id"))
+      .select("doc_id", "lang", "quality").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    for ((lang, docs) <- all.groupBy(_._2)) {
+      val expectN = math.ceil(docs.size / 2.0).toLong
+      val keptLang = kept.filter(_._2 == lang)
+      assert(keptLang.size == expectN, s"$lang: kept ${keptLang.size}, expected $expectN")
+      // the kept set is exactly the top by (quality desc, doc_id asc)
+      val expected = docs.sortBy(d => (-d._3, d._1)).take(expectN.toInt).map(_._1).toSet
+      assert(keptLang.map(_._1).toSet == expected, s"$lang kept wrong docs")
+    }
+  }
 }
