@@ -669,6 +669,23 @@ object Dedup {
       .orderBy("g", "doc_id", "pos")
   }
 
+  /** The corpus band index as a standalone artifact: `(band, band_hash,
+    * hist_id)` — what [[incrementalNearDup]] builds inline, exposed for the
+    * streaming ingest ([[graft.streaming.DocStreams.nearDupAgainstIndex]]),
+    * where it plays the static side of a stream-static join. At production
+    * scale this is a bucketed table keyed by (band, band_hash), rebuilt per
+    * index epoch.
+    */
+  def bandIndex(docs: DataFrame): DataFrame =
+    docs.select(
+      posexplode(graft.functions.MinHashBands(shingles(col("text")), MinhashK, Bands))
+        .as(Seq("band", "band_hash")),
+      col("doc_id").as("hist_id"))
+
+  /** The verify-side shingle store for the band index: `(hist_id, hist_sh)`. */
+  def shingleIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("hist_id"), shingles(col("text")).as("hist_sh"))
+
   /** Cross-document repeated-substring spans (the Lee et al. exact-substring
     * dedup primitive): maximal runs of consecutive matching token n-grams
     * between two documents, reported as spans — doc pair, start position in

@@ -34,4 +34,40 @@ object DocStreams {
         md5(lower(graft.pipeline.TextClean.collapseWs(col("text"))).cast("binary")))
       .withColumn("simhash", graft.functions.SimHash64(Dedup.tokens(col("text"))))
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming twin of [[graft.ops.Dedup.incrementalNearDup]] — the
+    * production ingest: documents STREAM in and near-dup-check against a
+    * STATIC corpus band index (`Dedup.bandIndex` / `Dedup.shingleIndex`,
+    * the persisted-table index artifacts of the batch path). The band
+    * candidate join is a stream-static equi-join, which Structured
+    * Streaming executes STATELESSLY — per micro-batch, no streaming state
+    * at all for candidates; the only state is the pair-dedup, keyed within
+    * the watermark (a pair can collide in several bands and micro-batches
+    * apart, but never beyond the event-time horizon).
+    *
+    * Same expressions as the batch path end-to-end: map-side
+    * [[graft.functions.MinHashBands]] over the same shingles, exact-Jaccard
+    * verify against the index's stored shingle arrays — parity with the
+    * batch restriction is spec-pinned.
+    */
+  def nearDupAgainstIndex(
+      docs: DataFrame,
+      histBands: DataFrame,
+      histShingles: DataFrame,
+      watermark: String = DefaultWatermark): DataFrame = {
+    val inc = docs.withWatermark("ts", watermark)
+      .select(col("doc_id").as("inc_id"), col("ts"),
+        Dedup.shingles(col("text")).as("inc_sh"))
+    inc
+      .select(col("inc_id"), col("ts"), col("inc_sh"),
+        posexplode(graft.functions.MinHashBands(
+          col("inc_sh"), Dedup.MinhashK, Dedup.Bands)).as(Seq("band", "band_hash")))
+      .join(histBands, Seq("band", "band_hash"))
+      .join(broadcast(histShingles), Seq("hist_id"))
+      .withColumn("jac", round(Dedup.jaccard(col("inc_sh"), col("hist_sh")), 4))
+      .filter(col("jac") >= Dedup.JaccardThreshold)
+      .select("inc_id", "hist_id", "jac", "ts")
+      .dropDuplicatesWithinWatermark("inc_id", "hist_id")
+      .select("inc_id", "hist_id", "jac")
+  }
 }

@@ -70,4 +70,35 @@ class DocStreamsSpec extends SparkSuite {
     assert(batchKept == streamKept)
     assert(batchKept.nonEmpty && batchKept.size < docs.size)
   }
+
+  test("streaming near-dup against the static band index equals the batch incremental restriction") {
+    import graft.ops.{Dedup, Tables}
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val isIncoming = col("doc_id") % 10 >= 8
+    // static index over the history partition — the batch-built artifact
+    val histBands = Dedup.bandIndex(docs.filter(!isIncoming)).persist()
+    val histShingles = Dedup.shingleIndex(docs.filter(!isIncoming)).persist()
+    // the batch truth: incrementalNearDup over the same split
+    val expected = Dedup.incrementalNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // stream the incoming partition in TWO micro-batches (the index must
+    // serve candidates across batch boundaries without streaming state)
+    val incoming = docs.filter(isIncoming).collect()
+      .map(r => TestDoc(r.getLong(0), t((r.getLong(0) % 50).toInt), r.getString(1)))
+    val (b1, b2) = incoming.splitAt(incoming.length / 2)
+    val input = MemoryStream[TestDoc](spark)
+    val q = DocStreams.nearDupAgainstIndex(input.toDF(), histBands, histShingles)
+      .writeStream.format("memory").queryName("inc_near_dup_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(b1.toIndexedSeq); q.processAllAvailable()
+    input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("inc_near_dup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"stream-static near-dup diverged from batch: extra=${got -- expected}, missing=${expected -- got}")
+    assert(got.nonEmpty, "fixture produced no near-dup pairs — spec is vacuous")
+  }
 }
