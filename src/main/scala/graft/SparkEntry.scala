@@ -106,6 +106,7 @@ object SparkEntry {
     "cross_doc_spans"     -> ((s, d) => Dedup.crossDocSpans(s, d)),
     "cut_spans"           -> ((s, d) => Dedup.cutSpans(s, d)),
     "near_dup_clusters"   -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "corpus_dedup_report" -> (Dedup.corpusDedupReport _),
     "winnow_near_dup"     -> ((s, d) => Dedup.winnowNearDupPairs(s, d)),
     "simhash"             -> (Dedup.simhash _),
     "simhash_near_dup"    -> ((s, d) => Dedup.simhashNearDup(s, d)),
@@ -245,6 +246,7 @@ object SparkEntry {
     "simhash"             -> SimHashOracle.simhashSql,
     "simhash_near_dup"    -> SimHashOracle.simhashNearDupSql,
     "near_dup_clusters"   -> Dedup.nearDupClustersSql,
+    "corpus_dedup_report" -> Dedup.corpusDedupReportSql,
     "winnow_near_dup"     -> Dedup.winnowNearDupSql,
     "embedding_near_dup"  -> Dedup.embeddingNearDupSql,
     "embedding_near_dup_lsh" -> Dedup.embeddingNearDupLshSql,
@@ -274,7 +276,10 @@ object SparkEntry {
   /** Headline bench set: every query that is scale-shaped. The two O(n²)
     * brute-force correctness anchors (`ngram_jaccard_pairs`,
     * `embedding_near_dup`) are deliberately excluded — their scale paths
-    * (`minhash_lsh_pairs`, `ann_lsh_topk`) are what gets timed.
+    * (`minhash_lsh_pairs`, `ann_lsh_topk`) are what gets timed. So is
+    * `corpus_dedup_report`: a once-per-corpus audit composite that
+    * re-executes the already-benched minhash-LSH and cut_spans pipelines —
+    * benching it would double-count their cost in the sweep total.
     *
     * Ordered heavy-first: the JVM degrades measurably over a long sweep
     * (GC/code-cache state), and the multi-stage LSH queries are the most

@@ -669,6 +669,66 @@ object Dedup {
       .orderBy("g", "doc_id", "pos")
   }
 
+  /** One-row corpus dedup funnel report — the summary a curation run logs
+    * after its dedup passes, composed from the exact-oracled operators:
+    * near-dup pairs ([[minhashLshPairs]] semantics), how many docs they
+    * involve, and the cross-document substring cut ([[cutSpansFrom]])
+    * volume. Every field re-derives in the composed DuckDB oracle, so the
+    * whole report is value-exact, like the article pipeline's quality
+    * report but for the LLM-corpus side.
+    */
+  def corpusDedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val pairs = minhashLshPairs(spark, dir)
+    val cut = cutSpansFrom(docs)
+    val pairAgg = pairs.agg(count(lit(1)).as("near_dup_pairs"))
+    val docsInPairs = pairs.select(col("a_id").as("doc_id"))
+      .unionAll(pairs.select(col("b_id").as("doc_id")))
+      .distinct().agg(count(lit(1)).as("docs_in_near_dup"))
+    val cutAgg = cut.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("docs_cut"),
+      sum(col("n_removed")).as("tokens_removed"),
+      sum(col("n_kept") + col("n_removed")).as("tokens_total"))
+    cutAgg.crossJoin(pairAgg).crossJoin(docsInPairs)
+      .select(
+        col("n_docs"), col("near_dup_pairs"), col("docs_in_near_dup"),
+        col("docs_cut"), col("tokens_removed"),
+        round(col("tokens_removed").cast("double") / col("tokens_total"), 6)
+          .as("pct_tokens_removed"))
+  }
+
+  /** Composed oracle: the [[ngramJaccardSql]] pair CTE (the brute twin the
+    * LSH path provably matches on this corpus) + [[cutSpansSql]]'s cut
+    * table, aggregated to the same single row. */
+  def corpusDedupReportSql: String = {
+    val pairCte = ngramJaccardSql
+      .stripSuffix("\nORDER BY a_id, b_id")
+    val cutCte = cutSpansSql
+      .stripSuffix("\nORDER BY t.doc_id")
+    s"""WITH pairs AS (
+       |$pairCte
+       |), cut AS (
+       |$cutCte
+       |), pair_agg AS (
+       |  SELECT count(*) AS near_dup_pairs FROM pairs
+       |), dip AS (
+       |  SELECT count(*) AS docs_in_near_dup FROM (
+       |    SELECT DISTINCT doc_id FROM (
+       |      SELECT a_id AS doc_id FROM pairs
+       |      UNION ALL SELECT b_id AS doc_id FROM pairs))
+       |), cut_agg AS (
+       |  SELECT count(*) AS n_docs,
+       |    sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_cut,
+       |    sum(n_removed)::BIGINT AS tokens_removed,
+       |    sum(n_kept + n_removed)::BIGINT AS tokens_total
+       |  FROM cut
+       |)
+       |SELECT n_docs, near_dup_pairs, docs_in_near_dup, docs_cut, tokens_removed,
+       |  round(tokens_removed::double / tokens_total, 6) AS pct_tokens_removed
+       |FROM cut_agg CROSS JOIN pair_agg CROSS JOIN dip""".stripMargin
+  }
+
   /** The corpus band index as a standalone artifact: `(band, band_hash,
     * hist_id)` — what [[incrementalNearDup]] builds inline, exposed for the
     * streaming ingest ([[graft.streaming.DocStreams.nearDupAgainstIndex]]),

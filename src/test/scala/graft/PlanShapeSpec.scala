@@ -55,6 +55,10 @@ class PlanShapeSpec extends SparkSuite {
   private val Pinned: Map[String, (Int, Int, Int, Int, Int, Int)] = Map(
     "minhash_lsh_pairs" -> (0, 0, 2, 1, 12, 0),
     "near_dup_clusters" -> (0, 0, 0, 0, 0, 0),
+    // composite report: the full minhash-LSH + cut_spans pipelines under
+    // three scalar-combine cross joins — a once-per-corpus audit query,
+    // not a hot path; components' own digests stay pinned individually
+    "corpus_dedup_report" -> (0, 2, 7, 3, 49, 1),
     "embedding_near_dup_lsh" -> (0, 0, 0, 1, 2, 0),
     "ann_lsh_topk" -> (0, 0, 0, 1, 3, 3),
     "ann_ivf_topk" -> (0, 0, 0, 1, 2, 3),

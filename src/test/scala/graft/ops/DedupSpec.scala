@@ -211,6 +211,25 @@ class DedupSpec extends SparkSuite {
     for ((_, (_, k, r)) <- out) assert(k + r == 12L)
   }
 
+  test("corpusDedupReport: fields equal aggregates recomputed from the component operators") {
+    val dir = "/root/testdata/sf0.001"
+    val r = Dedup.corpusDedupReport(spark, dir).head()
+    val pairs = Dedup.minhashLshPairs(spark, dir).collect()
+      .map(p => (p.getLong(0), p.getLong(1)))
+    val cut = Dedup.cutSpansFrom(Tables(spark, dir, "documents")).collect()
+      .map(c => (c.getLong(0), c.getLong(2), c.getLong(3)))
+    assert(r.getAs[Long]("n_docs") == cut.length)
+    assert(r.getAs[Long]("near_dup_pairs") == pairs.length)
+    assert(r.getAs[Long]("docs_in_near_dup") ==
+      (pairs.map(_._1) ++ pairs.map(_._2)).distinct.length)
+    assert(r.getAs[Long]("docs_cut") == cut.count(_._3 > 0))
+    assert(r.getAs[Long]("tokens_removed") == cut.map(_._3).sum)
+    val total = cut.map(c => c._2 + c._3).sum
+    assert(r.getAs[Double]("pct_tokens_removed") ==
+      BigDecimal(cut.map(_._3).sum.toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("incrementalNearDup: equals the cross-batch restriction of the full pair set") {
     val dir = "/root/testdata/sf0.001"
     val inc = Dedup.incrementalNearDup(spark, dir).collect()
