@@ -95,6 +95,7 @@ object SparkEntry {
     "fingerprint"   -> (TextAnalysis.fingerprint _),
     "winnow_fingerprints" -> (TextAnalysis.winnowFingerprints _),
     "vocab_top_terms" -> ((s, d) => TextAnalysis.vocabTopTerms(s, d)),
+    "vocab_heavy_hitters_cms" -> ((s, d) => TextAnalysis.vocabHeavyHittersCms(s, d)),
     "length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(s, d)),
     "bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
@@ -164,6 +165,9 @@ object SparkEntry {
     *  - `decontaminate_bloom`: the Bloom bit pattern depends on the
     *    engine's sketch hashes (no-false-negative superset of the exact
     *    `decontaminate` + fpp bound spec-pinned instead);
+    *  - `vocab_heavy_hitters_cms`: count-min hash layout is engine-specific
+    *    (one-sided error envelope + top-k agreement vs the exact
+    *    `vocab_top_terms` spec-pinned instead);
     *  - `frame_sample`: raw binary cells defeat the driver's value hash —
     *    its slicing logic is oracled via `frame_sample_digest`.
     * `minhash_lsh_pairs` is checked against the BRUTE-FORCE Jaccard oracle:
@@ -317,6 +321,7 @@ object SparkEntry {
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
     "winnow_fingerprints", "vocab_top_terms", "length_histogram",
     "distinctive_terms", "bm25_topk", "quality_prune", "hybrid_rrf_topk",
+    "vocab_heavy_hitters_cms",
     "media_stats", "media_phash", "media_near_dup",
     "frame_sample", "frame_sample_digest", "extract_features",
     "bucketed_join_revenue", "partition_pruned_events",

@@ -240,6 +240,31 @@ object TextAnalysis {
       |ORDER BY tf DESC, token
       |LIMIT 100""".stripMargin
 
+  /** Count-min-sketch heavy hitters — the frequency-estimation member of
+    * the sketch family (HLL for cardinality, GK for percentiles, Bloom for
+    * membership): term frequencies estimated from a fixed-size CMS instead
+    * of the exact (token → count) aggregate. At 100 TB the exact vocabulary
+    * aggregate shuffles the full token stream; the sketch is mergeable
+    * per-partition state of `ceil(e/eps) × ceil(ln(1/(1−conf)))` counters
+    * that never grows with the corpus, and its one-sided error
+    * (`true ≤ est ≤ true + eps·N` w.p. ≥ conf) is exactly what top-k
+    * screening tolerates. [[vocabTopTerms]] is the exact anchor; the error
+    * envelope and top-k agreement are spec-pinned (the sketch's hash layout
+    * is engine-specific → rows-only oracle, like the HLL/GK/Bloom queries).
+    */
+  def vocabHeavyHittersCms(spark: SparkSession, dir: String, k: Int = 20,
+      eps: Double = 0.0005, conf: Double = 0.99): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+    val cms = toks.stat.countMinSketch("token", eps, conf, 42)
+    val cmsB = toks.sparkSession.sparkContext.broadcast(cms)
+    val est = udf((t: String) => cmsB.value.estimateCount(t))
+    toks.distinct()
+      .withColumn("est_tf", est(col("token")))
+      .orderBy(col("est_tf").desc, col("token"))
+      .limit(k)
+  }
+
   /** Corpus length profiling: equi-width histogram of document length per
     * language — the distribution scan behind truncation/packing decisions.
     * Bucket arithmetic is integer (`div`), shares are exact IEEE divisions

@@ -144,6 +144,9 @@ class PlanShapeSpec extends SparkSuite {
     "fingerprint" -> (0, 0, 0, 1, 1, 0),
     "winnow_fingerprints" -> (0, 0, 0, 1, 1, 0),
     "vocab_top_terms" -> (0, 0, 0, 0, 2, 0),
+    // one shuffle: the distinct-token agg; the CMS itself is driver-built
+    // mergeable per-partition state, no exchange
+    "vocab_heavy_hitters_cms" -> (0, 0, 0, 0, 1, 0),
     "length_histogram" -> (0, 0, 0, 1, 3, 0),
     "distinctive_terms" -> (0, 0, 0, 1, 5, 3),
     // the BNL is the 1-row (N, avgdl) scalar-combine cross join; 12

@@ -20,6 +20,7 @@ class RegistrySpec extends SparkSuite {
     "value_quartiles_approx",   // approx_percentile boundaries are engine-specific
     "extract_features",         // stub codec is a JVM PRNG
     "decontaminate_bloom",      // Bloom bit pattern is engine-specific (sketch hashes)
+    "vocab_heavy_hitters_cms",  // count-min hash layout is engine-specific
     "frame_sample"              // raw binary cells defeat the driver's value hash
   )
 

@@ -31,6 +31,29 @@ class Bm25Spec extends SparkSuite {
     assert(pos > 0, s"doc 2 (common terms only) should be retrieved but not first: $q0")
   }
 
+  test("vocabHeavyHittersCms: one-sided error envelope and top-k agreement vs the exact aggregate") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val exact = TextAnalysis.vocabTopTerms(spark, dir, k = 1000).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalTokens = exact.values.sum // small corpus: 1000 >> vocabulary
+    val cms = TextAnalysis.vocabHeavyHittersCms(spark, dir, k = 20).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // CMS never underestimates, and overestimates by at most eps*N
+    // (eps = 5e-4, 5x slack for the probabilistic bound)
+    for ((tok, est) <- cms) {
+      val truth = exact(tok)
+      assert(est >= truth, s"$tok: CMS underestimated $est < $truth")
+      assert(est <= truth + (5 * 0.0005 * totalTokens).toLong + 1,
+        s"$tok: CMS overestimate $est vs $truth beyond envelope")
+    }
+    // heavy hitters recall: the estimated top-20 contains the true top-10
+    val trueTop = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(10).map(_._1).toSet
+    val estSet = cms.map(_._1).toSet
+    assert(trueTop.subsetOf(estSet),
+      s"true heavy hitters missing from CMS top-k: ${trueTop -- estSet}")
+  }
+
   test("qualityPrune: per-language keep counts are exactly ceil(n/2), and the kept set is the rank-top") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
