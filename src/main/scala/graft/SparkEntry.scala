@@ -129,6 +129,7 @@ object SparkEntry {
     "media_near_dup"   -> ((s, d) => Multimodal.mediaNearDup(s, d)),
     "frame_sample"     -> ((s, d) => Multimodal.frameSample(s, d)),
     "frame_sample_digest" -> ((s, d) => Multimodal.frameSampleDigest(s, d)),
+    "frame_near_dup"   -> ((s, d) => Multimodal.frameNearDup(s, d)),
     "extract_features" -> ((s, d) => Multimodal.extractFeaturesSummary(s, d)),
     // --- storage layout (bucketed co-located join, partition-pruned scan) ---
     "bucketed_join_revenue" -> ((s, d) => StorageLayout.bucketedJoinRevenue(s, d)),
@@ -261,6 +262,7 @@ object SparkEntry {
     "media_phash"    -> Multimodal.mediaPhashSql,
     "media_near_dup" -> Multimodal.mediaNearDupSql,
     "frame_sample_digest" -> Multimodal.frameSampleDigestSql,
+    "frame_near_dup" -> Multimodal.frameNearDupSql,
     "bucketed_join_revenue" -> StorageLayout.bucketedJoinRevenueSql,
     "partition_pruned_events" -> StorageLayout.prunedEventsDailySql,
     "split_counts"   -> Sampling.splitCountsSql,
@@ -323,7 +325,8 @@ object SparkEntry {
     "distinctive_terms", "bm25_topk", "quality_prune", "hybrid_rrf_topk",
     "vocab_heavy_hitters_cms",
     "media_stats", "media_phash", "media_near_dup",
-    "frame_sample", "frame_sample_digest", "extract_features",
+    "frame_sample", "frame_sample_digest", "frame_near_dup",
+    "extract_features",
     "bucketed_join_revenue", "partition_pruned_events",
     "split_counts", "stratified_sample", "mixture_sample", "shuffle_shards",
     "url_host_caps",

@@ -233,6 +233,78 @@ object Multimodal {
          |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.phash, b.phash)) <= 3
          |ORDER BY a_id, b_id""".stripMargin
 
+  /** Frame-level perceptual dedup: [[graft.functions.DHash64]] over every
+    * sampled frame ([[frameSample]]), then frames whose fingerprint occurs
+    * in ≥ 2 distinct documents — the repeated-asset detector (intro/outro
+    * cards, boilerplate imagery) that video/image pipelines run, the same
+    * two-level-aggregate + equi-join shape as [[Dedup.repeatedNgramSpans]].
+    * Frames shorter than `minFrameBytes` are excluded: a near-empty tail
+    * frame's comparison pattern is degenerate (fingerprint ~0) and would
+    * cluster unrelated media.
+    */
+  def frameNearDup(spark: SparkSession, dir: String, every: Int = 4,
+      minFrameBytes: Int = 16): DataFrame = {
+    val fr = frameSample(spark, dir, every)
+      .filter(length(col("frame")) >= minFrameBytes)
+      .select(col("doc_id"), col("frame_idx"),
+        graft.functions.DHash64(col("frame")).as("fhash"))
+      .persist() // feeds the doc-frequency count and the re-join
+    val rep = fr.select("doc_id", "fhash").distinct()
+      .groupBy("fhash").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    fr.join(rep, Seq("fhash"))
+      .select("fhash", "n_docs", "doc_id", "frame_idx")
+      .orderBy("fhash", "doc_id", "frame_idx")
+  }
+
+  /** Exact mirror: the [[frameSampleDigestSql]] frame slicing + the
+    * [[mediaPhashSql]] window arithmetic per (doc, frame), then the
+    * two-level cross-doc support count. */
+  val frameNearDupSql: String =
+    s"""WITH media AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |frames AS (
+       |  SELECT doc_id, unnest(range(0, (n + ${FrameBytes - 1}) // $FrameBytes, 4)) AS frame_idx, text
+       |  FROM media WHERE n > 0
+       |), fslice AS (
+       |  SELECT doc_id, frame_idx,
+       |    substr(text, frame_idx * $FrameBytes + 1, $FrameBytes) AS ftext
+       |  FROM frames
+       |), fkept AS (
+       |  SELECT doc_id, frame_idx, ftext, length(ftext) AS fn
+       |  FROM fslice WHERE length(ftext) >= 16
+       |), fbytes AS (
+       |  SELECT doc_id, frame_idx, fn, unnest(range(0, fn)) AS i, ftext FROM fkept
+       |), cellsums AS (
+       |  SELECT doc_id, frame_idx, (i * 65) // fn AS cell,
+       |    sum(ord(substr(ftext, (i + 1)::BIGINT, 1))) AS s, count(*) AS c
+       |  FROM fbytes GROUP BY 1, 2, 3
+       |), grid AS (
+       |  SELECT f.doc_id, f.frame_idx, g.cell, coalesce(cs.s // cs.c, 0) AS a
+       |  FROM fkept f
+       |  CROSS JOIN (SELECT unnest(range(0, 65)) AS cell) g
+       |  LEFT JOIN cellsums cs ON cs.doc_id = f.doc_id
+       |    AND cs.frame_idx = f.frame_idx AND cs.cell = g.cell
+       |), bits(bit, pw) AS (VALUES $phashBitsRows),
+       |fp AS (
+       |  SELECT lo.doc_id AS doc_id, lo.frame_idx AS frame_idx,
+       |    coalesce(sum(CASE WHEN hi.a > lo.a THEN pw ELSE 0 END), 0)::HUGEINT AS hu
+       |  FROM grid lo
+       |  JOIN grid hi ON hi.doc_id = lo.doc_id AND hi.frame_idx = lo.frame_idx
+       |    AND hi.cell = lo.cell + 1
+       |  JOIN bits b ON b.bit = lo.cell
+       |  GROUP BY 1, 2
+       |), sfp AS (
+       |  SELECT doc_id, frame_idx,
+       |    ((CASE WHEN hu >= ${BigInt(2).pow(63)} THEN hu - ${BigInt(2).pow(64)} ELSE hu END))::BIGINT AS fhash
+       |  FROM fp
+       |), rep AS (
+       |  SELECT fhash, count(*) AS n_docs
+       |  FROM (SELECT DISTINCT fhash, doc_id FROM sfp)
+       |  GROUP BY fhash HAVING count(*) >= 2
+       |)
+       |SELECT fhash, n_docs, doc_id, frame_idx FROM sfp JOIN rep USING (fhash)
+       |ORDER BY fhash, doc_id, frame_idx""".stripMargin
+
   /** The stubbed codec boundary. A real pipeline implements `decode` with an
     * actual image/audio library; everything around it (batching,
     * partitioning, schema) stays as-is.

@@ -164,6 +164,7 @@ class PlanShapeSpec extends SparkSuite {
     // segment-blocked candidate join itself broadcasts the fingerprint side
     "media_phash" -> (0, 0, 0, 1, 1, 0),
     "media_near_dup" -> (0, 0, 0, 1, 2, 0),
+    "frame_near_dup" -> (0, 0, 0, 1, 3, 0),
     "frame_sample" -> (0, 0, 0, 0, 0, 0),
     "frame_sample_digest" -> (0, 0, 0, 1, 1, 0),
     "extract_features" -> (0, 0, 0, 1, 1, 0),

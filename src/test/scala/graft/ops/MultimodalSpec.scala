@@ -96,6 +96,27 @@ class MultimodalSpec extends SparkSuite {
     pairs.unpersist()
   }
 
+  test("frameNearDup: every cluster spans >= 2 docs with matching fingerprints; short tails excluded") {
+    val out = Multimodal.frameNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // recompute fingerprints for the reported frames from the raw slices
+    val fr = Multimodal.frameSample(spark, dir)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).as("len"),
+        graft.functions.DHash64(col("frame")).as("fhash"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getLong(3))).toMap
+    for ((fhash, nDocs, docId, frameIdx) <- out) {
+      val (len, expectHash) = fr((docId, frameIdx))
+      assert(len >= 16, s"short tail frame ($docId, $frameIdx) leaked into clusters")
+      assert(expectHash == fhash, s"($docId, $frameIdx) fingerprint mismatch")
+      val docsWithHash = out.filter(_._1 == fhash).map(_._3).distinct
+      assert(docsWithHash.length.toLong == nDocs && nDocs >= 2,
+        s"cluster $fhash support: ${docsWithHash.length} vs $nDocs")
+    }
+    assert(out.nonEmpty, "fixture produced no repeated frames — spec is vacuous")
+  }
+
   test("mediaStats: modality partition of all docs, byte totals consistent") {
     val stats = Multimodal.mediaStats(spark, dir).collect()
     assert(stats.map(_.getAs[String]("mime")).toSeq ==
