@@ -46,24 +46,30 @@ object ScaleData {
   def scaled(spark: SparkSession, srcDir: String, table: String, copies: Int): DataFrame = {
     val base = spark.read.parquet(s"$srcDir/$table.parquet")
     val keys = keyCols(table)
-    if (keys.isEmpty) base
+    if (keys.isEmpty || copies <= 1) base
     else {
       // Overflow guard: the shifted key must fit the SOURCE column type —
       // a narrower key column (int32) would silently wrap past copy ~21
       // (offset > 2³¹) and collide across replicas, corrupting referential
-      // integrity of the scaled corpus. Refuse loudly instead.
+      // integrity of the scaled corpus. Refuse loudly instead. One combined
+      // aggregate scans all key maxima in a single pass; an empty table (or
+      // all-null key) has nothing to shift and passes trivially.
       import org.apache.spark.sql.types.{IntegerType, LongType}
+      val maxShift = (copies - 1).toLong * KeyStride
+      val maxRow = base.agg(
+        max(col(keys.head)).cast("long").as(keys.head),
+        keys.tail.map(k => max(col(k)).cast("long").as(k)): _*).head
       keys.foreach { k =>
-        val maxShift = (copies - 1).toLong * KeyStride
         val headroom = base.schema(k).dataType match {
           case LongType    => Long.MaxValue - maxShift
           case IntegerType => Int.MaxValue.toLong - maxShift
           case other => sys.error(
             s"$table.$k: unsupported key type ${other.catalogString} for scaling")
         }
-        val maxKey = base.agg(max(col(k)).cast("long")).head.getLong(0)
-        require(maxKey <= headroom,
-          s"$table.$k: max key $maxKey + shift $maxShift overflows ${base.schema(k).dataType.catalogString}")
+        Option(maxRow.getAs[java.lang.Long](k)).foreach { maxKey =>
+          require(maxKey <= headroom,
+            s"$table.$k: max key $maxKey + shift $maxShift overflows ${base.schema(k).dataType.catalogString}")
+        }
       }
       (0 until copies).map { i =>
         keys.foldLeft(base) { (df, k) =>

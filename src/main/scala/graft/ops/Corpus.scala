@@ -269,8 +269,12 @@ object Corpus {
   def decontaminateBloom(spark: SparkSession, dir: String,
       n: Int = 5, minShared: Int = 2, fpp: Double = 0.001): DataFrame = {
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    // Persisted: the count() capacity probe and the bloomFilter() build are
+    // two jobs over the same explode+distinct — without this the held-out
+    // side is scanned twice.
     val testGrams = docs.filter(col("doc_id") % 50 === 0)
       .select(explode(Dedup.shingles(col("text"), n)).as("g")).distinct()
+      .persist()
     // capacity = the actual distinct-gram count here; at production scale
     // this is a capacity BUDGET chosen up front (the sketch degrades to a
     // higher fpp past it, never to false negatives)

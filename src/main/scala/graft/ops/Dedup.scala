@@ -64,13 +64,29 @@ object Dedup {
     array_distinct(when(size(t) >= n, grams).otherwise(array(lower(c))))
   }
 
+  /** Union `docs` with id-shifted replicas — the planted-exact-duplicate
+    * input of the registered dedup queries (the testdata's base texts are
+    * all distinct). The shift constant is embedded in each query's oracle
+    * SQL, so it cannot adapt to the data; instead the guard refuses an id
+    * space that would collide with it (a shifted replica landing on a
+    * genuine doc_id would silently corrupt the pair semantics).
+    */
+  private[ops] def doubledWithShift(docs: DataFrame, idCol: String = "doc_id",
+      shift: Long = 1000000L): DataFrame = {
+    val maxId = Option(docs.agg(max(col(idCol)).cast("long")).head
+      .getAs[java.lang.Long](0)).map(_.toLong).getOrElse(-1L)
+    require(maxId < shift,
+      s"doubling shift $shift collides with existing $idCol up to $maxId")
+    docs.unionAll(docs.withColumn(idCol, col(idCol) + shift))
+  }
+
   /** Exact dedup: group by content hash, keep lowest doc_id, count members.
     * Input doubled with shifted ids so duplicates exist in the testdata
     * (all 500 base texts are distinct).
     */
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
-    docs.unionAll(docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    doubledWithShift(docs)
       .groupBy(md5(col("text")).as("k"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("dup_count"))
       .select("keeper_id", "dup_count")
@@ -461,8 +477,7 @@ object Dedup {
       minShared: Int = 2,
       maxDf: Int = 20): DataFrame = {
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
-    val doubled = docs.unionAll(
-      docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val doubled = doubledWithShift(docs)
     // k = 20 chars ≈ a three-word phrase on this corpus — the same
     // granularity as the trigram shingles. At k = 8 (single word-ish) the
     // small synthetic vocabulary makes nearly every gram a stop-fingerprint
@@ -553,24 +568,28 @@ object Dedup {
         graft.functions.SimHash64(tokens(col("text"))).as("simhash"))
       .orderBy("doc_id")
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked on
-    * 16-bit fingerprint segments (pigeonhole ⇒ no false negatives for
-    * maxDist ≤ 3), so the candidate join is an equi-join, not O(n²).
+  /** Segment-blocked Hamming pair join over any 64-bit fingerprint frame
+    * `(doc_id, <fpCol>)`: four 16-bit segments, per-segment equi-join,
+    * exact Hamming verify — the shared tail of [[simhashNearDup]] and
+    * [[Multimodal.mediaNearDupFrom]]. The pigeonhole argument (a pair
+    * within Hamming d differs in ≤ d segments, so with 4 segments some
+    * segment is equal whenever d ≤ 3) makes the blocking exhaustive ONLY
+    * for maxDist ≤ 3 — larger values are refused rather than silently
+    * dropping qualifying pairs.
     */
-  def simhashNearDup(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
-    // Persisted for the same reason as the minhash/ann index tables: the
-    // self-join's two legs are planned as independent subtrees, which would
-    // run the scan + fingerprint pass twice.
-    val fp = simhash(spark, dir).persist()
+  private[ops] def hammingBlockedPairs(
+      fp: DataFrame, fpCol: String, maxDist: Int): DataFrame = {
+    require(maxDist <= 3,
+      s"4x16-bit segment blocking is exhaustive only for maxDist <= 3, got $maxDist")
     // Four 16-bit segments, unrolled at the Scala level (`shiftright` takes
     // an Int shift, not a Column).
     val segVals = (0 until 4).map { s =>
-      shiftright(col("simhash"), s * 16).bitwiseAND(0xFFFFL)
+      shiftright(col(fpCol), s * 16).bitwiseAND(0xFFFFL)
     }
-    val seg = fp.select(col("doc_id"), col("simhash"),
+    val seg = fp.select(col("doc_id"), col(fpCol),
       posexplode(array(segVals: _*)).as(Seq("seg", "seg_val")))
-    val a = seg.select(col("seg"), col("seg_val"), col("doc_id").as("a_id"), col("simhash").as("a_fp"))
-    val b = seg.select(col("seg"), col("seg_val"), col("doc_id").as("b_id"), col("simhash").as("b_fp"))
+    val a = seg.select(col("seg"), col("seg_val"), col("doc_id").as("a_id"), col(fpCol).as("a_fp"))
+    val b = seg.select(col("seg"), col("seg_val"), col("doc_id").as("b_id"), col(fpCol).as("b_fp"))
     val hamming = bit_count(col("a_fp").bitwiseXOR(col("b_fp")))
     a.join(b, Seq("seg", "seg_val"))
       .filter(col("a_id") < col("b_id"))
@@ -578,6 +597,18 @@ object Dedup {
       .select(col("a_id"), col("b_id"), hamming.as("hamming"))
       .filter(col("hamming") <= maxDist)
       .orderBy("a_id", "b_id")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked on
+    * 16-bit fingerprint segments ([[hammingBlockedPairs]]), so the
+    * candidate join is an equi-join, not O(n²).
+    */
+  def simhashNearDup(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    // Persisted for the same reason as the minhash/ann index tables: the
+    // self-join's two legs are planned as independent subtrees, which would
+    // run the scan + fingerprint pass twice.
+    val fp = simhash(spark, dir).persist()
+    hammingBlockedPairs(fp, "simhash", maxDist)
   }
 
   /** Embedding near-dup: pairs with cosine ≥ τ. Double-precision math on
@@ -816,10 +847,17 @@ object Dedup {
     * of the document. Span pairs come from [[crossDocSpansFrom]]; the
     * lower doc_id keeps its copy (the deterministic a<b convention), the
     * higher one has the span's token range deleted. Output: every document
-    * with its cleaned text (tokens re-joined by single spaces), kept and
-    * removed token counts — `n_removed = 0` for untouched docs, and a doc
-    * that was entirely repeated material comes back with empty text rather
-    * than vanishing.
+    * with its cleaned text, kept and removed token counts — `n_removed = 0`
+    * for untouched docs, and a doc that was entirely repeated material
+    * comes back with empty text rather than vanishing.
+    *
+    * Span matching runs on the LOWERCASED gram stream (dedup must not be
+    * case-defeatable), but reassembly uses the ORIGINAL-case tokens — the
+    * two tokenizations align position-for-position because lowering never
+    * changes whitespace. The one normalization `cleaned_text` does apply is
+    * whitespace: tokens re-join with single spaces (runs of whitespace in
+    * the source collapse), the same `\s+` view every token-level operator
+    * here works in.
     *
     * Scale shape: the cut itself is a slim anti-join of the token stream
     * against the exploded covered-position set (orders smaller than the
@@ -840,7 +878,7 @@ object Dedup {
           col("b_start") + col("span_tokens") - 1)).as("pos"))
       .distinct()
     val toks = docs.select(col("doc_id"),
-      posexplode(split(lower(col("text")), "\\s+", -1)).as(Seq("pos", "tok")))
+      posexplode(split(col("text"), "\\s+", -1)).as(Seq("pos", "tok")))
     val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
       .agg(
@@ -896,8 +934,10 @@ object Dedup {
       |), covered AS (
       |  SELECT DISTINCT doc_id, unnest(range(b_start, b_start + span_tokens)) AS pos
       |  FROM spans
+      |), origtok AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
       |), tokens AS (
-      |  SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS pos FROM toksrc
+      |  SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS pos FROM origtok
       |), kept AS (
       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text,
       |    count(*) AS n_kept

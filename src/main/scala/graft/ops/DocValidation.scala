@@ -213,8 +213,7 @@ object DocValidation {
     */
   def articleFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents").select("doc_id", "text", "lang", "source")
-    val doubled = docs.unionAll(
-      docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang"), col("source")))
+    val doubled = Dedup.doubledWithShift(docs)
     val loadStats = doubled.agg(
       count(lit(1)).as("n_loaded"),
       count(when(isBlank(col("text")) || isBlank(col("lang")), 1)).as("n_incomplete"))

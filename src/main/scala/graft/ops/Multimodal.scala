@@ -127,31 +127,16 @@ object Multimodal {
       .orderBy("doc_id")
 
   /** Perceptual near-dup pairs over any `(doc_id, payload)` frame: dHash
-    * fingerprints, blocked on 16-bit fingerprint segments (pigeonhole ⇒ no
-    * false negatives for maxDist ≤ 3) so the candidate join is an equi-join,
-    * never O(n²) — the same scale shape as [[Dedup.simhashNearDup]].
+    * fingerprints through the shared segment-blocked Hamming join
+    * ([[Dedup.hammingBlockedPairs]] — exhaustive for maxDist ≤ 3, refused
+    * above), so the candidate join is an equi-join, never O(n²).
     */
   def mediaNearDupFrom(media: DataFrame, maxDist: Int = 3): DataFrame = {
     // Persisted like the simhash index: the self-join's two legs are
     // independent subtrees that would each recompute the fingerprint scan.
     val fp = media.select(col("doc_id"),
       graft.functions.DHash64(col("payload")).as("phash")).persist()
-    val segVals = (0 until 4).map { s =>
-      shiftright(col("phash"), s * 16).bitwiseAND(0xFFFFL)
-    }
-    val seg = fp.select(col("doc_id"), col("phash"),
-      posexplode(array(segVals: _*)).as(Seq("seg", "seg_val")))
-    val a = seg.select(col("seg"), col("seg_val"),
-      col("doc_id").as("a_id"), col("phash").as("a_fp"))
-    val b = seg.select(col("seg"), col("seg_val"),
-      col("doc_id").as("b_id"), col("phash").as("b_fp"))
-    val hamming = bit_count(col("a_fp").bitwiseXOR(col("b_fp")))
-    a.join(b, Seq("seg", "seg_val"))
-      .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
-      .select(col("a_id"), col("b_id"), hamming.as("hamming"))
-      .filter(col("hamming") <= maxDist)
-      .orderBy("a_id", "b_id")
+    Dedup.hammingBlockedPairs(fp, "phash", maxDist)
   }
 
   /** Registered near-dup query: the media table doubled with shifted ids
@@ -161,9 +146,7 @@ object Multimodal {
     */
   def mediaNearDup(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     val media = mediaTable(spark, dir).select("doc_id", "payload")
-    val doubled = media.unionAll(
-      media.select((col("doc_id") + 1000000).as("doc_id"), col("payload")))
-    mediaNearDupFrom(doubled, maxDist)
+    mediaNearDupFrom(Dedup.doubledWithShift(media), maxDist)
   }
 
   /** dHash re-derived in DuckDB (valid because the synthetic payload is the

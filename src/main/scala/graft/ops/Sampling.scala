@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** md5("seed:key") — the deterministic draw/order key every sampling
+    * operator shares: a pure function of (seed, key), never of an RNG
+    * stream, row order, or partitioning.
+    */
+  private def seededKey(seed: String, key: org.apache.spark.sql.Column) =
+    md5(concat(lit(seed), lit(":"), key.cast("string")).cast("binary"))
+
   /** Deterministic train/test assignment: first hex nibble of
     * md5(doc_id) — 'c'..'f' (4/16 = 25%) → test, else train.
     */
@@ -77,8 +84,7 @@ object Sampling {
       dir: String,
       fractions: Seq[(String, Double)] = HashFractions,
       seed: Long = HashSeed): DataFrame = {
-    val draw = substring(
-      md5(concat(lit(s"$seed:"), col("doc_id").cast("string")).cast("binary")), 1, 4)
+    val draw = substring(seededKey(seed.toString, col("doc_id")), 1, 4)
     val keep = fractions.map { case (lang, f) =>
       // f ≥ 1 must short-circuit: its threshold would render as the 5-char
       // "10000", which sorts BELOW any draw starting 'a'–'f' and would
@@ -138,8 +144,7 @@ object Sampling {
       .withColumn("keep_frac",
         least(lit(1.0), col("s") * col("target_share") / col("lang_n")))
       .select("lang", "target_share", "keep_frac")
-    val draw = substring(
-      md5(concat(lit(s"$seed:"), col("doc_id").cast("string")).cast("binary")), 1, 4)
+    val draw = substring(seededKey(seed.toString, col("doc_id")), 1, 4)
     // draw/65536 < keep_frac — compared NUMERICALLY (conv hex → int), since
     // a fractional threshold can't be a 4-hex-digit string boundary
     val drawInt = conv(draw, 16, 10).cast("double")
@@ -215,7 +220,7 @@ object Sampling {
     */
   def shuffleShards(spark: SparkSession, dir: String, seed: String = "s42"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val okey = md5(concat(lit(seed), lit(":"), col("doc_id").cast("string")).cast("binary"))
+    val okey = seededKey(seed, col("doc_id"))
     val nibble = substring(col("okey"), 1, 1)
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), okey.as("okey"))
@@ -256,7 +261,7 @@ object Sampling {
     */
   def urlHostCapsFrom(docs: DataFrame, cap: Int = 10, seed: String = "s42"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val okey = md5(concat(lit(seed), lit(":"), col("doc_id").cast("string")).cast("binary"))
+    val okey = seededKey(seed, col("doc_id"))
     val exact = Window.partitionBy("host").orderBy(col("okey"), col("doc_id"))
     docs.select(col("doc_id"), col("host"), okey.as("okey"))
       .withColumn("host_rank", row_number().over(exact))

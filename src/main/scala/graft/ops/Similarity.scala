@@ -79,6 +79,37 @@ object Similarity {
       |WHERE rank <= 10
       |ORDER BY q_id, rank""".stripMargin
 
+  /** The shared coarse-quantizer fit of [[annIvfTopK]] and [[semDedupFrom]]:
+    * seeded KMeans over a BOUNDED, deterministic sample — at 100 TB fitting
+    * over the full corpus is a scale-killer (and even at sf0.1 the
+    * per-iteration job overhead of a full-corpus fit dominated the query).
+    * Hash-mod sampling (not `.sample()`) is stable under any partitioning;
+    * `coalesce(1)` makes each KMeans iteration one task instead of a
+    * 32-partition job over a few thousand rows; random init, not kmeans||
+    * (the parallel init runs extra distributed passes whose scheduling
+    * overhead dwarfs any centroid-quality gain a coarse quantizer could
+    * use). At production scale the fitted centroid table is a persisted
+    * model artifact; the cap is the training budget, not a correctness knob.
+    * Returns the model and the persisted `(vec_id, v, cell)` assignment.
+    */
+  private def coarseQuantize(e: DataFrame, nCentroids: Int)
+      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = e.withColumn("features", array_to_vector(col("v")))
+    val fitSample = feats.select("features")
+      .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
+      .limit(50000)
+      .coalesce(1)
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+      .setInitMode("random")
+      .fit(fitSample)
+    val assigned = model.transform(feats)
+      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+      .persist()
+    (model, assigned)
+  }
+
   val LshDims = 64 // embedding dimensionality in the testdata
 
   /** Deterministic hyperplane matrix, materialized ONCE at plan time as
@@ -133,29 +164,7 @@ object Similarity {
 
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val feats = e.withColumn("features", array_to_vector(col("v")))
-    // The coarse quantizer trains on a BOUNDED, deterministic sample — at
-    // 100 TB fitting over the full corpus is a scale-killer (and even at
-    // sf0.1 the per-iteration job overhead of a full-corpus fit dominated
-    // the query). Hash-mod sampling (not .sample()) is stable under any
-    // partitioning; coalesce(1) makes each KMeans iteration one task
-    // instead of a 32-partition job over a few thousand rows. At production
-    // scale the fitted centroid table is a persisted model artifact; the
-    // cap is the training budget, not a correctness knob (Voronoi cells
-    // from a representative sample serve the same pruning role).
-    val fitSample = feats.select("features")
-      .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
-      .limit(50000)
-      .coalesce(1)
-    // random init, not kmeans||: the parallel init runs extra distributed
-    // passes whose scheduling overhead dwarfs any centroid-quality gain a
-    // coarse quantizer could use (recall floor is spec-pinned)
-    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
-      .setInitMode("random")
-      .fit(fitSample)
-    val assigned = model.transform(feats)
-      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
-      .persist()
+    val (model, assigned) = coarseQuantize(e, nCentroids)
 
     // probe ranking against the literal centroid list: KMeans cells are
     // L2-Voronoi, so rank by (negative) squared distance —
@@ -283,20 +292,7 @@ object Similarity {
     * recall, and keep-rule semantics spec-pinned instead.
     */
   def semDedupFrom(e: DataFrame, nCentroids: Int = 16, tau: Double = 0.45): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feats = e.withColumn("features", array_to_vector(col("v")))
-    // bounded, partitioning-stable fit sample (see annIvfTopK's rationale)
-    val fitSample = feats.select("features")
-      .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
-      .limit(50000)
-      .coalesce(1)
-    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
-      .setInitMode("random")
-      .fit(fitSample)
-    val assigned = model.transform(feats)
-      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
-      .persist()
+    val (_, assigned) = coarseQuantize(e, nCentroids)
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("v").as("a_v"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("v").as("b_v"))
     val dropped = a.join(b, Seq("cell"))

@@ -63,7 +63,12 @@ object DocStreams {
         posexplode(graft.functions.MinHashBands(
           col("inc_sh"), Dedup.MinhashK, Dedup.Bands)).as(Seq("band", "band_hash")))
       .join(histBands, Seq("band", "band_hash"))
-      .join(broadcast(histShingles), Seq("hist_id"))
+      // NO broadcast hint: the shingle store is corpus-sized at production
+      // scale (the batch path ships shingles only for colliding ids for the
+      // same reason). This equi-join runs AFTER the band join, so only the
+      // micro-batch's colliding hist_ids are ever fetched; the planner
+      // picks broadcast on its own when the store is actually small.
+      .join(histShingles, Seq("hist_id"))
       .withColumn("jac", round(Dedup.jaccard(col("inc_sh"), col("hist_sh")), 4))
       .filter(col("jac") >= Dedup.JaccardThreshold)
       .select("inc_id", "hist_id", "jac", "ts")

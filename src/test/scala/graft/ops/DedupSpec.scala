@@ -185,18 +185,21 @@ class DedupSpec extends SparkSuite {
     import spark.implicits._
     val para = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
     val docs = Seq(
-      (1L, s"one two three $para tail words after the shared region"),
+      // doc 1's copy differs in CASE only — matching is case-insensitive,
+      // but its surviving text must keep the original casing
+      (1L, s"One Two three ${para.toUpperCase} tail words after the shared region"),
       (2L, s"$para followed by its own unrelated continuation of this document"),
-      (3L, "independent filler content with no overlap whatsoever here at all")
+      (3L, "Independent FILLER content with no overlap whatsoever here at all")
     ).toDF("doc_id", "text")
     val out = Dedup.cutSpansFrom(docs).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
-    // doc 1 (lower id) keeps everything
-    assert(out(1L) == (s"one two three $para tail words after the shared region", 21L, 0L))
-    // doc 2 loses exactly the 12 shared tokens from its front
+    // doc 1 (lower id) keeps everything, ORIGINAL case intact
+    assert(out(1L) == (s"One Two three ${para.toUpperCase} tail words after the shared region", 21L, 0L))
+    // doc 2 loses exactly the 12 shared tokens from its front (the match
+    // fired across the case difference)
     assert(out(2L) == ("followed by its own unrelated continuation of this document", 9L, 12L))
-    // doc 3 untouched
-    assert(out(3L)._3 == 0L)
+    // doc 3 untouched, case preserved
+    assert(out(3L) == ("Independent FILLER content with no overlap whatsoever here at all", 10L, 0L))
   }
 
   test("cutSpans: a fully repeated document empties instead of vanishing; token accounting holds") {
