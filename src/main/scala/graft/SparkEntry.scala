@@ -148,7 +148,8 @@ object SparkEntry {
     "decontaminate_bloom" -> ((s, d) => Corpus.decontaminateBloom(s, d)),
     "pack_sequences"   -> ((s, d) => Corpus.packSequences(s, d)),
     "chunk_documents"  -> ((s, d) => Corpus.chunkDocuments(s, d)),
-    "unigram_logprob"  -> (Corpus.unigramLogProbScore _)
+    "unigram_logprob"  -> (Corpus.unigramLogProbScore _),
+    "bigram_logprob"   -> ((s, d) => Corpus.bigramLogProbScore(s, d))
   )
 
   /** DuckDB oracle SQL for each query above. Omitted (rows-only check),
@@ -276,7 +277,8 @@ object SparkEntry {
     "decontaminate"    -> Corpus.decontaminateSql,
     "pack_sequences"   -> Corpus.packSequencesSql,
     "chunk_documents"  -> Corpus.chunkDocumentsSql,
-    "unigram_logprob"  -> Corpus.unigramLogProbScoreSql
+    "unigram_logprob"  -> Corpus.unigramLogProbScoreSql,
+    "bigram_logprob"   -> Corpus.bigramLogProbScoreSql
   )
 
   /** Headline bench set: every query that is scale-shaped. The two O(n²)
@@ -333,6 +335,6 @@ object SparkEntry {
     "quality_filter",
     "repetition_stats", "pii_scrub", "decontaminate", "decontaminate_bloom",
     "pack_sequences",
-    "chunk_documents", "unigram_logprob"
+    "chunk_documents", "unigram_logprob", "bigram_logprob"
   )
 }

@@ -332,6 +332,72 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Bigram LM fluency score with add-k smoothing — the CCNet-style step up
+    * from [[unigramLogProbScore]]: per document, the mean of
+    * `ln((c(prev,cur)+k) / (c(prev)+k·V))` over its adjacent token pairs,
+    * where counts come from the corpus itself and V is the unigram
+    * vocabulary. Unigram scoring ranks rare-WORD documents low; the bigram
+    * conditional additionally penalizes improbable SEQUENCES (shuffled or
+    * machine-mangled text scores low even when its word inventory is
+    * normal) — the actual signal an LM-based quality filter wants.
+    *
+    * Scale shape: bigrams ride the codegen'd [[graft.functions.WordNGrams]]
+    * multiset (one pass, no token self-join); the model is two hash
+    * aggregates (pair and context counts) plus a 1-row vocabulary scalar;
+    * scoring re-joins the bigram stream on the pair. Docs with fewer than
+    * two tokens have no bigrams and drop out (mirrored by the oracle).
+    */
+  def bigramLogProbScore(spark: SparkSession, dir: String, k: Double = 0.5): DataFrame =
+    bigramLogProbScoreFrom(Tables(spark, dir, "documents"), k)
+
+  /** [[bigramLogProbScore]] over any `(doc_id, text)` frame. */
+  def bigramLogProbScoreFrom(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val vocab = toks.select("tok").distinct().agg(count(lit(1)).as("v"))
+    // adjacent pairs: the n=2 gram multiset; prev/cur split at the single
+    // space (tokens are \s+-split, so they contain none themselves)
+    val bi = docs.filter(size(Dedup.tokens(col("text"))) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.WordNGrams.all(col("text"), 2)).as("g"))
+      .select(col("doc_id"),
+        substring_index(col("g"), " ", 1).as("prev"),
+        substring_index(col("g"), " ", -1).as("cur"))
+      .persist() // feeds the two model aggregates and the scoring join
+    val pairCounts = bi.groupBy("prev", "cur").agg(count(lit(1)).as("cpc"))
+    val ctxCounts = bi.groupBy("prev").agg(count(lit(1)).as("cp"))
+    val model = pairCounts.join(ctxCounts, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .select(col("prev"), col("cur"),
+        log((col("cpc") + lit(k)) / (col("cp") + lit(k) * col("v"))).as("logp"))
+    bi.join(model, Seq("prev", "cur"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 4).as("logp_avg"))
+      .orderBy("doc_id")
+  }
+
+  val bigramLogProbScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
+      |), alltoks AS (
+      |  SELECT doc_id, unnest(t) AS tok FROM toks
+      |), vocab AS (
+      |  SELECT count(*) AS v FROM (SELECT DISTINCT tok FROM alltoks)
+      |), bi AS (
+      |  SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS cur
+      |  FROM toks WHERE len(t) >= 2
+      |), pair_counts AS (
+      |  SELECT prev, cur, count(*) AS cpc FROM bi GROUP BY 1, 2
+      |), ctx_counts AS (
+      |  SELECT prev, count(*) AS cp FROM bi GROUP BY 1
+      |), model AS (
+      |  SELECT prev, cur, ln((cpc + 0.5) / (cp + 0.5 * v)) AS logp
+      |  FROM pair_counts JOIN ctx_counts USING (prev) CROSS JOIN vocab
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS logp_avg
+      |FROM bi JOIN model USING (prev, cur)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val unigramLogProbScoreSql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok

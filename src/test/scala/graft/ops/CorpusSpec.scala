@@ -91,6 +91,22 @@ class CorpusSpec extends SparkSuite {
       s"${extras.size} bloom-only flagged docs of $nTrain train docs")
   }
 
+  test("bigramLogProb: shuffled text scores below natural text with the same word inventory") {
+    import spark.implicits._
+    val natural = "the cat sat on the mat and the dog sat on the rug"
+    // same multiset of words, sequence destroyed — unigram scoring cannot
+    // tell these apart; the bigram conditional must
+    val shuffled = "mat the on dog sat rug the cat the and on sat the"
+    // a corpus of natural sentences establishes the bigram statistics
+    val docs = ((1L to 8L).map(i => (i, natural)) :+ (100L, shuffled)).toDF("doc_id", "text")
+    val out = Corpus.bigramLogProbScoreFrom(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) > out(100L),
+      s"natural ${out(1L)} must outscore shuffled ${out(100L)}")
+    // every score is a negative mean log-probability
+    assert(out.values.forall(_ < 0.0))
+  }
+
   test("chunkDocuments: full coverage, correct overlap, no phantom chunks") {
     val dir = "/root/testdata/sf0.001"
     val width = 128; val stride = 96
