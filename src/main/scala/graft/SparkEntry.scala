@@ -140,6 +140,7 @@ object SparkEntry {
     "mixture_sample"    -> ((s, d) => Sampling.mixtureSample(s, d)),
     "shuffle_shards"    -> ((s, d) => Sampling.shuffleShards(s, d)),
     "url_host_caps"     -> ((s, d) => Sampling.urlHostCaps(s, d)),
+    "host_lang_entropy" -> (Sampling.hostLangEntropy _),
     // --- corpus preparation (repetition filter, PII, decontamination, packing) ---
     "quality_filter"   -> (Corpus.qualityFilter _),
     "repetition_stats" -> ((s, d) => Corpus.repetitionStats(s, d)),
@@ -271,6 +272,7 @@ object SparkEntry {
     "mixture_sample"    -> Sampling.mixtureSampleSql,
     "shuffle_shards"    -> Sampling.shuffleShardsSql,
     "url_host_caps"     -> Sampling.urlHostCapsSql,
+    "host_lang_entropy" -> Sampling.hostLangEntropySql,
     "quality_filter"   -> Corpus.qualityFilterSql,
     "repetition_stats" -> Corpus.repetitionStatsSql,
     "pii_scrub"        -> Corpus.piiScrubSql,
@@ -331,7 +333,7 @@ object SparkEntry {
     "extract_features",
     "bucketed_join_revenue", "partition_pruned_events",
     "split_counts", "stratified_sample", "mixture_sample", "shuffle_shards",
-    "url_host_caps",
+    "url_host_caps", "host_lang_entropy",
     "quality_filter",
     "repetition_stats", "pii_scrub", "decontaminate", "decontaminate_bloom",
     "pack_sequences",

@@ -277,6 +277,47 @@ object Sampling {
       Tables(spark, dir, "documents").select(col("doc_id"), col("source").as("host")),
       cap)
 
+  /** Per-host language-mix entropy: Shannon entropy (nats) of each host's
+    * language distribution, with doc counts — the crawl-health diagnostic
+    * read next to [[urlHostCaps]]: a mega-host with near-zero entropy is a
+    * template farm; unusually high entropy flags mislabeled or mixed-crawl
+    * sources. Two tiny hash aggregates (host×lang, then host) — no window,
+    * no sort except the final presentation ordering.
+    *
+    * Parity: the entropy sum is an unordered float reduction over ≤ |langs|
+    * terms, so the OUTPUT is rounded (6 dp) like every float-sum score
+    * here; p·ln p terms themselves are correctly-rounded IEEE ops on
+    * integer-derived ratios.
+    */
+  def hostLangEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val byHostLang = Tables(spark, dir, "documents")
+      .groupBy(col("source").as("host"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val byHost = byHostLang.groupBy("host").agg(sum("n").as("n_docs"))
+    byHostLang.join(byHost, Seq("host"))
+      .withColumn("p", col("n").cast("double") / col("n_docs"))
+      .groupBy("host")
+      .agg(
+        first(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        round(-sum(col("p") * log(col("p"))), 6).as("lang_entropy"))
+      .orderBy("host")
+  }
+
+  val hostLangEntropySql: String =
+    """WITH by_host_lang AS (
+      |  SELECT source AS host, lang, count(*) AS n FROM documents GROUP BY 1, 2
+      |), by_host AS (
+      |  SELECT host, sum(n) AS n_docs FROM by_host_lang GROUP BY 1
+      |)
+      |SELECT host, any_value(n_docs)::BIGINT AS n_docs, count(*) AS n_langs,
+      |  round(-sum(p * ln(p)), 6) AS lang_entropy
+      |FROM (
+      |  SELECT hl.host, n_docs, n::double / n_docs AS p
+      |  FROM by_host_lang hl JOIN by_host USING (host))
+      |GROUP BY host
+      |ORDER BY host""".stripMargin
+
   val urlHostCapsSql: String =
     """SELECT doc_id, host, host_rank FROM (
       |  SELECT doc_id, source AS host,

@@ -180,6 +180,7 @@ class PlanShapeSpec extends SparkSuite {
     // 3 "Window" matches = 1 Window + 2 WindowGroupLimit (the Partial/Final
     // map-side top-cap phases — the skew armor SamplingSpec pins)
     "url_host_caps" -> (0, 0, 0, 1, 2, 3),
+    "host_lang_entropy" -> (0, 0, 0, 1, 5, 0),
     "quality_filter" -> (0, 0, 0, 1, 3, 0),
     "repetition_stats" -> (0, 0, 0, 1, 3, 0),
     "pii_scrub" -> (0, 0, 0, 1, 1, 0),

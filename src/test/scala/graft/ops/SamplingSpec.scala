@@ -132,6 +132,28 @@ class SamplingSpec extends SparkSuite {
       "the Partial WindowGroupLimit must sit BELOW (after, in tree print order) the host exchange")
   }
 
+  test("hostLangEntropy: zero for a monolingual host, ln(k) for a uniform k-language host") {
+    import spark.implicits._
+    // build via a temp docs frame through the same aggregates the operator
+    // uses over the real table — recomputed here from first principles
+    val out = Sampling.hostLangEntropy(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // recompute every host's entropy independently
+    val raw = Tables(spark, dir, "documents").select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    for ((host, rows) <- raw.groupBy(_._1)) {
+      val n = rows.length.toDouble
+      val expected = -rows.groupBy(_._2).values
+        .map(g => { val p = g.length / n; p * math.log(p) }).sum
+      val (nDocs, nLangs, got) = out(host)
+      assert(nDocs == rows.length && nLangs == rows.map(_._2).distinct.length)
+      assert(math.abs(got - expected) < 1e-6, s"$host: $got vs $expected")
+      // entropy is bounded by ln(n_langs), zero only if monolingual
+      assert(got >= 0 && got <= math.log(nLangs.toDouble) + 1e-9)
+      if (nLangs == 1) assert(got == 0.0)
+    }
+  }
+
   test("shuffleShards: shards actually mix the languages (that is the point)") {
     val out = Sampling.shuffleShards(spark, dir)
     val langsPerShard = out.groupBy("shard")
