@@ -80,34 +80,134 @@ object Similarity {
       |ORDER BY q_id, rank""".stripMargin
 
   /** The shared coarse-quantizer fit of [[annIvfTopK]] and [[semDedupFrom]]:
-    * seeded KMeans over a BOUNDED, deterministic sample — at 100 TB fitting
+    * Lloyd's KMeans over a BOUNDED, deterministic sample — at 100 TB fitting
     * over the full corpus is a scale-killer (and even at sf0.1 the
     * per-iteration job overhead of a full-corpus fit dominated the query).
-    * Hash-mod sampling (not `.sample()`) is stable under any partitioning;
-    * `coalesce(1)` makes each KMeans iteration one task instead of a
-    * 32-partition job over a few thousand rows; random init, not kmeans||
-    * (the parallel init runs extra distributed passes whose scheduling
-    * overhead dwarfs any centroid-quality gain a coarse quantizer could
-    * use). At production scale the fitted centroid table is a persisted
-    * model artifact; the cap is the training budget, not a correctness knob.
-    * Returns the model and the persisted `(vec_id, v, cell)` assignment.
+    * The sample is a pure function of the DATA, not of its layout: hash-mod
+    * thinning (stable under any partitioning), then a hash-ordered cap —
+    * `orderBy(h, vec_id).limit(50000)` compiles to TakeOrderedAndProject, so
+    * unlike a bare `limit()` the cap keeps the SAME rows whichever
+    * partitions arrive first. The fit itself runs driver-side over ≤50k
+    * vectors (≤25 MB at 64 dims) — the same documented bounded-`collect`
+    * trade as the union-find gate in [[Dedup]]: at production scale the
+    * fitted centroid table is a persisted model artifact and the cap is the
+    * training budget, not a correctness knob. Iteration order is the
+    * hash-sorted sample order, so the centroid doubles are bit-reproducible
+    * run-to-run AND re-derivable at oracle-generation time — which is what
+    * lets [[annIvfTopKSql]]/[[semDedupSql]] embed them as literals the way
+    * [[annLshTopKSql]] embeds its hyperplanes.
     */
-  private def coarseQuantize(e: DataFrame, nCentroids: Int)
-      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feats = e.withColumn("features", array_to_vector(col("v")))
-    val fitSample = feats.select("features")
+  private[ops] def fitCentroidsFrom(e: DataFrame, nCentroids: Int): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = e
       .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
+      .select(col("v"), xxhash64(col("vec_id")).as("h"), col("vec_id"))
+      .orderBy(col("h"), col("vec_id"))
       .limit(50000)
-      .coalesce(1)
-    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
-      .setInitMode("random")
-      .fit(fitSample)
-    val assigned = model.transform(feats)
-      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
-      .persist()
-    (model, assigned)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= nCentroids,
+      s"coarse-quantizer fit sample (${sample.length}) smaller than k=$nCentroids")
+    val dims = sample.head.length
+    // init: the first k hash-ordered sample vectors — a seeded pseudo-random
+    // spread with no RNG state to drift
+    var cent = sample.take(nCentroids).map(_.clone())
+    for (_ <- 0 until 10) {
+      val sums = Array.fill(nCentroids)(new Array[Double](dims))
+      val counts = new Array[Long](nCentroids)
+      val halfNorms = cent.map(c => c.map(x => x * x).sum / 2.0)
+      for (v <- sample) {
+        val cell = bestCellIdx(v, cent, halfNorms)
+        val s = sums(cell)
+        var i = 0
+        while (i < dims) { s(i) += v(i); i += 1 }
+        counts(cell) += 1
+      }
+      cent = cent.indices.map { j =>
+        if (counts(j) == 0) cent(j) // empty cell keeps its centroid
+        else sums(j).map(_ / counts(j))
+      }.toArray
+    }
+    cent
+  }
+
+  /** argmax over cells of ⟨v,c⟩ − |c|²/2 (the L2-Voronoi rule with the
+    * per-vector |v|² constant dropped); ties go to the HIGHEST cell id —
+    * the same tiebreak [[assignCells]]'s `element_at(array_sort(…), -1)`
+    * and the generated oracles' `ORDER BY score DESC, cell DESC` use.
+    */
+  private def bestCellIdx(
+      v: Array[Double], cent: Array[Array[Double]], halfNorms: Array[Double]): Int = {
+    var best = 0; var bestScore = Double.NegativeInfinity
+    var j = 0
+    while (j < cent.length) {
+      val c = cent(j)
+      var d = 0.0; var i = 0
+      while (i < v.length) { d += v(i) * c(i); i += 1 }
+      val score = d - halfNorms(j)
+      if (score >= bestScore) { best = j; bestScore = score }
+      j += 1
+    }
+    best
+  }
+
+  /** Fitted centroids for the embeddings table of `dir`, cached so the
+    * query builder and the oracle generator share ONE fit per session. */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Array[Array[Double]]]
+
+  private[ops] def fitCentroids(spark: SparkSession, dir: String, nCentroids: Int)
+      : Array[Array[Double]] =
+    centroidCache.getOrElseUpdate((dir, nCentroids), {
+      val e = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      fitCentroidsFrom(e, nCentroids)
+    })
+
+  /** Cell assignment as pure codegen'd column arithmetic (one
+    * [[graft.functions.DotProduct]] per centroid against a plan-time
+    * literal — the MLlib `model.transform` this replaces ran an
+    * interpreted UDF): cell = argmax ⟨v,c⟩ − |c|²/2, ties to the highest
+    * cell. `array_sort` orders the (score, cell) structs lexicographically
+    * ascending, so the LAST element is the winner — the exact rule the
+    * generated oracles re-state as `ORDER BY score DESC, cell DESC`.
+    */
+  private[ops] def assignCells(e: DataFrame, cent: Array[Array[Double]]): DataFrame = {
+    val scored = cent.zipWithIndex.map { case (c, i) =>
+      val halfNormSq = c.map(x => x * x).sum / 2.0
+      struct((graft.functions.DotProduct(col("v"), lit(c)) - halfNormSq).as("score"),
+        lit(i).as("cell"))
+    }
+    e.withColumn("cell",
+      element_at(array_sort(array(scored: _*)), -1).getField("cell"))
+  }
+
+  /** The `ev` + `cent` + `scored` + `cells` CTE prefix shared by the two
+    * generated quantizer oracles: every vector's cell under the FITTED
+    * centroids, embedded as DOUBLE[] literals (Java shortest-repr
+    * `toString` round-trips bit-exactly through DuckDB's parser), with
+    * |c|²/2 precomputed in Scala and embedded too so both engines subtract
+    * the identical literal. `list_dot_product` accumulates left-to-right
+    * exactly like the codegen'd [[graft.functions.DotProduct]] loop.
+    */
+  private def cellsSqlCtes(cent: Array[Array[Double]]): String = {
+    val rows = cent.zipWithIndex.map { case (c, i) =>
+      val halfNormSq = c.map(x => x * x).sum / 2.0
+      s"(${i}, ${c.mkString("[", ", ", "]")}::DOUBLE[], ${halfNormSq}::DOUBLE)"
+    }.mkString(",\n    ")
+    s"""WITH ev AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), cent AS (
+       |  SELECT * FROM (VALUES
+       |    $rows) AS t(cell, c, hn)
+       |), scored AS (
+       |  SELECT vec_id, cell, list_dot_product(v, c) - hn AS score
+       |  FROM ev CROSS JOIN cent
+       |), cells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+       |    FROM scored) WHERE rn = 1
+       |)""".stripMargin
   }
 
   val LshDims = 64 // embedding dimensionality in the testdata
