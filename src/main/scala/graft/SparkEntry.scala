@@ -120,6 +120,7 @@ object SparkEntry {
     // --- similarity search ---
     "ann_topk_brute" -> ((s, d) => Similarity.annTopKBrute(s, d)),
     "hybrid_rrf_topk" -> ((s, d) => Similarity.hybridRrfTopK(s, d)),
+    "hybrid_rrf_lsh_topk" -> ((s, d) => Similarity.hybridRrfLshTopK(s, d)),
     "ann_lsh_topk"   -> ((s, d) => Similarity.annLshTopK(s, d)),
     "ann_ivf_topk"   -> ((s, d) => Similarity.annIvfTopK(s, d)),
     "semdedup_clusters" -> (Similarity.semDedup _),
@@ -153,14 +154,13 @@ object SparkEntry {
     "bigram_logprob"   -> ((s, d) => Corpus.bigramLogProbScore(s, d))
   )
 
-  /** DuckDB oracle SQL for each query above. Omitted (rows-only check),
-    * each for a stated reason:
-    *  - `ann_ivf_topk`, `semdedup_clusters`: the KMeans quantizer is
-    *    data-fitted — centroids are not re-derivable in SQL (recall floor /
-    *    determinism + planted-dup + keep-rule specs pinned instead;
-    *    the LSH siblings `ann_lsh_topk` / `embedding_near_dup_lsh` ARE
-    *    exact since round 5 — their seeded hyperplanes embed as literals
-    *    in generated SQL);
+  /** DuckDB oracle SQL for each query above.
+    *
+    * `ann_ivf_topk` / `semdedup_clusters` are GENERATED oracles like the
+    * LSH family's, but from DATA-fitted centroids rather than seeded
+    * hyperplanes — they appear only once [[graft.ops.Similarity.setOracleContext]]
+    * has bound the sweep's (session, dir); `Verify` does that before
+    * dumping. Omitted (rows-only check), each for a stated reason:
     *  - `distinct_parts_approx`, `value_percentiles_approx`,
     *    `value_quartiles_approx`: HLL/GK sketch internals are
     *    engine-specific (error envelopes spec-pinned vs the exact twins);
@@ -259,6 +259,7 @@ object SparkEntry {
     "embedding_near_dup_lsh" -> Dedup.embeddingNearDupLshSql,
     "ann_topk_brute" -> Similarity.annTopKSql,
     "hybrid_rrf_topk" -> Similarity.hybridRrfTopKSql,
+    "hybrid_rrf_lsh_topk" -> Similarity.hybridRrfLshTopKSql,
     "ann_lsh_topk"   -> Similarity.annLshTopKSql,
     "media_stats"    -> Multimodal.mediaStatsSql,
     "media_phash"    -> Multimodal.mediaPhashSql,
@@ -281,7 +282,7 @@ object SparkEntry {
     "chunk_documents"  -> Corpus.chunkDocumentsSql,
     "unigram_logprob"  -> Corpus.unigramLogProbScoreSql,
     "bigram_logprob"   -> Corpus.bigramLogProbScoreSql
-  )
+  ) ++ Similarity.quantizerOracles
 
   /** Headline bench set: every query that is scale-shaped. The two O(n²)
     * brute-force correctness anchors (`ngram_jaccard_pairs`,
@@ -326,7 +327,9 @@ object SparkEntry {
     "parse_dates", "article_funnel",
     "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
     "winnow_fingerprints", "vocab_top_terms", "length_histogram",
-    "distinctive_terms", "bm25_topk", "quality_prune", "hybrid_rrf_topk",
+    // `hybrid_rrf_topk` (brute dense leg) is the unbenched exactness
+    // anchor; the benched hybrid is the LSH-leg composite
+    "distinctive_terms", "bm25_topk", "quality_prune", "hybrid_rrf_lsh_topk",
     "vocab_heavy_hitters_cms",
     "media_stats", "media_phash", "media_near_dup",
     "frame_sample", "frame_sample_digest", "frame_near_dup",

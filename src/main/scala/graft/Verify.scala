@@ -21,6 +21,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the two quantizer oracles are generated from centroids fitted on THIS
+    // sweep's data — bind the context before the oracle dump below
+    graft.ops.Similarity.setOracleContext(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

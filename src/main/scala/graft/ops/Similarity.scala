@@ -210,6 +210,83 @@ object Similarity {
        |)""".stripMargin
   }
 
+  /** EXACT DuckDB oracle for [[annIvfTopK]], generated from the FITTED
+    * centroids the query plans with (the [[fitCentroids]] session cache
+    * guarantees query and oracle quantize with identical literals — see
+    * [[cellsSqlCtes]] for the bit-exactness argument). Re-states the plan
+    * 1:1: probe ranking `score DESC, cell DESC` mirrors
+    * `slice(reverse(array_sort(…)), 1, nProbe)`, the candidate join is the
+    * same cell equi-join (each vector lives in exactly ONE cell, so no
+    * dedup is needed on either engine), and the final ranking is the same
+    * exact-cosine window [[annTopKSql]] uses.
+    */
+  private[ops] def annIvfTopKSql(
+      cent: Array[Array[Double]], k: Int = 10, nProbe: Int = 4): String =
+    s"""${cellsSqlCtes(cent)}, probes AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS pr
+       |    FROM scored WHERE vec_id % 50 = 0)
+       |  WHERE pr <= $nProbe
+       |), cand AS (
+       |  SELECT p.q_id, c.vec_id AS n_id
+       |  FROM probes p JOIN cells c ON c.cell = p.cell
+       |  WHERE c.vec_id <> p.q_id
+       |)
+       |SELECT q_id, n_id, rank, cos FROM (
+       |  SELECT cd.q_id, cd.n_id,
+       |    row_number() OVER (PARTITION BY cd.q_id
+       |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, cd.n_id) AS rank,
+       |    round(list_cosine_similarity(qe.v, ne.v), 4) AS cos
+       |  FROM cand cd
+       |  JOIN ev qe ON qe.vec_id = cd.q_id
+       |  JOIN ev ne ON ne.vec_id = cd.n_id)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** EXACT DuckDB oracle for [[semDedup]] under the same fitted-centroid
+    * literals: a vector is dropped iff some lower-id vector in its cell has
+    * cosine ≥ τ — the `a_id < b_id` equi-join restated, with the keep flag
+    * as a left-anti null test.
+    */
+  private[ops] def semDedupSql(cent: Array[Array[Double]], tau: Double = 0.45): String =
+    s"""${cellsSqlCtes(cent)}, dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN ev av ON av.vec_id = a.vec_id
+       |  JOIN ev bv ON bv.vec_id = b.vec_id
+       |  WHERE list_cosine_similarity(av.v, bv.v) >= $tau
+       |)
+       |SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS is_kept
+       |FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+
+  /** The two quantizer oracles are DATA-dependent (fitted centroids), unlike
+    * every other generated oracle (seeded hyperplanes) — so they can only be
+    * emitted once the sweep's (session, data dir) is known. [[graft.Verify]]
+    * (and the registry spec) set this before reading
+    * [[SparkEntry.oracleSql]]; unset, the two queries simply publish no
+    * oracle (the pre-round-8 rows-only behavior).
+    */
+  @volatile private var oracleCtx: Option[(SparkSession, String)] = None
+
+  def setOracleContext(spark: SparkSession, dir: String): Unit =
+    oracleCtx = Some((spark, dir))
+
+  /** `ann_ivf_topk` + `semdedup_clusters` oracle entries for the context
+    * dir, or empty when no context is set. The [[fitCentroids]] cache makes
+    * this at most one fit per (dir, k) per session, shared with the queries
+    * themselves.
+    */
+  def quantizerOracles: Map[String, String] = oracleCtx match {
+    case Some((spark, dir)) =>
+      val cent = fitCentroids(spark, dir, 16)
+      Map(
+        "ann_ivf_topk"      -> annIvfTopKSql(cent),
+        "semdedup_clusters" -> semDedupSql(cent))
+    case None => Map.empty
+  }
+
   val LshDims = 64 // embedding dimensionality in the testdata
 
   /** Deterministic hyperplane matrix, materialized ONCE at plan time as
@@ -259,19 +336,20 @@ object Similarity {
       k: Int = 10,
       nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val (model, assigned) = coarseQuantize(e, nCentroids)
+    val cent = fitCentroids(spark, dir, nCentroids)
+    // Persisted: the cell-assigned corpus feeds BOTH the query leg and the
+    // candidate leg of the probe join, and Spark plans them as independent
+    // subtrees — without the persist the nCentroids-DotProduct assignment
+    // (and the scan under it) recomputes once per leg.
+    val assigned = assignCells(e, cent).persist()
 
     // probe ranking against the literal centroid list: KMeans cells are
     // L2-Voronoi, so rank by (negative) squared distance —
     // |q−c|² = |q|² − 2⟨q,c⟩ + |c|², and |q|² is constant per query, so
     // rank by ⟨q,c⟩ − |c|²/2.
-    val centroids = model.clusterCenters.map(_.toArray)
-    val probeRank = centroids.zipWithIndex.map { case (c, i) =>
+    val probeRank = cent.zipWithIndex.map { case (c, i) =>
       val halfNormSq = c.map(x => x * x).sum / 2.0
       struct((graft.functions.DotProduct(col("q_v"), lit(c)) - halfNormSq).as("score"),
         lit(i).as("cell"))
@@ -391,8 +469,19 @@ object Similarity {
     * data-fitted, like `ann_ivf_topk` — with determinism, planted-dup
     * recall, and keep-rule semantics spec-pinned instead.
     */
-  def semDedupFrom(e: DataFrame, nCentroids: Int = 16, tau: Double = 0.45): DataFrame = {
-    val (_, assigned) = coarseQuantize(e, nCentroids)
+  def semDedupFrom(e: DataFrame, nCentroids: Int = 16, tau: Double = 0.45): DataFrame =
+    semDedupWith(e, fitCentroidsFrom(e, nCentroids), tau)
+
+  /** [[semDedupFrom]] under ALREADY-FITTED centroids — the registered query
+    * goes through here with the session-cached [[fitCentroids]] result so
+    * the query and its generated oracle ([[semDedupSql]]) quantize with the
+    * identical literals.
+    */
+  private[ops] def semDedupWith(
+      e: DataFrame, cent: Array[Array[Double]], tau: Double): DataFrame = {
+    // Persisted: `assigned` feeds three plan legs (both sides of the
+    // within-cell pair join plus the final keep-flag projection).
+    val assigned = assignCells(e, cent).persist()
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("v").as("a_v"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("v").as("b_v"))
     val dropped = a.join(b, Seq("cell"))
@@ -407,10 +496,13 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** Registered query: SemDeDup over the embeddings table. */
+  /** Registered query: SemDeDup over the embeddings table (session-cached
+    * fit — shared with the oracle generator). */
   def semDedup(spark: SparkSession, dir: String): DataFrame =
-    semDedupFrom(Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+    semDedupWith(
+      Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      fitCentroids(spark, dir, 16), 0.45)
 
   /** Hybrid sparse+dense retrieval via reciprocal-rank fusion: the BM25
     * top-k ([[TextAnalysis.bm25TopK]], lexical) and the exact cosine top-k
@@ -433,6 +525,28 @@ object Similarity {
       .select(col("q_id"), col("doc_id"), col("rank").as("r_sparse"))
     val dense = annTopKBrute(spark, dir, k)
       .select(col("q_id"), col("n_id").as("doc_id"), col("rank").as("r_dense"))
+    fuseRrf(sparse, dense, k, c)
+  }
+
+  /** The BENCHED hybrid retrieval: the same RRF fusion with the sublinear
+    * [[annLshTopK]] dense leg instead of the full-corpus brute scan — at
+    * 100 TB the brute leg IS the query cost, so the production composite
+    * must ride the index. [[hybridRrfTopK]] stays registered as the
+    * unbenched exactness anchor. Both legs are oracle-exact (seeded
+    * hyperplanes), so the fusion is too.
+    */
+  def hybridRrfLshTopK(spark: SparkSession, dir: String, k: Int = 10, c: Int = 60): DataFrame = {
+    val sparse = TextAnalysis.bm25TopK(spark, dir, k)
+      .select(col("q_id"), col("doc_id"), col("rank").as("r_sparse"))
+    val dense = annLshTopK(spark, dir, k)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rank").as("r_dense"))
+    fuseRrf(sparse, dense, k, c)
+  }
+
+  /** Shared RRF fusion tail: full outer join on (query, doc) + one windowed
+    * top-k; `rrf = Σ 1/(c + rank)` over the lists that retrieved the doc.
+    */
+  private def fuseRrf(sparse: DataFrame, dense: DataFrame, k: Int, c: Int): DataFrame = {
     val fused = sparse.join(dense, Seq("q_id", "doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(c) + col("r_sparse")), lit(0.0)) +
@@ -445,11 +559,19 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  def hybridRrfTopKSql: String =
+  def hybridRrfTopKSql: String = hybridSqlWith(annTopKSql)
+
+  /** Generated oracle for [[hybridRrfLshTopK]] — the LSH leg's hyperplane
+    * literals nest as a `WITH` inside the `dense` CTE. */
+  def hybridRrfLshTopKSql: String = hybridSqlWith(annLshTopKSql)
+
+  /** The hybrid fusion SQL, parameterized by the dense leg (both legs emit
+    * (q_id, n_id, rank, cos)). */
+  private def hybridSqlWith(denseSql: String): String =
     s"""WITH sparse AS (
        |${TextAnalysis.bm25TopKSql}
        |), dense AS (
-       |$annTopKSql
+       |$denseSql
        |), fused AS (
        |  SELECT coalesce(s.q_id, d.q_id) AS q_id,
        |    coalesce(s.doc_id, d.n_id) AS doc_id,

@@ -259,7 +259,34 @@ object TextAnalysis {
     val cms = toks.stat.countMinSketch("token", eps, conf, 42)
     val cmsB = toks.sparkSession.sparkContext.broadcast(cms)
     val est = udf((t: String) => cmsB.value.estimateCount(t))
-    toks.distinct()
+    // Probe-candidate set: per-partition BOUNDED top-m, NOT a
+    // vocabulary-wide `distinct()` — at 100 TB that distinct IS the exact
+    // aggregation the sketch exists to avoid. Each task keeps a
+    // Misra-Gries-style summary (hash counts, batch-pruned to the `cap`
+    // highest whenever they exceed 2·cap — state never exceeds 2·cap
+    // entries regardless of partition vocabulary) and emits its local
+    // top-m. A global top-k token is locally heavy in the partitions that
+    // hold its mass, so the union of local top-m lists contains it; the
+    // spec pins exact agreement with [[vocabTopTerms]]'s true top-k. The
+    // union is ≤ partitions·m rows — the only exchange left is the
+    // candidate dedup over that bounded set.
+    val m = 16 * k
+    val cap = math.max(4096, 8 * m)
+    import toks.sparkSession.implicits._
+    val cand = toks.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      def prune(): Unit = if (counts.size > 2 * cap) {
+        val keep = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(cap)
+        counts.clear()
+        counts ++= keep
+      }
+      for (t <- it) {
+        counts.updateWith(t) { c => Some(c.getOrElse(0L) + 1L) }
+        prune()
+      }
+      counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(m).map(_._1).iterator
+    }.toDF("token").dropDuplicates("token")
+    cand
       .withColumn("est_tf", est(col("token")))
       .orderBy(col("est_tf").desc, col("token"))
       .limit(k)

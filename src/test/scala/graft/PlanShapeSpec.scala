@@ -144,8 +144,10 @@ class PlanShapeSpec extends SparkSuite {
     "fingerprint" -> (0, 0, 0, 1, 1, 0),
     "winnow_fingerprints" -> (0, 0, 0, 1, 1, 0),
     "vocab_top_terms" -> (0, 0, 0, 0, 2, 0),
-    // one shuffle: the distinct-token agg; the CMS itself is driver-built
-    // mergeable per-partition state, no exchange
+    // one shuffle: the candidate dedup over the BOUNDED per-partition
+    // top-m union (≤ partitions·m rows — round 8 retired the
+    // vocabulary-wide distinct); the CMS itself is driver-built mergeable
+    // per-partition state, no exchange
     "vocab_heavy_hitters_cms" -> (0, 0, 0, 0, 1, 0),
     "length_histogram" -> (0, 0, 0, 1, 3, 0),
     "distinctive_terms" -> (0, 0, 0, 1, 5, 3),
@@ -159,6 +161,11 @@ class PlanShapeSpec extends SparkSuite {
     // + ann's broadcast nested loop (its pinned shape), their window top-ks
     // (each with WindowGroupLimit pair) + the fusion window
     "hybrid_rrf_topk" -> (0, 2, 1, 1, 16, 9),
+    // the benched hybrid: bm25's scalar-combine BNL + the LSH leg's banded
+    // index (no brute corpus scan — that's what separates it from the
+    // anchor above); the sort-merge is the candidate⋈vector re-attach at
+    // the suite's tiny broadcast budget
+    "hybrid_rrf_lsh_topk" -> (0, 1, 1, 1, 17, 9),
     "media_stats" -> (0, 0, 0, 1, 2, 0),
     // near_dup's 2 exchanges: the pair-dedup aggregate + final sort; the
     // segment-blocked candidate join itself broadcasts the fingerprint side

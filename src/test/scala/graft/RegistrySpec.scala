@@ -12,9 +12,12 @@ class RegistrySpec extends SparkSuite {
   /** Every rows-only query, each with its reason documented on
     * `SparkEntry.oracleSql`'s scaladoc. Adding to this list requires
     * adding the reason there too. */
+  // ann_ivf_topk / semdedup_clusters left this list in round 8: their
+  // oracles are generated from the fitted centroids once the context below
+  // is bound (exactly what Verify does before its dump).
+  graft.ops.Similarity.setOracleContext(spark, "/root/testdata/sf0.001")
+
   private val documentedRowsOnly = Set(
-    "ann_ivf_topk",             // KMeans quantizer is data-fitted
-    "semdedup_clusters",        // same data-fitted KMeans quantizer
     "distinct_parts_approx",    // HLL sketch internals are engine-specific
     "value_percentiles_approx", // GK sketch internals are engine-specific
     "value_quartiles_approx",   // approx_percentile boundaries are engine-specific

@@ -120,6 +120,30 @@ class SimilaritySpec extends SparkSuite {
     assert(got == expected, s"fusion mismatch: ${(got -- expected).take(3)} vs ${(expected -- got).take(3)}")
   }
 
+  test("hybridRrfLshTopK: fusion equals hand-computed RRF over bm25 + LSH lists") {
+    val dir = "/root/testdata/sf0.01"
+    val sparse = TextAnalysis.bm25TopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val dense = Similarity.annLshTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val expected = (sparse.keySet ++ dense.keySet).groupBy(_._1).flatMap {
+      case (q, keys) =>
+        keys.toSeq
+          .map { k =>
+            val rrf = sparse.get(k).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+              dense.get(k).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+            (k._2, rrf)
+          }
+          .sortBy { case (id, rrf) => (-rrf, id) }.take(10).zipWithIndex
+          .map { case ((id, rrf), i) =>
+            (q, id, i + 1,
+              BigDecimal(rrf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }.toSet
+    val got = Similarity.hybridRrfLshTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got == expected, s"fusion mismatch: ${(got -- expected).take(3)} vs ${(expected -- got).take(3)}")
+  }
+
   test("multi-table LSH top-k: recall against the brute-force anchor") {
     val dir = "/root/testdata/sf0.01"
     val brute = Similarity.annTopKBrute(spark, dir)
