@@ -98,15 +98,26 @@ object Similarity {
     * [[annLshTopKSql]] embeds its hyperplanes.
     */
   private[ops] def fitCentroidsFrom(e: DataFrame, nCentroids: Int): Array[Array[Double]] = {
-    val sample: Array[Array[Double]] = e
-      .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
-      .select(col("v"), xxhash64(col("vec_id")).as("h"), col("vec_id"))
-      .orderBy(col("h"), col("vec_id"))
-      .limit(50000)
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+    val sample = fitSample(e)
     require(sample.length >= nCentroids,
       s"coarse-quantizer fit sample (${sample.length}) smaller than k=$nCentroids")
+    lloyd(sample, nCentroids)
+  }
+
+  /** The bounded, layout-independent fit sample shared by the coarse
+    * quantizer and the PQ codebook fit ([[fitPqFrom]]). */
+  private def fitSample(e: DataFrame): Array[Array[Double]] = e
+    .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
+    .select(col("v"), xxhash64(col("vec_id")).as("h"), col("vec_id"))
+    .orderBy(col("h"), col("vec_id"))
+    .limit(50000)
+    .collect()
+    .map(_.getSeq[Double](0).toArray)
+
+  /** Ten Lloyd iterations over an in-memory sample (driver-side, bounded —
+    * see [[fitCentroidsFrom]]). Deterministic: init = the first k sample
+    * vectors in their hash order, assignment ties to the highest cell. */
+  private def lloyd(sample: Array[Array[Double]], nCentroids: Int): Array[Array[Double]] = {
     val dims = sample.head.length
     // init: the first k hash-ordered sample vectors — a seeded pseudo-random
     // spread with no RNG state to drift
@@ -281,9 +292,12 @@ object Similarity {
   def quantizerOracles: Map[String, String] = oracleCtx match {
     case Some((spark, dir)) =>
       val cent = fitCentroids(spark, dir, 16)
+      val books = fitPq(spark, dir, PqM, PqKs)
       Map(
         "ann_ivf_topk"      -> annIvfTopKSql(cent),
-        "semdedup_clusters" -> semDedupSql(cent))
+        "semdedup_clusters" -> semDedupSql(cent),
+        "pq_adc_topk"       -> pqAdcTopKSql(books),
+        "ivf_pq_topk"       -> ivfPqTopKSql(cent, books))
     case None => Map.empty
   }
 
@@ -503,6 +517,237 @@ object Similarity {
       Tables(spark, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v")),
       fitCentroids(spark, dir, 16), 0.45)
+
+  // ---------------------------------------------------------------- PQ ---
+
+  val PqM = 8   // subspaces (64 dims / 8 = 8-dim subvectors)
+  val PqKs = 16 // codes per subspace → a 4-bit code, 8 codes per vector
+
+  /** Product-quantization codebooks: an independent [[lloyd]] fit per
+    * 8-dim subspace over the shared [[fitSample]]. PQ is the standard
+    * memory-side ANN compression (Jégou et al., FAISS's `IndexPQ`): a
+    * vector is stored as `m` small codes — here 8×4 bits vs 64×8-byte
+    * doubles, a 128× compression — and query-time scoring reads ONLY the
+    * code table. At 100 TB that is the difference between scanning the
+    * corpus and scanning 1/128th of it; the fit is the same bounded
+    * driver-side model artifact as [[fitCentroids]].
+    */
+  private[ops] def fitPqFrom(e: DataFrame, m: Int, ks: Int): Array[Array[Array[Double]]] = {
+    val sample = fitSample(e)
+    require(sample.length >= ks, s"PQ fit sample (${sample.length}) smaller than ks=$ks")
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m subspaces")
+    val dsub = dims / m
+    Array.tabulate(m)(j => lloyd(sample.map(_.slice(j * dsub, (j + 1) * dsub)), ks))
+  }
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Array[Array[Array[Double]]]]
+
+  private[ops] def fitPq(spark: SparkSession, dir: String, m: Int, ks: Int)
+      : Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate((dir, m, ks), {
+      val e = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      fitPqFrom(e, m, ks)
+    })
+
+  /** PQ encoding as pure codegen'd column arithmetic — per subspace j,
+    * `code_j` = the L2-nearest codeword of `v[j·dsub … )`, via the same
+    * argmax ⟨v,c⟩ − |c|²/2 / ties-to-highest-code rule as [[assignCells]]
+    * (KMeans codewords are L2-Voronoi). Returns `keep` columns + the `m`
+    * code columns — the compact index artifact; the 64-dim vector is
+    * deliberately NOT carried.
+    */
+  private[ops] def assignCodes(
+      e: DataFrame, books: Array[Array[Array[Double]]], keep: Seq[String]): DataFrame = {
+    val dsub = books(0)(0).length
+    val codeCols = books.zipWithIndex.map { case (book, j) =>
+      val sub = slice(col("v"), j * dsub + 1, dsub)
+      val scored = book.zipWithIndex.map { case (c, i) =>
+        val halfNormSq = c.map(x => x * x).sum / 2.0
+        struct((graft.functions.DotProduct(sub, lit(c)) - halfNormSq).as("score"),
+          lit(i).as("code"))
+      }
+      element_at(array_sort(array(scored: _*)), -1).getField("code").as(s"code$j")
+    }
+    e.select(keep.map(col) ++ codeCols: _*)
+  }
+
+  /** The ADC (asymmetric distance computation) score of a coded candidate
+    * against a full-precision query vector `q_v`: per subspace, the dot of
+    * the query subvector with the candidate's CODEWORD — a 16-entry
+    * lookup-table read, `element_at` over the per-code dot array — summed
+    * in fixed subspace order j = 0…m−1 (the oracle re-states the same
+    * left-to-right order; ranking uses the ROUNDED score, the same
+    * reassociation armor as `bm25_topk`).
+    */
+  private def adcScore(books: Array[Array[Array[Double]]]): Column = {
+    val dsub = books(0)(0).length
+    books.zipWithIndex.map { case (book, j) =>
+      val qsub = slice(col("q_v"), j * dsub + 1, dsub)
+      val lut = array(book.map(c => graft.functions.DotProduct(qsub, lit(c))): _*)
+      element_at(lut, col(s"code$j") + 1)
+    }.reduce[Column](_ + _)
+  }
+
+  /** PQ-ADC top-k: the full-corpus scan of [[annTopKBrute]], but over the
+    * 8-byte code table instead of the 512-byte vectors — scoring is m
+    * LUT reads per candidate instead of a 64-dim cosine. Approximate by
+    * construction (quantization error), so the spec pins a recall floor
+    * against the brute anchor; the oracle ([[pqAdcTopKSql]]) is
+    * nonetheless EXACT, because both engines quantize and score from the
+    * identical codebook literals.
+    *
+    * Scale shape: scan of a codes table joined to a broadcast query batch —
+    * shuffle-free, and the scanned bytes are 1/64th of the raw corpus.
+    */
+  def pqAdcTopK(
+      spark: SparkSession, dir: String, k: Int = 10,
+      m: Int = PqM, ks: Int = PqKs): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val books = fitPq(spark, dir, m, ks)
+    val codes = assignCodes(e, books, Seq("vec_id"))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val scored = codes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(adcScore(books), 4).as("adc"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adc"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** IVF+PQ top-k — the composition FAISS ships as `IndexIVFPQ` and the
+    * shape a 100 TB ANN service actually runs: the coarse quantizer prunes
+    * the scan to `nProbe`/`nCentroids` of the corpus (cell equi-join on a
+    * partitioning column), and PQ compresses what remains 64×. Shares both
+    * fitted models (and their session caches) with [[annIvfTopK]] /
+    * [[pqAdcTopK]], so the generated oracle composes their literal CTEs.
+    */
+  def ivfPqTopK(
+      spark: SparkSession, dir: String, k: Int = 10,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = PqM, ks: Int = PqKs): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cent = fitCentroids(spark, dir, nCentroids)
+    val books = fitPq(spark, dir, m, ks)
+    // Persisted: the assigned+coded corpus feeds the query leg and the
+    // candidate leg (same two-subtree plan as annIvfTopK).
+    val assigned = assignCells(e, cent).persist()
+    val codes = assignCodes(assigned, books, Seq("vec_id", "cell"))
+    val probeRank = cent.zipWithIndex.map { case (c, i) =>
+      val halfNormSq = c.map(x => x * x).sum / 2.0
+      struct((graft.functions.DotProduct(col("q_v"), lit(c)) - halfNormSq).as("score"),
+        lit(i).as("cell"))
+    }
+    val queries = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      .withColumn("probes",
+        slice(reverse(array_sort(array(probeRank: _*))), 1, nProbe))
+      .select(col("q_id"), col("q_v"), explode(col("probes.cell")).as("cell"))
+    val scored = codes.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(adcScore(books), 4).as("adc"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adc"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The `books` + `codesub` + `lut` CTE suffix shared by the two PQ
+    * oracles (appended after an `ev` CTE): codebooks as DOUBLE[] literals,
+    * each vector's per-subspace code under the same argmax/ties-to-highest
+    * rule, and the per-query LUT of subvector·codeword dots. DuckDB list
+    * slices are 1-based inclusive, matching Spark's `slice(v, j·dsub+1,
+    * dsub)`.
+    */
+  private def pqSqlCtes(books: Array[Array[Array[Double]]]): String = {
+    val dsub = books(0)(0).length
+    val rows = books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, i) =>
+        val halfNormSq = c.map(x => x * x).sum / 2.0
+        s"($j, $i, ${c.mkString("[", ", ", "]")}::DOUBLE[], ${halfNormSq}::DOUBLE)"
+      }
+    }.mkString(",\n    ")
+    s""", books AS (
+       |  SELECT * FROM (VALUES
+       |    $rows) AS t(j, code, c, hn)
+       |), subs AS (
+       |  SELECT vec_id, j, v[j*$dsub+1 : j*$dsub+$dsub] AS sv
+       |  FROM ev CROSS JOIN (SELECT unnest(range(${books.length}))::INT AS j)
+       |), codesub AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT s.vec_id, s.j, b.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.j
+       |        ORDER BY list_dot_product(s.sv, b.c) - b.hn DESC, b.code DESC) AS rn
+       |    FROM subs s JOIN books b ON b.j = s.j) WHERE rn = 1
+       |), lut AS (
+       |  SELECT q.vec_id AS q_id, b.j, b.code,
+       |    list_dot_product(q.v[b.j*$dsub+1 : b.j*$dsub+$dsub], b.c) AS pd
+       |  FROM ev q CROSS JOIN books b WHERE q.vec_id % 50 = 0
+       |)""".stripMargin
+  }
+
+  /** EXACT generated oracle for [[pqAdcTopK]]: codes and LUT from the
+    * fitted codebook literals, ADC = SUM of the 8 LUT reads (rounded before
+    * ranking — see [[adcScore]]), brute scan over the coded corpus.
+    */
+  private[ops] def pqAdcTopKSql(books: Array[Array[Array[Double]]], k: Int = 10): String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |)${pqSqlCtes(books)}, adc AS (
+       |  SELECT l.q_id, cs.vec_id AS n_id, round(SUM(l.pd), 4) AS adc
+       |  FROM codesub cs JOIN lut l ON l.j = cs.j AND l.code = cs.code
+       |  WHERE cs.vec_id <> l.q_id
+       |  GROUP BY l.q_id, cs.vec_id
+       |)
+       |SELECT q_id, n_id, rank, adc FROM (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rank, adc
+       |  FROM adc)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** EXACT generated oracle for [[ivfPqTopK]]: [[cellsSqlCtes]]'s coarse
+    * cells + [[pqSqlCtes]]'s codes/LUT (they share the `ev` CTE), probe
+    * selection and cell-equi-join candidates as in [[annIvfTopKSql]], ADC
+    * ranking as in [[pqAdcTopKSql]].
+    */
+  private[ops] def ivfPqTopKSql(
+      cent: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      k: Int = 10, nProbe: Int = 4): String =
+    s"""${cellsSqlCtes(cent)}${pqSqlCtes(books)}, probes AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS pr
+       |    FROM scored WHERE vec_id % 50 = 0)
+       |  WHERE pr <= $nProbe
+       |), cand AS (
+       |  SELECT p.q_id, c.vec_id AS n_id
+       |  FROM probes p JOIN cells c ON c.cell = p.cell
+       |  WHERE c.vec_id <> p.q_id
+       |), adc AS (
+       |  SELECT cd.q_id, cd.n_id, round(SUM(l.pd), 4) AS adc
+       |  FROM cand cd
+       |  JOIN codesub cs ON cs.vec_id = cd.n_id
+       |  JOIN lut l ON l.q_id = cd.q_id AND l.j = cs.j AND l.code = cs.code
+       |  GROUP BY cd.q_id, cd.n_id
+       |)
+       |SELECT q_id, n_id, rank, adc FROM (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rank, adc
+       |  FROM adc)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
 
   /** Hybrid sparse+dense retrieval via reciprocal-rank fusion: the BM25
     * top-k ([[TextAnalysis.bm25TopK]], lexical) and the exact cosine top-k

@@ -65,6 +65,11 @@ class PlanShapeSpec extends SparkSuite {
     // the sort-merge is the intra-cell pair join (both legs are the
     // persisted cell assignment — cell-bounded, never corpus all-pairs)
     "semdedup_clusters" -> (0, 0, 1, 1, 3, 0),
+    // the nested-loop is the broadcast query batch against the CODES table
+    // (same shape as ann_topk_brute, but scanning 8-byte codes, not
+    // 512-byte vectors); ivf_pq prunes via the cell equi-join instead
+    "pq_adc_topk" -> (0, 1, 0, 1, 2, 3),
+    "ivf_pq_topk" -> (0, 0, 0, 1, 2, 3),
     "simhash_near_dup" -> (0, 0, 0, 3, 4, 0),
     "simhash" -> (0, 0, 0, 1, 1, 0),
     "ann_topk_brute" -> (0, 1, 0, 1, 2, 3),

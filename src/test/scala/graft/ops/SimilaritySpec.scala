@@ -156,4 +156,45 @@ class SimilaritySpec extends SparkSuite {
     // The bound is a regression floor, not a quality target.
     assert(recall >= 0.4, s"LSH recall@10 degraded: $recall")
   }
+
+  test("PQ codes: every code in [0, ks); the code table carries no vectors") {
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.ops.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val books = Similarity.fitPqFrom(e, Similarity.PqM, Similarity.PqKs)
+    val codes = Similarity.assignCodes(e, books, Seq("vec_id"))
+    assert(codes.columns.toSeq == "vec_id" +: (0 until Similarity.PqM).map(i => s"code$i"),
+      "codes table must be vec_id + m code columns only (the compact index artifact)")
+    val outOfRange = (0 until Similarity.PqM).map(j =>
+      codes.filter(col(s"code$j") < 0 || col(s"code$j") >= Similarity.PqKs).count()).sum
+    assert(outOfRange == 0)
+  }
+
+  test("PQ-ADC top-k: recall floor against brute; IVF+PQ agrees with IVF's candidates; both deterministic") {
+    val dir = "/root/testdata/sf0.01"
+    val brute = Similarity.annTopKBrute(spark, dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq1 = Similarity.pqAdcTopK(spark, dir).collect()
+    val pq2 = Similarity.pqAdcTopK(spark, dir).collect()
+    assert(pq1.map(_.toString).toSeq == pq2.map(_.toString).toSeq,
+      "deterministic codebook fit must make PQ-ADC deterministic")
+    val pqSet = pq1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pqSet).size.toDouble / brute.size
+    // 4-bit codes on near-orthogonal synthetic vectors: a floor, not a
+    // quality target (production corpora with real cluster structure
+    // quantize far better) — the IVF/LSH specs' convention
+    assert(recall >= 0.2, s"PQ-ADC recall@10 degraded: $recall")
+
+    // IVF+PQ scans the SAME probed cells as IVF (shared coarse fit), so its
+    // result ids are a subset of the IVF candidate cells' members — checked
+    // through determinism + a recall floor against the IVF result itself
+    val ivfpq = Similarity.ivfPqTopK(spark, dir).collect()
+    val ivfpq2 = Similarity.ivfPqTopK(spark, dir).collect()
+    assert(ivfpq.map(_.toString).toSeq == ivfpq2.map(_.toString).toSeq)
+    val ivf = Similarity.annIvfTopK(spark, dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpqSet = ivfpq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (ivf & ivfpqSet).size.toDouble / ivf.size
+    assert(overlap >= 0.2, s"IVF+PQ diverged from IVF beyond quantization error: $overlap")
+  }
 }
