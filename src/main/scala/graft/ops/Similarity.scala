@@ -162,7 +162,11 @@ object Similarity {
   }
 
   /** Fitted centroids for the embeddings table of `dir`, cached so the
-    * query builder and the oracle generator share ONE fit per session. */
+    * query builder and the oracle generator share ONE fit per session.
+    * Keyed by (dir, k) only — like [[pqCache]], this assumes the table
+    * under a dir is immutable for the session's lifetime (true for the
+    * driver's generated testdata; a production deployment would version
+    * the model artifact with the data snapshot it was fitted on). */
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), Array[Array[Double]]]
 
@@ -574,22 +578,32 @@ object Similarity {
     e.select(keep.map(col) ++ codeCols: _*)
   }
 
-  /** The ADC (asymmetric distance computation) score of a coded candidate
-    * against a full-precision query vector `q_v`: per subspace, the dot of
-    * the query subvector with the candidate's CODEWORD — a 16-entry
-    * lookup-table read, `element_at` over the per-code dot array — summed
-    * in fixed subspace order j = 0…m−1 (the oracle re-states the same
-    * left-to-right order; ranking uses the ROUNDED score, the same
-    * reassociation armor as `bm25_topk`).
+  /** The per-QUERY ADC lookup table: all m×ks subvector·codeword dots as
+    * one flat array column, computed in the query-side projection — ONCE
+    * per query row, BELOW the broadcast exchange — so the per-pair work in
+    * the scan is array reads, not dot products (the first cut evaluated
+    * this array per joined pair, which made ADC 16× the arithmetic of the
+    * brute cosine it exists to avoid).
     */
-  private def adcScore(books: Array[Array[Array[Double]]]): Column = {
+  private def adcLut(books: Array[Array[Array[Double]]]): Column = {
     val dsub = books(0)(0).length
-    books.zipWithIndex.map { case (book, j) =>
+    array(books.zipWithIndex.flatMap { case (book, j) =>
       val qsub = slice(col("q_v"), j * dsub + 1, dsub)
-      val lut = array(book.map(c => graft.functions.DotProduct(qsub, lit(c))): _*)
-      element_at(lut, col(s"code$j") + 1)
-    }.reduce[Column](_ + _)
+      book.map(c => graft.functions.DotProduct(qsub, lit(c)))
+    }: _*)
   }
+
+  /** The ADC (asymmetric distance computation) score of a coded candidate:
+    * per subspace, one read of the query's [[adcLut]] at `j·ks + code_j`,
+    * summed in fixed subspace order j = 0…m−1 (the oracle re-states the
+    * same left-to-right order; ranking uses the ROUNDED score, the same
+    * reassociation armor as `bm25_topk`). Bit-identical to computing the
+    * dots in place — the LUT holds the very same doubles.
+    */
+  private def adcScore(ks: Int, m: Int): Column =
+    (0 until m).map { j =>
+      element_at(col("lut"), lit(j * ks) + col(s"code$j") + 1)
+    }.reduce[Column](_ + _)
 
   /** PQ-ADC top-k: the full-corpus scan of [[annTopKBrute]], but over the
     * 8-byte code table instead of the 512-byte vectors — scoring is m
@@ -611,9 +625,10 @@ object Similarity {
     val codes = assignCodes(e, books, Seq("vec_id"))
     val queries = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      .select(col("q_id"), adcLut(books).as("lut"))
     val scored = codes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        round(adcScore(books), 4).as("adc"))
+        round(adcScore(ks, m), 4).as("adc"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -650,11 +665,12 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
       .withColumn("probes",
         slice(reverse(array_sort(array(probeRank: _*))), 1, nProbe))
-      .select(col("q_id"), col("q_v"), explode(col("probes.cell")).as("cell"))
+      .select(col("q_id"), adcLut(books).as("lut"),
+        explode(col("probes.cell")).as("cell"))
     val scored = codes.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        round(adcScore(books), 4).as("adc"))
+        round(adcScore(ks, m), 4).as("adc"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
