@@ -125,6 +125,7 @@ object SparkEntry {
     "ann_ivf_topk"   -> ((s, d) => Similarity.annIvfTopK(s, d)),
     "semdedup_clusters" -> (Similarity.semDedup _),
     "pq_adc_topk"    -> ((s, d) => Similarity.pqAdcTopK(s, d)),
+    "pq_rerank_topk" -> ((s, d) => Similarity.pqRerankTopK(s, d)),
     "ivf_pq_topk"    -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     // --- multimodal binary-column plumbing ---
     "media_stats"      -> (Multimodal.mediaStats _),
@@ -302,6 +303,7 @@ object SparkEntry {
   val benchQueries: Seq[String] = Seq(
     "minhash_lsh_pairs", "near_dup_clusters", "embedding_near_dup_lsh", "ann_lsh_topk",
     "ann_ivf_topk", "semdedup_clusters", "pq_adc_topk", "ivf_pq_topk",
+    "pq_rerank_topk",
     "simhash_near_dup", "simhash",
     "ann_topk_brute",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",

@@ -301,6 +301,7 @@ object Similarity {
         "ann_ivf_topk"      -> annIvfTopKSql(cent),
         "semdedup_clusters" -> semDedupSql(cent),
         "pq_adc_topk"       -> pqAdcTopKSql(books),
+        "pq_rerank_topk"    -> pqRerankTopKSql(books),
         "ivf_pq_topk"       -> ivfPqTopKSql(cent, books))
     case None => Map.empty
   }
@@ -636,6 +637,77 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("adc"))
       .orderBy("q_id", "rank")
   }
+
+  /** PQ shortlist + exact re-rank — the production retrieval pattern
+    * (ADC is a SHORTLIST device, not a final ranking): the coded scan
+    * takes the top `shortlist` candidates per query by ADC, then ONLY
+    * those re-attach their full vectors for an exact-cosine final top-k.
+    * Cost at scale: one pass over the 8-byte codes + `shortlist` (not
+    * corpus-sized) exact cosines per query; recall inherits the ADC
+    * shortlist's, while the final ordering is exact — the spec pins that
+    * re-ranking beats raw ADC against the brute anchor.
+    *
+    * Scale shape: the re-attach is a slim equi-join of the shortlist ids
+    * against the vector table — candidates × 1, never corpus × corpus.
+    */
+  def pqRerankTopK(
+      spark: SparkSession, dir: String, k: Int = 10, shortlist: Int = 50,
+      m: Int = PqM, ks: Int = PqKs): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val books = fitPq(spark, dir, m, ks)
+    val codes = assignCodes(e, books, Seq("vec_id"))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val qlut = queries.select(col("q_id"), adcLut(books).as("lut"))
+    import org.apache.spark.sql.expressions.Window
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    val short = codes.join(broadcast(qlut), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), round(adcScore(ks, m), 4).as("adc"))
+      .withColumn("sr", row_number().over(wAdc))
+      .filter(col("sr") <= shortlist)
+      .select(col("q_id"), col("n_id"))
+    val rer = short
+      .join(e.select(col("vec_id").as("n_id"), col("v")), Seq("n_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_v"), col("v")).as("c"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("c"), 4).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** EXACT generated oracle for [[pqRerankTopK]]: the [[pqAdcTopKSql]]
+    * shortlist ranking (same rounded-ADC window) capped at `shortlist`,
+    * then the exact-cosine re-rank [[annIvfTopKSql]]-style.
+    */
+  private[ops] def pqRerankTopKSql(
+      books: Array[Array[Array[Double]]], k: Int = 10, shortlist: Int = 50): String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |)${pqSqlCtes(books)}, adc AS (
+       |  SELECT l.q_id, cs.vec_id AS n_id, round(SUM(l.pd), 4) AS adc
+       |  FROM codesub cs JOIN lut l ON l.j = cs.j AND l.code = cs.code
+       |  WHERE cs.vec_id <> l.q_id
+       |  GROUP BY l.q_id, cs.vec_id
+       |), short AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS sr
+       |    FROM adc)
+       |  WHERE sr <= $shortlist
+       |)
+       |SELECT q_id, n_id, rank, cos FROM (
+       |  SELECT s.q_id, s.n_id,
+       |    row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, s.n_id) AS rank,
+       |    round(list_cosine_similarity(qe.v, ne.v), 4) AS cos
+       |  FROM short s
+       |  JOIN ev qe ON qe.vec_id = s.q_id
+       |  JOIN ev ne ON ne.vec_id = s.n_id)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
 
   /** IVF+PQ top-k — the composition FAISS ships as `IndexIVFPQ` and the
     * shape a 100 TB ANN service actually runs: the coarse quantizer prunes

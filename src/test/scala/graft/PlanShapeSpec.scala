@@ -69,6 +69,9 @@ class PlanShapeSpec extends SparkSuite {
     // (same shape as ann_topk_brute, but scanning 8-byte codes, not
     // 512-byte vectors); ivf_pq prunes via the cell equi-join instead
     "pq_adc_topk" -> (0, 1, 0, 1, 2, 3),
+    // two window passes (ADC shortlist rank + exact re-rank) — both
+    // per-query-partitioned, never global
+    "pq_rerank_topk" -> (0, 1, 0, 1, 2, 5),
     "ivf_pq_topk" -> (0, 0, 0, 1, 2, 3),
     "simhash_near_dup" -> (0, 0, 0, 3, 4, 0),
     "simhash" -> (0, 0, 0, 1, 1, 0),

@@ -197,4 +197,22 @@ class SimilaritySpec extends SparkSuite {
     val overlap = (ivf & ivfpqSet).size.toDouble / ivf.size
     assert(overlap >= 0.2, s"IVF+PQ diverged from IVF beyond quantization error: $overlap")
   }
+
+  test("PQ re-rank: exact ordering on the shortlist, recall at least the raw ADC's") {
+    val dir = "/root/testdata/sf0.01"
+    val brute = Similarity.annTopKBrute(spark, dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = Similarity.pqAdcTopK(spark, dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rer1 = Similarity.pqRerankTopK(spark, dir).collect()
+    val rer2 = Similarity.pqRerankTopK(spark, dir).collect()
+    assert(rer1.map(_.toString).toSeq == rer2.map(_.toString).toSeq)
+    val rerSet = rer1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcRecall = (brute & adc).size.toDouble / brute.size
+    val rerRecall = (brute & rerSet).size.toDouble / brute.size
+    // the 50-deep shortlist re-ranked exactly must dominate the raw ADC@10
+    assert(rerRecall >= adcRecall,
+      s"re-rank recall $rerRecall fell below raw ADC recall $adcRecall")
+    assert(rerRecall >= 0.5, s"PQ re-rank recall@10 degraded: $rerRecall")
+  }
 }
