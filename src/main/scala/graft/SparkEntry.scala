@@ -126,6 +126,8 @@ object SparkEntry {
     "semdedup_clusters" -> (Similarity.semDedup _),
     "pq_adc_topk"    -> ((s, d) => Similarity.pqAdcTopK(s, d)),
     "pq_rerank_topk" -> ((s, d) => Similarity.pqRerankTopK(s, d)),
+    "sq8_topk"       -> ((s, d) => Similarity.sq8TopK(s, d)),
+    "containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "ivf_pq_topk"    -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     // --- multimodal binary-column plumbing ---
     "media_stats"      -> (Multimodal.mediaStats _),
@@ -261,6 +263,8 @@ object SparkEntry {
     "embedding_near_dup"  -> Dedup.embeddingNearDupSql,
     "embedding_near_dup_lsh" -> Dedup.embeddingNearDupLshSql,
     "ann_topk_brute" -> Similarity.annTopKSql,
+    "sq8_topk"       -> Similarity.sq8TopKSql,
+    "containment_pairs" -> Dedup.containmentSql,
     "hybrid_rrf_topk" -> Similarity.hybridRrfTopKSql,
     "hybrid_rrf_lsh_topk" -> Similarity.hybridRrfLshTopKSql,
     "ann_lsh_topk"   -> Similarity.annLshTopKSql,
@@ -303,7 +307,7 @@ object SparkEntry {
   val benchQueries: Seq[String] = Seq(
     "minhash_lsh_pairs", "near_dup_clusters", "embedding_near_dup_lsh", "ann_lsh_topk",
     "ann_ivf_topk", "semdedup_clusters", "pq_adc_topk", "ivf_pq_topk",
-    "pq_rerank_topk",
+    "pq_rerank_topk", "sq8_topk", "containment_pairs",
     "simhash_near_dup", "simhash",
     "ann_topk_brute",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",

@@ -126,6 +126,85 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  val ContainmentTau = 0.5 // max-direction containment threshold
+  val ContainmentMaxDf = 20 // stop-shingle cap: shingles in more docs don't pair
+
+  /** N-gram CONTAINMENT near-dup — the asymmetric cousin of Jaccard:
+    * containment(A→B) = |S(A) ∩ S(B)| / |S(A)| catches a short doc
+    * embedded in a long one (quote expansions, boilerplate wrappers),
+    * where Jaccard is diluted by the long side's extra shingles (the
+    * CCNet/RefinedWeb-style dedup criterion). A pair reports its
+    * max-direction containment.
+    *
+    * Scale shape — this is the one that survives 100 TB, unlike the O(n²)
+    * [[ngramJaccardPairs]] anchor: explode distinct shingles, drop
+    * stop-shingles (df > [[ContainmentMaxDf]] — candidate blow-up from a
+    * boilerplate shingle is df², so the cap bounds join fan-out;
+    * containment is DEFINED on the pruned universe, identically in both
+    * engines), then pairs form ONLY via a shared rare shingle: one
+    * equi-join on the shingle hash + one (a,b) count agg + two slim
+    * size joins. No all-pairs anywhere.
+    */
+  def containmentPairs(
+      spark: SparkSession, dir: String,
+      tau: Double = ContainmentTau, maxDf: Int = ContainmentMaxDf): DataFrame = {
+    val ex = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // Persisted: the pruned shingle table feeds the size aggregate and both
+    // legs of the pair join.
+    val rare = ex.join(df.select("s"), Seq("s")).persist()
+    val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = rare.select(col("s"), col("doc_id").as("a_id"))
+      .join(rare.select(col("s"), col("doc_id").as("b_id")), Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("n_a")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("n_b")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(greatest(col("shared") / col("n_a"), col("shared") / col("n_b")), 4)
+          .as("cont"))
+      .filter(col("cont") >= tau)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** EXACT DuckDB oracle for [[containmentPairs]] — same shingle
+    * derivation as [[ngramJaccardSql]], same df cap, same pruned-universe
+    * definition; the divisions and `greatest` are single IEEE ops, exact
+    * across engines.
+    */
+  val containmentSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(t) >= 3
+       |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+       |      ELSE [lower(text)] END) AS sh
+       |  FROM toks JOIN documents USING (doc_id)
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS s FROM sh
+       |), rare AS (
+       |  SELECT doc_id, s FROM ex
+       |  WHERE s IN (SELECT s FROM ex GROUP BY s HAVING count(*) <= $ContainmentMaxDf)
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id
+       |), pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+       |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a_id, b_id, cont FROM (
+       |  SELECT p.a_id, p.b_id,
+       |    round(greatest(p.shared::double / na.n, p.shared::double / nb.n), 4) AS cont
+       |  FROM pairs p
+       |  JOIN sizes na ON na.doc_id = p.a_id
+       |  JOIN sizes nb ON nb.doc_id = p.b_id)
+       |WHERE cont >= $ContainmentTau
+       |ORDER BY a_id, b_id""".stripMargin
+
   val ngramJaccardSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents

@@ -523,6 +523,63 @@ object Similarity {
         .select(col("vec_id"), asDouble(col("embedding")).as("v")),
       fitCentroids(spark, dir, 16), 0.45)
 
+  /** Scalar int8 quantization top-k — the first rung of the quantization
+    * ladder (fp64 → int8 here; PQ below is the 64× rung): per vector,
+    * symmetric quantization q[i] = floor(v[i]·s + ½) with s = 127/max|v|,
+    * scored as ⟨q_a,q_b⟩ / (s_a·s_b) — 8× less scanned than raw doubles at
+    * a fraction of PQ's quantization error.
+    *
+    * Cross-engine exactness WITHOUT rounding armor: the quantized values
+    * and their products are integers (exact in doubles), so the dot is
+    * reassociation-free; scale and the final division are single IEEE ops.
+    * Ranking therefore uses the RAW score — a static oracle, no fitted
+    * model anywhere.
+    */
+  def sq8TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e
+      .select(col("vec_id"),
+        (lit(127.0) / greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30)))
+          .as("sc"),
+        col("v"))
+      .select(col("vec_id"), col("sc"),
+        transform(col("v"), x => floor(x * col("sc") + 0.5).cast("double")).as("q"))
+    val queries = q.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("sc").as("q_sc"), col("q").as("q_q"))
+    val scored = q.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (graft.functions.DotProduct(col("q_q"), col("q")) / (col("q_sc") * col("sc")))
+          .as("s"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("s"), 4).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Static EXACT oracle for [[sq8TopK]] (see its exactness argument). */
+  val sq8TopKSql: String =
+    """WITH ev AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), sv AS (
+      |  SELECT vec_id,
+      |    127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS sc, v
+      |  FROM ev
+      |), qq AS (
+      |  SELECT vec_id, sc, list_transform(v, x -> floor(x * sc + 0.5)) AS q FROM sv
+      |)
+      |SELECT q_id, n_id, rank, score FROM (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_dot_product(a.q, b.q) / (a.sc * b.sc) DESC, b.vec_id) AS rank,
+      |    round(list_dot_product(a.q, b.q) / (a.sc * b.sc), 4) AS score
+      |  FROM qq a JOIN qq b ON b.vec_id <> a.vec_id
+      |  WHERE a.vec_id % 50 = 0)
+      |WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- PQ ---
 
   val PqM = 8   // subspaces (64 dims / 8 = 8-dim subvectors)

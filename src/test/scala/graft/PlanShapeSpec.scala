@@ -69,6 +69,10 @@ class PlanShapeSpec extends SparkSuite {
     // (same shape as ann_topk_brute, but scanning 8-byte codes, not
     // 512-byte vectors); ivf_pq prunes via the cell equi-join instead
     "pq_adc_topk" -> (0, 1, 0, 1, 2, 3),
+    "sq8_topk" -> (0, 1, 0, 1, 2, 3),
+    // shingle-keyed exchanges only (df cap, pair agg, size joins) — pairs
+    // form exclusively via shared rare shingles, never all-pairs
+    "containment_pairs" -> (0, 0, 0, 1, 8, 0),
     // two window passes (ADC shortlist rank + exact re-rank) — both
     // per-query-partitioned, never global
     "pq_rerank_topk" -> (0, 1, 0, 1, 2, 5),

@@ -252,4 +252,29 @@ class DedupSpec extends SparkSuite {
     // purity: every pair is (incoming, history) — never history×history
     assert(inc.forall { case (i, h, _) => i % 10 >= 8 && h % 10 < 8 })
   }
+
+  test("containment: embedded short doc pairs at cont=1 where Jaccard stays below threshold") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 40).map(i => s"filler$i word$i extra$i").mkString(" ")
+    Seq((1L, short), (2L, long), (3L, "totally unrelated content here now"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.containmentPairs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every shingle of doc 1 appears in doc 2 -> containment(1->2) = 1.0,
+    // while Jaccard ~ 4/124 — the asymmetric case Jaccard cannot flag
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)), s"got ${pairs.mkString(", ")}")
+    val jac = Dedup.ngramJaccardPairs(spark, tmp).collect()
+    assert(jac.isEmpty, "Jaccard at 0.5 should NOT pair the embedded doc")
+  }
+
+  test("containment: deterministic on the corpus; values in (0,1], a_id < b_id") {
+    val dir = "/root/testdata/sf0.01"
+    val p1 = Dedup.containmentPairs(spark, dir).collect()
+    val p2 = Dedup.containmentPairs(spark, dir).collect()
+    assert(p1.map(_.toString).toSeq == p2.map(_.toString).toSeq)
+    assert(p1.nonEmpty)
+    assert(p1.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(p1.forall(r => r.getDouble(2) >= Dedup.ContainmentTau && r.getDouble(2) <= 1.0))
+  }
 }

@@ -215,4 +215,18 @@ class SimilaritySpec extends SparkSuite {
       s"re-rank recall $rerRecall fell below raw ADC recall $adcRecall")
     assert(rerRecall >= 0.5, s"PQ re-rank recall@10 degraded: $rerRecall")
   }
+
+  test("SQ8 top-k: high recall against brute (int8 loses little at 64 dims), deterministic") {
+    val dir = "/root/testdata/sf0.01"
+    val brute = Similarity.annTopKBrute(spark, dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s1 = Similarity.sq8TopK(spark, dir).collect()
+    val s2 = Similarity.sq8TopK(spark, dir).collect()
+    assert(s1.map(_.toString).toSeq == s2.map(_.toString).toSeq)
+    val sqSet = s1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & sqSet).size.toDouble / brute.size
+    // scalar int8 on 64 dims barely perturbs the ordering — well above the
+    // coarse quantizers' floors
+    assert(recall >= 0.6, s"SQ8 recall@10 degraded: $recall")
+  }
 }
