@@ -148,8 +148,12 @@ object Dedup {
   def containmentPairs(
       spark: SparkSession, dir: String,
       tau: Double = ContainmentTau, maxDf: Int = ContainmentMaxDf): DataFrame = {
+    // Persisted: the scan + shingle explode (the dominant cost) feeds the
+    // df aggregate AND the probe leg of the rare join as independent plan
+    // subtrees.
     val ex = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .persist()
     val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     // Persisted: the pruned shingle table feeds the size aggregate and both

@@ -186,15 +186,25 @@ object Similarity {
     * ascending, so the LAST element is the winner — the exact rule the
     * generated oracles re-state as `ORDER BY score DESC, cell DESC`.
     */
-  private[ops] def assignCells(e: DataFrame, cent: Array[Array[Double]]): DataFrame = {
-    val scored = cent.zipWithIndex.map { case (c, i) =>
+  private[ops] def assignCells(e: DataFrame, cent: Array[Array[Double]]): DataFrame =
+    e.withColumn("cell",
+      element_at(array_sort(array(cellStructs(cent, col("v")): _*)), -1)
+        .getField("cell"))
+
+  /** The (score, cell) struct per centroid literal — the shared building
+    * block of [[assignCells]]'s argmax and the probe ranking in
+    * [[annIvfTopK]]/[[ivfPqTopK]] (score = ⟨v,c⟩ − |c|²/2, the L2-Voronoi
+    * rule with the per-vector |v|² constant dropped). One definition so the
+    * tie rule and half-norm precomputation can never diverge between the
+    * assignment and the probe side — or from the generated oracles'
+    * `ORDER BY score DESC, cell DESC`.
+    */
+  private def cellStructs(cent: Array[Array[Double]], v: Column): Seq[Column] =
+    cent.zipWithIndex.toSeq.map { case (c, i) =>
       val halfNormSq = c.map(x => x * x).sum / 2.0
-      struct((graft.functions.DotProduct(col("v"), lit(c)) - halfNormSq).as("score"),
+      struct((graft.functions.DotProduct(v, lit(c)) - halfNormSq).as("score"),
         lit(i).as("cell"))
     }
-    e.withColumn("cell",
-      element_at(array_sort(array(scored: _*)), -1).getField("cell"))
-  }
 
   /** The `ev` + `cent` + `scored` + `cells` CTE prefix shared by the two
     * generated quantizer oracles: every vector's cell under the FITTED
@@ -236,7 +246,7 @@ object Similarity {
     * exact-cosine window [[annTopKSql]] uses.
     */
   private[ops] def annIvfTopKSql(
-      cent: Array[Array[Double]], k: Int = 10, nProbe: Int = 4): String =
+      cent: Array[Array[Double]], k: Int = 10, nProbe: Int = NProbe): String =
     s"""${cellsSqlCtes(cent)}, probes AS (
        |  SELECT vec_id AS q_id, cell FROM (
        |    SELECT vec_id, cell,
@@ -264,7 +274,7 @@ object Similarity {
     * cosine ≥ τ — the `a_id < b_id` equi-join restated, with the keep flag
     * as a left-anti null test.
     */
-  private[ops] def semDedupSql(cent: Array[Array[Double]], tau: Double = 0.45): String =
+  private[ops] def semDedupSql(cent: Array[Array[Double]], tau: Double = SemDedupTau): String =
     s"""${cellsSqlCtes(cent)}, dropped AS (
        |  SELECT DISTINCT b.vec_id
        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -295,7 +305,7 @@ object Similarity {
     */
   def quantizerOracles: Map[String, String] = oracleCtx match {
     case Some((spark, dir)) =>
-      val cent = fitCentroids(spark, dir, 16)
+      val cent = fitCentroids(spark, dir, NCentroids)
       val books = fitPq(spark, dir, PqM, PqKs)
       Map(
         "ann_ivf_topk"      -> annIvfTopKSql(cent),
@@ -353,8 +363,8 @@ object Similarity {
       spark: SparkSession,
       dir: String,
       k: Int = 10,
-      nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nCentroids: Int = NCentroids,
+      nProbe: Int = NProbe): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cent = fitCentroids(spark, dir, nCentroids)
@@ -368,15 +378,10 @@ object Similarity {
     // L2-Voronoi, so rank by (negative) squared distance —
     // |q−c|² = |q|² − 2⟨q,c⟩ + |c|², and |q|² is constant per query, so
     // rank by ⟨q,c⟩ − |c|²/2.
-    val probeRank = cent.zipWithIndex.map { case (c, i) =>
-      val halfNormSq = c.map(x => x * x).sum / 2.0
-      struct((graft.functions.DotProduct(col("q_v"), lit(c)) - halfNormSq).as("score"),
-        lit(i).as("cell"))
-    }
     val queries = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
       .withColumn("probes",
-        slice(reverse(array_sort(array(probeRank: _*))), 1, nProbe))
+        slice(reverse(array_sort(array(cellStructs(cent, col("q_v")): _*))), 1, nProbe))
       .select(col("q_id"), col("q_v"), explode(col("probes.cell")).as("cell"))
 
     val scored = assigned.join(broadcast(queries), Seq("cell"))
@@ -488,7 +493,7 @@ object Similarity {
     * data-fitted, like `ann_ivf_topk` — with determinism, planted-dup
     * recall, and keep-rule semantics spec-pinned instead.
     */
-  def semDedupFrom(e: DataFrame, nCentroids: Int = 16, tau: Double = 0.45): DataFrame =
+  def semDedupFrom(e: DataFrame, nCentroids: Int = NCentroids, tau: Double = SemDedupTau): DataFrame =
     semDedupWith(e, fitCentroidsFrom(e, nCentroids), tau)
 
   /** [[semDedupFrom]] under ALREADY-FITTED centroids — the registered query
@@ -521,7 +526,7 @@ object Similarity {
     semDedupWith(
       Tables(spark, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v")),
-      fitCentroids(spark, dir, 16), 0.45)
+      fitCentroids(spark, dir, NCentroids), SemDedupTau)
 
   /** Scalar int8 quantization top-k — the first rung of the quantization
     * ladder (fp64 → int8 here; PQ below is the 64× rung): per vector,
@@ -581,6 +586,13 @@ object Similarity {
       |ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- PQ ---
+
+  // The coarse-quantizer family's shared parameters: the registered queries,
+  // the session fit cache, AND the generated oracles all read these — a
+  // drift between any two silently de-pairs a query from its oracle.
+  val NCentroids = 16
+  val NProbe = 4
+  val SemDedupTau = 0.45
 
   val PqM = 8   // subspaces (64 dims / 8 = 8-dim subvectors)
   val PqKs = 16 // codes per subspace → a 4-bit code, 8 codes per vector
@@ -744,7 +756,7 @@ object Similarity {
     s"""WITH ev AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |)${pqSqlCtes(books)}, adc AS (
-       |  SELECT l.q_id, cs.vec_id AS n_id, round(SUM(l.pd), 4) AS adc
+       |  SELECT l.q_id, cs.vec_id AS n_id, round(list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) AS adc
        |  FROM codesub cs JOIN lut l ON l.j = cs.j AND l.code = cs.code
        |  WHERE cs.vec_id <> l.q_id
        |  GROUP BY l.q_id, cs.vec_id
@@ -775,7 +787,7 @@ object Similarity {
     */
   def ivfPqTopK(
       spark: SparkSession, dir: String, k: Int = 10,
-      nCentroids: Int = 16, nProbe: Int = 4,
+      nCentroids: Int = NCentroids, nProbe: Int = NProbe,
       m: Int = PqM, ks: Int = PqKs): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -785,15 +797,10 @@ object Similarity {
     // candidate leg (same two-subtree plan as annIvfTopK).
     val assigned = assignCells(e, cent).persist()
     val codes = assignCodes(assigned, books, Seq("vec_id", "cell"))
-    val probeRank = cent.zipWithIndex.map { case (c, i) =>
-      val halfNormSq = c.map(x => x * x).sum / 2.0
-      struct((graft.functions.DotProduct(col("q_v"), lit(c)) - halfNormSq).as("score"),
-        lit(i).as("cell"))
-    }
     val queries = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
       .withColumn("probes",
-        slice(reverse(array_sort(array(probeRank: _*))), 1, nProbe))
+        slice(reverse(array_sort(array(cellStructs(cent, col("q_v")): _*))), 1, nProbe))
       .select(col("q_id"), adcLut(books).as("lut"),
         explode(col("probes.cell")).as("cell"))
     val scored = codes.join(broadcast(queries), Seq("cell"))
@@ -850,7 +857,7 @@ object Similarity {
     s"""WITH ev AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |)${pqSqlCtes(books)}, adc AS (
-       |  SELECT l.q_id, cs.vec_id AS n_id, round(SUM(l.pd), 4) AS adc
+       |  SELECT l.q_id, cs.vec_id AS n_id, round(list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) AS adc
        |  FROM codesub cs JOIN lut l ON l.j = cs.j AND l.code = cs.code
        |  WHERE cs.vec_id <> l.q_id
        |  GROUP BY l.q_id, cs.vec_id
@@ -869,7 +876,7 @@ object Similarity {
     */
   private[ops] def ivfPqTopKSql(
       cent: Array[Array[Double]], books: Array[Array[Array[Double]]],
-      k: Int = 10, nProbe: Int = 4): String =
+      k: Int = 10, nProbe: Int = NProbe): String =
     s"""${cellsSqlCtes(cent)}${pqSqlCtes(books)}, probes AS (
        |  SELECT vec_id AS q_id, cell FROM (
        |    SELECT vec_id, cell,
@@ -881,7 +888,7 @@ object Similarity {
        |  FROM probes p JOIN cells c ON c.cell = p.cell
        |  WHERE c.vec_id <> p.q_id
        |), adc AS (
-       |  SELECT cd.q_id, cd.n_id, round(SUM(l.pd), 4) AS adc
+       |  SELECT cd.q_id, cd.n_id, round(list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) AS adc
        |  FROM cand cd
        |  JOIN codesub cs ON cs.vec_id = cd.n_id
        |  JOIN lut l ON l.q_id = cd.q_id AND l.j = cs.j AND l.code = cs.code

@@ -259,32 +259,36 @@ object TextAnalysis {
     val cms = toks.stat.countMinSketch("token", eps, conf, 42)
     val cmsB = toks.sparkSession.sparkContext.broadcast(cms)
     val est = udf((t: String) => cmsB.value.estimateCount(t))
-    // Probe-candidate set: per-partition BOUNDED top-m, NOT a
+    // Probe-candidate set: a per-partition MISRA-GRIES summary, NOT a
     // vocabulary-wide `distinct()` — at 100 TB that distinct IS the exact
-    // aggregation the sketch exists to avoid. Each task keeps a
-    // Misra-Gries-style summary (hash counts, batch-pruned to the `cap`
-    // highest whenever they exceed 2·cap — state never exceeds 2·cap
-    // entries regardless of partition vocabulary) and emits its local
-    // top-m. A global top-k token is locally heavy in the partitions that
-    // hold its mass, so the union of local top-m lists contains it; the
-    // spec pins exact agreement with [[vocabTopTerms]]'s true top-k. The
-    // union is ≤ partitions·m rows — the only exchange left is the
-    // candidate dedup over that bounded set.
-    val m = 16 * k
-    val cap = math.max(4096, 8 * m)
+    // aggregation the sketch exists to avoid. Each task keeps the classic
+    // `cap`-counter MG state (unseen token with full state decrements ALL
+    // counters — never discards accumulated counts wholesale, which is
+    // what gives the guarantee a top-m batch prune lacks): every token
+    // with local frequency > n_p/(cap+1) survives its partition's summary,
+    // so by pigeonhole every token with GLOBAL frequency > N/(cap+1)
+    // appears in the union of summaries — with cap=4096 that is any token
+    // above ~0.02% of the corpus, orders of magnitude below a top-20
+    // heavy hitter. The whole summary (≤ cap entries per partition, ≤
+    // partitions·cap total) is emitted; the only exchange left is the
+    // candidate dedup over that bounded union.
+    val cap = math.max(4096, 8 * 16 * k)
     import toks.sparkSession.implicits._
     val cand = toks.as[String].mapPartitions { it =>
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
-      def prune(): Unit = if (counts.size > 2 * cap) {
-        val keep = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(cap)
-        counts.clear()
-        counts ++= keep
-      }
       for (t <- it) {
-        counts.updateWith(t) { c => Some(c.getOrElse(0L) + 1L) }
-        prune()
+        counts.get(t) match {
+          case Some(c) => counts(t) = c + 1
+          case None if counts.size < cap => counts(t) = 1L
+          case None => // decrement-all: the MG step that preserves the bound
+            val dead = List.newBuilder[String]
+            for ((k2, c2) <- counts) {
+              if (c2 == 1L) dead += k2 else counts(k2) = c2 - 1
+            }
+            dead.result().foreach(counts.remove)
+        }
       }
-      counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(m).map(_._1).iterator
+      counts.keysIterator
     }.toDF("token").dropDuplicates("token")
     cand
       .withColumn("est_tf", est(col("token")))

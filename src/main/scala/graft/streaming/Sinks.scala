@@ -35,13 +35,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 object Sinks {
 
   /** The idempotent per-batch write: deterministic overwrite of this
-    * batch's own partition directory. Skips empty batches (replays are
-    * byte-identical, so skip-vs-write never disagrees across attempts).
+    * batch's own partition directory. Empty batches write an empty
+    * directory — deliberately unguarded: an `isEmpty` probe would be a
+    * SECOND action on the unpersisted batch Dataset, re-executing the
+    * whole micro-batch plan (and re-loading the state store) once per
+    * batch, and overwriting `batch_id=N` with the same emptiness is just
+    * as idempotent as skipping it.
     */
   def idempotentBatchWrite(batch: DataFrame, batchId: Long, outDir: String): Unit =
-    if (!batch.isEmpty) {
-      batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-    }
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
   /** Start `df` (a streaming DataFrame) into the exactly-once parquet sink:
     * `foreachBatch` + [[idempotentBatchWrite]] under `ckpt`.
