@@ -618,7 +618,7 @@ object Similarity {
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Array[Array[Array[Double]]]]
 
-  private[ops] def fitPq(spark: SparkSession, dir: String, m: Int, ks: Int)
+  private[graft] def fitPq(spark: SparkSession, dir: String, m: Int, ks: Int)
       : Array[Array[Array[Double]]] =
     pqCache.getOrElseUpdate((dir, m, ks), {
       val e = Tables(spark, dir, "embeddings")
@@ -633,7 +633,7 @@ object Similarity {
     * code columns — the compact index artifact; the 64-dim vector is
     * deliberately NOT carried.
     */
-  private[ops] def assignCodes(
+  private[graft] def assignCodes(
       e: DataFrame, books: Array[Array[Array[Double]]], keep: Seq[String]): DataFrame = {
     val dsub = books(0)(0).length
     val codeCols = books.zipWithIndex.map { case (book, j) =>
@@ -693,10 +693,25 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val books = fitPq(spark, dir, m, ks)
     val codes = assignCodes(e, books, Seq("vec_id"))
-    val queries = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-      .select(col("q_id"), adcLut(books).as("lut"))
-    val scored = codes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+    adcTopKAgainst(codes,
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v")),
+      books, k)
+  }
+
+  /** The ADC scan+rank tail shared by [[pqAdcTopK]] and the stream-static
+    * serving twin ([[graft.streaming.VectorStreams]]): score an arbitrary
+    * query batch (`q_id`, `q_v`) against an already-CODED corpus. The
+    * query side collapses to (id, LUT) before the broadcast — the full
+    * vector never crosses the exchange.
+    */
+  private[graft] def adcTopKAgainst(
+      codes: DataFrame, queries: DataFrame,
+      books: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val m = books.length
+    val ks = books(0).length
+    val qlut = queries.select(col("q_id"), adcLut(books).as("lut"))
+    val scored = codes.join(broadcast(qlut), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         round(adcScore(ks, m), 4).as("adc"))
     import org.apache.spark.sql.expressions.Window
