@@ -148,12 +148,14 @@ object Dedup {
   def containmentPairs(
       spark: SparkSession, dir: String,
       tau: Double = ContainmentTau, maxDf: Int = ContainmentMaxDf): DataFrame = {
-    // Persisted: the scan + shingle explode (the dominant cost) feeds the
-    // df aggregate AND the probe leg of the rare join as independent plan
-    // subtrees.
+    // Deliberately NOT persisted although it feeds two subtrees (the df
+    // aggregate and the rare join's probe leg): the exploded shingle table
+    // is ~n-grams× larger than the source, and materializing it measures
+    // SLOWER than the second scan+explode pass (2.7 s vs 1.5 s in-sweep at
+    // sf0.1) — at 100 TB caching a corpus-dominating intermediate would be
+    // a memory/spill liability for the same reason.
     val ex = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      .persist()
     val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     // Persisted: the pruned shingle table feeds the size aggregate and both
