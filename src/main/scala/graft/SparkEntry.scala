@@ -129,6 +129,7 @@ object SparkEntry {
     "sq8_topk"       -> ((s, d) => Similarity.sq8TopK(s, d)),
     "containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "ivf_pq_topk"    -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "ivf_pq_residual_topk" -> ((s, d) => Similarity.ivfPqResidualTopK(s, d)),
     // --- multimodal binary-column plumbing ---
     "media_stats"      -> (Multimodal.mediaStats _),
     "media_phash"      -> (Multimodal.mediaPhash _),
@@ -307,6 +308,7 @@ object SparkEntry {
   val benchQueries: Seq[String] = Seq(
     "minhash_lsh_pairs", "near_dup_clusters", "embedding_near_dup_lsh", "ann_lsh_topk",
     "ann_ivf_topk", "semdedup_clusters", "pq_adc_topk", "ivf_pq_topk",
+    "ivf_pq_residual_topk",
     "pq_rerank_topk", "sq8_topk", "containment_pairs",
     "simhash_near_dup", "simhash",
     "ann_topk_brute",

