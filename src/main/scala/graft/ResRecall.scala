@@ -7,7 +7,7 @@ object ResRecall {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val brute = Similarity.annTopKBrute(spark, dir)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val raw = Similarity.ivfPqTopK(spark, dir)

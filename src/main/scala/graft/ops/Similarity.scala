@@ -988,8 +988,10 @@ object Similarity {
     * and measurably LOSES recall — tried and measured 0.22 vs raw 0.26 on
     * sf0.01 before switching to the `⟨q, v̂⟩` estimator.) Same scale shape
     * as [[ivfPqTopK]]: cell-pruned scan over 8-byte codes, LUT + cell
-    * constant computed below the broadcast. Oracle is EXACT: the residual
-    * column and both fitted models re-derive from embedded literals
+    * constant computed below the broadcast. Oracle is EXACT: it re-states
+    * this same `⟨q, c⟩ + ⟨q, r̂⟩` estimator (raw-query LUT + per-cell
+    * constant, identical add order) with the residual column and both
+    * fitted models re-derived from embedded literals
     * ([[ivfPqResidualTopKSql]]).
     */
   def ivfPqResidualTopK(
@@ -1028,11 +1030,15 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** EXACT generated oracle for [[ivfPqResidualTopK]]: [[cellsSqlCtes]]'s
-    * coarse cells, a `rev` CTE of residuals (`list_transform`'s 1-based
-    * index i matches `c[i]`; each element one IEEE subtraction, bit-equal to
-    * the plan's `zip_with`), [[codesubSqlCtes]] over `rev`, and a per-(query,
-    * probed-cell) residual LUT replacing the raw variant's per-query one.
+  /** EXACT generated oracle for [[ivfPqResidualTopK]], re-stating the
+    * plan's `⟨q, c(cell)⟩ + ⟨q, r̂⟩` estimator: [[cellsSqlCtes]]'s coarse
+    * cells, a `rev` CTE of corpus residuals (`list_transform`'s 1-based
+    * index i matches `c[i]`; each element one IEEE subtraction, bit-equal
+    * to the plan's residual column), [[codesubSqlCtes]] over `rev`, the
+    * RAW-query LUT of [[pqSqlCtes]] (the plan's [[adcLut]] slices the raw
+    * `q_v`, NOT the residual query), and a per-(query, probed-cell)
+    * reconstruction constant `qc = ⟨q, c⟩` added before the shared round —
+    * the same add order as the plan (`qc + fold(pd)`).
     */
   private[ops] def ivfPqResidualTopKSql(
       cent: Array[Array[Double]], books: Array[Array[Array[Double]]],
@@ -1047,23 +1053,25 @@ object Similarity {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS pr
        |    FROM scored WHERE vec_id % 50 = 0)
        |  WHERE pr <= $nProbe
-       |), qres AS (
-       |  SELECT p.q_id, p.cell, list_transform(e.v, (x, i) -> x - ct.c[i]) AS qv
-       |  FROM probes p JOIN ev e ON e.vec_id = p.q_id JOIN cent ct ON ct.cell = p.cell
        |), lut AS (
-       |  SELECT q.q_id, q.cell, b.j, b.code,
-       |    list_dot_product(q.qv[b.j*$dsub+1 : b.j*$dsub+$dsub], b.c) AS pd
-       |  FROM qres q CROSS JOIN books b
+       |  SELECT q.vec_id AS q_id, b.j, b.code,
+       |    list_dot_product(q.v[b.j*$dsub+1 : b.j*$dsub+$dsub], b.c) AS pd
+       |  FROM ev q CROSS JOIN books b WHERE q.vec_id % 50 = 0
+       |), qconst AS (
+       |  SELECT p.q_id, p.cell, list_dot_product(e.v, ct.c) AS qc
+       |  FROM probes p JOIN ev e ON e.vec_id = p.q_id JOIN cent ct ON ct.cell = p.cell
        |), cand AS (
        |  SELECT p.q_id, p.cell, c.vec_id AS n_id
        |  FROM probes p JOIN cells c ON c.cell = p.cell
        |  WHERE c.vec_id <> p.q_id
        |), adc AS (
-       |  SELECT cd.q_id, cd.n_id, round(list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) AS adc
+       |  SELECT cd.q_id, cd.n_id,
+       |    round(qn.qc + list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) AS adc
        |  FROM cand cd
+       |  JOIN qconst qn ON qn.q_id = cd.q_id AND qn.cell = cd.cell
        |  JOIN codesub cs ON cs.vec_id = cd.n_id
-       |  JOIN lut l ON l.q_id = cd.q_id AND l.cell = cd.cell AND l.j = cs.j AND l.code = cs.code
-       |  GROUP BY cd.q_id, cd.n_id
+       |  JOIN lut l ON l.q_id = cd.q_id AND l.j = cs.j AND l.code = cs.code
+       |  GROUP BY cd.q_id, cd.n_id, qn.qc
        |)
        |SELECT q_id, n_id, rank, adc FROM (
        |  SELECT q_id, n_id,

@@ -1,19 +1,27 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
   * Every `SparkEntry.queries` entry receives `(spark, sfDir)` and reads
   * parquet from `sfDir` — one file per table, schemas in FIXTURES.md.
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark refuses
-  * by default ([PARQUET_TYPE_ILLEGAL]). We read it as a long
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds
-  * with integer division — the same truncation DuckDB applies when it
-  * coerces TIMESTAMP_NS to its microsecond TIMESTAMP, so both engines see
-  * identical values. (Double division would lose precision at 1.7e18 ns.)
+  * `events.ts` has shipped in two physical layouts across driver
+  * generations: parquet TIMESTAMP(NANOS) (rounds ≤8), which Spark refuses
+  * by default ([PARQUET_TYPE_ILLEGAL]) and we read as a long via
+  * `spark.sql.legacy.parquet.nanosAsLong` + integer-division truncation
+  * to microseconds (the same truncation DuckDB applies coercing
+  * TIMESTAMP_NS, so both engines see identical values); and
+  * TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 9+), which Spark
+  * infers as TIMESTAMP_NTZ and we cast to TIMESTAMP under the
+  * UTC-pinned session timezone — the same wall-clock instants as the
+  * nanos-era read, so every oracle stays hash-stable. The loader
+  * dispatches on the type Spark actually inferred, so either generation
+  * of testdata works — schema-drift tolerance a long-lived deployment
+  * needs anyway, since a 100-TB lake is never one homogeneous vintage.
   *
   * `nanosAsLong` must be set at SESSION BUILD time (Verify, Bench,
   * SparkSuite all do) — the loader is pure and never mutates session
@@ -23,10 +31,17 @@ import org.apache.spark.sql.functions.expr
 object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case TimestampType => raw // already TIMESTAMP with timezone semantics
+        case TimestampNTZType => // TIMESTAMP(MICROS, isAdjustedToUTC=false):
+          // cast interprets the wall-clock in the session timezone (pinned
+          // UTC by every entrypoint), so values match the nanos-era read
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case LongType      => // TIMESTAMP(NANOS) surfaced as long via nanosAsLong
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case other => sys.error(s"events.ts: unsupported parquet type $other")
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -77,6 +77,9 @@ class PlanShapeSpec extends SparkSuite {
     // per-query-partitioned, never global
     "pq_rerank_topk" -> (0, 1, 0, 1, 2, 5),
     "ivf_pq_topk" -> (0, 0, 0, 1, 2, 3),
+    // residual encoding adds no exchange: the centroid subtract and the
+    // per-cell ⟨q,c⟩ constant are both projection-local
+    "ivf_pq_residual_topk" -> (0, 0, 0, 1, 2, 3),
     "simhash_near_dup" -> (0, 0, 0, 3, 4, 0),
     "simhash" -> (0, 0, 0, 1, 1, 0),
     "ann_topk_brute" -> (0, 1, 0, 1, 2, 3),

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [name ...]
+
+Reads each Spark result parquet under <verifyOutDir>/<name>, runs the
+matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over
+views of the <sfDir> parquet tables, then compares like the driver:
+sort columns by name, sort rows, value-compare. Exit 1 on any mismatch.
+"""
+import json, sys, glob
+import duckdb, pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify so dtype differences (int32/int64, ts precision) don't matter
+    out = pd.DataFrame()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype.kind == "f":
+            out[c] = col.map(lambda v: "NaN" if pd.isna(v) else f"{v:.6g}")
+        else:
+            out[c] = col.map(lambda v: "NULL" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    fails = 0
+    for name in names or sorted(oracles):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"{name}: NO SPARK OUTPUT"); fails += 1; continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        if name not in oracles:
+            print(f"{name}: rows={len(spark_df)} (no oracle — rows-only)"); continue
+        try:
+            ora_df = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"{name}: ORACLE SQL ERROR: {e}"); fails += 1; continue
+        a, b = norm(spark_df), norm(ora_df)
+        if list(a.columns) != list(b.columns):
+            print(f"{name}: SCHEMA MISMATCH spark={list(a.columns)} oracle={list(b.columns)}"); fails += 1
+        elif len(a) != len(b):
+            print(f"{name}: ROWS MISMATCH spark={len(a)} oracle={len(b)}"); fails += 1
+        elif not a.equals(b):
+            diff = (a != b).any(axis=1)
+            i = diff[diff].index[0]
+            print(f"{name}: VALUE MISMATCH at sorted-row {i}:\n  spark : {a.loc[i].to_dict()}\n  oracle: {b.loc[i].to_dict()}")
+            fails += 1
+        else:
+            print(f"{name}: OK ({len(a)} rows)")
+    sys.exit(1 if fails else 0)
+
+main()
