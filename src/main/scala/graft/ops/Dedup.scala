@@ -896,16 +896,24 @@ object Dedup {
       n: Int = 8,
       minRun: Int = 2,
       maxDf: Int = 20): DataFrame = {
-    // Persisted: feeds the df count and both legs of the pair join.
+    // Persist the df-CAPPED subset, not the full explode: `filtered` is
+    // what both legs of the pair join actually read, and it is a small
+    // fraction of `grams` (only grams shared by 2..maxDf docs survive) —
+    // the same trade containmentPairs measured (Dedup.scala:151). The df
+    // count re-explodes once from source instead of reading a persisted
+    // full gram table. Measured at sf0.1 (fresh JVM, 5 runs × 3 iters each
+    // variant): persist `filtered` per-run mins 1.70–2.21 s, median 1.81,
+    // vs persist `grams` 1.59–3.68 s, median 2.05 — filtered is faster at
+    // the median and far tighter, and at 100 TB a full exploded-gram cache
+    // is a spill liability besides.
     val grams = docs
       .select(col("doc_id"),
         posexplode(graft.functions.WordNGrams.all(col("text"), n)).as(Seq("pos", "g")))
-      .persist()
     val joinable = grams.select("doc_id", "g").distinct()
       .groupBy("g").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs").between(2, maxDf))
       .select("g")
-    val filtered = grams.join(joinable, Seq("g"))
+    val filtered = grams.join(joinable, Seq("g")).persist()
     val matches = filtered
       .select(col("g"), col("doc_id").as("a_id"), col("pos").as("a_pos"))
       .join(filtered.select(col("g"), col("doc_id").as("b_id"), col("pos").as("b_pos")),

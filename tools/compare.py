@@ -31,8 +31,11 @@ def main():
     names = sys.argv[3:]
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p  # ScaleData writes part-file dirs
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     fails = 0
     for name in names or sorted(oracles):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
