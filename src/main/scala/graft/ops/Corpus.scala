@@ -260,30 +260,46 @@ object Corpus {
     * ≥ minShared), so the default is 10⁻³ (≈0.1% of 50-gram docs), not the
     * sketch-conventional 1% (which would false-flag ~9% of them).
     *
-    * The probe is a scalar call into the broadcast sketch
-    * (`BloomFilter.mightContainString` — the same `spark.util.sketch`
-    * family Spark's own runtime-filter injection uses); a UDF, but a
-    * broadcast-local lookup with no shuffle, and the only exchange in the
-    * plan is the final per-train-doc aggregate.
+    * Build and probe ride Spark's OWN bloom expressions — the same pair
+    * its runtime-filter injection plants (`BloomFilterAggregate` /
+    * `BloomFilterMightContain`): the filter is built DISTRIBUTED (partial
+    * sketches merged by the aggregate, only the final ~fixed-size bits
+    * reach the driver), and the probe is a codegen predicate over the
+    * embedded bits — no interpreted UDF, no broadcast-variable
+    * round-trip, no per-row Scala call. Both sides key on `xxhash64(g)`
+    * (the aggregate's long-input form), so membership is exact for every
+    * gram in the held-out set — the no-false-negative guarantee is
+    * hash-function-independent. The only exchange in the plan is the
+    * final per-train-doc aggregate.
     */
   def decontaminateBloom(spark: SparkSession, dir: String,
       n: Int = 5, minShared: Int = 2, fpp: Double = 0.001): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.ColumnShim
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
-    // Persisted: the count() capacity probe and the bloomFilter() build are
-    // two jobs over the same explode+distinct — without this the held-out
+    // Persisted: the count() capacity probe and the filter build are two
+    // jobs over the same explode+distinct — without this the held-out
     // side is scanned twice.
     val testGrams = docs.filter(col("doc_id") % 50 === 0)
-      .select(explode(Dedup.shingles(col("text"), n)).as("g")).distinct()
+      .select(explode(Dedup.shingles(col("text"), n)).as("g"))
+      .select(xxhash64(col("g")).as("h")).distinct()
       .persist()
     // capacity = the actual distinct-gram count here; at production scale
     // this is a capacity BUDGET chosen up front (the sketch degrades to a
     // higher fpp past it, never to false negatives)
-    val bf = testGrams.stat.bloomFilter("g", math.max(testGrams.count(), 1L), fpp)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((g: String) => bfB.value.mightContainString(g))
+    val nItems = math.max(testGrams.count(), 1L)
+    val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp)
+    val bfAgg = ColumnShim.column(new BloomFilterAggregate(
+        ColumnShim.expression(col("h")), Literal(nItems), Literal(nBits))
+      .toAggregateExpression())
+    val bfBits = testGrams.agg(bfAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+    val probe = ColumnShim.column(BloomFilterMightContain(
+      Literal.create(bfBits), ColumnShim.expression(xxhash64(col("g")))))
     docs.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id").as("train_id"), explode(Dedup.shingles(col("text"), n)).as("g"))
-      .filter(mightContain(col("g")))
+      .filter(probe)
       .groupBy("train_id")
       .agg(countDistinct(col("g")).as("n_hit_grams"))
       .filter(col("n_hit_grams") >= minShared)

@@ -258,6 +258,16 @@ object TextAnalysis {
       .select(explode(tokens(col("text"))).as("token"))
     val cms = toks.stat.countMinSketch("token", eps, conf, 42)
     val cmsB = toks.sparkSession.sparkContext.broadcast(cms)
+    // Deliberately an interpreted UDF (evaluated, with Bloom now on the
+    // built-in expressions, as the engine's ONE remaining udf call): Spark
+    // ships no CMS probe expression — unlike Bloom there is no
+    // `might_contain` analogue — so codegen would mean hand-writing a
+    // d-row×w-col literal-table expression. Not worth it here: the probe
+    // runs ONLY over the bounded Misra-Gries candidate union (≤
+    // partitions·cap rows regardless of corpus size, see below), never
+    // over the token stream, so at 100 TB this UDF executes a few hundred
+    // thousand times while the sketch build — a codegen'd
+    // TypedImperativeAggregate — does the corpus-scale work.
     val est = udf((t: String) => cmsB.value.estimateCount(t))
     // Probe-candidate set: a per-partition MISRA-GRIES summary, NOT a
     // vocabulary-wide `distinct()` — at 100 TB that distinct IS the exact
