@@ -19,16 +19,30 @@ import graft.ops.{Similarity, Tables}
   * results land through [[Sinks.idempotentBatchWrite]], so the serving log
   * inherits the exactly-once-under-replay contract.
   *
-  * Scale shape: the coded corpus (8 bytes/vector) is persisted once and
-  * re-scanned per micro-batch; the query batch collapses to (id, LUT)
-  * before its broadcast. At 1000 executors each micro-batch is one
-  * shuffle-free pass over the code table.
+  * Scale shape: the coded corpus (8 bytes/vector) is persisted and
+  * re-scanned per micro-batch (rebuilt every `refreshEvery` batches when
+  * the corpus is live); the query batch collapses to (id, LUT) before its
+  * broadcast. At 1000 executors each micro-batch is one shuffle-free pass
+  * over the code table.
   */
 object VectorStreams {
 
   /** Start serving `queryStream` (schema: `vec_id long, v array<double>`)
     * against the embeddings table of `dir`. Output per batch: the ADC
     * top-k per query, written to `outDir/batch_id=N`.
+    *
+    * `refreshEvery = N > 0` turns the static index into a LIVE one: every
+    * N micro-batches the codebooks re-fit and the code table re-persists
+    * from the CURRENT state of the corpus table, then swap in without
+    * stream restart — the production serving loop where the corpus grows
+    * under the index. The swap is atomic per micro-batch (a batch scores
+    * entirely against one (codebooks, codes) pair — the pair is read once
+    * at batch start), and replay-safe: a replayed refresh batch just
+    * rebuilds from the table again, and the sink's idempotent batch write
+    * keeps the output exactly-once. The stale cache unpersists only AFTER
+    * the rebuild, so a fit failure leaves the previous index serving.
+    * Default 0 = fixed index for the query's lifetime (a write-once
+    * corpus), exactly the old contract.
     */
   def adcServe(
       spark: SparkSession,
@@ -36,15 +50,25 @@ object VectorStreams {
       queryStream: DataFrame,
       outDir: String,
       ckpt: String,
-      k: Int = 10): StreamingQuery = {
-    val books = Similarity.fitPq(spark, dir, Similarity.PqM, Similarity.PqKs)
-    val corpus = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    // The static index artifact, built+persisted ONCE for the query's
-    // lifetime — micro-batches re-scan the cached codes, not the parquet.
-    val codes = Similarity.assignCodes(corpus, books, Seq("vec_id")).persist()
+      k: Int = 10,
+      refreshEvery: Long = 0L): StreamingQuery = {
+    // One (codebooks, coded-corpus) build — the index artifact the
+    // micro-batches re-scan (8 bytes/vector, cached; never the parquet).
+    def buildIndex(): (Array[Array[Array[Double]]], DataFrame) = {
+      val books = Similarity.fitPq(spark, dir, Similarity.PqM, Similarity.PqKs)
+      val corpus = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      (books, Similarity.assignCodes(corpus, books, Seq("vec_id")).persist())
+    }
+    @volatile var index = buildIndex()
     queryStream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (refreshEvery > 0 && batchId > 0 && batchId % refreshEvery == 0) {
+          val stale = index._2
+          index = buildIndex()
+          stale.unpersist()
+        }
+        val (books, codes) = index
         val queries = batch.select(col("vec_id").as("q_id"), col("v").as("q_v"))
         Sinks.idempotentBatchWrite(
           Similarity.adcTopKAgainst(codes, queries, books, k), batchId, outDir)

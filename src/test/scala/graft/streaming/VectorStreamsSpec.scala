@@ -53,4 +53,66 @@ class VectorStreamsSpec extends SparkSuite {
     assert(served == batch,
       s"stream-served ADC diverged from batch: ${(served diff batch).take(5)} / ${(batch diff served).take(5)}")
   }
+
+  /** Live-index serving: the corpus GROWS between micro-batches, and the
+    * `refreshEvery` hook must re-fit + re-persist + swap without a stream
+    * restart. The appended vectors are exact twins of the originals in a
+    * shifted id range, so the post-swap query's own twin tops its ADC
+    * ranking — visible proof the batch scored against the NEW index — and
+    * the whole post-swap batch must equal batch scoring re-derived from
+    * the updated corpus (fitPq is deterministic, so both fits agree).
+    */
+  test("refreshEvery swaps in a re-built index mid-stream") {
+    val src = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("graft-vec-refresh").toFile
+    val dir = s"$root/corpus"
+    val (out, ckpt) = (s"$root/out", s"$root/ckpt")
+    val Shift = 1000000L
+
+    val orig = spark.read.parquet(s"$src/embeddings.parquet")
+    orig.write.parquet(s"$dir/embeddings.parquet")
+
+    val corpus0 = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val qIds = corpus0.filter(col("vec_id") % 50 === 0)
+      .select("vec_id").as[Long].collect().sorted.take(2)
+    val qVecs = corpus0.filter(col("vec_id").isin(qIds: _*))
+      .as[(Long, Seq[Double])].collect().toMap
+
+    val mem = MemoryStream[(Long, Seq[Double])](spark)
+    val stream = mem.toDF().toDF("vec_id", "v")
+
+    // batch 0 serves the seed corpus
+    mem.addData((qIds(0), qVecs(qIds(0))))
+    val q = VectorStreams.adcServe(spark, dir, stream, out, ckpt,
+      k = 10, refreshEvery = 1L)
+    q.processAllAvailable()
+    // corpus grows: every vector gains an exact twin at vec_id + Shift
+    orig.withColumn("vec_id", col("vec_id") + Shift)
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    // batch 1 crosses the refresh boundary → rebuild sees the twins
+    mem.addData((qIds(1), qVecs(qIds(1))))
+    q.processAllAvailable()
+    q.stop()
+
+    val afterSwap = Sinks.readSink(spark, out)
+      .filter(col("batch_id") === 1)
+      .select("q_id", "n_id", "rank", "adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(afterSwap.exists(_._2 == qIds(1) + Shift),
+      s"post-swap top-k never surfaced the query's appended twin ${qIds(1) + Shift} — stale index?")
+
+    val books2 = Similarity.fitPq(spark, dir, Similarity.PqM, Similarity.PqKs)
+    val corpus2 = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val codes2 = Similarity.assignCodes(corpus2, books2, Seq("vec_id"))
+    val queries2 = corpus0.filter(col("vec_id") === qIds(1))
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val expected = Similarity.adcTopKAgainst(codes2, queries2, books2, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(afterSwap == expected,
+      s"post-swap serving diverged from batch scoring on the updated corpus: " +
+        s"${(afterSwap diff expected).take(5)} / ${(expected diff afterSwap).take(5)}")
+  }
 }
