@@ -308,13 +308,15 @@ object Similarity {
       val cent = fitCentroids(spark, dir, NCentroids)
       val books = fitPq(spark, dir, PqM, PqKs)
       val residBooks = fitPqResidual(spark, dir, NCentroids, PqM, PqKs)
+      val (rot, opqBooks) = fitOpq(spark, dir, PqM, PqKs)
       Map(
         "ann_ivf_topk"      -> annIvfTopKSql(cent),
         "semdedup_clusters" -> semDedupSql(cent),
         "pq_adc_topk"       -> pqAdcTopKSql(books),
         "pq_rerank_topk"    -> pqRerankTopKSql(books),
         "ivf_pq_topk"       -> ivfPqTopKSql(cent, books),
-        "ivf_pq_residual_topk" -> ivfPqResidualTopKSql(cent, residBooks))
+        "ivf_pq_residual_topk" -> ivfPqResidualTopKSql(cent, residBooks),
+        "opq_topk"          -> opqTopKSql(rot, opqBooks))
     case None => Map.empty
   }
 
@@ -1072,6 +1074,153 @@ object Similarity {
        |  JOIN codesub cs ON cs.vec_id = cd.n_id
        |  JOIN lut l ON l.q_id = cd.q_id AND l.j = cs.j AND l.code = cs.code
        |  GROUP BY cd.q_id, cd.n_id, qn.qc
+       |)
+       |SELECT q_id, n_id, rank, adc FROM (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rank, adc
+       |  FROM adc)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // --------------------------------------------------------------- OPQ ---
+
+  /** Optimized Product Quantization fit (Ge et al., "Optimized Product
+    * Quantization", CVPR 2013 — the `OPQMatrix` pre-transform in FAISS):
+    * learn an ORTHOGONAL rotation `R` and PQ codebooks jointly so the
+    * codebooks quantize `R·v` with lower reconstruction error than the
+    * fixed axis-aligned subspace split of plain PQ. Orthogonality keeps
+    * the ADC estimator unchanged — `⟨Rq, Rv⟩ = ⟨q, v⟩` — so rotated
+    * scores ARE inner-product scores; the rotation only re-mixes which
+    * dimensions share a codebook.
+    *
+    * Alternating minimization on the shared bounded [[fitSample]], init
+    * `R = I` (iteration 1's codebook step is therefore EXACTLY the plain
+    * PQ fit, and the final fit can only move from there by reducing
+    * sample reconstruction error — the spec pins the ≤ relation):
+    *   1. `books ←` per-subspace [[lloyd]] over `{R v}`
+    *   2. `v̂ ←` PQ reconstruction (nearest codeword per subspace) of `R v`
+    *   3. `R ← argmin_{R orthogonal} Σ‖R v − v̂‖²` — the orthogonal-
+    *      Procrustes closed form `R = V Uᵀ` from `SVD(Σ v v̂ᵀ) = U Σ Vᵀ`
+    *      (breeze's LAPACK `svd`, a 64×64 problem).
+    * Driver-side and bounded like every fit here (the model artifact is
+    * `64×64 + m·ks·dsub` doubles); `R` and the codebooks embed as
+    * literals in both the plan and the generated oracle, so the query
+    * and [[opqTopKSql]] rotate, encode, and score identically.
+    */
+  private[ops] def fitOpqFrom(e: DataFrame, m: Int, ks: Int, iters: Int = 8)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val sample = fitSample(e)
+    require(sample.length >= ks, s"OPQ fit sample (${sample.length}) smaller than ks=$ks")
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m subspaces")
+    val dsub = dims / m
+    def matVec(r: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      Array.tabulate(dims) { i =>
+        val row = r(i); var s = 0.0; var j = 0
+        while (j < dims) { s += row(j) * v(j); j += 1 }
+        s
+      }
+    def fitBooks(rotated: Array[Array[Double]]): Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => lloyd(rotated.map(_.slice(j * dsub, (j + 1) * dsub)), ks))
+    def reconstruct(rv: Array[Double], books: Array[Array[Array[Double]]]): Array[Double] = {
+      val out = new Array[Double](dims)
+      var j = 0
+      while (j < m) {
+        val sub = rv.slice(j * dsub, (j + 1) * dsub)
+        val book = books(j)
+        val halfNorms = book.map(c => c.map(x => x * x).sum / 2.0)
+        val code = bestCellIdx(sub, book, halfNorms)
+        System.arraycopy(book(code), 0, out, j * dsub, dsub)
+        j += 1
+      }
+      out
+    }
+    var rot = Array.tabulate(dims, dims)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 0 until iters) {
+      val rotated = sample.map(matVec(rot, _))
+      val books = fitBooks(rotated)
+      // H = Σ v v̂ᵀ over the sample (v in ORIGINAL space, v̂ the rotated-
+      // space reconstruction); Procrustes optimum R = V Uᵀ
+      val h = breeze.linalg.DenseMatrix.zeros[Double](dims, dims)
+      for ((v, rv) <- sample.zip(rotated)) {
+        val recon = reconstruct(rv, books)
+        var i = 0
+        while (i < dims) {
+          var j = 0
+          while (j < dims) { h(i, j) += v(i) * recon(j); j += 1 }
+          i += 1
+        }
+      }
+      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(h)
+      val r = (vt.t * u.t).t // R = V Uᵀ; breeze is column-major — build then read rows
+      rot = Array.tabulate(dims, dims)((i, j) => r(j, i))
+    }
+    val rotated = sample.map(matVec(rot, _))
+    (rot, fitBooks(rotated))
+  }
+
+  private val opqCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int), (Array[Array[Double]], Array[Array[Array[Double]]])]
+
+  private[graft] def fitOpq(spark: SparkSession, dir: String, m: Int, ks: Int)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    opqCache.getOrElseUpdate((dir, m, ks), {
+      val e = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      fitOpqFrom(e, m, ks)
+    })
+
+  /** `R·v` as pure column arithmetic: one codegen [[graft.functions.DotProduct]]
+    * against each literal rotation row — a projection, no exchange, and
+    * element i accumulates left-to-right exactly like the oracle's
+    * `list_dot_product(v, R[i])`.
+    */
+  private def rotateCol(rot: Array[Array[Double]], v: Column): Column =
+    array(rot.map(row => graft.functions.DotProduct(v, lit(row))): _*)
+
+  /** OPQ-ADC top-k: [[pqAdcTopK]] with the learned rotation applied to
+    * corpus and queries before encoding/LUT — same 8-byte-code scan, same
+    * ADC tail ([[adcTopKAgainst]] is shared), strictly better-or-equal
+    * codebook fit. Scale shape identical to [[pqAdcTopK]]: the rotation
+    * is a per-row projection (64 codegen dot products) folded into the
+    * encode pass, not a separate job.
+    */
+  def opqTopK(
+      spark: SparkSession, dir: String, k: Int = 10,
+      m: Int = PqM, ks: Int = PqKs): DataFrame = {
+    val (rot, books) = fitOpq(spark, dir, m, ks)
+    val er = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("v", rotateCol(rot, col("v")))
+    val codes = assignCodes(er, books, Seq("vec_id"))
+    adcTopKAgainst(codes,
+      er.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v")),
+      books, k)
+  }
+
+  /** EXACT generated oracle for [[opqTopK]]: a rotated `ev` CTE (one
+    * `list_dot_product` per literal rotation row, matching [[rotateCol]]
+    * element-for-element), then the [[pqAdcTopKSql]] body verbatim —
+    * [[pqSqlCtes]]'s codes/LUT and the fixed-order ADC rank over it.
+    */
+  private[ops] def opqTopKSql(
+      rot: Array[Array[Double]], books: Array[Array[Array[Double]]], k: Int = 10): String = {
+    val rotRows = rot.map(row =>
+      s"list_dot_product(v, ${row.mkString("[", ", ", "]")}::DOUBLE[])")
+      .mkString(",\n    ")
+    s"""WITH ev0 AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), ev AS (
+       |  SELECT vec_id, [
+       |    $rotRows] AS v
+       |  FROM ev0
+       |)${pqSqlCtes(books)}, adc AS (
+       |  SELECT l.q_id, cs.vec_id AS n_id, round(list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) AS adc
+       |  FROM codesub cs JOIN lut l ON l.j = cs.j AND l.code = cs.code
+       |  WHERE cs.vec_id <> l.q_id
+       |  GROUP BY l.q_id, cs.vec_id
        |)
        |SELECT q_id, n_id, rank, adc FROM (
        |  SELECT q_id, n_id,

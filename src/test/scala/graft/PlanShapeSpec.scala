@@ -80,6 +80,9 @@ class PlanShapeSpec extends SparkSuite {
     // residual encoding adds no exchange: the centroid subtract and the
     // per-cell ⟨q,c⟩ constant are both projection-local
     "ivf_pq_residual_topk" -> (0, 0, 0, 1, 2, 3),
+    // rotation is a per-row projection folded into the encode pass; the
+    // BNL is pq_adc_topk's same non-equi broadcast of the query LUTs
+    "opq_topk" -> (0, 1, 0, 1, 2, 3),
     "simhash_near_dup" -> (0, 0, 0, 3, 4, 0),
     "simhash" -> (0, 0, 0, 1, 1, 0),
     "ann_topk_brute" -> (0, 1, 0, 1, 2, 3),

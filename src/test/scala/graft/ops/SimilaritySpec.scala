@@ -229,4 +229,39 @@ class SimilaritySpec extends SparkSuite {
     // coarse quantizers' floors
     assert(recall >= 0.6, s"SQ8 recall@10 degraded: $recall")
   }
+
+  test("OPQ: rotation is orthogonal, fit is deterministic, recall beats plain PQ") {
+    val dir = "/root/testdata/sf0.01"
+    val (rot, books) = Similarity.fitOpq(spark, dir, Similarity.PqM, Similarity.PqKs)
+    // R Rᵀ = I within numerical tolerance — orthogonality is what makes
+    // ⟨Rq, Rv⟩ = ⟨q, v⟩ and therefore ADC-over-rotated a valid estimator
+    val dims = rot.length
+    for (i <- 0 until dims; j <- 0 until dims) {
+      val dot = (0 until dims).map(t => rot(i)(t) * rot(j)(t)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-8,
+        s"R Rᵀ[$i][$j] = $dot, expected $expect — rotation not orthogonal")
+    }
+    // deterministic re-fit: the cache bypassed, same literals out
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val (rot2, books2) = Similarity.fitOpqFrom(e, Similarity.PqM, Similarity.PqKs)
+    assert(rot.map(_.toSeq).toSeq == rot2.map(_.toSeq).toSeq, "rotation fit drifted")
+    assert(books.map(_.map(_.toSeq).toSeq).toSeq == books2.map(_.map(_.toSeq).toSeq).toSeq,
+      "codebook fit drifted")
+    // the rotation must EARN its place: recall@10 vs the brute anchor at
+    // least plain PQ's on the same corpus (measured 0.36 vs 0.29 at
+    // sf0.01 when pinned — equality allowed so isotropic re-generations
+    // of the testdata don't flake)
+    val brute = Similarity.annTopKBrute(spark, dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqSet = Similarity.pqAdcTopK(spark, dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val opqSet = Similarity.opqTopK(spark, dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqRecall = (brute & pqSet).size.toDouble / brute.size
+    val opqRecall = (brute & opqSet).size.toDouble / brute.size
+    assert(opqRecall >= pqRecall,
+      s"OPQ recall $opqRecall fell below plain PQ's $pqRecall — rotation hurting")
+  }
 }
