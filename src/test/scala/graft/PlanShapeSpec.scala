@@ -169,21 +169,24 @@ class PlanShapeSpec extends SparkSuite {
     "vocab_heavy_hitters_cms" -> (0, 0, 0, 0, 1, 0),
     "length_histogram" -> (0, 0, 0, 1, 3, 0),
     "distinctive_terms" -> (0, 0, 0, 1, 5, 3),
-    // the BNL is the 1-row (N, avgdl) scalar-combine cross join; 12
-    // exchanges = the persisted tf feeding dl/df/qterms aggregates plus
-    // the candidate join tree; 3 = Window + its two WindowGroupLimits
-    "bm25_topk" -> (0, 1, 0, 1, 12, 3),
+    // the 2 BNLs are the 1-row (N, avgdl) scalar-combine cross joins (one
+    // per model leg); 15 exchanges = the persisted tf feeding dl/df/qterms
+    // plus the SMALL-side model joins — three more than the fused form,
+    // but the candidate table (the big intermediate) now never shuffles on
+    // tok: df+stats fold into the broadcast query leg, so its only
+    // exchange is the per-doc dl join. Count up, bytes down.
+    "bm25_topk" -> (0, 2, 0, 1, 15, 3),
     // quality_prune's 2 windows share one lang partitioning (rank + count)
     "quality_prune" -> (0, 0, 0, 1, 2, 2),
     // the composition of both retrievers' plans: bm25's BNL scalar-combine
     // + ann's broadcast nested loop (its pinned shape), their window top-ks
     // (each with WindowGroupLimit pair) + the fusion window
     "hybrid_rrf_topk" -> (0, 2, 1, 1, 16, 9),
-    // the benched hybrid: bm25's scalar-combine BNL + the LSH leg's banded
+    // the benched hybrid: bm25's scalar-combine BNLs + the LSH leg's banded
     // index (no brute corpus scan — that's what separates it from the
     // anchor above); the sort-merge is the candidate⋈vector re-attach at
     // the suite's tiny broadcast budget
-    "hybrid_rrf_lsh_topk" -> (0, 1, 1, 1, 17, 9),
+    "hybrid_rrf_lsh_topk" -> (0, 2, 1, 1, 20, 9),
     "media_stats" -> (0, 0, 0, 1, 2, 0),
     // near_dup's 2 exchanges: the pair-dedup aggregate + final sort; the
     // segment-blocked candidate join itself broadcasts the fingerprint side
