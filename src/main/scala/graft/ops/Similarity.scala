@@ -316,6 +316,7 @@ object Similarity {
         "pq_rerank_topk"    -> pqRerankTopKSql(books),
         "ivf_pq_topk"       -> ivfPqTopKSql(cent, books),
         "ivf_pq_residual_topk" -> ivfPqResidualTopKSql(cent, residBooks),
+        "ivf_pq_residual_rerank_topk" -> ivfPqResidualRerankTopKSql(cent, residBooks),
         "opq_topk"          -> opqTopKSql(rot, opqBooks))
     case None => Map.empty
   }
@@ -1030,6 +1031,88 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), col("adc"))
       .orderBy("q_id", "rank")
+  }
+
+  /** The full production retrieval stack in one declarative plan — FAISS's
+    * `IndexIVFPQ` + refine stage: residual-encoded IVF-PQ prunes the scan
+    * (cells) and compresses it (8-byte codes), its ADC top-`shortlist`
+    * re-attaches full vectors by slim id-join, and an exact cosine
+    * re-ranks the final `k`. Cost at scale = the [[ivfPqResidualTopK]]
+    * scan + `shortlist` (not corpus-sized) exact cosines per query; the
+    * final ordering is exact over whatever the index recalled — the spec
+    * pins that re-ranking dominates the raw residual ADC against the
+    * brute anchor. Oracle is EXACT: the [[ivfPqResidualTopKSql]] CTEs
+    * produce the identical rounded-ADC shortlist, and the re-rank is the
+    * same `list_cosine_similarity` tail as [[pqRerankTopKSql]].
+    */
+  def ivfPqResidualRerankTopK(
+      spark: SparkSession, dir: String, k: Int = 10, shortlist: Int = 50,
+      nCentroids: Int = NCentroids, nProbe: Int = NProbe,
+      m: Int = PqM, ks: Int = PqKs): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cent = fitCentroids(spark, dir, nCentroids)
+    val books = fitPqResidual(spark, dir, nCentroids, m, ks)
+    val assigned = assignCells(e, cent).persist()
+    val codes = assignCodes(
+      assigned.withColumn("v", residualCol(cent, col("v"), col("cell"))),
+      books, Seq("vec_id", "cell"))
+    val queriesRaw = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val queries = queriesRaw
+      .withColumn("probes",
+        slice(reverse(array_sort(array(cellStructs(cent, col("q_v")): _*))), 1, nProbe))
+      .select(col("q_id"), col("q_v"), explode(col("probes.cell")).as("cell"))
+      .withColumn("qc", graft.functions.DotProduct(col("q_v"),
+        element_at(typedLit(cent.map(_.toSeq).toSeq), col("cell") + 1)))
+      .select(col("q_id"), col("cell"), col("qc"), adcLut(books).as("lut"))
+    val scored = codes.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(col("qc") + adcScore(ks, m), 4).as("adc"))
+    import org.apache.spark.sql.expressions.Window
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    val short = scored.withColumn("sr", row_number().over(wAdc))
+      .filter(col("sr") <= shortlist)
+      .select(col("q_id"), col("n_id"))
+    val rer = short
+      .join(e.select(col("vec_id").as("n_id"), col("v")), Seq("n_id"))
+      .join(broadcast(queriesRaw), Seq("q_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_v"), col("v")).as("c"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("c"), 4).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** EXACT generated oracle for [[ivfPqResidualRerankTopK]]: the
+    * [[ivfPqResidualTopKSql]] CTE chain up to its rounded `adc`, capped at
+    * `shortlist` by the same (adc DESC, n_id) window, then the exact
+    * `list_cosine_similarity` re-rank of [[pqRerankTopKSql]].
+    */
+  private[ops] def ivfPqResidualRerankTopKSql(
+      cent: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      k: Int = 10, shortlist: Int = 50, nProbe: Int = NProbe): String = {
+    val base = ivfPqResidualTopKSql(cent, books, k, nProbe)
+    val upToAdc = base.substring(0, base.lastIndexOf("\nSELECT q_id, n_id, rank, adc"))
+    s"""$upToAdc, short AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS sr
+       |    FROM adc)
+       |  WHERE sr <= $shortlist
+       |)
+       |SELECT q_id, n_id, rank, cos FROM (
+       |  SELECT s.q_id, s.n_id,
+       |    row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, s.n_id) AS rank,
+       |    round(list_cosine_similarity(qe.v, ne.v), 4) AS cos
+       |  FROM short s
+       |  JOIN ev qe ON qe.vec_id = s.q_id
+       |  JOIN ev ne ON ne.vec_id = s.n_id)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   /** EXACT generated oracle for [[ivfPqResidualTopK]], re-stating the

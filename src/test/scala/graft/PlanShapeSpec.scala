@@ -83,6 +83,9 @@ class PlanShapeSpec extends SparkSuite {
     // rotation is a per-row projection folded into the encode pass; the
     // BNL is pq_adc_topk's same non-equi broadcast of the query LUTs
     "opq_topk" -> (0, 1, 0, 1, 2, 3),
+    // the IVFPQ+refine stack: same cell-equi-join scan as the residual
+    // index, plus the shortlist window pair and the slim re-attach joins
+    "ivf_pq_residual_rerank_topk" -> (0, 0, 0, 1, 2, 5),
     "simhash_near_dup" -> (0, 0, 0, 3, 4, 0),
     "simhash" -> (0, 0, 0, 1, 1, 0),
     "ann_topk_brute" -> (0, 1, 0, 1, 2, 3),

@@ -264,4 +264,20 @@ class SimilaritySpec extends SparkSuite {
     assert(opqRecall >= pqRecall,
       s"OPQ recall $opqRecall fell below plain PQ's $pqRecall — rotation hurting")
   }
+
+  test("residual IVFPQ + refine: exact ordering on the shortlist, recall at least the raw residual ADC's") {
+    val dir = "/root/testdata/sf0.01"
+    val brute = Similarity.annTopKBrute(spark, dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcSet = Similarity.ivfPqResidualTopK(spark, dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerSet = Similarity.ivfPqResidualRerankTopK(spark, dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcRecall = (brute & adcSet).size.toDouble / brute.size
+    val rerRecall = (brute & rerSet).size.toDouble / brute.size
+    // the refine stage re-orders the index's shortlist by EXACT cosine, so
+    // whatever the index recalled can only rank better
+    assert(rerRecall >= adcRecall,
+      s"refine recall $rerRecall fell below raw residual ADC recall $adcRecall")
+  }
 }
