@@ -611,7 +611,7 @@ object Similarity {
     * corpus and scanning 1/128th of it; the fit is the same bounded
     * driver-side model artifact as [[fitCentroids]].
     */
-  private[ops] def fitPqFrom(e: DataFrame, m: Int, ks: Int): Array[Array[Array[Double]]] = {
+  private[graft] def fitPqFrom(e: DataFrame, m: Int, ks: Int): Array[Array[Array[Double]]] = {
     val sample = fitSample(e)
     require(sample.length >= ks, s"PQ fit sample (${sample.length}) smaller than ks=$ks")
     val dims = sample.head.length

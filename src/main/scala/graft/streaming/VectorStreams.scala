@@ -54,10 +54,16 @@ object VectorStreams {
       refreshEvery: Long = 0L): StreamingQuery = {
     // One (codebooks, coded-corpus) build — the index artifact the
     // micro-batches re-scan (8 bytes/vector, cached; never the parquet).
+    // Fits via fitPqFrom on a FRESH read, NOT the session-cached fitPq:
+    // the cache is keyed by dir and assumes an immutable table, which is
+    // exactly what a live refresh must not assume — a cached fit would
+    // re-persist new codes against STALE codebooks and silently never
+    // re-fit. (Deterministic fit ⇒ identical books to the cache while the
+    // corpus is unchanged, so the static case is unaffected.)
     def buildIndex(): (Array[Array[Array[Double]]], DataFrame) = {
-      val books = Similarity.fitPq(spark, dir, Similarity.PqM, Similarity.PqKs)
       val corpus = Tables(spark, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val books = Similarity.fitPqFrom(corpus, Similarity.PqM, Similarity.PqKs)
       (books, Similarity.assignCodes(corpus, books, Seq("vec_id")).persist())
     }
     @volatile var index = buildIndex()

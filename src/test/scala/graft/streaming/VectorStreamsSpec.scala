@@ -102,9 +102,11 @@ class VectorStreamsSpec extends SparkSuite {
     assert(afterSwap.exists(_._2 == qIds(1) + Shift),
       s"post-swap top-k never surfaced the query's appended twin ${qIds(1) + Shift} — stale index?")
 
-    val books2 = Similarity.fitPq(spark, dir, Similarity.PqM, Similarity.PqKs)
+    // fitPqFrom on the UPDATED corpus — the session-cached fitPq would
+    // return the seed-corpus books and mask a refresh that fails to re-fit
     val corpus2 = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val books2 = Similarity.fitPqFrom(corpus2, Similarity.PqM, Similarity.PqKs)
     val codes2 = Similarity.assignCodes(corpus2, books2, Seq("vec_id"))
     val queries2 = corpus0.filter(col("vec_id") === qIds(1))
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
@@ -114,5 +116,70 @@ class VectorStreamsSpec extends SparkSuite {
     assert(afterSwap == expected,
       s"post-swap serving diverged from batch scoring on the updated corpus: " +
         s"${(afterSwap diff expected).take(5)} / ${(expected diff afterSwap).take(5)}")
+  }
+
+  /** Kill/restart with a REAL file source + checkpoint (the path the
+    * MemoryStream specs can't reach): the serving query dies between
+    * micro-batches, the corpus grows while it is down, and the restarted
+    * query must (a) rebuild its index from the live corpus — restart IS
+    * an index refresh, by construction of `buildIndex` — and (b) keep the
+    * sink exactly-once: the pre-kill batch's rows re-read unchanged, the
+    * post-restart batch lands once under the next batch_id.
+    */
+  test("kill/restart rebuilds the index from the live corpus; sink stays exactly-once") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+    val src = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("graft-vec-restart").toFile
+    val dir = s"$root/corpus"
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    new java.io.File(in).mkdirs()
+    val Shift = 1000000L
+
+    val orig = spark.read.parquet(s"$src/embeddings.parquet")
+    orig.write.parquet(s"$dir/embeddings.parquet")
+    val corpus0 = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val qIds = corpus0.filter(col("vec_id") % 50 === 0)
+      .select("vec_id").as[Long].collect().sorted.take(2)
+    val qVecs = corpus0.filter(col("vec_id").isin(qIds: _*))
+      .as[(Long, Seq[Double])].collect().toMap
+
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    def startQuery() = VectorStreams.adcServe(
+      spark, dir, spark.readStream.schema(schema).parquet(in), out, ckpt)
+
+    // run 1: one query vector, served against the seed corpus, then die
+    Seq((qIds(0), qVecs(qIds(0)))).toDF("vec_id", "v")
+      .write.mode("append").parquet(in)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    val batch0 = Sinks.readSink(spark, out)
+      .select("q_id", "n_id", "rank", "adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+    // corpus grows while the query is DOWN
+    orig.withColumn("vec_id", col("vec_id") + Shift)
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    // run 2: second query — the restarted query's index must see the twins
+    Seq((qIds(1), qVecs(qIds(1)))).toDF("vec_id", "v")
+      .write.mode("append").parquet(in)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val all = Sinks.readSink(spark, out)
+      .select("q_id", "n_id", "rank", "adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val afterRestart = all.filter(_._1 == qIds(1))
+    // exactly-once: batch 0's rows are still there, bit-identical, once
+    assert(all.filter(_._1 == qIds(0)) == batch0,
+      "pre-kill batch changed or duplicated across the restart")
+    // the rebuilt index serves the grown corpus: the new query's appended
+    // twin (identical vector ⇒ top ADC score) is in its top-k
+    assert(afterRestart.exists(_._2 == qIds(1) + Shift),
+      s"post-restart top-k never surfaced the appended twin ${qIds(1) + Shift} — stale index across restart?")
   }
 }
