@@ -430,6 +430,50 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25TopKFrom(Tables(spark, dir, "documents"), k, k1, b)
 
+  /** BM25 retrieval for a USER-SUPPLIED query batch — the serving-side
+    * API ([[bm25TopKFrom]]'s `doc_id % 50` query set is the benchmark
+    * formulation, not a contract): `queries` is any `(q_id, text)` frame,
+    * tokenized with the corpus tokenizer; candidates form only through
+    * the query terms (broadcast), so query cost scales with the batch,
+    * never the corpus. A `q_id` that collides with a corpus `doc_id` is
+    * treated as that document asking for neighbors and excluded from its
+    * own result — the more-like-this convention; disjoint id spaces get
+    * pure ad-hoc retrieval. Parity with the benchmark form on its own
+    * query sample is spec-pinned.
+    */
+  def bm25TopKFor(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist() // feeds dl, df, and the candidate join
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val qidf = queries
+      .select(col("q_id"), explode(tokens(col("text"))).as("tok")).distinct()
+      .join(df, Seq("tok")) // inner: absent-from-corpus terms score nothing
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("tok"),
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1).as("idf"))
+    val dlb = dl.crossJoin(broadcast(stats))
+      .select(col("doc_id"), (lit(b) * col("dl") / col("avgdl")).as("bdl"))
+    val scored = tf.join(broadcast(qidf), Seq("tok"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dlb, Seq("doc_id"))
+      .withColumn("s",
+        col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + col("bdl"))))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(col("s")), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("rank"), col("score"))
+      .orderBy("q_id", "rank")
+  }
+
   /** [[bm25TopK]] over any `(doc_id, text)` frame.
     *
     * Join order puts every per-TERM model statistic on the SMALL side

@@ -72,4 +72,28 @@ class Bm25Spec extends SparkSuite {
       assert(keptLang.map(_._1).toSet == expected, s"$lang kept wrong docs")
     }
   }
+
+  test("bm25TopKFor: user-query API matches the benchmark form on its own sample; ad-hoc queries retrieve") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+    // parity: handing the %50 sample in as explicit queries reproduces the
+    // benchmark formulation row for row (same tokenizer, same model legs)
+    val sample = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+    val viaApi = TextAnalysis.bm25TopKFor(docs, sample).collect().map(_.toString).toSeq
+    val bench = TextAnalysis.bm25TopKFrom(docs).collect().map(_.toString).toSeq
+    assert(viaApi == bench, "user-query API diverged from the benchmark formulation")
+    // ad-hoc retrieval: a fresh query in a disjoint id space gets results,
+    // scored only through its own terms
+    val someText = docs.orderBy("doc_id").select("text").head().getString(0)
+    val adHoc = Seq((999999999L, someText)).toDF("q_id", "text")
+    val hits = TextAnalysis.bm25TopKFor(docs, adHoc).collect()
+    assert(hits.nonEmpty, "ad-hoc query returned nothing on a corpus containing its text")
+    assert(hits.forall(_.getLong(0) == 999999999L))
+    // terms absent from the corpus contribute nothing (inner df join):
+    // a nonsense query scores no candidates at all
+    val nonsense = Seq((7L, "zqxjkwv bbqzzz notaword")).toDF("q_id", "text")
+    assert(TextAnalysis.bm25TopKFor(docs, nonsense).collect().isEmpty)
+  }
 }
