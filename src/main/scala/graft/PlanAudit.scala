@@ -16,7 +16,8 @@ object PlanAudit {
     val audited = Seq("tpch_q5", "tpch_q3", "tpch_q1", "top_customers",
       "filter_incomplete", "events_sessions", "events_sessions_sw",
       "dedup_exact_keep_first", "asof_last_click", "minhash_lsh_pairs",
-      "decontaminate", "repetition_stats", "pack_sequences", "pii_scrub")
+      "decontaminate", "repetition_stats", "pack_sequences", "pii_scrub",
+      "bm25_topk", "opq_topk", "ivf_pq_residual_rerank_topk")
     for (name <- audited) {
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString
