@@ -1355,7 +1355,7 @@ object Similarity {
   /** Shared RRF fusion tail: full outer join on (query, doc) + one windowed
     * top-k; `rrf = Σ 1/(c + rank)` over the lists that retrieved the doc.
     */
-  private def fuseRrf(sparse: DataFrame, dense: DataFrame, k: Int, c: Int): DataFrame = {
+  private[graft] def fuseRrf(sparse: DataFrame, dense: DataFrame, k: Int, c: Int): DataFrame = {
     val fused = sparse.join(dense, Seq("q_id", "doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(c) + col("r_sparse")), lit(0.0)) +

@@ -447,6 +447,20 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .persist() // feeds dl, df, and the candidate join
+    bm25Against(tf, queries, k, k1, b)
+  }
+
+  /** BM25 scoring against a PREBUILT term-frequency index — the serving
+    * core under [[bm25TopKFor]] (which builds `tf` per call) and the
+    * streaming [[graft.streaming.TextStreams]] (which persists `tf` once
+    * and re-scores every micro-batch against it). `tf` is the
+    * `(doc_id, tok, tf)` aggregate; dl/df/(N, avgdl) re-derive from it —
+    * from a cached index those are bounded re-scans, and at serving time
+    * the only per-batch work is the query tokenize + the broadcast
+    * candidate join.
+    */
+  private[graft] def bm25Against(tf: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))

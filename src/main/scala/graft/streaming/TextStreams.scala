@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.{Dedup, Similarity, Tables, TextAnalysis}
+
+/** Stream-static LEXICAL retrieval — the sparse twin of
+  * [[VectorStreams.adcServe]], completing the hybrid-RAG serving story:
+  * an unbounded stream of query texts scores against a static BM25 index
+  * ([[TextAnalysis.bm25Against]] is literally the batch scoring core, so
+  * stream/batch parity is structural), and [[hybridServe]] fuses both
+  * retrievers per micro-batch with the batch RRF combiner.
+  *
+  * Same `foreachBatch` rationale as the dense side: per-query top-k and
+  * the full-outer fusion join are unbounded-frame operations Structured
+  * Streaming cannot express in append mode, but each micro-batch is a
+  * closed query set, so the batch plans apply verbatim.
+  *
+  * Scale shape: the `(doc_id, tok, tf)` index is persisted once — the
+  * per-batch work is the query tokenize (batch-sized), a broadcast
+  * candidate join against the cached index, and bounded model-leg
+  * re-scans. Results land through [[Sinks.idempotentBatchWrite]], so the
+  * serving log inherits exactly-once-under-replay.
+  */
+object TextStreams {
+
+  /** Serve `queryStream` (schema: `q_id long, text string`) against the
+    * documents table of `dir`: BM25 top-k per query per micro-batch,
+    * written to `outDir/batch_id=N`.
+    */
+  def bm25Serve(
+      spark: SparkSession,
+      dir: String,
+      queryStream: DataFrame,
+      outDir: String,
+      ckpt: String,
+      k: Int = 10): StreamingQuery = {
+    val tf = bm25Index(spark, dir)
+    queryStream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        Sinks.idempotentBatchWrite(
+          TextAnalysis.bm25Against(tf, batch.select(col("q_id"), col("text")), k),
+          batchId, outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+  }
+
+  /** Hybrid sparse+dense serving: `queryStream` carries BOTH
+    * representations (`q_id long, text string, v array<double>`); each
+    * micro-batch runs the BM25 leg against the cached term index and the
+    * ADC leg against the PQ code table, then fuses with the SAME
+    * reciprocal-rank-fusion combiner as the batch `hybrid_rrf_topk`.
+    */
+  def hybridServe(
+      spark: SparkSession,
+      dir: String,
+      queryStream: DataFrame,
+      outDir: String,
+      ckpt: String,
+      k: Int = 10,
+      c: Int = 60): StreamingQuery = {
+    val tf = bm25Index(spark, dir)
+    val corpus = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val books = Similarity.fitPqFrom(corpus, Similarity.PqM, Similarity.PqKs)
+    val codes = Similarity.assignCodes(corpus, books, Seq("vec_id")).persist()
+    queryStream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sparse = TextAnalysis
+          .bm25Against(tf, batch.select(col("q_id"), col("text")), k)
+          .select(col("q_id"), col("doc_id"), col("rank").as("r_sparse"))
+        val dense = Similarity
+          .adcTopKAgainst(codes,
+            batch.select(col("q_id"), col("v").as("q_v")), books, k)
+          .select(col("q_id"), col("n_id").as("doc_id"), col("rank").as("r_dense"))
+        Sinks.idempotentBatchWrite(
+          Similarity.fuseRrf(sparse, dense, k, c), batchId, outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+  }
+
+  /** The static lexical index: the `(doc_id, tok, tf)` aggregate,
+    * persisted for the serving query's lifetime. */
+  private def bm25Index(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist()
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ops.{Similarity, Tables, TextAnalysis}
+
+/** Stream-static lexical + hybrid serving parity: micro-batches of query
+  * texts through [[TextStreams.bm25Serve]] must reproduce the batch
+  * [[TextAnalysis.bm25TopKFor]] result for the same queries, and
+  * [[TextStreams.hybridServe]] must reproduce the batch RRF fusion of its
+  * two legs. The scoring cores are shared code; the specs pin the
+  * composition (index build + persist, per-batch broadcast, sink write)
+  * end to end, across micro-batch boundaries.
+  */
+class TextStreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("micro-batched BM25 serving equals the batch user-query API") {
+    val root = Files.createTempDirectory("graft-bm25-serve").toFile
+    val (out, ckpt) = (s"$root/out", s"$root/ckpt")
+    val docs = Tables(spark, dir, "documents")
+    val qs = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).take(3)
+
+    val mem = MemoryStream[(Long, String)](spark)
+    val stream = mem.toDF().toDF("q_id", "text")
+    mem.addData(qs(0), qs(1))
+    val q = TextStreams.bm25Serve(spark, dir, stream, out, ckpt)
+    q.processAllAvailable()
+    mem.addData(qs(2)) // second micro-batch: the cached index survives
+    q.processAllAvailable()
+    q.stop()
+
+    val served = Sinks.readSink(spark, out)
+      .select("q_id", "doc_id", "rank", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val batch = TextAnalysis.bm25TopKFor(docs, qs.toSeq.toDF("q_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(served == batch,
+      s"stream-served BM25 diverged from batch: ${(served diff batch).take(5)} / ${(batch diff served).take(5)}")
+  }
+
+  test("micro-batched hybrid serving equals the batch RRF fusion of both legs") {
+    val root = Files.createTempDirectory("graft-hybrid-serve").toFile
+    val (out, ckpt) = (s"$root/out", s"$root/ckpt")
+    val docs = Tables(spark, dir, "documents")
+    val corpus = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    // the testdata's parallel id space: doc_id and vec_id coincide, so a
+    // query document carries both its text and its embedding
+    val qs = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+      .join(corpus.select(col("vec_id").as("q_id"), col("v")), Seq("q_id"))
+      .as[(Long, String, Seq[Double])].collect().sortBy(_._1).take(3)
+
+    val mem = MemoryStream[(Long, String, Seq[Double])](spark)
+    val stream = mem.toDF().toDF("q_id", "text", "v")
+    mem.addData(qs(0))
+    val q = TextStreams.hybridServe(spark, dir, stream, out, ckpt)
+    q.processAllAvailable()
+    mem.addData(qs(1), qs(2))
+    q.processAllAvailable()
+    q.stop()
+
+    val served = Sinks.readSink(spark, out)
+      .select("q_id", "doc_id", "rank", "rrf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+    // batch expectation: same legs, same fusion, over all three queries
+    val tf = docs
+      .select(col("doc_id"), explode(graft.ops.Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val books = Similarity.fitPqFrom(corpus, Similarity.PqM, Similarity.PqKs)
+    val codes = Similarity.assignCodes(corpus, books, Seq("vec_id"))
+    val qdf = qs.toSeq.toDF("q_id", "text", "v")
+    val sparse = TextAnalysis.bm25Against(tf, qdf.select(col("q_id"), col("text")))
+      .select(col("q_id"), col("doc_id"), col("rank").as("r_sparse"))
+    val dense = Similarity
+      .adcTopKAgainst(codes, qdf.select(col("q_id"), col("v").as("q_v")), books, 10)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rank").as("r_dense"))
+    val expected = Similarity.fuseRrf(sparse, dense, 10, 60).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(served == expected,
+      s"stream-served hybrid diverged from batch fusion: ${(served diff expected).take(5)} / ${(expected diff served).take(5)}")
+  }
+}
