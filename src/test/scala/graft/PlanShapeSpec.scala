@@ -86,6 +86,9 @@ class PlanShapeSpec extends SparkSuite {
     // the IVFPQ+refine stack: same cell-equi-join scan as the residual
     // index, plus the shortlist window pair and the slim re-attach joins
     "ivf_pq_residual_rerank_topk" -> (0, 0, 0, 1, 2, 5),
+    // the OPQ,IVF,PQ chain shares ivf_pq_residual_topk's plan verbatim —
+    // the rotation is a projection folded into the scan
+    "opq_ivf_pq_topk" -> (0, 0, 0, 1, 2, 3),
     "simhash_near_dup" -> (0, 0, 0, 3, 4, 0),
     "simhash" -> (0, 0, 0, 1, 1, 0),
     "ann_topk_brute" -> (0, 1, 0, 1, 2, 3),

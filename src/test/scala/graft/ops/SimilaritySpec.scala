@@ -280,4 +280,19 @@ class SimilaritySpec extends SparkSuite {
     assert(rerRecall >= adcRecall,
       s"refine recall $rerRecall fell below raw residual ADC recall $adcRecall")
   }
+
+  test("OPQ,IVF,PQ chain: deterministic, recall floor (corpus isotropy documented in the plan)") {
+    val dir = "/root/testdata/sf0.01"
+    val c1 = Similarity.opqIvfPqTopK(spark, dir).collect()
+    val c2 = Similarity.opqIvfPqTopK(spark, dir).collect()
+    assert(c1.map(_.toString).toSeq == c2.map(_.toString).toSeq, "chain not deterministic")
+    val brute = Similarity.annTopKBrute(spark, dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val chainSet = c1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & chainSet).size.toDouble / brute.size
+    // absolute floor, not a vs-residual relation: on this near-isotropic
+    // synthetic corpus the rotation does not beat the unrotated residual
+    // index (0.23 vs 0.26 when pinned) — see the plan's docstring
+    assert(recall >= 0.15, s"OPQ,IVF,PQ recall@10 degraded: $recall")
+  }
 }
