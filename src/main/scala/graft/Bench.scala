@@ -7,7 +7,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // nanos-era events.ts
+      .config("spark.sql.session.timeZone", "UTC") // NTZ-era events.ts cast
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -10,7 +10,8 @@ object PlanAudit {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // nanos-era events.ts
+      .config("spark.sql.session.timeZone", "UTC") // NTZ-era events.ts cast
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val audited = Seq("tpch_q5", "tpch_q3", "tpch_q1", "top_customers",

@@ -291,6 +291,21 @@ object Corpus {
     // higher fpp past it, never to false negatives)
     val nItems = math.max(testGrams.count(), 1L)
     val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp)
+    // BloomFilterAggregate SILENTLY clamps to the runtime-filter conf caps
+    // (default 4M items / 64M bits) — past them the built filter's real
+    // fpp blows out and decontamination quietly over-removes clean docs.
+    // Refuse loudly instead; a deployment with a bigger held-out set
+    // raises the confs (the bits budget is the documented ~1.2 GB/10⁹
+    // grams either way).
+    val maxItems = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(nItems <= maxItems && nBits <= maxBits,
+      s"held-out gram set needs $nItems items / $nBits bits but " +
+        s"bloom_filter_agg clamps at $maxItems/$maxBits — raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
+        "so the configured fpp is actually honored")
     val bfAgg = ColumnShim.column(new BloomFilterAggregate(
         ColumnShim.expression(col("h")), Literal(nItems), Literal(nBits))
       .toAggregateExpression())

@@ -1022,6 +1022,24 @@ object Similarity {
   private def ivfPqResidualTopKFrom(
       e: DataFrame, cent: Array[Array[Double]],
       books: Array[Array[Array[Double]]], k: Int, nProbe: Int): DataFrame = {
+    val scored = residualAdcScored(e, cent, books, nProbe)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adc"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The residual-index ADC scan shared by the index top-k
+    * ([[ivfPqResidualTopKFrom]]) and the refine stack's shortlist
+    * ([[ivfPqResidualRerankTopK]]): every (query, candidate) in the probed
+    * cells with its rounded `⟨q,c⟩ + ⟨q,r̂⟩` score — one implementation so
+    * an estimator fix can never land in one consumer and not the other.
+    */
+  private def residualAdcScored(
+      e: DataFrame, cent: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], nProbe: Int): DataFrame = {
     val m = books.length
     val ks = books(0).length
     // Persisted: the cell-assigned corpus feeds the query leg and the
@@ -1040,16 +1058,10 @@ object Similarity {
       .withColumn("qc", graft.functions.DotProduct(col("q_v"),
         element_at(typedLit(cent.map(_.toSeq).toSeq), col("cell") + 1)))
       .select(col("q_id"), col("cell"), col("qc"), adcLut(books).as("lut"))
-    val scored = codes.join(broadcast(queries), Seq("cell"))
+    codes.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         round(col("qc") + adcScore(ks, m), 4).as("adc"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), col("adc"))
-      .orderBy("q_id", "rank")
   }
 
   /** The full production retrieval stack in one declarative plan — FAISS's
@@ -1072,23 +1084,9 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cent = fitCentroids(spark, dir, nCentroids)
     val books = fitPqResidual(spark, dir, nCentroids, m, ks)
-    val assigned = assignCells(e, cent).persist()
-    val codes = assignCodes(
-      assigned.withColumn("v", residualCol(cent, col("v"), col("cell"))),
-      books, Seq("vec_id", "cell"))
-    val queriesRaw = assigned.filter(col("vec_id") % 50 === 0)
+    val scored = residualAdcScored(e, cent, books, nProbe)
+    val queriesRaw = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-    val queries = queriesRaw
-      .withColumn("probes",
-        slice(reverse(array_sort(array(cellStructs(cent, col("q_v")): _*))), 1, nProbe))
-      .select(col("q_id"), col("q_v"), explode(col("probes.cell")).as("cell"))
-      .withColumn("qc", graft.functions.DotProduct(col("q_v"),
-        element_at(typedLit(cent.map(_.toSeq).toSeq), col("cell") + 1)))
-      .select(col("q_id"), col("cell"), col("qc"), adcLut(books).as("lut"))
-    val scored = codes.join(broadcast(queries), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        round(col("qc") + adcScore(ks, m), 4).as("adc"))
     import org.apache.spark.sql.expressions.Window
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
     val short = scored.withColumn("sr", row_number().over(wAdc))
@@ -1225,15 +1223,14 @@ object Similarity {
       }
     def fitBooks(rotated: Array[Array[Double]]): Array[Array[Array[Double]]] =
       Array.tabulate(m)(j => lloyd(rotated.map(_.slice(j * dsub, (j + 1) * dsub)), ks))
-    def reconstruct(rv: Array[Double], books: Array[Array[Array[Double]]]): Array[Double] = {
+    def reconstruct(rv: Array[Double], books: Array[Array[Array[Double]]],
+        halfNorms: Array[Array[Double]]): Array[Double] = {
       val out = new Array[Double](dims)
       var j = 0
       while (j < m) {
         val sub = rv.slice(j * dsub, (j + 1) * dsub)
-        val book = books(j)
-        val halfNorms = book.map(c => c.map(x => x * x).sum / 2.0)
-        val code = bestCellIdx(sub, book, halfNorms)
-        System.arraycopy(book(code), 0, out, j * dsub, dsub)
+        val code = bestCellIdx(sub, books(j), halfNorms(j))
+        System.arraycopy(books(j)(code), 0, out, j * dsub, dsub)
         j += 1
       }
       out
@@ -1242,11 +1239,15 @@ object Similarity {
     for (_ <- 0 until iters) {
       val rotated = sample.map(matVec(rot, _))
       val books = fitBooks(rotated)
+      // codeword half-norms hoisted out of the sample loop — fixed within
+      // an iteration, and recomputing them per vector is O(m·ks·dsub)×50k
+      // of pure waste
+      val halfNorms = books.map(_.map(c => c.map(x => x * x).sum / 2.0))
       // H = Σ v v̂ᵀ over the sample (v in ORIGINAL space, v̂ the rotated-
       // space reconstruction); Procrustes optimum R = V Uᵀ
       val h = breeze.linalg.DenseMatrix.zeros[Double](dims, dims)
       for ((v, rv) <- sample.zip(rotated)) {
-        val recon = reconstruct(rv, books)
+        val recon = reconstruct(rv, books, halfNorms)
         var i = 0
         while (i < dims) {
           var j = 0
@@ -1380,16 +1381,9 @@ object Similarity {
     * [[pqSqlCtes]]'s codes/LUT and the fixed-order ADC rank over it.
     */
   private[ops] def opqTopKSql(
-      rot: Array[Array[Double]], books: Array[Array[Array[Double]]], k: Int = 10): String = {
-    val rotRows = rot.map(row =>
-      s"list_dot_product(v, ${row.mkString("[", ", ", "]")}::DOUBLE[])")
-      .mkString(",\n    ")
-    s"""WITH ev0 AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |), ev AS (
-       |  SELECT vec_id, [
-       |    $rotRows] AS v
-       |  FROM ev0
+      rot: Array[Array[Double]], books: Array[Array[Array[Double]]], k: Int = 10): String =
+    s"""WITH ev AS (
+       |${rotatedEvSql(rot)}
        |)${pqSqlCtes(books)}, adc AS (
        |  SELECT l.q_id, cs.vec_id AS n_id, round(list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) AS adc
        |  FROM codesub cs JOIN lut l ON l.j = cs.j AND l.code = cs.code
@@ -1402,7 +1396,6 @@ object Similarity {
        |  FROM adc)
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
-  }
 
   /** Hybrid sparse+dense retrieval via reciprocal-rank fusion: the BM25
     * top-k ([[TextAnalysis.bm25TopK]], lexical) and the exact cosine top-k

@@ -35,8 +35,18 @@ object Tables {
       raw.schema("ts").dataType match {
         case TimestampType => raw // already TIMESTAMP with timezone semantics
         case TimestampNTZType => // TIMESTAMP(MICROS, isAdjustedToUTC=false):
-          // cast interprets the wall-clock in the session timezone (pinned
-          // UTC by every entrypoint), so values match the nanos-era read
+          // the cast interprets the wall-clock in the SESSION timezone, so
+          // it is only value-preserving under UTC — guard loudly like the
+          // nanos-era require did, instead of silently shifting every
+          // instant by the local offset in a non-UTC session
+          val tz = spark.conf.get(
+            "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+          val rules = java.time.ZoneId.of(tz).getRules
+          require(rules.isFixedOffset &&
+              rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0,
+            s"session timezone is '$tz' — set spark.sql.session.timeZone=UTC " +
+              "at session build to read events (the NTZ→timestamp cast is " +
+              "timezone-sensitive)")
           raw.withColumn("ts", col("ts").cast(TimestampType))
         case LongType      => // TIMESTAMP(NANOS) surfaced as long via nanosAsLong
           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -464,17 +464,53 @@ object TextAnalysis {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val qidf = queries
-      .select(col("q_id"), explode(tokens(col("text"))).as("tok")).distinct()
-      .join(df, Seq("tok")) // inner: absent-from-corpus terms score nothing
-      .crossJoin(broadcast(stats))
-      .select(col("q_id"), col("tok"),
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1).as("idf"))
     val dlb = dl.crossJoin(broadcast(stats))
       .select(col("doc_id"), (lit(b) * col("dl") / col("avgdl")).as("bdl"))
-    val scored = tf.join(broadcast(qidf), Seq("tok"))
+    bm25Score(Bm25Index(tf, df, dlb, stats), queries, k, k1, b)
+  }
+
+  /** The query-independent BM25 model legs, buildable (and persistable)
+    * ONCE: the `(doc_id, tok, tf)` index, the per-term df, the per-doc
+    * length term `b·dl/avgdl` (so `b` is fixed at build time), and the
+    * (N, avgdl) scalar. A serving loop that re-derived these per
+    * micro-batch would pay two corpus-scale shuffles per batch for
+    * statistics that never change — [[graft.streaming.TextStreams]]
+    * persists all four and leaves only the query tokenize + broadcast
+    * candidate join as per-batch work.
+    */
+  private[graft] case class Bm25Index(
+      tf: DataFrame, df: DataFrame, dlb: DataFrame, stats: DataFrame)
+
+  private[graft] def bm25BuildIndex(docs: DataFrame, b: Double = 0.75): Bm25Index = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl")).persist()
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df")).persist()
+    val dlb = dl.crossJoin(broadcast(stats))
+      .select(col("doc_id"), (lit(b) * col("dl") / col("avgdl")).as("bdl"))
+      .persist()
+    Bm25Index(tf, df, dlb, stats)
+  }
+
+  /** The scoring core shared by the one-shot path ([[bm25Against]], which
+    * derives the legs inline) and the serving path (prebuilt
+    * [[Bm25Index]]): per-batch work is the query tokenize, the
+    * query-vocabulary df/idf join, and the broadcast candidate join.
+    */
+  private[graft] def bm25Score(ix: Bm25Index, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qidf = queries
+      .select(col("q_id"), explode(tokens(col("text"))).as("tok")).distinct()
+      .join(ix.df, Seq("tok")) // inner: absent-from-corpus terms score nothing
+      .crossJoin(broadcast(ix.stats))
+      .select(col("q_id"), col("tok"),
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1).as("idf"))
+    val scored = ix.tf.join(broadcast(qidf), Seq("tok"))
       .filter(col("doc_id") =!= col("q_id"))
-      .join(dlb, Seq("doc_id"))
+      .join(ix.dlb, Seq("doc_id"))
       .withColumn("s",
         col("idf") * col("tf") * lit(k1 + 1) /
           (col("tf") + lit(k1) * (lit(1 - b) + col("bdl"))))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.ops.{Dedup, Similarity, Tables, TextAnalysis}
+import graft.ops.{Similarity, Tables, TextAnalysis}
 
 /** Stream-static LEXICAL retrieval — the sparse twin of
   * [[VectorStreams.adcServe]], completing the hybrid-RAG serving story:
@@ -37,11 +37,11 @@ object TextStreams {
       outDir: String,
       ckpt: String,
       k: Int = 10): StreamingQuery = {
-    val tf = bm25Index(spark, dir)
+    val ix = bm25Index(spark, dir)
     queryStream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         Sinks.idempotentBatchWrite(
-          TextAnalysis.bm25Against(tf, batch.select(col("q_id"), col("text")), k),
+          TextAnalysis.bm25Score(ix, batch.select(col("q_id"), col("text")), k),
           batchId, outDir)
       }
       .option("checkpointLocation", ckpt)
@@ -62,7 +62,7 @@ object TextStreams {
       ckpt: String,
       k: Int = 10,
       c: Int = 60): StreamingQuery = {
-    val tf = bm25Index(spark, dir)
+    val ix = bm25Index(spark, dir)
     val corpus = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val books = Similarity.fitPqFrom(corpus, Similarity.PqM, Similarity.PqKs)
@@ -70,7 +70,7 @@ object TextStreams {
     queryStream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val sparse = TextAnalysis
-          .bm25Against(tf, batch.select(col("q_id"), col("text")), k)
+          .bm25Score(ix, batch.select(col("q_id"), col("text")), k)
           .select(col("q_id"), col("doc_id"), col("rank").as("r_sparse"))
         val dense = Similarity
           .adcTopKAgainst(codes,
@@ -83,11 +83,10 @@ object TextStreams {
       .start()
   }
 
-  /** The static lexical index: the `(doc_id, tok, tf)` aggregate,
-    * persisted for the serving query's lifetime. */
-  private def bm25Index(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .persist()
+  /** The static lexical index — ALL query-independent model legs (tf, df,
+    * per-doc length term, scalar stats), each persisted for the serving
+    * query's lifetime, so a micro-batch pays only the query tokenize and
+    * the broadcast candidate join, never a corpus-scale re-aggregate. */
+  private def bm25Index(spark: SparkSession, dir: String): TextAnalysis.Bm25Index =
+    TextAnalysis.bm25BuildIndex(Tables(spark, dir, "documents"))
 }

@@ -70,9 +70,18 @@ object VectorStreams {
     queryStream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (refreshEvery > 0 && batchId > 0 && batchId % refreshEvery == 0) {
-          val stale = index._2
-          index = buildIndex()
-          stale.unpersist()
+          // a failed rebuild (corpus mid-write, fit sample too small) must
+          // NOT kill the serving query — log and keep the previous index;
+          // the next refresh boundary retries
+          scala.util.Try(buildIndex()) match {
+            case scala.util.Success(fresh) =>
+              val stale = index._2
+              index = fresh
+              stale.unpersist()
+            case scala.util.Failure(e) =>
+              System.err.println(
+                s"[adcServe] index refresh at batch $batchId failed, serving previous index: ${e.getMessage}")
+          }
         }
         val (books, codes) = index
         val queries = batch.select(col("vec_id").as("q_id"), col("v").as("q_v"))

@@ -184,10 +184,11 @@ class PlanShapeSpec extends SparkSuite {
     "bm25_topk" -> (0, 2, 0, 1, 15, 3),
     // quality_prune's 2 windows share one lang partitioning (rank + count)
     "quality_prune" -> (0, 0, 0, 1, 2, 2),
-    // the composition of both retrievers' plans: bm25's BNL scalar-combine
-    // + ann's broadcast nested loop (its pinned shape), their window top-ks
-    // (each with WindowGroupLimit pair) + the fusion window
-    "hybrid_rrf_topk" -> (0, 2, 1, 1, 16, 9),
+    // the composition of both retrievers' plans: bm25's TWO scalar-combine
+    // BNLs (post-restructure) + ann's broadcast nested loop (its pinned
+    // shape), their window top-ks (each with WindowGroupLimit pair) + the
+    // fusion window; +3 exchanges = bm25's small model-leg joins
+    "hybrid_rrf_topk" -> (0, 3, 1, 1, 19, 9),
     // the benched hybrid: bm25's scalar-combine BNLs + the LSH leg's banded
     // index (no brute corpus scan — that's what separates it from the
     // anchor above); the sort-merge is the candidate⋈vector re-attach at
@@ -231,7 +232,12 @@ class PlanShapeSpec extends SparkSuite {
 
   test("every benched query's physical plan stays free of scale-killers") {
     if (sys.env.contains("SPARK_GRAFT_DIGEST_RECORD")) {
-      val lines = SparkEntry.benchQueries.map { name =>
+      // record benched queries AND already-pinned unbenched anchors, so a
+      // shared-plan change (e.g. a bm25 restructure reaching the unbenched
+      // hybrid anchor) can't leave a stale pin behind
+      val names = (SparkEntry.benchQueries ++
+        Pinned.keys.filterNot(SparkEntry.benchQueries.contains)).toSeq
+      val lines = names.map { name =>
         s"""    "$name" -> ${digestOf(name).rendered},"""
       }
       println("=== DIGEST TABLE (paste into Pinned) ===")
