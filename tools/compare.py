@@ -21,7 +21,9 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         col = df[c]
         if col.dtype.kind == "f":
-            out[c] = col.map(lambda v: "NaN" if pd.isna(v) else f"{v:.6g}")
+            # full-precision repr: the driver hashes exact values, so a
+            # lossy format here could mask a real sub-6-digit mismatch
+            out[c] = col.map(lambda v: "NaN" if pd.isna(v) else repr(float(v)))
         else:
             out[c] = col.map(lambda v: "NULL" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
     return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
