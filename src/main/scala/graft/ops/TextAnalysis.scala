@@ -447,7 +447,14 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .persist() // feeds dl, df, and the candidate join
-    bm25Against(tf, queries, k, k1, b)
+    // Per-call API: the result is bounded (|queries| × k rows), so
+    // materialize it eagerly and release the tf cache NOW — otherwise
+    // repeated ad-hoc calls accumulate persisted tf frames for the
+    // session lifetime. Callers that score many batches against one
+    // corpus should hold a [[bm25BuildIndex]] + [[bm25Score]] instead.
+    val out = bm25Against(tf, queries, k, k1, b).localCheckpoint(true)
+    tf.unpersist()
+    out
   }
 
   /** BM25 scoring against a PREBUILT term-frequency index — the serving

@@ -64,7 +64,12 @@ object VectorStreams {
       val corpus = Tables(spark, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       val books = Similarity.fitPqFrom(corpus, Similarity.PqM, Similarity.PqKs)
-      (books, Similarity.assignCodes(corpus, books, Seq("vec_id")).persist())
+      val codes = Similarity.assignCodes(corpus, books, Seq("vec_id")).persist()
+      // persist() is lazy — materialize NOW so a code-table scan failure
+      // (corpus mid-write) surfaces inside the caller's Try, before the
+      // stale index is swapped out and unpersisted
+      codes.foreachPartition((_: Iterator[Row]) => ())
+      (books, codes)
     }
     @volatile var index = buildIndex()
     queryStream.writeStream

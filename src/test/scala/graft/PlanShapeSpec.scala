@@ -221,7 +221,8 @@ class PlanShapeSpec extends SparkSuite {
     "pii_scrub" -> (0, 0, 0, 1, 1, 0),
     "decontaminate" -> (0, 0, 0, 1, 3, 0),
     // same exchange budget as the exact variant, but with no gram join at
-    // all — the bloom probe is a broadcast-local scalar lookup
+    // all — the bloom probe is a codegen BloomFilterMightContain predicate
+    // over the filter bits embedded as a literal in the plan
     "decontaminate_bloom" -> (0, 0, 0, 1, 3, 0),
     "pack_sequences" -> (0, 0, 0, 1, 2, 1),
     "chunk_documents" -> (0, 0, 0, 1, 1, 0),

@@ -14,6 +14,19 @@ import duckdb, pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def align_dtypes(a: pd.DataFrame, b: pd.DataFrame):
+    """Spark-parquet and DuckDB-fetchdf can promote the same nullable
+    integer column differently (int64 vs float64), which would stringify
+    as '5' vs '5.0' — a spurious mismatch. Cast the integer side to
+    float64 so both take the float repr path."""
+    for c in set(a.columns) & set(b.columns):
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka in "iu" and kb == "f":
+            a[c] = a[c].astype("float64")
+        elif kb in "iu" and ka == "f":
+            b[c] = b[c].astype("float64")
+    return a, b
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # stringify so dtype differences (int32/int64, ts precision) don't matter
@@ -50,6 +63,7 @@ def main():
             ora_df = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"{name}: ORACLE SQL ERROR: {e}"); fails += 1; continue
+        spark_df, ora_df = align_dtypes(spark_df, ora_df)
         a, b = norm(spark_df), norm(ora_df)
         if list(a.columns) != list(b.columns):
             print(f"{name}: SCHEMA MISMATCH spark={list(a.columns)} oracle={list(b.columns)}"); fails += 1
