@@ -133,6 +133,7 @@ object SparkEntry {
     "opq_topk"       -> ((s, d) => Similarity.opqTopK(s, d)),
     "ivf_pq_residual_rerank_topk" -> ((s, d) => Similarity.ivfPqResidualRerankTopK(s, d)),
     "opq_ivf_pq_topk" -> ((s, d) => Similarity.opqIvfPqTopK(s, d)),
+    "knn_graph_topk" -> ((s, d) => graft.ops.GraphAnn.knnGraphTopK(s, d)),
     // --- multimodal binary-column plumbing ---
     "media_stats"      -> (Multimodal.mediaStats _),
     "media_phash"      -> (Multimodal.mediaPhash _),
@@ -312,7 +313,7 @@ object SparkEntry {
     "minhash_lsh_pairs", "near_dup_clusters", "embedding_near_dup_lsh", "ann_lsh_topk",
     "ann_ivf_topk", "semdedup_clusters", "pq_adc_topk", "ivf_pq_topk",
     "ivf_pq_residual_topk", "opq_topk", "ivf_pq_residual_rerank_topk",
-    "opq_ivf_pq_topk",
+    "opq_ivf_pq_topk", "knn_graph_topk",
     "pq_rerank_topk", "sq8_topk", "containment_pairs",
     "simhash_near_dup", "simhash",
     "ann_topk_brute",

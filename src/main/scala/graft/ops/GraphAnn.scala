@@ -1,0 +1,312 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed graph-based ANN: a k-NN graph built NN-Descent-style
+  * (Dong, Moses & Li, "Efficient k-nearest neighbor graph construction
+  * for generic similarity measures", WWW 2011) and searched by iterative
+  * beam expansion from per-cell entry points.
+  *
+  * This is the distributed re-design of the HNSW family: HNSW itself is a
+  * SEQUENTIAL stateful insert loop (each insert mutates the layered graph
+  * the next insert navigates) and cannot be expressed as a dataflow
+  * without serializing the corpus through one node. NN-Descent is the
+  * published alternative that converges to the same navigable-graph idea
+  * through pure bulk iteration, which is exactly what a Spark cluster can
+  * do:
+  *
+  *  - '''Init''': within-cell top-G neighbors under the fitted coarse
+  *    quantizer ([[Similarity.fitCentroids]] — the same 16-cell KMeans the
+  *    IVF family plans with). A bucketed equi-join on the cell id, never
+  *    an all-pairs product: cost is Σ|cell|², bounded by the quantizer
+  *    granularity. At 100 TB the cell count scales with the corpus
+  *    (|cell| stays ~constant), so init stays a bounded bucketed join —
+  *    the same scaling argument as [[Similarity.semDedupFrom]].
+  *  - '''NN-Descent rounds''': each round forms candidate pairs as
+  *    neighbor-of-neighbor — the undirected edge list self-joined on the
+  *    shared endpoint (an equi-join producing ≤ N·(2G)² rows, G the graph
+  *    degree), unions the current edges, re-scores with the codegen'd
+  *    [[graft.functions.CosineSimilarity]], and keeps top-G per source
+  *    via a rank-limited window (WindowGroupLimit caps it map-side).
+  *    Every step is a key-partitioned shuffle on vector ids; nothing is
+  *    driver-side and no step depends on insertion order.
+  *  - '''Search''': beam expansion, the bulk form of best-first descent.
+  *    Entry points are the per-cell medoids (the member with the highest
+  *    quantizer assignment score — a plan-time-deterministic choice that
+  *    needs no stored model beyond the centroids). Each hop joins the
+  *    current per-query beam against the edge list (equi-join on the
+  *    graph node), scores the new candidates against the query vector,
+  *    and re-beams. Query cost scales with |queries|·beam·G per hop,
+  *    never with the corpus.
+  *
+  * Determinism: init order never matters (all steps are set-shaped with
+  * explicit (score DESC, id) tie-breaks), the quantizer fit is the
+  * bit-reproducible [[Similarity.fitCentroidsFrom]], and every cosine is
+  * the same left-to-right accumulation DuckDB's `list_cosine_similarity`
+  * performs — which is what lets [[knnGraphTopKSql]] restate the whole
+  * construction + search as an EXACT unrolled oracle under the fitted
+  * centroid literals (the [[Similarity.annIvfTopKSql]] pattern).
+  *
+  * Unlike the PQ/OPQ family, candidates are scored with EXACT cosine
+  * (the graph bounds exploration instead of quantizing the metric), so
+  * recall is limited only by graph connectivity — the recall spec pins it
+  * at/above the best quantized family member on the same corpus.
+  */
+object GraphAnn {
+
+  /** Graph degree G: top-G out-edges kept per vector. */
+  val KnnDegree = 10
+  /** NN-Descent refinement rounds after the bucketed init. */
+  val KnnRounds = 2
+  /** Id-chunk size for the diversification links in the init (see
+    * [[knnGraphEdges]]): vectors sharing `vec_id div KnnChunk` are initial
+    * candidates regardless of their cell. */
+  val KnnChunk = 12
+  /** Per-query beam width during search. */
+  val KnnBeam = 20
+  /** Search hops (graph expansions) after seeding from the entry points. */
+  val KnnHops = 3
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  /** Top-`g` edges per source by exact cosine, ties to the lower dst id. */
+  private def topPerSrc(scored: DataFrame, g: Int): DataFrame = {
+    val w = Window.partitionBy(col("src")).orderBy(col("c").desc, col("dst"))
+    scored.withColumn("r", row_number().over(w)).filter(col("r") <= g)
+      .select("src", "dst")
+  }
+
+  /** The k-NN graph edge list `(src, dst)`: bucketed init, then `rounds`
+    * NN-Descent refinements. Pure dataflow — see the object doc for the
+    * per-step scale shape.
+    *
+    * The init takes candidates from TWO bucketings, both equi-joins:
+    * within-cell (quality — most true neighbors share a cell) and
+    * within-id-chunk (`vec_id div KnnChunk` — diversification). The
+    * second is essential, not an optimization: a purely within-cell init
+    * makes the graph a disjoint union of cell cliques, and
+    * neighbor-of-neighbor expansion can never cross a cell boundary —
+    * descent would be structurally a no-op. The chunk links are the
+    * deterministic stand-in for NN-Descent's published random init:
+    * id-adjacency is arbitrary with respect to the embedding space, so
+    * each chunk contributes long-range edges that the refinement rounds
+    * then improve into true cross-cell neighbors. Constant chunk size ⇒
+    * the join stays bounded at any corpus scale, with no global sort,
+    * count, or RNG state.
+    */
+  /** Scored init candidates: the union of the two bucketed pair sets,
+    * joined back to the vectors. Lazy — [[knnGraphEdges]] checkpoints. */
+  private[ops] def initStage(e: DataFrame, cent: Array[Array[Double]]): DataFrame = {
+    val cells = Similarity.assignCells(e, cent).select("vec_id", "cell")
+    val cellPairs = cells.select(col("cell"), col("vec_id").as("src"))
+      .join(cells.select(col("cell"), col("vec_id").as("dst")), "cell")
+      .filter(col("src") =!= col("dst")).select("src", "dst")
+    val chunks = e.select(expr(s"vec_id div $KnnChunk").as("chunk"), col("vec_id"))
+    val chunkPairs = chunks.select(col("chunk"), col("vec_id").as("src"))
+      .join(chunks.select(col("chunk"), col("vec_id").as("dst")), "chunk")
+      .filter(col("src") =!= col("dst")).select("src", "dst")
+    cellPairs.union(chunkPairs).distinct()
+      .join(e.select(col("vec_id").as("src"), col("v").as("sv")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("v").as("dv")), "dst")
+      .select(col("src"), col("dst"), Similarity.cosine(col("sv"), col("dv")).as("c"))
+  }
+
+  /** One NN-Descent round over the current edge list: neighbor-of-neighbor
+    * candidates through the undirected view, re-scored. Lazy —
+    * [[knnGraphEdges]] checkpoints. */
+  private[ops] def descentRound(e: DataFrame, edges: DataFrame): DataFrame = {
+    // undirected view: a good neighbor of my neighbor is a candidate
+    // whichever direction the kept edge points
+    val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nn = und.as("e1").join(und.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    nn.union(edges).distinct()
+      .join(e.select(col("vec_id").as("src"), col("v").as("sv")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("v").as("dv")), "dst")
+      .select(col("src"), col("dst"), Similarity.cosine(col("sv"), col("dv")).as("c"))
+  }
+
+  private[ops] def knnGraphEdges(e: DataFrame, cent: Array[Array[Double]],
+      g: Int = KnnDegree, rounds: Int = KnnRounds): DataFrame = {
+    // Iterative dataflow: each round references the previous edge list
+    // several times (undirected view ×2, candidate union ×1), and each
+    // hop of the search references the round output again — left lazy,
+    // the lineage multiplies per iteration (exponential re-execution and
+    // plan size). Materializing each superstep's state and truncating
+    // lineage (localCheckpoint) is the Pregel shape: the iterate state is
+    // N·G id pairs per round, the standard footprint at any corpus size.
+    // (On a real cluster a reliable checkpoint dir would back this; in
+    // local mode executor-memory blocks are equivalent.) The supersteps'
+    // own plan shapes are pinned by GraphAnnSpec, since the registered
+    // query's digest only sees past the last checkpoint.
+    var edges = topPerSrc(initStage(e, cent), g).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      edges = topPerSrc(descentRound(e, edges), g).localCheckpoint(true)
+    }
+    edges
+  }
+
+  /** Per-cell entry points: the member with the highest quantizer
+    * assignment score (⟨v,c⟩ − |c|²/2 against its OWN cell — the argmax
+    * struct [[Similarity.assignCells]] already computes), ties to the
+    * lower vec_id. One navigable seed per cell, derived from the data +
+    * centroids alone.
+    */
+  private def entryPoints(e: DataFrame, cent: Array[Array[Double]]): DataFrame = {
+    val best = element_at(
+      array_sort(array(Similarity.cellStructs(cent, col("v")): _*)), -1)
+    val assigned = e.select(col("vec_id"), col("v"),
+      best.getField("cell").as("cell"), best.getField("score").as("score"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("score").desc, col("vec_id"))
+    assigned.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("vec_id").as("n_id"), col("v").as("nv"))
+  }
+
+  /** Graph-ANN top-k for the standard sampled query set (vec_id ≡ 0 mod
+    * 50): NN-Descent graph + beam search, output shape identical to the
+    * rest of the ANN family `(q_id, n_id, rank, cos)`.
+    */
+  def knnGraphTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = embeddings(spark, dir)
+    val cent = Similarity.fitCentroids(spark, dir, Similarity.NCentroids)
+    val edges = knnGraphEdges(e, cent)
+    val entries = entryPoints(e, cent)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    // seed: every query scores every entry point (one tiny broadcast —
+    // |entries| = cell count, the documented scalar-broadcast combine)
+    // per-hop superstep state: `visited` feeds both the beam window and
+    // the next union — left lazy, the lineage doubles per hop (2^hops
+    // re-execution). |visited| ≤ |q|·(cells + hops·beam·G) —
+    // query-batch-sized, never corpus-sized.
+    var visited = q.crossJoin(broadcast(entries))
+      .select(col("q_id"), col("n_id"),
+        Similarity.cosine(col("q_v"), col("nv")).as("c"))
+      .localCheckpoint(true)
+    for (_ <- 1 to KnnHops) {
+      val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
+      val frontier = visited.withColumn("r", row_number().over(w))
+        .filter(col("r") <= KnnBeam).select("q_id", "n_id")
+      val exp = frontier
+        .join(edges.withColumnRenamed("src", "n_id"), "n_id")
+        .select(col("q_id"), col("dst").as("n_id"))
+        .join(q, "q_id")
+        .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
+        .select(col("q_id"), col("n_id"),
+          Similarity.cosine(col("q_v"), col("nv")).as("c"))
+      visited = visited.union(exp).distinct().localCheckpoint(true)
+    }
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
+    visited.filter(col("n_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("c"), 4).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** EXACT DuckDB oracle: the construction AND search unrolled as CTEs
+    * under the fitted-centroid literals. `g0` is the bucketed init, each
+    * `u_i`/`g_i` pair one NN-Descent round, `entries` the per-cell
+    * medoids, `v_i`/`f_i` one beam hop each. Every ranking re-states the
+    * Spark window's `(score DESC, id)` tie-break; every cosine is the
+    * same left-to-right accumulation on both engines.
+    */
+  private[ops] def knnGraphTopKSql(cent: Array[Array[Double]], k: Int = 10,
+      g: Int = KnnDegree, rounds: Int = KnnRounds,
+      beam: Int = KnnBeam, hops: Int = KnnHops): String = {
+    val sb = new StringBuilder
+    sb ++= Similarity.cellsSqlCtes(cent)
+    sb ++=
+      s""", c0 AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT a.vec_id AS src, b.vec_id AS dst
+         |    FROM cells a JOIN cells b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+         |    UNION ALL
+         |    SELECT a.vec_id AS src, b.vec_id AS dst
+         |    FROM ev a JOIN ev b
+         |      ON b.vec_id // $KnnChunk = a.vec_id // $KnnChunk
+         |     AND b.vec_id <> a.vec_id)
+         |), g0 AS (
+         |  SELECT src, dst FROM (
+         |    SELECT c.src, c.dst,
+         |      row_number() OVER (PARTITION BY c.src
+         |        ORDER BY list_cosine_similarity(sv.v, dv.v) DESC, c.dst) AS r
+         |    FROM c0 c
+         |    JOIN ev sv ON sv.vec_id = c.src
+         |    JOIN ev dv ON dv.vec_id = c.dst)
+         |  WHERE r <= $g
+         |)""".stripMargin
+    for (i <- 1 to rounds) {
+      val prev = s"g${i - 1}"
+      sb ++=
+        s""", u$i AS (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM $prev UNION ALL SELECT dst, src FROM $prev)
+           |), g$i AS (
+           |  SELECT src, dst FROM (
+           |    SELECT c.src, c.dst,
+           |      row_number() OVER (PARTITION BY c.src
+           |        ORDER BY list_cosine_similarity(sv.v, dv.v) DESC, c.dst) AS r
+           |    FROM (
+           |      SELECT DISTINCT src, dst FROM (
+           |        SELECT e1.src AS src, e2.dst AS dst
+           |        FROM u$i e1 JOIN u$i e2 ON e2.src = e1.dst
+           |        WHERE e2.dst <> e1.src
+           |        UNION ALL SELECT src, dst FROM $prev)) c
+           |    JOIN ev sv ON sv.vec_id = c.src
+           |    JOIN ev dv ON dv.vec_id = c.dst)
+           |  WHERE r <= $g
+           |)""".stripMargin
+    }
+    val gf = s"g$rounds"
+    sb ++=
+      s""", entries AS (
+         |  SELECT vec_id FROM (
+         |    SELECT s.vec_id, row_number() OVER (PARTITION BY s.cell
+         |      ORDER BY s.score DESC, s.vec_id) AS r
+         |    FROM scored s JOIN cells cl ON cl.vec_id = s.vec_id AND cl.cell = s.cell)
+         |  WHERE r = 1
+         |), q AS (
+         |  SELECT vec_id AS q_id, v AS q_v FROM ev WHERE vec_id % 50 = 0
+         |), v0 AS (
+         |  SELECT q.q_id, en.vec_id AS n_id, list_cosine_similarity(q.q_v, nv.v) AS c
+         |  FROM q CROSS JOIN entries en JOIN ev nv ON nv.vec_id = en.vec_id
+         |)""".stripMargin
+    for (i <- 1 to hops) {
+      val pv = s"v${i - 1}"
+      sb ++=
+        s""", f$i AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS r
+           |    FROM $pv)
+           |  WHERE r <= $beam
+           |), v$i AS (
+           |  SELECT DISTINCT q_id, n_id, c FROM (
+           |    SELECT q_id, n_id, c FROM $pv
+           |    UNION ALL
+           |    SELECT f.q_id, e.dst AS n_id, list_cosine_similarity(qq.q_v, dv.v) AS c
+           |    FROM f$i f JOIN $gf e ON e.src = f.n_id
+           |    JOIN q qq ON qq.q_id = f.q_id
+           |    JOIN ev dv ON dv.vec_id = e.dst)
+           |)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT q_id, n_id, rank, cos FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rank,
+         |    round(c, 4) AS cos
+         |  FROM v$hops WHERE n_id <> q_id)
+         |WHERE rank <= $k
+         |ORDER BY q_id, rank""".stripMargin
+    sb.toString
+  }
+}

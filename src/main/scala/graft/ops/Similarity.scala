@@ -199,7 +199,7 @@ object Similarity {
     * assignment and the probe side — or from the generated oracles'
     * `ORDER BY score DESC, cell DESC`.
     */
-  private def cellStructs(cent: Array[Array[Double]], v: Column): Seq[Column] =
+  private[ops] def cellStructs(cent: Array[Array[Double]], v: Column): Seq[Column] =
     cent.zipWithIndex.toSeq.map { case (c, i) =>
       val halfNormSq = c.map(x => x * x).sum / 2.0
       struct((graft.functions.DotProduct(v, lit(c)) - halfNormSq).as("score"),
@@ -219,7 +219,7 @@ object Similarity {
     * (vec_id, v) shape. */
   private val RawEvSql = "  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
 
-  private def cellsSqlCtes(cent: Array[Array[Double]], evSql: String = RawEvSql): String = {
+  private[ops] def cellsSqlCtes(cent: Array[Array[Double]], evSql: String = RawEvSql): String = {
     val rows = cent.zipWithIndex.map { case (c, i) =>
       val halfNormSq = c.map(x => x * x).sum / 2.0
       s"(${i}, ${c.mkString("[", ", ", "]")}::DOUBLE[], ${halfNormSq}::DOUBLE)"
@@ -324,7 +324,8 @@ object Similarity {
         "ivf_pq_residual_topk" -> ivfPqResidualTopKSql(cent, residBooks),
         "ivf_pq_residual_rerank_topk" -> ivfPqResidualRerankTopKSql(cent, residBooks),
         "opq_topk"          -> opqTopKSql(rot, opqBooks),
-        "opq_ivf_pq_topk"   -> opqIvfPqTopKSql(rotC, chainCent, chainBooks))
+        "opq_ivf_pq_topk"   -> opqIvfPqTopKSql(rotC, chainCent, chainBooks),
+        "knn_graph_topk"    -> GraphAnn.knnGraphTopKSql(cent))
     case None => Map.empty
   }
 

@@ -89,6 +89,10 @@ class PlanShapeSpec extends SparkSuite {
     // the OPQ,IVF,PQ chain shares ivf_pq_residual_topk's plan verbatim —
     // the rotation is a projection folded into the scan
     "opq_ivf_pq_topk" -> (0, 0, 0, 1, 2, 3),
+    // only the final search stage is visible — the NN-Descent construction
+    // supersteps truncate lineage (localCheckpoint); their plan shapes are
+    // pinned in GraphAnnSpec instead
+    "knn_graph_topk" -> (0, 0, 0, 1, 2, 3),
     "simhash_near_dup" -> (0, 0, 0, 3, 4, 0),
     "simhash" -> (0, 0, 0, 1, 1, 0),
     "ann_topk_brute" -> (0, 1, 0, 1, 2, 3),
