@@ -141,7 +141,7 @@ object SparkEntry {
     "frame_sample"     -> ((s, d) => Multimodal.frameSample(s, d)),
     "frame_sample_digest" -> ((s, d) => Multimodal.frameSampleDigest(s, d)),
     "frame_near_dup"   -> ((s, d) => Multimodal.frameNearDup(s, d)),
-    "extract_features" -> ((s, d) => Multimodal.extractFeaturesSummary(s, d)),
+    "extract_features" -> ((s, d) => Multimodal.extractFeaturesScalars(s, d)),
     // --- storage layout (bucketed co-located join, partition-pruned scan) ---
     "bucketed_join_revenue" -> ((s, d) => StorageLayout.bucketedJoinRevenue(s, d)),
     "partition_pruned_events" -> ((s, d) => StorageLayout.prunedEventsDaily(s, d)),
@@ -174,7 +174,6 @@ object SparkEntry {
     *  - `distinct_parts_approx`, `value_percentiles_approx`,
     *    `value_quartiles_approx`: HLL/GK sketch internals are
     *    engine-specific (error envelopes spec-pinned vs the exact twins);
-    *  - `extract_features`: the stub codec is a JVM PRNG;
     *  - `decontaminate_bloom`: the Bloom bit pattern depends on the
     *    engine's sketch hashes (no-false-negative superset of the exact
     *    `decontaminate` + fpp bound spec-pinned instead);
@@ -294,7 +293,7 @@ object SparkEntry {
     "chunk_documents"  -> Corpus.chunkDocumentsSql,
     "unigram_logprob"  -> Corpus.unigramLogProbScoreSql,
     "bigram_logprob"   -> Corpus.bigramLogProbScoreSql
-  ) ++ Similarity.quantizerOracles
+  ) ++ Similarity.quantizerOracles ++ Multimodal.codecOracles
 
   /** Headline bench set: every query that is scale-shaped. The two O(n²)
     * brute-force correctness anchors (`ngram_jaccard_pairs`,

@@ -24,6 +24,7 @@ object Verify {
     // the two quantizer oracles are generated from centroids fitted on THIS
     // sweep's data — bind the context before the oracle dump below
     graft.ops.Similarity.setOracleContext(spark, sfDir)
+    graft.ops.Multimodal.setOracleContext(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

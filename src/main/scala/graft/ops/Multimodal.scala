@@ -288,61 +288,307 @@ object Multimodal {
        |SELECT fhash, n_docs, doc_id, frame_idx FROM sfp JOIN rep USING (fhash)
        |ORDER BY fhash, doc_id, frame_idx""".stripMargin
 
-  /** The stubbed codec boundary. A real pipeline implements `decode` with an
-    * actual image/audio library; everything around it (batching,
-    * partitioning, schema) stays as-is.
+  /** The codec boundary — REAL since round 11 (was a PRNG stub through
+    * round 10). `decode` computes an actual content-derived descriptor from
+    * the payload bytes; `project` applies the learned PCA reduction fitted
+    * by [[fitPcaFrom]]. A production pipeline swaps `decode` for a heavier
+    * image/audio decoder + model; everything around it (per-partition
+    * batching, bounded fit sample, literal-embedded oracle) stays as-is.
     */
   object FeatureCodec {
-    /** STUB — deterministic stand-in for a real media decoder + feature
-      * model (codecs are not available in this environment). Derives a
-      * `dim`-float vector from the payload bytes via a seeded PRNG, so
-      * results are reproducible across runs and engines.
-      */
-    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
-      val seed = java.util.Arrays.hashCode(payload).toLong
-      val rng = new java.util.Random(seed)
-      Array.fill(dim)(rng.nextFloat())
+    /** Raw descriptor width: 16 coarse byte-value histogram shares
+      * (bin = byte / 16) + 16 byte-grid window means (byte i of n lands in
+      * window (i·16)/n — the [[graft.functions.DHash64]] grid rule) scaled
+      * to [0,1]. Every operation is exact integer arithmetic followed by
+      * one IEEE double division, so the identical value is re-derivable in
+      * DuckDB for the generated oracle. */
+    val RawDims = 32
+    /** Learned-projection output width. */
+    val OutDims = 8
+
+    /** Content descriptor of a payload: histogram shares + window means.
+      * Pure, allocation-bounded, null/empty-safe (all-zero descriptor). */
+    def decode(payload: Array[Byte]): Array[Double] = {
+      val out = new Array[Double](RawDims)
+      if (payload == null || payload.isEmpty) return out
+      val n = payload.length
+      val hist = new Array[Long](16)
+      val wsum = new Array[Long](16)
+      val wcnt = new Array[Long](16)
+      var i = 0
+      while (i < n) {
+        val b = payload(i) & 0xff
+        hist(b >> 4) += 1
+        val w = (i.toLong * 16 / n).toInt
+        wsum(w) += b
+        wcnt(w) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < 16) { out(j) = hist(j).toDouble / n; j += 1 }
+      j = 0
+      while (j < 16) {
+        out(16 + j) = if (wcnt(j) == 0) 0.0 else (wsum(j).toDouble / wcnt(j)) / 255.0
+        j += 1
+      }
+      out
+    }
+
+    /** Centered projection through the fitted components. Accumulation is
+      * left-to-right from the FIRST term (no 0.0 seed) — the exact order
+      * the generated oracle's left-associative `+` chain re-states, so the
+      * doubles agree bit-for-bit before rounding. */
+    def project(raw: Array[Double], mean: Array[Double],
+        comps: Array[Array[Double]]): Array[Double] = {
+      val out = new Array[Double](comps.length)
+      var j = 0
+      while (j < comps.length) {
+        val w = comps(j)
+        var acc = (raw(0) - mean(0)) * w(0)
+        var i = 1
+        while (i < raw.length) { acc += (raw(i) - mean(i)) * w(i); i += 1 }
+        out(j) = acc
+        j += 1
+      }
+      out
     }
   }
 
-  /** Distributed feature extraction over the media table. Runs the codec
-    * per PARTITION over an iterator (never materializing the partition),
-    * which is the JVM-side equivalent of the `mapInPandas` batch contract:
-    * one executor task decodes a stream of payloads, emitting fixed-width
-    * vectors. Partition count (not row count) bounds peak memory.
+  /** Deterministic driver-side PCA over an in-memory raw-descriptor sample:
+    * column means, dense covariance (32×32 — trivially driver-sized
+    * regardless of corpus scale), then a full cyclic-Jacobi
+    * eigendecomposition. Jacobi over a symmetric matrix converges to
+    * machine precision in a handful of sweeps with NO dependence on
+    * eigenvalue separation (power iteration stalls on the clustered
+    * spectrum this descriptor produces), and the rotations keep the
+    * eigenvector basis orthonormal structurally. No RNG anywhere: fixed
+    * sweep order, eigenvalues sorted descending with index tiebreak, sign
+    * fixed so each component's largest-magnitude entry is positive — the
+    * fitted model is bit-reproducible and embeddable as oracle literals,
+    * exactly like [[Similarity.fitCentroidsFrom]]'s Lloyd fit.
     */
-  def extractFeatures(spark: SparkSession, dir: String, dim: Int = 8): DataFrame = {
+  private[ops] def fitPca(sample: Array[Array[Double]], k: Int)
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = FeatureCodec.RawDims
+    val n = sample.length
+    require(n > 1, s"PCA fit sample too small ($n)")
+    val mean = new Array[Double](d)
+    for (v <- sample) { var i = 0; while (i < d) { mean(i) += v(i); i += 1 } }
+    { var i = 0; while (i < d) { mean(i) /= n; i += 1 } }
+    val a = Array.ofDim[Double](d, d) // covariance, diagonalized in place
+    val c = new Array[Double](d)
+    for (v <- sample) {
+      var i = 0
+      while (i < d) { c(i) = v(i) - mean(i); i += 1 }
+      var p = 0
+      while (p < d) {
+        val cp = c(p); val row = a(p); var q = 0
+        while (q < d) { row(q) += cp * c(q); q += 1 }
+        p += 1
+      }
+    }
+    for (p <- 0 until d; q <- 0 until d) a(p)(q) /= n
+    // eigenvector matrix, columns accumulate the Jacobi rotations
+    val vec = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 50 && off > 1e-20) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        val apq = a(p)(q)
+        off += apq * apq
+        if (math.abs(apq) > 1e-300) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+          val t =
+            if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+            else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+          val cs = 1.0 / math.sqrt(t * t + 1.0)
+          val sn = t * cs
+          var i = 0
+          while (i < d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = cs * aip - sn * aiq
+            a(i)(q) = sn * aip + cs * aiq
+            i += 1
+          }
+          i = 0
+          while (i < d) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = cs * api - sn * aqi
+            a(q)(i) = sn * api + cs * aqi
+            val vip = vec(i)(p); val viq = vec(i)(q)
+            vec(i)(p) = cs * vip - sn * viq
+            vec(i)(q) = sn * vip + cs * viq
+            i += 1
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(j => (-a(j)(j), j)).take(k)
+    val comps = order.map { j =>
+      var v = Array.tabulate(d)(i => vec(i)(j))
+      var am = 0
+      for (i <- 1 until d) if (math.abs(v(i)) > math.abs(v(am))) am = i
+      if (v(am) < 0) v = v.map(x => -x)
+      v
+    }.toArray
+    (mean, comps)
+  }
+
+  /** Fit the projection on a BOUNDED, layout-independent sample of the
+    * media frame — the [[Similarity]] fit discipline: hash-mod thinning,
+    * hash-ordered 50k cap (TakeOrderedAndProject keeps the SAME rows under
+    * any partition arrival order). The payloads decode to 32-double
+    * descriptors IN THE EXECUTORS; only the descriptors come back to the
+    * driver (≤ 12.8 MB), never the payload bytes — at 100 TB of media the
+    * decode stays distributed and the fit collects a fixed-size matrix.
+    */
+  private[ops] def fitPcaFrom(media: DataFrame)
+      : (Array[Double], Array[Array[Double]]) = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sample = media
+      .filter(pmod(xxhash64(col("doc_id")), lit(2)) === 0)
+      .select(col("doc_id"), xxhash64(col("doc_id")).as("h"), col("payload"))
+      .as[(Long, Long, Array[Byte])]
+      .map { case (id, h, p) => (id, h, FeatureCodec.decode(p)) }
+      .orderBy(col("_2"), col("_1"))
+      .limit(50000)
+      .collect()
+      .map(_._3)
+    fitPca(sample, FeatureCodec.OutDims)
+  }
+
+  /** One fit per sf-dir per session, shared by the query builder and the
+    * oracle generator (the [[Similarity.fitCentroids]] cache contract:
+    * tables under a dir are immutable for the session). */
+  private val pcaCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Double], Array[Array[Double]])]
+
+  private[ops] def fitPcaCached(spark: SparkSession, dir: String)
+      : (Array[Double], Array[Array[Double]]) =
+    pcaCache.getOrElseUpdate(dir,
+      fitPcaFrom(mediaTable(spark, dir).select(col("doc_id"), col("payload"))))
+
+  /** Distributed feature extraction over the media table: decode each
+    * payload to its content descriptor, then project through the fitted
+    * PCA — both inside ONE `mapPartitions` pass over an iterator (never
+    * materializing the partition), the JVM-side equivalent of the
+    * `mapInPandas` batch contract: one executor task decodes a stream of
+    * payloads and emits fixed-width vectors; partition count, not row
+    * count, bounds peak memory. The fitted model rides the closure
+    * (8×32 + 32 doubles — broadcast-sized by construction).
+    */
+  def extractFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val (mean, comps) = fitPcaCached(spark, dir)
     val media = mediaTable(spark, dir)
       .select(col("doc_id"), col("meta.mime").as("mime"), col("payload"))
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("mime", StringType, nullable = true),
-      StructField("feature", ArrayType(FloatType, containsNull = false))))
+      StructField("feature", ArrayType(DoubleType, containsNull = false))))
     val encoder = org.apache.spark.sql.Encoders.row(schema)
     val out: Dataset[Row] = media.mapPartitions { rows =>
       rows.map { r =>
-        val feature = FeatureCodec.decode(r.getAs[Array[Byte]]("payload"), dim)
+        val raw = FeatureCodec.decode(r.getAs[Array[Byte]]("payload"))
+        val feature = FeatureCodec.project(raw, mean, comps)
         Row(r.getAs[Long]("doc_id"), r.getAs[String]("mime"), feature.toSeq)
       }
     }(encoder)
-    out.orderBy("doc_id")
+    out
   }
 
-  /** Driver-facing query surface over [[extractFeatures]]: the raw
-    * `array<float>` column is not hashable by the driver's pandas-side
-    * compare (rows-only check crashes sorting ndarray cells), so the
-    * REGISTERED query projects the vector to deterministic scalars — length,
-    * a rounded element, and an md5 digest of the rounded-and-joined array.
-    * Library callers wanting vectors use [[extractFeatures]] directly.
+  /** The registered query surface over [[extractFeatures]]: each projected
+    * component as its own rounded scalar column (an `array<double>` cell is
+    * not hashable by the driver's pandas-side compare) — oracle-exact since
+    * round 11 via [[extractFeaturesSql]]. Library callers wanting vectors
+    * use [[extractFeatures]] directly.
     */
-  def extractFeaturesSummary(spark: SparkSession, dir: String, dim: Int = 8): DataFrame =
-    extractFeatures(spark, dir, dim)
-      .select(
-        col("doc_id"), col("mime"),
-        size(col("feature")).as("n_dims"),
-        round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
-        md5(concat_ws(",",
-          transform(col("feature"), f => round(f.cast("double"), 6).cast("string")))
-          .cast("binary")).as("feature_md5"))
+  def extractFeaturesScalars(spark: SparkSession, dir: String): DataFrame = {
+    val fCols = (0 until FeatureCodec.OutDims).map(j =>
+      round(element_at(col("feature"), j + 1), 6).as(s"f$j"))
+    extractFeatures(spark, dir)
+      .select(col("doc_id") +: col("mime") +: fCols: _*)
       .orderBy("doc_id")
+  }
+
+  /** Generated-literal exact oracle for [[extractFeaturesScalars]]: DuckDB
+    * re-derives the descriptor from the text bytes (`ord(substr)` ≙ byte —
+    * the ASCII-corpus premise every binary oracle here shares), re-states
+    * each division in the same order, and projects through the FITTED mean
+    * and components embedded as double literals in an explicitly
+    * left-associative `+` chain — matching [[FeatureCodec.project]]'s
+    * accumulation order term for term, so the pre-rounding doubles are
+    * bit-identical.
+    */
+  private[ops] def extractFeaturesSql(
+      mean: Array[Double], comps: Array[Array[Double]]): String = {
+    val hPivot = (0 until 16).map(b =>
+      s"sum(CASE WHEN bin = $b THEN c ELSE 0 END) AS h$b").mkString(",\n    ")
+    val wPivot = (0 until 16).map(w =>
+      s"sum(CASE WHEN w = $w THEN s END) AS s$w, sum(CASE WHEN w = $w THEN c END) AS c$w")
+      .mkString(",\n    ")
+    val rHist = (0 until 16).map(b =>
+      s"CASE WHEN m.n = 0 THEN 0.0 ELSE coalesce(h.h$b, 0)::DOUBLE / m.n END AS r$b")
+      .mkString(",\n    ")
+    val rWin = (0 until 16).map(w =>
+      s"CASE WHEN w.c$w IS NULL OR w.c$w = 0 THEN 0.0 ELSE (w.s$w::DOUBLE / w.c$w) / 255.0 END AS r${16 + w}")
+      .mkString(",\n    ")
+    val proj = comps.zipWithIndex.map { case (wRow, j) =>
+      val chain = wRow.zipWithIndex.map { case (wv, i) =>
+        s"(r$i - ${mean(i)}) * $wv"
+      }.mkString(" + ")
+      s"round($chain, 6) AS f$j"
+    }.mkString(",\n  ")
+    s"""WITH media AS (
+       |  SELECT doc_id,
+       |    CASE (doc_id % 3)::int WHEN 0 THEN 'image/png'
+       |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+       |    text, coalesce(length(text), 0) AS n
+       |  FROM documents
+       |), bytes AS (
+       |  SELECT doc_id, n, unnest(range(0, n)) AS i, text FROM media WHERE n > 0
+       |), byteval AS (
+       |  SELECT doc_id, n, i, ord(substr(text, (i + 1)::BIGINT, 1)) AS b FROM bytes
+       |), hist AS (
+       |  SELECT doc_id, b // 16 AS bin, count(*) AS c FROM byteval GROUP BY 1, 2
+       |), hpivot AS (
+       |  SELECT doc_id,
+       |    $hPivot
+       |  FROM hist GROUP BY doc_id
+       |), wins AS (
+       |  SELECT doc_id, (i * 16) // n AS w, sum(b) AS s, count(*) AS c
+       |  FROM byteval GROUP BY 1, 2
+       |), wpivot AS (
+       |  SELECT doc_id,
+       |    $wPivot
+       |  FROM wins GROUP BY doc_id
+       |), raw AS (
+       |  SELECT m.doc_id, m.mime,
+       |    $rHist,
+       |    $rWin
+       |  FROM media m
+       |  LEFT JOIN hpivot h USING (doc_id)
+       |  LEFT JOIN wpivot w USING (doc_id)
+       |)
+       |SELECT doc_id, mime,
+       |  $proj
+       |FROM raw ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle context — the [[Similarity.setOracleContext]] mechanism: the
+    * codec oracle embeds the DATA-fitted projection, so it exists only once
+    * a (session, dir) is bound (Verify binds it before the oracle dump). */
+  @volatile private var oracleCtx: Option[(SparkSession, String)] = None
+
+  def setOracleContext(spark: SparkSession, dir: String): Unit =
+    oracleCtx = Some((spark, dir))
+
+  def codecOracles: Map[String, String] = oracleCtx match {
+    case Some((spark, dir)) =>
+      val (mean, comps) = fitPcaCached(spark, dir)
+      Map("extract_features" -> extractFeaturesSql(mean, comps))
+    case None => Map.empty
+  }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, BinaryType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType}
 
 import graft.SparkSuite
 
@@ -38,12 +38,75 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("extractFeatures: fixed-dim vectors, deterministic across runs") {
-    val f1 = Multimodal.extractFeatures(spark, dir, dim = 8)
-    assert(f1.schema("feature").dataType == ArrayType(FloatType, containsNull = false))
-    val rows = f1.collect()
-    assert(rows.nonEmpty && rows.forall(_.getSeq[Float](2).length == 8))
-    val f2 = Multimodal.extractFeatures(spark, dir, dim = 8).collect()
+    val f1 = Multimodal.extractFeatures(spark, dir)
+    assert(f1.schema("feature").dataType == ArrayType(DoubleType, containsNull = false))
+    val rows = f1.orderBy("doc_id").collect()
+    assert(rows.nonEmpty &&
+      rows.forall(_.getSeq[Double](2).length == Multimodal.FeatureCodec.OutDims))
+    val f2 = Multimodal.extractFeatures(spark, dir).orderBy("doc_id").collect()
     assert(rows.map(_.toString).toSeq == f2.map(_.toString).toSeq)
+  }
+
+  test("FeatureCodec.decode: histogram shares sum to 1, window means bounded, empty-safe") {
+    val payload = "The quick brown fox jumps over the lazy dog, twice over.".getBytes("UTF-8")
+    val raw = Multimodal.FeatureCodec.decode(payload)
+    assert(raw.length == Multimodal.FeatureCodec.RawDims)
+    val histSum = raw.take(16).sum
+    assert(math.abs(histSum - 1.0) < 1e-9, s"histogram shares sum $histSum")
+    assert(raw.drop(16).forall(v => v >= 0.0 && v <= 1.0))
+    // content-sensitivity: a different payload yields a different descriptor
+    val other = Multimodal.FeatureCodec.decode("entirely different bytes!!!!!!".getBytes("UTF-8"))
+    assert(!java.util.Arrays.equals(raw, other))
+    assert(Multimodal.FeatureCodec.decode(Array.empty[Byte]).forall(_ == 0.0))
+    assert(Multimodal.FeatureCodec.decode(null).forall(_ == 0.0))
+  }
+
+  test("fitPca: deterministic, components unit-norm and pairwise orthogonal, variance-ordered") {
+    val media = Multimodal.mediaTable(spark, dir).select(col("doc_id"), col("payload"))
+    val (mean1, comps1) = Multimodal.fitPcaFrom(media)
+    val (mean2, comps2) = Multimodal.fitPcaFrom(media)
+    assert(mean1.toSeq == mean2.toSeq && comps1.map(_.toSeq).toSeq == comps2.map(_.toSeq).toSeq,
+      "re-fit must reproduce the model bit-for-bit")
+    for (c <- comps1) {
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-9, s"component norm $nrm")
+    }
+    for (a <- comps1.indices; b <- comps1.indices if a < b) {
+      val d = comps1(a).zip(comps1(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(d) < 1e-6, s"components $a,$b not orthogonal: $d")
+    }
+    // explained variance must be non-increasing across components (Jacobi
+    // eigenvalues sorted descending); recompute over the SAME hash-thinned
+    // sample the fit used — eigen-order holds for the fit distribution, not
+    // for the unsampled table when eigenvalues are clustered
+    val sample = media
+      .filter(pmod(xxhash64(col("doc_id")), lit(2)) === 0)
+      .collect().map(r =>
+        Multimodal.FeatureCodec.decode(r.getAs[Array[Byte]]("payload")))
+    def varAlong(c: Array[Double]): Double = {
+      val proj = sample.map(v =>
+        v.indices.map(i => (v(i) - mean1(i)) * c(i)).sum)
+      val m = proj.sum / proj.length
+      proj.map(p => (p - m) * (p - m)).sum / proj.length
+    }
+    val vars = comps1.map(varAlong)
+    for (i <- 1 until vars.length)
+      assert(vars(i) <= vars(i - 1) * (1 + 1e-9) + 1e-12,
+        s"variance not descending at $i: ${vars.toSeq}")
+    assert(vars.head > 0.0, "leading component captures no variance — degenerate fit")
+  }
+
+  test("extractFeatures: projection matches a direct driver-side recomputation") {
+    val (mean, comps) = Multimodal.fitPcaCached(spark, dir)
+    val got = Multimodal.extractFeatures(spark, dir).orderBy("doc_id").limit(20).collect()
+    val payloads = Multimodal.mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload")).orderBy("doc_id").limit(20).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    for (r <- got) {
+      val expect = Multimodal.FeatureCodec.project(
+        Multimodal.FeatureCodec.decode(payloads(r.getLong(0))), mean, comps)
+      assert(r.getSeq[Double](2) == expect.toSeq, s"doc ${r.getLong(0)} mismatch")
+    }
   }
 
   test("DHash64: ramp payload sets every bit, constant payload none") {
