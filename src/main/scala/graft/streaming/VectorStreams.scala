@@ -96,4 +96,52 @@ object VectorStreams {
       .option("checkpointLocation", ckpt)
       .start()
   }
+
+  /** [[adcServe]] with INCREMENTAL index maintenance
+    * ([[graft.ops.IncrementalIndex]]): at each refresh boundary the live
+    * corpus is re-read and only the vectors NOT yet indexed are encoded —
+    * with the frozen codebooks — and unioned into the code table; a full
+    * re-fit runs only when the new batch's measured quantization error
+    * drifts past `driftFactor ×` the fit-time baseline. The 100-TB refresh
+    * cost drops from corpus-sized (re-fit + re-encode everything) to
+    * batch-sized, the `incremental_near_dup` ingest shape applied to the
+    * vector index. Failure isolation matches [[adcServe]]: the append/refit
+    * runs inside a Try with the result eagerly materialized, so a failed
+    * refresh keeps the previous index serving.
+    */
+  def adcServeIncremental(
+      spark: SparkSession,
+      dir: String,
+      queryStream: DataFrame,
+      outDir: String,
+      ckpt: String,
+      k: Int = 10,
+      refreshEvery: Long = 1L,
+      driftFactor: Double = 1.5): StreamingQuery = {
+    import graft.ops.IncrementalIndex
+    def liveCorpus() = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    @volatile var index = IncrementalIndex.build(liveCorpus())
+    queryStream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (refreshEvery > 0 && batchId > 0 && batchId % refreshEvery == 0) {
+          scala.util.Try {
+            val grown = liveCorpus()
+            val fresh = grown.join(index.codes.select("vec_id"), Seq("vec_id"), "left_anti")
+            IncrementalIndex.appendWith(index, fresh, grown, driftFactor)
+          } match {
+            case scala.util.Success(updated) => index = updated
+            case scala.util.Failure(e) =>
+              System.err.println(
+                s"[adcServeIncremental] refresh at batch $batchId failed, serving previous index: ${e.getMessage}")
+          }
+        }
+        val idx = index
+        val queries = batch.select(col("vec_id").as("q_id"), col("v").as("q_v"))
+        Sinks.idempotentBatchWrite(
+          IncrementalIndex.topK(idx, queries, k), batchId, outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+  }
 }

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Incremental PQ-index maintenance ([[IncrementalIndex]]): a grown corpus
+  * is served WITHOUT a full re-fit (frozen-books encode of the new batch
+  * only), drift triggers a re-fit bit-identical to a from-scratch build on
+  * the grown corpus, and both paths serve through the shared ADC tail.
+  */
+class IncrementalIndexSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val Shift = 1000000L
+
+  private def corpus0 = Tables(spark, dir, "embeddings")
+    .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+
+  private def queriesOf(c: org.apache.spark.sql.DataFrame) =
+    c.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+
+  test("no-drift append: books frozen, codes equal encode-all, twin served — no re-fit ran") {
+    val idx0 = IncrementalIndex.build(corpus0)
+    val books0 = idx0.books
+    // exact twins in a disjoint id range: same distribution, so the batch's
+    // quantization error equals the baseline exactly — the no-drift path
+    val twins = corpus0.select((col("vec_id") + Shift).as("vec_id"), col("v"))
+    val idx1 = IncrementalIndex.append(idx0, twins)
+
+    assert(idx1.books eq books0, "no-drift append must keep the frozen codebooks")
+    assert(idx1.appends == 1 && idx1.baseErr == idx0.baseErr)
+
+    // code-table parity with encoding the whole grown corpus under the
+    // same frozen books — the union took the batch-sized shortcut to the
+    // identical artifact
+    val grown = corpus0.unionByName(twins)
+    val expectCodes = Similarity.assignCodes(grown, books0, Seq("vec_id"))
+      .collect().map(_.toSeq).toSet
+    assert(idx1.codes.collect().map(_.toSeq).toSet == expectCodes)
+
+    // served proof: each query's appended exact twin carries the query's own
+    // codes — the maximal ADC score — so it must appear in the query's
+    // top-k of the grown index (rank 1 is not guaranteed: equal rounded
+    // scores tie-break by id, and the twin ids are the largest)
+    val served = IncrementalIndex.topK(idx1, queriesOf(corpus0), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val queries = served.map(_._1).distinct
+    val withTwin = queries.count(q => served.contains((q, q + Shift)))
+    assert(queries.nonEmpty && withTwin == queries.length,
+      s"only $withTwin of ${queries.length} queries surfaced their appended twin in the top-10")
+    idx1.codes.unpersist()
+  }
+
+  test("drift append: re-fit runs and is bit-identical to a from-scratch build on the grown corpus") {
+    val idx0 = IncrementalIndex.build(corpus0)
+    // a far-shifted, rescaled batch: far outside the fitted codeword range
+    val drifted = corpus0.select((col("vec_id") + Shift).as("vec_id"),
+      transform(col("v"), x => x * 3.0 + 7.0).as("v"))
+    val grown = corpus0.unionByName(drifted)
+
+    // precondition: the drift statistic actually fires
+    val batchErr = IncrementalIndex.quantizationError(drifted, idx0.books)
+    assert(batchErr > 1.5 * idx0.baseErr,
+      s"fixture not drifted enough: $batchErr vs base ${idx0.baseErr}")
+
+    val idx1 = IncrementalIndex.append(idx0, drifted)
+    assert(!(idx1.books eq idx0.books) && idx1.appends == 0,
+      "drift must trigger a re-fit")
+    val rebuilt = IncrementalIndex.build(grown)
+    assert(idx1.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      rebuilt.books.map(_.map(_.toSeq).toSeq).toSeq,
+      "drift re-fit must equal the deterministic from-scratch fit")
+
+    val servedInc = IncrementalIndex.topK(idx1, queriesOf(corpus0), k = 10)
+      .collect().map(_.toSeq).toSet
+    val servedFull = IncrementalIndex.topK(rebuilt, queriesOf(corpus0), k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(servedInc == servedFull,
+      "drift path must serve identically to the full re-fit path")
+    idx1.codes.unpersist(); rebuilt.codes.unpersist()
+  }
+
+  test("empty append is a no-op; quantization error is non-negative") {
+    val idx0 = IncrementalIndex.build(corpus0)
+    assert(idx0.baseErr >= 0.0)
+    val idx1 = IncrementalIndex.append(idx0, corpus0.filter(lit(false)))
+    assert((idx1.books eq idx0.books) && (idx1.codes eq idx0.codes) && idx1.appends == 0)
+    idx0.codes.unpersist()
+  }
+}

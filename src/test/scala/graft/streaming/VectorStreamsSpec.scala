@@ -118,6 +118,66 @@ class VectorStreamsSpec extends SparkSuite {
         s"${(afterSwap diff expected).take(5)} / ${(expected diff afterSwap).take(5)}")
   }
 
+  /** Incremental live index ([[VectorStreams.adcServeIncremental]]): the
+    * corpus grows with same-distribution twins (the NO-drift path), and the
+    * post-refresh batch must equal scoring the grown corpus under the
+    * ORIGINAL frozen codebooks — i.e. the refresh encoded only the new
+    * vectors and never re-fitted (a full re-fit would have sampled the
+    * grown id space and produced different books). The twin membership
+    * check additionally proves the new vectors are actually served.
+    */
+  test("incremental refresh serves a grown corpus without a full re-fit") {
+    val src = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("graft-vec-incr").toFile
+    val dir = s"$root/corpus"
+    val (out, ckpt) = (s"$root/out", s"$root/ckpt")
+    val Shift = 1000000L
+
+    val orig = spark.read.parquet(s"$src/embeddings.parquet")
+    orig.write.parquet(s"$dir/embeddings.parquet")
+    val seed = Tables(spark, src, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val qIds = seed.filter(col("vec_id") % 50 === 0)
+      .select("vec_id").as[Long].collect().sorted.take(2)
+    val qVecs = seed.filter(col("vec_id").isin(qIds: _*))
+      .as[(Long, Seq[Double])].collect().toMap
+
+    val mem = MemoryStream[(Long, Seq[Double])](spark)
+    val stream = mem.toDF().toDF("vec_id", "v")
+
+    mem.addData((qIds(0), qVecs(qIds(0))))
+    val q = VectorStreams.adcServeIncremental(spark, dir, stream, out, ckpt,
+      k = 10, refreshEvery = 1L)
+    q.processAllAvailable()
+    // corpus grows: exact twins in a disjoint id range (no drift)
+    orig.withColumn("vec_id", col("vec_id") + Shift)
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    mem.addData((qIds(1), qVecs(qIds(1))))
+    q.processAllAvailable()
+    q.stop()
+
+    val afterRefresh = Sinks.readSink(spark, out)
+      .filter(col("batch_id") === 1)
+      .select("q_id", "n_id", "rank", "adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(afterRefresh.exists(_._2 == qIds(1) + Shift),
+      s"post-refresh top-k never surfaced the appended twin ${qIds(1) + Shift} — index did not grow")
+
+    // frozen-books parity: the grown corpus encoded under the SEED fit
+    val books0 = Similarity.fitPqFrom(seed, Similarity.PqM, Similarity.PqKs)
+    val grown = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val queries1 = seed.filter(col("vec_id") === qIds(1))
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val expected = Similarity.adcTopKAgainst(
+        Similarity.assignCodes(grown, books0, Seq("vec_id")), queries1, books0, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(afterRefresh == expected,
+      s"incremental serving diverged from frozen-books scoring of the grown corpus: " +
+        s"${(afterRefresh diff expected).take(5)} / ${(expected diff afterRefresh).take(5)}")
+  }
+
   /** Kill/restart with a REAL file source + checkpoint (the path the
     * MemoryStream specs can't reach): the serving query dies between
     * micro-batches, the corpus grows while it is down, and the restarted
