@@ -85,6 +85,7 @@ object SparkEntry {
     "asof_last_click" -> (AsofJoin.asofLastClick _),
     "events_in_windows" -> (RangeJoin.eventsInWindows _),
     "salted_user_age" -> (Skew.saltedUserAge _),
+    "skewed_host_age" -> (Skew.skewedHostAge _),
     "distinct_parts_approx" -> ((s, d) => Skew.distinctPartsApprox(s, d)),
     // --- text analysis ---
     "token_stats"   -> (TextAnalysis.tokenStats _),
@@ -238,6 +239,7 @@ object SparkEntry {
     "asof_last_click" -> AsofJoin.asofLastClickSql,
     "events_in_windows" -> RangeJoin.eventsInWindowsSql,
     "salted_user_age" -> Skew.saltedUserAgeSql,
+    "skewed_host_age" -> Skew.skewedHostAgeSql,
     "events_rollup"   -> Events.rollupSql,
     "events_cube"     -> Events.cubeSql,
     "events_grouping_sets" -> Events.groupingSetsSql,
@@ -335,6 +337,7 @@ object SparkEntry {
     "winnow_near_dup", "incremental_near_dup", "repeated_ngram_spans",
     "cross_doc_spans", "cut_spans",
     "asof_last_click", "events_in_windows", "salted_user_age",
+    "skewed_host_age",
     "distinct_parts_approx",
     "events_rollup", "events_cube", "events_grouping_sets", "events_pivot",
     "filter_incomplete", "validate_flags", "reason_histogram", "top1_reason",

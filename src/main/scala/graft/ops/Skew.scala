@@ -50,6 +50,66 @@ object Skew {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** A deterministic zipf-style host key over the events table: half the
+    * rows collapse onto one mega-host, the rest spread over 50 tail hosts —
+    * the crawl-corpus hot-key profile (one CDN/host dominating a shard)
+    * that uniform testdata keys otherwise never exercise. A pure function
+    * of `event_id`, so DuckDB derives the identical key.
+    */
+  private[ops] def zipfHost: org.apache.spark.sql.Column =
+    when(pmod(col("event_id"), lit(100)) < 50, lit("h_mega"))
+      .otherwise(concat(lit("h"), pmod(col("event_id"), lit(100)).cast("string")))
+
+  /** The BENCHED skew-armor query (round 11): enrich a zipf-hot fact with
+    * its host's first-seen timestamp through a SALTED shuffle join, then
+    * aggregate age per host.
+    *
+    * Why each piece is shaped this way at 100 TB:
+    *  - the join runs in the NON-broadcast regime (`shuffle_merge` hint —
+    *    at production scale the host dim is crawl metadata in the millions
+    *    of rows, far past any broadcast threshold; at bench SF the hint is
+    *    what keeps the plan in that regime instead of silently
+    *    broadcasting a 51-row dim and benching nothing);
+    *  - without armor the mega-host's ~50% of fact rows land on ONE
+    *    reducer of the shuffle join — the (host, salt) composite key
+    *    spreads them across [[Salts]] partitions deterministically,
+    *    which works at ANY scale and for the stateful/streaming joins
+    *    AQE's runtime split cannot rewrite (the AQE path itself is
+    *    spec-pinned in SkewSpec);
+    *  - the final per-host aggregate is skew-safe for free: partial
+    *    (map-side) aggregation collapses each partition's mega-host rows
+    *    to one record before the exchange.
+    * Results are byte-identical to the unsalted, unhinted join
+    * (spec-pinned) — salting changes the layout, never the answer.
+    */
+  def skewedHostAge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").withColumn("host", zipfHost)
+    val dim = ev.groupBy("host").agg(min(col("ts")).as("first_ts"))
+    val saltedDim = dim.select(col("host"), col("first_ts"),
+      explode(sequence(lit(0), lit(Salts - 1))).as("_salt"))
+    val saltedFact = ev.withColumn("_salt",
+      pmod(xxhash64(col("event_id")), lit(Salts)).cast("int"))
+    saltedFact.join(saltedDim.hint("shuffle_merge"), Seq("host", "_salt"))
+      .groupBy("host")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg((unix_micros(col("ts")) - unix_micros(col("first_ts")))
+          .cast("double") / 1e6), 2).as("avg_age_sec"))
+      .orderBy("host")
+  }
+
+  val skewedHostAgeSql: String =
+    """WITH ev AS (
+      |  SELECT *, CASE WHEN event_id % 100 < 50 THEN 'h_mega'
+      |    ELSE 'h' || (event_id % 100) END AS host
+      |  FROM events
+      |), dim AS (SELECT host, min(ts) AS first_ts FROM ev GROUP BY host)
+      |SELECT host, count(*) AS n,
+      |  round(avg((epoch_us(ts) - epoch_us(first_ts))::double / 1e6), 2) AS avg_age_sec
+      |FROM ev JOIN dim USING (host)
+      |GROUP BY host
+      |ORDER BY host""".stripMargin
+
   /** HLL-sketch distinct counts — the 100-TB substitute for exact
     * count(DISTINCT): one pass, fixed memory per group, no Expand blow-up.
     * Approximate by construction → no value oracle; a spec pins relative

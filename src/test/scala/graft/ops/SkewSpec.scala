@@ -56,6 +56,30 @@ class SkewSpec extends SparkSuite {
     assert(plan.contains("isFinalPlan=true"))
   }
 
+  test("skewedHostAge: salted shuffle join equals the plain join; plan stays in the non-broadcast regime") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, dir, "events").withColumn("host", Skew.zipfHost)
+    val dim = ev.groupBy("host").agg(min(col("ts")).as("first_ts"))
+    val plain = ev.join(dim, "host")
+      .groupBy("host")
+      .agg(count(lit(1)).as("n"),
+        round(avg((unix_micros(col("ts")) - unix_micros(col("first_ts")))
+          .cast("double") / 1e6), 2).as("avg_age_sec"))
+      .orderBy("host")
+      .collect().toSeq
+    val armored = Skew.skewedHostAge(spark, dir)
+    assert(armored.collect().toSeq == plain, "salting/hint changed the answer")
+    // the fixture is genuinely skewed: the mega-host holds ~half the facts
+    val mega = plain.find(_.getString(0) == "h_mega").get.getLong(1).toDouble
+    val total = plain.map(_.getLong(1)).sum.toDouble
+    assert(mega / total > 0.4, s"mega-host share ${mega / total} — fixture lost its skew")
+    // non-broadcast regime pinned: the hinted join must be sort-merge on
+    // (host, _salt), not a silent broadcast of the tiny bench-SF dim
+    val plan = armored.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected the salted SMJ in:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"dim was broadcast — skew armor unexercised:\n$plan")
+  }
+
   test("approx distinct counts stay within the configured error of exact") {
     val exact = Tpch.distinctParts(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
