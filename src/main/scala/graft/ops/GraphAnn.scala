@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
   * do:
   *
   *  - '''Init''': within-cell top-G neighbors under the fitted coarse
-  *    quantizer ([[Similarity.fitCentroids]] — the same 16-cell KMeans the
-  *    IVF family plans with). A bucketed equi-join on the cell id, never
-  *    an all-pairs product: cost is Σ|cell|², bounded by the quantizer
-  *    granularity. At 100 TB the cell count scales with the corpus
-  *    (|cell| stays ~constant), so init stays a bounded bucketed join —
-  *    the same scaling argument as [[Similarity.semDedupFrom]].
+  *    quantizer ([[Similarity.fitCentroids]] — the same KMeans the IVF
+  *    family plans with). A bucketed equi-join on the cell id, never an
+  *    all-pairs product: cost is Σ|cell|². NOTE the scaling CONTRACT:
+  *    at a FIXED cell count that sum is O(N²/cells) — the cell count is
+  *    the deployment's `nlist` knob (exactly like IVF sizing: grow it
+  *    ∝ corpus so |cell| stays ~constant, and init stays a bounded
+  *    bucketed join, the [[Similarity.semDedupFrom]] argument). The
+  *    registered query uses the family-standard 16 cells, which is the
+  *    right granularity at bench SF; [[knnGraphTopK]] takes `nCentroids`
+  *    so a larger corpus sizes it up.
   *  - '''NN-Descent rounds''': each round forms candidate pairs as
   *    neighbor-of-neighbor — the undirected edge list self-joined on the
   *    shared endpoint (an equi-join producing ≤ N·(2G)² rows, G the graph
@@ -82,9 +86,8 @@ object GraphAnn {
       .select("src", "dst")
   }
 
-  /** The k-NN graph edge list `(src, dst)`: bucketed init, then `rounds`
-    * NN-Descent refinements. Pure dataflow — see the object doc for the
-    * per-step scale shape.
+  /** Scored init candidates: the union of the two bucketed pair sets,
+    * joined back to the vectors. Lazy — [[knnGraphEdges]] checkpoints.
     *
     * The init takes candidates from TWO bucketings, both equi-joins:
     * within-cell (quality — most true neighbors share a cell) and
@@ -100,8 +103,6 @@ object GraphAnn {
     * the join stays bounded at any corpus scale, with no global sort,
     * count, or RNG state.
     */
-  /** Scored init candidates: the union of the two bucketed pair sets,
-    * joined back to the vectors. Lazy — [[knnGraphEdges]] checkpoints. */
   private[ops] def initStage(e: DataFrame, cent: Array[Array[Double]]): DataFrame = {
     val cells = Similarity.assignCells(e, cent).select("vec_id", "cell")
     val cellPairs = cells.select(col("cell"), col("vec_id").as("src"))
@@ -134,6 +135,10 @@ object GraphAnn {
       .select(col("src"), col("dst"), Similarity.cosine(col("sv"), col("dv")).as("c"))
   }
 
+  /** The k-NN graph edge list `(src, dst)`: bucketed init ([[initStage]] —
+    * see its doc for the two-bucketing rationale), then `rounds` NN-Descent
+    * refinements ([[descentRound]]). Pure dataflow; each superstep is
+    * materialized and lineage-truncated below. */
   private[ops] def knnGraphEdges(e: DataFrame, cent: Array[Array[Double]],
       g: Int = KnnDegree, rounds: Int = KnnRounds): DataFrame = {
     // Iterative dataflow: each round references the previous edge list
@@ -174,9 +179,10 @@ object GraphAnn {
     * 50): NN-Descent graph + beam search, output shape identical to the
     * rest of the ANN family `(q_id, n_id, rank, cos)`.
     */
-  def knnGraphTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def knnGraphTopK(spark: SparkSession, dir: String, k: Int = 10,
+      nCentroids: Int = Similarity.NCentroids): DataFrame = {
     val e = embeddings(spark, dir)
-    val cent = Similarity.fitCentroids(spark, dir, Similarity.NCentroids)
+    val cent = Similarity.fitCentroids(spark, dir, nCentroids)
     val edges = knnGraphEdges(e, cent)
     val entries = entryPoints(e, cent)
     val q = e.filter(col("vec_id") % 50 === 0)
@@ -195,14 +201,25 @@ object GraphAnn {
       val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
       val frontier = visited.withColumn("r", row_number().over(w))
         .filter(col("r") <= KnnBeam).select("q_id", "n_id")
+      // dedup candidates and drop already-visited nodes BEFORE the vector
+      // joins + cosine: several frontier nodes share out-neighbors and
+      // every hop re-reaches the beam itself, so without this the scoring
+      // work repeats per duplicate only for union().distinct() to discard
+      // it. Scores are a deterministic function of the pair, so the
+      // pruned plan produces the identical (q_id, n_id, c) set — the
+      // unrolled oracle's SELECT DISTINCT sees no difference.
       val exp = frontier
         .join(edges.withColumnRenamed("src", "n_id"), "n_id")
         .select(col("q_id"), col("dst").as("n_id"))
+        .distinct()
+        .join(visited.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
         .join(q, "q_id")
         .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
         .select(col("q_id"), col("n_id"),
           Similarity.cosine(col("q_v"), col("nv")).as("c"))
-      visited = visited.union(exp).distinct().localCheckpoint(true)
+      // exp is internally distinct and disjoint from visited ⇒ the union
+      // is already a set; no post-union distinct (one exchange saved)
+      visited = visited.union(exp).localCheckpoint(true)
     }
     val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
     visited.filter(col("n_id") =!= col("q_id"))

@@ -54,14 +54,23 @@ object IncrementalIndex {
       baseErr: Double,
       appends: Int)
 
-  /** Full build: fit, encode, persist (eagerly — a lazy persist would let a
-    * scan failure escape to the first serving batch), baseline the drift
+  /** Persist + materialize NOW (a lazy persist would let a scan failure
+    * escape to the first serving batch) — and unpersist on failure, so a
+    * throw inside the caller's failure-isolation Try never leaks a
+    * half-built cache entry (with `refreshEvery=1` against a persistently
+    * broken corpus that leak would otherwise grow per micro-batch). */
+  private def eagerPersist(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    try { p.foreachPartition((_: Iterator[Row]) => ()); p }
+    catch { case e: Throwable => p.unpersist(); throw e }
+  }
+
+  /** Full build: fit, encode, eagerly persist, baseline the drift
     * statistic. */
   def build(corpus: DataFrame,
       m: Int = Similarity.PqM, ks: Int = Similarity.PqKs): PqIndex = {
     val books = Similarity.fitPqFrom(corpus, m, ks)
-    val codes = Similarity.assignCodes(corpus, books, Seq("vec_id")).persist()
-    codes.foreachPartition((_: Iterator[Row]) => ())
+    val codes = eagerPersist(Similarity.assignCodes(corpus, books, Seq("vec_id")))
     PqIndex(books, codes, corpus, quantizationError(corpus, books), 0)
   }
 
@@ -106,10 +115,8 @@ object IncrementalIndex {
       idx.codes.unpersist()
       fresh
     } else {
-      val fresh = idx.codes
-        .unionByName(Similarity.assignCodes(batch, idx.books, Seq("vec_id")))
-        .persist()
-      fresh.foreachPartition((_: Iterator[Row]) => ())
+      val fresh = eagerPersist(idx.codes
+        .unionByName(Similarity.assignCodes(batch, idx.books, Seq("vec_id"))))
       idx.codes.unpersist()
       idx.copy(codes = fresh, corpus = grown, appends = idx.appends + 1)
     }

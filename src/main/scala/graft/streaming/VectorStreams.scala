@@ -64,11 +64,14 @@ object VectorStreams {
       val corpus = Tables(spark, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       val books = Similarity.fitPqFrom(corpus, Similarity.PqM, Similarity.PqKs)
-      val codes = Similarity.assignCodes(corpus, books, Seq("vec_id")).persist()
       // persist() is lazy — materialize NOW so a code-table scan failure
       // (corpus mid-write) surfaces inside the caller's Try, before the
-      // stale index is swapped out and unpersisted
-      codes.foreachPartition((_: Iterator[Row]) => ())
+      // stale index is swapped out and unpersisted; on failure the
+      // half-built cache entry is released before the rethrow (otherwise
+      // every failed refresh would leak one persisted frame)
+      val codes = Similarity.assignCodes(corpus, books, Seq("vec_id")).persist()
+      try codes.foreachPartition((_: Iterator[Row]) => ())
+      catch { case e: Throwable => codes.unpersist(); throw e }
       (books, codes)
     }
     @volatile var index = buildIndex()

