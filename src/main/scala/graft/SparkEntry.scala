@@ -91,6 +91,7 @@ object SparkEntry {
     "token_stats"   -> (TextAnalysis.tokenStats _),
     "bpe_token_stats" -> (TextAnalysis.bpeTokenStats _),
     "quality_score" -> (TextAnalysis.qualityScore _),
+    "quality_lr_score" -> (graft.ops.QualityModel.qualityLrScore _),
     "quality_prune" -> ((s, d) => TextAnalysis.qualityPrune(s, d)),
     "lang_id"       -> (TextAnalysis.langId _),
     "fingerprint"   -> (TextAnalysis.fingerprint _),
@@ -295,7 +296,8 @@ object SparkEntry {
     "chunk_documents"  -> Corpus.chunkDocumentsSql,
     "unigram_logprob"  -> Corpus.unigramLogProbScoreSql,
     "bigram_logprob"   -> Corpus.bigramLogProbScoreSql
-  ) ++ Similarity.quantizerOracles ++ Multimodal.codecOracles
+  ) ++ Similarity.quantizerOracles ++ Multimodal.codecOracles ++
+    graft.ops.QualityModel.modelOracles
 
   /** Headline bench set: every query that is scale-shaped. The two O(n²)
     * brute-force correctness anchors (`ngram_jaccard_pairs`,
@@ -343,7 +345,8 @@ object SparkEntry {
     "filter_incomplete", "validate_flags", "reason_histogram", "top1_reason",
     "completeness", "date_range", "dedup_exact_keep_first", "clean_text",
     "parse_dates", "article_funnel",
-    "token_stats", "bpe_token_stats", "quality_score", "lang_id", "fingerprint",
+    "token_stats", "bpe_token_stats", "quality_score", "quality_lr_score",
+    "lang_id", "fingerprint",
     "winnow_fingerprints", "vocab_top_terms", "length_histogram",
     // `hybrid_rrf_topk` (brute dense leg) is the unbenched exactness
     // anchor; the benched hybrid is the LSH-leg composite

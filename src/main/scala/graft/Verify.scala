@@ -25,6 +25,7 @@ object Verify {
     // sweep's data — bind the context before the oracle dump below
     graft.ops.Similarity.setOracleContext(spark, sfDir)
     graft.ops.Multimodal.setOracleContext(spark, sfDir)
+    graft.ops.QualityModel.setOracleContext(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

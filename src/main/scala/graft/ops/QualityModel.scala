@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the classifier step of a production
+  * LLM-data pipeline (the GPT-3/LLaMA recipe: hand rules label a seed
+  * set, a cheap linear classifier generalizes them, and the MODEL — not
+  * the rules — runs over the corpus at scan speed).
+  *
+  * Here the teacher is the engine's own heuristic
+  * ([[TextAnalysis.qualityScore]]: ≥3 of the 4 rules ⇒ positive), the
+  * student is a logistic regression over the same four features, fitted
+  * driver-side by deterministic IRLS on the bounded hash-ordered sample
+  * (the [[Similarity]] fit discipline), and SERVED as pure column
+  * arithmetic: four scaled features and a five-term literal dot product
+  * per row — no model runtime, no UDF, fully inside whole-stage codegen.
+  *
+  * Exactness contract: every feature is exact integer counts + IEEE
+  * divisions by constants (re-derivable in DuckDB bit-for-bit — the
+  * `quality_score` oracle already proves the feature family), and the
+  * logit is a fixed left-associative chain over the FITTED weights
+  * embedded as double literals, so `quality_lr_score` carries a full
+  * value oracle even though a "model" produced it. The fit itself uses
+  * libm sigmoid — driver-side only; serving emits the LOGIT (sign ≙
+  * probability > 0.5), never a cross-engine-unsafe exp.
+  */
+object QualityModel {
+
+  /** Feature scaling divisors — constants, so each feature is one exact
+    * IEEE division; chosen to put all four features in O(1) range (IRLS
+    * conditioning, not semantics). */
+  val TokScale = 100.0
+  val LenScale = 10.0
+  val StopScale = 5.0
+
+  /** The four features over a `text` column, in model order:
+    * x0 = n_tokens/100, x1 = type-token ratio, x2 = mean token length/10,
+    * x3 = stopword hits/5. */
+  private def featureCols: Seq[Column] = {
+    val t = Dedup.tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val meanLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+      .cast("double") / nTok
+    val stopHits = size(array_intersect(t,
+      array(TextAnalysis.Stopwords.head._2.map(lit): _*))).cast("double")
+    Seq(nTok / TokScale, ttr, meanLen / LenScale, stopHits / StopScale)
+  }
+
+  /** Teacher label: the heuristic's ≥3-of-4 rule (quality ≥ 0.75). */
+  private def teacherCol: Column = {
+    val t = Dedup.tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val meanLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+      .cast("double") / nTok
+    val stopHits = size(array_intersect(t,
+      array(TextAnalysis.Stopwords.head._2.map(lit): _*)))
+    val score =
+      when(size(t) >= 30, lit(1)).otherwise(lit(0)) +
+      when(ttr >= 0.4, lit(1)).otherwise(lit(0)) +
+      when(meanLen >= lit(3.5) && meanLen <= lit(6.5), lit(1)).otherwise(lit(0)) +
+      when(stopHits >= 2, lit(1)).otherwise(lit(0))
+    (score >= 3).cast("double")
+  }
+
+  /** Deterministic IRLS (Newton) fit of ridge-regularized logistic
+    * regression: w ← w + (XᵀRX + λI)⁻¹ Xᵀ(y − p), R = diag(p(1−p)),
+    * fixed 25 iterations from w = 0, 5×5 solve by Gaussian elimination
+    * with partial pivoting (index-tiebreak) — no RNG, no convergence
+    * branch, bit-reproducible. `xs` rows are the four features; the
+    * intercept is appended internally. Returns `[w0..w3, b]`. */
+  private[ops] def fitLr(xs: Array[Array[Double]], ys: Array[Double],
+      iters: Int = 25, ridge: Double = 1e-6): Array[Double] = {
+    val d = 5
+    val n = xs.length
+    require(n > 0 && n == ys.length, s"bad fit sample ($n)")
+    val w = new Array[Double](d)
+    val aug = xs.map(x => x :+ 1.0)
+    for (_ <- 0 until iters) {
+      val h = Array.ofDim[Double](d, d)
+      val g = new Array[Double](d)
+      var i = 0
+      while (i < n) {
+        val x = aug(i)
+        var z = 0.0
+        var j = 0
+        while (j < d) { z += w(j) * x(j); j += 1 }
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val r = p * (1.0 - p)
+        val e = ys(i) - p
+        j = 0
+        while (j < d) {
+          g(j) += e * x(j)
+          val hj = h(j); val rxj = r * x(j)
+          var k = 0
+          while (k < d) { hj(k) += rxj * x(k); k += 1 }
+          j += 1
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < d) { h(j)(j) += ridge; g(j) -= ridge * w(j); j += 1 }
+      // solve h · delta = g in place
+      val m = h.map(_.clone()); val b = g.clone()
+      for (cp <- 0 until d) {
+        var piv = cp
+        for (r <- cp + 1 until d) if (math.abs(m(r)(cp)) > math.abs(m(piv)(cp))) piv = r
+        val (tr, tb) = (m(piv), b(piv)); m(piv) = m(cp); b(piv) = b(cp); m(cp) = tr; b(cp) = tb
+        for (r <- cp + 1 until d) {
+          val f = m(r)(cp) / m(cp)(cp)
+          for (c <- cp until d) m(r)(c) -= f * m(cp)(c)
+          b(r) -= f * b(cp)
+        }
+      }
+      val delta = new Array[Double](d)
+      for (r <- d - 1 to 0 by -1) {
+        var s = b(r)
+        for (c <- r + 1 until d) s -= m(r)(c) * delta(c)
+        delta(r) = s / m(r)(r)
+      }
+      j = 0
+      while (j < d) { w(j) += delta(j); j += 1 }
+    }
+    w
+  }
+
+  /** Bounded deterministic fit sample: features + teacher labels computed
+    * IN THE EXECUTORS by the same column expressions the serving path
+    * uses; the driver collects only five doubles per sampled doc. */
+  private[ops] def fitFrom(docs: DataFrame): Array[Double] = {
+    val fc = featureCols
+    val rows = docs
+      .filter(pmod(xxhash64(col("doc_id")), lit(2)) === 0)
+      .select(Seq(xxhash64(col("doc_id")).as("h"), col("doc_id"),
+        teacherCol.as("y")) ++ fc.zipWithIndex.map { case (c, i) => c.as(s"x$i") }: _*)
+      .orderBy(col("h"), col("doc_id"))
+      .limit(50000)
+      .collect()
+    val xs = rows.map(r => Array(r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val ys = rows.map(_.getDouble(2))
+    fitLr(xs, ys)
+  }
+
+  private val lrCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+
+  private[ops] def fitCached(spark: SparkSession, dir: String): Array[Double] =
+    lrCache.getOrElseUpdate(dir, fitFrom(Tables(spark, dir, "documents")))
+
+  /** The served classifier: per doc, the fitted logit (rounded for the
+    * registered output) and the keep decision on the RAW logit sign.
+    * One narrow scan + projection — the model is five plan-time literals.
+    */
+  def qualityLrScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = fitCached(spark, dir)
+    val fc = featureCols
+    val logit = fc.zipWithIndex
+      .map { case (c, i) => lit(w(i)) * c }
+      .reduce[Column](_ + _) + lit(w(4))
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      round(logit, 6).as("lr_logit"),
+      (logit > 0.0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Generated-literal oracle: features re-derived exactly (the
+    * `quality_score` oracle's token arithmetic), logit re-stated as the
+    * same left-associative chain over the fitted literals. */
+  private[ops] def qualityLrScoreSql(w: Array[Double]): String = {
+    val terms = Seq(
+      s"${w(0)} * (len(t)::DOUBLE / $TokScale)",
+      s"${w(1)} * (len(list_distinct(t))::DOUBLE / len(t)::DOUBLE)",
+      s"${w(2)} * (list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)::DOUBLE / $LenScale)",
+      s"${w(3)} * (len(list_intersect(t, ['the', 'a', 'of', 'and', 'to']))::DOUBLE / $StopScale)")
+    val logit = terms.mkString(" + ") + s" + ${w(4)}"
+    s"""SELECT doc_id, round(logit, 6) AS lr_logit, logit > 0 AS keep
+       |FROM (
+       |  SELECT doc_id, $logit AS logit
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle context — the [[Similarity.setOracleContext]] mechanism. */
+  @volatile private var oracleCtx: Option[(SparkSession, String)] = None
+
+  def setOracleContext(spark: SparkSession, dir: String): Unit =
+    oracleCtx = Some((spark, dir))
+
+  def modelOracles: Map[String, String] = oracleCtx match {
+    case Some((spark, dir)) =>
+      Map("quality_lr_score" -> qualityLrScoreSql(fitCached(spark, dir)))
+    case None => Map.empty
+  }
+}

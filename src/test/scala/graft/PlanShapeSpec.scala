@@ -212,6 +212,9 @@ class PlanShapeSpec extends SparkSuite {
     // the two exchanges are the 5-group aggregate and the final sort
     "bucketed_join_revenue" -> (0, 0, 1, 1, 2, 0),
     "partition_pruned_events" -> (0, 0, 0, 1, 2, 0),
+    // one scan + literal-weight projection (the model is plan-time
+    // constants) + the final presentation sort — no model runtime
+    "quality_lr_score" -> (0, 0, 0, 1, 1, 0),
     // the sortMerge IS the exercise: the salted (host, _salt) shuffle join
     // pinned in the non-broadcast regime (SkewSpec proves result parity
     // with the plain join and forbids the silent bench-SF broadcast)

@@ -12,16 +12,18 @@ class RegistrySpec extends SparkSuite {
   /** Every rows-only query, each with its reason documented on
     * `SparkEntry.oracleSql`'s scaladoc. Adding to this list requires
     * adding the reason there too. */
-  // ann_ivf_topk / semdedup_clusters left this list in round 8: their
-  // oracles are generated from the fitted centroids once the context below
-  // is bound (exactly what Verify does before its dump).
+  // ann_ivf_topk / semdedup_clusters left this list in round 8 (fitted
+  // centroid literals), extract_features and quality_lr_score in round 11
+  // (fitted PCA / LR literals): their oracles are generated once the
+  // contexts below are bound (exactly what Verify does before its dump).
   graft.ops.Similarity.setOracleContext(spark, "/root/testdata/sf0.001")
+  graft.ops.Multimodal.setOracleContext(spark, "/root/testdata/sf0.001")
+  graft.ops.QualityModel.setOracleContext(spark, "/root/testdata/sf0.001")
 
   private val documentedRowsOnly = Set(
     "distinct_parts_approx",    // HLL sketch internals are engine-specific
     "value_percentiles_approx", // GK sketch internals are engine-specific
     "value_quartiles_approx",   // approx_percentile boundaries are engine-specific
-    "extract_features",         // stub codec is a JVM PRNG
     "decontaminate_bloom",      // Bloom bit pattern is engine-specific (sketch hashes)
     "vocab_heavy_hitters_cms",  // count-min hash layout is engine-specific
     "frame_sample"              // raw binary cells defeat the driver's value hash

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The LR quality classifier ([[QualityModel]]). Cross-engine exactness of
+  * the served logits is the driver gate (`quality_lr_score` in
+  * CORRECTNESS); these specs pin what the oracle can't see: the fit is
+  * deterministic, the weights are finite, and the student actually learned
+  * the teacher (beats the majority-class baseline, not just matches it).
+  */
+class QualityModelSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("IRLS fit is deterministic and finite") {
+    val docs = Tables(spark, dir, "documents")
+    val w1 = QualityModel.fitFrom(docs)
+    val w2 = QualityModel.fitFrom(docs)
+    assert(w1.toSeq == w2.toSeq, "re-fit must reproduce the weights bit-for-bit")
+    assert(w1.length == 5 && w1.forall(v => !v.isNaN && !v.isInfinity),
+      s"non-finite weights: ${w1.toSeq}")
+  }
+
+  test("fitLr separates a linearly separable toy problem") {
+    // y = 1 iff x0 > 0.5; the fitted boundary must classify all of it
+    val xs = (0 until 100).map(i =>
+      Array(i / 100.0, 0.3, 0.3, 0.3)).toArray
+    val ys = (0 until 100).map(i => if (i > 50) 1.0 else 0.0).toArray
+    val w = QualityModel.fitLr(xs, ys)
+    val acc = xs.zip(ys).count { case (x, y) =>
+      val z = w(0) * x(0) + w(1) * x(1) + w(2) * x(2) + w(3) * x(3) + w(4)
+      (z > 0) == (y > 0.5)
+    }
+    assert(acc >= 98, s"separable toy accuracy $acc/100")
+  }
+
+  test("classifier agrees with the teacher above the majority baseline") {
+    val lr = QualityModel.qualityLrScore(spark, dir).select("doc_id", "keep")
+    val teacher = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), (col("quality") >= 0.75).as("t"))
+    val j = lr.join(teacher, "doc_id").cache()
+    val n = j.count().toDouble
+    val agree = j.filter(col("keep") === col("t")).count() / n
+    val share = j.filter(col("t")).count() / n
+    val majority = math.max(share, 1 - share)
+    info(f"agreement $agree%.3f, teacher-positive share $share%.3f")
+    assert(agree >= 0.85, f"agreement $agree%.3f below floor")
+    assert(agree > majority,
+      f"agreement $agree%.3f does not beat the majority baseline $majority%.3f — model learned nothing")
+    j.unpersist()
+  }
+
+  test("served keep equals the raw logit sign recomputed driver-side") {
+    val w = QualityModel.fitCached(spark, dir)
+    val served = QualityModel.qualityLrScore(spark, dir).limit(50).collect()
+    val texts = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stop = TextAnalysis.Stopwords.head._2.toSet
+    for (r <- served) {
+      val t = texts(r.getLong(0)).toLowerCase.split("\\s+", -1)
+      val nTok = t.length.toDouble
+      val x = Array(
+        nTok / QualityModel.TokScale,
+        t.distinct.length.toDouble / nTok,
+        t.map(_.length.toLong).sum.toDouble / nTok / QualityModel.LenScale,
+        t.toSet.count(stop).toDouble / QualityModel.StopScale)
+      val z = w(0) * x(0) + w(1) * x(1) + w(2) * x(2) + w(3) * x(3) + w(4)
+      assert(r.getBoolean(2) == (z > 0),
+        s"doc ${r.getLong(0)}: served keep ${r.getBoolean(2)} vs recomputed logit $z")
+    }
+  }
+}
