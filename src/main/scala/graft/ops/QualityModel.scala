@@ -146,8 +146,18 @@ object QualityModel {
   private val lrCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
 
-  private[ops] def fitCached(spark: SparkSession, dir: String): Array[Double] =
+  private[graft] def fitCached(spark: SparkSession, dir: String): Array[Double] =
     lrCache.getOrElseUpdate(dir, fitFrom(Tables(spark, dir, "documents")))
+
+  /** The fitted logit over a `text` column — the SHARED projection of the
+    * batch query and the streaming ingest twin
+    * ([[graft.streaming.DocStreams.qualityFiltered]]): per-row literal
+    * arithmetic carries over to streams unchanged, so batch/stream parity
+    * is structural. */
+  private[graft] def logitCol(w: Array[Double]): Column =
+    featureCols.zipWithIndex
+      .map { case (c, i) => lit(w(i)) * c }
+      .reduce[Column](_ + _) + lit(w(4))
 
   /** The served classifier: per doc, the fitted logit (rounded for the
     * registered output) and the keep decision on the RAW logit sign.
@@ -155,10 +165,7 @@ object QualityModel {
     */
   def qualityLrScore(spark: SparkSession, dir: String): DataFrame = {
     val w = fitCached(spark, dir)
-    val fc = featureCols
-    val logit = fc.zipWithIndex
-      .map { case (c, i) => lit(w(i)) * c }
-      .reduce[Column](_ + _) + lit(w(4))
+    val logit = logitCol(w)
     Tables(spark, dir, "documents").select(
       col("doc_id"),
       round(logit, 6).as("lr_logit"),

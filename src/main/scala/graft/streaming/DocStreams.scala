@@ -50,6 +50,23 @@ object DocStreams {
     * verify against the index's stored shingle arrays — parity with the
     * batch restriction is spec-pinned.
     */
+  /** Streaming twin of [[graft.ops.QualityModel.qualityLrScore]]: the
+    * fitted classifier is five plan-time literals, so scoring a document
+    * stream is a stateless projection — no model runtime, no streaming
+    * state, identical column expressions to the batch query (parity is
+    * structural via the shared [[graft.ops.QualityModel.logitCol]]).
+    * Low-quality docs drop at ingest, before they cost dedup state or
+    * sink storage — where a production pipeline wants the filter.
+    */
+  def qualityFiltered(docs: DataFrame, weights: Array[Double]): DataFrame = {
+    val logit = graft.ops.QualityModel.logitCol(weights)
+    docs
+      .select(col("doc_id"), col("ts"), col("text"),
+        round(logit, 6).as("lr_logit"), (logit > 0.0).as("keep"))
+      .filter(col("keep"))
+      .drop("keep")
+  }
+
   def nearDupAgainstIndex(
       docs: DataFrame,
       histBands: DataFrame,

@@ -43,6 +43,37 @@ class DocStreamsSpec extends SparkSuite {
     assert(kept.getAs[Long]("simhash") == batch.getLong(1))
   }
 
+  test("streaming quality filter equals the batch LR classifier on the same docs") {
+    val dir = "/root/testdata/sf0.001"
+    val w = graft.ops.QualityModel.fitCached(spark, dir)
+    val batch = graft.ops.QualityModel.qualityLrScore(spark, dir)
+      .filter(col("keep"))
+      .select("doc_id", "lr_logit").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => TestDoc(r.getLong(0), t((r.getLong(0) % 50).toInt), r.getString(1)))
+    val input = MemoryStream[TestDoc](spark)
+    // two micro-batches: the filter is stateless, so the split is arbitrary
+    val (first, second) = docs.splitAt(docs.length / 2)
+    input.addData(first)
+    val q = DocStreams.qualityFiltered(input.toDF(), w)
+      .writeStream.format("memory").queryName("quality_out")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    input.addData(second)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("quality_out")
+      .select("doc_id", "lr_logit").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch,
+      s"stream/batch quality filter diverged: ${(streamed.toSet diff batch.toSet).take(3)} / ${(batch.toSet diff streamed.toSet).take(3)}")
+    assert(batch.nonEmpty, "fixture kept no docs — spec is vacuous")
+  }
+
   test("hash-Bernoulli sampling filter is batch-stream identical (stateless)") {
     // the deterministic md5-draw sampler is a pure per-row filter, so the
     // SAME rows must survive whether the corpus arrives as a table or as a
