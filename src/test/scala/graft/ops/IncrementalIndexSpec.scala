@@ -82,6 +82,23 @@ class IncrementalIndexSpec extends SparkSuite {
     idx1.codes.unpersist(); rebuilt.codes.unpersist()
   }
 
+  test("three chained no-drift appends equal one encode-all (union-of-union lineage path)") {
+    val idx0 = IncrementalIndex.build(corpus0)
+    val books0 = idx0.books
+    val batches = (1 to 3).map(i =>
+      corpus0.select((col("vec_id") + i * Shift).as("vec_id"), col("v")))
+    val idxN = batches.foldLeft(idx0)((idx, b) => IncrementalIndex.append(idx, b))
+    assert((idxN.books eq books0) && idxN.appends == 3,
+      "chained same-distribution appends must never re-fit")
+    val grown = batches.foldLeft(corpus0)(_ unionByName _)
+    val expect = Similarity.assignCodes(grown, books0, Seq("vec_id"))
+      .collect().map(_.toSeq).toSet
+    assert(idxN.codes.collect().map(_.toSeq).toSet == expect,
+      "chained unions diverged from the one-shot encode-all")
+    assert(idxN.codes.count() == 4 * corpus0.count())
+    idxN.codes.unpersist()
+  }
+
   test("empty append is a no-op; quantization error is non-negative") {
     val idx0 = IncrementalIndex.build(corpus0)
     assert(idx0.baseErr >= 0.0)

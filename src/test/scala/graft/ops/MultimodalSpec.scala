@@ -61,6 +61,28 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.FeatureCodec.decode(null).forall(_ == 0.0))
   }
 
+  test("property: decode invariants hold on random payloads; projecting the mean is exactly zero") {
+    import org.scalacheck.Gen
+    val gen = Gen.listOfN(200, Gen.chooseNum(0, 2000).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)))
+    val payloads = gen.sample.get
+    for (p <- payloads) {
+      val raw = Multimodal.FeatureCodec.decode(p)
+      assert(raw.length == Multimodal.FeatureCodec.RawDims)
+      if (p.nonEmpty) {
+        assert(math.abs(raw.take(16).sum - 1.0) < 1e-9, "histogram shares must sum to 1")
+        assert(raw.drop(16).forall(v => v >= 0.0 && v <= 1.0), "window means out of [0,1]")
+      } else assert(raw.forall(_ == 0.0))
+    }
+    // the projection is centered: feeding the mean itself back through
+    // project gives EXACT zeros ((m_i - m_i)·w_i terms are all +0.0)
+    val sample = payloads.filter(_.nonEmpty).map(Multimodal.FeatureCodec.decode)
+    if (sample.length > 1) {
+      val (mean, comps) = Multimodal.fitPca(sample.toArray, Multimodal.FeatureCodec.OutDims)
+      assert(Multimodal.FeatureCodec.project(mean, mean, comps).forall(_ == 0.0))
+    }
+  }
+
   test("fitPca: deterministic, components unit-norm and pairwise orthogonal, variance-ordered") {
     val media = Multimodal.mediaTable(spark, dir).select(col("doc_id"), col("payload"))
     val (mean1, comps1) = Multimodal.fitPcaFrom(media)

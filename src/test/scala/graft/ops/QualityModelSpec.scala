@@ -36,6 +36,22 @@ class QualityModelSpec extends SparkSuite {
     assert(acc >= 98, s"separable toy accuracy $acc/100")
   }
 
+  test("property: fitLr recovers random axis-aligned decision boundaries") {
+    import org.scalacheck.Gen
+    val rng = new scala.util.Random(7)
+    val cuts = Gen.listOfN(5, Gen.choose(0.25, 0.75)).sample.get
+    for ((cut, axis) <- cuts.zipWithIndex.map { case (c, i) => (c, i % 4) }) {
+      val xs = Array.fill(400)(Array.fill(4)(rng.nextDouble()))
+      val ys = xs.map(x => if (x(axis) > cut) 1.0 else 0.0)
+      val w = QualityModel.fitLr(xs, ys)
+      val acc = xs.zip(ys).count { case (x, y) =>
+        val z = w(0) * x(0) + w(1) * x(1) + w(2) * x(2) + w(3) * x(3) + w(4)
+        (z > 0) == (y > 0.5)
+      }
+      assert(acc >= 380, s"axis $axis cut $cut: accuracy $acc/400")
+    }
+  }
+
   test("classifier agrees with the teacher above the majority baseline") {
     val lr = QualityModel.qualityLrScore(spark, dir).select("doc_id", "keep")
     val teacher = TextAnalysis.qualityScore(spark, dir)
