@@ -154,6 +154,7 @@ object SparkEntry {
     "shuffle_shards"    -> ((s, d) => Sampling.shuffleShards(s, d)),
     "url_host_caps"     -> ((s, d) => Sampling.urlHostCaps(s, d)),
     "host_lang_entropy" -> (Sampling.hostLangEntropy _),
+    "size_balanced_shards" -> ((s, d) => Sampling.sizeBalancedShards(s, d)),
     // --- corpus preparation (repetition filter, PII, decontamination, packing) ---
     "quality_filter"   -> (Corpus.qualityFilter _),
     "repetition_stats" -> ((s, d) => Corpus.repetitionStats(s, d)),
@@ -288,6 +289,7 @@ object SparkEntry {
     "shuffle_shards"    -> Sampling.shuffleShardsSql,
     "url_host_caps"     -> Sampling.urlHostCapsSql,
     "host_lang_entropy" -> Sampling.hostLangEntropySql,
+    "size_balanced_shards" -> Sampling.sizeBalancedShardsSql,
     "quality_filter"   -> Corpus.qualityFilterSql,
     "repetition_stats" -> Corpus.repetitionStatsSql,
     "pii_scrub"        -> Corpus.piiScrubSql,
@@ -357,7 +359,7 @@ object SparkEntry {
     "extract_features",
     "bucketed_join_revenue", "partition_pruned_events",
     "split_counts", "stratified_sample", "mixture_sample", "shuffle_shards",
-    "url_host_caps", "host_lang_entropy",
+    "url_host_caps", "host_lang_entropy", "size_balanced_shards",
     "quality_filter",
     "repetition_stats", "pii_scrub", "decontaminate", "decontaminate_bloom",
     "pack_sequences",

@@ -326,4 +326,70 @@ object Sampling {
       |  FROM documents)
       |WHERE host_rank <= 10
       |ORDER BY host, host_rank""".stripMargin
+
+  val ShardTargetChars = 20000L
+  val ShardBucket = 64L
+
+  /** Size-balanced output sharding — the writer-side fix for the
+    * small-files / fat-files problem: assign each doc a shard id so every
+    * shard carries ≈ `targetChars` of payload in stable `doc_id` order
+    * (shard = global running byte offset ÷ target).
+    *
+    * The naive formulation is a GLOBAL running sum — `Window.orderBy`
+    * with no partition key, one task scanning the corpus: the canonical
+    * scale-killer. This is the standard TWO-PHASE DISTRIBUTED PREFIX SUM
+    * instead:
+    *  1. bucket docs by `doc_id div B` (deterministic key ranges);
+    *  2. per-bucket totals via one hash aggregate (corpus/B rows);
+    *  3. cumulative offsets over THAT aggregate — the only unpartitioned
+    *    window in the plan runs over corpus/B rows, not the corpus (the
+    *    same bounded-small-frame discipline as the scalar-combine
+    *    crossJoins), and broadcasts back;
+    *  4. within-bucket running sums — a window PARTITIONED by bucket,
+    *    each partition ≤ B rows — plus the bucket offset give every doc
+    *    its exact global offset with no corpus-sized sort anywhere.
+    * Registered output is the per-shard manifest (what a writer consumes);
+    * the two-phase offsets are provably equal to the global cumsum, which
+    * is exactly what the oracle computes.
+    */
+  def sizeBalancedShards(spark: SparkSession, dir: String,
+      targetChars: Long = ShardTargetChars, bucket: Long = ShardBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("bucket", expr(s"doc_id div $bucket"))
+    val bucketTotals = docs.groupBy("bucket").agg(sum("n_chars").as("btotal"))
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketTotals
+      .withColumn("boff", sum(col("btotal")).over(wOff) - col("btotal"))
+      .select("bucket", "boff")
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(offsets), "bucket")
+      .withColumn("start_off",
+        col("boff") + sum(col("n_chars")).over(wIn) - col("n_chars"))
+      .withColumn("shard", expr(s"start_off div $targetChars"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("total_chars"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("shard")
+  }
+
+  /** The oracle states the SPEC (global running sum); the plan implements
+    * the provably-equal two-phase form. Integer arithmetic throughout. */
+  val sizeBalancedShardsSql: String =
+    s"""SELECT shard, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM (
+       |  SELECT doc_id, n_chars,
+       |    (sum(n_chars) OVER (ORDER BY doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
+       |      // $ShardTargetChars AS shard
+       |  FROM documents)
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
 }

@@ -227,6 +227,11 @@ class PlanShapeSpec extends SparkSuite {
     // map-side top-cap phases — the skew armor SamplingSpec pins)
     "url_host_caps" -> (0, 0, 0, 1, 2, 3),
     "host_lang_entropy" -> (0, 0, 0, 1, 5, 0),
+    // two windows BY DESIGN: the bucket-offset cumsum over the corpus/B
+    // aggregate (the only unpartitioned one — bounded small frame) and the
+    // within-bucket running sum (partitioned, <= B rows each); never a
+    // global corpus-ordered window
+    "size_balanced_shards" -> (0, 0, 0, 1, 5, 2),
     "quality_filter" -> (0, 0, 0, 1, 3, 0),
     "repetition_stats" -> (0, 0, 0, 1, 3, 0),
     "pii_scrub" -> (0, 0, 0, 1, 1, 0),

@@ -154,6 +154,39 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("sizeBalancedShards: two-phase prefix sum equals the naive global window; shards are contiguous and bounded") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Sampling.sizeBalancedShards(spark, dir).collect()
+    // spec-form recomputation: ONE global running sum (test-scale only)
+    val wg = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("shard",
+        expr(s"(sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) div ${Sampling.ShardTargetChars}"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("total_chars"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard").collect()
+    assert(out.map(_.toSeq).toSeq == naive.map(_.toSeq).toSeq,
+      "two-phase offsets diverged from the global running sum")
+    // shards partition the corpus contiguously in doc_id order
+    val ranges = out.map(r => (r.getLong(3), r.getLong(4)))
+    for (i <- 1 until ranges.length)
+      assert(ranges(i - 1)._2 < ranges(i)._1, s"shard ranges interleave at $i")
+    // every shard except the last carries at least the target (a shard
+    // closes only once the running offset crosses the boundary)
+    val maxDoc = Tables(spark, dir, "documents")
+      .agg(max("n_chars")).head().getLong(0)
+    val totals = out.map(r => r.getLong(2))
+    totals.dropRight(1).zipWithIndex.foreach { case (t, i) =>
+      assert(t >= Sampling.ShardTargetChars - maxDoc && t <= Sampling.ShardTargetChars + maxDoc,
+        s"shard $i total $t outside the one-doc band around the target")
+    }
+    assert(out.map(_.getLong(1)).sum ==
+      Tables(spark, dir, "documents").count(), "shards lost or duplicated docs")
+  }
+
   test("shuffleShards: shards actually mix the languages (that is the point)") {
     val out = Sampling.shuffleShards(spark, dir)
     val langsPerShard = out.groupBy("shard")
