@@ -147,6 +147,7 @@ object SparkEntry {
     // --- storage layout (bucketed co-located join, partition-pruned scan) ---
     "bucketed_join_revenue" -> ((s, d) => StorageLayout.bucketedJoinRevenue(s, d)),
     "partition_pruned_events" -> ((s, d) => StorageLayout.prunedEventsDaily(s, d)),
+    "zorder_chunks" -> ((s, d) => StorageLayout.zorderChunks(s, d)),
     // --- corpus sampling / splitting ---
     "split_counts"      -> (Sampling.splitCounts _),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSampleHash(s, d)),
@@ -283,6 +284,7 @@ object SparkEntry {
     "frame_near_dup" -> Multimodal.frameNearDupSql,
     "bucketed_join_revenue" -> StorageLayout.bucketedJoinRevenueSql,
     "partition_pruned_events" -> StorageLayout.prunedEventsDailySql,
+    "zorder_chunks" -> StorageLayout.zorderChunksSql,
     "split_counts"   -> Sampling.splitCountsSql,
     "stratified_sample" -> Sampling.stratifiedSampleHashSql,
     "mixture_sample"    -> Sampling.mixtureSampleSql,
@@ -357,7 +359,7 @@ object SparkEntry {
     "media_stats", "media_phash", "media_near_dup",
     "frame_sample", "frame_sample_digest", "frame_near_dup",
     "extract_features",
-    "bucketed_join_revenue", "partition_pruned_events",
+    "bucketed_join_revenue", "partition_pruned_events", "zorder_chunks",
     "split_counts", "stratified_sample", "mixture_sample", "shuffle_shards",
     "url_host_caps", "host_lang_entropy", "size_balanced_shards",
     "quality_filter",

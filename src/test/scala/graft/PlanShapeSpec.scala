@@ -212,6 +212,9 @@ class PlanShapeSpec extends SparkSuite {
     // the two exchanges are the 5-group aggregate and the final sort
     "bucketed_join_revenue" -> (0, 0, 1, 1, 2, 0),
     "partition_pruned_events" -> (0, 0, 0, 1, 2, 0),
+    // integer morton projection + one hash agg — no window, no sort
+    // beyond the chunk-manifest presentation ordering
+    "zorder_chunks" -> (0, 0, 0, 1, 2, 0),
     // one scan + literal-weight projection (the model is plan-time
     // constants) + the final presentation sort — no model runtime
     "quality_lr_score" -> (0, 0, 0, 1, 1, 0),

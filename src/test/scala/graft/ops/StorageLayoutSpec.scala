@@ -78,6 +78,48 @@ class StorageLayoutSpec extends SparkSuite {
     assert(pruned.nonEmpty, "empty week — wrong date range for the fixture")
   }
 
+  test("mortonKey interleaves bits exactly") {
+    import spark.implicits._
+    // x=0b011, y=0b101 → bits: x0@0 + y0@1 + x1@2 + (y1=0) + (x2=0) + y2@5
+    // = 1 + 2 + 4 + 32 = 39; plus identity cases on each axis
+    val got = Seq((3L, 5L), (1L, 0L), (0L, 1L), (0L, 0L), (1023L, 1023L))
+      .toDF("x", "y")
+      .select(StorageLayout.mortonKey(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(39L, 1L, 2L, 0L, (1L << 20) - 1))
+  }
+
+  test("z-chunks bound BOTH dimensions; an id-ordered layout bounds neither") {
+    val chunks = StorageLayout.zorderChunks(spark, dir).collect()
+    assert(chunks.nonEmpty)
+    // a Z-chunk fixes the top 4 bits of each dim → intra-chunk range < 64
+    for (r <- chunks) {
+      assert(r.getLong(3) - r.getLong(2) < 64, s"ux range loose in chunk ${r.getLong(0)}")
+      assert(r.getLong(5) - r.getLong(4) < 64, s"vy range loose in chunk ${r.getLong(0)}")
+    }
+    // contrast: chunk the SAME rows by event_id ranges (the default write
+    // order) into the same chunk count — per-chunk dim ranges stay wide,
+    // so footer stats would prune nothing on either column
+    val n = chunks.length
+    val ev = Tables(spark, dir, "events").select(
+      col("event_id"),
+      pmod(col("user_id"), lit(1024L)).as("ux"),
+      least(floor(col("value")), lit(1023L)).cast("long").as("vy"))
+    val maxId = ev.agg(max("event_id")).head().getLong(0)
+    val idChunks = ev
+      .withColumn("chunk", expr(s"event_id div ${maxId / n + 1}"))
+      .groupBy("chunk")
+      .agg(min("ux").as("a"), max("ux").as("b"), min("vy").as("c"), max("vy").as("d"))
+      .collect()
+    def rangeSum(rows: Array[org.apache.spark.sql.Row], lo1: Int, hi1: Int, lo2: Int, hi2: Int) =
+      rows.map(r => (r.getLong(hi1) - r.getLong(lo1)) + (r.getLong(hi2) - r.getLong(lo2))).sum
+    val zSum = rangeSum(chunks, 2, 3, 4, 5)
+    val idSum = rangeSum(idChunks, 1, 2, 3, 4)
+    info(s"per-chunk dim-range sums: z-order $zSum vs id-order $idSum (${chunks.length}/${idChunks.length} chunks)")
+    assert(zSum < idSum / 2,
+      s"z-order layout ($zSum) not at least 2x tighter than id-order ($idSum)")
+  }
+
   test("the partitioned sink actually has more partitions than the query reads") {
     StorageLayout.partitionedEvents(spark, dir) // ensure written
     // Scoped to THIS dir's tag subdirectory — a glob over every tag under
