@@ -36,34 +36,20 @@ object QualityModel {
 
   /** The four features over a `text` column, in model order:
     * x0 = n_tokens/100, x1 = type-token ratio, x2 = mean token length/10,
-    * x3 = stopword hits/5. */
+    * x3 = stopword hits/5 — built on the SHARED
+    * [[TextAnalysis.qualityFeatures]] bundle, so the student's inputs and
+    * the teacher's rules derive from one definition. */
   private def featureCols: Seq[Column] = {
-    val t = Dedup.tokens(col("text"))
-    val nTok = size(t).cast("double")
-    val ttr = size(array_distinct(t)).cast("double") / nTok
-    val meanLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
-      .cast("double") / nTok
-    val stopHits = size(array_intersect(t,
-      array(TextAnalysis.Stopwords.head._2.map(lit): _*))).cast("double")
-    Seq(nTok / TokScale, ttr, meanLen / LenScale, stopHits / StopScale)
+    val f = TextAnalysis.qualityFeatures
+    Seq(f.nTokens.cast("double") / TokScale, f.ttr,
+      f.meanLen / LenScale, f.stopHits.cast("double") / StopScale)
   }
 
-  /** Teacher label: the heuristic's ≥3-of-4 rule (quality ≥ 0.75). */
-  private def teacherCol: Column = {
-    val t = Dedup.tokens(col("text"))
-    val nTok = size(t).cast("double")
-    val ttr = size(array_distinct(t)).cast("double") / nTok
-    val meanLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
-      .cast("double") / nTok
-    val stopHits = size(array_intersect(t,
-      array(TextAnalysis.Stopwords.head._2.map(lit): _*)))
-    val score =
-      when(size(t) >= 30, lit(1)).otherwise(lit(0)) +
-      when(ttr >= 0.4, lit(1)).otherwise(lit(0)) +
-      when(meanLen >= lit(3.5) && meanLen <= lit(6.5), lit(1)).otherwise(lit(0)) +
-      when(stopHits >= 2, lit(1)).otherwise(lit(0))
-    (score >= 3).cast("double")
-  }
+  /** Teacher label: the heuristic's ≥3-of-4 rule (quality ≥ 0.75) —
+    * literally [[TextAnalysis.QualityFeatures.ruleHits]], the same column
+    * the heuristic scores with. */
+  private def teacherCol: Column =
+    (TextAnalysis.qualityFeatures.ruleHits >= 3).cast("double")
 
   /** Deterministic IRLS (Newton) fit of ridge-regularized logistic
     * regression: w ← w + (XᵀRX + λI)⁻¹ Xᵀ(y − p), R = diag(p(1−p)),

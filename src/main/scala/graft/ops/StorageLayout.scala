@@ -161,9 +161,14 @@ object StorageLayout {
     * no window, no sort beyond the chunk-manifest presentation ordering.
     */
   def zorderChunks(spark: SparkSession, dir: String): DataFrame = {
+    // both dims clamped into [0, 1023] explicitly: pmod handles any
+    // user_id sign, and the value bucket clamps from BELOW too — without
+    // it a negative value would bit-extract two's-complement low bits in
+    // Spark but signed div/mod terms in the oracle, silently landing the
+    // row in different chunks per engine
     val ev = Tables(spark, dir, "events").select(
       pmod(col("user_id"), lit(1024L)).as("ux"),
-      least(floor(col("value")), lit(1023L)).cast("long").as("vy"))
+      greatest(least(floor(col("value")), lit(1023L)), lit(0L)).cast("long").as("vy"))
     ev.withColumn("chunk", shiftright(mortonKey(col("ux"), col("vy")), ZChunkShift))
       .groupBy("chunk")
       .agg(
@@ -186,7 +191,8 @@ object StorageLayout {
        |FROM (
        |  SELECT ux, vy, ($terms) // ${1L << ZChunkShift} AS chunk
        |  FROM (
-       |    SELECT user_id % 1024 AS ux, least(floor(value), 1023)::BIGINT AS vy
+       |    SELECT ((user_id % 1024) + 1024) % 1024 AS ux,
+       |      greatest(least(floor(value), 1023), 0)::BIGINT AS vy
        |    FROM events))
        |GROUP BY chunk
        |ORDER BY chunk""".stripMargin

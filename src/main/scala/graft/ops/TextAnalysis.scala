@@ -55,23 +55,52 @@ object TextAnalysis {
     * band, type/token ratio, mean token length band, stopword presence.
     * Deterministic arithmetic; thresholds tuned to spread on the testdata.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  // The heuristic's rule thresholds — ONE definition feeding
+  // [[qualityScore]] AND the LR distillation teacher
+  // ([[QualityModel.teacherCol]]), so retuning the heuristic can never
+  // silently diverge from the model that claims to distill it.
+  val QualityMinTokens = 30
+  val QualityMinTtr = 0.4
+  val QualityLenLo = 3.5
+  val QualityLenHi = 6.5
+  val QualityMinStops = 2
+
+  /** The shared raw quality features over a `text` column — the single
+    * definition behind the heuristic score, the LR teacher label, and the
+    * LR student features ([[QualityModel]]). `nTokens`/`stopHits` are the
+    * integer counts; `ttr`/`meanLen` the exact IEEE ratios. */
+  private[ops] case class QualityFeatures(
+      nTokens: Column, ttr: Column, meanLen: Column, stopHits: Column) {
+    /** Heuristic rule hit count 0..4. */
+    def ruleHits: Column =
+      when(nTokens >= QualityMinTokens, lit(1)).otherwise(lit(0)) +
+      when(ttr >= QualityMinTtr, lit(1)).otherwise(lit(0)) +
+      when(meanLen >= lit(QualityLenLo) && meanLen <= lit(QualityLenHi), lit(1)).otherwise(lit(0)) +
+      when(stopHits >= QualityMinStops, lit(1)).otherwise(lit(0))
+  }
+
+  private[ops] def qualityFeatures: QualityFeatures = {
     val t = tokens(col("text"))
-    val nTok = size(t).cast("double")
-    val ttr = size(array_distinct(t)).cast("double") / nTok
-    val meanLen = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / nTok
-    val stopHits = size(array_intersect(t, array(Stopwords.head._2.map(lit): _*)))
-    val score =
-      when(size(t) >= 30, lit(0.25)).otherwise(lit(0.0)) +
-      when(ttr >= 0.4, lit(0.25)).otherwise(lit(0.0)) +
-      when(meanLen >= lit(3.5) && meanLen <= lit(6.5), lit(0.25)).otherwise(lit(0.0)) +
-      when(stopHits >= 2, lit(0.25)).otherwise(lit(0.0))
+    val nTokens = size(t)
+    QualityFeatures(
+      nTokens,
+      size(array_distinct(t)).cast("double") / nTokens.cast("double"),
+      aggregate(t, lit(0L), (acc, x) => acc + length(x))
+        .cast("double") / nTokens.cast("double"),
+      size(array_intersect(t, array(Stopwords.head._2.map(lit): _*))))
+  }
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val f = qualityFeatures
+    // 0.25 per rule hit: k·0.25 is exact in binary for k = 0..4, so this
+    // equals the historical sum-of-0.25-whens bit for bit
+    val score = f.ruleHits.cast("double") * 0.25
     Tables(spark, dir, "documents").select(
       col("doc_id"),
-      size(t).as("n_tokens"),
-      round(ttr, 4).as("ttr"),
-      round(meanLen, 4).as("mean_len"),
-      stopHits.as("stop_hits"),
+      f.nTokens.as("n_tokens"),
+      round(f.ttr, 4).as("ttr"),
+      round(f.meanLen, 4).as("mean_len"),
+      f.stopHits.as("stop_hits"),
       round(score, 2).as("quality"))
       .orderBy("doc_id")
   }

@@ -35,21 +35,6 @@ object DocStreams {
       .withColumn("simhash", graft.functions.SimHash64(Dedup.tokens(col("text"))))
       .dropDuplicatesWithinWatermark("fp")
 
-  /** Streaming twin of [[graft.ops.Dedup.incrementalNearDup]] — the
-    * production ingest: documents STREAM in and near-dup-check against a
-    * STATIC corpus band index (`Dedup.bandIndex` / `Dedup.shingleIndex`,
-    * the persisted-table index artifacts of the batch path). The band
-    * candidate join is a stream-static equi-join, which Structured
-    * Streaming executes STATELESSLY — per micro-batch, no streaming state
-    * at all for candidates; the only state is the pair-dedup, keyed within
-    * the watermark (a pair can collide in several bands and micro-batches
-    * apart, but never beyond the event-time horizon).
-    *
-    * Same expressions as the batch path end-to-end: map-side
-    * [[graft.functions.MinHashBands]] over the same shingles, exact-Jaccard
-    * verify against the index's stored shingle arrays — parity with the
-    * batch restriction is spec-pinned.
-    */
   /** Streaming twin of [[graft.ops.QualityModel.qualityLrScore]]: the
     * fitted classifier is five plan-time literals, so scoring a document
     * stream is a stateless projection — no model runtime, no streaming
@@ -67,6 +52,21 @@ object DocStreams {
       .drop("keep")
   }
 
+  /** Streaming twin of [[graft.ops.Dedup.incrementalNearDup]] — the
+    * production ingest: documents STREAM in and near-dup-check against a
+    * STATIC corpus band index (`Dedup.bandIndex` / `Dedup.shingleIndex`,
+    * the persisted-table index artifacts of the batch path). The band
+    * candidate join is a stream-static equi-join, which Structured
+    * Streaming executes STATELESSLY — per micro-batch, no streaming state
+    * at all for candidates; the only state is the pair-dedup, keyed within
+    * the watermark (a pair can collide in several bands and micro-batches
+    * apart, but never beyond the event-time horizon).
+    *
+    * Same expressions as the batch path end-to-end: map-side
+    * [[graft.functions.MinHashBands]] over the same shingles, exact-Jaccard
+    * verify against the index's stored shingle arrays — parity with the
+    * batch restriction is spec-pinned.
+    */
   def nearDupAgainstIndex(
       docs: DataFrame,
       histBands: DataFrame,

@@ -155,11 +155,8 @@ class SamplingSpec extends SparkSuite {
   }
 
   test("sizeBalancedShards: two-phase prefix sum equals the naive global window; shards are contiguous and bounded") {
-    import org.apache.spark.sql.expressions.Window
     val out = Sampling.sizeBalancedShards(spark, dir).collect()
     // spec-form recomputation: ONE global running sum (test-scale only)
-    val wg = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val naive = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
       .withColumn("shard",

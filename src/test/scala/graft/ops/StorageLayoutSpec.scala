@@ -104,7 +104,7 @@ class StorageLayoutSpec extends SparkSuite {
     val ev = Tables(spark, dir, "events").select(
       col("event_id"),
       pmod(col("user_id"), lit(1024L)).as("ux"),
-      least(floor(col("value")), lit(1023L)).cast("long").as("vy"))
+      greatest(least(floor(col("value")), lit(1023L)), lit(0L)).cast("long").as("vy"))
     val maxId = ev.agg(max("event_id")).head().getLong(0)
     val idChunks = ev
       .withColumn("chunk", expr(s"event_id div ${maxId / n + 1}"))
