@@ -92,6 +92,7 @@ object SparkEntry {
     "bpe_token_stats" -> (TextAnalysis.bpeTokenStats _),
     "quality_score" -> (TextAnalysis.qualityScore _),
     "quality_lr_score" -> (graft.ops.QualityModel.qualityLrScore _),
+    "quality_weighted_sample" -> ((s, d) => graft.ops.QualityModel.qualityWeightedSample(s, d)),
     "quality_prune" -> ((s, d) => TextAnalysis.qualityPrune(s, d)),
     "lang_id"       -> (TextAnalysis.langId _),
     "fingerprint"   -> (TextAnalysis.fingerprint _),
@@ -350,6 +351,7 @@ object SparkEntry {
     "completeness", "date_range", "dedup_exact_keep_first", "clean_text",
     "parse_dates", "article_funnel",
     "token_stats", "bpe_token_stats", "quality_score", "quality_lr_score",
+    "quality_weighted_sample",
     "lang_id", "fingerprint",
     "winnow_fingerprints", "vocab_top_terms", "length_histogram",
     // `hybrid_rrf_topk` (brute dense leg) is the unbenched exactness

@@ -177,6 +177,53 @@ object QualityModel {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Quality-WEIGHTED resampling — soft filtering, the production
+    * alternative to the hard `keep` cut: each doc survives with
+    * probability `p = clamp(0.5 + logit/4, 0.1, 1.0)` — confidently good
+    * docs always kept, confidently bad ones kept at a 10% floor (so the
+    * training mix retains a calibrated slice of low-quality text instead
+    * of a cliff at the decision boundary). Membership is the engine's
+    * standard deterministic draw (md5 of seed:doc_id — a pure function of
+    * the key, never an RNG stream), and the ramp is exact IEEE arithmetic
+    * on the fitted logit, so the kept SET is oracle-checkable exactly.
+    * Scale shape: one scan-and-filter, no shuffle before the final
+    * presentation sort.
+    */
+  def qualityWeightedSample(spark: SparkSession, dir: String,
+      seed: String = "qw42"): DataFrame = {
+    val w = fitCached(spark, dir)
+    val p = greatest(least(lit(0.5) + logitCol(w) / 4.0, lit(1.0)), lit(0.1))
+    val draw = conv(substring(
+      md5(concat(lit(s"$seed:"), col("doc_id").cast("string")).cast("binary")),
+      1, 4), 16, 10).cast("long")
+    Tables(spark, dir, "documents")
+      .withColumn("keep_p", p)
+      .filter(draw < floor(col("keep_p") * 65536.0))
+      .select(col("doc_id"), round(col("keep_p"), 6).as("keep_p"))
+      .orderBy("doc_id")
+  }
+
+  /** Generated oracle: the logit chain of [[qualityLrScoreSql]], the ramp,
+    * and the identical hex-draw threshold compare. */
+  private[ops] def qualityWeightedSampleSql(w: Array[Double],
+      seed: String = "qw42"): String = {
+    val terms = Seq(
+      s"${w(0)} * (len(t)::DOUBLE / $TokScale)",
+      s"${w(1)} * (len(list_distinct(t))::DOUBLE / len(t)::DOUBLE)",
+      s"${w(2)} * (list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)::DOUBLE / $LenScale)",
+      s"${w(3)} * (len(list_intersect(t, ['the', 'a', 'of', 'and', 'to']))::DOUBLE / $StopScale)")
+    val logit = terms.mkString(" + ") + s" + ${w(4)}"
+    s"""SELECT doc_id, round(keep_p, 6) AS keep_p
+       |FROM (
+       |  SELECT doc_id,
+       |    greatest(least(0.5 + ($logit) / 4.0, 1.0), 0.1) AS keep_p,
+       |    CAST('0x' || substr(md5('$seed:' || doc_id::VARCHAR), 1, 4) AS INTEGER) AS draw
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |        FROM documents))
+       |WHERE draw < floor(keep_p * 65536)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracle context — the [[Similarity.setOracleContext]] mechanism. */
   @volatile private var oracleCtx: Option[(SparkSession, String)] = None
 
@@ -185,7 +232,10 @@ object QualityModel {
 
   def modelOracles: Map[String, String] = oracleCtx match {
     case Some((spark, dir)) =>
-      Map("quality_lr_score" -> qualityLrScoreSql(fitCached(spark, dir)))
+      val w = fitCached(spark, dir)
+      Map(
+        "quality_lr_score" -> qualityLrScoreSql(w),
+        "quality_weighted_sample" -> qualityWeightedSampleSql(w))
     case None => Map.empty
   }
 }

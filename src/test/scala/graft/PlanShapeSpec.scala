@@ -218,6 +218,8 @@ class PlanShapeSpec extends SparkSuite {
     // one scan + literal-weight projection (the model is plan-time
     // constants) + the final presentation sort — no model runtime
     "quality_lr_score" -> (0, 0, 0, 1, 1, 0),
+    // one scan-and-filter on the literal ramp + deterministic draw
+    "quality_weighted_sample" -> (0, 0, 0, 1, 1, 0),
     // the sortMerge IS the exercise: the salted (host, _salt) shuffle join
     // pinned in the non-broadcast regime (SkewSpec proves result parity
     // with the plain join and forbids the silent bench-SF broadcast)

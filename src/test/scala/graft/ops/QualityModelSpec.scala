@@ -68,6 +68,25 @@ class QualityModelSpec extends SparkSuite {
     j.unpersist()
   }
 
+  test("quality-weighted sample: deterministic, rate tracks mean keep probability, ramp bounded") {
+    val a = QualityModel.qualityWeightedSample(spark, dir).collect()
+    val b = QualityModel.qualityWeightedSample(spark, dir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "kept set must be a pure function of (seed, key)")
+    assert(a.forall(r => r.getDouble(1) >= 0.1 && r.getDouble(1) <= 1.0), "ramp left [0.1, 1.0]")
+    // empirical keep rate within binomial noise of the mean ramp value
+    val w = QualityModel.fitCached(spark, dir)
+    val total = Tables(spark, dir, "documents").count().toDouble
+    val meanP = Tables(spark, dir, "documents")
+      .select(avg(greatest(least(lit(0.5) + QualityModel.logitCol(w) / 4.0, lit(1.0)), lit(0.1))))
+      .head().getDouble(0)
+    val rate = a.length / total
+    info(f"keep rate $rate%.3f vs mean ramp $meanP%.3f over ${total.toInt} docs")
+    // 4σ binomial bound at p≈meanP
+    val bound = 4 * math.sqrt(meanP * (1 - meanP) / total)
+    assert(math.abs(rate - meanP) < bound + 0.01,
+      f"keep rate $rate%.3f departs from mean ramp $meanP%.3f beyond noise")
+  }
+
   test("served keep equals the raw logit sign recomputed driver-side") {
     val w = QualityModel.fitCached(spark, dir)
     val served = QualityModel.qualityLrScore(spark, dir).limit(50).collect()
