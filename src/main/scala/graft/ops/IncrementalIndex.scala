@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Append-only incremental maintenance for the PQ/ADC index family.
@@ -54,23 +54,27 @@ object IncrementalIndex {
       baseErr: Double,
       appends: Int)
 
-  /** Persist + materialize NOW (a lazy persist would let a scan failure
-    * escape to the first serving batch) — and unpersist on failure, so a
-    * throw inside the caller's failure-isolation Try never leaks a
-    * half-built cache entry (with `refreshEvery=1` against a persistently
-    * broken corpus that leak would otherwise grow per micro-batch). */
-  private def eagerPersist(df: DataFrame): DataFrame = {
-    val p = df.persist()
-    try { p.foreachPartition((_: Iterator[Row]) => ()); p }
-    catch { case e: Throwable => p.unpersist(); throw e }
-  }
+  /** Materialize the code table as a lineage-free SNAPSHOT
+    * (`localCheckpoint(eager = true)`), not a lazy `persist`: the index
+    * serves against a LIVE corpus directory, and a persisted plan still
+    * carries the source scan in its lineage — any cache bypass or
+    * recompute (observed under the foreachBatch-cloned session) silently
+    * re-derives "the index" from the CURRENT directory contents, which
+    * (a) breaks the new-vector anti-join (everything looks indexed) and
+    * (b) violates the atomic (books, codes) pair contract. Checkpointing
+    * cuts the plan at a materialized RDD, so the snapshot can never see a
+    * later append. Eager ⇒ a scan failure surfaces inside the caller's
+    * failure-isolation Try, not at the first serving batch; superseded
+    * snapshots release via the ContextCleaner once the index reference
+    * drops them (Dataset.unpersist on a checkpointed frame is a no-op). */
+  private def eagerSnapshot(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** Full build: fit, encode, eagerly persist, baseline the drift
     * statistic. */
   def build(corpus: DataFrame,
       m: Int = Similarity.PqM, ks: Int = Similarity.PqKs): PqIndex = {
     val books = Similarity.fitPqFrom(corpus, m, ks)
-    val codes = eagerPersist(Similarity.assignCodes(corpus, books, Seq("vec_id")))
+    val codes = eagerSnapshot(Similarity.assignCodes(corpus, books, Seq("vec_id")))
     PqIndex(books, codes, corpus, quantizationError(corpus, books), 0)
   }
 
@@ -115,7 +119,7 @@ object IncrementalIndex {
       idx.codes.unpersist()
       fresh
     } else {
-      val fresh = eagerPersist(idx.codes
+      val fresh = eagerSnapshot(idx.codes
         .unionByName(Similarity.assignCodes(batch, idx.books, Seq("vec_id"))))
       idx.codes.unpersist()
       idx.copy(codes = fresh, corpus = grown, appends = idx.appends + 1)

@@ -64,14 +64,16 @@ object VectorStreams {
       val corpus = Tables(spark, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       val books = Similarity.fitPqFrom(corpus, Similarity.PqM, Similarity.PqKs)
-      // persist() is lazy — materialize NOW so a code-table scan failure
-      // (corpus mid-write) surfaces inside the caller's Try, before the
-      // stale index is swapped out and unpersisted; on failure the
-      // half-built cache entry is released before the rethrow (otherwise
-      // every failed refresh would leak one persisted frame)
-      val codes = Similarity.assignCodes(corpus, books, Seq("vec_id")).persist()
-      try codes.foreachPartition((_: Iterator[Row]) => ())
-      catch { case e: Throwable => codes.unpersist(); throw e }
+      // eager lineage-free SNAPSHOT, not a lazy persist: the corpus
+      // directory is LIVE, and a persisted plan still carries the source
+      // scan in its lineage — a cache bypass or recompute would silently
+      // re-derive the code table from the current directory, violating
+      // the atomic (books, codes) pair a batch is promised. Eager ⇒ a
+      // scan failure (corpus mid-write) surfaces inside the caller's Try,
+      // before the stale index is swapped out; superseded snapshots
+      // release via the ContextCleaner when the index drops them.
+      val codes = Similarity.assignCodes(corpus, books, Seq("vec_id"))
+        .localCheckpoint(true)
       (books, codes)
     }
     @volatile var index = buildIndex()

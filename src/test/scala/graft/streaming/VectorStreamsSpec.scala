@@ -178,6 +178,64 @@ class VectorStreamsSpec extends SparkSuite {
         s"${(afterRefresh diff expected).take(5)} / ${(expected diff afterRefresh).take(5)}")
   }
 
+  /** Incremental serving, DRIFT path: the corpus grows with far-shifted
+    * rescaled vectors whose quantization error under the frozen books
+    * blows past the drift gate — the refresh must run the full
+    * deterministic re-fit, and the post-refresh batch must equal batch
+    * scoring with books re-fitted on the grown corpus (NOT the frozen
+    * seed books).
+    */
+  test("incremental refresh re-fits when the appended batch drifts") {
+    val src = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("graft-vec-drift").toFile
+    val dir = s"$root/corpus"
+    val (out, ckpt) = (s"$root/out", s"$root/ckpt")
+    val Shift = 1000000L
+
+    val orig = spark.read.parquet(s"$src/embeddings.parquet")
+    orig.write.parquet(s"$dir/embeddings.parquet")
+    val seed = Tables(spark, src, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val qIds = seed.filter(col("vec_id") % 50 === 0)
+      .select("vec_id").as[Long].collect().sorted.take(2)
+    val qVecs = seed.filter(col("vec_id").isin(qIds: _*))
+      .as[(Long, Seq[Double])].collect().toMap
+
+    val mem = MemoryStream[(Long, Seq[Double])](spark)
+    val stream = mem.toDF().toDF("vec_id", "v")
+
+    mem.addData((qIds(0), qVecs(qIds(0))))
+    val q = VectorStreams.adcServeIncremental(spark, dir, stream, out, ckpt,
+      k = 10, refreshEvery = 1L)
+    q.processAllAvailable()
+    // drifted growth: rescaled + offset vectors, far outside the fitted
+    // codeword range
+    orig.select((col("vec_id") + Shift).as("vec_id"),
+        transform(col("embedding"), x => x * lit(3.0f) + lit(7.0f)).as("embedding"))
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    mem.addData((qIds(1), qVecs(qIds(1))))
+    q.processAllAvailable()
+    q.stop()
+
+    val afterRefresh = Sinks.readSink(spark, out)
+      .filter(col("batch_id") === 1)
+      .select("q_id", "n_id", "rank", "adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    // parity with a full re-fit over the grown corpus (deterministic fit)
+    val grown = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val booksG = Similarity.fitPqFrom(grown, Similarity.PqM, Similarity.PqKs)
+    val queries1 = seed.filter(col("vec_id") === qIds(1))
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val expected = Similarity.adcTopKAgainst(
+        Similarity.assignCodes(grown, booksG, Seq("vec_id")), queries1, booksG, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(afterRefresh == expected,
+      s"drift refresh did not serve the re-fitted index: " +
+        s"${(afterRefresh diff expected).take(5)} / ${(expected diff afterRefresh).take(5)}")
+  }
+
   /** Kill/restart with a REAL file source + checkpoint (the path the
     * MemoryStream specs can't reach): the serving query dies between
     * micro-batches, the corpus grows while it is down, and the restarted
