@@ -135,7 +135,13 @@ object VectorStreams {
             val fresh = grown.join(index.codes.select("vec_id"), Seq("vec_id"), "left_anti")
             IncrementalIndex.appendWith(index, fresh, grown, driftFactor)
           } match {
-            case scala.util.Success(updated) => index = updated
+            case scala.util.Success(updated) =>
+              if (!(updated eq index))
+                System.err.println(s"[adcServeIncremental] batch $batchId refresh: " +
+                  (if (updated.books eq index.books)
+                    s"frozen-books append (appends since fit: ${updated.appends})"
+                  else "drift-triggered re-fit"))
+              index = updated
             case scala.util.Failure(e) =>
               System.err.println(
                 s"[adcServeIncremental] refresh at batch $batchId failed, serving previous index: ${e.getMessage}")

@@ -99,6 +99,28 @@ class IncrementalIndexSpec extends SparkSuite {
     idxN.codes.unpersist()
   }
 
+  test("the code table is a true snapshot: growing the source directory cannot change it") {
+    // regression pin for the round-11 live-index bug: a persist()ed code
+    // table still carries the source scan in its lineage and can silently
+    // re-derive from the CURRENT directory; the snapshot contract says the
+    // built index NEVER sees a later append
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-snap").toFile
+    val dirT = root.getAbsolutePath
+    val orig = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    orig.write.parquet(s"$dirT/embeddings.parquet")
+    val live = Tables(spark, dirT, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val idx = IncrementalIndex.build(live)
+    val n0 = idx.codes.count()
+    orig.withColumn("vec_id", col("vec_id") + Shift)
+      .write.mode("append").parquet(s"$dirT/embeddings.parquet")
+    assert(idx.codes.count() == n0,
+      "code table re-derived from the grown directory — the index is not a snapshot")
+    assert(idx.codes.filter(col("vec_id") >= Shift).count() == 0,
+      "appended ids leaked into the built index")
+    idx.codes.unpersist()
+  }
+
   test("empty append is a no-op; quantization error is non-negative") {
     val idx0 = IncrementalIndex.build(corpus0)
     assert(idx0.baseErr >= 0.0)
