@@ -17,65 +17,91 @@ import org.apache.spark.sql.functions._
   *
   * Mechanics:
   *  - `build` fits codebooks (bounded driver-side sample, the
-  *    [[Similarity.fitPqFrom]] discipline), encodes + persists the code
-  *    table, and records the corpus' mean quantization error as the drift
-  *    baseline.
+  *    [[Similarity.fitPqFrom]] discipline), encodes the corpus, WRITES
+  *    the code table as an on-disk parquet snapshot (see [[build]] for
+  *    why a cached plan is not an index artifact), and records the
+  *    corpus' mean quantization error as the drift baseline.
   *  - `append` encodes ONLY the new batch with the FROZEN codebooks and
-  *    unions it into the code table — one narrow pass over the batch, the
-  *    historical codes untouched. Before encoding it measures the batch's
-  *    mean quantization error under the frozen books; if that exceeds
-  *    `driftFactor ×` the fit-time baseline, the batch's distribution has
-  *    moved away from what the codebooks were fitted on (recall would decay
-  *    silently), so the index re-fits over the grown corpus instead —
-  *    deterministic, so the result is bit-identical to `build` on that
-  *    corpus.
+  *    appends the files into the index directory — one narrow pass over
+  *    the batch, the historical codes untouched on disk. Before encoding
+  *    it measures the batch's mean quantization error under the frozen
+  *    books; if that exceeds `driftFactor ×` the fit-time baseline, the
+  *    batch's distribution has moved away from what the codebooks were
+  *    fitted on (recall would decay silently), so the index re-fits over
+  *    the grown corpus instead — deterministic, so the result is
+  *    bit-identical to `build` on that corpus.
   *  - `topK` serves queries through the SHARED batch scoring tail
   *    ([[Similarity.adcTopKAgainst]]), so incremental/full index parity is
   *    structural.
   *
   * Scale shape: the drift statistic is one scan-and-aggregate over the
-  * BATCH (never the corpus); the no-drift path's only corpus-sized action
-  * is the lazy union of an already-persisted frame with the newly coded
-  * batch. At production scale the code table is a partitioned table and
-  * `append` is an `INSERT INTO`; the DataFrame union here is the
-  * single-session rendering of the same contract.
+  * BATCH (never the corpus); the no-drift path touches only batch-sized
+  * data. The code table IS a table — at production scale a catalog table
+  * and `append` an `INSERT INTO`; the tmp-dir parquet here is the
+  * single-session rendering of exactly that contract.
   */
 object IncrementalIndex {
 
-  /** The served index artifact. `corpus` is the raw `(vec_id, v)` source
-    * the index derives from (needed only on the re-fit path); `baseErr` is
-    * the fit-time mean quantization error the drift test compares against;
-    * `appends` counts no-refit unions since the last fit (observability +
-    * spec hook). */
+  /** The served index artifact. `codes` is an immutable read over
+    * `codesPath` — the ON-DISK code table (see [[snapshotDir]]); `corpus`
+    * is the raw `(vec_id, v)` source the index derives from (needed only
+    * on the re-fit path); `baseErr` is the fit-time mean quantization
+    * error the drift test compares against; `appends` counts no-refit
+    * unions since the last fit (observability + spec hook). */
   final case class PqIndex(
       books: Array[Array[Array[Double]]],
       codes: DataFrame,
+      codesPath: String,
       corpus: DataFrame,
       baseErr: Double,
       appends: Int)
 
-  /** Materialize the code table as a lineage-free SNAPSHOT
-    * (`localCheckpoint(eager = true)`), not a lazy `persist`: the index
-    * serves against a LIVE corpus directory, and a persisted plan still
-    * carries the source scan in its lineage — any cache bypass or
-    * recompute (observed under the foreachBatch-cloned session) silently
-    * re-derives "the index" from the CURRENT directory contents, which
-    * (a) breaks the new-vector anti-join (everything looks indexed) and
-    * (b) violates the atomic (books, codes) pair contract. Checkpointing
-    * cuts the plan at a materialized RDD, so the snapshot can never see a
-    * later append. Eager ⇒ a scan failure surfaces inside the caller's
-    * failure-isolation Try, not at the first serving batch; superseded
-    * snapshots release via the ContextCleaner once the index reference
-    * drops them (Dataset.unpersist on a checkpointed frame is a no-op). */
-  private def eagerSnapshot(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  /** The code table is a WRITTEN parquet snapshot, not a cached plan.
+    * Round-11 lesson: a `persist()`ed (or `localCheckpoint`ed) frame is
+    * not a durable index artifact over a LIVE corpus directory —
+    * persist's lineage can silently re-derive from the current directory
+    * (observed under the foreachBatch-cloned session: the new-vector
+    * anti-join saw everything as indexed), and localCheckpoint is
+    * non-fault-tolerant (one executor loss kills serving) with no prompt
+    * release path. Writing the codes and reading them back gives exactly
+    * the production contract the scale note below promises: the index IS
+    * a table — immutable listing (a later corpus append cannot leak in),
+    * recomputable after executor loss, appendable in place (the no-drift
+    * path is literally a file append), and released by deleting the
+    * superseded directory at swap time. */
+  private def snapshotDir(): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_pq_index",
+      java.util.UUID.randomUUID.toString)
+    p.toString
+  }
 
-  /** Full build: fit, encode, eagerly persist, baseline the drift
-    * statistic. */
+  /** Recursive delete of a superseded snapshot — the prompt-release half
+    * of the swap (failure-safe: missing paths are a no-op). */
+  def release(idx: PqIndex): Unit = deleteDir(idx.codesPath)
+
+  private[graft] def deleteDir(path: String): Unit = {
+    val root = new java.io.File(path)
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rec)
+      f.delete(); ()
+    }
+    if (root.exists()) rec(root)
+  }
+
+  /** Full build: fit, encode, WRITE the code table, read it back as the
+    * immutable serving frame, baseline the drift statistic. A write
+    * failure (corpus mid-write) cleans its partial directory before
+    * rethrowing into the caller's failure-isolation Try. */
   def build(corpus: DataFrame,
       m: Int = Similarity.PqM, ks: Int = Similarity.PqKs): PqIndex = {
     val books = Similarity.fitPqFrom(corpus, m, ks)
-    val codes = eagerSnapshot(Similarity.assignCodes(corpus, books, Seq("vec_id")))
-    PqIndex(books, codes, corpus, quantizationError(corpus, books), 0)
+    val path = snapshotDir()
+    try Similarity.assignCodes(corpus, books, Seq("vec_id"))
+      .write.mode("overwrite").parquet(path)
+    catch { case e: Throwable => deleteDir(path); throw e }
+    val codes = corpus.sparkSession.read.parquet(path)
+    PqIndex(books, codes, path, corpus, quantizationError(corpus, books), 0)
   }
 
   /** Mean per-vector quantization error under `books`: Σ over subspaces of
@@ -101,9 +127,10 @@ object IncrementalIndex {
 
   /** Append `batch` (schema `vec_id, v`; ids disjoint from the indexed
     * corpus — the caller's ingest contract). No drift → frozen-books
-    * encode + union (work ∝ batch). Drift → full deterministic re-fit over
-    * `grown`. Either way the superseded code table is unpersisted only
-    * after its replacement is live. */
+    * encode APPENDED INTO the index directory (work ∝ batch — the
+    * production `INSERT INTO` shape, literally). Drift → full
+    * deterministic re-fit over `grown` into a fresh directory, the
+    * superseded one deleted only after its replacement is live. */
   def append(idx: PqIndex, batch: DataFrame, driftFactor: Double = 1.5): PqIndex =
     appendWith(idx, batch, idx.corpus.unionByName(batch), driftFactor)
 
@@ -112,17 +139,25 @@ object IncrementalIndex {
     * not union a stale file-listing snapshot. */
   def appendWith(idx: PqIndex, batch: DataFrame, grown: DataFrame,
       driftFactor: Double = 1.5): PqIndex = {
-    if (batch.isEmpty) return idx // nothing new (avg over zero rows is null)
-    val batchErr = quantizationError(batch, idx.books)
+    // materialize the incoming batch ONCE (bounded, transient): `batch`
+    // may be a lazy anti-join over the LIVE corpus directory, and without
+    // this the emptiness check, the drift gate, and the encode would each
+    // re-evaluate it — three scans, and files landing between the gate
+    // and the encode would enter the index un-measured
+    val snap = batch.localCheckpoint(true)
+    if (snap.isEmpty) return idx // nothing new (avg over zero rows is null)
+    val batchErr = quantizationError(snap, idx.books)
     if (batchErr > driftFactor * idx.baseErr) {
       val fresh = build(grown)
-      idx.codes.unpersist()
+      release(idx)
       fresh
     } else {
-      val fresh = eagerSnapshot(idx.codes
-        .unionByName(Similarity.assignCodes(batch, idx.books, Seq("vec_id"))))
-      idx.codes.unpersist()
-      idx.copy(codes = fresh, corpus = grown, appends = idx.appends + 1)
+      Similarity.assignCodes(snap, idx.books, Seq("vec_id"))
+        .write.mode("append").parquet(idx.codesPath)
+      idx.copy(
+        codes = idx.codes.sparkSession.read.parquet(idx.codesPath),
+        corpus = grown,
+        appends = idx.appends + 1)
     }
   }
 

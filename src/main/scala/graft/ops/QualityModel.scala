@@ -162,13 +162,21 @@ object QualityModel {
   /** Generated-literal oracle: features re-derived exactly (the
     * `quality_score` oracle's token arithmetic), logit re-stated as the
     * same left-associative chain over the fitted literals. */
-  private[ops] def qualityLrScoreSql(w: Array[Double]): String = {
+  /** The fitted logit as DuckDB SQL over the tokenized column `t` — ONE
+    * definition feeding BOTH generated oracles; the exactness contract
+    * requires them to state the identical left-associative chain, so the
+    * chain must never exist twice. */
+  private def logitSql(w: Array[Double]): String = {
     val terms = Seq(
       s"${w(0)} * (len(t)::DOUBLE / $TokScale)",
       s"${w(1)} * (len(list_distinct(t))::DOUBLE / len(t)::DOUBLE)",
       s"${w(2)} * (list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)::DOUBLE / $LenScale)",
       s"${w(3)} * (len(list_intersect(t, ['the', 'a', 'of', 'and', 'to']))::DOUBLE / $StopScale)")
-    val logit = terms.mkString(" + ") + s" + ${w(4)}"
+    terms.mkString(" + ") + s" + ${w(4)}"
+  }
+
+  private[ops] def qualityLrScoreSql(w: Array[Double]): String = {
+    val logit = logitSql(w)
     s"""SELECT doc_id, round(logit, 6) AS lr_logit, logit > 0 AS keep
        |FROM (
        |  SELECT doc_id, $logit AS logit
@@ -193,9 +201,10 @@ object QualityModel {
       seed: String = "qw42"): DataFrame = {
     val w = fitCached(spark, dir)
     val p = greatest(least(lit(0.5) + logitCol(w) / 4.0, lit(1.0)), lit(0.1))
+    // the engine's ONE deterministic draw ([[Sampling.seededKey]]), as a
+    // 16-bit integer — the same md5 bytes every sampling operator uses
     val draw = conv(substring(
-      md5(concat(lit(s"$seed:"), col("doc_id").cast("string")).cast("binary")),
-      1, 4), 16, 10).cast("long")
+      Sampling.seededKey(seed, col("doc_id")), 1, 4), 16, 10).cast("long")
     Tables(spark, dir, "documents")
       .withColumn("keep_p", p)
       .filter(draw < floor(col("keep_p") * 65536.0))
@@ -207,12 +216,7 @@ object QualityModel {
     * and the identical hex-draw threshold compare. */
   private[ops] def qualityWeightedSampleSql(w: Array[Double],
       seed: String = "qw42"): String = {
-    val terms = Seq(
-      s"${w(0)} * (len(t)::DOUBLE / $TokScale)",
-      s"${w(1)} * (len(list_distinct(t))::DOUBLE / len(t)::DOUBLE)",
-      s"${w(2)} * (list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)::DOUBLE / $LenScale)",
-      s"${w(3)} * (len(list_intersect(t, ['the', 'a', 'of', 'and', 'to']))::DOUBLE / $StopScale)")
-    val logit = terms.mkString(" + ") + s" + ${w(4)}"
+    val logit = logitSql(w)
     s"""SELECT doc_id, round(keep_p, 6) AS keep_p
        |FROM (
        |  SELECT doc_id,

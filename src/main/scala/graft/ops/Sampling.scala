@@ -18,7 +18,7 @@ object Sampling {
     * operator shares: a pure function of (seed, key), never of an RNG
     * stream, row order, or partitioning.
     */
-  private def seededKey(seed: String, key: org.apache.spark.sql.Column) =
+  private[ops] def seededKey(seed: String, key: org.apache.spark.sql.Column) =
     md5(concat(lit(seed), lit(":"), key.cast("string")).cast("binary"))
 
   /** Deterministic train/test assignment: first hex nibble of

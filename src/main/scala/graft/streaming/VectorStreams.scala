@@ -52,51 +52,42 @@ object VectorStreams {
       ckpt: String,
       k: Int = 10,
       refreshEvery: Long = 0L): StreamingQuery = {
-    // One (codebooks, coded-corpus) build — the index artifact the
-    // micro-batches re-scan (8 bytes/vector, cached; never the parquet).
-    // Fits via fitPqFrom on a FRESH read, NOT the session-cached fitPq:
-    // the cache is keyed by dir and assumes an immutable table, which is
-    // exactly what a live refresh must not assume — a cached fit would
-    // re-persist new codes against STALE codebooks and silently never
-    // re-fit. (Deterministic fit ⇒ identical books to the cache while the
-    // corpus is unchanged, so the static case is unaffected.)
-    def buildIndex(): (Array[Array[Array[Double]]], DataFrame) = {
-      val corpus = Tables(spark, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      val books = Similarity.fitPqFrom(corpus, Similarity.PqM, Similarity.PqKs)
-      // eager lineage-free SNAPSHOT, not a lazy persist: the corpus
-      // directory is LIVE, and a persisted plan still carries the source
-      // scan in its lineage — a cache bypass or recompute would silently
-      // re-derive the code table from the current directory, violating
-      // the atomic (books, codes) pair a batch is promised. Eager ⇒ a
-      // scan failure (corpus mid-write) surfaces inside the caller's Try,
-      // before the stale index is swapped out; superseded snapshots
-      // release via the ContextCleaner when the index drops them.
-      val codes = Similarity.assignCodes(corpus, books, Seq("vec_id"))
-        .localCheckpoint(true)
-      (books, codes)
-    }
+    // One (codebooks, coded-corpus) build — the shared on-disk index
+    // artifact ([[graft.ops.IncrementalIndex.build]]: written parquet
+    // snapshot, never a cached plan over the live directory — see the
+    // round-11 lesson documented there). Fits via fitPqFrom on a FRESH
+    // read, NOT the session-cached fitPq: the cache is keyed by dir and
+    // assumes an immutable table, which is exactly what a live refresh
+    // must not assume — a cached fit would re-encode new codes against
+    // STALE codebooks and silently never re-fit. (Deterministic fit ⇒
+    // identical books to the cache while the corpus is unchanged, so the
+    // static case is unaffected.)
+    import graft.ops.IncrementalIndex
+    def buildIndex(): IncrementalIndex.PqIndex =
+      IncrementalIndex.build(Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
     @volatile var index = buildIndex()
     queryStream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (refreshEvery > 0 && batchId > 0 && batchId % refreshEvery == 0) {
           // a failed rebuild (corpus mid-write, fit sample too small) must
           // NOT kill the serving query — log and keep the previous index;
-          // the next refresh boundary retries
+          // the next refresh boundary retries. A successful swap deletes
+          // the superseded snapshot directory promptly.
           scala.util.Try(buildIndex()) match {
             case scala.util.Success(fresh) =>
-              val stale = index._2
+              val stale = index
               index = fresh
-              stale.unpersist()
+              IncrementalIndex.release(stale)
             case scala.util.Failure(e) =>
               System.err.println(
                 s"[adcServe] index refresh at batch $batchId failed, serving previous index: ${e.getMessage}")
           }
         }
-        val (books, codes) = index
+        val idx = index
         val queries = batch.select(col("vec_id").as("q_id"), col("v").as("q_v"))
         Sinks.idempotentBatchWrite(
-          Similarity.adcTopKAgainst(codes, queries, books, k), batchId, outDir)
+          IncrementalIndex.topK(idx, queries, k), batchId, outDir)
       }
       .option("checkpointLocation", ckpt)
       .start()

@@ -50,7 +50,7 @@ class IncrementalIndexSpec extends SparkSuite {
     val withTwin = queries.count(q => served.contains((q, q + Shift)))
     assert(queries.nonEmpty && withTwin == queries.length,
       s"only $withTwin of ${queries.length} queries surfaced their appended twin in the top-10")
-    idx1.codes.unpersist()
+    IncrementalIndex.release(idx1)
   }
 
   test("drift append: re-fit runs and is bit-identical to a from-scratch build on the grown corpus") {
@@ -79,7 +79,7 @@ class IncrementalIndexSpec extends SparkSuite {
       .collect().map(_.toSeq).toSet
     assert(servedInc == servedFull,
       "drift path must serve identically to the full re-fit path")
-    idx1.codes.unpersist(); rebuilt.codes.unpersist()
+    IncrementalIndex.release(idx1); IncrementalIndex.release(rebuilt)
   }
 
   test("three chained no-drift appends equal one encode-all (union-of-union lineage path)") {
@@ -96,7 +96,7 @@ class IncrementalIndexSpec extends SparkSuite {
     assert(idxN.codes.collect().map(_.toSeq).toSet == expect,
       "chained unions diverged from the one-shot encode-all")
     assert(idxN.codes.count() == 4 * corpus0.count())
-    idxN.codes.unpersist()
+    IncrementalIndex.release(idxN)
   }
 
   test("the code table is a true snapshot: growing the source directory cannot change it") {
@@ -118,7 +118,7 @@ class IncrementalIndexSpec extends SparkSuite {
       "code table re-derived from the grown directory — the index is not a snapshot")
     assert(idx.codes.filter(col("vec_id") >= Shift).count() == 0,
       "appended ids leaked into the built index")
-    idx.codes.unpersist()
+    IncrementalIndex.release(idx)
   }
 
   test("empty append is a no-op; quantization error is non-negative") {
@@ -126,6 +126,6 @@ class IncrementalIndexSpec extends SparkSuite {
     assert(idx0.baseErr >= 0.0)
     val idx1 = IncrementalIndex.append(idx0, corpus0.filter(lit(false)))
     assert((idx1.books eq idx0.books) && (idx1.codes eq idx0.codes) && idx1.appends == 0)
-    idx0.codes.unpersist()
+    IncrementalIndex.release(idx0)
   }
 }
