@@ -328,7 +328,26 @@ object Sampling {
       |ORDER BY host, host_rank""".stripMargin
 
   val ShardTargetChars = 20000L
-  val ShardBucket = 64L
+
+  /** Buckets per shuffle partition in the two-phase prefix sum. The
+    * bucket COUNT — not the bucket width — is what must stay bounded:
+    * the unpartitioned offset window runs over one row per bucket, so
+    * with `count ≤ partitions × this` it is O(cluster parallelism)
+    * regardless of corpus size, while each within-bucket window holds
+    * `N / count` rows — the same per-task share every other scan in the
+    * engine already handles. (A constant bucket WIDTH gets this exactly
+    * backwards: N/width buckets make the offset window linear in the
+    * corpus — at bench SF that is 8 rows and invisible; at 100 TB it is
+    * the single-task global sort the two-phase form exists to avoid.) */
+  val ShardBucketsPerPartition = 32L
+
+  /** Bucket width for an id span of `idRange` under `parallelism`-way
+    * execution: the smallest width that keeps the bucket count at or
+    * under `parallelism × ShardBucketsPerPartition`. */
+  private[graft] def shardBucketWidth(idRange: Long, parallelism: Int): Long = {
+    val targetBuckets = math.max(1L, parallelism.toLong * ShardBucketsPerPartition)
+    math.max(1L, (idRange + targetBuckets - 1) / targetBuckets)
+  }
 
   /** Size-balanced output sharding — the writer-side fix for the
     * small-files / fat-files problem: assign each doc a shard id so every
@@ -339,25 +358,36 @@ object Sampling {
     * with no partition key, one task scanning the corpus: the canonical
     * scale-killer. This is the standard TWO-PHASE DISTRIBUTED PREFIX SUM
     * instead:
-    *  1. bucket docs by `doc_id div B` (deterministic key ranges);
-    *  2. per-bucket totals via one hash aggregate (corpus/B rows);
+    *  1. bucket docs by `doc_id div B`, where B is sized from the id SPAN
+    *    so the bucket count is bounded by cluster parallelism
+    *    ([[shardBucketWidth]]; the span comes from one min/max aggregate —
+    *    a parquet-stats-assisted narrow pass) and the manifest is
+    *    provably independent of the choice of B;
+    *  2. per-bucket totals via one hash aggregate (≤ bucket-count rows);
     *  3. cumulative offsets over THAT aggregate — the only unpartitioned
-    *    window in the plan runs over corpus/B rows, not the corpus (the
-    *    same bounded-small-frame discipline as the scalar-combine
+    *    window in the plan runs over O(parallelism) rows, not the corpus
+    *    (the same bounded-small-frame discipline as the scalar-combine
     *    crossJoins), and broadcasts back;
     *  4. within-bucket running sums — a window PARTITIONED by bucket,
-    *    each partition ≤ B rows — plus the bucket offset give every doc
-    *    its exact global offset with no corpus-sized sort anywhere.
+    *    each partition ≈ N/bucket-count rows (a per-task share) — plus
+    *    the bucket offset give every doc its exact global offset with no
+    *    corpus-sized sort anywhere.
     * Registered output is the per-shard manifest (what a writer consumes);
     * the two-phase offsets are provably equal to the global cumsum, which
     * is exactly what the oracle computes.
     */
   def sizeBalancedShards(spark: SparkSession, dir: String,
-      targetChars: Long = ShardTargetChars, bucket: Long = ShardBucket): DataFrame = {
+      targetChars: Long = ShardTargetChars, bucket: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables(spark, dir, "documents")
+    val base = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
-      .withColumn("bucket", expr(s"doc_id div $bucket"))
+    val width = bucket.getOrElse {
+      val span = base.agg(min("doc_id"), max("doc_id")).head()
+      if (span.isNullAt(0)) 1L
+      else shardBucketWidth(span.getLong(1) - span.getLong(0) + 1,
+        spark.sessionState.conf.numShufflePartitions)
+    }
+    val docs = base.withColumn("bucket", expr(s"doc_id div $width"))
     val bucketTotals = docs.groupBy("bucket").agg(sum("n_chars").as("btotal"))
     val wOff = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -380,15 +410,20 @@ object Sampling {
   }
 
   /** The oracle states the SPEC (global running sum); the plan implements
-    * the provably-equal two-phase form. Integer arithmetic throughout. */
+    * the provably-equal two-phase form. Integer arithmetic throughout.
+    * `shard` is cast `::BIGINT` because DuckDB's window `sum` yields
+    * HUGEINT (and `//` keeps it), which pandas fetches as float64 — the
+    * driver's strict stringify-hash would then see `"0.0"` vs Spark's
+    * `"0"` on value-identical rows (the `pack_sequences` bucket cast,
+    * [[graft.ops.Corpus.packSequencesSql]], is the same pattern). */
   val sizeBalancedShardsSql: String =
     s"""SELECT shard, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM (
        |  SELECT doc_id, n_chars,
-       |    (sum(n_chars) OVER (ORDER BY doc_id
+       |    ((sum(n_chars) OVER (ORDER BY doc_id
        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
-       |      // $ShardTargetChars AS shard
+       |      // $ShardTargetChars)::BIGINT AS shard
        |  FROM documents)
        |GROUP BY shard
        |ORDER BY shard""".stripMargin

@@ -184,6 +184,28 @@ class SamplingSpec extends SparkSuite {
       Tables(spark, dir, "documents").count(), "shards lost or duplicated docs")
   }
 
+  test("sizeBalancedShards: bucket count bounded by parallelism regardless of corpus size; manifest invariant to bucket width") {
+    val par = spark.sessionState.conf.numShufflePartitions
+    val bound = par.toLong * Sampling.ShardBucketsPerPartition
+    // 1e3 → 1e13 ids: the chosen width always keeps the bucket count (the
+    // rows under the one unpartitioned window) at or under the bound — the
+    // property a constant width (the old ShardBucket=64) violates linearly
+    for (idRange <- Seq(1000L, 1000000L, 1000000000L, 10000000000000L)) {
+      val w = Sampling.shardBucketWidth(idRange, par)
+      val buckets = (idRange + w - 1) / w
+      assert(buckets <= bound, s"id range $idRange: $buckets buckets > bound $bound")
+      assert(w >= 1L)
+    }
+    // the two-phase decomposition is provably equal to the global cumsum
+    // for ANY width — pin the manifest across widths incl. the dynamic one
+    val dyn = Sampling.sizeBalancedShards(spark, dir).collect().map(_.toSeq).toSeq
+    for (w <- Seq(1L, 7L, 64L, Long.MaxValue)) {
+      val fixed = Sampling.sizeBalancedShards(spark, dir, bucket = Some(w))
+        .collect().map(_.toSeq).toSeq
+      assert(fixed == dyn, s"manifest changed under bucket width $w")
+    }
+  }
+
   test("shuffleShards: shards actually mix the languages (that is the point)") {
     val out = Sampling.shuffleShards(spark, dir)
     val langsPerShard = out.groupBy("shard")

@@ -26,22 +26,36 @@ def align_dtypes(a: pd.DataFrame, b: pd.DataFrame):
     here: ratios, averages)."""
     def to_int_ok(col):
         v = col.dropna()
-        return bool(((v % 1) == 0).all()) if len(v) else True
+        if not len(v):
+            return True
+        # Int64 cast raises on floats outside int64 range — fall back to
+        # the float path there rather than crashing the gate
+        if ((v < -2**63) | (v >= 2**63)).any():
+            return False
+        return bool(((v % 1) == 0).all())
+    aligned = []
     for c in set(a.columns) & set(b.columns):
         ka, kb = a[c].dtype.kind, b[c].dtype.kind
         if ka in "iu" and kb == "f":
+            aligned.append(c)
             if to_int_ok(b[c]):
                 b[c] = b[c].astype("Int64")
                 a[c] = a[c].astype("Int64")
             else:
                 a[c] = a[c].astype("float64")
         elif kb in "iu" and ka == "f":
+            aligned.append(c)
             if to_int_ok(a[c]):
                 a[c] = a[c].astype("Int64")
                 b[c] = b[c].astype("Int64")
             else:
                 b[c] = b[c].astype("float64")
-    return a, b
+    # The DRIVER gate has no such alignment: it stringify-hashes raw
+    # fetches, so an int-vs-float divergence this shim repairs locally
+    # WILL fail there ('0' vs '0.0'). Warn loudly so the two gates can
+    # never silently disagree — fix the oracle's dtype (e.g. ::BIGINT on
+    # window-sum-derived integers) instead of relying on this.
+    return a, b, aligned
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -79,7 +93,11 @@ def main():
             ora_df = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"{name}: ORACLE SQL ERROR: {e}"); fails += 1; continue
-        spark_df, ora_df = align_dtypes(spark_df, ora_df)
+        spark_df, ora_df, aligned = align_dtypes(spark_df, ora_df)
+        for c in aligned:
+            print(f"{name}: WARNING dtype alignment fired on column '{c}' "
+                  f"(int vs float) — the DRIVER gate would hash-fail this; "
+                  f"cast the oracle column (::BIGINT) instead")
         a, b = norm(spark_df), norm(ora_df)
         if list(a.columns) != list(b.columns):
             print(f"{name}: SCHEMA MISMATCH spark={list(a.columns)} oracle={list(b.columns)}"); fails += 1
