@@ -94,6 +94,7 @@ object SparkEntry {
     "quality_lr_score" -> (graft.ops.QualityModel.qualityLrScore _),
     "quality_weighted_sample" -> ((s, d) => graft.ops.QualityModel.qualityWeightedSample(s, d)),
     "quality_prune" -> ((s, d) => TextAnalysis.qualityPrune(s, d)),
+    "quality_prune_approx" -> ((s, d) => TextAnalysis.qualityPruneApprox(s, d)),
     "lang_id"       -> (TextAnalysis.langId _),
     "fingerprint"   -> (TextAnalysis.fingerprint _),
     "winnow_fingerprints" -> (TextAnalysis.winnowFingerprints _),
@@ -177,8 +178,9 @@ object SparkEntry {
     * has bound the sweep's (session, dir); `Verify` does that before
     * dumping. Omitted (rows-only check), each for a stated reason:
     *  - `distinct_parts_approx`, `value_percentiles_approx`,
-    *    `value_quartiles_approx`: HLL/GK sketch internals are
-    *    engine-specific (error envelopes spec-pinned vs the exact twins);
+    *    `value_quartiles_approx`, `quality_prune_approx`: HLL/GK/KLL
+    *    sketch internals are engine-specific (error envelopes spec-pinned
+    *    vs the exact twins);
     *  - `decontaminate_bloom`: the Bloom bit pattern depends on the
     *    engine's sketch hashes (no-false-negative superset of the exact
     *    `decontaminate` + fpp bound spec-pinned instead);
@@ -355,8 +357,11 @@ object SparkEntry {
     "lang_id", "fingerprint",
     "winnow_fingerprints", "vocab_top_terms", "length_histogram",
     // `hybrid_rrf_topk` (brute dense leg) is the unbenched exactness
-    // anchor; the benched hybrid is the LSH-leg composite
-    "distinctive_terms", "bm25_topk", "quality_prune", "hybrid_rrf_lsh_topk",
+    // anchor; the benched hybrid is the LSH-leg composite. Likewise exact
+    // `quality_prune` (per-language rank sort — single-task on a dominant
+    // language) is the unbenched anchor; the benched form is the
+    // approx-quantile threshold scan
+    "distinctive_terms", "bm25_topk", "quality_prune_approx", "hybrid_rrf_lsh_topk",
     "vocab_heavy_hitters_cms",
     "media_stats", "media_phash", "media_near_dup",
     "frame_sample", "frame_sample_digest", "frame_near_dup",

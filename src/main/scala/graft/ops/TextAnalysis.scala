@@ -652,13 +652,14 @@ object TextAnalysis {
     * out by a quality distribution shifted against them).
     *
     * Exactly-fractional semantics need a per-language rank, which is a
-    * per-language sort: fine when languages number in the dozens and
-    * partitions in the millions of rows (repartitionByRange + sort at
-    * production scale). When a corpus-sized language makes even that too
-    * heavy, the standard relaxation is a per-language score THRESHOLD from
-    * an approximate quantile (one pass, no sort) at the cost of over/under-
-    * keeping ties — with this corpus's 5-point score grid that would
-    * over-keep entire tie classes, so the exact rank is the right default.
+    * per-language sort — a single task per language, so a corpus-dominant
+    * language (English at ~half of a real crawl) makes this the
+    * correctness ANCHOR, not the scale path. The benched scale path is
+    * [[qualityPruneApprox]]: a per-language score THRESHOLD from an
+    * approximate quantile (one pass, no sort anywhere) at the cost of
+    * over-keeping the boundary tie class — the same exact-anchor /
+    * approx-benched convention as `value_quartiles` /
+    * `value_quartiles_approx`.
     */
   def qualityPrune(spark: SparkSession, dir: String, keepFrac: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -687,6 +688,34 @@ object TextAnalysis {
        |SELECT doc_id, lang, quality, lang_rank
        |FROM ranked WHERE lang_rank <= ceil(0.5 * n_lang)
        |ORDER BY doc_id""".stripMargin
+
+  /** Scale path for [[qualityPrune]]: per-language quality THRESHOLD from
+    * `percentile_approx` (keep everything scoring at or above the
+    * language's (1−keepFrac) quantile) instead of an exact per-language
+    * rank. Plan shape: one hash aggregate down to a rows-per-language
+    * frame (map-side partials, O(langs) rows), broadcast back, scan and
+    * filter — no window, no sort, no single-task language partition; a
+    * corpus-dominant language costs the same as any other scan share.
+    * Semantics envelope (spec-pinned vs the exact rank): the kept set is
+    * downward-closed in quality and differs from the exact top-keepFrac
+    * only within the boundary tie class — every doc strictly above the
+    * threshold is kept, none strictly below it survives. No DuckDB oracle:
+    * the quantile sketch (KLL) is engine-specific, like the other
+    * `_approx` twins — the envelope spec vs [[qualityPrune]] is the gate.
+    */
+  def qualityPruneApprox(spark: SparkSession, dir: String,
+      keepFrac: Double = 0.5): DataFrame = {
+    val scored = qualityScore(spark, dir)
+      .join(Tables(spark, dir, "documents").select("doc_id", "lang"), Seq("doc_id"))
+    val thresholds = scored.groupBy("lang")
+      .agg(percentile_approx(col("quality"), lit(1.0 - keepFrac), lit(10000))
+        .as("q_thresh"))
+    scored.join(broadcast(thresholds), "lang")
+      .filter(col("quality") >= col("q_thresh"))
+      .select(col("doc_id"), col("lang"), col("quality"),
+        col("q_thresh"))
+      .orderBy("doc_id")
+  }
 
   val winnowFingerprintsSql: String =
     """WITH grams AS (

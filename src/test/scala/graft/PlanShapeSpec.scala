@@ -187,7 +187,10 @@ class PlanShapeSpec extends SparkSuite {
     // exchange is the per-doc dl join. Count up, bytes down.
     "bm25_topk" -> (0, 2, 0, 1, 15, 3),
     // quality_prune's 2 windows share one lang partitioning (rank + count)
+    // — the unbenched exactness anchor; the benched approx twin replaces
+    // both windows with an O(langs) aggregate broadcast back (no window)
     "quality_prune" -> (0, 0, 0, 1, 2, 2),
+    "quality_prune_approx" -> (0, 0, 0, 1, 2, 0),
     // the composition of both retrievers' plans: bm25's TWO scalar-combine
     // BNLs (post-restructure) + ann's broadcast nested loop (its pinned
     // shape), their window top-ks (each with WindowGroupLimit pair) + the

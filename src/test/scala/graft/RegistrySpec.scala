@@ -24,6 +24,7 @@ class RegistrySpec extends SparkSuite {
     "distinct_parts_approx",    // HLL sketch internals are engine-specific
     "value_percentiles_approx", // GK sketch internals are engine-specific
     "value_quartiles_approx",   // approx_percentile boundaries are engine-specific
+    "quality_prune_approx",     // KLL quantile sketch is engine-specific (envelope spec vs exact)
     "decontaminate_bloom",      // Bloom bit pattern is engine-specific (sketch hashes)
     "vocab_heavy_hitters_cms",  // count-min hash layout is engine-specific
     "frame_sample"              // raw binary cells defeat the driver's value hash

@@ -73,6 +73,44 @@ class Bm25Spec extends SparkSuite {
     }
   }
 
+  test("qualityPruneApprox: threshold envelope vs the exact rank — superset above threshold, divergence only in the boundary tie class") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val approx = TextAnalysis.qualityPruneApprox(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val exact = TextAnalysis.qualityPrune(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val all = TextAnalysis.qualityScore(spark, dir)
+      .join(Tables(spark, dir, "documents").select("doc_id", "lang"), Seq("doc_id"))
+      .select("doc_id", "lang", "quality").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    for ((lang, docs) <- all.groupBy(_._2)) {
+      val keptA = approx.filter(_._2 == lang)
+      assert(keptA.nonEmpty, s"$lang: approx prune kept nothing")
+      val t = keptA.head._4
+      assert(keptA.map(_._4).distinct.length == 1, s"$lang: threshold not constant")
+      // kept set is EXACTLY { quality >= t }: downward-closed in quality,
+      // whole tie classes in or out — never a partial class
+      val expectedIds = docs.filter(_._3 >= t).map(_._1).toSet
+      assert(keptA.map(_._1).toSet == expectedIds,
+        s"$lang: approx kept set is not exactly the >=threshold class union")
+      // divergence from the exact rank-top is confined to the boundary tie
+      // class: everything the exact prune kept with quality STRICTLY above
+      // the threshold is kept here too, and nothing strictly below the
+      // exact prune's minimum kept quality survives
+      val keptE = exact.filter(_._2 == lang)
+      val minKeptExact = keptE.map(_._3).min
+      assert(keptE.filter(_._3 > t).map(_._1).toSet.subsetOf(keptA.map(_._1).toSet),
+        s"$lang: approx dropped docs the exact prune kept above threshold")
+      // the threshold sits at (or, via rank-convention off-by-one on a
+      // straddling tie class, one 0.25 grid step below) the exact floor
+      assert(t >= minKeptExact - 0.25 - 1e-9 && t <= minKeptExact + 1e-9,
+        s"$lang: threshold $t more than one grid class from exact floor $minKeptExact")
+      // and the threshold itself is a real grid value from this language
+      assert(docs.map(_._3).contains(t), s"$lang: threshold $t not a data value")
+    }
+  }
+
   test("bm25TopKFor: user-query API matches the benchmark form on its own sample; ad-hoc queries retrieve") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
