@@ -150,6 +150,7 @@ object SparkEntry {
     "bucketed_join_revenue" -> ((s, d) => StorageLayout.bucketedJoinRevenue(s, d)),
     "partition_pruned_events" -> ((s, d) => StorageLayout.prunedEventsDaily(s, d)),
     "zorder_chunks" -> ((s, d) => StorageLayout.zorderChunks(s, d)),
+    "zorder_pruned_scan" -> ((s, d) => StorageLayout.zorderPrunedScan(s, d)),
     // --- corpus sampling / splitting ---
     "split_counts"      -> (Sampling.splitCounts _),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSampleHash(s, d)),
@@ -288,6 +289,7 @@ object SparkEntry {
     "bucketed_join_revenue" -> StorageLayout.bucketedJoinRevenueSql,
     "partition_pruned_events" -> StorageLayout.prunedEventsDailySql,
     "zorder_chunks" -> StorageLayout.zorderChunksSql,
+    "zorder_pruned_scan" -> StorageLayout.zorderPrunedScanSql,
     "split_counts"   -> Sampling.splitCountsSql,
     "stratified_sample" -> Sampling.stratifiedSampleHashSql,
     "mixture_sample"    -> Sampling.mixtureSampleSql,
@@ -367,6 +369,7 @@ object SparkEntry {
     "frame_sample", "frame_sample_digest", "frame_near_dup",
     "extract_features",
     "bucketed_join_revenue", "partition_pruned_events", "zorder_chunks",
+    "zorder_pruned_scan",
     "split_counts", "stratified_sample", "mixture_sample", "shuffle_shards",
     "url_host_caps", "host_lang_entropy", "size_balanced_shards",
     "quality_filter",

@@ -152,8 +152,8 @@ object StorageLayout {
     * dimensions. Because a Z-chunk fixes the high bits of each dim, every
     * chunk's footprint is a small axis-aligned box (≤ 2^(ZBits−4) per dim
     * at the default shift) — so when chunks become output files
-    * (`repartitionByRange(chunk)` + `sortWithinPartitions(z)` at write
-    * time), parquet footer min/max stats are tight on EITHER column and a
+    * ([[zorderedEvents]], the write path that realizes this manifest),
+    * parquet footer min/max stats are tight on EITHER column and a
     * predicate on either one prunes most files. A doc_id/event_id-ordered
     * layout bounds neither (spec measures the contrast).
     *
@@ -177,6 +177,69 @@ object StorageLayout {
         min("vy").as("min_vy"), max("vy").as("max_vy"))
       .orderBy("chunk")
   }
+
+  /** The CLUSTERED WRITE the manifest promises — events physically laid
+    * out in Z-order: `repartitionByRange(z)` makes every output file own
+    * a contiguous z-range, `sortWithinPartitions(z)` orders rows inside
+    * it, so each file's parquet footer min/max on BOTH `ux` and `vy` is a
+    * tight axis-aligned box (a contiguous z-range fixes the high
+    * interleaved bits of both dims). A predicate on EITHER column then
+    * skips most files/row-groups at scan time — the two-column
+    * generalization of what `partitionedEvents` does for one column.
+    * Idempotent per (session, dir), same as the other layout legs; the
+    * EXPLICIT file count pins the layout against AQE's small-partition
+    * coalescing at test SF (one merged file would leave nothing to skip)
+    * — a cluster deployment sizes it to `table_bytes / target_file_bytes`
+    * output files, the same sizing note as [[bucketedTable]].
+    */
+  val ZWriteFiles = 16
+
+  def zorderedEvents(spark: SparkSession, dir: String): String = {
+    val name = s"graft_z_events_${tag(dir)}"
+    if (!spark.catalog.tableExists(name)) {
+      val path = s"$tmpRoot/${tag(dir)}/zordered_events"
+      val ev = Tables(spark, dir, "events")
+        .withColumn("ux", pmod(col("user_id"), lit(1024L)))
+        .withColumn("vy",
+          greatest(least(floor(col("value")), lit(1023L)), lit(0L)).cast("long"))
+        .withColumn("z", mortonKey(col("ux"), col("vy")))
+      ev.repartitionByRange(ZWriteFiles, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .option("path", path)
+        .saveAsTable(name)
+    }
+    name
+  }
+
+  /** Two-dimensional pruned scan over the Z-ordered layout: a box
+    * predicate on (ux, vy) — both plain min/max comparisons that push to
+    * the parquet scan, where the clustered files' tight footer stats turn
+    * them into file/row-group SKIPS rather than reads
+    * ([[graft.ops.StorageLayoutSpec]] measures the file-footprint
+    * contrast vs an event_id-ordered layout of the same rows). The
+    * aggregate itself is layout-independent, which is exactly what the
+    * oracle (raw events, ux/vy re-derived inline) checks.
+    */
+  def zorderPrunedScan(spark: SparkSession, dir: String): DataFrame =
+    spark.table(zorderedEvents(spark, dir))
+      .filter(col("ux").between(1L, 9L) && col("vy").between(80L, 159L))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+
+  val zorderPrunedScanSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+      |FROM (
+      |  SELECT event_type, value,
+      |    ((user_id % 1024) + 1024) % 1024 AS ux,
+      |    greatest(least(floor(value), 1023), 0)::BIGINT AS vy
+      |  FROM events)
+      |WHERE ux BETWEEN 1 AND 9 AND vy BETWEEN 80 AND 159
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   /** Morton restated as exact integer arithmetic (bit i of v ≙
     * `(v // 2^i) % 2`; position p ≙ `· 2^p`). */

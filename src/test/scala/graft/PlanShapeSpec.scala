@@ -218,6 +218,9 @@ class PlanShapeSpec extends SparkSuite {
     // integer morton projection + one hash agg — no window, no sort
     // beyond the chunk-manifest presentation ordering
     "zorder_chunks" -> (0, 0, 0, 1, 2, 0),
+    // scan of the clustered table + pushed box filter + agg exchange +
+    // presentation-sort range exchange (5-row result)
+    "zorder_pruned_scan" -> (0, 0, 0, 1, 2, 0),
     // one scan + literal-weight projection (the model is plan-time
     // constants) + the final presentation sort — no model runtime
     "quality_lr_score" -> (0, 0, 0, 1, 1, 0),

@@ -120,6 +120,70 @@ class StorageLayoutSpec extends SparkSuite {
       s"z-order layout ($zSum) not at least 2x tighter than id-order ($idSum)")
   }
 
+  test("zorder_pruned_scan result equals the plain-parquet aggregate, and the box predicate reaches the scan pushed down") {
+    val df = StorageLayout.zorderPrunedScan(spark, dir)
+    val got = df.collect()
+    assert(got.nonEmpty, "empty box — wrong predicate for the fixture")
+    val plain = Tables(spark, dir, "events")
+      .select(col("event_type"), col("value"),
+        pmod(col("user_id"), lit(1024L)).as("ux"),
+        greatest(least(floor(col("value")), lit(1023L)), lit(0L)).cast("long").as("vy"))
+      .filter(col("ux").between(1L, 9L) && col("vy").between(80L, 159L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+      .collect()
+    assert(got.toSeq == plain.toSeq, "clustered-layout result diverged from raw events")
+    // both box bounds are pushed to the parquet scan, where row-group
+    // footer stats turn them into skips inside the clustered files
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(pushed.exists(f => f.contains("ux") && f.contains("vy") &&
+      f.contains("GreaterThanOrEqual") && f.contains("LessThanOrEqual")),
+      s"box predicate not pushed to the scan:\n$plan")
+  }
+
+  test("z-ordered files: the box predicate's stats footprint skips files an id-ordered layout must read") {
+    StorageLayout.zorderedEvents(spark, dir) // ensure written
+    def partFiles(path: String): Seq[java.io.File] =
+      Option(new java.io.File(path).listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    def intersectingBox(files: Seq[java.io.File]): (Int, Int) = {
+      val boxes = files.map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min("ux"), max("ux"), min("vy"), max("vy")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      // a stats-driven pruner reads a file iff its [min,max]^2 box
+      // intersects the query box (what parquet row-group skipping and a
+      // file-stats catalog both evaluate)
+      val hit = boxes.count { case (uxLo, uxHi, vyLo, vyHi) =>
+        uxHi >= 1L && uxLo <= 9L && vyHi >= 80L && vyLo <= 159L
+      }
+      (hit, boxes.length)
+    }
+    val zPath = s"${StorageLayout.tmpRoot}/${StorageLayout.tag(dir)}/zordered_events"
+    val (zHit, zTotal) = intersectingBox(partFiles(zPath))
+    // contrast: the SAME enriched rows written in event_id order (the
+    // default ingest layout) — every file sees the full ux/vy spread, so
+    // its stats box intersects any non-trivial query box
+    val idPath = s"${StorageLayout.tmpRoot}/${StorageLayout.tag(dir)}/idordered_events_contrast"
+    if (partFiles(idPath).isEmpty)
+      spark.table(StorageLayout.zorderedEvents(spark, dir))
+        .repartitionByRange(StorageLayout.ZWriteFiles, col("event_id"))
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(idPath)
+    val (idHit, idTotal) = intersectingBox(partFiles(idPath))
+    info(s"box-intersecting files: z-order $zHit/$zTotal vs id-order $idHit/$idTotal")
+    assert(zTotal > 1, "single output file — nothing to skip; widen the layout")
+    assert(idHit == idTotal,
+      "id-ordered contrast unexpectedly prunable — fixture distribution changed?")
+    assert(zHit < zTotal,
+      s"z-order layout skipped nothing ($zHit/$zTotal) — clustering not effective")
+    assert(zHit.toDouble / zTotal <= 0.5,
+      s"z-order read fraction ${zHit.toDouble / zTotal} above 0.5 — box should prune most files")
+  }
+
   test("the partitioned sink actually has more partitions than the query reads") {
     StorageLayout.partitionedEvents(spark, dir) // ensure written
     // Scoped to THIS dir's tag subdirectory — a glob over every tag under
