@@ -125,20 +125,33 @@ object IncrementalIndex {
       .agg(avg("qerr")).head().getDouble(0)
   }
 
+  /** No-refit appends tolerated before the snapshot directory is
+    * compacted: each frozen-books append lands one small parquet batch in
+    * the serving directory, and a long-running ingest would otherwise
+    * accumulate unbounded small files (only a drift re-fit ever rewrote
+    * before round 12) — degrading every later codes scan. At the gate the
+    * whole snapshot is rewritten into a fresh directory and swapped, so
+    * the steady-state file count is bounded by
+    * `build-files + CompactEvery × append-files` while the amortized
+    * compaction cost stays O(corpus / CompactEvery) per append. */
+  val CompactEvery = 8
+
   /** Append `batch` (schema `vec_id, v`; ids disjoint from the indexed
     * corpus — the caller's ingest contract). No drift → frozen-books
-    * encode APPENDED INTO the index directory (work ∝ batch — the
-    * production `INSERT INTO` shape, literally). Drift → full
-    * deterministic re-fit over `grown` into a fresh directory, the
-    * superseded one deleted only after its replacement is live. */
-  def append(idx: PqIndex, batch: DataFrame, driftFactor: Double = 1.5): PqIndex =
-    appendWith(idx, batch, idx.corpus.unionByName(batch), driftFactor)
+    * encode STAGED then promoted into the index directory (work ∝ batch —
+    * the production `INSERT INTO` shape), with an appends-gated compaction
+    * ([[CompactEvery]]). Drift → full deterministic re-fit over `grown`
+    * into a fresh directory, the superseded one deleted only after its
+    * replacement is live. */
+  def append(idx: PqIndex, batch: DataFrame, driftFactor: Double = 1.5,
+      compactEvery: Int = CompactEvery): PqIndex =
+    appendWith(idx, batch, idx.corpus.unionByName(batch), driftFactor, compactEvery)
 
   /** [[append]] with the grown corpus supplied explicitly — the streaming
     * refresh path already holds a fresh read of the live table and must
     * not union a stale file-listing snapshot. */
   def appendWith(idx: PqIndex, batch: DataFrame, grown: DataFrame,
-      driftFactor: Double = 1.5): PqIndex = {
+      driftFactor: Double = 1.5, compactEvery: Int = CompactEvery): PqIndex = {
     // materialize the incoming batch ONCE (bounded, transient): `batch`
     // may be a lazy anti-join over the LIVE corpus directory, and without
     // this the emptiness check, the drift gate, and the encode would each
@@ -152,13 +165,78 @@ object IncrementalIndex {
       release(idx)
       fresh
     } else {
-      Similarity.assignCodes(snap, idx.books, Seq("vec_id"))
-        .write.mode("append").parquet(idx.codesPath)
-      idx.copy(
+      // STAGED append: a direct mode("append") into the serving directory
+      // would leave committed part-files behind if the job fails after
+      // some tasks commit — and because the retained `idx.codes` listing
+      // is then stale, the next refresh's anti-join would re-encode and
+      // re-append the same vectors alongside the orphans (duplicate
+      // vec_ids in the code table, duplicate n_ids in served topK). The
+      // batch therefore encodes into its own staging directory (cleaned
+      // whole on any failure) and only complete output is renamed in.
+      val staging = s"${idx.codesPath}.staging-${
+        java.util.UUID.randomUUID.toString.replace("-", "")}"
+      try {
+        Similarity.assignCodes(snap, idx.books, Seq("vec_id"))
+          .write.mode("overwrite").parquet(staging)
+        promoteStaged(staging, idx.codesPath)
+      } catch { case e: Throwable => deleteDir(staging); throw e }
+      val appended = idx.copy(
         codes = idx.codes.sparkSession.read.parquet(idx.codesPath),
         corpus = grown,
         appends = idx.appends + 1)
+      if (compactEvery > 0 && appended.appends >= compactEvery)
+        compact(appended)
+      else appended
     }
+  }
+
+  /** Rename the staging directory's data files into the serving directory
+    * (same-filesystem moves — no data copy). Names are prefixed with the
+    * staging id so a resident file can never be overwritten; if any move
+    * fails, the files promoted so far are pulled back out before the
+    * staging cleanup in [[appendWith]]'s catch deletes them with the rest.
+    */
+  private def promoteStaged(staging: String, dest: String): Unit = {
+    val stamp = staging.substring(staging.lastIndexOf('-') + 1)
+    val parts = Option(new java.io.File(staging).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    val moved = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+    try parts.foreach { f =>
+      val tgt = new java.io.File(dest, s"b$stamp-${f.getName}")
+      java.nio.file.Files.move(f.toPath, tgt.toPath)
+      moved += tgt
+    } catch { case e: Throwable =>
+      moved.foreach(t => java.nio.file.Files.move(
+        t.toPath, new java.io.File(staging, t.getName).toPath))
+      throw e
+    }
+    deleteDir(staging)
+  }
+
+  /** Target size of a compacted snapshot file — the rewrite coalesces to
+    * `ceil(snapshot bytes / this)` outputs, so compaction actually MERGES
+    * the accumulated small files instead of echoing one output per tiny
+    * input split (at 100 TB the same sizing as any parquet table:
+    * ~128 MB files). */
+  val CompactTargetFileBytes: Long = 128L << 20
+
+  /** Rewrite the append-accumulated snapshot into a fresh directory and
+    * swap — the rows (and therefore every served result) are unchanged;
+    * only the file count drops to the byte-sized target. The superseded
+    * directory is deleted only after its replacement is live, the same
+    * swap/release discipline as the drift re-fit. */
+  private[ops] def compact(idx: PqIndex): PqIndex = {
+    val bytes = Option(new java.io.File(idx.codesPath).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val targetFiles = math.max(1L,
+      (bytes + CompactTargetFileBytes - 1) / CompactTargetFileBytes).toInt
+    val path = snapshotDir()
+    try idx.codes.coalesce(targetFiles).write.mode("overwrite").parquet(path)
+    catch { case e: Throwable => deleteDir(path); throw e }
+    val codes = idx.codes.sparkSession.read.parquet(path)
+    val out = idx.copy(codes = codes, codesPath = path, appends = 0)
+    deleteDir(idx.codesPath)
+    out
   }
 
   /** Serve a query batch (`q_id`, `q_v`) — the shared ADC scan+rank tail,

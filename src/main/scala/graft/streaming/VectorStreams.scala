@@ -101,9 +101,13 @@ object VectorStreams {
     * drifts past `driftFactor ×` the fit-time baseline. The 100-TB refresh
     * cost drops from corpus-sized (re-fit + re-encode everything) to
     * batch-sized, the `incremental_near_dup` ingest shape applied to the
-    * vector index. Failure isolation matches [[adcServe]]: the append/refit
-    * runs inside a Try with the result eagerly materialized, so a failed
-    * refresh keeps the previous index serving.
+    * vector index. Small-file growth is bounded by the index's own
+    * appends-gated compaction ([[graft.ops.IncrementalIndex.CompactEvery]]):
+    * every Nth no-drift refresh rewrites and swaps the snapshot directory,
+    * so a long-running ingest never degrades the codes scan. Failure
+    * isolation matches [[adcServe]]: the append/refit runs inside a Try
+    * with the result eagerly materialized, so a failed refresh keeps the
+    * previous index serving.
     */
   def adcServeIncremental(
       spark: SparkSession,

@@ -121,6 +121,56 @@ class IncrementalIndexSpec extends SparkSuite {
     IncrementalIndex.release(idx)
   }
 
+  test("appends-gated compaction: file count drops back, appends reset, rows unchanged, old dir released") {
+    def partFiles(p: String) = Option(new java.io.File(p).listFiles()).toSeq.flatten
+      .filter(f => f.getName.contains("part-") && f.getName.endsWith(".parquet"))
+    val idx0 = IncrementalIndex.build(corpus0)
+    val books0 = idx0.books
+    val path0 = idx0.codesPath
+    val buildFiles = partFiles(path0).length
+    val batches = (1 to 3).map(i =>
+      corpus0.select((col("vec_id") + i * Shift).as("vec_id"), col("v")))
+    // compactEvery=3: the first two appends accumulate files in place
+    val idx2 = batches.take(2).foldLeft(idx0)(
+      (idx, b) => IncrementalIndex.append(idx, b, compactEvery = 3))
+    assert(idx2.appends == 2 && idx2.codesPath == path0)
+    val preCompact = partFiles(path0).length
+    assert(preCompact > buildFiles,
+      s"appends did not accumulate files ($buildFiles -> $preCompact)")
+    // the third crosses the gate: fresh directory, bounded file count,
+    // counter reset, frozen books, identical rows
+    val idx3 = IncrementalIndex.append(idx2, batches(2), compactEvery = 3)
+    assert(idx3.appends == 0, "compaction must reset the appends counter")
+    assert(idx3.codesPath != path0, "compaction must swap to a fresh directory")
+    assert(!new java.io.File(path0).exists, "superseded directory not released")
+    assert(idx3.books eq books0, "compaction must not touch the codebooks")
+    val postCompact = partFiles(idx3.codesPath).length
+    assert(postCompact < preCompact,
+      s"compaction did not shrink the file count ($preCompact -> $postCompact)")
+    val grown = batches.foldLeft(corpus0)(_ unionByName _)
+    val expect = Similarity.assignCodes(grown, books0, Seq("vec_id"))
+      .collect().map(_.toSeq).toSet
+    assert(idx3.codes.collect().map(_.toSeq).toSet == expect,
+      "compaction changed the served code table")
+    IncrementalIndex.release(idx3)
+  }
+
+  test("staged append leaves no staging residue in the serving directory") {
+    val idx0 = IncrementalIndex.build(corpus0)
+    val twins = corpus0.select((col("vec_id") + Shift).as("vec_id"), col("v"))
+    val idx1 = IncrementalIndex.append(idx0, twins)
+    val names = Option(new java.io.File(idx1.codesPath).listFiles())
+      .toSeq.flatten.map(_.getName)
+    assert(!names.exists(_.contains("staging")),
+      s"staging artifacts leaked into the serving dir: $names")
+    // and no sibling staging directory survives a successful promote
+    val parent = new java.io.File(idx1.codesPath).getParentFile
+    val strays = Option(parent.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith(new java.io.File(idx1.codesPath).getName + ".staging"))
+    assert(strays.isEmpty, s"staging directories left behind: $strays")
+    IncrementalIndex.release(idx1)
+  }
+
   test("empty append is a no-op; quantization error is non-negative") {
     val idx0 = IncrementalIndex.build(corpus0)
     assert(idx0.baseErr >= 0.0)
