@@ -151,12 +151,14 @@ object SparkEntry {
     "partition_pruned_events" -> ((s, d) => StorageLayout.prunedEventsDaily(s, d)),
     "zorder_chunks" -> ((s, d) => StorageLayout.zorderChunks(s, d)),
     "zorder_pruned_scan" -> ((s, d) => StorageLayout.zorderPrunedScan(s, d)),
+    "dpp_pruned_join" -> ((s, d) => StorageLayout.dppPrunedJoin(s, d)),
     // --- corpus sampling / splitting ---
     "split_counts"      -> (Sampling.splitCounts _),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSampleHash(s, d)),
     "mixture_sample"    -> ((s, d) => Sampling.mixtureSample(s, d)),
     "shuffle_shards"    -> ((s, d) => Sampling.shuffleShards(s, d)),
     "url_host_caps"     -> ((s, d) => Sampling.urlHostCaps(s, d)),
+    "temperature_sample" -> ((s, d) => Sampling.temperatureSample(s, d)),
     "host_lang_entropy" -> (Sampling.hostLangEntropy _),
     "size_balanced_shards" -> ((s, d) => Sampling.sizeBalancedShards(s, d)),
     // --- corpus preparation (repetition filter, PII, decontamination, packing) ---
@@ -290,11 +292,13 @@ object SparkEntry {
     "partition_pruned_events" -> StorageLayout.prunedEventsDailySql,
     "zorder_chunks" -> StorageLayout.zorderChunksSql,
     "zorder_pruned_scan" -> StorageLayout.zorderPrunedScanSql,
+    "dpp_pruned_join" -> StorageLayout.dppPrunedJoinSql,
     "split_counts"   -> Sampling.splitCountsSql,
     "stratified_sample" -> Sampling.stratifiedSampleHashSql,
     "mixture_sample"    -> Sampling.mixtureSampleSql,
     "shuffle_shards"    -> Sampling.shuffleShardsSql,
     "url_host_caps"     -> Sampling.urlHostCapsSql,
+    "temperature_sample" -> Sampling.temperatureSampleSql,
     "host_lang_entropy" -> Sampling.hostLangEntropySql,
     "size_balanced_shards" -> Sampling.sizeBalancedShardsSql,
     "quality_filter"   -> Corpus.qualityFilterSql,
@@ -369,8 +373,9 @@ object SparkEntry {
     "frame_sample", "frame_sample_digest", "frame_near_dup",
     "extract_features",
     "bucketed_join_revenue", "partition_pruned_events", "zorder_chunks",
-    "zorder_pruned_scan",
-    "split_counts", "stratified_sample", "mixture_sample", "shuffle_shards",
+    "zorder_pruned_scan", "dpp_pruned_join",
+    "split_counts", "stratified_sample", "mixture_sample", "temperature_sample",
+    "shuffle_shards",
     "url_host_caps", "host_lang_entropy", "size_balanced_shards",
     "quality_filter",
     "repetition_stats", "pii_scrub", "decontaminate", "decontaminate_bloom",

@@ -185,6 +185,70 @@ object Sampling {
        |ORDER BY lang""".stripMargin
   }
 
+  /** Temperature-based language resampling — the multilingual pre-training
+    * mix (mBERT/XLM-R recipe): sample languages with probability
+    * p_l ∝ (n_l/N)^α, α < 1, so low-resource languages are UP-weighted
+    * relative to their natural share without ever repeating a document.
+    * Downsample-only form: with the smallest stratum kept whole, the
+    * per-language keep fraction collapses to
+    *
+    *   keep_frac_l = (n_min / n_l)^(1−α)
+    *
+    * (the normalizing Σ(n^α) cancels — derivation: scale s = min_l n_l/t_l
+    * with t_l ∝ n_l^α is attained at the smallest stratum, and
+    * s·t_l/n_l = (n_min/n_l)^(1−α)). α = 1 keeps the natural mix,
+    * α → 0 flattens toward uniform; the default α = 0.5 makes the
+    * fraction `sqrt(n_min/n_l)` — sqrt and division are IEEE
+    * correctly-rounded in every engine, so the fraction (and therefore
+    * each row's threshold compare) is BIT-exact cross-engine, unlike a
+    * libm `pow` whose last ulp may differ. Membership reuses the shared
+    * md5 draw: a pure function of (seed, doc_id).
+    *
+    * Scale shape: one tiny per-lang count aggregate broadcast back as the
+    * fraction table, then a single scan-and-filter — no window, no sort,
+    * no shuffle of the corpus itself (identical plan to [[mixtureSample]],
+    * with the target shares now derived from the corpus instead of given).
+    */
+  def temperatureSample(
+      spark: SparkSession,
+      dir: String,
+      seed: Long = HashSeed): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val langCounts = docs.groupBy("lang").agg(count(lit(1)).as("lang_n"))
+    val minN = langCounts.agg(min(col("lang_n")).as("min_n"))
+    val fractions = langCounts.crossJoin(broadcast(minN))
+      .withColumn("keep_frac",
+        sqrt(col("min_n").cast("double") / col("lang_n")))
+      .select("lang", "lang_n", "keep_frac")
+    val draw = substring(seededKey(seed.toString, col("doc_id")), 1, 4)
+    val drawInt = conv(draw, 16, 10).cast("double")
+    val kept = docs.join(broadcast(fractions), Seq("lang"))
+      .filter(drawInt / 65536.0 < col("keep_frac"))
+    kept.groupBy("lang").agg(count(lit(1)).as("kept_n"))
+      .join(broadcast(fractions), Seq("lang"))
+      .select(col("lang"), col("lang_n"), col("kept_n"),
+        round(col("keep_frac"), 6).as("keep_frac"))
+      .orderBy("lang")
+  }
+
+  val temperatureSampleSql: String =
+    s"""WITH lang_counts AS (
+       |  SELECT lang, count(*) AS lang_n FROM documents GROUP BY lang
+       |), fractions AS (
+       |  SELECT lang, lang_n,
+       |    sqrt((SELECT min(lang_n) FROM lang_counts)::DOUBLE / lang_n) AS keep_frac
+       |  FROM lang_counts
+       |), kept AS (
+       |  SELECT d.lang AS lang
+       |  FROM documents d JOIN fractions f ON d.lang = f.lang
+       |  WHERE ('0x' || substr(md5('$HashSeed:' || doc_id::VARCHAR), 1, 4))::INT / 65536.0
+       |    < keep_frac
+       |)
+       |SELECT lang, lang_n, kept_n, round(keep_frac, 6) AS keep_frac
+       |FROM (SELECT lang, count(*) AS kept_n FROM kept GROUP BY lang) k
+       |JOIN fractions USING (lang)
+       |ORDER BY lang""".stripMargin
+
   val stratifiedSampleHashSql: String = {
     // mirror the Scala side's degenerate-fraction guard: f ≥ 1 would render
     // the 5-char '10000', which sorts below draws starting 'a'–'f' and would

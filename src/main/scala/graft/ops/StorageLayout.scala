@@ -241,6 +241,82 @@ object StorageLayout {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Day-activity dimension written once per (session, dir): one row per
+    * event day with its event count and the corpus mean daily count. The
+    * busy-day SET (count above 1.02× the mean) is DATA-derived — it
+    * exists nowhere as a static predicate, which is exactly the situation
+    * dynamic partition pruning exists for (a fiscal-calendar or campaign
+    * dim whose qualifying rows are only known at runtime). The 1.02
+    * multiply and the sum/count division are single correctly-rounded
+    * IEEE ops, so the qualifying set is bit-identical cross-engine.
+    *
+    * The threshold stays a query-side COMPARISON (`n_day > 1.02·mean_n`)
+    * rather than a precomputed boolean column: Spark's PartitionPruning
+    * rule only plants a dynamic filter when the dim side has a "likely
+    * selective" predicate, and a bare boolean attribute is not on that
+    * list — binary comparisons are.
+    */
+  def dayActivityDim(spark: SparkSession, dir: String): String = {
+    val name = s"graft_d_days_${tag(dir)}"
+    if (!spark.catalog.tableExists(name)) {
+      val path = s"$tmpRoot/${tag(dir)}/day_dim"
+      val byDay = Tables(spark, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_day"))
+      val mean = byDay.agg(
+        (sum(col("n_day")).cast("double") / count(lit(1))).as("mean_n"))
+      byDay.crossJoin(broadcast(mean))
+        .select("day", "n_day", "mean_n")
+        .write.mode("overwrite")
+        .option("path", path)
+        .saveAsTable(name)
+    }
+    name
+  }
+
+  /** Busy-day activity summary via DYNAMIC partition pruning — the fourth
+    * layout leg. [[prunedEventsDaily]] prunes on a STATIC day range the
+    * optimizer can read off the query; here the qualifying days are a
+    * runtime-only row set in [[dayActivityDim]], so no static filter can
+    * exist — instead Spark plants a `dynamicpruningexpression` on the
+    * fact scan's PartitionFilters (reusing the join's broadcast of the
+    * dim), and the 100-TB event log still lists only the qualifying day
+    * directories. [[graft.ops.StorageLayoutSpec]] pins the pruning
+    * expression in the executed plan.
+    *
+    * The dim side casts to the fact's partition-column dtype (partition
+    * type inference may surface ISO days as DATE): DPP requires the FACT
+    * side of the join key to stay the bare partition attribute — a cast
+    * there would disable it; a cast on the dim side is free.
+    */
+  def dppPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.table(partitionedEvents(spark, dir))
+    val dayType = ev.schema(ev.schema.fieldIndex("day")).dataType
+    val busyDays = spark.table(dayActivityDim(spark, dir))
+      .filter(col("n_day") > lit(1.02) * col("mean_n"))
+      .select(col("day").cast(dayType).as("day"))
+    ev.join(busyDays, Seq("day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle: layout-independent re-statement — busy days from a CTE over
+    * raw events, joined back on the derived day string. */
+  val dppPrunedJoinSql: String =
+    """WITH by_day AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_day
+      |  FROM events GROUP BY 1
+      |), busy AS (
+      |  SELECT day FROM by_day
+      |  WHERE n_day > 1.02 * (SELECT sum(n_day)::DOUBLE / count(*) FROM by_day)
+      |)
+      |SELECT event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+      |FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, value FROM events) e
+      |JOIN busy USING (day)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Morton restated as exact integer arithmetic (bit i of v ≙
     * `(v // 2^i) % 2`; position p ≙ `· 2^p`). */
   val zorderChunksSql: String = {

@@ -43,6 +43,29 @@ class SamplingSpec extends SparkSuite {
     assert(none == 0L)
   }
 
+  test("temperature sample: smallest stratum kept whole, rates track sqrt(n_min/n_l), mix flattened") {
+    val out = Sampling.temperatureSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out.map(_._1).toSet == Set("en", "de", "es", "fr", "zh"))
+    val minN = out.map(_._2).min
+    for ((lang, n, kept, frac) <- out) {
+      val want = math.sqrt(minN.toDouble / n)
+      assert(math.abs(frac - want) < 1e-6, s"$lang: frac $frac vs sqrt ${want}")
+      // binomial noise bound on the achieved rate, 4 sigma
+      val tol = 4 * math.sqrt(want * (1 - want) / n)
+      assert(math.abs(kept.toDouble / n - want) <= tol,
+        s"$lang: rate ${kept.toDouble / n} vs $want (tol $tol)")
+    }
+    // the smallest stratum is kept in full (frac 1.0 exactly)
+    val smallest = out.minBy(_._2)
+    assert(smallest._3 == smallest._2, s"smallest stratum lost rows: $smallest")
+    // α=0.5 flattens: the kept max/min share ratio must shrink vs natural
+    val natRatio = out.map(_._2).max.toDouble / out.map(_._2).min
+    val keptRatio = out.map(_._3).max.toDouble / out.map(_._3).min
+    assert(keptRatio < natRatio,
+      s"mix not flattened: kept ratio $keptRatio vs natural $natRatio")
+  }
+
   test("mixture sample: achieved shares track the targets, limiting stratum kept whole") {
     import org.apache.spark.sql.functions.col
     val out = Sampling.mixtureSample(spark, dir).collect()

@@ -184,6 +184,41 @@ class StorageLayoutSpec extends SparkSuite {
       s"z-order read fraction ${zHit.toDouble / zTotal} above 0.5 — box should prune most files")
   }
 
+  test("busy-day join prunes fact partitions DYNAMICALLY (runtime-only day set)") {
+    val df = StorageLayout.dppPrunedJoin(spark, dir)
+    val got = df.collect()
+    assert(got.nonEmpty, "no busy days — threshold wrong for the fixture")
+    // the busy-day set is data-derived (count > 1.02×mean), so no static
+    // partition filter can exist; the scan must carry a dynamic pruning
+    // subquery instead — this is the property the leg exists to pin
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruningexpression"),
+      s"fact scan not dynamically pruned:\n$plan")
+    // value parity with the layout-independent formulation over raw events
+    val byDay = Tables(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_day"))
+    val mean = byDay.agg(
+      (sum(col("n_day")).cast("double") / count(lit(1))).as("mean_n"))
+    val busy = byDay.crossJoin(mean)
+      .filter(col("n_day") > lit(1.02) * col("mean_n")).select("day")
+    val plain = Tables(spark, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .join(busy, Seq("day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+      .collect()
+    assert(got.toSeq == plain.toSeq, "DPP-path result diverged from raw events")
+    // and the pruning must do real work: fewer busy days than days on disk
+    val busyN = busy.count()
+    val root = new java.io.File(
+      s"${StorageLayout.tmpRoot}/${StorageLayout.tag(dir)}/partitioned_events")
+    val dayDirs = Option(root.listFiles()).toSeq.flatten
+      .count(_.getName.startsWith("day="))
+    assert(busyN < dayDirs, s"busy days $busyN of $dayDirs — nothing pruned")
+  }
+
   test("the partitioned sink actually has more partitions than the query reads") {
     StorageLayout.partitionedEvents(spark, dir) // ensure written
     // Scoped to THIS dir's tag subdirectory — a glob over every tag under
