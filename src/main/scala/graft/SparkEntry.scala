@@ -165,6 +165,7 @@ object SparkEntry {
     "quality_filter"   -> (Corpus.qualityFilter _),
     "repetition_stats" -> ((s, d) => Corpus.repetitionStats(s, d)),
     "pii_scrub"        -> (Corpus.piiScrub _),
+    "boilerplate_scrub" -> ((s, d) => Corpus.boilerplateScrub(s, d)),
     "decontaminate"    -> ((s, d) => Corpus.decontaminate(s, d)),
     "decontaminate_bloom" -> ((s, d) => Corpus.decontaminateBloom(s, d)),
     "pack_sequences"   -> ((s, d) => Corpus.packSequences(s, d)),
@@ -304,6 +305,7 @@ object SparkEntry {
     "quality_filter"   -> Corpus.qualityFilterSql,
     "repetition_stats" -> Corpus.repetitionStatsSql,
     "pii_scrub"        -> Corpus.piiScrubSql,
+    "boilerplate_scrub" -> Corpus.boilerplateScrubSql,
     "decontaminate"    -> Corpus.decontaminateSql,
     "pack_sequences"   -> Corpus.packSequencesSql,
     "chunk_documents"  -> Corpus.chunkDocumentsSql,
@@ -378,7 +380,8 @@ object SparkEntry {
     "shuffle_shards",
     "url_host_caps", "host_lang_entropy", "size_balanced_shards",
     "quality_filter",
-    "repetition_stats", "pii_scrub", "decontaminate", "decontaminate_bloom",
+    "repetition_stats", "pii_scrub", "boilerplate_scrub",
+    "decontaminate", "decontaminate_bloom",
     "pack_sequences",
     "chunk_documents", "unigram_logprob", "bigram_logprob"
   )

@@ -220,6 +220,99 @@ object Corpus {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Tokens per boilerplate segment and the doc-frequency threshold above
+    * which a segment counts as boilerplate. */
+  val BoilerplateChunkTokens = 4
+  val BoilerplateMinDocs = 3
+
+  /** Boilerplate removal — the CCNet/RefinedWeb frequent-line filter:
+    * segments that recur across ≥ `minDocs` DISTINCT documents (nav bars,
+    * cookie banners, footers — here, fixed 4-token windows standing in for
+    * newline-delimited lines, which this corpus lacks) are cut from every
+    * document, and the survivors are reassembled in order. Unlike
+    * [[graft.ops.Dedup.cutSpans]] (maximal repeated n-gram RUNS between
+    * document PAIRS), this is a corpus-frequency criterion: a segment's
+    * doc-frequency decides, no pair ever forms.
+    *
+    * Scale shape: segment explode (narrow) → distinct (segment, doc) →
+    * per-segment doc-frequency aggregate → equi-join back on the segment
+    * string → one per-doc regroup for reassembly. Two shuffles keyed on
+    * segment and doc_id — never a pair join, never a window over the
+    * corpus. At 100 TB the join key becomes the segment's 128-bit hash so
+    * the exchange carries 16 bytes, not the text (the md5 the output
+    * already computes).
+    *
+    * Output: affected documents only, with the segment funnel and the
+    * digest of the reassembled text (the [[piiScrubOf]] convention —
+    * pinning the reassembly byte-exactly without shipping the corpus).
+    */
+  def boilerplateScrubOf(docs: DataFrame,
+      minDocs: Int = BoilerplateMinDocs): DataFrame = {
+    val k = BoilerplateChunkTokens
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val chunks = toks
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          floor((size(col("t")) + k - 1).cast("double") / k).cast("int") - 1)).as("cid"))
+      .select(col("doc_id"), col("cid"),
+        array_join(slice(col("t"), col("cid") * k + 1, lit(k)), " ").as("chunk"),
+        ((col("cid") + 1) * k <= size(col("t"))).as("isfull"))
+    // doc-frequency of full segments; the tail (< k tokens) can never match
+    // a full segment string (different space count) but is excluded anyway
+    val freq = chunks.filter(col("isfull"))
+      .select("chunk", "doc_id").distinct()
+      .groupBy("chunk").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("chunk"), lit(true).as("hit"))
+    chunks.join(freq, Seq("chunk"), "left")
+      .withColumn("boiler", coalesce(col("hit"), lit(false)) && col("isfull"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(!col("boiler"),
+              struct(col("cid"), col("chunk"))))),
+            x => x.getField("chunk")),
+          " ").cast("binary")).as("clean_md5"))
+      .filter(col("n_removed") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** [[boilerplateScrubOf]] on the documents table. */
+  def boilerplateScrub(spark: SparkSession, dir: String): DataFrame =
+    boilerplateScrubOf(Tables(spark, dir, "documents"))
+
+  val boilerplateScrubSql: String = {
+    val k = BoilerplateChunkTokens
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), expl AS (
+       |  SELECT doc_id, t, unnest(generate_series(0, (len(t)+${k - 1})//$k - 1)) AS cid
+       |  FROM toks
+       |), chunks AS (
+       |  SELECT doc_id, cid,
+       |    array_to_string(list_slice(t, cid*$k + 1, cid*$k + $k), ' ') AS chunk,
+       |    (cid+1)*$k <= len(t) AS isfull
+       |  FROM expl
+       |), freq AS (
+       |  SELECT chunk FROM (SELECT DISTINCT chunk, doc_id FROM chunks WHERE isfull)
+       |  GROUP BY chunk HAVING count(*) >= $BoilerplateMinDocs
+       |), marked AS (
+       |  SELECT c.doc_id, c.cid, c.chunk,
+       |    (f.chunk IS NOT NULL AND c.isfull) AS boiler
+       |  FROM chunks c LEFT JOIN freq f ON c.chunk = f.chunk
+       |)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  count(*) FILTER (boiler) AS n_removed,
+       |  md5(coalesce(string_agg(chunk, ' ' ORDER BY cid) FILTER (NOT boiler), ''))
+       |    AS clean_md5
+       |FROM marked GROUP BY doc_id
+       |HAVING count(*) FILTER (boiler) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Train/test decontamination: flag training documents sharing ≥
     * `minShared` distinct word n-grams with any held-out document — the
     * benchmark-leakage scan every LLM data pipeline runs before training.

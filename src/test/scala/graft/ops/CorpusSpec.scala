@@ -36,6 +36,46 @@ class CorpusSpec extends SparkSuite {
     assert(once.head().getString(1) == "reach me at [EMAIL] or [PHONE] ok")
   }
 
+  test("boilerplateScrub: planted banner cut from every carrier, 2-doc segment survives, reassembly exact") {
+    // a 4-token banner in 3 docs (≥ BoilerplateMinDocs) must go; a 4-token
+    // segment shared by only 2 docs must stay; tails (<4 tokens) always stay
+    val banner = "accept all cookies now"
+    val rare = "only two docs share"
+    val docs = Seq(
+      (1L, s"$banner alpha beta gamma delta tail bit"),
+      (2L, s"epsilon zeta eta theta $banner"),
+      (3L, s"$banner $rare"),
+      (4L, s"$rare iota kappa lambda mu"),
+      (5L, "nothing shared here at all five")
+    ).toDF("doc_id", "text")
+    val out = Corpus.boilerplateScrubOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // only the 3 banner carriers are affected
+    assert(out.keySet == Set(1L, 2L, 3L), s"affected set wrong: ${out.keySet}")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1: banner is chunk 0 → remainder is the other two chunks
+    assert(out(1L) == ((3L, 1L, md5hex("alpha beta gamma delta tail bit"))))
+    // doc 2: banner is the SECOND aligned chunk → leading chunk survives
+    assert(out(2L) == ((2L, 1L, md5hex("epsilon zeta eta theta"))))
+    // doc 3: banner cut, the rare 2-doc segment survives
+    assert(out(3L) == ((2L, 1L, md5hex(rare))))
+  }
+
+  test("boilerplateScrub: a document that is ALL boilerplate reassembles to the empty digest") {
+    val banner = "accept all cookies now"
+    val docs = Seq(
+      (1L, banner), (2L, banner), (3L, banner),
+      (4L, s"unique text one two $banner")
+    ).toDF("doc_id", "text")
+    val out = Corpus.boilerplateScrubOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    assert(out(1L) == emptyMd5 && out(2L) == emptyMd5 && out(3L) == emptyMd5)
+    assert(out(4L) != emptyMd5)
+  }
+
   test("decontaminate: flagged train docs really share grams; near-dup planted pair is caught") {
     val dir = "/root/testdata/sf0.001"
     val flagged = Corpus.decontaminate(spark, dir).collect()
