@@ -103,6 +103,7 @@ object SparkEntry {
     "length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(s, d)),
     "bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
+    "phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
     // --- deduplication suite ---
     "ngram_jaccard_pairs" -> (Dedup.ngramJaccardPairs _),
     "minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
@@ -265,6 +266,7 @@ object SparkEntry {
     "distinctive_terms" -> TextAnalysis.distinctiveTermsSql,
     "quality_prune" -> TextAnalysis.qualityPruneSql,
     "bm25_topk" -> TextAnalysis.bm25TopKSql,
+    "phrase_search" -> TextAnalysis.phraseSearchSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardSql,
     "minhash_lsh_pairs"   -> Dedup.ngramJaccardSql,
     "incremental_near_dup" -> Dedup.incrementalNearDupSql,
@@ -369,7 +371,8 @@ object SparkEntry {
     // `quality_prune` (per-language rank sort — single-task on a dominant
     // language) is the unbenched anchor; the benched form is the
     // approx-quantile threshold scan
-    "distinctive_terms", "bm25_topk", "quality_prune_approx", "hybrid_rrf_lsh_topk",
+    "distinctive_terms", "bm25_topk", "phrase_search",
+    "quality_prune_approx", "hybrid_rrf_lsh_topk",
     "vocab_heavy_hitters_cms",
     "media_stats", "media_phash", "media_near_dup",
     "frame_sample", "frame_sample_digest", "frame_near_dup",

@@ -754,4 +754,65 @@ object TextAnalysis {
       |SELECT d.doc_id, coalesce(a.n_fp, 0) AS n_fp, a.fp_min, a.fp_max
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** Default phrase for the registered query — chosen to occur often
+    * enough at every SF that the per-doc hit counts and top-k ordering do
+    * real work. */
+  val DefaultPhrase: Seq[String] = Seq("table", "scan")
+
+  /** Exact-phrase search over a POSITIONAL inverted index — the retrieval
+    * capability [[bm25TopK]]'s bag-of-words index cannot express (BM25
+    * scores "table" and "scan" anywhere; this matches "table scan"
+    * adjacently). The index is (doc, term, position); a k-term phrase is
+    * k−1 equi-joins on (doc_id, pos−offset) between the phrase terms'
+    * posting lists — the classic positional-postings intersection, never
+    * a regex scan of the corpus text.
+    *
+    * Scale shape: the `tok = term` filters push into the index scan, so
+    * only the phrase terms' postings are ever read (on a term-bucketed
+    * index table that is a bucket-pruned read of k terms out of the whole
+    * vocabulary — the same write-side investment as
+    * [[graft.ops.StorageLayout.bucketedTable]]); the joins key on
+    * (doc_id, pos), and the result is a per-doc count + TakeOrderedAndProject
+    * top-k. Occurrences may overlap ("a a a" contains "a a" twice) —
+    * position arithmetic counts both, in both engines.
+    */
+  def phraseSearchOf(docs: DataFrame, phrase: Seq[String] = DefaultPhrase,
+      k: Int = 10): DataFrame = {
+    require(phrase.nonEmpty)
+    val idx = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val head = idx.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matches = phrase.zipWithIndex.tail.foldLeft(head) { case (acc, (w, i)) =>
+      acc.join(
+        idx.filter(col("tok") === w)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+    matches.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** [[phraseSearchOf]] on the documents table. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearchOf(Tables(spark, dir, "documents"))
+
+  val phraseSearchSql: String = {
+    val joins = DefaultPhrase.zipWithIndex.tail.map { case (w, i) =>
+      s"JOIN (SELECT doc_id, pos - $i AS pos FROM idx WHERE tok = '$w') m$i USING (doc_id, pos)"
+    }.mkString("\n|")
+    s"""WITH idx AS (
+       |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS pos
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |        FROM documents)
+       |)
+       |SELECT doc_id, count(*) AS n_hits
+       |FROM (SELECT doc_id, pos FROM idx WHERE tok = '${DefaultPhrase.head}') m0
+       |$joins
+       |GROUP BY doc_id
+       |ORDER BY n_hits DESC, doc_id
+       |LIMIT 10""".stripMargin
+  }
 }

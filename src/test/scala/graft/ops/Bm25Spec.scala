@@ -5,6 +5,40 @@ import graft.SparkSuite
 class Bm25Spec extends SparkSuite {
   import spark.implicits._
 
+  test("phraseSearch: adjacency required, overlaps counted, top-k ordered by hits then id") {
+    val docs = Seq(
+      (1L, "table scan is fast but a table scan repeats"), // 2 adjacent hits
+      (2L, "the table scan wins"),                         // 1 hit
+      (3L, "table big scan"),                              // terms present, NOT adjacent
+      (4L, "scan table"),                                  // reversed — no hit
+      (5L, "no relevant words here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.phraseSearchOf(docs, Seq("table", "scan")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // only true adjacent occurrences count; ordering hits desc, id asc
+    assert(out == Seq((1L, 2L), (2L, 1L)), s"got $out")
+    // overlapping occurrences all count ("a a a" contains "a a" twice)
+    val ov = TextAnalysis.phraseSearchOf(
+      Seq((9L, "a a a")).toDF("doc_id", "text"), Seq("a", "a")).collect()
+    assert(ov.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((9L, 2L)))
+    // a 3-term phrase needs all three in order
+    val tri = TextAnalysis.phraseSearchOf(docs, Seq("the", "table", "scan")).collect()
+    assert(tri.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)))
+  }
+
+  test("phraseSearch: term filters reach the index scan (postings read, not the corpus)") {
+    val df = TextAnalysis.phraseSearch(spark, "/root/testdata/sf0.001")
+    assert(df.collect().nonEmpty)
+    // both posting-list legs are filtered on the phrase term BEFORE the
+    // join — the plan must show the equality filters, not a post-join one
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("= table") || plan.contains("tok = table") ||
+      plan.contains("(tok#") && plan.contains("table"),
+      s"term filter missing from the plan:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"),
+      "phrase join degenerated to a cartesian product")
+  }
+
   test("bm25: rare shared terms outrank ubiquitous ones; ranks dense, scores non-increasing, no self-match") {
     // doc 0 is the query (0 % 50 == 0). "quasar pulsar" are rare (query +
     // doc 1 only); "data table" appear in every doc — IDF must make doc 1
