@@ -90,6 +90,7 @@ object SparkEntry {
     // --- text analysis ---
     "token_stats"   -> (TextAnalysis.tokenStats _),
     "bpe_token_stats" -> (TextAnalysis.bpeTokenStats _),
+    "bpe_merges"    -> ((s, d) => graft.ops.BpeTrain.bpeMerges(s, d)),
     "quality_score" -> (TextAnalysis.qualityScore _),
     "quality_lr_score" -> (graft.ops.QualityModel.qualityLrScore _),
     "quality_weighted_sample" -> ((s, d) => graft.ops.QualityModel.qualityWeightedSample(s, d)),
@@ -257,6 +258,7 @@ object SparkEntry {
     "events_pivot"    -> Events.eventsPivotSql,
     "token_stats"   -> TextAnalysis.tokenStatsSql,
     "bpe_token_stats" -> TextAnalysis.bpeTokenStatsSql,
+    "bpe_merges"    -> graft.ops.BpeTrain.bpeMergesSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "lang_id"       -> TextAnalysis.langIdSql,
     "fingerprint"   -> TextAnalysis.fingerprintSql,
@@ -362,7 +364,8 @@ object SparkEntry {
     "filter_incomplete", "validate_flags", "reason_histogram", "top1_reason",
     "completeness", "date_range", "dedup_exact_keep_first", "clean_text",
     "parse_dates", "article_funnel",
-    "token_stats", "bpe_token_stats", "quality_score", "quality_lr_score",
+    "token_stats", "bpe_token_stats", "bpe_merges",
+    "quality_score", "quality_lr_score",
     "quality_weighted_sample",
     "lang_id", "fingerprint",
     "winnow_fingerprints", "vocab_top_terms", "length_histogram",

@@ -1,0 +1,137 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge-pair learning (Sennrich et al., ACL 2016) — the
+  * tokenizer-training step of an LLM data pipeline, in the shape real
+  * distributed BPE trainers use: the CORPUS is touched exactly once (one
+  * explode + word-count aggregate); the merge loop then operates on the
+  * word-count table only, whose size is the corpus VOCABULARY (millions of
+  * rows at 100 TB, never the corpus). Each iteration is one distributed
+  * pair-count aggregate — the driver receives a single argmax row — and one
+  * vocabulary-local merge projection, checkpointed per round so lineage
+  * never compounds (the [[GraphAnn]] superstep pattern).
+  *
+  * Semantics pinned to the published algorithm:
+  *  - words = lowercase whitespace tokens + a terminal `</w>` symbol, so
+  *    word-final merges are distinct from word-internal ones;
+  *  - pair statistics count OVERLAPPING adjacencies ("a a a" contributes
+  *    (a,a) twice), merge application is greedy LEFT-TO-RIGHT
+  *    NON-OVERLAPPING ("a a a" → "aa a") — both exactly as in the
+  *    reference implementation;
+  *  - ties break (count desc, left asc, right asc), making the whole fit
+  *    deterministic and engine-independent.
+  *
+  * The DuckDB oracle is a GENERATED but literal-free re-derivation: one
+  * materialized CTE stage per merge recomputes the pair counts, takes the
+  * same argmax, and applies the merge via a bracket-encoded
+  * non-overlapping string replace (each symbol wrapped in … so
+  * replacements can never straddle or share boundary characters) — the
+  * oracle learns the merges itself rather than being handed them.
+  */
+object BpeTrain {
+
+  val DefaultMerges = 20
+  val EndOfWord = "</w>"
+
+  /** Word counts — the only corpus-scale job in BPE training. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(Dedup.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Greedy left-to-right non-overlapping merge of adjacent (a, b) into
+    * ab — a fold over the symbol array: merge when the accumulated tail is
+    * `a` and the next symbol is `b`, else append.
+    */
+  private[ops] def mergePair(l: Column, a: String, b: String): Column =
+    aggregate(l, array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `nMerges` merge pairs from any `(doc_id, text)` frame. Returns
+    * the merge table (rank, left_sym, right_sym, pair_n) — the artifact a
+    * tokenizer ships.
+    */
+  def learnMergesOf(spark: SparkSession, docs: DataFrame,
+      nMerges: Int = DefaultMerges): DataFrame = {
+    import spark.implicits._
+    var vocab = wordCounts(docs)
+      .select(
+        concat(array_remove(split(col("word"), ""), ""),
+          array(lit(EndOfWord))).as("l"),
+        col("n"))
+      .localCheckpoint()
+    val merges = ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (rank <- 1 to nMerges if !exhausted) {
+      val zipped = arrays_zip(
+        slice(col("l"), lit(1), size(col("l")) - 1),
+        slice(col("l"), lit(2), size(col("l")) - 1))
+      val best = vocab
+        .select(explode(zipped).as("pr"), col("n"))
+        .select(col("pr.0").as("a"), col("pr.1").as("b"), col("n"))
+        .groupBy("a", "b").agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, a, b, cnt))
+        vocab = vocab
+          .select(mergePair(col("l"), a, b).as("l"), col("n"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_n")
+      .orderBy("rank")
+  }
+
+  /** [[learnMergesOf]] on the documents table. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    learnMergesOf(spark, Tables(spark, dir, "documents"))
+
+  /** Literal-free generated oracle: stage k recomputes pair counts from
+    * the stage-k vocabulary, takes the identical (count desc, left, right)
+    * argmax, and applies the merge with the bracket-encoded replace.
+    * `chr(30)`/`chr(31)` are the open/close wrappers; replacing
+    * `⟨a⟩⟨b⟩` → `⟨ab⟩` can never match inside a symbol or consume a
+    * neighbour's bracket, so DuckDB's left-to-right `replace` is exactly
+    * the fold in [[mergePair]]. CTEs are MATERIALIZED — inlined CTEs would
+    * expand the v-chain exponentially.
+    */
+  val bpeMergesSql: String = {
+    val v0 =
+      """v0 AS MATERIALIZED (
+        |  SELECT list_append(string_split(word, ''), '</w>') AS l, n FROM (
+        |    SELECT tok AS word, count(*) AS n FROM (
+        |      SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |      FROM documents) WHERE tok <> '' GROUP BY tok)
+        |)""".stripMargin
+    val stages = (0 until DefaultMerges).map { k =>
+      s"""b$k AS MATERIALIZED (
+         |  SELECT pr[1] AS a, pr[2] AS b, sum(n) AS cnt FROM (
+         |    SELECT unnest(list_zip(l, l[2:])) AS pr, n FROM v$k) WHERE pr[2] IS NOT NULL
+         |  GROUP BY pr[1], pr[2]
+         |  ORDER BY cnt DESC, a, b LIMIT 1
+         |), v${k + 1} AS MATERIALIZED (
+         |  SELECT string_split(trim(
+         |      replace(chr(30) || array_to_string(l, chr(31) || chr(30)) || chr(31),
+         |              chr(30) || a || chr(31) || chr(30) || b || chr(31),
+         |              chr(30) || a || b || chr(31)),
+         |      chr(30) || chr(31)), chr(31) || chr(30)) AS l, n
+         |  FROM v$k, b$k
+         |)""".stripMargin
+    }
+    val union = (0 until DefaultMerges).map { k =>
+      s"SELECT ${k + 1} AS rank, a AS left_sym, b AS right_sym, cnt::BIGINT AS pair_n FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    (v0 +: stages).mkString("WITH ", ",\n", "") +
+      s"\nSELECT * FROM (\n$union\n) ORDER BY rank"
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSuite
+
+class BpeTrainSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Independent single-node reference: plain maps and loops, no shared
+    * code with the Spark implementation — the published algorithm
+    * (overlapping pair stats, greedy non-overlapping merge, count-desc /
+    * left-asc / right-asc tie-break).
+    */
+  private def referenceBpe(words: Map[String, Long], nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.groupMapReduce { case (w, _) => w.map(_.toString).toVector :+ "</w>" }(_._2)(_ + _)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- vocab; Seq(a, b) <- syms.sliding(2))
+        pairs((a, b)) = pairs.getOrElse((a, b), 0L) + n
+      if (pairs.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = pairs.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((rank, a, b, cnt))
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+            else acc :+ x
+          }
+        }(_._2)(_ + _)
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  test("learnMerges equals the independent reference on the sf0.001 corpus") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val got = BpeTrain.learnMergesOf(spark, docs, nMerges = 12).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val words = BpeTrain.wordCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = referenceBpe(words, 12)
+    assert(got == want, s"\ngot  $got\nwant $want")
+  }
+
+  test("pair stats overlap, merges don't: 'aaa' corpus merges in the documented order") {
+    val docs = Seq((1L, "aaa aaa aaa")).toDF("doc_id", "text")
+    val got = BpeTrain.learnMergesOf(spark, docs, nMerges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // 'aaa' = [a a a </w>] ×3: (a,a) counted TWICE per word (overlapping
+    // stats) → count 6; the merge is non-overlapping → [aa a </w>], where
+    // (a,</w>) ties (aa,a) at 3 and wins on left-asc ('a' < 'aa'); then
+    // [aa a</w>] merges to one symbol
+    assert(got == Seq(
+      (1, "a", "a", 6L),
+      (2, "a", "</w>", 3L),
+      (3, "aa", "a</w>", 3L)), s"got $got")
+  }
+
+  test("merge table is deterministic and exhausts gracefully") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // [a b </w>] exhausts after 2 merges; asking for 10 must not loop/fail
+    val a = BpeTrain.learnMergesOf(spark, docs, nMerges = 10).collect().toSeq
+    val b = BpeTrain.learnMergesOf(spark, docs, nMerges = 10).collect().toSeq
+    assert(a == b)
+    assert(a.length == 2, s"expected exhaustion at 2 merges, got ${a.length}")
+  }
+}
