@@ -91,6 +91,7 @@ object SparkEntry {
     "token_stats"   -> (TextAnalysis.tokenStats _),
     "bpe_token_stats" -> (TextAnalysis.bpeTokenStats _),
     "bpe_merges"    -> ((s, d) => graft.ops.BpeTrain.bpeMerges(s, d)),
+    "bpe_segment_stats" -> ((s, d) => graft.ops.BpeTrain.bpeSegmentStats(s, d)),
     "quality_score" -> (TextAnalysis.qualityScore _),
     "quality_lr_score" -> (graft.ops.QualityModel.qualityLrScore _),
     "quality_weighted_sample" -> ((s, d) => graft.ops.QualityModel.qualityWeightedSample(s, d)),
@@ -259,6 +260,7 @@ object SparkEntry {
     "token_stats"   -> TextAnalysis.tokenStatsSql,
     "bpe_token_stats" -> TextAnalysis.bpeTokenStatsSql,
     "bpe_merges"    -> graft.ops.BpeTrain.bpeMergesSql,
+    "bpe_segment_stats" -> graft.ops.BpeTrain.bpeSegmentStatsSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "lang_id"       -> TextAnalysis.langIdSql,
     "fingerprint"   -> TextAnalysis.fingerprintSql,
@@ -364,6 +366,9 @@ object SparkEntry {
     "filter_incomplete", "validate_flags", "reason_histogram", "top1_reason",
     "completeness", "date_range", "dedup_exact_keep_first", "clean_text",
     "parse_dates", "article_funnel",
+    // `bpe_segment_stats` re-trains the merges before applying them —
+    // benching it would double-count bpe_merges (the corpus_dedup_report
+    // convention); the training is what gets timed
     "token_stats", "bpe_token_stats", "bpe_merges",
     "quality_score", "quality_lr_score",
     "quality_weighted_sample",

@@ -105,22 +105,28 @@ object BpeTrain {
     * the fold in [[mergePair]]. CTEs are MATERIALIZED — inlined CTEs would
     * expand the v-chain exponentially.
     */
-  val bpeMergesSql: String = {
+  /** The shared CTE chain: v0 = char-split word counts, then per merge k a
+    * pair-count argmax (b_k) and the merged vocabulary (v_{k+1}). The
+    * final v_N is the learned SEGMENTATION of every distinct word — which
+    * is why `word` is carried through the chain: [[bpeSegmentStatsSql]]
+    * joins the corpus back onto it.
+    */
+  private def chainCtes(n: Int): String = {
     val v0 =
       """v0 AS MATERIALIZED (
-        |  SELECT list_append(string_split(word, ''), '</w>') AS l, n FROM (
+        |  SELECT word, list_append(string_split(word, ''), '</w>') AS l, n FROM (
         |    SELECT tok AS word, count(*) AS n FROM (
         |      SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
         |      FROM documents) WHERE tok <> '' GROUP BY tok)
         |)""".stripMargin
-    val stages = (0 until DefaultMerges).map { k =>
+    val stages = (0 until n).map { k =>
       s"""b$k AS MATERIALIZED (
          |  SELECT pr[1] AS a, pr[2] AS b, sum(n) AS cnt FROM (
          |    SELECT unnest(list_zip(l, l[2:])) AS pr, n FROM v$k) WHERE pr[2] IS NOT NULL
          |  GROUP BY pr[1], pr[2]
          |  ORDER BY cnt DESC, a, b LIMIT 1
          |), v${k + 1} AS MATERIALIZED (
-         |  SELECT string_split(trim(
+         |  SELECT word, string_split(trim(
          |      replace(chr(30) || array_to_string(l, chr(31) || chr(30)) || chr(31),
          |              chr(30) || a || chr(31) || chr(30) || b || chr(31),
          |              chr(30) || a || b || chr(31)),
@@ -128,10 +134,65 @@ object BpeTrain {
          |  FROM v$k, b$k
          |)""".stripMargin
     }
+    (v0 +: stages).mkString(",\n")
+  }
+
+  val bpeMergesSql: String = {
     val union = (0 until DefaultMerges).map { k =>
       s"SELECT ${k + 1} AS rank, a AS left_sym, b AS right_sym, cnt::BIGINT AS pair_n FROM b$k"
     }.mkString("\nUNION ALL\n")
-    (v0 +: stages).mkString("WITH ", ",\n", "") +
-      s"\nSELECT * FROM (\n$union\n) ORDER BY rank"
+    s"WITH ${chainCtes(DefaultMerges)}\nSELECT * FROM (\n$union\n) ORDER BY rank"
   }
+
+  /** Segment every distinct word with the learned merges, applied in rank
+    * order — the trained tokenizer. Segmentation is computed once per
+    * DISTINCT word and joined back to the corpus (the 100-TB serving
+    * shape: the vocabulary table is tiny next to the corpus, so the
+    * per-word fold never runs per occurrence and the join broadcasts).
+    */
+  def segmentationOf(spark: SparkSession, docs: DataFrame,
+      nMerges: Int = DefaultMerges): DataFrame = {
+    val merges = learnMergesOf(spark, docs, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val init = concat(array_remove(split(col("word"), ""), ""),
+      array(lit(EndOfWord)))
+    val syms = merges.foldLeft(init) { case (c, (a, b)) => mergePair(c, a, b) }
+    wordCounts(docs).select(col("word"), syms.as("syms"))
+  }
+
+  /** Per-document subword counts under the trained tokenizer — real-BPE
+    * token counting (the whitespace and regex counters in
+    * [[TextAnalysis]] approximate this; training budgets are set in BPE
+    * tokens, not words). `ratio` is the fertility (subwords per word).
+    */
+  def bpeSegmentStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val seg = segmentationOf(spark, docs)
+      .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+    docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(seg), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the same literal-free chain; v_N IS the segmentation, so the
+    * corpus joins back on `word` and counts subwords. */
+  val bpeSegmentStatsSql: String =
+    s"""WITH ${chainCtes(DefaultMerges)},
+       |seg AS (
+       |  SELECT word, len(l)::BIGINT AS n_sub FROM v$DefaultMerges
+       |), toks AS (
+       |  SELECT doc_id, tok AS word FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+       |    FROM documents) WHERE tok <> ''
+       |)
+       |SELECT doc_id, count(*) AS n_words, sum(n_sub)::BIGINT AS n_bpe_tokens,
+       |  round(sum(n_sub)::DOUBLE / count(*), 4) AS fertility
+       |FROM toks JOIN seg USING (word)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 }

@@ -60,6 +60,26 @@ class BpeTrainSpec extends SparkSuite {
       (3, "aa", "a</w>", 3L)), s"got $got")
   }
 
+  test("segmentation is lossless: subwords reassemble to word + </w>, fertility >= 1") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val seg = BpeTrain.segmentationOf(spark, docs).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(seg.nonEmpty)
+    for ((word, syms) <- seg)
+      assert(syms.mkString("") == word + "</w>", s"$word segmented lossy: $syms")
+    // every word's subword count is >= 1 and <= chars+1 (no empty symbols)
+    for ((word, syms) <- seg)
+      assert(syms.nonEmpty && syms.length <= word.length + 1)
+    // the per-doc stats reconcile with a direct token count
+    val stats = BpeTrain.bpeSegmentStats(spark, "/root/testdata/sf0.001")
+      .agg(sum("n_words"), sum("n_bpe_tokens")).head()
+    val direct = docs.select(explode(Dedup.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "").count()
+    assert(stats.getLong(0) == direct, "word totals diverge from the corpus")
+    assert(stats.getLong(1) >= stats.getLong(0), "fewer subwords than words")
+  }
+
   test("merge table is deterministic and exhausts gracefully") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // [a b </w>] exhausts after 2 merges; asking for 10 must not loop/fail
