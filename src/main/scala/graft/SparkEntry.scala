@@ -72,6 +72,8 @@ object SparkEntry {
     "top_orders_per_customer" -> (Analytics.topOrdersPerCustomer _),
     "user_event_gaps"         -> (Analytics.userEventGaps _),
     "value_quartiles"         -> (Analytics.valueQuartiles _),
+    "rank_family"             -> (Analytics.rankFamily _),
+    "scd2_value_tiers"        -> (Analytics.scd2ValueTiers _),
     "value_quartiles_approx"  -> ((s, d) => Analytics.valueQuartilesApprox(s, d)),
     // --- event-time windowing (streaming-ready shapes) ---
     "events_tumbling" -> (Events.tumbling _),
@@ -242,6 +244,8 @@ object SparkEntry {
     "top_orders_per_customer" -> Analytics.topOrdersPerCustomerSql,
     "user_event_gaps"         -> Analytics.userEventGapsSql,
     "value_quartiles"         -> Analytics.valueQuartilesSql,
+    "rank_family"             -> Analytics.rankFamilySql,
+    "scd2_value_tiers"        -> Analytics.scd2ValueTiersSql,
     "events_tumbling" -> Events.tumblingSql,
     "events_sliding"  -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
@@ -351,7 +355,7 @@ object SparkEntry {
     // exact `value_quartiles` (per-type ntile sort) is the correctness
     // anchor; the benched form is the approx-histogram bucket assignment
     "running_revenue", "top_orders_per_customer", "user_event_gaps",
-    "value_quartiles_approx",
+    "value_quartiles_approx", "rank_family", "scd2_value_tiers",
     "top_customers", "distinct_parts",
     "events_tumbling", "events_sliding", "events_sessions",
     "events_sessions_sw",

@@ -158,6 +158,114 @@ object Analytics {
     * (AnalyticsSpec); sketch internals are engine-specific → rows-only
     * oracle.
     */
+  /** The ranking-function family with REAL ties: rank, dense_rank,
+    * percent_rank, cume_dist over the integer value bucket within
+    * (event_type, day). Ordering by the (tied) bucket rather than a
+    * unique key is the point — rank vs dense_rank only differ under ties,
+    * and tie groups make every rank column a pure function of the ORDER
+    * KEY VALUE, hence deterministic per row even though the physical row
+    * order within a tie is not. percent_rank = (rank−1)/(n−1) and
+    * cume_dist = peers≤/n are single exact integer divisions — bit-equal
+    * cross-engine, no rounding needed.
+    *
+    * Scale: the window partitions on (event_type, day) — O(days×types)
+    * partitions each bounded by a day's traffic per type, never the
+    * one-partition-per-type sort the exact `value_quartiles` anchor
+    * accepts (and its approx twin avoids).
+    */
+  def rankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val day = date_format(col("ts"), "yyyy-MM-dd")
+    val vb = floor(col("value")).cast("long")
+    val w = Window.partitionBy("event_type", "day").orderBy("vbucket")
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), day.as("day"), vb.as("vbucket"))
+      .select(col("event_id"), col("event_type"), col("day"), col("vbucket"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("event_id")
+  }
+
+  val rankFamilySql: String =
+    """SELECT event_id, event_type, day, vbucket,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  percent_rank() OVER w AS prnk,
+      |  cume_dist() OVER w AS cdist
+      |FROM (
+      |  SELECT event_id, event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |    floor(value)::BIGINT AS vbucket
+      |  FROM events)
+      |WINDOW w AS (PARTITION BY event_type, day ORDER BY vbucket)
+      |ORDER BY event_id""".stripMargin
+
+  /** Value-tier thresholds for [[scd2ValueTiers]] — chosen at the
+    * corpus's empirical terciles so every tier is populated. */
+  val TierMid = 20.0
+  val TierHigh = 55.0
+
+  /** SCD2 dimension versioning — the warehouse pattern for "what tier was
+    * this user in WHEN": each user's event stream collapses to
+    * validity-interval rows (tier, valid_from, valid_to), a new row
+    * opening whenever the tier CHANGES (gaps-and-islands via a running
+    * sum of change flags). valid_to is the next segment's start, NULL on
+    * the open current segment — the half-open convention a temporal join
+    * (`ts >= valid_from AND (ts < valid_to OR valid_to IS NULL)`)
+    * consumes directly.
+    *
+    * Scale: both windows partition by user_id (high-cardinality,
+    * per-user row counts bounded), then one per-(user, segment) hash
+    * aggregate — the [[graft.ops.Events.sessions]] exchange shape.
+    */
+  def scd2ValueTiers(spark: SparkSession, dir: String): DataFrame = {
+    val tier = when(col("value") < TierMid, "low")
+      .when(col("value") < TierHigh, "mid").otherwise("high")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val seg = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), tier.as("tier"))
+      .withColumn("chg",
+        when(lag(col("tier"), 1).over(w).isNull ||
+          col("tier") =!= lag(col("tier"), 1).over(w), 1L).otherwise(0L))
+      .withColumn("seg_no", sum(col("chg")).over(w))
+      .groupBy("user_id", "seg_no")
+      .agg(min(col("tier")).as("tier"), min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val ws = Window.partitionBy("user_id").orderBy("seg_no")
+    seg.withColumn("valid_to", lead(col("valid_from"), 1).over(ws))
+      .select("user_id", "seg_no", "tier", "valid_from", "valid_to", "n_events")
+      .orderBy("user_id", "seg_no")
+  }
+
+  val scd2ValueTiersSql: String =
+    s"""WITH tiered AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN value < $TierMid THEN 'low'
+       |         WHEN value < $TierHigh THEN 'mid' ELSE 'high' END AS tier
+       |  FROM events
+       |), flagged AS (
+       |  SELECT user_id, ts, event_id, tier,
+       |    CASE WHEN lag(tier, 1) OVER w IS NULL
+       |           OR tier <> lag(tier, 1) OVER w THEN 1 ELSE 0 END AS chg
+       |  FROM tiered
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), numbered AS (
+       |  SELECT user_id, ts, tier,
+       |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS seg_no
+       |  FROM flagged
+       |), seg AS (
+       |  SELECT user_id, seg_no, min(tier) AS tier, min(ts) AS valid_from,
+       |    count(*) AS n_events
+       |  FROM numbered GROUP BY user_id, seg_no
+       |)
+       |SELECT user_id, seg_no::BIGINT AS seg_no, tier, valid_from,
+       |  lead(valid_from, 1) OVER (PARTITION BY user_id ORDER BY seg_no)
+       |    AS valid_to,
+       |  n_events
+       |FROM seg
+       |ORDER BY user_id, seg_no""".stripMargin
+
   def valueQuartilesApprox(spark: SparkSession, dir: String,
       accuracy: Int = 10000): DataFrame = {
     val ev = Tables(spark, dir, "events")

@@ -11,6 +11,51 @@ class AnalyticsSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.01"
 
+  test("rankFamily: every rank column re-derives from first principles per partition") {
+    val rows = Analytics.rankFamily(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.nonEmpty)
+    val parts = rows.groupBy(t => (t._1, t._2))
+    var sawTie = false
+    for ((_, part) <- parts; (_, _, vb, rnk, drnk, prnk, cdist) <- part) {
+      val n = part.length
+      val below = part.count(_._3 < vb)
+      val leq = part.count(_._3 <= vb)
+      val distinctBelow = part.map(_._3).distinct.count(_ < vb)
+      if (leq - below > 1) sawTie = true
+      assert(rnk == below + 1, s"rank: $rnk vs ${below + 1}")
+      assert(drnk == distinctBelow + 1, s"dense_rank: $drnk vs ${distinctBelow + 1}")
+      assert(prnk == (if (n == 1) 0.0 else (rnk - 1).toDouble / (n - 1)))
+      assert(cdist == leq.toDouble / n)
+    }
+    assert(sawTie, "no ties in any partition — the bucket key is too fine to exercise rank semantics")
+  }
+
+  test("scd2ValueTiers: half-open validity chain, no same-tier adjacency, event counts reconcile") {
+    val segs = Analytics.scd2ValueTiers(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getLong(5)))
+    assert(segs.nonEmpty)
+    val byUser = segs.groupBy(_._1)
+    for ((_, us) <- byUser) {
+      val ordered = us.sortBy(_._2).toSeq
+      // seg_no dense from 1
+      assert(ordered.map(_._2).toSeq == (1L to ordered.length).toSeq)
+      // valid_to chains to the next valid_from; only the last is open
+      for (Seq(a, b) <- ordered.sliding(2))
+        assert(a._5.contains(b._4), s"validity chain broken: $a -> $b")
+      assert(ordered.last._5.isEmpty, "last segment must be open (valid_to NULL)")
+      // adjacent segments never share a tier (else they'd be one segment)
+      for (Seq(a, b) <- ordered.sliding(2))
+        assert(a._3 != b._3, s"same-tier adjacency: $a / $b")
+    }
+    // total events across segments equals the raw event count
+    val total = segs.map(_._6).sum
+    val raw = Tables(spark, "/root/testdata/sf0.001", "events").count()
+    assert(total == raw, s"segment n_events sum $total != events $raw")
+  }
+
   test("approx quartile buckets stay within the sketch envelope of exact ntile") {
     val exact = Analytics.valueQuartiles(spark, dir).collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
