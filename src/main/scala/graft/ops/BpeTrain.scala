@@ -160,23 +160,34 @@ object BpeTrain {
     wordCounts(docs).select(col("word"), syms.as("syms"))
   }
 
-  /** Per-document subword counts under the trained tokenizer — real-BPE
-    * token counting (the whitespace and regex counters in
-    * [[TextAnalysis]] approximate this; training budgets are set in BPE
-    * tokens, not words). `ratio` is the fertility (subwords per word).
+  /** Count any `(doc_id, text)` frame against a trained segmentation
+    * table (`word, syms`) — the serving core shared by the batch query
+    * and the streaming ingest twin. Words the vocabulary has never seen
+    * would drop out of the inner join; the production convention is
+    * char-fallback, so unseen words count `len(word)+1` subwords (the
+    * untrained segmentation) via the left join + coalesce.
     */
-  def bpeSegmentStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val seg = segmentationOf(spark, docs)
-      .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+  def segmentStatsAgainst(seg: DataFrame, docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
-      .join(broadcast(seg), Seq("word"))
+      .join(broadcast(seg.select(col("word"),
+        size(col("syms")).cast("long").as("n_sub"))), Seq("word"), "left")
+      .withColumn("n_sub",
+        coalesce(col("n_sub"), length(col("word")).cast("long") + 1))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe_tokens"))
       .withColumn("fertility",
         round(col("n_bpe_tokens").cast("double") / col("n_words"), 4))
       .orderBy("doc_id")
+
+  /** Per-document subword counts under the trained tokenizer — real-BPE
+    * token counting (the whitespace and regex counters in
+    * [[TextAnalysis]] approximate this; training budgets are set in BPE
+    * tokens, not words). `fertility` is subwords per word.
+    */
+  def bpeSegmentStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    segmentStatsAgainst(segmentationOf(spark, docs), docs)
   }
 
   /** Oracle: the same literal-free chain; v_N IS the segmentation, so the

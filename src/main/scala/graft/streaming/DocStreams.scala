@@ -92,4 +92,29 @@ object DocStreams {
       .dropDuplicatesWithinWatermark("inc_id", "hist_id")
       .select("inc_id", "hist_id", "jac")
   }
+
+  /** Streaming twin of [[graft.ops.BpeTrain.bpeSegmentStats]]: documents
+    * stream in and are token-counted against a STATIC trained
+    * segmentation table (the tokenizer artifact — trained once, persisted
+    * like the ANN code tables). Per-doc counting is a closed aggregate
+    * within a micro-batch, so it runs through `foreachBatch` with the
+    * SHARED batch serving core ([[graft.ops.BpeTrain.segmentStatsAgainst]]
+    * — stream/batch parity is structural), landing through the
+    * exactly-once sink. This is where a training pipeline meters its
+    * token budget: at ingest, per batch, not in a post-hoc corpus pass.
+    */
+  def bpeCountServe(
+      docStream: DataFrame,
+      seg: DataFrame,
+      outDir: String,
+      ckpt: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        Sinks.idempotentBatchWrite(
+          graft.ops.BpeTrain.segmentStatsAgainst(
+            seg, batch.select(col("doc_id"), col("text"))),
+          batchId, outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
 }

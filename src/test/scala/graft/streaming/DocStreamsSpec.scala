@@ -43,6 +43,33 @@ class DocStreamsSpec extends SparkSuite {
     assert(kept.getAs[Long]("simhash") == batch.getLong(1))
   }
 
+  test("streaming BPE token metering equals the batch segment stats across micro-batches") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-bpe-serve").toFile
+    val (out, ckpt) = (s"$root/out", s"$root/ckpt")
+    val docsDf = graft.ops.Tables(spark, dir, "documents")
+    // the tokenizer artifact: trained ONCE, static across the stream
+    val seg = graft.ops.BpeTrain.segmentationOf(spark, docsDf).persist()
+    val docs = docsDf.select("doc_id", "text").collect()
+      .map(r => TestDoc(r.getLong(0), t((r.getLong(0) % 50).toInt), r.getString(1)))
+    val input = MemoryStream[TestDoc](spark)
+    val (first, second) = docs.splitAt(docs.length / 2)
+    input.addData(first.toSeq)
+    val q = DocStreams.bpeCountServe(input.toDF(), seg, out, ckpt)
+    q.processAllAvailable()
+    input.addData(second.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val served = Sinks.readSink(spark, out)
+      .select("doc_id", "n_words", "n_bpe_tokens", "fertility").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = graft.ops.BpeTrain.bpeSegmentStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    seg.unpersist()
+    assert(served == batch,
+      s"streamed token metering diverged: ${(served diff batch).take(3)} / ${(batch diff served).take(3)}")
+  }
+
   test("streaming quality filter equals the batch LR classifier on the same docs") {
     val dir = "/root/testdata/sf0.001"
     val w = graft.ops.QualityModel.fitCached(spark, dir)
