@@ -27,10 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
-    // optimizer rule: naive range joins → bucketized equi-joins. For a
-    // live session (tests, shells) use
-    // `spark.experimental.extraOptimizations :+= BucketedRangeJoin`.
+    // optimizer rules (each opt-in via its own session conf): naive range
+    // joins → bucketized equi-joins; exact COUNT(DISTINCT) → HLL++ sketch.
+    // For a live session (tests, shells) use
+    // `spark.experimental.extraOptimizations :+= <rule>`.
     ext.injectOptimizerRule(_ => graft.plans.BucketedRangeJoin)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
   }
 }
 
