@@ -233,6 +233,22 @@ class PlanShapeSpec extends SparkSuite {
     "split_counts" -> (0, 0, 0, 1, 2, 0),
     "stratified_sample" -> (0, 0, 0, 1, 1, 0),
     "mixture_sample" -> (0, 4, 0, 1, 12, 0),
+    // the 2 BNLs are the 1-row min-count scalar combine (mixture's shape)
+    "temperature_sample" -> (0, 2, 0, 1, 8, 0),
+    // SMJ=1 would also be fine; at bench SF the busy-day dim broadcasts and
+    // the scan carries the dynamicpruningexpression StorageLayoutSpec pins
+    "dpp_pruned_join" -> (0, 0, 0, 1, 2, 0),
+    "boilerplate_scrub" -> (0, 0, 0, 1, 4, 0),
+    // 0 exchanges beyond the final top-k: posting filters push into the
+    // scan and the (doc,pos) joins broadcast at bench SF
+    "phrase_search" -> (0, 0, 0, 0, 1, 0),
+    // the digest sees ONE iteration's plan (pair-count argmax); the loop
+    // re-plans per merge against a checkpointed vocabulary
+    "bpe_merges" -> (0, 0, 0, 1, 1, 0),
+    // windows: rank/dense_rank/percent_rank/cume_dist fuse into one Window
+    // over (type, day); +1 per extra pass Spark keeps separate
+    "rank_family" -> (0, 0, 0, 1, 2, 1),
+    "scd2_value_tiers" -> (0, 0, 0, 1, 2, 3),
     "shuffle_shards" -> (0, 0, 0, 1, 2, 1),
     // 3 "Window" matches = 1 Window + 2 WindowGroupLimit (the Partial/Final
     // map-side top-cap phases — the skew armor SamplingSpec pins)
