@@ -82,6 +82,8 @@ object SparkEntry {
     "events_sessions_sw" -> (Events.sessionsViaSessionWindow _),
     "conversion_funnel" -> (Events.conversionFunnel _),
     "view_purchase_recon" -> (Events.viewPurchaseRecon _),
+    "data_quality_checks" -> ((s, d) => graft.ops.TableChecks.dataQualityChecks(s, d)),
+    "snapshot_diff" -> ((s, d) => graft.ops.TableChecks.snapshotDiff(s, d)),
     "value_percentiles" -> (Events.valuePercentiles _),
     "value_percentiles_approx" -> ((s, d) => Events.valuePercentilesApprox(s, d)),
     "asof_last_click" -> (AsofJoin.asofLastClick _),
@@ -252,6 +254,8 @@ object SparkEntry {
     "events_sessions_sw" -> Events.sessionsWindowSql,
     "conversion_funnel" -> Events.conversionFunnelSql,
     "view_purchase_recon" -> Events.viewPurchaseReconSql,
+    "data_quality_checks" -> graft.ops.TableChecks.dataQualityChecksSql,
+    "snapshot_diff" -> graft.ops.TableChecks.snapshotDiffSql,
     "value_percentiles" -> Events.valuePercentilesSql,
     "asof_last_click" -> AsofJoin.asofLastClickSql,
     "events_in_windows" -> RangeJoin.eventsInWindowsSql,
@@ -360,6 +364,7 @@ object SparkEntry {
     "events_tumbling", "events_sliding", "events_sessions",
     "events_sessions_sw",
     "conversion_funnel", "view_purchase_recon",
+    "data_quality_checks", "snapshot_diff",
     "value_percentiles", "value_percentiles_approx",
     "winnow_near_dup", "incremental_near_dup", "repeated_ngram_spans",
     "cross_doc_spans", "cut_spans",

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint suite (the Deequ/Great-Expectations
+  * capability): a battery of table constraints — key uniqueness, column
+  * completeness, value ranges, accepted domains, referential integrity —
+  * evaluated as a CONSTRAINT REPORT, not as N table scans.
+  *
+  * Scale shape: every single-table constraint folds into ONE aggregate
+  * over one scan of `orders` (conditional counts side by side; the
+  * uniqueness check is the only one that must see the key's distinct set,
+  * and it rides the same aggregate as a count-distinct — under the
+  * [[graft.plans.ApproxDistinctRewrite]] conf even that becomes a
+  * fixed-memory sketch when an approximate gate is acceptable). The one
+  * cross-table constraint (FK orphans) is a single broadcast/SMJ anti-join
+  * aggregate. A 100-TB nightly QA pass is therefore two jobs, not one per
+  * constraint.
+  *
+  * Output contract: one row per constraint, `violations = 0 ⇔ pass` —
+  * the gate a pipeline wires into its promotion step.
+  */
+object TableChecks {
+
+  /** Accepted order-status domain. */
+  val AcceptedStatuses: Seq[String] = Seq("F", "O", "P")
+
+  /** Constraint report over any (orders-shaped, lineitem-shaped) pair —
+    * the library surface the spec feeds planted violations through.
+    */
+  def checksOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val single = orders.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_dates"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("bad_prices"),
+      sum(when(!col("o_orderstatus").isin(AcceptedStatuses: _*), 1L)
+        .otherwise(0L)).as("bad_status"))
+      .select(explode(array(
+        struct(lit("orderkey_unique").as("check_name"), col("dup_keys").as("violations")),
+        struct(lit("orderdate_complete").as("check_name"), col("null_dates").as("violations")),
+        struct(lit("totalprice_positive").as("check_name"), col("bad_prices").as("violations")),
+        struct(lit("status_in_domain").as("check_name"), col("bad_status").as("violations"))))
+        .as("c"))
+      .select(col("c.check_name"), col("c.violations"))
+    val fk = lineitem
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("lineitem_fk_orders").as("check_name"), col("violations"))
+    single.union(fk)
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy("check_name")
+  }
+
+  /** The constraint report on the testdata star schema. */
+  def dataQualityChecks(spark: SparkSession, dir: String): DataFrame =
+    checksOf(Tables(spark, dir, "orders"), Tables(spark, dir, "lineitem"))
+
+  val dataQualityChecksSql: String = {
+    val domain = AcceptedStatuses.map(s => s"'$s'").mkString(", ")
+    s"""SELECT check_name, violations, violations = 0 AS pass FROM (
+       |  SELECT 'orderkey_unique' AS check_name,
+       |    count(*) - count(DISTINCT o_orderkey) AS violations FROM orders
+       |  UNION ALL
+       |  SELECT 'orderdate_complete',
+       |    count(*) FILTER (o_orderdate IS NULL) FROM orders
+       |  UNION ALL
+       |  SELECT 'totalprice_positive',
+       |    count(*) FILTER (o_totalprice <= 0) FROM orders
+       |  UNION ALL
+       |  SELECT 'status_in_domain',
+       |    count(*) FILTER (o_orderstatus NOT IN ($domain)) FROM orders
+       |  UNION ALL
+       |  SELECT 'lineitem_fk_orders',
+       |    (SELECT count(*) FROM lineitem l
+       |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+       |                       WHERE o.o_orderkey = l.l_orderkey))
+       |)
+       |ORDER BY check_name""".stripMargin
+  }
+
+  /** Snapshot diff / CDC reconciliation: given two versions of a keyed
+    * table, classify every key as insert / delete / update / unchanged —
+    * the change-data-capture primitive behind incremental materialization
+    * and backfill audits. One FULL OUTER join on the key; row equality by
+    * content digest so wide rows never ship twice.
+    *
+    * The "new" snapshot is derived deterministically from the documents
+    * table in BOTH engines (delete every 31st key, rewrite every 7th,
+    * insert a shifted key for every 53rd), so the classifier itself is
+    * what the oracle checks. Output pins each class's count AND the sum
+    * of its keys — a cheap exact witness of WHICH rows were classified,
+    * not just how many.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val newSnap = docs
+      .filter(col("doc_id") % 31 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+      .unionAll(docs.filter(col("doc_id") % 53 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+    val o = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("o_md5"))
+    val n = newSnap.select(col("doc_id"), md5(col("text").cast("binary")).as("n_md5"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("o_md5").isNull, "insert")
+          .when(col("n_md5").isNull, "delete")
+          .when(col("o_md5") =!= col("n_md5"), "update")
+          .otherwise("unchanged"))
+      .groupBy("change")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("change")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH old_snap AS (
+      |  SELECT doc_id, text FROM documents
+      |), new_snap AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 31 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'new doc ' || doc_id::VARCHAR
+      |  FROM documents WHERE doc_id % 53 = 0
+      |), o AS (SELECT doc_id, md5(text) AS o_md5 FROM old_snap),
+      |n AS (SELECT doc_id, md5(text) AS n_md5 FROM new_snap)
+      |SELECT change, count(*) AS n, sum(doc_id)::BIGINT AS id_sum FROM (
+      |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |    CASE WHEN o_md5 IS NULL THEN 'insert'
+      |         WHEN n_md5 IS NULL THEN 'delete'
+      |         WHEN o_md5 <> n_md5 THEN 'update'
+      |         ELSE 'unchanged' END AS change
+      |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |GROUP BY change
+      |ORDER BY change""".stripMargin
+}

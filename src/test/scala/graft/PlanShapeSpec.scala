@@ -235,6 +235,10 @@ class PlanShapeSpec extends SparkSuite {
     "mixture_sample" -> (0, 4, 0, 1, 12, 0),
     // the 2 BNLs are the 1-row min-count scalar combine (mixture's shape)
     "temperature_sample" -> (0, 2, 0, 1, 8, 0),
+    "data_quality_checks" -> (0, 0, 0, 1, 3, 0),
+    // the SMJ is the FULL OUTER key join — correct: neither snapshot side
+    // is a priori small, and full-outer has no broadcast form
+    "snapshot_diff" -> (0, 0, 1, 1, 4, 0),
     // SMJ=1 would also be fine; at bench SF the busy-day dim broadcasts and
     // the scan carries the dynamicpruningexpression StorageLayoutSpec pins
     "dpp_pruned_join" -> (0, 0, 0, 1, 2, 0),

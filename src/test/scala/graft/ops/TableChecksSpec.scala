@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class TableChecksSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every constraint fires on planted violations, with exact counts") {
+    val orders = Seq(
+      // duplicate key (1 extra row), null date, negative price, bad status
+      (1L, "F", "2024-01-01", 10.0),
+      (1L, "F", "2024-01-02", 20.0),
+      (2L, "O", null, 30.0),
+      (3L, "X", "2024-01-03", -5.0),
+      (4L, "P", "2024-01-04", 40.0)
+    ).toDF("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+    val lineitem = Seq(
+      (1L, 1), (4L, 1),
+      (99L, 1), (99L, 2) // two orphan rows
+    ).toDF("l_orderkey", "l_linenumber")
+    val out = TableChecks.checksOf(orders, lineitem).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(
+      "orderkey_unique" -> ((1L, false)),
+      "orderdate_complete" -> ((1L, false)),
+      "totalprice_positive" -> ((1L, false)),
+      "status_in_domain" -> ((1L, false)),
+      "lineitem_fk_orders" -> ((2L, false))), s"got $out")
+  }
+
+  test("the testdata star schema passes all constraints (violations = 0)") {
+    val out = TableChecks.dataQualityChecks(spark, dir).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getBoolean(2)), s"unexpected violations: ${out.mkString(", ")}")
+    assert(out.forall(_.getLong(1) == 0L))
+  }
+
+  test("snapshotDiff classifies exactly the planted mutations, id sums reconcile") {
+    val docs = Tables(spark, dir, "documents")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = TableChecks.snapshotDiff(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val deletes = ids.filter(_ % 31 == 0)
+    val updates = ids.filter(id => id % 31 != 0 && id % 7 == 0)
+    val inserts = ids.filter(_ % 53 == 0).map(_ + 1000000L)
+    val unchanged = ids.filter(id => id % 31 != 0 && id % 7 != 0)
+    def want(s: Set[Long]) = (s.size.toLong, s.sum)
+    assert(out("delete") == want(deletes), s"deletes: ${out("delete")} vs ${want(deletes)}")
+    assert(out("update") == want(updates))
+    assert(out("insert") == want(inserts))
+    assert(out("unchanged") == want(unchanged))
+    // classes partition the key universe: totals reconcile
+    assert(out.values.map(_._1).sum == (ids.size + inserts.size).toLong)
+  }
+}
