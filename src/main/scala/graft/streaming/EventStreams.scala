@@ -154,6 +154,37 @@ object EventStreams {
         col("click_ts"), col("purchase_value"), col("click_value"))
   }
 
+  /** Stream–stream LEFT OUTER attribution — [[clickPurchaseAttribution]]
+    * plus the rows that join can never show: purchases with NO qualifying
+    * click. An outer stream–stream join is a genuinely different
+    * capability from inner: a purchase cannot be declared click-less the
+    * moment it arrives (a matching click may still be in flight), so
+    * Spark holds it in state and emits the null-padded row only once the
+    * WATERMARK proves no older click can appear — the unmatched side of
+    * the result is inherently watermark-delayed, which is the semantics
+    * the spec pins. Same bounded-state contract as the inner form: equi
+    * key shards the state, the time-range bound sets eviction.
+    */
+  def clickPurchaseAttributionOuter(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      watermark: String = DefaultWatermark,
+      horizon: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("click_ts"), col("purchase_value"), col("click_value"))
+  }
+
   /** Streaming exact dedup on `event_id` — the ingest-side counterpart of
     * the batch dedup suite. `dropDuplicatesWithinWatermark` keys state by
     * the id and EVICTS each key once the watermark passes its event time,

@@ -124,6 +124,41 @@ class EventStreamsSpec extends SparkSuite {
       (1L, t(60), t(20), 50.0, 2.0)))
   }
 
+  test("stream-stream LEFT OUTER join: click-less purchase emits null-padded only after the watermark proves it") {
+    val clicks = MemoryStream[TestEvent](spark)
+    val purchases = MemoryStream[TestEvent](spark)
+    clicks.addData(TestEvent(t(10), 1, "click", 1.0))
+    purchases.addData(
+      TestEvent(t(60), 1, "purchase", 50.0),  // has a click → matches now
+      TestEvent(t(60), 2, "purchase", 70.0))  // click-less → watermark-delayed
+    val q = EventStreams.clickPurchaseAttributionOuter(
+      clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    val early = spark.table("attr_outer_out").collect()
+    // the matched row may emit promptly; the null-padded row MUST NOT —
+    // a matching click could still be in flight until the watermark passes
+    assert(!early.exists(_.isNullAt(2)),
+      s"null-padded row emitted before the watermark proved it: ${early.mkString(", ")}")
+    // advance BOTH watermarks (global watermark = min of the two sides)
+    // far past purchase_ts: no older click can now appear
+    clicks.addData(TestEvent(t(300), 9, "click", 0.0))
+    purchases.addData(TestEvent(t(300), 9, "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attr_outer_out")
+      .filter(org.apache.spark.sql.functions.col("purchase_ts") === t(60))
+      .select("user_id", "purchase_ts", "click_ts", "purchase_value", "click_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)),
+        r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(rows == Set(
+      (1L, t(60), Some(t(10)), 50.0, Some(1.0)),
+      (2L, t(60), None, 70.0, None)), s"got $rows")
+  }
+
   test("streaming dedup suppresses duplicate ids within the watermark horizon") {
     val input = MemoryStream[IdEvent](spark)
     val q = EventStreams.dedupEvents(input.toDF())
