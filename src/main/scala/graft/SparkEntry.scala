@@ -177,6 +177,7 @@ object SparkEntry {
     "decontaminate_bloom" -> ((s, d) => Corpus.decontaminateBloom(s, d)),
     "pack_sequences"   -> ((s, d) => Corpus.packSequences(s, d)),
     "chunk_documents"  -> ((s, d) => Corpus.chunkDocuments(s, d)),
+    "chunk_documents_gen" -> ((s, d) => Corpus.chunkDocumentsGen(s, d)),
     "unigram_logprob"  -> (Corpus.unigramLogProbScore _),
     "bigram_logprob"   -> ((s, d) => Corpus.bigramLogProbScore(s, d))
   )
@@ -323,6 +324,8 @@ object SparkEntry {
     "decontaminate"    -> Corpus.decontaminateSql,
     "pack_sequences"   -> Corpus.packSequencesSql,
     "chunk_documents"  -> Corpus.chunkDocumentsSql,
+    // the generator variant has the IDENTICAL output contract — one oracle
+    "chunk_documents_gen" -> Corpus.chunkDocumentsSql,
     "unigram_logprob"  -> Corpus.unigramLogProbScoreSql,
     "bigram_logprob"   -> Corpus.bigramLogProbScoreSql
   ) ++ Similarity.quantizerOracles ++ Multimodal.codecOracles ++
@@ -403,6 +406,6 @@ object SparkEntry {
     "repetition_stats", "pii_scrub", "boilerplate_scrub",
     "decontaminate", "decontaminate_bloom",
     "pack_sequences",
-    "chunk_documents", "unigram_logprob", "bigram_logprob"
+    "chunk_documents", "chunk_documents_gen", "unigram_logprob", "bigram_logprob"
   )
 }

@@ -568,6 +568,27 @@ object Corpus {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** [[chunkDocumentsOf]] through the custom
+    * [[graft.functions.SlidingChunks]] GENERATOR (the UDTF surface):
+    * chunk rows are emitted straight off the token array in one
+    * Generate — no index-array materialization, no per-row slice
+    * re-evaluation. Output contract is IDENTICAL to the declarative form
+    * (same oracle SQL; parity + plan specs in CorpusSpec).
+    */
+  def chunkDocumentsGen(spark: SparkSession, dir: String,
+      width: Int = 32, stride: Int = 24): DataFrame =
+    chunkDocumentsGenOf(Tables(spark, dir, "documents"), width, stride)
+
+  def chunkDocumentsGenOf(docs: DataFrame,
+      width: Int = 128, stride: Int = 96): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.SlidingChunks(Dedup.tokens(col("text")), width, stride))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_tokens"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Sequence packing: concatenate documents per language in doc_id order
     * and chunk the token stream into fixed `budget`-token context windows —
     * a document belongs to the bin where it STARTS. This is the standard

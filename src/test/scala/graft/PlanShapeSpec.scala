@@ -273,6 +273,7 @@ class PlanShapeSpec extends SparkSuite {
     "decontaminate_bloom" -> (0, 0, 0, 1, 3, 0),
     "pack_sequences" -> (0, 0, 0, 1, 2, 1),
     "chunk_documents" -> (0, 0, 0, 1, 1, 0),
+    "chunk_documents_gen" -> (0, 0, 0, 1, 1, 0),
     "unigram_logprob" -> (0, 1, 0, 1, 5, 0),
     // the BNL is the 1-row vocabulary scalar-combine, like unigram's
     "bigram_logprob" -> (0, 1, 0, 1, 6, 0)

@@ -172,6 +172,25 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("chunkDocumentsGen: generator output row-identical to the declarative form; plan uses the custom Generate") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Corpus.chunkDocuments(spark, dir).collect().toSeq
+    val b = Corpus.chunkDocumentsGen(spark, dir).collect().toSeq
+    assert(a == b, s"generator diverged from declarative chunking (first diff: ${
+      a.zip(b).find { case (x, y) => x != y }})")
+    val plan = Corpus.chunkDocumentsGen(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("sliding_chunks"), s"custom generator not in the plan:\n$plan")
+    assert(!plan.contains("sequence("), s"index-array sequence survived:\n$plan")
+    // null and empty inputs: explode-of-null → zero rows; empty text → the
+    // formula's floor of one (empty) chunk
+    import spark.implicits._
+    val edge = Seq((1L, Option("")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val rows = Corpus.chunkDocumentsGenOf(edge, 4, 3).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((1L, 0, 1)), s"edge semantics: ${rows.mkString(", ")}")
+  }
+
   test("chunkDocuments: multi-chunk slicing is exact on a planted long doc") {
     // 300 numbered tokens, width 128 / stride 96 → 3 chunks starting at
     // 0, 96, 192; the last holds 108 tokens
