@@ -108,6 +108,7 @@ object SparkEntry {
     "vocab_heavy_hitters_cms" -> ((s, d) => TextAnalysis.vocabHeavyHittersCms(s, d)),
     "length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(s, d)),
+    "distinctive_terms_agg" -> ((s, d) => TextAnalysis.distinctiveTermsAgg(s, d)),
     "bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
     // --- deduplication suite ---
@@ -277,6 +278,8 @@ object SparkEntry {
     "vocab_top_terms" -> TextAnalysis.vocabTopTermsSql,
     "length_histogram" -> TextAnalysis.lengthHistogramSql,
     "distinctive_terms" -> TextAnalysis.distinctiveTermsSql,
+    // the aggregate variant has the IDENTICAL output contract — one oracle
+    "distinctive_terms_agg" -> TextAnalysis.distinctiveTermsSql,
     "quality_prune" -> TextAnalysis.qualityPruneSql,
     "bm25_topk" -> TextAnalysis.bm25TopKSql,
     "phrase_search" -> TextAnalysis.phraseSearchSql,
@@ -391,7 +394,7 @@ object SparkEntry {
     // `quality_prune` (per-language rank sort — single-task on a dominant
     // language) is the unbenched anchor; the benched form is the
     // approx-quantile threshold scan
-    "distinctive_terms", "bm25_topk", "phrase_search",
+    "distinctive_terms", "distinctive_terms_agg", "bm25_topk", "phrase_search",
     "quality_prune_approx", "hybrid_rrf_lsh_topk",
     "vocab_heavy_hitters_cms",
     "media_stats", "media_phash", "media_near_dup",

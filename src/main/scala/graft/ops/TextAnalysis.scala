@@ -755,6 +755,30 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** [[distinctiveTerms]] through the custom
+    * [[graft.functions.TopKByScore]] AGGREGATE (the UDAF surface): the
+    * per-doc top-k runs as a hash aggregate with map-side partial k-item
+    * buffers — no Window, no per-group sort of non-survivors; only
+    * ≤ k items per group per map task ever shuffle. Output contract is
+    * IDENTICAL to the window form (same oracle; parity + plan specs).
+    */
+  def distinctiveTermsAgg(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docTerm = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = docTerm.groupBy("token").agg(count(lit(1)).as("df"))
+    docTerm.join(broadcast(df), Seq("token"))
+      .withColumn("raw_score", col("tf").cast("double") / col("df"))
+      .groupBy("doc_id")
+      .agg(graft.functions.TopKByScore(
+        col("raw_score"), col("token"), col("tf"), col("df"), k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.token").as("token"), col("t.tf").as("tf"), col("t.df").as("df"),
+        round(col("t.raw_score"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Default phrase for the registered query — chosen to occur often
     * enough at every SF that the per-doc hit counts and top-k ordering do
     * real work. */

@@ -179,6 +179,9 @@ class PlanShapeSpec extends SparkSuite {
     "vocab_heavy_hitters_cms" -> (0, 0, 0, 0, 1, 0),
     "length_histogram" -> (0, 0, 0, 1, 3, 0),
     "distinctive_terms" -> (0, 0, 0, 1, 5, 3),
+    // the custom-aggregate twin: zero windows BY CONSTRUCTION (the window
+    // form's 3 are its rank window + WindowGroupLimit phases)
+    "distinctive_terms_agg" -> (0, 0, 0, 1, 5, 0),
     // the 2 BNLs are the 1-row (N, avgdl) scalar-combine cross joins (one
     // per model leg); 15 exchanges = the persisted tf feeding dl/df/qterms
     // plus the SMALL-side model joins — three more than the fused form,
