@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.{Literal, Lower}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, DotProduct, HtmlUnescape, MinHashBands, SimHash64, Winnow, WordNGrams}
+import graft.functions.{CosineSimilarity, DotProduct, HtmlUnescape, MinHashBands, SimHash64, SlidingChunks, TopKByScore, Winnow, WordNGrams}
 
 /** SQL surface for the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT html_unescape(title) ...")` works alongside the
@@ -86,6 +86,25 @@ object GraftFunctions {
           Winnow(text, k, w)
         case _ => throw new IllegalArgumentException(
           "winnow(text[, k, w]) requires a string and optional integer literals")
+      }),
+    // generator (table-valued): SELECT doc_id, sc.* FROM t LATERAL VIEW
+    // sliding_chunks(tokens, 32, 24) sc — or directly in the SELECT list
+    (FunctionIdentifier("sliding_chunks"),
+      new ExpressionInfo(classOf[SlidingChunks].getName, "sliding_chunks"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr, Literal(w: Int, IntegerType), Literal(s: Int, IntegerType)) =>
+          SlidingChunks(arr, w, s)
+        case _ => throw new IllegalArgumentException(
+          "sliding_chunks(tokens, width, stride) requires an array and two integer literals")
+      }),
+    // aggregate: SELECT g, top_k_by_score(score, tok, tf, df, 3) ... GROUP BY g
+    (FunctionIdentifier("top_k_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),
+      (children: Seq[Expression]) => children match {
+        case Seq(score, tok, tf, df, Literal(k: Int, IntegerType)) =>
+          TopKByScore(score, tok, tf, df, k)
+        case _ => throw new IllegalArgumentException(
+          "top_k_by_score(score, token, tf, df, k) requires four columns and an integer literal")
       }))
 
   /** Register every custom function into an existing session. Idempotent. */

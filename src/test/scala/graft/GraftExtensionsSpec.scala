@@ -28,6 +28,29 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(hashes.getSeq[Long](2).nonEmpty)
   }
 
+  test("generator and aggregate surfaces work from SQL") {
+    GraftFunctions.register(spark)
+    // generator in the SELECT list: one row per chunk
+    val chunks = spark.sql(
+      """SELECT sliding_chunks(split('a b c d e', ' '), 3, 2)
+        |FROM (SELECT 1)""".stripMargin).collect()
+      .map(r => (r.getInt(0), r.getSeq[String](1)))
+    assert(chunks.toSeq == Seq(
+      (0, Seq("a", "b", "c")), (1, Seq("c", "d", "e"))), s"got ${chunks.toSeq}")
+    // aggregate with GROUP BY: top-2 by score desc, token asc on ties
+    val top = spark.sql(
+      """SELECT g, top_k_by_score(s, tok, tf, df, 2) AS top FROM VALUES
+        |  (1, 3.0d, 'x', 1L, 1L), (1, 9.0d, 'y', 2L, 1L),
+        |  (1, 9.0d, 'a', 3L, 1L), (2, 1.0d, 'z', 4L, 1L)
+        |  AS t(g, s, tok, tf, df)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+      .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+        (x.getString(0), x.getDouble(3))))
+    assert(top.toSeq == Seq(
+      1 -> Seq(("a", 9.0), ("y", 9.0)),
+      2 -> Seq(("z", 1.0))), s"got ${top.toSeq}")
+  }
+
   test("registration is idempotent and survives re-registration") {
     GraftFunctions.register(spark)
     GraftFunctions.register(spark)
