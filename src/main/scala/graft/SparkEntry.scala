@@ -47,6 +47,7 @@ object SparkEntry {
     "tpch_q14"       -> (Tpch.q14PromoRevenue _),
     "customers_without_urgent" -> (Tpch.customersWithoutUrgent _),
     "parts_in_both_years" -> (Tpch.partsInBothYears _),
+    "setop_all_shipments" -> (Tpch.setopAllShipments _),
     "suppliers_no_returns" -> (Tpch.suppliersNoReturns _),
     "top_customers"  -> (Tpch.topCustomers _),
     "distinct_parts" -> (Tpch.distinctParts _),
@@ -226,6 +227,7 @@ object SparkEntry {
     "tpch_q14"       -> Tpch.q14Sql,
     "customers_without_urgent" -> Tpch.customersWithoutUrgentSql,
     "parts_in_both_years" -> Tpch.partsInBothYearsSql,
+    "setop_all_shipments" -> Tpch.setopAllShipmentsSql,
     "suppliers_no_returns" -> Tpch.suppliersNoReturnsSql,
     "top_customers"  -> Tpch.topCustomersSql,
     "distinct_parts" -> Tpch.distinctPartsSql,
@@ -357,7 +359,7 @@ object SparkEntry {
     "ann_topk_brute",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
     "tpch_q14", "customers_without_urgent", "parts_in_both_years",
-    "suppliers_no_returns",
+    "setop_all_shipments", "suppliers_no_returns",
     "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q22",
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",

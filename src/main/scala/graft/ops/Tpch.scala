@@ -292,6 +292,51 @@ object Tpch {
       |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-03-01'
       |ORDER BY l_partkey""".stripMargin
 
+  /** Multiset set operations — INTERSECT ALL / EXCEPT ALL, the bag forms
+    * the DISTINCT set-ops above cannot express: per part, `common` keeps
+    * min(n₉₆, n₉₇) shipment copies and `excess_96` keeps
+    * max(0, n₉₆ − n₉₇) — multiplicities, not membership. Output is the
+    * per-part copy count of each bag (compact and deterministic), one
+    * query covering both operators.
+    *
+    * Plan note: Spark rewrites both ALL forms into counted unions (a
+    * generate over per-key count deltas), never a join per duplicate —
+    * the aggregate-after keeps the result bounded by the part universe.
+    */
+  def setopAllShipments(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    def shipped(year: Int) = li
+      .filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(col("l_partkey"))
+    val a = shipped(1996)
+    val b = shipped(1997)
+    val common = a.intersectAll(b).groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_copies"))
+      .select(lit("common").as("op"), col("l_partkey"), col("n_copies"))
+    val excess = a.exceptAll(b).groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_copies"))
+      .select(lit("excess_96").as("op"), col("l_partkey"), col("n_copies"))
+    common.unionAll(excess).orderBy("op", "l_partkey")
+  }
+
+  val setopAllShipmentsSql: String =
+    """WITH a AS (
+      |  SELECT l_partkey FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |), b AS (
+      |  SELECT l_partkey FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |)
+      |SELECT 'common' AS op, l_partkey, count(*) AS n_copies
+      |FROM (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b)
+      |GROUP BY l_partkey
+      |UNION ALL
+      |SELECT 'excess_96', l_partkey, count(*)
+      |FROM (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b)
+      |GROUP BY l_partkey
+      |ORDER BY op, l_partkey""".stripMargin
+
   /** Anti-join query: suppliers with no high-quantity returns in 1999 —
     * an explicit `left_anti` join (NOT EXISTS), the join type the EXCEPT
     * query only reaches through set-op rewriting. Broadcast of the

@@ -239,6 +239,9 @@ class PlanShapeSpec extends SparkSuite {
     // the 2 BNLs are the 1-row min-count scalar combine (mixture's shape)
     "temperature_sample" -> (0, 2, 0, 1, 8, 0),
     "data_quality_checks" -> (0, 0, 0, 1, 3, 0),
+    // INTERSECT ALL / EXCEPT ALL plan as counted-union generates — no join
+    // per duplicate, no window
+    "setop_all_shipments" -> (0, 0, 0, 1, 3, 0),
     // the SMJ is the FULL OUTER key join — correct: neither snapshot side
     // is a priori small, and full-outer has no broadcast form
     "snapshot_diff" -> (0, 0, 1, 1, 4, 0),
