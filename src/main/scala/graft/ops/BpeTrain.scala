@@ -57,11 +57,67 @@ object BpeTrain {
   /** Learn `nMerges` merge pairs from any `(doc_id, text)` frame. Returns
     * the merge table (rank, left_sym, right_sym, pair_n) — the artifact a
     * tokenizer ships.
+    *
+    * Two regimes, gated on the VOCABULARY size (the
+    * [[Dedup.nearDupClusters]] union-find convention — the corpus-scale
+    * work, the word-count aggregate, is distributed in both): a vocabulary
+    * within `driverVocabGate` (default 100k rows — a few MB of
+    * `(word, n)`) runs the merge loop driver-local, where 20 merges cost
+    * zero job rounds instead of 40; a larger vocabulary (a real crawl has
+    * ~10M+ distinct words) runs the loop distributed — per round one
+    * pair-count argmax job (driver receives a single row) and a fold
+    * projection, checkpointed so lineage never compounds. Both paths are
+    * the SAME algorithm with the same tie-break; parity is spec-pinned by
+    * forcing the distributed regime.
     */
   def learnMergesOf(spark: SparkSession, docs: DataFrame,
-      nMerges: Int = DefaultMerges): DataFrame = {
+      nMerges: Int = DefaultMerges,
+      driverVocabGate: Int = 100000): DataFrame = {
     import spark.implicits._
-    var vocab = wordCounts(docs)
+    val wc = wordCounts(docs)
+    val merges =
+      if (wc.limit(driverVocabGate + 1).count() <= driverVocabGate)
+        learnDriverLocal(
+          wc.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
+      else learnDistributed(spark, wc, nMerges)
+    merges.toDF("rank", "left_sym", "right_sym", "pair_n").orderBy("rank")
+  }
+
+  /** The small-vocabulary regime: identical algorithm, plain collections. */
+  private def learnDriverLocal(words: Array[(String, Long)],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = words.groupBy {
+      case (w, _) => w.map(_.toString).toVector :+ EndOfWord
+    }.map { case (k, vs) => k -> vs.map(_._2).sum }
+    val out = ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- vocab; i <- 0 until syms.length - 1) {
+        val key = (syms(i), syms(i + 1))
+        pairs(key) = pairs.getOrElse(key, 0L) + n
+      }
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val ((a, b), cnt) = pairs.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((rank, a, b, cnt))
+        vocab = vocab.groupBy { case (syms, _) =>
+          syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+            else acc :+ x
+          }
+        }.map { case (k, vs) => k -> vs.values.sum }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** The large-vocabulary regime: the merge loop as distributed jobs. */
+  private[ops] def learnDistributed(spark: SparkSession, wc: DataFrame,
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = wc
       .select(
         concat(array_remove(split(col("word"), ""), ""),
           array(lit(EndOfWord))).as("l"),
@@ -88,8 +144,7 @@ object BpeTrain {
           .localCheckpoint()
       }
     }
-    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_n")
-      .orderBy("rank")
+    merges.toSeq
   }
 
   /** [[learnMergesOf]] on the documents table. */

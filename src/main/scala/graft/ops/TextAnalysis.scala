@@ -787,34 +787,44 @@ object TextAnalysis {
   /** Exact-phrase search over a POSITIONAL inverted index — the retrieval
     * capability [[bm25TopK]]'s bag-of-words index cannot express (BM25
     * scores "table" and "scan" anywhere; this matches "table scan"
-    * adjacently). The index is (doc, term, position); a k-term phrase is
-    * k−1 equi-joins on (doc_id, pos−offset) between the phrase terms'
-    * posting lists — the classic positional-postings intersection, never
-    * a regex scan of the corpus text.
+    * adjacently). The index is (doc, term, position).
     *
-    * Scale shape: the `tok = term` filters push into the index scan, so
-    * only the phrase terms' postings are ever read (on a term-bucketed
-    * index table that is a bucket-pruned read of k terms out of the whole
-    * vocabulary — the same write-side investment as
-    * [[graft.ops.StorageLayout.bucketedTable]]); the joins key on
-    * (doc_id, pos), and the result is a per-doc count + TakeOrderedAndProject
-    * top-k. Occurrences may overlap ("a a a" contains "a a" twice) —
-    * position arithmetic counts both, in both engines.
+    * ONE-PASS formulation (not the textbook k−1 postings self-joins,
+    * which scan the index once per phrase term): each posting of phrase
+    * term w at position p votes for every candidate START it could
+    * support — `start = p − offset(w)` per offset of w in the phrase —
+    * and a start with votes at ALL k offsets is an occurrence. One index
+    * scan (the `tok ∈ phrase` filter pushes into it, so only the phrase
+    * terms' postings are read — a bucket-pruned read on a term-bucketed
+    * index table), one (doc, start) aggregate, one per-doc count,
+    * TakeOrderedAndProject top-k. No self-join, so the index subtree is
+    * never re-evaluated per term. Repeated phrase words are handled by
+    * the per-term OFFSET SET (a posting votes once per offset); overlaps
+    * count in both engines ("a a a" contains "a a" twice). The oracle
+    * keeps the independent join formulation — two different shapes, one
+    * answer.
     */
   def phraseSearchOf(docs: DataFrame, phrase: Seq[String] = DefaultPhrase,
       k: Int = 10): DataFrame = {
     require(phrase.nonEmpty)
-    val idx = docs.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val head = idx.filter(col("tok") === phrase.head)
-      .select(col("doc_id"), col("pos"))
-    val matches = phrase.zipWithIndex.tail.foldLeft(head) { case (acc, (w, i)) =>
-      acc.join(
-        idx.filter(col("tok") === w)
-          .select(col("doc_id"), (col("pos") - i).as("pos")),
-        Seq("doc_id", "pos"))
+    val offsets: Map[String, Seq[Int]] =
+      phrase.zipWithIndex.groupMap(_._1)(_._2)
+    val offsetsOf = offsets.foldLeft(lit(null).cast("array<int>")) {
+      case (acc, (w, offs)) =>
+        when(col("tok") === w, array(offs.map(lit): _*)).otherwise(acc)
     }
-    matches.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase.distinct: _*))
+      .select(col("doc_id"), col("pos"), explode(offsetsOf).as("off"))
+      .select(col("doc_id"), (col("pos") - col("off")).as("start"), col("off"))
+      .groupBy("doc_id", "start")
+      // a start is an occurrence iff all k offsets voted; offsets within a
+      // (doc, start) are distinct by construction (one token position
+      // votes a given offset exactly once)
+      .agg(count(lit(1)).as("n_off"))
+      .filter(col("n_off") === phrase.length)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy(col("n_hits").desc, col("doc_id"))
       .limit(k)
   }

@@ -249,11 +249,13 @@ class PlanShapeSpec extends SparkSuite {
     // the scan carries the dynamicpruningexpression StorageLayoutSpec pins
     "dpp_pruned_join" -> (0, 0, 0, 1, 2, 0),
     "boilerplate_scrub" -> (0, 0, 0, 1, 4, 0),
-    // 0 exchanges beyond the final top-k: posting filters push into the
-    // scan and the (doc,pos) joins broadcast at bench SF
-    "phrase_search" -> (0, 0, 0, 0, 1, 0),
-    // the digest sees ONE iteration's plan (pair-count argmax); the loop
-    // re-plans per merge against a checkpointed vocabulary
+    // one-pass vote form: the (doc,start) aggregate + per-doc count — two
+    // exchanges, ZERO joins (the k-leg self-join form re-scanned the index
+    // per phrase term)
+    "phrase_search" -> (0, 0, 0, 0, 2, 0),
+    // small-vocab regime: one corpus word-count aggregate feeds the
+    // driver-local merge loop (the distributed regime is spec-pinned
+    // equal; its per-round argmax plan matches this digest)
     "bpe_merges" -> (0, 0, 0, 1, 1, 0),
     // windows: rank/dense_rank/percent_rank/cume_dist fuse into one Window
     // over (type, day); +1 per extra pass Spark keeps separate

@@ -46,6 +46,14 @@ class BpeTrainSpec extends SparkSuite {
     assert(got == want, s"\ngot  $got\nwant $want")
   }
 
+  test("the distributed regime (gate forced off) equals the driver regime merge-for-merge") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val driver = BpeTrain.learnMergesOf(spark, docs, nMerges = 8).collect().toSeq
+    val dist = BpeTrain.learnMergesOf(spark, docs, nMerges = 8, driverVocabGate = 0)
+      .collect().toSeq
+    assert(driver == dist, s"\ndriver $driver\ndist   $dist")
+  }
+
   test("pair stats overlap, merges don't: 'aaa' corpus merges in the documented order") {
     val docs = Seq((1L, "aaa aaa aaa")).toDF("doc_id", "text")
     val got = BpeTrain.learnMergesOf(spark, docs, nMerges = 3).collect()
