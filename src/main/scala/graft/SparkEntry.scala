@@ -167,6 +167,7 @@ object SparkEntry {
     "mixture_sample"    -> ((s, d) => Sampling.mixtureSample(s, d)),
     "shuffle_shards"    -> ((s, d) => Sampling.shuffleShards(s, d)),
     "url_host_caps"     -> ((s, d) => Sampling.urlHostCaps(s, d)),
+    "url_canonical_dedup" -> ((s, d) => Sampling.urlCanonicalDedup(s, d)),
     "temperature_sample" -> ((s, d) => Sampling.temperatureSample(s, d)),
     "host_lang_entropy" -> (Sampling.hostLangEntropy _),
     "size_balanced_shards" -> ((s, d) => Sampling.sizeBalancedShards(s, d)),
@@ -178,6 +179,7 @@ object SparkEntry {
     "decontaminate"    -> ((s, d) => Corpus.decontaminate(s, d)),
     "decontaminate_bloom" -> ((s, d) => Corpus.decontaminateBloom(s, d)),
     "pack_sequences"   -> ((s, d) => Corpus.packSequences(s, d)),
+    "length_batching"  -> ((s, d) => Corpus.lengthBatching(s, d)),
     "chunk_documents"  -> ((s, d) => Corpus.chunkDocuments(s, d)),
     "chunk_documents_gen" -> ((s, d) => Corpus.chunkDocumentsGen(s, d)),
     "unigram_logprob"  -> (Corpus.unigramLogProbScore _),
@@ -319,6 +321,7 @@ object SparkEntry {
     "mixture_sample"    -> Sampling.mixtureSampleSql,
     "shuffle_shards"    -> Sampling.shuffleShardsSql,
     "url_host_caps"     -> Sampling.urlHostCapsSql,
+    "url_canonical_dedup" -> Sampling.urlCanonicalDedupSql,
     "temperature_sample" -> Sampling.temperatureSampleSql,
     "host_lang_entropy" -> Sampling.hostLangEntropySql,
     "size_balanced_shards" -> Sampling.sizeBalancedShardsSql,
@@ -328,6 +331,7 @@ object SparkEntry {
     "boilerplate_scrub" -> Corpus.boilerplateScrubSql,
     "decontaminate"    -> Corpus.decontaminateSql,
     "pack_sequences"   -> Corpus.packSequencesSql,
+    "length_batching"  -> Corpus.lengthBatchingSql,
     "chunk_documents"  -> Corpus.chunkDocumentsSql,
     // the generator variant has the IDENTICAL output contract — one oracle
     "chunk_documents_gen" -> Corpus.chunkDocumentsSql,
@@ -406,11 +410,12 @@ object SparkEntry {
     "zorder_pruned_scan", "dpp_pruned_join",
     "split_counts", "stratified_sample", "mixture_sample", "temperature_sample",
     "shuffle_shards",
-    "url_host_caps", "host_lang_entropy", "size_balanced_shards",
+    "url_host_caps", "url_canonical_dedup", "host_lang_entropy",
+    "size_balanced_shards",
     "quality_filter",
     "repetition_stats", "pii_scrub", "boilerplate_scrub",
     "decontaminate", "decontaminate_bloom",
-    "pack_sequences",
+    "pack_sequences", "length_batching",
     "chunk_documents", "chunk_documents_gen", "unigram_logprob", "bigram_logprob"
   )
 }

@@ -620,6 +620,61 @@ object Corpus {
         md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Length-bucketed batching — the dynamic-batching step of LLM
+    * inference/training: grouping similar-length documents into
+    * fixed-size batches bounds padding waste (a batch pads every member
+    * to its max; mixing a 20-token doc into a 500-token batch wastes 96%
+    * of its rows). Docs bucket by `len div bucketWidth`, batches of
+    * `batchSize` form inside each (bucket, shard) by deterministic rank,
+    * and the report prices each batch's padding.
+    *
+    * Scale shape: the rank window partitions on (bucket, shard) where
+    * shard = a hash nibble of doc_id — a length CLASS holds corpus/‖len
+    * spread‖ docs at 100 TB, so ranking inside the bare bucket would be
+    * the single-task sort this engine bans; the shard splits it
+    * embarrassingly while leaving the padding bound untouched (waste per
+    * doc stays < bucketWidth regardless of which shard it lands in).
+    */
+  def lengthBatching(spark: SparkSession, dir: String,
+      bucketWidth: Int = 16, batchSize: Int = 8): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(Dedup.tokens(col("text"))).as("n_tok"))
+      .withColumn("bucket", expr(s"n_tok div $bucketWidth"))
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1),
+          16, 10).cast("int"))
+    val w = Window.partitionBy("bucket", "shard")
+      .orderBy(col("n_tok"), col("doc_id"))
+    docs
+      .withColumn("rk", row_number().over(w))
+      .withColumn("batch_no", expr(s"(rk - 1) div $batchSize"))
+      .groupBy("bucket", "shard", "batch_no")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tok")).as("max_len"),
+        (max(col("n_tok")) * count(lit(1)) - sum(col("n_tok"))).as("padding"))
+      .orderBy("bucket", "shard", "batch_no")
+  }
+
+  val lengthBatchingSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, len(regexp_split_to_array(lower(text), '\s+')) AS n_tok
+      |  FROM documents
+      |), sharded AS (
+      |  SELECT doc_id, n_tok, n_tok // 16 AS bucket,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 1))::INT AS shard
+      |  FROM docs
+      |), ranked AS (
+      |  SELECT bucket, shard, n_tok,
+      |    (row_number() OVER (PARTITION BY bucket, shard
+      |       ORDER BY n_tok, doc_id) - 1) // 8 AS batch_no
+      |  FROM sharded
+      |)
+      |SELECT bucket, shard, batch_no, count(*) AS n_docs,
+      |  max(n_tok) AS max_len,
+      |  (max(n_tok) * count(*) - sum(n_tok))::BIGINT AS padding
+      |FROM ranked GROUP BY bucket, shard, batch_no
+      |ORDER BY bucket, shard, batch_no""".stripMargin
+
   /** Sequence packing: concatenate documents per language in doc_id order
     * and chunk the token stream into fixed `budget`-token context windows —
     * a document belongs to the bin where it STARTS. This is the standard

@@ -341,6 +341,83 @@ object Sampling {
       Tables(spark, dir, "documents").select(col("doc_id"), col("source").as("host")),
       cap)
 
+  /** URL canonicalization + keep-first dedup — the crawl-pipeline step
+    * before any content dedup (CCNet/RefinedWeb run it first: the same
+    * page arrives under tracking-parameter, trailing-slash, case and
+    * default-port variants, and content dedup should never pay for what
+    * string normalization resolves). Canonical form: lowercase scheme and
+    * host, strip the https default port, strip tracking parameters
+    * (`utm_*`, `ref`) with the query separators they leave behind, strip
+    * one trailing slash. Keeper = min doc_id per canonical URL.
+    *
+    * The documents table carries no URL column, so the query PLANTS the
+    * variant mess deterministically from (source, doc_id) — both engines
+    * derive the identical raw URLs; the canonicalizer is what the oracle
+    * checks. All regexes are in the Java∩RE2 subset.
+    *
+    * Scale shape: pure per-row string projection, then one hash aggregate
+    * on the canonical key — the [[graft.ops.Dedup.exactDedup]] exchange.
+    */
+  def urlCanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val host = concat(col("source"), lit(".example.com"))
+    val path = concat(lit("/articles/"), (col("doc_id") % 13).cast("string"))
+    val raw = when(col("doc_id") % 4 === 0,
+        concat(lit("https://"), host, path))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://"), host, path,
+          lit("?utm_source=feed&ref="), col("doc_id").cast("string")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://"), host, path, lit("/")))
+      .otherwise(concat(lit("HTTPS://"), upper(host), lit(":443"), path))
+    val canon = canonicalUrl(raw)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), canon.as("canon_url"))
+      .groupBy("canon_url")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_urls"))
+      .orderBy("canon_url")
+  }
+
+  /** The canonicalizer (library surface): scheme/host lowercase, default
+    * port stripped, tracking params stripped with their separators,
+    * trailing slash stripped. */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // lowercase scheme://host[:port] (everything before the first '/')
+    val schemeHost = lower(regexp_extract(url, "^[^/]*//[^/]*", 0))
+    val rest = regexp_replace(url, "^[^/]*//[^/]*", "")
+    val noPort = regexp_replace(schemeHost, ":443$", "")
+    val noTracking = regexp_replace(rest, "(utm_[a-z]+|ref)=[^&]*&?", "")
+    val noDanglingSep = regexp_replace(noTracking, "[?&]$", "")
+    val noSlash = regexp_replace(noDanglingSep, "/$", "")
+    concat(noPort, noSlash)
+  }
+
+  val urlCanonicalDedupSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE
+      |      WHEN doc_id % 4 = 0 THEN 'https://' || host || path
+      |      WHEN doc_id % 4 = 1 THEN 'https://' || host || path
+      |        || '?utm_source=feed&ref=' || doc_id::VARCHAR
+      |      WHEN doc_id % 4 = 2 THEN 'https://' || host || path || '/'
+      |      ELSE 'HTTPS://' || upper(host) || ':443' || path
+      |    END AS url
+      |  FROM (
+      |    SELECT doc_id, source || '.example.com' AS host,
+      |      '/articles/' || (doc_id % 13)::VARCHAR AS path
+      |    FROM documents)
+      |), canon AS (
+      |  SELECT doc_id,
+      |    regexp_replace(lower(regexp_extract(url, '^[^/]*//[^/]*')), ':443$', '')
+      |    || regexp_replace(regexp_replace(regexp_replace(
+      |         regexp_replace(url, '^[^/]*//[^/]*', ''),
+      |         '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+      |         '[?&]$', ''), '/$', '') AS canon_url
+      |  FROM raw
+      |)
+      |SELECT canon_url, min(doc_id) AS keeper_id, count(*) AS n_urls
+      |FROM canon GROUP BY canon_url
+      |ORDER BY canon_url""".stripMargin
+
   /** Per-host language-mix entropy: Shannon entropy (nats) of each host's
     * language distribution, with doc counts — the crawl-health diagnostic
     * read next to [[urlHostCaps]]: a mega-host with near-zero entropy is a

@@ -268,6 +268,23 @@ class CorpusSpec extends SparkSuite {
     assert(kept > 0 && kept < total, s"degenerate funnel: $kept of $total kept")
   }
 
+  test("lengthBatching: batches bounded, padding priced exactly and bounded by the bucket width") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Corpus.lengthBatching(spark, dir, bucketWidth = 16, batchSize = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    val total = out.map(_._4).sum
+    val docs = Tables(spark, dir, "documents").count()
+    assert(total == docs, s"batched $total of $docs docs")
+    for ((bucket, _, _, n, maxLen, padding) <- out) {
+      assert(n <= 8, s"batch over size: $n")
+      assert(padding >= 0)
+      // members share a 16-wide length bucket → per-doc padding < 16
+      assert(padding < n * 16, s"padding $padding breaks the bucket bound (n=$n)")
+      assert(maxLen / 16 == bucket, s"max_len $maxLen outside bucket $bucket")
+    }
+  }
+
   test("packSequences: token totals preserved, packing starts at bin 0") {
     val dir = "/root/testdata/sf0.001"
     val packed = Corpus.packSequences(spark, dir)

@@ -66,6 +66,34 @@ class SamplingSpec extends SparkSuite {
       s"mix not flattened: kept ratio $keptRatio vs natural $natRatio")
   }
 
+  test("urlCanonicalDedup: canonicalizer collapses every planted variant class; keeper is min id") {
+    import spark.implicits._
+    // the canonicalizer on hand-built raw URLs: each row is (raw, want)
+    val cases = Seq(
+      ("https://a.example.com/articles/3", "https://a.example.com/articles/3"),
+      ("https://a.example.com/articles/3?utm_source=feed&ref=77", "https://a.example.com/articles/3"),
+      ("https://a.example.com/articles/3/", "https://a.example.com/articles/3"),
+      ("HTTPS://A.EXAMPLE.COM:443/articles/3", "https://a.example.com/articles/3"),
+      // non-tracking params SURVIVE, in place, wherever the tracking ones sat
+      ("https://h.example.com/p?a=1&utm_x=2", "https://h.example.com/p?a=1"),
+      ("https://h.example.com/p?utm_x=2&a=1", "https://h.example.com/p?a=1"),
+      ("http://h.example.com:8080/p", "http://h.example.com:8080/p"))
+    val got = cases.map(_._1).toDF("url")
+      .select(Sampling.canonicalUrl(col("url")).as("c")).collect().map(_.getString(0))
+    for (((_, want), g) <- cases.zip(got)) assert(g == want, s"got $g want $want")
+    // on the table: groups exist with n > 1 (the planted variants collapse)
+    // and every keeper is its group's min doc_id by construction (min agg)
+    val out = Sampling.urlCanonicalDedup(spark, dir).collect()
+    assert(out.nonEmpty && out.exists(_.getLong(2) > 1),
+      "no collapsed URL groups — planting too sparse for this SF")
+    // canonical forms carry none of the planted mess
+    assert(out.forall { r =>
+      val u = r.getString(0)
+      !u.contains("HTTPS") && !u.contains(":443") && !u.endsWith("/") &&
+        !u.contains("utm_") && !u.contains("ref=")
+    }, "planted variant artifacts survived canonicalization")
+  }
+
   test("mixture sample: achieved shares track the targets, limiting stratum kept whole") {
     import org.apache.spark.sql.functions.col
     val out = Sampling.mixtureSample(spark, dir).collect()
