@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, AsofJoin, Corpus, Dedup, DocValidation, Events, Multimodal, RangeJoin, Sampling, SimHashOracle, Similarity, Skew, StorageLayout, TextAnalysis, Tpch, TpchAdapted, TpchTail}
+import graft.ops.{Analytics, AsofJoin, Corpus, Dedup, DocValidation, Events, FuzzyJoin, Multimodal, RangeJoin, Sampling, SimHashOracle, Similarity, Skew, StorageLayout, TextAnalysis, Tpch, TpchAdapted, TpchTail}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,6 +49,7 @@ object SparkEntry {
     "parts_in_both_years" -> (Tpch.partsInBothYears _),
     "setop_all_shipments" -> (Tpch.setopAllShipments _),
     "suppliers_no_returns" -> (Tpch.suppliersNoReturns _),
+    "fuzzy_part_pairs"   -> ((s, d) => FuzzyJoin.fuzzyPartPairs(s, d)),
     "top_customers"  -> (Tpch.topCustomers _),
     "distinct_parts" -> (Tpch.distinctParts _),
     // --- decision-support tail (subquery / outer-join shapes) ---
@@ -231,6 +232,7 @@ object SparkEntry {
     "parts_in_both_years" -> Tpch.partsInBothYearsSql,
     "setop_all_shipments" -> Tpch.setopAllShipmentsSql,
     "suppliers_no_returns" -> Tpch.suppliersNoReturnsSql,
+    "fuzzy_part_pairs"   -> FuzzyJoin.fuzzyPartPairsSql,
     "top_customers"  -> Tpch.topCustomersSql,
     "distinct_parts" -> Tpch.distinctPartsSql,
     "tpch_q7"  -> TpchTail.q7Sql,
@@ -363,7 +365,7 @@ object SparkEntry {
     "ann_topk_brute",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
     "tpch_q14", "customers_without_urgent", "parts_in_both_years",
-    "setop_all_shipments", "suppliers_no_returns",
+    "setop_all_shipments", "suppliers_no_returns", "fuzzy_part_pairs",
     "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q22",
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy string join (record linkage / entity resolution): find pairs of
+  * near-identical strings under a Levenshtein edit-distance bound without
+  * ever forming the all-pairs product.
+  *
+  * The reference pipeline deduplicates on EXACT (title, content) equality
+  * (`cleaner.py` keep-first dedup); a crawl-scale corpus also needs the
+  * fuzzy twin — "Cold Anvil Mfg." vs "Old Anvil Mfg." style entity
+  * variants that exact keys and even shingle Jaccard miss when the
+  * strings are short (one-token entities have no shingle signal). This is
+  * the standard blocking-then-verify shape from the record-linkage
+  * literature (Christen, "Data Matching", Springer 2012):
+  *
+  *  1. DISTINCT the entity strings first — the entity universe is orders
+  *     of magnitude smaller than the fact table carrying them (64 names
+  *     under 2 000 part rows here; the same ratio holds at 100 TB where
+  *     the dedup runs on the name dictionary, not the corpus).
+  *  2. BLOCK on shared whitespace tokens: a candidate pair must share at
+  *     least one token. This is an equi-join on the token key — fan-out
+  *     bounded by token document frequency, never |names|². Pairs that
+  *     disagree on EVERY token are unreachable by construction; that
+  *     recall trade is the documented price of blocking (the spec pins
+  *     it honestly rather than hiding it).
+  *  3. VERIFY candidates with the exact Levenshtein distance — a codegen
+  *     built-in in both engines, integer-valued, so the oracle comparison
+  *     is exact with no float rounding anywhere.
+  *
+  * Scale shape: one small distinct + explode, one token equi-join whose
+  * skew armor is the stop-token cap (`maxTokenDf` — a token shared by
+  * half the dictionary generates no useful candidates, only fan-out; the
+  * same df-cap idea as [[Dedup]]'s containment stop-shingles), one
+  * verify projection. No window, no sort except the bounded output.
+  */
+object FuzzyJoin {
+
+  /** Candidate pairs of distinct `name` values within `maxDist` edits,
+    * blocked on shared tokens. `maxTokenDf` drops blocking tokens whose
+    * dictionary frequency exceeds the cap (0 disables the cap). */
+  def fuzzyPairsOf(names: DataFrame, nameCol: String, maxDist: Int,
+      maxTokenDf: Long = 0L): DataFrame = {
+    val dict = names.select(col(nameCol).as("name")).distinct()
+    val toks = dict.select(col("name"), explode(split(col("name"), " ")).as("tok"))
+    val blocked =
+      if (maxTokenDf <= 0L) toks
+      else {
+        val keep = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxTokenDf).select("tok")
+        toks.join(broadcast(keep), Seq("tok"))
+      }
+    val a = blocked.withColumnRenamed("name", "name_a")
+    val b = blocked.withColumnRenamed("name", "name_b")
+    a.join(b, Seq("tok"))
+      .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b").distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Registered query: fuzzy-match the part-name dictionary (≤3 edits),
+    * then attach each name's part count — the linkage output a
+    * dedup/merge step would consume (which variant is the canonical one =
+    * the higher-support side). */
+  def fuzzyPartPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val part = Tables(spark, dir, "part")
+    val pairs = fuzzyPairsOf(part, "p_name", maxDist)
+    val support = part.groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(support).withColumnRenamed("name", "name_a").withColumnRenamed("n", "n_a"), Seq("name_a"))
+      .join(broadcast(support).withColumnRenamed("name", "name_b").withColumnRenamed("n", "n_b"), Seq("name_b"))
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  val fuzzyPartPairsSql: String =
+    """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+      |toks AS (SELECT name, unnest(string_split(name, ' ')) AS tok FROM names),
+      |cand AS (
+      |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+      |  FROM toks a JOIN toks b USING (tok)
+      |  WHERE a.name < b.name
+      |), support AS (SELECT p_name AS name, count(*) AS n FROM part GROUP BY 1)
+      |SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist,
+      |  sa.n AS n_a, sb.n AS n_b
+      |FROM cand
+      |JOIN support sa ON sa.name = name_a
+      |JOIN support sb ON sb.name = name_b
+      |WHERE levenshtein(name_a, name_b) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class FuzzyJoinSpec extends SparkSuite {
+  val dir = "/root/testdata/sf0.001"
+
+  test("fuzzyPairsOf: toy dictionary — shared-token pairs within the bound, ordered, deduped") {
+    import spark.implicits._
+    val names = Seq("cold anvil", "old anvil", "old anvil", "red widget",
+      "red gear", "blue bolt").toDF("p_name")
+    val got = FuzzyJoin.fuzzyPairsOf(names, "p_name", maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // dist("cold anvil","old anvil")=1 via shared "anvil"; duplicates in the
+    // input collapse (distinct dictionary); name_a < name_b exactly once
+    assert(got.contains(("cold anvil", "old anvil", 1)))
+    assert(got.forall { case (a, b, d) => a < b && d <= 3 })
+    // "red widget" vs "red gear" share "red" but dist=5 > 3: verified away
+    assert(!got.exists(p => p._1 == "red gear" && p._2 == "red widget"))
+  }
+
+  test("fuzzyPairsOf: blocking recall trade is real — close pair sharing no token is missed") {
+    import spark.implicits._
+    // dist("abc def","abd dee")=2 but the token sets are disjoint: blocking
+    // cannot reach the pair. This is the documented contract, not a bug.
+    val names = Seq("abc def", "abd dee").toDF("p_name")
+    assert(FuzzyJoin.fuzzyPairsOf(names, "p_name", maxDist = 3).count() == 0)
+  }
+
+  test("fuzzyPairsOf: stop-token cap drops the mega-token's candidates") {
+    import spark.implicits._
+    // "x" appears in all 4 names; with the cap at 3 it blocks nothing and
+    // only the rarer "aa"/"ab" tokens may form candidates.
+    val names = Seq("x aa", "x ab", "x cc", "x dd").toDF("p_name")
+    val uncapped = FuzzyJoin.fuzzyPairsOf(names, "p_name", maxDist = 2).count()
+    val capped = FuzzyJoin.fuzzyPairsOf(names, "p_name", maxDist = 2, maxTokenDf = 3).count()
+    assert(uncapped == 6, s"all pairs reachable via 'x': got $uncapped")
+    assert(capped == 0, s"capped blocking should form no candidates: got $capped")
+  }
+
+  test("fuzzyPartPairs: real dictionary — pairs found, support attached, verify bound holds") {
+    val out = FuzzyJoin.fuzzyPartPairs(spark, dir).collect()
+    assert(out.nonEmpty, "no fuzzy part-name pairs at this SF")
+    for (r <- out) {
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getInt(2) <= 3 && r.getInt(2) >= 1, s"dist out of band: $r")
+      assert(r.getLong(3) > 0 && r.getLong(4) > 0, s"support missing: $r")
+    }
+  }
+}
