@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, AsofJoin, Corpus, Dedup, DocValidation, Events, FuzzyJoin, IncrementalAgg, Multimodal, RangeJoin, Sampling, SimHashOracle, Similarity, Skew, StorageLayout, TextAnalysis, Tpch, TpchAdapted, TpchTail}
+import graft.ops.{Analytics, AsofJoin, Corpus, Dedup, DocValidation, Events, FuzzyJoin, IncrementalAgg, Multimodal, PageRank, RangeJoin, Sampling, SimHashOracle, Similarity, Skew, StorageLayout, TextAnalysis, Tpch, TpchAdapted, TpchTail}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -51,6 +51,7 @@ object SparkEntry {
     "suppliers_no_returns" -> (Tpch.suppliersNoReturns _),
     "fuzzy_part_pairs"   -> ((s, d) => FuzzyJoin.fuzzyPartPairs(s, d)),
     "incremental_customer_revenue" -> (IncrementalAgg.incrementalCustomerRevenue _),
+    "doc_pagerank"     -> (PageRank.docPageRank _),
     "top_customers"  -> (Tpch.topCustomers _),
     "distinct_parts" -> (Tpch.distinctParts _),
     // --- decision-support tail (subquery / outer-join shapes) ---
@@ -235,6 +236,7 @@ object SparkEntry {
     "suppliers_no_returns" -> Tpch.suppliersNoReturnsSql,
     "fuzzy_part_pairs"   -> FuzzyJoin.fuzzyPartPairsSql,
     "incremental_customer_revenue" -> IncrementalAgg.incrementalCustomerRevenueSql,
+    "doc_pagerank"     -> PageRank.docPageRankSql,
     "top_customers"  -> Tpch.topCustomersSql,
     "distinct_parts" -> Tpch.distinctPartsSql,
     "tpch_q7"  -> TpchTail.q7Sql,
@@ -368,7 +370,7 @@ object SparkEntry {
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
     "tpch_q14", "customers_without_urgent", "parts_in_both_years",
     "setop_all_shipments", "suppliers_no_returns", "fuzzy_part_pairs",
-    "incremental_customer_revenue",
+    "incremental_customer_revenue", "doc_pagerank",
     "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q22",
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",

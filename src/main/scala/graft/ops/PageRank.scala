@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank over a link graph DERIVED from the corpus — the
+  * iterative-dataflow capability (Pregel / GraphX shape) expressed as
+  * plain DataFrame joins: rank authority flows along edges, so crawl
+  * prioritization and quality weighting can use link signal the per-doc
+  * heuristics ([[QualityModel]]) cannot see.
+  *
+  * Graph: doc → doc edges via SHARED RARE SHINGLES (df ∈ [2,4]) — the
+  * same pruned-universe criterion as [[Dedup.containmentPairs]]: a rare
+  * shingle shared by two documents is citation-like evidence (quotation,
+  * syndication, common source). Edges are symmetric by construction (the
+  * shingle join produces both directions), never formed all-pairs —
+  * the df cap bounds the per-shingle fan-out exactly as in containment.
+  *
+  * Arithmetic: FIXED-POINT integers, not floats. Float PageRank sums
+  * contributions in nondeterministic order, so no two engines (or two
+  * runs at different parallelism) agree bit-for-bit. Here every node
+  * starts at 1 000 000 micro-units and iterates
+  *
+  *   pr'(v) = 150 000 + (850 × Σ_{u→v} (pr(u) div outdeg(u))) div 1000
+  *
+  * — damping 0.85 with all divisions integral. Integer addition is
+  * associative, so the per-dst aggregation is order-independent and the
+  * DuckDB oracle re-derives the identical micro-unit scores through five
+  * unrolled CTE iterations. Dangling mass (nodes with no out-edges)
+  * evaporates rather than redistributing — the standard simplification,
+  * documented; ranking order is unaffected for connected components.
+  * At larger corpora the unit scale is the knob (mass × damping products
+  * must fit a BIGINT; 10¹² docs × 10⁶ units × 850 still fits with room).
+  *
+  * Scale shape: the edge table (with out-degree attached once) is
+  * persisted and re-joined each iteration — partitioned by src, so every
+  * superstep is one shuffle on dst for the contribution aggregate plus a
+  * broadcast-free left join back to the node set. Each iteration ends in
+  * `localCheckpoint` (the [[GraphAnn]] Pregel convention): lineage stays
+  * O(1) across supersteps instead of multiplying the join tree.
+  */
+object PageRank {
+
+  val RareMinDf = 2
+  val RareMaxDf = 4
+  val Iterations = 5
+  val ScaleUnit = 1000000L
+
+  /** Symmetric doc→doc edges via shared rare shingles. */
+  def linkGraph(docs: DataFrame): DataFrame = {
+    val ex = docs.select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("s"))
+    val rareKeys = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= RareMinDf && col("df") <= RareMaxDf)
+      .select("s")
+    val rare = ex.join(rareKeys, Seq("s"))
+    rare.select(col("s"), col("doc_id").as("src"))
+      .join(rare.select(col("s"), col("doc_id").as("dst")), Seq("s"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+  }
+
+  /** Core iteration on an explicit (nodes, edges) graph. `nodes` must have
+    * one `node` column; `edges` columns `src`/`dst`. */
+  def pageRankOn(nodes: DataFrame, edges: DataFrame,
+      iterations: Int = Iterations): DataFrame = {
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // edge list with out-degree attached once — the loop-invariant operand
+    val ed = edges.join(outdeg, Seq("src")).persist()
+    val ns = nodes.persist()
+    var ranks = ns.withColumn("pr", lit(ScaleUnit))
+    for (_ <- 1 to iterations) {
+      val contribs = ed.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+      ranks = ns.join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr("150000 + (850 * coalesce(in_sum, 0)) div 1000").as("pr"))
+        .localCheckpoint()
+    }
+    ed.unpersist(); ns.unpersist()
+    ranks
+  }
+
+  /** Registered query: five fixed-point iterations over the shingle-derived
+    * doc graph; full node set served (no-in-link nodes sit at the 150 000
+    * damping base). */
+  def docPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    pageRankOn(docs.select(col("doc_id").as("node")), linkGraph(docs))
+      .select(col("node").as("doc_id"), col("pr"))
+      .orderBy("doc_id")
+  }
+
+  val docPageRankSql: String = {
+    val iterCtes = (1 to Iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT n.doc_id AS node,
+         |    (150000 + (850 * coalesce(s.in_sum, 0)) // 1000)::BIGINT AS pr
+         |  FROM documents n LEFT JOIN (
+         |    SELECT ed.dst, sum(r.pr // ed.deg) AS in_sum
+         |    FROM ed JOIN r${i - 1} r ON ed.src = r.node GROUP BY ed.dst
+         |  ) s ON s.dst = n.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(t) >= 3
+       |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+       |      ELSE [lower(text)] END) AS sh
+       |  FROM toks JOIN documents USING (doc_id)
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS s FROM sh
+       |), rare AS (
+       |  SELECT doc_id, s FROM ex
+       |  WHERE s IN (SELECT s FROM ex GROUP BY s
+       |              HAVING count(*) BETWEEN $RareMinDf AND $RareMaxDf)
+       |), edges AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id != b.doc_id
+       |), deg AS (
+       |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+       |), ed AS (
+       |  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)
+       |), r0 AS (
+       |  SELECT doc_id AS node, ${ScaleUnit}::BIGINT AS pr FROM documents
+       |),
+       |$iterCtes
+       |SELECT node AS doc_id, pr FROM r$Iterations ORDER BY doc_id""".stripMargin
+  }
+}

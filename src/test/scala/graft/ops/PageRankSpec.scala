@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkSuite {
+  val dir = "/root/testdata/sf0.001"
+
+  /** Independent re-derivation of the fixed-point recurrence on adjacency
+    * maps — no Spark, no SQL; the spec's ground truth. */
+  private def refRanks(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = nodes.map(_ -> PageRank.ScaleUnit).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => pr(u) / out(u) }.sum).toMap
+      pr = nodes.map(n => n -> (150000L + 850L * in.getOrElse(n, 0L) / 1000L)).toMap
+    }
+    pr
+  }
+
+  test("pageRankOn: matches the independent map-based recurrence on a toy graph") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    // cycle 1→2→3→1, plus 4→2 (extra in-link for 2), 5 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L))
+    val got = PageRank.pageRankOn(
+      nodes.toDF("node"), edges.toDF("src", "dst"), PageRank.Iterations)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = refRanks(nodes, edges, PageRank.Iterations)
+    assert(got == want, s"got $got want $want")
+    // structural sanity the numbers should encode: every cycle node
+    // accumulates mass above the isolated node, which sits at the base
+    assert(got(5L) == 150000L)
+    assert(Seq(1L, 2L, 3L).forall(n => got(n) > got(5L)))
+    // 4 only emits (no in-links): decays to the base like the isolated node
+    assert(got(4L) == 150000L)
+  }
+
+  test("linkGraph: edges symmetric, loop-free, and bounded by rare-shingle fan-out") {
+    val docs = Tables(spark, dir, "documents")
+    val edges = PageRank.linkGraph(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "no link edges at this SF")
+    val set = edges.toSet
+    assert(edges.forall { case (s, d) => s != d }, "self-loop present")
+    assert(set.forall { case (s, d) => set.contains((d, s)) }, "asymmetric edge")
+    // df cap ⇒ a single shingle creates at most maxDf·(maxDf−1) edges; the
+    // graph must be far below the all-pairs count
+    val n = docs.count()
+    assert(edges.length < n * n / 2, "edge count approaches all-pairs")
+  }
+
+  test("docPageRank: deterministic, base-floored, and in-link mass raises rank") {
+    val a = PageRank.docPageRank(spark, dir).collect()
+    val b = PageRank.docPageRank(spark, dir).collect()
+    assert(a.sameElements(b), "two runs disagree")
+    assert(a.forall(_.getLong(1) >= 150000L), "rank below the damping base")
+    assert(a.exists(_.getLong(1) > PageRank.ScaleUnit),
+      "no node accumulated rank above the initial mass — graph degenerate?")
+  }
+}
