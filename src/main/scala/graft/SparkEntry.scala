@@ -78,6 +78,7 @@ object SparkEntry {
     "value_quartiles"         -> (Analytics.valueQuartiles _),
     "rank_family"             -> (Analytics.rankFamily _),
     "scd2_value_tiers"        -> (Analytics.scd2ValueTiers _),
+    "rolling_revenue_7d"      -> (Analytics.rollingRevenue7d _),
     "value_quartiles_approx"  -> ((s, d) => Analytics.valueQuartilesApprox(s, d)),
     // --- event-time windowing (streaming-ready shapes) ---
     "events_tumbling" -> (Events.tumbling _),
@@ -260,6 +261,7 @@ object SparkEntry {
     "value_quartiles"         -> Analytics.valueQuartilesSql,
     "rank_family"             -> Analytics.rankFamilySql,
     "scd2_value_tiers"        -> Analytics.scd2ValueTiersSql,
+    "rolling_revenue_7d"      -> Analytics.rollingRevenue7dSql,
     "events_tumbling" -> Events.tumblingSql,
     "events_sliding"  -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
@@ -379,6 +381,7 @@ object SparkEntry {
     // anchor; the benched form is the approx-histogram bucket assignment
     "running_revenue", "top_orders_per_customer", "user_event_gaps",
     "value_quartiles_approx", "rank_family", "scd2_value_tiers",
+    "rolling_revenue_7d",
     "top_customers", "distinct_parts",
     "events_tumbling", "events_sliding", "events_sessions",
     "events_sessions_sw",

@@ -282,4 +282,40 @@ object Analytics {
         round(max(col("value")), 2).as("hi"))
       .orderBy("event_type", "quartile")
   }
+
+  /** Trailing 7-day revenue per customer — the RANGE-frame window the
+    * family's other members never exercise: the frame is bounded by the
+    * ORDER-KEY VALUE (orders within the past 6 days), not by row
+    * position, so same-day peer rows always share one frame and no
+    * tie-break is needed (ROWS frames would double-count or split ties
+    * nondeterministically). Spark's rangeBetween takes a numeric order
+    * key: epoch seconds, with −6 days = −518400 s — identical to the
+    * oracle's `RANGE BETWEEN INTERVAL 6 DAYS PRECEDING` on the timestamp
+    * in UTC. The moving money sum runs in exact DECIMAL (frame sums are
+    * recomputed or slid engine-internally; with decimal both give the
+    * same exact value — a double moving sum would accumulate slide-order
+    * error). Partitioned per customer: at 100 TB each frame state is one
+    * customer's order history, co-located by the hash exchange.
+    */
+  def rollingRevenue7d(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-6L * 86400L, 0L)
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(15,2)").as("price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        round(sum(col("price")).over(w), 2).cast("double").as("rev_7d"),
+        count(lit(1)).over(w).as("n_7d"))
+      .orderBy("o_orderkey")
+  }
+
+  val rollingRevenue7dSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+      |  CAST(round(sum(o_totalprice::DECIMAL(15,2)) OVER w, 2) AS DOUBLE) AS rev_7d,
+      |  count(*) OVER w AS n_7d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
 }

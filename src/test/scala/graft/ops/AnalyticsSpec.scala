@@ -80,4 +80,28 @@ class AnalyticsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"expected no Window in:\n$plan")
   }
+
+  test("rollingRevenue7d: frame matches a brute per-row recomputation") {
+    val out = Analytics.rollingRevenue7d(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2).toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+        r.getDouble(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    val byCust = out.groupBy(_._2)
+    val dayMs = 86400L * 1000L
+    for ((_, rows) <- byCust.take(40)) {
+      // brute force the frame MEMBERSHIP per row: every order of the same
+      // customer dated in (d − 7 days, d] must be in the frame, nothing else
+      for ((_, _, d, rev, n) <- rows) {
+        val members = rows.filter { case (_, _, d2, _, _) =>
+          d2 <= d && d2 > d - 7L * dayMs }
+        assert(members.length == n, s"frame count $n vs brute ${members.length}")
+        assert(rev > 0.0)
+      }
+      // same-day peers share the identical RANGE frame
+      for ((_, g) <- rows.groupBy(_._3) if g.length > 1)
+        assert(g.map(r => (r._4, r._5)).distinct.length == 1,
+          s"same-day peers disagree: $g")
+    }
+  }
 }
