@@ -833,6 +833,75 @@ object TextAnalysis {
   def phraseSearch(spark: SparkSession, dir: String): DataFrame =
     phraseSearchOf(Tables(spark, dir, "documents"))
 
+  /** Top collocations by PMI — pointwise mutual information over token
+    * co-occurrence within a ±`window` neighborhood, the count-based
+    * distributional-semantics statistic (word2vec's SGNS factorizes
+    * exactly this matrix — Levy & Goldberg, NeurIPS'14). Surfaces learned
+    * phrases ("big dup") that raw frequency ranks bury under stopword
+    * pairs, because PMI normalizes by both marginals.
+    *
+    * Exactness: PMI = log(p(ab)/(p(a)p(b))) needs no libm log to RANK —
+    * log is monotone, so ranking on the raw ratio (n_ab·N)/(n_a·n_b) is
+    * the same order, and that ratio is ONE IEEE division of two exact
+    * integer products (< 2⁵³ through sf1; at crawl scale the products
+    * overflow and ordering would move to log space — the documented
+    * envelope, same convention as the BIGINT fixed-point notes).
+    *
+    * Scale shape: the Spark side generates pairs STRAIGHT OFF the token
+    * array with nested higher-order transforms — zero joins and zero
+    * shuffles until the (a,b) count aggregate; the oracle keeps the
+    * textbook positional self-join (two shapes, one answer — the
+    * [[phraseSearchOf]] convention). The min-count filter prunes the
+    * pair universe before the marginal joins, so only surviving
+    * collocations join the marginal table.
+    */
+  def pmiPairs(spark: SparkSession, dir: String, window: Int = 2,
+      minCount: Int = 5, k: Int = 100): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    // (x, i) is the token at 0-based i; slice is 1-based, so i+2 starts at
+    // the NEXT token — each position pairs with its `window` successors
+    val pairs = toks.select(explode(expr(
+      s"""flatten(transform(tk, (x, i) ->
+         |  transform(slice(tk, i + 2, $window),
+         |    y -> struct(least(x, y) AS a, greatest(x, y) AS b))))""".stripMargin))
+      .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val cooc = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val ex = toks.select(explode(col("tk")).as("tok"))
+    val marg = ex.groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = ex.agg(count(lit(1)).as("nn"))
+    cooc
+      .join(marg.select(col("tok").as("a"), col("n").as("n_a")), Seq("a"))
+      .join(marg.select(col("tok").as("b"), col("n").as("n_b")), Seq("b"))
+      .crossJoin(total)
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab") * col("nn")).cast("double") / (col("n_a") * col("n_b")))
+          .as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  val pmiPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
+      |), idx AS (
+      |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks
+      |), cooc AS (
+      |  SELECT least(a.tok, b.tok) AS a, greatest(a.tok, b.tok) AS b,
+      |    count(*) AS n_ab
+      |  FROM idx a JOIN idx b
+      |    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+      |  WHERE a.tok != b.tok GROUP BY 1, 2 HAVING count(*) >= 5
+      |), marg AS (SELECT tok, count(*) AS n FROM idx GROUP BY tok),
+      |tot AS (SELECT count(*) AS nn FROM idx)
+      |SELECT a, b, n_ab, ma.n AS n_a, mb.n AS n_b,
+      |  (n_ab * nn)::DOUBLE / (ma.n * mb.n) AS pmi_ratio
+      |FROM cooc JOIN marg ma ON ma.tok = a JOIN marg mb ON mb.tok = b, tot
+      |ORDER BY pmi_ratio DESC, a, b LIMIT 100""".stripMargin
+
   val phraseSearchSql: String = {
     val joins = DefaultPhrase.zipWithIndex.tail.map { case (w, i) =>
       s"JOIN (SELECT doc_id, pos - $i AS pos FROM idx WHERE tok = '$w') m$i USING (doc_id, pos)"

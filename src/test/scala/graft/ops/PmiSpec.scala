@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class PmiSpec extends SparkSuite {
+  val dir = "/root/testdata/sf0.001"
+
+  test("pmiPairs: ±2 window pair generation matches the positional definition") {
+    // "a b c d": position pairs within distance 2 are
+    // (a,b) (a,c) (b,c) (b,d) (c,d) — five unordered pairs, none equal
+    import spark.implicits._
+    val toks = Seq("a b c d").toDF("text")
+      .select(Dedup.tokens(col("text")).as("tk"))
+    val pairs = toks.select(explode(expr(
+      """flatten(transform(tk, (x, i) ->
+        |  transform(slice(tk, i + 2, 2),
+        |    y -> struct(least(x, y) AS a, greatest(x, y) AS b))))""".stripMargin)).as("p"))
+      .select("p.a", "p.b").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.sorted.toSeq ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")))
+  }
+
+  test("pmiPairs: ratios descend, pairs canonical, counts above the floor") {
+    val out = TextAnalysis.pmiPairs(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 100)
+    for (r <- out) {
+      assert(r.getString(0) < r.getString(1), s"non-canonical pair: $r")
+      assert(r.getLong(2) >= 5, s"below min count: $r")
+      assert(r.getLong(3) >= r.getLong(2) && r.getLong(4) >= r.getLong(2),
+        s"marginal below joint: $r")
+    }
+    val ratios = out.map(_.getDouble(5))
+    assert(ratios.zip(ratios.tail).forall { case (x, y) => x >= y },
+      "pmi_ratio not descending")
+  }
+
+  test("pmiPairs: a planted collocation outranks a stopword pair") {
+    import spark.implicits._
+    // "qz vx" always together (perfect collocation); "the" pairs with
+    // everything (high marginals dilute its PMI)
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"the w$i qz vx m$i the")).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
+    // reuse the registered query's core on this corpus via a temp view path:
+    // easiest is to recompute with the same expressions inline
+    val pairs = toks.select(explode(expr(
+      """flatten(transform(tk, (x, i) ->
+        |  transform(slice(tk, i + 2, 2),
+        |    y -> struct(least(x, y) AS a, greatest(x, y) AS b))))""".stripMargin)).as("p"))
+      .select("p.a", "p.b").filter(col("a") =!= col("b"))
+    val cooc = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val ex = toks.select(explode(col("tk")).as("tok"))
+    val marg = ex.groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = ex.count()
+    val scored = cooc
+      .join(marg.select(col("tok").as("a"), col("n").as("n_a")), Seq("a"))
+      .join(marg.select(col("tok").as("b"), col("n").as("n_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        ((col("n_ab") * lit(total)).cast("double") / (col("n_a") * col("n_b"))).as("r"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    val planted = scored(("qz", "vx"))
+    val stop = scored.filter { case ((a, b), _) => a == "the" || b == "the" }.values
+    assert(stop.nonEmpty && stop.forall(planted > _),
+      s"planted collocation $planted not above stopword pairs ${stop.max}")
+  }
+}
