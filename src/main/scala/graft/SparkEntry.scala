@@ -52,6 +52,7 @@ object SparkEntry {
     "fuzzy_part_pairs"   -> ((s, d) => FuzzyJoin.fuzzyPartPairs(s, d)),
     "incremental_customer_revenue" -> (IncrementalAgg.incrementalCustomerRevenue _),
     "doc_pagerank"     -> (PageRank.docPageRank _),
+    "doc_triangles"    -> (PageRank.docTriangles _),
     "top_customers"  -> (Tpch.topCustomers _),
     "distinct_parts" -> (Tpch.distinctParts _),
     // --- decision-support tail (subquery / outer-join shapes) ---
@@ -239,6 +240,7 @@ object SparkEntry {
     "fuzzy_part_pairs"   -> FuzzyJoin.fuzzyPartPairsSql,
     "incremental_customer_revenue" -> IncrementalAgg.incrementalCustomerRevenueSql,
     "doc_pagerank"     -> PageRank.docPageRankSql,
+    "doc_triangles"    -> PageRank.docTrianglesSql,
     "top_customers"  -> Tpch.topCustomersSql,
     "distinct_parts" -> Tpch.distinctPartsSql,
     "tpch_q7"  -> TpchTail.q7Sql,
@@ -374,7 +376,7 @@ object SparkEntry {
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
     "tpch_q14", "customers_without_urgent", "parts_in_both_years",
     "setop_all_shipments", "suppliers_no_returns", "fuzzy_part_pairs",
-    "incremental_customer_revenue", "doc_pagerank",
+    "incremental_customer_revenue", "doc_pagerank", "doc_triangles",
     "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q22",
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",

@@ -91,6 +91,85 @@ object PageRank {
       .orderBy("doc_id")
   }
 
+  /** Per-node triangle counts over the same link graph — the clustering
+    * signal next to [[docPageRank]]'s authority signal (a doc whose
+    * neighbors also link each other sits in a dense duplication/
+    * syndication cluster; a high-rank doc with zero triangles is a hub).
+    *
+    * Enumeration uses DEGREE-ORDERED ORIENTATION, the standard
+    * wedge-explosion armor (Schank & Wagner, WEA'05): orient every
+    * undirected edge from its (degree, id)-smaller endpoint, so each
+    * node's oriented out-degree is O(√m) and the wedge join never
+    * explodes on a hub the way id-ordering would. Every triangle has
+    * exactly one orientation under the total order, so counts are
+    * identical to the oracle's canonical id-ordered enumeration — the
+    * orientation changes the PLAN, not the answer (the
+    * [[TextAnalysis.phraseSearchOf]] two-shapes-one-answer convention).
+    *
+    * Scale shape: two equi-joins on node keys (wedge close + edge
+    * verify), one explode×3 + hash agg for the per-corner counts. All
+    * integer — exact everywhere.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // undirected degree from the symmetric edge set
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("n"), col("deg"))
+    // orient: keep (src,dst) iff (deg,id) of src < (deg,id) of dst
+    val oriented = edges
+      .join(deg.select(col("n").as("src"), col("deg").as("ds")), Seq("src"))
+      .join(deg.select(col("n").as("dst"), col("deg").as("dd")), Seq("dst"))
+      .filter(col("ds") < col("dd") ||
+        (col("ds") === col("dd") && col("src") < col("dst")))
+      .select("src", "dst").persist()
+    val wedges = oriented.select(col("src").as("a"), col("dst").as("b"))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+    // close the wedge: a precedes c in the total order (transitivity), so
+    // the third edge — if present — is oriented a→c: one plain equi-join
+    val tri = wedges.join(
+      oriented.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      .select("a", "b", "c")
+    val corners = tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+    val out = corners.groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+      .orderBy("doc_id")
+    oriented.unpersist()
+    out
+  }
+
+  /** Registered query: triangle counts on the shingle-derived doc graph. */
+  def docTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCounts(linkGraph(Tables(spark, dir, "documents")))
+
+  val docTrianglesSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(t) >= 3
+       |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+       |      ELSE [lower(text)] END) AS sh
+       |  FROM toks JOIN documents USING (doc_id)
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS s FROM sh
+       |), rare AS (
+       |  SELECT doc_id, s FROM ex
+       |  WHERE s IN (SELECT s FROM ex GROUP BY s
+       |              HAVING count(*) BETWEEN $RareMinDf AND $RareMaxDf)
+       |), edges AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id != b.doc_id
+       |), ce AS (
+       |  SELECT src, dst FROM edges WHERE src < dst
+       |), tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+       |  JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst
+       |)
+       |SELECT node AS doc_id, count(*) AS n_tri FROM (
+       |  SELECT a AS node FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri
+       |) GROUP BY node ORDER BY node""".stripMargin
+
   val docPageRankSql: String = {
     val iterCtes = (1 to Iterations).map { i =>
       s"""r$i AS (

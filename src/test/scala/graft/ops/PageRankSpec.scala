@@ -50,6 +50,25 @@ class PageRankSpec extends SparkSuite {
     assert(edges.length < n * n / 2, "edge count approaches all-pairs")
   }
 
+  test("triangleCounts: toy graph matches hand enumeration; orientation is count-neutral") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) plus pendant 5–1
+    val und = for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)
+    val edges = (und ++ Seq((1L, 5L), (5L, 1L))).toDF("src", "dst")
+    val got = PageRank.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+  }
+
+  test("docTriangles: corners consistent — total count divisible by 3, all positive") {
+    val out = PageRank.docTriangles(spark, dir).collect()
+    assert(out.nonEmpty, "no triangles at this SF")
+    assert(out.forall(_.getLong(1) > 0))
+    assert(out.map(_.getLong(1)).sum % 3 == 0, "corner sum not divisible by 3")
+  }
+
   test("docPageRank: deterministic, base-floored, and in-link mass raises rank") {
     val a = PageRank.docPageRank(spark, dir).collect()
     val b = PageRank.docPageRank(spark, dir).collect()
