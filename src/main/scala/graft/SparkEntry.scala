@@ -90,6 +90,7 @@ object SparkEntry {
     "view_purchase_recon" -> (Events.viewPurchaseRecon _),
     "data_quality_checks" -> ((s, d) => graft.ops.TableChecks.dataQualityChecks(s, d)),
     "snapshot_diff" -> ((s, d) => graft.ops.TableChecks.snapshotDiff(s, d)),
+    "k_anonymity_audit" -> ((s, d) => graft.ops.TableChecks.kAnonymityAudit(s, d)),
     "value_percentiles" -> (Events.valuePercentiles _),
     "value_percentiles_approx" -> ((s, d) => Events.valuePercentilesApprox(s, d)),
     "asof_last_click" -> (AsofJoin.asofLastClick _),
@@ -273,6 +274,7 @@ object SparkEntry {
     "view_purchase_recon" -> Events.viewPurchaseReconSql,
     "data_quality_checks" -> graft.ops.TableChecks.dataQualityChecksSql,
     "snapshot_diff" -> graft.ops.TableChecks.snapshotDiffSql,
+    "k_anonymity_audit" -> graft.ops.TableChecks.kAnonymityAuditSql,
     "value_percentiles" -> Events.valuePercentilesSql,
     "asof_last_click" -> AsofJoin.asofLastClickSql,
     "events_in_windows" -> RangeJoin.eventsInWindowsSql,
@@ -390,7 +392,7 @@ object SparkEntry {
     "events_tumbling", "events_sliding", "events_sessions",
     "events_sessions_sw",
     "conversion_funnel", "view_purchase_recon",
-    "data_quality_checks", "snapshot_diff",
+    "data_quality_checks", "snapshot_diff", "k_anonymity_audit",
     "value_percentiles", "value_percentiles_approx",
     "winnow_near_dup", "incremental_near_dup", "repeated_ngram_spans",
     "cross_doc_spans", "cut_spans",

@@ -111,16 +111,21 @@ object PageRank {
     * integer — exact everywhere.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    // EAGER materialization (the GraphAnn localCheckpoint convention):
+    // the edge subtree feeds four plan branches (degree + both wedge legs
+    // + the closing join) — a lazy persist would either never be hit or
+    // leak; checkpointed tables are lineage-free and shared by all four
+    val e = edges.localCheckpoint()
     // undirected degree from the symmetric edge set
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("n"), col("deg"))
     // orient: keep (src,dst) iff (deg,id) of src < (deg,id) of dst
-    val oriented = edges
+    val oriented = e
       .join(deg.select(col("n").as("src"), col("deg").as("ds")), Seq("src"))
       .join(deg.select(col("n").as("dst"), col("deg").as("dd")), Seq("dst"))
       .filter(col("ds") < col("dd") ||
         (col("ds") === col("dd") && col("src") < col("dst")))
-      .select("src", "dst").persist()
+      .select("src", "dst").localCheckpoint()
     val wedges = oriented.select(col("src").as("a"), col("dst").as("b"))
       .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
     // close the wedge: a precedes c in the total order (transitivity), so
@@ -129,10 +134,8 @@ object PageRank {
       oriented.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
       .select("a", "b", "c")
     val corners = tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
-    val out = corners.groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    corners.groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
       .orderBy("doc_id")
-    oriented.unpersist()
-    out
   }
 
   /** Registered query: triangle counts on the shingle-derived doc graph. */

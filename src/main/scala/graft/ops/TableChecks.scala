@@ -139,4 +139,32 @@ object TableChecks {
       |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
       |GROUP BY change
       |ORDER BY change""".stripMargin
+
+  /** Default k for the anonymity audit. */
+  val AnonymityK = 5
+
+  /** k-anonymity audit — the governance check run before a corpus (or its
+    * metadata) is released: every row must be indistinguishable from at
+    * least k−1 others on its QUASI-IDENTIFIER tuple (Sweeney, IJUFKS'02);
+    * a (lang, source) cell with fewer than k documents re-identifies its
+    * members by simple cross-referencing. The audit reports the violating
+    * cells with their sizes — the input to a suppression/generalization
+    * step (which cells to coarsen to `source='*'`).
+    *
+    * Runs next to [[dataQualityChecks]] in the release gate: one hash
+    * aggregate over one scan, the violating-cell set bounded by the
+    * quasi-identifier domain, never by the corpus.
+    */
+  def kAnonymityAudit(spark: SparkSession, dir: String,
+      k: Int = AnonymityK): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+      .orderBy("lang", "source")
+
+  val kAnonymityAuditSql: String =
+    s"""SELECT lang, source, count(*) AS n
+       |FROM documents GROUP BY lang, source
+       |HAVING count(*) < $AnonymityK
+       |ORDER BY lang, source""".stripMargin
 }

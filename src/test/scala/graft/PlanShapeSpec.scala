@@ -284,7 +284,22 @@ class PlanShapeSpec extends SparkSuite {
     "chunk_documents_gen" -> (0, 0, 0, 1, 1, 0),
     "unigram_logprob" -> (0, 1, 0, 1, 5, 0),
     // the BNL is the 1-row vocabulary scalar-combine, like unigram's
-    "bigram_logprob" -> (0, 1, 0, 1, 6, 0)
+    "bigram_logprob" -> (0, 1, 0, 1, 6, 0),
+    // --- session 3 ---
+    "fuzzy_part_pairs" -> (0, 0, 0, 1, 5, 0),
+    "incremental_customer_revenue" -> (0, 0, 0, 1, 3, 0),
+    // final plan sees only the last localCheckpoint + the output sort;
+    // per-iteration shapes are materialized inside pageRankOn
+    "doc_pagerank" -> (0, 0, 0, 1, 1, 0),
+    // SMJs are the wedge-close and verify equi-joins on checkpointed,
+    // degree-oriented edges (no broadcast side by design at graph scale)
+    "doc_triangles" -> (0, 0, 2, 1, 6, 0),
+    "rolling_revenue_7d" -> (0, 0, 0, 1, 2, 1),
+    "k_anonymity_audit" -> (0, 0, 0, 1, 2, 0),
+    // the BNL is the 1-row total-token scalar-combine (unigram convention)
+    "pmi_pairs" -> (0, 1, 0, 0, 4, 0),
+    "url_canonical_dedup" -> (0, 0, 0, 1, 2, 0),
+    "length_batching" -> (0, 0, 0, 1, 2, 1)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

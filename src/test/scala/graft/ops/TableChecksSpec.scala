@@ -56,4 +56,17 @@ class TableChecksSpec extends SparkSuite {
     // classes partition the key universe: totals reconcile
     assert(out.values.map(_._1).sum == (ids.size + inserts.size).toLong)
   }
+
+  test("kAnonymityAudit: exactly the cells an independent group-count puts below k") {
+    val out = TableChecks.kAnonymityAudit(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val all = Tables(spark, dir, "documents")
+      .groupBy("lang", "source").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val want = all.filter(_._2 < TableChecks.AnonymityK)
+    assert(out == want, s"audit ${out.size} cells vs independent ${want.size}")
+    assert(out.nonEmpty, "no small cells at this SF — audit untested")
+    // and the safe cells really are safe
+    assert((all -- out.keys).values.forall(_ >= TableChecks.AnonymityK))
+  }
 }
