@@ -88,6 +88,7 @@ object SparkEntry {
     "events_sessions_sw" -> (Events.sessionsViaSessionWindow _),
     "conversion_funnel" -> (Events.conversionFunnel _),
     "view_purchase_recon" -> (Events.viewPurchaseRecon _),
+    "props_json_stats" -> (Events.propsJsonStats _),
     "data_quality_checks" -> ((s, d) => graft.ops.TableChecks.dataQualityChecks(s, d)),
     "snapshot_diff" -> ((s, d) => graft.ops.TableChecks.snapshotDiff(s, d)),
     "k_anonymity_audit" -> ((s, d) => graft.ops.TableChecks.kAnonymityAudit(s, d)),
@@ -272,6 +273,7 @@ object SparkEntry {
     "events_sessions_sw" -> Events.sessionsWindowSql,
     "conversion_funnel" -> Events.conversionFunnelSql,
     "view_purchase_recon" -> Events.viewPurchaseReconSql,
+    "props_json_stats" -> Events.propsJsonStatsSql,
     "data_quality_checks" -> graft.ops.TableChecks.dataQualityChecksSql,
     "snapshot_diff" -> graft.ops.TableChecks.snapshotDiffSql,
     "k_anonymity_audit" -> graft.ops.TableChecks.kAnonymityAuditSql,
@@ -393,6 +395,7 @@ object SparkEntry {
     "events_sessions_sw",
     "conversion_funnel", "view_purchase_recon",
     "data_quality_checks", "snapshot_diff", "k_anonymity_audit",
+    "props_json_stats",
     "value_percentiles", "value_percentiles_approx",
     "winnow_near_dup", "incremental_near_dup", "repeated_ngram_spans",
     "cross_doc_spans", "cut_spans",

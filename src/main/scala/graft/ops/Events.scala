@@ -360,4 +360,41 @@ object Events {
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p
       |ON v.user_id = p.user_id AND v.day = p.day
       |ORDER BY user_id, day""".stripMargin
+
+  /** Semi-structured extraction: the `props` column is a JSON string (the
+    * universal event-payload escape hatch), and this is the JSON-path
+    * scalar-function family the reference lacks entirely (SURVEY §2.1
+    * "no array/map/JSON-path functions"). `from_json` with a DECLARED
+    * schema — the typed, codegen'd path — not `get_json_object` string
+    * probing per field: one parse serves every extracted column, and a
+    * malformed payload yields typed nulls instead of a scan failure (the
+    * PERMISSIVE contract, same philosophy as the CSV leg's
+    * `_corrupt_record`).
+    *
+    * Scale shape: parse is a pure projection (no shuffle); the aggregate
+    * is one hash agg on the event type. At 100 TB the win of the declared
+    * schema is that the parser prunes to the requested fields instead of
+    * materializing every key of every payload.
+    */
+  def propsJsonStats(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "k", org.apache.spark.sql.types.IntegerType)))
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+  }
+
+  val propsJsonStatsSql: String =
+    """SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+      |  sum(k)::BIGINT AS sum_k
+      |FROM (SELECT event_type, json_extract(props, '$.k')::INT AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 }

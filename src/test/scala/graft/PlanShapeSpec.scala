@@ -299,7 +299,8 @@ class PlanShapeSpec extends SparkSuite {
     // the BNL is the 1-row total-token scalar-combine (unigram convention)
     "pmi_pairs" -> (0, 1, 0, 0, 4, 0),
     "url_canonical_dedup" -> (0, 0, 0, 1, 2, 0),
-    "length_batching" -> (0, 0, 0, 1, 2, 1)
+    "length_batching" -> (0, 0, 0, 1, 2, 1),
+    "props_json_stats" -> (0, 0, 0, 1, 2, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

@@ -39,4 +39,23 @@ class EventsSpec extends SparkSuite {
     assert(gi.exceptAll(sw).count() == 0)
     assert(sw.exceptAll(gi).count() == 0)
   }
+
+  test("propsJsonStats: totals reconcile with the table; malformed payloads yield typed nulls") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Events.propsJsonStats(spark, dir).collect()
+    assert(out.nonEmpty)
+    val total = Tables(spark, dir, "events").count()
+    assert(out.map(_.getLong(1)).sum == total, "per-type counts don't cover the table")
+    for (r <- out) assert(r.getInt(2) <= r.getInt(3), s"min above max: $r")
+    // malformed payload: typed null, not a scan failure
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    val parsed = Seq("""{"k": 7}""", "not json at all", """{"k": "NaNope"}""")
+      .toDF("props")
+      .select(org.apache.spark.sql.functions.from_json($"props", schema)
+        .getField("k").as("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(parsed.toSeq == Seq(Some(7), None, None))
+  }
 }
