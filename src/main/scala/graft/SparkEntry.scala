@@ -79,6 +79,7 @@ object SparkEntry {
     "value_quartiles"         -> (Analytics.valueQuartiles _),
     "rank_family"             -> (Analytics.rankFamily _),
     "scd2_value_tiers"        -> (Analytics.scd2ValueTiers _),
+    "scd2_temporal_join"      -> (Analytics.scd2TemporalJoin _),
     "rolling_revenue_7d"      -> (Analytics.rollingRevenue7d _),
     "value_quartiles_approx"  -> ((s, d) => Analytics.valueQuartilesApprox(s, d)),
     // --- event-time windowing (streaming-ready shapes) ---
@@ -266,6 +267,7 @@ object SparkEntry {
     "value_quartiles"         -> Analytics.valueQuartilesSql,
     "rank_family"             -> Analytics.rankFamilySql,
     "scd2_value_tiers"        -> Analytics.scd2ValueTiersSql,
+    "scd2_temporal_join"      -> Analytics.scd2TemporalJoinSql,
     "rolling_revenue_7d"      -> Analytics.rollingRevenue7dSql,
     "events_tumbling" -> Events.tumblingSql,
     "events_sliding"  -> Events.slidingSql,
@@ -389,6 +391,7 @@ object SparkEntry {
     // anchor; the benched form is the approx-histogram bucket assignment
     "running_revenue", "top_orders_per_customer", "user_event_gaps",
     "value_quartiles_approx", "rank_family", "scd2_value_tiers",
+    "scd2_temporal_join",
     "rolling_revenue_7d",
     "top_customers", "distinct_parts",
     "events_tumbling", "events_sliding", "events_sessions",

@@ -310,6 +310,80 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  /** Temporal join against the SCD2 dimension — "revenue BY THE TIER THE
+    * USER WAS IN at purchase time", the query the validity intervals
+    * exist to serve. The textbook formulation is a range join
+    * (`user_id = user_id AND ts >= valid_from AND (ts < valid_to OR
+    * valid_to IS NULL)` — the oracle keeps it); the engine runs the
+    * merge-streams as-of shape instead: union the dimension's
+    * version-open events with the facts, one per-user window carries the
+    * last opened tier forward, facts read it — one shuffle on user_id,
+    * no range join, no per-row subquery ([[graft.ops.AsofJoin]]'s plan
+    * with INCLUSIVE semantics: a version opening exactly at the fact's
+    * ts applies to it, so the dimension row sorts BEFORE the fact at
+    * equal time — the opposite tie rule from asof_last_click's strict
+    * prior-match, which is why this is not a call to that helper).
+    *
+    * Every purchase matches exactly one interval by construction (the
+    * first segment opens at the user's first event). Money sums in exact
+    * DECIMAL per the repo convention.
+    */
+  def scd2TemporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2ValueTiers(spark, dir)
+      .select(col("user_id"), col("valid_from").as("t"), col("tier"))
+      .withColumn("pri", lit(0))
+      .withColumn("value", lit(null).cast("double"))
+    val facts = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("t"), lit(null).cast("string").as("tier"),
+        lit(1).as("pri"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("pri"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(facts)
+      .withColumn("cur_tier", last(col("tier"), ignoreNulls = true).over(w))
+      .filter(col("pri") === 1)
+      .groupBy(col("cur_tier").as("tier"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value").cast("decimal(15,2)")), 2).cast("double").as("revenue"))
+      .orderBy("tier")
+  }
+
+  val scd2TemporalJoinSql: String =
+    s"""WITH tiered AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN value < $TierMid THEN 'low'
+       |         WHEN value < $TierHigh THEN 'mid' ELSE 'high' END AS tier
+       |  FROM events
+       |), flagged AS (
+       |  SELECT user_id, ts, event_id, tier,
+       |    CASE WHEN lag(tier, 1) OVER w IS NULL
+       |           OR tier <> lag(tier, 1) OVER w THEN 1 ELSE 0 END AS chg
+       |  FROM tiered
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), numbered AS (
+       |  SELECT user_id, ts, tier,
+       |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS seg_no
+       |  FROM flagged
+       |), seg AS (
+       |  SELECT user_id, seg_no, min(tier) AS tier, min(ts) AS valid_from
+       |  FROM numbered GROUP BY user_id, seg_no
+       |), dim AS (
+       |  SELECT user_id, tier, valid_from,
+       |    lead(valid_from, 1) OVER (PARTITION BY user_id ORDER BY seg_no)
+       |      AS valid_to
+       |  FROM seg
+       |)
+       |SELECT d.tier, count(*) AS n_purchases,
+       |  CAST(round(sum(f.value::DECIMAL(15,2)), 2) AS DOUBLE) AS revenue
+       |FROM (SELECT user_id, ts, value FROM events
+       |      WHERE event_type = 'purchase') f
+       |JOIN dim d ON d.user_id = f.user_id
+       |  AND f.ts >= d.valid_from
+       |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+       |GROUP BY d.tier
+       |ORDER BY d.tier""".stripMargin
+
   val rollingRevenue7dSql: String =
     """SELECT o_orderkey, o_custkey, o_orderdate,
       |  CAST(round(sum(o_totalprice::DECIMAL(15,2)) OVER w, 2) AS DOUBLE) AS rev_7d,

@@ -300,7 +300,9 @@ class PlanShapeSpec extends SparkSuite {
     "pmi_pairs" -> (0, 1, 0, 0, 4, 0),
     "url_canonical_dedup" -> (0, 0, 0, 1, 2, 0),
     "length_batching" -> (0, 0, 0, 1, 2, 1),
-    "props_json_stats" -> (0, 0, 0, 1, 2, 0)
+    "props_json_stats" -> (0, 0, 0, 1, 2, 0),
+    // windows: the scd2 lag/seg pair + the as-of carry window
+    "scd2_temporal_join" -> (0, 0, 0, 2, 5, 3)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

@@ -104,4 +104,33 @@ class AnalyticsSpec extends SparkSuite {
           s"same-day peers disagree: $g")
     }
   }
+
+  test("scd2TemporalJoin: every purchase attributed exactly once; brute interval join agrees") {
+    val out = Analytics.scd2TemporalJoin(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val purchases = Tables(spark, dir, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+    assert(out.values.map(_._1).sum == purchases.count(),
+      "attribution lost or duplicated purchases")
+    // brute force on one partition: join intervals in memory
+    val dim = Analytics.scd2ValueTiers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4))))
+    val facts = purchases.select("user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val brute = facts.map { case (u, ts, v) =>
+      val tier = dim.filter { case (du, _, from, to) =>
+        du == u && !ts.before(from) && to.forall(ts.before)
+      }
+      assert(tier.length == 1, s"purchase ($u, $ts) matched ${tier.length} intervals")
+      (tier.head._2, v)
+    }
+    val bruteAgg = brute.groupBy(_._1).map { case (t, vs) =>
+      t -> (vs.length.toLong, vs.map(v => BigDecimal(v._2).setScale(2)).sum.toDouble)
+    }
+    for ((t, (n, rev)) <- bruteAgg) {
+      assert(out(t)._1 == n, s"tier $t count ${out(t)._1} vs brute $n")
+      assert(math.abs(out(t)._2 - rev) < 0.01, s"tier $t revenue ${out(t)._2} vs brute $rev")
+    }
+  }
 }
