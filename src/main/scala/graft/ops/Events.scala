@@ -391,6 +391,87 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Winsorized (5%-clipped) robust statistics per event type — the
+    * outlier-armor aggregation a metrics pipeline runs so one fat-finger
+    * value can't drag a mean: values below the 5th / above the 95th
+    * ORDER STATISTIC clip to it, then ordinary aggregates run on the
+    * clipped column.
+    *
+    * Boundaries are observed data values (discrete order statistics),
+    * not interpolated quantiles — interpolation produces engine-rounded
+    * doubles; an order statistic is a value that exists in the data, so
+    * the whole query stays exact. And they are found WITHOUT a per-type
+    * row sort (the `quality_prune` scale lesson): the per-(type, value)
+    * HISTOGRAM aggregates first — the distinct-value universe is bounded
+    * by the price grid, not the corpus — and the cumulative window runs
+    * over that small histogram; rank k = max(1, n div 20).
+    *
+    * Scale shape: two hash aggregates + a histogram-sized window +
+    * broadcast of 5 boundary rows back over the scan. Clipped money sums
+    * in exact DECIMAL; the served mean is a single IEEE division.
+    */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir, "events").select(col("event_type"), col("value"))
+    // eager-materialized: the histogram (small — distinct values, not rows)
+    // feeds THREE branches (cumsum→lo, cumsum→hi, totals); without the
+    // checkpoint each branch re-scans and re-aggregates the corpus
+    val hist = ev.groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy("event_type").orderBy("value")))
+    val tot = hist.groupBy("event_type").agg(sum(col("c")).as("n"))
+      .withColumn("k", greatest(lit(1L), expr("n div 20")))
+    val withK = cum.join(tot, Seq("event_type"))
+    val lo = withK.filter(col("cum") >= col("k"))
+      .groupBy("event_type").agg(min(col("value")).as("lo"))
+    val hi = withK.filter(col("cum") >= col("n") - col("k") + 1)
+      .groupBy("event_type").agg(min(col("value")).as("hi"))
+    val bounds = lo.join(hi, Seq("event_type"))
+    val clipped = ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("cv", greatest(col("lo"), least(col("hi"), col("value"))))
+    clipped.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") < col("lo")).cast("long")).as("n_clipped_lo"),
+        sum((col("value") > col("hi")).cast("long")).as("n_clipped_hi"),
+        min(col("lo")).as("p05"),
+        min(col("hi")).as("p95"),
+        (sum(col("cv").cast("decimal(15,2)")).cast("double") / count(lit(1)))
+          .as("winsorized_mean"))
+      .orderBy("event_type")
+  }
+
+  val winsorizedStatsSql: String =
+    """WITH hist AS (
+      |  SELECT event_type, value, count(*) AS c
+      |  FROM events GROUP BY event_type, value
+      |), cum AS (
+      |  SELECT event_type, value, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY value
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM hist
+      |), tot AS (
+      |  SELECT event_type, sum(c) AS n, greatest(1, sum(c) // 20) AS k
+      |  FROM hist GROUP BY event_type
+      |), lo AS (
+      |  SELECT cum.event_type, min(value) AS lo
+      |  FROM cum JOIN tot USING (event_type)
+      |  WHERE cum >= k GROUP BY cum.event_type
+      |), hi AS (
+      |  SELECT cum.event_type, min(value) AS hi
+      |  FROM cum JOIN tot USING (event_type)
+      |  WHERE cum >= n - k + 1 GROUP BY cum.event_type
+      |)
+      |SELECT e.event_type, count(*) AS n,
+      |  sum(CASE WHEN e.value < lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_lo,
+      |  sum(CASE WHEN e.value > hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_hi,
+      |  min(lo) AS p05, min(hi) AS p95,
+      |  CAST(sum(greatest(lo, least(hi, e.value))::DECIMAL(15,2)) AS DOUBLE)
+      |    / count(*) AS winsorized_mean
+      |FROM events e JOIN lo USING (event_type) JOIN hi USING (event_type)
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
+
   val propsJsonStatsSql: String =
     """SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
       |  sum(k)::BIGINT AS sum_k

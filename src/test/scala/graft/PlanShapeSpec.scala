@@ -302,7 +302,9 @@ class PlanShapeSpec extends SparkSuite {
     "length_batching" -> (0, 0, 0, 1, 2, 1),
     "props_json_stats" -> (0, 0, 0, 1, 2, 0),
     // windows: the scd2 lag/seg pair + the as-of carry window
-    "scd2_temporal_join" -> (0, 0, 0, 2, 5, 3)
+    "scd2_temporal_join" -> (0, 0, 0, 2, 5, 3),
+    // windows over the CHECKPOINTED histogram (distinct values, not rows)
+    "winsorized_stats" -> (0, 0, 0, 1, 6, 2)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

@@ -58,4 +58,30 @@ class EventsSpec extends SparkSuite {
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
     assert(parsed.toSeq == Seq(Some(7), None, None))
   }
+
+  test("winsorizedStats: boundaries are true order statistics; clipping bounds hold") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Events.winsorizedStats(spark, dir).collect()
+    assert(out.nonEmpty)
+    val values = Tables(spark, dir, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for (r <- out) {
+      val (t, n, nLo, nHi, p05, p95, mean) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      val vs = values(t)
+      assert(n == vs.length.toLong)
+      val k = math.max(1, vs.length / 20)
+      // the order statistics themselves, from a plain in-memory sort
+      assert(p05 == vs(k - 1), s"$t p05 $p05 vs sorted ${vs(k - 1)}")
+      assert(p95 == vs(vs.length - k), s"$t p95 $p95 vs sorted ${vs(vs.length - k)}")
+      assert(nLo == vs.count(_ < p05).toLong, s"$t n_clipped_lo")
+      assert(nHi == vs.count(_ > p95).toLong, s"$t n_clipped_hi")
+      assert(mean >= p05 && mean <= p95, s"$t winsorized mean outside [p05, p95]")
+      val bruteMean = vs.map(v => BigDecimal(math.max(p05, math.min(p95, v))).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / vs.length
+      assert(math.abs(mean - bruteMean) < 1e-9, s"$t mean $mean vs brute $bruteMean")
+    }
+  }
 }
