@@ -50,6 +50,7 @@ object SparkEntry {
     "setop_all_shipments" -> (Tpch.setopAllShipments _),
     "suppliers_no_returns" -> (Tpch.suppliersNoReturns _),
     "fuzzy_part_pairs"   -> ((s, d) => FuzzyJoin.fuzzyPartPairs(s, d)),
+    "fuzzy_entity_clusters" -> ((s, d) => FuzzyJoin.fuzzyEntityClusters(s, d)),
     "incremental_customer_revenue" -> (IncrementalAgg.incrementalCustomerRevenue _),
     "doc_pagerank"     -> (PageRank.docPageRank _),
     "doc_triangles"    -> (PageRank.docTriangles _),
@@ -242,6 +243,7 @@ object SparkEntry {
     "setop_all_shipments" -> Tpch.setopAllShipmentsSql,
     "suppliers_no_returns" -> Tpch.suppliersNoReturnsSql,
     "fuzzy_part_pairs"   -> FuzzyJoin.fuzzyPartPairsSql,
+    "fuzzy_entity_clusters" -> FuzzyJoin.fuzzyEntityClustersSql,
     "incremental_customer_revenue" -> IncrementalAgg.incrementalCustomerRevenueSql,
     "doc_pagerank"     -> PageRank.docPageRankSql,
     "doc_triangles"    -> PageRank.docTrianglesSql,
@@ -384,6 +386,7 @@ object SparkEntry {
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
     "tpch_q14", "customers_without_urgent", "parts_in_both_years",
     "setop_all_shipments", "suppliers_no_returns", "fuzzy_part_pairs",
+    "fuzzy_entity_clusters",
     "incremental_customer_revenue", "doc_pagerank", "doc_triangles",
     "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q22",

@@ -75,6 +75,58 @@ object FuzzyJoin {
       .orderBy("name_a", "name_b")
   }
 
+  /** Entity RESOLUTION, completing the linkage: fuzzy pairs close into
+    * connected components ([[Dedup.clusterPairs]] — the same gated
+    * union-find / min-label machinery as near-dup clustering), and each
+    * component elects a canonical entity. Node id = the name's minimum
+    * p_partkey (a real row — the stable surrogate a merge step rewrites
+    * the others to); cluster id = the component's minimum node id, so the
+    * canonical pick follows the repo's min-id keeper rule. Singleton
+    * names (no fuzzy neighbor) are their own canonical entity.
+    */
+  def fuzzyEntityClusters(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val part = Tables(spark, dir, "part")
+    val keys = part.groupBy(col("p_name").as("name"))
+      .agg(min(col("p_partkey")).as("key"))
+    val pairs = fuzzyPairsOf(part, "p_name", maxDist)
+      .join(keys.select(col("name").as("name_a"), col("key").as("a_id")), Seq("name_a"))
+      .join(keys.select(col("name").as("name_b"), col("key").as("b_id")), Seq("name_b"))
+      .select("a_id", "b_id")
+    val clusters = Dedup.clusterPairs(pairs)
+      .select(col("doc_id").as("key"), col("cluster_id"))
+    keys.join(clusters, Seq("key"), "left")
+      .select(col("name"),
+        coalesce(col("cluster_id"), col("key")).as("cluster_id"),
+        (coalesce(col("cluster_id"), col("key")) === col("key")).as("is_canonical"))
+      .orderBy("name")
+  }
+
+  val fuzzyEntityClustersSql: String =
+    """WITH RECURSIVE names AS (
+      |  SELECT p_name AS name, min(p_partkey) AS key FROM part GROUP BY 1
+      |), toks AS (
+      |  SELECT name, key, unnest(string_split(name, ' ')) AS tok FROM names
+      |), cand AS (
+      |  SELECT DISTINCT a.name AS name_a, b.name AS name_b,
+      |    a.key AS a_id, b.key AS b_id
+      |  FROM toks a JOIN toks b USING (tok)
+      |  WHERE a.name < b.name
+      |), pairs AS (
+      |  SELECT a_id, b_id FROM cand WHERE levenshtein(name_a, name_b) <= 3
+      |), edges AS (
+      |  SELECT a_id, b_id FROM pairs UNION ALL SELECT b_id, a_id FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT DISTINCT a_id, a_id FROM edges
+      |  UNION
+      |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON reach.id = e.b_id
+      |), cl AS (
+      |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+      |)
+      |SELECT n.name, coalesce(cl.cluster_id, n.key) AS cluster_id,
+      |  (coalesce(cl.cluster_id, n.key) = n.key) AS is_canonical
+      |FROM names n LEFT JOIN cl ON cl.id = n.key
+      |ORDER BY n.name""".stripMargin
+
   val fuzzyPartPairsSql: String =
     """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
       |toks AS (SELECT name, unnest(string_split(name, ' ')) AS tok FROM names),

@@ -304,7 +304,9 @@ class PlanShapeSpec extends SparkSuite {
     // windows: the scd2 lag/seg pair + the as-of carry window
     "scd2_temporal_join" -> (0, 0, 0, 2, 5, 3),
     // windows over the CHECKPOINTED histogram (distinct values, not rows)
-    "winsorized_stats" -> (0, 0, 0, 1, 6, 2)
+    "winsorized_stats" -> (0, 0, 0, 1, 6, 2),
+    // the driver union-find path (gated ≤2M edges) leaves a flat plan
+    "fuzzy_entity_clusters" -> (0, 0, 0, 1, 2, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

@@ -39,6 +39,24 @@ class FuzzyJoinSpec extends SparkSuite {
     assert(capped == 0, s"capped blocking should form no candidates: got $capped")
   }
 
+  test("fuzzyEntityClusters: components consistent with the pair graph; canonical = min key") {
+    val out = FuzzyJoin.fuzzyEntityClusters(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val names = Tables(spark, dir, "part").select("p_name").distinct().count()
+    assert(out.length == names.toInt, "every distinct name appears exactly once")
+    // each cluster has exactly one canonical member, and it owns the min key
+    val byCluster = out.groupBy(_._2)
+    for ((cid, members) <- byCluster) {
+      assert(members.count(_._3) == 1, s"cluster $cid canonical count != 1")
+    }
+    // transitivity witness: a chained pair (a~b, b~c) lands in ONE cluster
+    val pairs = FuzzyJoin.fuzzyPairsOf(Tables(spark, dir, "part"), "p_name", 3)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val cluster = out.map(t => t._1 -> t._2).toMap
+    for ((a, b) <- pairs)
+      assert(cluster(a) == cluster(b), s"linked pair ($a, $b) split across clusters")
+  }
+
   test("fuzzyPartPairs: real dictionary — pairs found, support attached, verify bound holds") {
     val out = FuzzyJoin.fuzzyPartPairs(spark, dir).collect()
     assert(out.nonEmpty, "no fuzzy part-name pairs at this SF")
