@@ -123,6 +123,7 @@ object SparkEntry {
     "bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
     "pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
+    "vocab_divergence" -> ((s, d) => TextAnalysis.vocabDivergence(s, d)),
     // --- deduplication suite ---
     "ngram_jaccard_pairs" -> (Dedup.ngramJaccardPairs _),
     "minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
@@ -309,6 +310,7 @@ object SparkEntry {
     "bm25_topk" -> TextAnalysis.bm25TopKSql,
     "phrase_search" -> TextAnalysis.phraseSearchSql,
     "pmi_pairs" -> TextAnalysis.pmiPairsSql,
+    "vocab_divergence" -> TextAnalysis.vocabDivergenceSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardSql,
     "minhash_lsh_pairs"   -> Dedup.ngramJaccardSql,
     "incremental_near_dup" -> Dedup.incrementalNearDupSql,
@@ -428,7 +430,7 @@ object SparkEntry {
     // language) is the unbenched anchor; the benched form is the
     // approx-quantile threshold scan
     "distinctive_terms", "distinctive_terms_agg", "bm25_topk", "phrase_search",
-    "pmi_pairs",
+    "pmi_pairs", "vocab_divergence",
     "quality_prune_approx", "hybrid_rrf_lsh_topk",
     "vocab_heavy_hitters_cms",
     "media_stats", "media_phash", "media_near_dup",

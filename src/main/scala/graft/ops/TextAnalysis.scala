@@ -884,6 +884,64 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus-drift divergence — which terms distinguish one corpus slice
+    * from another (sources 0–9 vs 10–19 here; in production: this week's
+    * crawl vs last week's, or candidate data vs the training mix). The
+    * statistic is the smoothed ODDS RATIO per token (the monotone core of
+    * the Monroe et al. log-odds "fightin' words" family — log dropped
+    * because it is rank-preserving and libm-rounded): with add-one
+    * smoothing, OR = ((n_a+1)(N_b−n_b+1)) / ((n_b+1)(N_a−n_a+1)), and the
+    * divergence score is max(OR, 1/OR) so both directions rank together.
+    * Exact everywhere: integer products (< 2⁵³ through sf1) into single
+    * IEEE divisions. Totals are over the COMPARED vocabulary (tokens past
+    * the noise floor) — a defined contract both engines share.
+    *
+    * Scale shape: one explode + one hash agg with conditional sums (no
+    * per-half scans), a 1-row scalar-combine for the totals, top-k via
+    * TakeOrderedAndProject.
+    */
+  def vocabDivergence(spark: SparkSession, dir: String,
+      minCount: Int = 20, k: Int = 50): DataFrame = {
+    val half = when(
+      regexp_extract(col("source"), "[0-9]+", 0).cast("int") < 10, "a")
+      .otherwise("b")
+    val counts = Tables(spark, dir, "documents")
+      .select(half.as("half"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === "b", 1L).otherwise(0L)).as("n_b"))
+      .filter(col("n_a") + col("n_b") >= minCount)
+    val tot = counts.agg(sum(col("n_a")).as("na"), sum(col("n_b")).as("nb"))
+    val or = ((col("n_a") + 1) * (col("nb") - col("n_b") + 1)).cast("double") /
+      ((col("n_b") + 1) * (col("na") - col("n_a") + 1))
+    val orInv = ((col("n_b") + 1) * (col("na") - col("n_a") + 1)).cast("double") /
+      ((col("n_a") + 1) * (col("nb") - col("n_b") + 1))
+    counts.crossJoin(tot)
+      .select(col("tok"), col("n_a"), col("n_b"),
+        greatest(or, orInv).as("div_score"))
+      .orderBy(col("div_score").desc, col("tok"))
+      .limit(k)
+  }
+
+  val vocabDivergenceSql: String =
+    """WITH halves AS (
+      |  SELECT CASE WHEN regexp_extract(source, '[0-9]+')::INT < 10
+      |    THEN 'a' ELSE 'b' END AS half,
+      |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+      |  FROM documents
+      |), counts AS (
+      |  SELECT tok,
+      |    sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+      |    sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END)::BIGINT AS n_b
+      |  FROM halves GROUP BY tok HAVING count(*) >= 20
+      |), tot AS (SELECT sum(n_a) AS na, sum(n_b) AS nb FROM counts)
+      |SELECT tok, n_a, n_b,
+      |  greatest(((n_a+1)*(nb-n_b+1))::DOUBLE / ((n_b+1)*(na-n_a+1)),
+      |           ((n_b+1)*(na-n_a+1))::DOUBLE / ((n_a+1)*(nb-n_b+1)))
+      |    AS div_score
+      |FROM counts, tot
+      |ORDER BY div_score DESC, tok LIMIT 50""".stripMargin
+
   val pmiPairsSql: String =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents

@@ -306,7 +306,9 @@ class PlanShapeSpec extends SparkSuite {
     // windows over the CHECKPOINTED histogram (distinct values, not rows)
     "winsorized_stats" -> (0, 0, 0, 1, 6, 2),
     // the driver union-find path (gated ≤2M edges) leaves a flat plan
-    "fuzzy_entity_clusters" -> (0, 0, 0, 1, 2, 0)
+    "fuzzy_entity_clusters" -> (0, 0, 0, 1, 2, 0),
+    // BNL = the 1-row totals scalar-combine (unigram convention)
+    "vocab_divergence" -> (0, 1, 0, 0, 3, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

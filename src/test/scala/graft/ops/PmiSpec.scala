@@ -64,4 +64,32 @@ class PmiSpec extends SparkSuite {
     assert(stop.nonEmpty && stop.forall(planted > _),
       s"planted collocation $planted not above stopword pairs ${stop.max}")
   }
+
+  test("vocabDivergence: scores ≥ 1, descending, symmetric in direction; OR re-derived") {
+    val out = TextAnalysis.vocabDivergence(spark, dir, minCount = 5, k = 50).collect()
+    assert(out.nonEmpty)
+    val scores = out.map(_.getDouble(3))
+    assert(scores.forall(_ >= 1.0), "max(OR, 1/OR) < 1 is impossible")
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y }, "not descending")
+    // re-derive the statistic for the returned rows from the totals over
+    // the compared vocabulary (recompute counts independently)
+    val byTok = Tables(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.explode(
+          Dedup.tokens(org.apache.spark.sql.functions.col("text"))).as("tok"))
+      .collect()
+      .map(r => (r.getString(0).filter(_.isDigit).toInt < 10, r.getString(1)))
+    val counts = byTok.groupBy(_._2).view
+      .mapValues(g => (g.count(_._1).toLong, g.count(!_._1).toLong))
+      .filter { case (_, (a, b)) => a + b >= 5 }.toMap
+    val na = counts.values.map(_._1).sum
+    val nb = counts.values.map(_._2).sum
+    for (r <- out.take(10)) {
+      val (tok, sa, sb) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(counts(tok) == ((sa, sb)), s"$tok counts differ")
+      val or = ((sa + 1) * (nb - sb + 1)).toDouble / ((sb + 1) * (na - sa + 1))
+      val want = math.max(or, 1.0 / or)
+      assert(math.abs(r.getDouble(3) - want) < 1e-12, s"$tok score off: ${r.getDouble(3)} vs $want")
+    }
+  }
 }
