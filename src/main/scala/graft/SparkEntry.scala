@@ -92,6 +92,7 @@ object SparkEntry {
     "view_purchase_recon" -> (Events.viewPurchaseRecon _),
     "props_json_stats" -> (Events.propsJsonStats _),
     "winsorized_stats" -> (Events.winsorizedStats _),
+    "cohort_retention" -> (Events.cohortRetention _),
     "data_quality_checks" -> ((s, d) => graft.ops.TableChecks.dataQualityChecks(s, d)),
     "snapshot_diff" -> ((s, d) => graft.ops.TableChecks.snapshotDiff(s, d)),
     "k_anonymity_audit" -> ((s, d) => graft.ops.TableChecks.kAnonymityAudit(s, d)),
@@ -281,6 +282,7 @@ object SparkEntry {
     "view_purchase_recon" -> Events.viewPurchaseReconSql,
     "props_json_stats" -> Events.propsJsonStatsSql,
     "winsorized_stats" -> Events.winsorizedStatsSql,
+    "cohort_retention" -> Events.cohortRetentionSql,
     "data_quality_checks" -> graft.ops.TableChecks.dataQualityChecksSql,
     "snapshot_diff" -> graft.ops.TableChecks.snapshotDiffSql,
     "k_anonymity_audit" -> graft.ops.TableChecks.kAnonymityAuditSql,
@@ -405,7 +407,7 @@ object SparkEntry {
     "events_sessions_sw",
     "conversion_funnel", "view_purchase_recon",
     "data_quality_checks", "snapshot_diff", "k_anonymity_audit",
-    "props_json_stats", "winsorized_stats",
+    "props_json_stats", "winsorized_stats", "cohort_retention",
     "value_percentiles", "value_percentiles_approx",
     "winnow_near_dup", "incremental_near_dup", "repeated_ngram_spans",
     "cross_doc_spans", "cut_spans",

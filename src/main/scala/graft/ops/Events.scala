@@ -391,6 +391,46 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Cohort retention — the day-0 acquisition cohort × days-since
+    * retention matrix every growth dashboard is built on: users cohort by
+    * their FIRST purchase day, and each later purchase day marks them
+    * retained at that offset. n_users(cohort, 0) is the cohort size; the
+    * decay across offsets is the retention curve.
+    *
+    * Scale shape: the first-touch is a plain min aggregate (no window),
+    * the activity join shuffles on the same user_id key the aggregate
+    * already hashed on, and the matrix is two more hash aggregates —
+    * bounded by cohorts × horizon, not by events. All integer counts and
+    * day arithmetic in UTC: exact.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val firsts = purchases.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    purchases.join(firsts, Seq("user_id"))
+      .select(col("user_id"), col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("days_since"))
+      .distinct()
+      .groupBy("cohort", "days_since")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "days_since")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id, min(date_trunc('day', ts)) AS cohort
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+      |), activity AS (
+      |  SELECT DISTINCT e.user_id, f.cohort,
+      |    date_diff('day', f.cohort, date_trunc('day', e.ts)) AS days_since
+      |  FROM events e JOIN firsts f USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |)
+      |SELECT cohort, days_since::BIGINT AS days_since, count(*) AS n_users
+      |FROM activity GROUP BY cohort, days_since
+      |ORDER BY cohort, days_since""".stripMargin
+
   /** Winsorized (5%-clipped) robust statistics per event type — the
     * outlier-armor aggregation a metrics pipeline runs so one fat-finger
     * value can't drag a mean: values below the 5th / above the 95th

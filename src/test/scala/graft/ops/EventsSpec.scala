@@ -59,6 +59,32 @@ class EventsSpec extends SparkSuite {
     assert(parsed.toSeq == Seq(Some(7), None, None))
   }
 
+  test("cohortRetention: day-0 row covers every purchaser; matrix equals a brute recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Events.cohortRetention(spark, dir).collect()
+      .map(r => ((r.getTimestamp(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    // brute force from raw rows
+    val rows = Tables(spark, dir, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.truncatedTo(
+        java.time.temporal.ChronoUnit.DAYS)))
+    val firsts = rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val brute = rows.map { case (u, d) =>
+      val c = firsts(u)
+      ((c, java.time.Duration.between(c, d).toDays), u)
+    }.distinct.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(out.size == brute.size, s"matrix ${out.size} cells vs brute ${brute.size}")
+    // every user appears in their cohort's day-0 cell
+    val day0 = out.collect { case ((c, 0L), n) => c.toInstant -> n }.toMap
+    val cohortSizes = firsts.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for ((c, n) <- cohortSizes) assert(day0(c) == n, s"cohort $c day-0 $n vs ${day0.get(c)}")
+    // full matrix equality
+    for ((k, n) <- brute)
+      assert(out(( java.sql.Timestamp.from(k._1), k._2)) == n, s"cell $k")
+  }
+
   test("winsorizedStats: boundaries are true order statistics; clipping bounds hold") {
     val dir = "/root/testdata/sf0.001"
     val out = Events.winsorizedStats(spark, dir).collect()
