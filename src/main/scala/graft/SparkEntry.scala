@@ -89,6 +89,7 @@ object SparkEntry {
     "events_sessions" -> (Events.sessions _),
     "events_sessions_sw" -> (Events.sessionsViaSessionWindow _),
     "conversion_funnel" -> (Events.conversionFunnel _),
+    "ordered_funnel" -> (Events.orderedFunnel _),
     "view_purchase_recon" -> (Events.viewPurchaseRecon _),
     "props_json_stats" -> (Events.propsJsonStats _),
     "winsorized_stats" -> (Events.winsorizedStats _),
@@ -279,6 +280,7 @@ object SparkEntry {
     "events_sessions" -> Events.sessionsSql,
     "events_sessions_sw" -> Events.sessionsWindowSql,
     "conversion_funnel" -> Events.conversionFunnelSql,
+    "ordered_funnel" -> Events.orderedFunnelSql,
     "view_purchase_recon" -> Events.viewPurchaseReconSql,
     "props_json_stats" -> Events.propsJsonStatsSql,
     "winsorized_stats" -> Events.winsorizedStatsSql,
@@ -405,7 +407,7 @@ object SparkEntry {
     "top_customers", "distinct_parts",
     "events_tumbling", "events_sliding", "events_sessions",
     "events_sessions_sw",
-    "conversion_funnel", "view_purchase_recon",
+    "conversion_funnel", "ordered_funnel", "view_purchase_recon",
     "data_quality_checks", "snapshot_diff", "k_anonymity_audit",
     "props_json_stats", "winsorized_stats", "cohort_retention",
     "value_percentiles", "value_percentiles_approx",

@@ -391,6 +391,43 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Strictly-ORDERED conversion funnel — [[conversionFunnel]] counts
+    * users who did each action at all; this one requires the sequence:
+    * first view strictly before first click strictly before first
+    * purchase (the "did the journey actually flow" question; contract is
+    * first-occurrence order, not per-session adjacency — documented).
+    *
+    * One hash aggregate computes all three first-touch times as
+    * conditional mins, and one more folds the stage counts: no joins, no
+    * windows, no second scan. The whole funnel is two exchanges at any
+    * corpus size.
+    */
+  def orderedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val firsts = ev.groupBy("user_id").agg(
+      min(when(col("event_type") === "view", col("ts"))).as("v"),
+      min(when(col("event_type") === "click", col("ts"))).as("c"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+    firsts.agg(
+      sum(col("v").isNotNull.cast("long")).as("viewed"),
+      sum((col("v") < col("c")).cast("long")).as("view_then_click"),
+      sum((col("v") < col("c") && col("c") < col("p")).cast("long"))
+        .as("full_funnel"))
+  }
+
+  val orderedFunnelSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT count(v)::BIGINT AS viewed,
+      |  sum(CASE WHEN v < c THEN 1 ELSE 0 END)::BIGINT AS view_then_click,
+      |  sum(CASE WHEN v < c AND c < p THEN 1 ELSE 0 END)::BIGINT AS full_funnel
+      |FROM firsts""".stripMargin
+
   /** Cohort retention — the day-0 acquisition cohort × days-since
     * retention matrix every growth dashboard is built on: users cohort by
     * their FIRST purchase day, and each later purchase day marks them

@@ -75,6 +75,18 @@ object FileFormats {
     } finally { raw.unpersist(); () }
   }
 
+  /** Schema-evolution read: a landing zone accumulates parquet batches
+    * whose schemas GROW over time (new telemetry fields appear; old
+    * files never rewrite). `mergeSchema` unions the per-file schemas —
+    * rows from pre-evolution files carry typed nulls in the new columns,
+    * the additive-only contract (dropping or retyping a column is a
+    * rewrite, not an evolution). Off by default in Spark because footer
+    * merging costs one pass over file metadata — turned on explicitly
+    * here, at the landing zone only, never on the query path.
+    */
+  def readEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** ORC round trip: same columnar guarantees as parquet from the query
     * planner's perspective (stats + pushdown). */
   def writeEventsOrc(events: DataFrame, out: String): Unit =

@@ -59,6 +59,27 @@ class EventsSpec extends SparkSuite {
     assert(parsed.toSeq == Seq(Some(7), None, None))
   }
 
+  test("orderedFunnel: stage counts match a brute first-touch ordering; funnel is monotone") {
+    val dir = "/root/testdata/sf0.001"
+    val r = Events.orderedFunnel(spark, dir).collect()(0)
+    val (viewed, vc, full) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(viewed >= vc && vc >= full && full > 0, s"funnel not monotone: $r")
+    val rows = Tables(spark, dir, "events")
+      .select("user_id", "event_type", "ts").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getTimestamp(2)))
+    val byUser = rows.groupBy(_._1)
+    def first(g: Array[(Long, String, java.sql.Timestamp)], t: String) =
+      g.filter(_._2 == t).map(_._3).minOption
+    val brute = byUser.values.map { g =>
+      (first(g.toArray, "view"), first(g.toArray, "click"), first(g.toArray, "purchase"))
+    }
+    assert(brute.count(_._1.isDefined).toLong == viewed)
+    assert(brute.count(t => t._1.isDefined && t._2.isDefined &&
+      t._1.get.before(t._2.get)).toLong == vc)
+    assert(brute.count(t => t._1.isDefined && t._2.isDefined && t._3.isDefined &&
+      t._1.get.before(t._2.get) && t._2.get.before(t._3.get)).toLong == full)
+  }
+
   test("cohortRetention: day-0 row covers every purchaser; matrix equals a brute recompute") {
     val dir = "/root/testdata/sf0.001"
     val out = Events.cohortRetention(spark, dir).collect()

@@ -62,6 +62,22 @@ class FileFormatsSpec extends SparkSuite {
     assert(clean == 20 && corrupt == 1, s"got ($clean, $corrupt)")
   }
 
+  test("mergeSchema read: grown schema unions; pre-evolution rows carry typed nulls") {
+    import spark.implicits._
+    val base = tmp("evolve")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("event_id", "value")
+      .write.parquet(s"$base/batch1")
+    Seq((3L, 30.0, "mobile")).toDF("event_id", "value", "platform")
+      .write.parquet(s"$base/batch2")
+    val merged = FileFormats.readEvolved(spark, s"$base/batch1", s"$base/batch2")
+    assert(merged.columns.sorted.toSeq == Seq("event_id", "platform", "value"))
+    val rows = merged.orderBy("event_id").collect()
+    assert(rows.length == 3)
+    assert(rows.take(2).forall(_.isNullAt(rows.head.fieldIndex("platform"))),
+      "pre-evolution rows should carry typed nulls")
+    assert(rows(2).getAs[String]("platform") == "mobile")
+  }
+
   test("ORC round trip is lossless and pushes predicates into the scan") {
     val events = Tables(spark, dir, "events")
     val out = tmp("orc_events")
