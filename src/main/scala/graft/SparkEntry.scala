@@ -94,6 +94,7 @@ object SparkEntry {
     "props_json_stats" -> (Events.propsJsonStats _),
     "winsorized_stats" -> (Events.winsorizedStats _),
     "cohort_retention" -> (Events.cohortRetention _),
+    "hour_value_regression" -> (Events.hourValueRegression _),
     "data_quality_checks" -> ((s, d) => graft.ops.TableChecks.dataQualityChecks(s, d)),
     "snapshot_diff" -> ((s, d) => graft.ops.TableChecks.snapshotDiff(s, d)),
     "k_anonymity_audit" -> ((s, d) => graft.ops.TableChecks.kAnonymityAudit(s, d)),
@@ -285,6 +286,7 @@ object SparkEntry {
     "props_json_stats" -> Events.propsJsonStatsSql,
     "winsorized_stats" -> Events.winsorizedStatsSql,
     "cohort_retention" -> Events.cohortRetentionSql,
+    "hour_value_regression" -> Events.hourValueRegressionSql,
     "data_quality_checks" -> graft.ops.TableChecks.dataQualityChecksSql,
     "snapshot_diff" -> graft.ops.TableChecks.snapshotDiffSql,
     "k_anonymity_audit" -> graft.ops.TableChecks.kAnonymityAuditSql,
@@ -410,6 +412,7 @@ object SparkEntry {
     "conversion_funnel", "ordered_funnel", "view_purchase_recon",
     "data_quality_checks", "snapshot_diff", "k_anonymity_audit",
     "props_json_stats", "winsorized_stats", "cohort_retention",
+    "hour_value_regression",
     "value_percentiles", "value_percentiles_approx",
     "winnow_near_dup", "incremental_near_dup", "repeated_ngram_spans",
     "cross_doc_spans", "cut_spans",

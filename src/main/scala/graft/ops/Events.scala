@@ -549,6 +549,57 @@ object Events {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
 
+  /** Grouped least-squares regression — value against hour-of-day per
+    * event type (the "is there a time-of-day effect" screen): slope and
+    * intercept from the closed-form normal equations, computed EXACTLY.
+    * The built-in `regr_slope` accumulates floating moments in
+    * partition order (not reproducible across engines, or across two
+    * runs at different parallelism); here every aggregate moment is an
+    * integer or exact DECIMAL (Sx, Sxx integer; Sy, Sxy decimal), and
+    * the slope/intercept are fixed scalar expression trees over those
+    * exact moments — IEEE ops on identical inputs in identical order are
+    * bit-identical everywhere, because reassociation only ever enters
+    * through SUM ordering, which the exact moments eliminate.
+    *
+    * Scale shape: one hash aggregate (map-side partials), output one row
+    * per group. The regression itself costs nothing beyond the sums.
+    */
+  def hourValueRegression(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), hour(col("ts")).cast("long").as("x"),
+        col("value").cast("decimal(15,2)").as("y"))
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"),
+        sum(col("y") * col("x")).as("sxy"))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select(col("event_type"), col("n"), col("slope"),
+        ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n")).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  val hourValueRegressionSql: String =
+    """WITH m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(date_part('hour', ts))::BIGINT AS sx,
+      |    sum(date_part('hour', ts) * date_part('hour', ts))::BIGINT AS sxx,
+      |    sum(value::DECIMAL(15,2)) AS sy,
+      |    sum(value::DECIMAL(15,2) * date_part('hour', ts)) AS sxy
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT event_type, n, slope,
+      |  (sy::DOUBLE - slope * sx::DOUBLE) / n AS intercept
+      |FROM (
+      |  SELECT *,
+      |    (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE AS slope
+      |  FROM m)
+      |ORDER BY event_type""".stripMargin
+
   val propsJsonStatsSql: String =
     """SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
       |  sum(k)::BIGINT AS sum_k

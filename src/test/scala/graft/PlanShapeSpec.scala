@@ -310,7 +310,8 @@ class PlanShapeSpec extends SparkSuite {
     // BNL = the 1-row totals scalar-combine (unigram convention)
     "vocab_divergence" -> (0, 1, 0, 0, 3, 0),
     "cohort_retention" -> (0, 0, 0, 1, 4, 0),
-    "ordered_funnel" -> (0, 0, 0, 0, 2, 0)
+    "ordered_funnel" -> (0, 0, 0, 0, 2, 0),
+    "hour_value_regression" -> (0, 0, 0, 1, 2, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

@@ -106,6 +106,31 @@ class EventsSpec extends SparkSuite {
       assert(out(( java.sql.Timestamp.from(k._1), k._2)) == n, s"cell $k")
   }
 
+  test("hourValueRegression: slope/intercept match an independent OLS on raw rows") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Events.hourValueRegression(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.nonEmpty)
+    val rows = Tables(spark, dir, "events")
+      .select("event_type", "ts", "value").collect()
+      .map(r => (r.getString(0),
+        r.getTimestamp(1).toInstant.atZone(java.time.ZoneOffset.UTC).getHour.toDouble,
+        r.getDouble(2)))
+    for ((t, (n, slope, intercept)) <- out) {
+      val g = rows.filter(_._1 == t)
+      assert(g.length.toLong == n)
+      val (xs, ys) = (g.map(_._2), g.map(v => BigDecimal(v._3).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val bruteSlope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val bruteIntercept = (sy - bruteSlope * sx) / n
+      assert(math.abs(slope - bruteSlope) < 1e-9, s"$t slope $slope vs $bruteSlope")
+      assert(math.abs(intercept - bruteIntercept) < 1e-6, s"$t intercept")
+    }
+  }
+
   test("winsorizedStats: boundaries are true order statistics; clipping bounds hold") {
     val dir = "/root/testdata/sf0.001"
     val out = Events.winsorizedStats(spark, dir).collect()
