@@ -55,6 +55,7 @@ object SparkEntry {
     "doc_pagerank"     -> (PageRank.docPageRank _),
     "doc_triangles"    -> (PageRank.docTriangles _),
     "top_customers"  -> (Tpch.topCustomers _),
+    "also_bought"    -> ((s, d) => Tpch.alsoBought(s, d)),
     "distinct_parts" -> (Tpch.distinctParts _),
     // --- decision-support tail (subquery / outer-join shapes) ---
     "tpch_q7"  -> (TpchTail.q7VolumeShipping _),
@@ -90,6 +91,7 @@ object SparkEntry {
     "events_sessions_sw" -> (Events.sessionsViaSessionWindow _),
     "conversion_funnel" -> (Events.conversionFunnel _),
     "ordered_funnel" -> (Events.orderedFunnel _),
+    "event_transitions" -> (Events.eventTransitions _),
     "view_purchase_recon" -> (Events.viewPurchaseRecon _),
     "props_json_stats" -> (Events.propsJsonStats _),
     "winsorized_stats" -> (Events.winsorizedStats _),
@@ -98,6 +100,7 @@ object SparkEntry {
     "data_quality_checks" -> ((s, d) => graft.ops.TableChecks.dataQualityChecks(s, d)),
     "snapshot_diff" -> ((s, d) => graft.ops.TableChecks.snapshotDiff(s, d)),
     "k_anonymity_audit" -> ((s, d) => graft.ops.TableChecks.kAnonymityAudit(s, d)),
+    "merge_upsert" -> ((s, d) => graft.ops.TableChecks.mergeUpsert(s, d)),
     "value_percentiles" -> (Events.valuePercentiles _),
     "value_percentiles_approx" -> ((s, d) => Events.valuePercentilesApprox(s, d)),
     "asof_last_click" -> (AsofJoin.asofLastClick _),
@@ -252,6 +255,7 @@ object SparkEntry {
     "doc_pagerank"     -> PageRank.docPageRankSql,
     "doc_triangles"    -> PageRank.docTrianglesSql,
     "top_customers"  -> Tpch.topCustomersSql,
+    "also_bought"    -> Tpch.alsoBoughtSql,
     "distinct_parts" -> Tpch.distinctPartsSql,
     "tpch_q7"  -> TpchTail.q7Sql,
     "tpch_q8"  -> TpchTail.q8Sql,
@@ -282,6 +286,7 @@ object SparkEntry {
     "events_sessions_sw" -> Events.sessionsWindowSql,
     "conversion_funnel" -> Events.conversionFunnelSql,
     "ordered_funnel" -> Events.orderedFunnelSql,
+    "event_transitions" -> Events.eventTransitionsSql,
     "view_purchase_recon" -> Events.viewPurchaseReconSql,
     "props_json_stats" -> Events.propsJsonStatsSql,
     "winsorized_stats" -> Events.winsorizedStatsSql,
@@ -290,6 +295,7 @@ object SparkEntry {
     "data_quality_checks" -> graft.ops.TableChecks.dataQualityChecksSql,
     "snapshot_diff" -> graft.ops.TableChecks.snapshotDiffSql,
     "k_anonymity_audit" -> graft.ops.TableChecks.kAnonymityAuditSql,
+    "merge_upsert" -> graft.ops.TableChecks.mergeUpsertSql,
     "value_percentiles" -> Events.valuePercentilesSql,
     "asof_last_click" -> AsofJoin.asofLastClickSql,
     "events_in_windows" -> RangeJoin.eventsInWindowsSql,
@@ -393,7 +399,8 @@ object SparkEntry {
     "ann_topk_brute",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
     "tpch_q14", "customers_without_urgent", "parts_in_both_years",
-    "setop_all_shipments", "suppliers_no_returns", "fuzzy_part_pairs",
+    "setop_all_shipments", "suppliers_no_returns", "also_bought",
+    "fuzzy_part_pairs",
     "fuzzy_entity_clusters",
     "incremental_customer_revenue", "doc_pagerank", "doc_triangles",
     "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q18",
@@ -409,8 +416,9 @@ object SparkEntry {
     "top_customers", "distinct_parts",
     "events_tumbling", "events_sliding", "events_sessions",
     "events_sessions_sw",
-    "conversion_funnel", "ordered_funnel", "view_purchase_recon",
-    "data_quality_checks", "snapshot_diff", "k_anonymity_audit",
+    "conversion_funnel", "ordered_funnel", "event_transitions",
+    "view_purchase_recon",
+    "data_quality_checks", "snapshot_diff", "k_anonymity_audit", "merge_upsert",
     "props_json_stats", "winsorized_stats", "cohort_retention",
     "hour_value_regression",
     "value_percentiles", "value_percentiles_approx",

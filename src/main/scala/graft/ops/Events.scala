@@ -549,6 +549,53 @@ object Events {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
 
+  /** First-order behavioral transition matrix — how users MOVE between
+    * event types (the Markov-chain view of the clickstream; "error" rows
+    * with a high self-transition share are retry loops, "view→purchase"
+    * share is the direct-conversion rate). Per user, each event pairs
+    * with its successor via one lag window; counts aggregate per
+    * (prev, next) and the per-prev share is a single division of exact
+    * integers.
+    *
+    * Scale shape: one per-user window (high-cardinality key, bounded
+    * per-user history — the [[sessions]] exchange), one hash agg bounded
+    * by |event types|², a broadcast-sized totals join.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev"), col("next_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      // eager: the |types|²-row matrix feeds the totals branch AND the
+      // join probe — without this both re-run the corpus-wide lag window
+      .localCheckpoint()
+    val totals = trans.groupBy("prev").agg(sum(col("n")).as("n_prev"))
+    trans.join(broadcast(totals), Seq("prev"))
+      .select(col("prev"), col("next"), col("n"),
+        (col("n").cast("double") / col("n_prev")).as("share"))
+      .orderBy("prev", "next")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS prev,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next
+      |  FROM events
+      |), trans AS (
+      |  SELECT prev, next, count(*) AS n FROM seq
+      |  WHERE next IS NOT NULL GROUP BY prev, next
+      |), totals AS (
+      |  SELECT prev, sum(n)::BIGINT AS n_prev FROM trans GROUP BY prev
+      |)
+      |SELECT t.prev, t.next, t.n, t.n::DOUBLE / tt.n_prev AS share
+      |FROM trans t JOIN totals tt USING (prev)
+      |ORDER BY prev, next""".stripMargin
+
   /** Grouped least-squares regression — value against hour-of-day per
     * event type (the "is there a time-of-day effect" screen): slope and
     * intercept from the closed-form normal equations, computed EXACTLY.

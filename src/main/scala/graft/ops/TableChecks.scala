@@ -140,6 +140,64 @@ object TableChecks {
       |GROUP BY change
       |ORDER BY change""".stripMargin
 
+  /** MERGE INTO (upsert + delete) applied to the customer dimension — the
+    * warehouse write primitive [[snapshotDiff]] is the read twin of: a
+    * CDC batch of typed operations (U pdate, I nsert, D elete) folds into
+    * the dimension in ONE pass. The batch derives deterministically from
+    * the table (updates for custkey % 7 = 0 re-segment to AUTOMOBILE and
+    * add 10 to the balance; inserts clone custkey % 53 = 0 shifted by
+    * 10⁶; deletes remove custkey % 31 = 0), so both engines construct
+    * the identical batch and the oracle is exact.
+    *
+    * Plan: the merge is ONE left-anti join (untouched = dim ∖ batch
+    * keys) unioned with the batch's surviving rows — never a row-at-a-
+    * time loop, never a second scan of the dimension; this is exactly
+    * what Delta/Iceberg MERGE compiles to on the matched/not-matched
+    * fast path. Money kept exact via DECIMAL arithmetic on the updated
+    * balance.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables(spark, dir, "customer")
+    val updates = dim.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(15,2)") + lit(10)).cast("double").as("c_acctbal"),
+        lit("AUTOMOBILE").as("c_mktsegment"), lit("U").as("op"))
+    val inserts = dim.filter(col("c_custkey") % 53 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(lit("new "), col("c_name")).as("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"), lit("I").as("op"))
+    val deletes = dim.filter(col("c_custkey") % 31 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"), lit("D").as("op"))
+    val batch = updates.unionByName(inserts).unionByName(deletes)
+    val untouched = dim.join(batch.select("c_custkey"), Seq("c_custkey"), "left_anti")
+    untouched
+      .unionByName(batch.filter(col("op") =!= "D").drop("op"))
+      .orderBy("c_custkey")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH dim AS (SELECT * FROM customer),
+      |batch AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CAST(c_acctbal::DECIMAL(15,2) + 10 AS DOUBLE) AS c_acctbal,
+      |    'AUTOMOBILE' AS c_mktsegment, 'U' AS op
+      |  FROM dim WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'new ' || c_name, c_nationkey,
+      |    c_acctbal, c_mktsegment, 'I'
+      |  FROM dim WHERE c_custkey % 53 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'D'
+      |  FROM dim WHERE c_custkey % 31 = 0
+      |)
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM (
+      |  SELECT d.* FROM dim d ANTI JOIN batch b USING (c_custkey)
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM batch WHERE op <> 'D')
+      |ORDER BY c_custkey""".stripMargin
+
   /** Default k for the anonymity audit. */
   val AnonymityK = 5
 

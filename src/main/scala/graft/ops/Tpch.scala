@@ -366,6 +366,59 @@ object Tpch {
       |ORDER BY s_suppkey""".stripMargin
 
   /** Distinct aggregation: distinct parts and suppliers per return flag. */
+  /** Market-basket co-occurrence with lift — "orders containing part A
+    * also contain part B": candidate pairs form ONLY inside an order
+    * (equi-join on the order key, fan-out bounded by basket size — never
+    * part×part), and lift = P(A∧B)/(P(A)P(B)) re-scaled to the exact
+    * integer form (n_ab·N)/(n_a·n_b), one IEEE division of exact
+    * products (the [[TextAnalysis.pmiPairs]] exactness recipe applied to
+    * baskets; PMI and lift are the same statistic in different clothes).
+    *
+    * Scale shape: distinct (order, part) projection, self-equi-join on
+    * the order key, support filter BEFORE the marginal joins, broadcast
+    * marginals, TakeOrderedAndProject.
+    */
+  def alsoBought(spark: SparkSession, dir: String,
+      minSupport: Int = 3, k: Int = 50): DataFrame = {
+    val items = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val marg = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val total = items.agg(countDistinct(col("l_orderkey")).as("nn"))
+    pairs
+      .join(broadcast(marg.select(col("l_partkey").as("p1"), col("n").as("n_a"))), Seq("p1"))
+      .join(broadcast(marg.select(col("l_partkey").as("p2"), col("n").as("n_b"))), Seq("p2"))
+      .crossJoin(total)
+      .select(col("p1"), col("p2"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab") * col("nn")).cast("double") / (col("n_a") * col("n_b")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("p1"), col("p2"))
+      .limit(k)
+  }
+
+  val alsoBoughtSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_ab
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 3
+      |), marg AS (
+      |  SELECT l_partkey, count(*) AS n FROM items GROUP BY 1
+      |), tot AS (
+      |  SELECT count(DISTINCT l_orderkey) AS nn FROM items
+      |)
+      |SELECT p1, p2, n_ab, ma.n AS n_a, mb.n AS n_b,
+      |  (n_ab * nn)::DOUBLE / (ma.n * mb.n) AS lift
+      |FROM pairs JOIN marg ma ON ma.l_partkey = p1
+      |JOIN marg mb ON mb.l_partkey = p2, tot
+      |ORDER BY lift DESC, p1, p2 LIMIT 50""".stripMargin
+
   def distinctParts(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy("l_returnflag")

@@ -311,7 +311,13 @@ class PlanShapeSpec extends SparkSuite {
     "vocab_divergence" -> (0, 1, 0, 0, 3, 0),
     "cohort_retention" -> (0, 0, 0, 1, 4, 0),
     "ordered_funnel" -> (0, 0, 0, 0, 2, 0),
-    "hour_value_regression" -> (0, 0, 0, 1, 2, 0)
+    "hour_value_regression" -> (0, 0, 0, 1, 2, 0),
+    // BNL = the 1-row basket-total scalar-combine; items subtree NOT
+    // cached by the containment convention (corpus-sized intermediate)
+    "also_bought" -> (0, 1, 0, 0, 9, 0),
+    // post-agg matrix checkpointed: the corpus lag window runs once
+    "event_transitions" -> (0, 0, 0, 1, 2, 0),
+    "merge_upsert" -> (0, 0, 0, 1, 1, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

@@ -80,6 +80,23 @@ class EventsSpec extends SparkSuite {
       t._1.get.before(t._2.get) && t._2.get.before(t._3.get)).toLong == full)
   }
 
+  test("eventTransitions: shares sum to 1 per prev; counts match a brute lag derivation") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Events.eventTransitions(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    assert(out.nonEmpty)
+    for ((prev, g) <- out.groupBy(_._1._1))
+      assert(math.abs(g.map(_._2._2).sum - 1.0) < 1e-9, s"$prev shares don't sum to 1")
+    val rows = Tables(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val brute = rows.groupBy(_._1).values.flatMap { g =>
+      val s = g.toArray.sortBy(x => (x._2.getTime, x._3)).map(_._4)
+      s.zip(s.tail)
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out.map(x => x._1 -> x._2._1).toMap == brute, "transition counts differ from brute")
+  }
+
   test("cohortRetention: day-0 row covers every purchaser; matrix equals a brute recompute") {
     val dir = "/root/testdata/sf0.001"
     val out = Events.cohortRetention(spark, dir).collect()

@@ -57,6 +57,27 @@ class TableChecksSpec extends SparkSuite {
     assert(out.values.map(_._1).sum == (ids.size + inserts.size).toLong)
   }
 
+  test("mergeUpsert: op classes land exactly — updates in place, inserts added, deletes gone") {
+    val dim = Tables(spark, dir, "customer")
+    val before = dim.collect().map(r => r.getLong(0) -> r).toMap
+    val after = TableChecks.mergeUpsert(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val keys = before.keySet
+    val del = keys.filter(k => k % 31 == 0 && k % 7 != 0)
+    val upd = keys.filter(_ % 7 == 0)
+    val ins = keys.filter(_ % 53 == 0).map(_ + 1000000L)
+    assert(after.size == before.size - del.size + ins.size, "row accounting off")
+    for (k <- del) assert(!after.contains(k), s"deleted key $k survived")
+    for (k <- ins) assert(after(k).getString(1).startsWith("new "), s"insert $k wrong")
+    for (k <- upd.take(50)) {
+      assert(after(k).getString(4) == "AUTOMOBILE", s"update $k segment")
+      assert(math.abs(after(k).getDouble(3) - (before(k).getDouble(3) + 10)) < 1e-9)
+    }
+    // untouched rows byte-identical
+    val untouched = (keys -- del -- upd).take(50)
+    for (k <- untouched) assert(after(k) == before(k), s"untouched $k changed")
+  }
+
   test("kAnonymityAudit: exactly the cells an independent group-count puts below k") {
     val out = TableChecks.kAnonymityAudit(spark, dir).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
