@@ -54,6 +54,7 @@ object SparkEntry {
     "incremental_customer_revenue" -> (IncrementalAgg.incrementalCustomerRevenue _),
     "doc_pagerank"     -> (PageRank.docPageRank _),
     "doc_triangles"    -> (PageRank.docTriangles _),
+    "doc_components"   -> (PageRank.docComponents _),
     "top_customers"  -> (Tpch.topCustomers _),
     "also_bought"    -> ((s, d) => Tpch.alsoBought(s, d)),
     "distinct_parts" -> (Tpch.distinctParts _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "conversion_funnel" -> (Events.conversionFunnel _),
     "ordered_funnel" -> (Events.orderedFunnel _),
     "event_transitions" -> (Events.eventTransitions _),
+    "conversion_latency" -> (Events.conversionLatency _),
     "view_purchase_recon" -> (Events.viewPurchaseRecon _),
     "props_json_stats" -> (Events.propsJsonStats _),
     "winsorized_stats" -> (Events.winsorizedStats _),
@@ -130,6 +132,7 @@ object SparkEntry {
     "phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
     "pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
     "vocab_divergence" -> ((s, d) => TextAnalysis.vocabDivergence(s, d)),
+    "doc_top_tokens" -> (TextAnalysis.docTopTokens _),
     // --- deduplication suite ---
     "ngram_jaccard_pairs" -> (Dedup.ngramJaccardPairs _),
     "minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
@@ -254,6 +257,7 @@ object SparkEntry {
     "incremental_customer_revenue" -> IncrementalAgg.incrementalCustomerRevenueSql,
     "doc_pagerank"     -> PageRank.docPageRankSql,
     "doc_triangles"    -> PageRank.docTrianglesSql,
+    "doc_components"   -> PageRank.docComponentsSql,
     "top_customers"  -> Tpch.topCustomersSql,
     "also_bought"    -> Tpch.alsoBoughtSql,
     "distinct_parts" -> Tpch.distinctPartsSql,
@@ -287,6 +291,7 @@ object SparkEntry {
     "conversion_funnel" -> Events.conversionFunnelSql,
     "ordered_funnel" -> Events.orderedFunnelSql,
     "event_transitions" -> Events.eventTransitionsSql,
+    "conversion_latency" -> Events.conversionLatencySql,
     "view_purchase_recon" -> Events.viewPurchaseReconSql,
     "props_json_stats" -> Events.propsJsonStatsSql,
     "winsorized_stats" -> Events.winsorizedStatsSql,
@@ -323,6 +328,7 @@ object SparkEntry {
     "phrase_search" -> TextAnalysis.phraseSearchSql,
     "pmi_pairs" -> TextAnalysis.pmiPairsSql,
     "vocab_divergence" -> TextAnalysis.vocabDivergenceSql,
+    "doc_top_tokens" -> TextAnalysis.docTopTokensSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardSql,
     "minhash_lsh_pairs"   -> Dedup.ngramJaccardSql,
     "incremental_near_dup" -> Dedup.incrementalNearDupSql,
@@ -403,6 +409,7 @@ object SparkEntry {
     "fuzzy_part_pairs",
     "fuzzy_entity_clusters",
     "incremental_customer_revenue", "doc_pagerank", "doc_triangles",
+    "doc_components",
     "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q22",
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
@@ -417,6 +424,7 @@ object SparkEntry {
     "events_tumbling", "events_sliding", "events_sessions",
     "events_sessions_sw",
     "conversion_funnel", "ordered_funnel", "event_transitions",
+    "conversion_latency",
     "view_purchase_recon",
     "data_quality_checks", "snapshot_diff", "k_anonymity_audit", "merge_upsert",
     "props_json_stats", "winsorized_stats", "cohort_retention",
@@ -445,7 +453,7 @@ object SparkEntry {
     // language) is the unbenched anchor; the benched form is the
     // approx-quantile threshold scan
     "distinctive_terms", "distinctive_terms_agg", "bm25_topk", "phrase_search",
-    "pmi_pairs", "vocab_divergence",
+    "pmi_pairs", "vocab_divergence", "doc_top_tokens",
     "quality_prune_approx", "hybrid_rrf_lsh_topk",
     "vocab_heavy_hitters_cms",
     "media_stats", "media_phash", "media_near_dup",

@@ -549,6 +549,41 @@ object Events {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
 
+  /** Conversion-latency histogram — how long from first view to first
+    * purchase, in half-hour buckets: the time-to-convert distribution a
+    * growth team reads next to [[orderedFunnel]]'s stage counts. Latency
+    * in whole seconds (epoch-floor difference — identical truncation in
+    * both engines), bucketed by integer division; converting users only
+    * (first view strictly before first purchase).
+    *
+    * Scale shape: one conditional-min hash agg per user, one projection,
+    * one bucket agg — the [[orderedFunnel]] plan with a histogram tail.
+    */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables(spark, dir, "events").groupBy("user_id").agg(
+      min(when(col("event_type") === "view", col("ts"))).as("v"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+    firsts.filter(col("v") < col("p"))
+      .select((col("p").cast("long") - col("v").cast("long")).as("sec"))
+      .groupBy(expr("sec div 1800").as("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("sec")).as("min_sec"), max(col("sec")).as("max_sec"))
+      .orderBy("bucket")
+  }
+
+  val conversionLatencySql: String =
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      |  FROM events GROUP BY user_id
+      |), lat AS (
+      |  SELECT date_diff('second', v, p) AS sec FROM firsts WHERE v < p
+      |)
+      |SELECT sec // 1800 AS bucket, count(*) AS n_users,
+      |  min(sec)::BIGINT AS min_sec, max(sec)::BIGINT AS max_sec
+      |FROM lat GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** First-order behavioral transition matrix — how users MOVE between
     * event types (the Markov-chain view of the clickstream; "error" rows
     * with a high self-transition share are retry loops, "view→purchase"

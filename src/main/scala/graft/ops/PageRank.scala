@@ -142,6 +142,69 @@ object PageRank {
   def docTriangles(spark: SparkSession, dir: String): DataFrame =
     triangleCounts(linkGraph(Tables(spark, dir, "documents")))
 
+  /** Weakly-connected components of the link graph — the third member of
+    * the graph-analytics family (authority = [[docPageRank]], clustering
+    * = [[docTriangles]], components = here): a component is a
+    * syndication/duplication NEIGHBORHOOD, the unit a curation pass
+    * samples from so one viral cluster can't dominate a training mix.
+    * Closure via the shared [[Dedup.clusterPairs]] machinery (gated
+    * driver union-find below 2M edges, distributed min-label above);
+    * isolated docs are their own singleton component. Output one row per
+    * doc with its component id (= component min doc_id) and size.
+    */
+  def docComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val pairs = linkGraph(docs).filter(col("src") < col("dst"))
+      .select(col("src").as("a_id"), col("dst").as("b_id"))
+    val comp = Dedup.clusterPairs(pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    val all = docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("component_id"))
+    val sizes = all.groupBy("component_id").agg(count(lit(1)).as("component_size"))
+    all.join(sizes, Seq("component_id"))
+      .select("doc_id", "component_id", "component_size")
+      .orderBy("doc_id")
+  }
+
+  val docComponentsSql: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(t) >= 3
+       |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+       |      ELSE [lower(text)] END) AS sh
+       |  FROM toks JOIN documents USING (doc_id)
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS s FROM sh
+       |), rare AS (
+       |  SELECT doc_id, s FROM ex
+       |  WHERE s IN (SELECT s FROM ex GROUP BY s
+       |              HAVING count(*) BETWEEN $RareMinDf AND $RareMaxDf)
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+       |), edges AS (
+       |  SELECT a_id, b_id FROM pairs UNION ALL SELECT b_id, a_id FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT DISTINCT a_id, a_id FROM edges
+       |  UNION
+       |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON reach.id = e.b_id
+       |), cl AS (
+       |  SELECT id, min(r) AS component_id FROM reach GROUP BY id
+       |), all_docs AS (
+       |  SELECT d.doc_id, coalesce(cl.component_id, d.doc_id) AS component_id
+       |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
+       |), sizes AS (
+       |  SELECT component_id, count(*) AS component_size
+       |  FROM all_docs GROUP BY component_id
+       |)
+       |SELECT a.doc_id, a.component_id, s.component_size
+       |FROM all_docs a JOIN sizes s USING (component_id)
+       |ORDER BY a.doc_id""".stripMargin
+
   val docTrianglesSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents

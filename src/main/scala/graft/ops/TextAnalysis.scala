@@ -884,6 +884,38 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-doc top-3 longest tokens — deliberately solved ENTIRELY with
+    * higher-order array functions (distinct → comparator sort → slice →
+    * join), zero explodes and zero shuffles except the output sort: the
+    * array-HOF surface (`transform`/`array_sort`-with-lambda/`slice`)
+    * that the explode-and-reaggregate idiom hides. Per-row work is
+    * bounded by the token array; at 100 TB this is a pure map stage.
+    * Order: length descending, then lexicographic — total, so the result
+    * is deterministic and the oracle exact (emitted as a joined string:
+    * nested arrays don't survive the driver's hash compare).
+    */
+  def docTopTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), expr(
+        """array_join(slice(array_sort(array_distinct(tk),
+          |  (a, b) -> CASE WHEN length(a) > length(b) THEN -1
+          |                 WHEN length(a) < length(b) THEN 1
+          |                 WHEN a < b THEN -1 WHEN a > b THEN 1
+          |                 ELSE 0 END), 1, 3), ' ')""".stripMargin)
+        .as("top_tokens"))
+      .orderBy("doc_id")
+
+  val docTopTokensSql: String =
+    """SELECT doc_id,
+      |  array_to_string(
+      |    list_transform(
+      |      list_sort(list_transform(
+      |        list_distinct(regexp_split_to_array(lower(text), '\s+')),
+      |        x -> {'k': -length(x), 't': x})),
+      |      s -> s.t)[1:3], ' ') AS top_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Corpus-drift divergence — which terms distinguish one corpus slice
     * from another (sources 0–9 vs 10–19 here; in production: this week's
     * crawl vs last week's, or candidate data vs the training mix). The

@@ -317,7 +317,11 @@ class PlanShapeSpec extends SparkSuite {
     "also_bought" -> (0, 1, 0, 0, 9, 0),
     // post-agg matrix checkpointed: the corpus lag window runs once
     "event_transitions" -> (0, 0, 0, 1, 2, 0),
-    "merge_upsert" -> (0, 0, 0, 1, 1, 0)
+    "merge_upsert" -> (0, 0, 0, 1, 1, 0),
+    "doc_components" -> (0, 0, 1, 1, 3, 0),
+    "conversion_latency" -> (0, 0, 0, 1, 3, 0),
+    // map-only HOF pipeline: the one sort is the output ordering
+    "doc_top_tokens" -> (0, 0, 0, 1, 1, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

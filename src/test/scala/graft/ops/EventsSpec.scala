@@ -80,6 +80,30 @@ class EventsSpec extends SparkSuite {
       t._1.get.before(t._2.get) && t._2.get.before(t._3.get)).toLong == full)
   }
 
+  test("conversionLatency: buckets cover exactly the converting users; bounds inside buckets") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Events.conversionLatency(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val funnel = Events.orderedFunnel(spark, dir).collect()(0)
+    // converting users here = first view < first purchase (no click
+    // requirement) — recompute independently
+    val rows = Tables(spark, dir, "events")
+      .select("user_id", "event_type", "ts").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getTimestamp(2)))
+    val conv = rows.groupBy(_._1).values.count { g =>
+      val v = g.filter(_._2 == "view").map(_._3).minOption
+      val p = g.filter(_._2 == "purchase").map(_._3).minOption
+      v.isDefined && p.isDefined && v.get.before(p.get)
+    }
+    assert(out.map(_._2).sum == conv.toLong, s"bucket total vs $conv converters")
+    assert(funnel.getLong(0) >= conv, "sanity: viewers >= converters")
+    for ((b, _, lo, hi) <- out) {
+      assert(lo / 1800 == b && hi / 1800 == b, s"bounds outside bucket $b: $lo..$hi")
+      assert(lo <= hi && lo >= 0)
+    }
+  }
+
   test("eventTransitions: shares sum to 1 per prev; counts match a brute lag derivation") {
     val dir = "/root/testdata/sf0.001"
     val out = Events.eventTransitions(spark, dir).collect()

@@ -69,6 +69,23 @@ class PageRankSpec extends SparkSuite {
     assert(out.map(_.getLong(1)).sum % 3 == 0, "corner sum not divisible by 3")
   }
 
+  test("docComponents: partition covers every doc; linked docs share a component; sizes add up") {
+    val out = PageRank.docComponents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables(spark, dir, "documents").count()
+    assert(out.length.toLong == docs, "not a partition of the doc set")
+    val comp = out.map(t => t._1 -> t._2).toMap
+    for ((s, d) <- PageRank.linkGraph(Tables(spark, dir, "documents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).take(500))
+      assert(comp(s) == comp(d), s"linked ($s, $d) in different components")
+    // component id = min member; size consistent with the partition
+    val byComp = out.groupBy(_._2)
+    for ((cid, members) <- byComp) {
+      assert(members.map(_._1).min == cid, s"component $cid id not min member")
+      assert(members.forall(_._3 == members.length.toLong), s"size wrong in $cid")
+    }
+  }
+
   test("docPageRank: deterministic, base-floored, and in-link mass raises rank") {
     val a = PageRank.docPageRank(spark, dir).collect()
     val b = PageRank.docPageRank(spark, dir).collect()

@@ -65,6 +65,23 @@ class PmiSpec extends SparkSuite {
       s"planted collocation $planted not above stopword pairs ${stop.max}")
   }
 
+  test("docTopTokens: HOF pipeline equals a brute per-doc sort; plan has one shuffle (output sort)") {
+    val df = TextAnalysis.docTopTokens(spark, dir)
+    val out = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.size == docs.length)
+    for ((id, text) <- docs.take(50)) {
+      val want = text.toLowerCase.split("\\s+").distinct
+        .sortBy(t => (-t.length, t)).take(3).mkString(" ")
+      assert(out(id) == want, s"doc $id: '${out(id)}' vs '$want'")
+    }
+    // map-only except the output sort: no aggregate, no join, no explode
+    val plan = df.queryExecution.executedPlan.toString
+    for (op <- Seq("HashAggregate", "Join", "Generate"))
+      assert(!plan.contains(op), s"HOF pipeline grew a $op:\n$plan")
+  }
+
   test("vocabDivergence: scores ≥ 1, descending, symmetric in direction; OR re-derived") {
     val out = TextAnalysis.vocabDivergence(spark, dir, minCount = 5, k = 50).collect()
     assert(out.nonEmpty)
