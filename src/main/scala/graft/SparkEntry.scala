@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, AsofJoin, Corpus, Dedup, DocValidation, Events, FuzzyJoin, IncrementalAgg, Multimodal, PageRank, RangeJoin, Sampling, SimHashOracle, Similarity, Skew, StorageLayout, TextAnalysis, Tpch, TpchAdapted, TpchTail}
+import graft.ops.{Analytics, AsofJoin, Corpus, Dedup, DocValidation, Events, FuzzyJoin, IncrementalAgg, Multimodal, PageRank, RangeJoin, Sampling, SimHashOracle, Similarity, Skew, StorageLayout, TextAnalysis, TimeSeries, Tpch, TpchAdapted, TpchTail}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -96,6 +96,10 @@ object SparkEntry {
     "conversion_latency" -> (Events.conversionLatency _),
     "view_purchase_recon" -> (Events.viewPurchaseRecon _),
     "props_json_stats" -> (Events.propsJsonStats _),
+    "daily_gap_filled" -> (TimeSeries.dailyGapFilled _),
+    "rolling_dau_7d" -> (TimeSeries.rollingDau7d _),
+    "rolling_dau_7d_hll" -> (TimeSeries.rollingDau7dHll _),
+    "daily_count_anomalies" -> (TimeSeries.dailyCountAnomalies _),
     "winsorized_stats" -> (Events.winsorizedStats _),
     "cohort_retention" -> (Events.cohortRetention _),
     "hour_value_regression" -> (Events.hourValueRegression _),
@@ -221,6 +225,9 @@ object SparkEntry {
     *  - `decontaminate_bloom`: the Bloom bit pattern depends on the
     *    engine's sketch hashes (no-false-negative superset of the exact
     *    `decontaminate` + fpp bound spec-pinned instead);
+    *  - `rolling_dau_7d_hll`: DataSketches HLL binary layout is
+    *    engine-specific (error envelope vs the exact `rolling_dau_7d`
+    *    twin spec-pinned instead);
     *  - `vocab_heavy_hitters_cms`: count-min hash layout is engine-specific
     *    (one-sided error envelope + top-k agreement vs the exact
     *    `vocab_top_terms` spec-pinned instead);
@@ -294,6 +301,9 @@ object SparkEntry {
     "conversion_latency" -> Events.conversionLatencySql,
     "view_purchase_recon" -> Events.viewPurchaseReconSql,
     "props_json_stats" -> Events.propsJsonStatsSql,
+    "daily_gap_filled" -> TimeSeries.dailyGapFilledSql,
+    "rolling_dau_7d" -> TimeSeries.rollingDau7dSql,
+    "daily_count_anomalies" -> TimeSeries.dailyCountAnomaliesSql,
     "winsorized_stats" -> Events.winsorizedStatsSql,
     "cohort_retention" -> Events.cohortRetentionSql,
     "hour_value_regression" -> Events.hourValueRegressionSql,
@@ -429,6 +439,8 @@ object SparkEntry {
     "data_quality_checks", "snapshot_diff", "k_anonymity_audit", "merge_upsert",
     "props_json_stats", "winsorized_stats", "cohort_retention",
     "hour_value_regression",
+    "daily_gap_filled", "rolling_dau_7d", "rolling_dau_7d_hll",
+    "daily_count_anomalies",
     "value_percentiles", "value_percentiles_approx",
     "winnow_near_dup", "incremental_near_dup", "repeated_ngram_spans",
     "cross_doc_spans", "cut_spans",

@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Calendar-spine time-series operators over the `events` table: gap-filled
+  * daily series with last-observation staleness, trailing-window distinct
+  * counts (exact and sketch-merged), and exact-integer anomaly flagging.
+  *
+  * The common scale discipline: the corpus is touched ONCE by a keyed
+  * aggregate whose output is calendar-bounded (|keys| × |days| rows —
+  * thousands, not billions); every window/spine/self-join in the family
+  * runs on that bounded aggregate, never on raw events. Reference scope:
+  * the reference pipeline has no time-series surface (SURVEY.md §2.1 "no
+  * window functions") — this family is part of the 100-TB extension suite.
+  */
+object TimeSeries {
+
+  /** High-value slice threshold for the gap-filled series: `value` is
+    * heavy-tailed (p99 ≈ 224 at sf0.01), so ≥200 keeps ~1% of events and
+    * produces REAL calendar gaps for the spine to fill — on the full
+    * corpus every (type, day) cell is occupied and LOCF is vacuous.
+    */
+  val HighValue = 200.0
+
+  /** Gap-filled daily series with staleness — the ops-dashboard query
+    * "big-ticket activity per type and day, including the days nothing
+    * happened, and how stale each cell is". A calendar spine
+    * (types × sequence(min_day, max_day)) left-joins the daily aggregate;
+    * missing days fill with n=0; `days_stale` carries the
+    * last-observation date forward (LOCF) as days-since — NULL before a
+    * type's first activity.
+    *
+    * Scale shape: one corpus scan into a (type, day) hash aggregate;
+    * the spine explode, left join, and LOCF window all run on
+    * |types| × |days| rows. The LOCF window partitions by type over
+    * calendar-bounded partitions — O(days), never O(corpus).
+    */
+  def dailyGapFilled(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val daily = ev.filter(col("value") >= HighValue)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    // bounds from the FULL table: the spine covers the corpus calendar,
+    // not just the slice's active range (that is the point of the fill)
+    val bounds = ev.agg(min(to_date(col("ts"))).as("d0"),
+      max(to_date(col("ts"))).as("d1"))
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("last_active", max(when(col("n") > 0, col("day"))).over(w))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        datediff(col("day"), col("last_active")).cast("long").as("days_stale"))
+      .orderBy("event_type", "day")
+  }
+
+  val dailyGapFilledSql: String =
+    s"""WITH daily AS (
+      |  SELECT event_type, ts::DATE AS day, count(*) AS n
+      |  FROM events WHERE value >= $HighValue GROUP BY 1, 2
+      |), b AS (
+      |  SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+      |), spine AS (
+      |  SELECT t.event_type,
+      |    unnest(generate_series(b.d0::TIMESTAMP, b.d1::TIMESTAMP,
+      |      INTERVAL 1 DAY))::DATE AS day
+      |  FROM (SELECT DISTINCT event_type FROM events) t, b
+      |), filled AS (
+      |  SELECT s.event_type, s.day, coalesce(d.n, 0)::BIGINT AS n
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.event_type = d.event_type AND s.day = d.day
+      |)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+      |  date_diff('day',
+      |    max(CASE WHEN n > 0 THEN day END) OVER (
+      |      PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING),
+      |    day) AS days_stale
+      |FROM filled ORDER BY event_type, day""".stripMargin
+
+  /** Exact trailing 7-day distinct users per (type, day) — rolling DAU/WAU,
+    * the canonical engagement metric. Distinct (type, user, day) activity
+    * explodes into the ≤7 trailing windows it participates in
+    * (`sequence(day, day+6)`), then one distinct-count aggregate per
+    * covered day. The explode-cover form needs no self-join and no range
+    * join: cover days beyond the corpus max are clipped.
+    *
+    * Scale shape: distinct-activity aggregate (one shuffle on a key the
+    * corpus already groups well on), a ×7 narrow explode, one
+    * distinct-count aggregate. The ×7 blow-up is the window length — for
+    * long windows or high cardinality use [[rollingDau7dHll]], which
+    * merges per-day sketches instead of re-shipping per-user rows.
+    */
+  def rollingDau7d(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val ud = ev.select(col("event_type"), col("user_id"),
+      to_date(col("ts")).as("aday")).distinct()
+    val bounds = ev.agg(max(to_date(col("ts"))).as("d1"))
+    ud.select(col("event_type"), col("user_id"),
+        explode(expr("sequence(aday, date_add(aday, 6))")).as("day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("d1"))
+      .groupBy(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("dau_7d"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Oracle: the textbook formulation — a calendar spine range-joined to
+    * distinct activity (`day BETWEEN s.day-6 AND s.day`). Independent of
+    * the engine's explode-cover plan; equality is the correctness claim.
+    */
+  val rollingDau7dSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT event_type, user_id, ts::DATE AS aday FROM events
+      |), b AS (
+      |  SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+      |), spine AS (
+      |  SELECT t.event_type,
+      |    unnest(generate_series(b.d0::TIMESTAMP, b.d1::TIMESTAMP,
+      |      INTERVAL 1 DAY))::DATE AS day
+      |  FROM (SELECT DISTINCT event_type FROM events) t, b
+      |)
+      |SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+      |  count(DISTINCT u.user_id) AS dau_7d
+      |FROM spine s JOIN ud u
+      |  ON u.event_type = s.event_type
+      | AND u.aday BETWEEN s.day - 6 AND s.day
+      |GROUP BY s.event_type, s.day
+      |ORDER BY s.event_type, s.day""".stripMargin
+
+  /** Sketch-merged trailing 7-day distinct — the 100-TB form of
+    * [[rollingDau7d]]. The corpus is scanned ONCE into per-(type, day)
+    * HLL sketches (|types| × |days| rows, ~KB each); the rolling union
+    * merges 7 sketches per output row and never re-touches events. The
+    * exact form re-ships each (user, day) row ×7 through a distinct
+    * aggregate — corpus-sized work per window length; the sketch form's
+    * rolling cost is calendar-sized. Rows-only by necessity (DataSketches
+    * HLL binary layout is engine-specific); the error envelope vs the
+    * exact twin is spec-pinned in TimeSeriesSpec.
+    */
+  def rollingDau7dHll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("aday"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val bounds = ev.agg(max(to_date(col("ts"))).as("d1"))
+    daily.select(col("event_type"), col("sk"),
+        explode(expr("sequence(aday, date_add(aday, 6))")).as("day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("d1"))
+      .groupBy(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("dau_7d_est"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Exact-integer daily anomaly flags — days whose count deviates from
+    * the per-type mean by more than 2σ. The flag predicate is evaluated
+    * in INTEGER arithmetic: |x − μ| > 2σ  ⇔  (k·x − S)² > 4·(k·S₂ − S²)
+    * where k = #days, S = Σx, S₂ = Σx² — multiplying through by k²
+    * removes every division and square root, so the flag set is exact and
+    * engine-independent (the [[Events.hourValueRegression]] moment
+    * discipline applied to outlier detection). Products are carried as
+    * DECIMAL(38,0): at 1e9 events/day × 400 days the squared deviation
+    * reaches ~1e23 — past int64, 24 digits into decimal's 38.
+    *
+    * μ is reported as one exact division; `side` marks the direction.
+    *
+    * Scale shape: two hash aggregates (daily counts; per-type moments —
+    * the second over a calendar-bounded frame) + a broadcast join back.
+    * No window, no sort beyond the bounded output's presentation order.
+    */
+  def dailyCountAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("k"), sum(col("n")).as("s"),
+      sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("s2"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("dev", expr("CAST(k AS DECIMAL(38,0)) * n - s"))
+      .filter(expr("dev * dev > 4 * (CAST(k AS DECIMAL(38,0)) * s2 - CAST(s AS DECIMAL(38,0)) * s)"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        when(col("dev") > 0, lit("high")).otherwise(lit("low")).as("side"),
+        col("k").as("n_days"),
+        (col("s").cast("double") / col("k")).as("mu"))
+      .orderBy("event_type", "day")
+  }
+
+  val dailyCountAnomaliesSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::DATE AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT event_type, count(*) AS k, sum(n) AS s,
+      |    sum(n::HUGEINT * n) AS s2
+      |  FROM daily GROUP BY 1
+      |)
+      |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n,
+      |  CASE WHEN k::HUGEINT * n - s > 0 THEN 'high' ELSE 'low' END AS side,
+      |  k AS n_days, s::DOUBLE / k AS mu
+      |FROM daily d JOIN stats USING (event_type)
+      |WHERE (k::HUGEINT * n - s) * (k::HUGEINT * n - s)
+      |      > 4 * (k::HUGEINT * s2 - s::HUGEINT * s)
+      |ORDER BY d.event_type, d.day""".stripMargin
+}

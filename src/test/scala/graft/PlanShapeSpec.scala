@@ -320,6 +320,19 @@ class PlanShapeSpec extends SparkSuite {
     "merge_upsert" -> (0, 0, 0, 1, 1, 0),
     "doc_components" -> (0, 0, 1, 1, 3, 0),
     "conversion_latency" -> (0, 0, 0, 1, 3, 0),
+    // --- session 4 ---
+    // BNL = the 1-row calendar-bounds scalar-combine; the window is the
+    // LOCF carry over |types| x |days| rows, never the corpus
+    "daily_gap_filled" -> (0, 1, 0, 1, 4, 1),
+    // distinct-activity agg + x7 explode + distinct-count agg; the BNL is
+    // the 1-row max-day clip
+    "rolling_dau_7d" -> (0, 1, 0, 1, 5, 0),
+    // corpus scanned ONCE into daily sketches; the rolling union merges
+    // calendar-bounded sketch rows (one fewer exchange than the exact twin:
+    // no per-user distinct re-shuffle)
+    "rolling_dau_7d_hll" -> (0, 1, 0, 1, 4, 0),
+    // two hash aggs + broadcast stats join back — no window, no corpus sort
+    "daily_count_anomalies" -> (0, 0, 0, 1, 4, 0),
     // map-only HOF pipeline: the one sort is the output ordering
     "doc_top_tokens" -> (0, 0, 0, 1, 1, 0)
   )

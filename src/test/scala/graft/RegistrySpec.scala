@@ -27,6 +27,7 @@ class RegistrySpec extends SparkSuite {
     "quality_prune_approx",     // KLL quantile sketch is engine-specific (envelope spec vs exact)
     "decontaminate_bloom",      // Bloom bit pattern is engine-specific (sketch hashes)
     "vocab_heavy_hitters_cms",  // count-min hash layout is engine-specific
+    "rolling_dau_7d_hll",       // DataSketches HLL layout is engine-specific (envelope spec vs exact twin)
     "frame_sample"              // raw binary cells defeat the driver's value hash
   )
 

@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dailyGapFilled: complete spine, conserved counts, LOCF staleness law") {
+    val out = TimeSeries.dailyGapFilled(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+
+    val ev = Tables(spark, dir, "events")
+    val nTypes = ev.select("event_type").distinct().count()
+    val nDays = ev.select(to_date(col("ts")).as("d")).distinct().count()
+    assert(out.length == nTypes * nDays, "spine = types x calendar days")
+
+    val sliceCount = ev.filter(col("value") >= TimeSeries.HighValue).count()
+    assert(out.map(_._3).sum == sliceCount, "fill conserves the slice count")
+    // the slice is sparse by construction — the spine must be doing real
+    // filling, not passing an already-dense series through
+    assert(out.count(_._3 == 0L) > 0, "at least one gap day exists")
+
+    // LOCF law per type, in day order: stale == 0 on active days; on a gap
+    // day it is previous + 1; NULL (-1) only before the first activity
+    for ((_, rows) <- out.groupBy(_._1)) {
+      var prev = -1L
+      for ((_, _, n, stale) <- rows.sortBy(_._2)) {
+        if (n > 0) assert(stale == 0L)
+        else if (prev == -1L) assert(stale == -1L, "NULL before first activity")
+        else assert(stale == prev + 1, "gap increments staleness")
+        prev = stale
+      }
+    }
+  }
+
+  test("rollingDau7d equals a brute per-day window count") {
+    val out = TimeSeries.rollingDau7d(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ud = Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        datediff(to_date(col("ts")), lit("2020-01-01").cast("date")).as("d"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    val days = ud.map(x => (x._3, x._4)).distinct.sortBy(_._1)
+    val brute = (for {
+      t <- ud.map(_._1).distinct
+      (dnum, dstr) <- days
+    } yield {
+      val users = ud.filter(u => u._1 == t && u._3 <= dnum && u._3 >= dnum - 6)
+        .map(_._2).distinct.length
+      (t, dstr) -> users.toLong
+    }).filter(_._2 > 0).toMap
+    assert(out == brute, "explode-cover equals the brute trailing window")
+  }
+
+  test("rollingDau7dHll tracks the exact twin within the sketch envelope") {
+    val exact = TimeSeries.rollingDau7d(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val est = TimeSeries.rollingDau7dHll(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(est.keySet == exact.keySet, "sketch twin covers the same (type, day) cells")
+    for ((k, e) <- exact) {
+      val a = est(k)
+      // lgK=12 HLL is EXACT in sparse mode at these cardinalities; 2% is
+      // the generous envelope for the dense-mode regime a bigger SF enters
+      assert(math.abs(a - e) <= math.max(1.0, 0.02 * e), s"$k: est $a vs exact $e")
+    }
+  }
+
+  test("dailyCountAnomalies equals an exact BigInt re-derivation") {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val k = BigInt(rows.length)
+      val s = rows.map(r => BigInt(r._3)).sum
+      val s2 = rows.map(r => BigInt(r._3) * r._3).sum
+      rows.flatMap { case (_, day, n) =>
+        val dev = k * n - s
+        if (dev * dev > 4 * (k * s2 - s * s))
+          Some((t, day, n, if (dev > 0) "high" else "low"))
+        else None
+      }
+    }.toSet
+    val out = TimeSeries.dailyCountAnomalies(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(out == expected, "decimal-arithmetic flags equal the BigInt law")
+    assert(out.nonEmpty, "the corpus plants at least one 2-sigma day")
+  }
+}
