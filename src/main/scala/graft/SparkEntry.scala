@@ -139,6 +139,7 @@ object SparkEntry {
     "doc_top_tokens" -> (TextAnalysis.docTopTokens _),
     // --- deduplication suite ---
     "ngram_jaccard_pairs" -> (Dedup.ngramJaccardPairs _),
+    "prefix_jaccard_pairs" -> (graft.ops.SetSimJoin.prefixJaccardPairs _),
     "minhash_lsh_pairs"   -> (Dedup.minhashLshPairs _),
     "incremental_near_dup" -> (Dedup.incrementalNearDup _),
     "repeated_ngram_spans" -> ((s, d) => Dedup.repeatedNgramSpans(s, d)),
@@ -340,6 +341,7 @@ object SparkEntry {
     "vocab_divergence" -> TextAnalysis.vocabDivergenceSql,
     "doc_top_tokens" -> TextAnalysis.docTopTokensSql,
     "ngram_jaccard_pairs" -> Dedup.ngramJaccardSql,
+    "prefix_jaccard_pairs" -> graft.ops.SetSimJoin.prefixJaccardPairsSql,
     "minhash_lsh_pairs"   -> Dedup.ngramJaccardSql,
     "incremental_near_dup" -> Dedup.incrementalNearDupSql,
     "repeated_ngram_spans" -> Dedup.repeatedNgramSpansSql,
@@ -442,7 +444,8 @@ object SparkEntry {
     "daily_gap_filled", "rolling_dau_7d", "rolling_dau_7d_hll",
     "daily_count_anomalies",
     "value_percentiles", "value_percentiles_approx",
-    "winnow_near_dup", "incremental_near_dup", "repeated_ngram_spans",
+    "winnow_near_dup", "incremental_near_dup", "prefix_jaccard_pairs",
+    "repeated_ngram_spans",
     "cross_doc_spans", "cut_spans",
     "asof_last_click", "events_in_windows", "salted_user_age",
     "skewed_host_age",

@@ -333,6 +333,11 @@ class PlanShapeSpec extends SparkSuite {
     "rolling_dau_7d_hll" -> (0, 1, 0, 1, 4, 0),
     // two hash aggs + broadcast stats join back — no window, no corpus sort
     "daily_count_anomalies" -> (0, 0, 0, 1, 4, 0),
+    // the 4 "windows" are the persisted prefix-index's rank pair printed
+    // once per self-join side (InMemoryRelation renders its child twice);
+    // the index COMPUTES once, and its window partitions are per-doc
+    // shingle lists, never corpus-sized
+    "prefix_jaccard_pairs" -> (0, 0, 0, 1, 6, 4),
     // map-only HOF pipeline: the one sort is the output ordering
     "doc_top_tokens" -> (0, 0, 0, 1, 1, 0)
   )
