@@ -121,6 +121,7 @@ object SparkEntry {
     "bpe_segment_stats" -> ((s, d) => graft.ops.BpeTrain.bpeSegmentStats(s, d)),
     "quality_score" -> (TextAnalysis.qualityScore _),
     "quality_lr_score" -> (graft.ops.QualityModel.qualityLrScore _),
+    "lr_eval_metrics" -> (graft.ops.QualityModel.lrEvalMetrics _),
     "quality_weighted_sample" -> ((s, d) => graft.ops.QualityModel.qualityWeightedSample(s, d)),
     "quality_prune" -> ((s, d) => TextAnalysis.qualityPrune(s, d)),
     "quality_prune_approx" -> ((s, d) => TextAnalysis.qualityPruneApprox(s, d)),
@@ -209,7 +210,8 @@ object SparkEntry {
     "chunk_documents"  -> ((s, d) => Corpus.chunkDocuments(s, d)),
     "chunk_documents_gen" -> ((s, d) => Corpus.chunkDocumentsGen(s, d)),
     "unigram_logprob"  -> (Corpus.unigramLogProbScore _),
-    "bigram_logprob"   -> ((s, d) => Corpus.bigramLogProbScore(s, d))
+    "bigram_logprob"   -> ((s, d) => Corpus.bigramLogProbScore(s, d)),
+    "kneser_ney_logprob" -> (Corpus.kneserNeyLogProbScore _)
   )
 
   /** DuckDB oracle SQL for each query above.
@@ -390,7 +392,8 @@ object SparkEntry {
     // the generator variant has the IDENTICAL output contract — one oracle
     "chunk_documents_gen" -> Corpus.chunkDocumentsSql,
     "unigram_logprob"  -> Corpus.unigramLogProbScoreSql,
-    "bigram_logprob"   -> Corpus.bigramLogProbScoreSql
+    "bigram_logprob"   -> Corpus.bigramLogProbScoreSql,
+    "kneser_ney_logprob" -> Corpus.kneserNeyLogProbScoreSql
   ) ++ Similarity.quantizerOracles ++ Multimodal.codecOracles ++
     graft.ops.QualityModel.modelOracles
 
@@ -458,7 +461,7 @@ object SparkEntry {
     // benching it would double-count bpe_merges (the corpus_dedup_report
     // convention); the training is what gets timed
     "token_stats", "bpe_token_stats", "bpe_merges",
-    "quality_score", "quality_lr_score",
+    "quality_score", "quality_lr_score", "lr_eval_metrics",
     "quality_weighted_sample",
     "lang_id", "fingerprint",
     "winnow_fingerprints", "vocab_top_terms", "length_histogram",
@@ -484,6 +487,7 @@ object SparkEntry {
     "repetition_stats", "pii_scrub", "boilerplate_scrub",
     "decontaminate", "decontaminate_bloom",
     "pack_sequences", "length_batching",
-    "chunk_documents", "chunk_documents_gen", "unigram_logprob", "bigram_logprob"
+    "chunk_documents", "chunk_documents_gen", "unigram_logprob", "bigram_logprob",
+    "kneser_ney_logprob"
   )
 }

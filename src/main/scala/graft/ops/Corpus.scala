@@ -553,6 +553,85 @@ object Corpus {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Interpolated Kneser–Ney bigram scoring — THE production n-gram
+    * smoothing (Kneser & Ney ICASSP'95; Chen & Goodman '99 interpolated
+    * form), next to [[bigramLogProbScoreFrom]]'s add-k baseline:
+    *
+    *   P(cur|prev) = max(c(prev,cur) − D, 0)/c(prev)
+    *               + D·N₁₊(prev,•)/c(prev) · N₁₊(•,cur)/T
+    *
+    * with discount D = 0.75, N₁₊(prev,•) = distinct continuations of
+    * prev, N₁₊(•,cur) = distinct contexts of cur (the continuation
+    * probability — how many DIFFERENT words cur follows, not how often it
+    * occurs: the "San Francisco" insight that add-k lacks), T = distinct
+    * bigram types. Every factor is an exact integer count; the per-bigram
+    * probability is a fixed-shape IEEE tree, and the per-doc mean is
+    * rounded to 4 (the [[bigramLogProbScoreFrom]] convention absorbing
+    * ln/avg ulp drift).
+    *
+    * Scale shape: identical to the add-k bigram — one bigram multiset
+    * pass (persisted: feeds the model aggregates and the scoring join),
+    * model aggregates ON THE PAIR TABLE (vocabulary-sized, not
+    * corpus-sized: c(prev) = Σ cpc and both N₁₊ are GROUP BYs over it),
+    * a 1-row type-count scalar-combine, one scoring equi-join.
+    */
+  val KnDiscount = 0.75
+
+  def kneserNeyLogProbScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val bi = docs.filter(size(Dedup.tokens(col("text"))) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.WordNGrams.all(col("text"), 2)).as("g"))
+      .select(col("doc_id"),
+        substring_index(col("g"), " ", 1).as("prev"),
+        substring_index(col("g"), " ", -1).as("cur"))
+      .persist()
+    val pairCounts = bi.groupBy("prev", "cur").agg(count(lit(1)).as("cpc"))
+      .persist() // feeds ctx/cont/type aggregates AND the model join
+    val ctxCounts = pairCounts.groupBy("prev")
+      .agg(sum(col("cpc")).as("cp"), count(lit(1)).as("n1prev"))
+    val contCounts = pairCounts.groupBy("cur").agg(count(lit(1)).as("n1cur"))
+    val totTypes = pairCounts.agg(count(lit(1)).as("tt"))
+    val model = pairCounts.join(ctxCounts, Seq("prev"))
+      .join(contCounts, Seq("cur"))
+      .crossJoin(broadcast(totTypes))
+      .select(col("prev"), col("cur"),
+        log(greatest(col("cpc") - lit(KnDiscount), lit(0.0)) / col("cp")
+          + (lit(KnDiscount) * col("n1prev") / col("cp"))
+            * (col("n1cur").cast("double") / col("tt"))).as("logp"))
+    bi.join(model, Seq("prev", "cur"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 4).as("kn_logp_avg"))
+      .orderBy("doc_id")
+  }
+
+  val kneserNeyLogProbScoreSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+      |), bi AS (
+      |  SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS cur
+      |  FROM toks WHERE len(t) >= 2
+      |), pair_counts AS (
+      |  SELECT prev, cur, count(*) AS cpc FROM bi GROUP BY 1, 2
+      |), ctx_counts AS (
+      |  SELECT prev, sum(cpc)::BIGINT AS cp, count(*) AS n1prev
+      |  FROM pair_counts GROUP BY 1
+      |), cont_counts AS (
+      |  SELECT cur, count(*) AS n1cur FROM pair_counts GROUP BY 1
+      |), tot AS (
+      |  SELECT count(*) AS tt FROM pair_counts
+      |), model AS (
+      |  SELECT prev, cur,
+      |    ln(greatest(cpc - $KnDiscount::DOUBLE, 0.0) / cp
+      |       + ($KnDiscount::DOUBLE * n1prev / cp) * (n1cur::DOUBLE / tt)) AS logp
+      |  FROM pair_counts JOIN ctx_counts USING (prev)
+      |    JOIN cont_counts USING (cur) CROSS JOIN tot
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS kn_logp_avg
+      |FROM bi JOIN model USING (prev, cur)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val unigramLogProbScoreSql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok

@@ -228,6 +228,63 @@ object QualityModel {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Classifier evaluation against the distillation teacher — the
+    * confusion matrix and derived metrics every model-based filter ships
+    * next to its scores (how faithfully does the LR student reproduce the
+    * ≥3-of-4 heuristic it was distilled from?). `prec`/`recall` are single
+    * divisions of exact integer cells; `f1 = 2tp/(2tp+fp+fn)` is the
+    * harmonic mean algebraically reduced to ONE division, so every metric
+    * is cross-engine exact without rounding.
+    *
+    * Scale shape: one corpus scan projecting two booleans (teacher rule
+    * hits and the literal-weight logit sign — no model runtime), one
+    * 4-cell aggregate with map-side partials. Output is a single row.
+    */
+  def lrEvalMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val w = fitCached(spark, dir)
+    val y = TextAnalysis.qualityFeatures.ruleHits >= 3
+    val p = logitCol(w) > 0.0
+    Tables(spark, dir, "documents")
+      .select(y.as("y"), p.as("p"))
+      .agg(
+        sum(when(col("y") && col("p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("y") && col("p"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("y") && !col("p"), 1L).otherwise(0L)).as("tn"),
+        sum(when(col("y") && !col("p"), 1L).otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        ((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("tn") + col("fn"))).as("accuracy"),
+        (col("tp").cast("double") / (col("tp") + col("fp"))).as("prec"),
+        (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
+        ((col("tp") * 2L).cast("double") /
+          (col("tp") * 2L + col("fp") + col("fn"))).as("f1"))
+  }
+
+  private[ops] def lrEvalMetricsSql(w: Array[Double]): String = {
+    val logit = logitSql(w)
+    s"""SELECT tp, fp, tn, fn,
+       |  (tp + tn)::DOUBLE / (tp + fp + tn + fn) AS accuracy,
+       |  tp::DOUBLE / (tp + fp) AS prec,
+       |  tp::DOUBLE / (tp + fn) AS recall,
+       |  (tp * 2)::DOUBLE / (tp * 2 + fp + fn) AS f1
+       |FROM (
+       |  SELECT
+       |    sum(CASE WHEN y AND p THEN 1 ELSE 0 END)::BIGINT AS tp,
+       |    sum(CASE WHEN NOT y AND p THEN 1 ELSE 0 END)::BIGINT AS fp,
+       |    sum(CASE WHEN NOT y AND NOT p THEN 1 ELSE 0 END)::BIGINT AS tn,
+       |    sum(CASE WHEN y AND NOT p THEN 1 ELSE 0 END)::BIGINT AS fn
+       |  FROM (
+       |    SELECT
+       |      (CASE WHEN len(t) >= ${TextAnalysis.QualityMinTokens} THEN 1 ELSE 0 END
+       |     + CASE WHEN len(list_distinct(t))::DOUBLE / len(t)::DOUBLE >= ${TextAnalysis.QualityMinTtr} THEN 1 ELSE 0 END
+       |     + CASE WHEN list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)::DOUBLE >= ${TextAnalysis.QualityLenLo}
+       |            AND list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)::DOUBLE <= ${TextAnalysis.QualityLenHi} THEN 1 ELSE 0 END
+       |     + CASE WHEN len(list_intersect(t, ['the', 'a', 'of', 'and', 'to'])) >= ${TextAnalysis.QualityMinStops} THEN 1 ELSE 0 END) >= 3 AS y,
+       |      ($logit) > 0 AS p
+       |    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |          FROM documents)))""".stripMargin
+  }
+
   /** Oracle context — the [[Similarity.setOracleContext]] mechanism. */
   @volatile private var oracleCtx: Option[(SparkSession, String)] = None
 
@@ -239,7 +296,8 @@ object QualityModel {
       val w = fitCached(spark, dir)
       Map(
         "quality_lr_score" -> qualityLrScoreSql(w),
-        "quality_weighted_sample" -> qualityWeightedSampleSql(w))
+        "quality_weighted_sample" -> qualityWeightedSampleSql(w),
+        "lr_eval_metrics" -> lrEvalMetricsSql(w))
     case None => Map.empty
   }
 }

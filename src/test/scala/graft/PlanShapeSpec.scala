@@ -338,6 +338,12 @@ class PlanShapeSpec extends SparkSuite {
     // the index COMPUTES once, and its window partitions are per-doc
     // shingle lists, never corpus-sized
     "prefix_jaccard_pairs" -> (0, 0, 0, 1, 6, 4),
+    // one scan projecting two booleans + one 4-cell aggregate; 1-row output
+    "lr_eval_metrics" -> (0, 0, 0, 0, 1, 0),
+    // the BNL is the 1-row bigram-type-count scalar-combine (the
+    // unigram/bigram convention); model aggregates run on the persisted
+    // PAIR table, never a second corpus pass
+    "kneser_ney_logprob" -> (0, 1, 0, 1, 9, 0),
     // map-only HOF pipeline: the one sort is the output ordering
     "doc_top_tokens" -> (0, 0, 0, 1, 1, 0)
   )

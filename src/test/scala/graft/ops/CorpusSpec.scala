@@ -218,6 +218,68 @@ class CorpusSpec extends SparkSuite {
     assert(out.select("logp_avg").distinct().count() > 1)
   }
 
+  test("kneserNeyLogProbScore: equals a from-first-principles re-derivation") {
+    val dir = "/root/testdata/sf0.001"
+    // collect the bigram multiset and rebuild the interpolated-KN model in
+    // plain Scala — counts, N1+ fertilities, continuation mass — then
+    // score per doc with the same fixed-shape arithmetic
+    val bi = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val t = r.getString(1).toLowerCase.split("\\s+").toSeq
+        t.sliding(2).filter(_.size == 2).map(p => (r.getLong(0), p(0), p(1)))
+      }
+    val cpc = bi.groupBy(x => (x._2, x._3)).map { case (k, v) => k -> v.length.toLong }
+    val cp = cpc.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val n1prev = cpc.groupBy(_._1._1).map { case (p, m) => p -> m.size.toLong }
+    val n1cur = cpc.groupBy(_._1._2).map { case (c, m) => c -> m.size.toLong }
+    val tt = cpc.size.toLong
+    val D = Corpus.KnDiscount
+    val expected = bi.groupBy(_._1).map { case (doc, rows) =>
+      val lps = rows.map { case (_, p, c) =>
+        math.log(math.max(cpc((p, c)) - D, 0.0) / cp(p)
+          + (D * n1prev(p) / cp(p)) * (n1cur(c).toDouble / tt))
+      }
+      doc -> (rows.length.toLong,
+        BigDecimal(lps.sum / lps.length).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val out = Corpus.kneserNeyLogProbScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == expected.keySet)
+    for ((doc, (n, lp)) <- expected) {
+      assert(out(doc)._1 == n, s"doc $doc n_bigrams")
+      // the engine averages in partition order; re-derivation sums in file
+      // order — allow one ulp-at-scale-4 of reassociation drift
+      assert(math.abs(out(doc)._2 - lp) <= 1e-4 + 1e-12, s"doc $doc logp")
+    }
+  }
+
+  test("kneserNey: observed-mass per context bounded by 1; continuation mass normalized") {
+    val dir = "/root/testdata/sf0.001"
+    val bi = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val t = r.getString(1).toLowerCase.split("\\s+").toSeq
+        t.sliding(2).filter(_.size == 2).map(p => (p(0), p(1)))
+      }
+    val cpc = bi.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cp = cpc.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val n1prev = cpc.groupBy(_._1._1).map { case (p, m) => p -> m.size.toLong }
+    val n1cur = cpc.groupBy(_._1._2).map { case (c, m) => c -> m.size.toLong }
+    val tt = cpc.size.toLong
+    val D = Corpus.KnDiscount
+    // continuation distribution sums to exactly 1 over distinct curs
+    assert(math.abs(n1cur.values.map(_.toDouble / tt).sum - 1.0) < 1e-9)
+    // per context: discounted observed mass + backoff weight sums to 1
+    // when the continuation mass is taken over the FULL vocabulary — the
+    // interpolated-KN normalization identity
+    for ((p, cnt) <- cp.take(50)) {
+      val obs = cpc.collect { case ((pp, _), c) if pp == p => math.max(c - D, 0.0) / cnt }.sum
+      val backoff = D * n1prev(p) / cnt
+      assert(math.abs(obs + backoff - 1.0) < 1e-9, s"context $p mass")
+    }
+  }
+
   test("qualityFilter: each rule fires, in its documented precedence") {
     import spark.implicits._
     // one doc per rule, plus one hitting TWO rules to pin precedence:

@@ -107,4 +107,32 @@ class QualityModelSpec extends SparkSuite {
         s"doc ${r.getLong(0)}: served keep ${r.getBoolean(2)} vs recomputed logit $z")
     }
   }
+
+  test("lrEvalMetrics: cells re-derive from the served scores and teacher; metrics consistent") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val m = QualityModel.lrEvalMetrics(spark, dir).collect()(0)
+    val (tp, fp, tn, fn) = (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))
+
+    // independent cell derivation: served keep (quality_lr_score) against
+    // the heuristic label (quality >= 0.75 == ruleHits >= 3)
+    val pred = QualityModel.qualityLrScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val teach = TextAnalysis.qualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(5) >= 0.75)).toMap
+    assert(pred.keySet == teach.keySet)
+    def cell(y: Boolean, p: Boolean) =
+      pred.keys.count(k => teach(k) == y && pred(k) == p).toLong
+    assert((tp, fp, tn, fn) == (cell(true, true), cell(false, true),
+      cell(false, false), cell(true, false)), "confusion cells re-derive")
+
+    val n = (tp + fp + tn + fn).toDouble
+    assert(n == pred.size.toDouble)
+    assert(math.abs(m.getDouble(4) - (tp + tn) / n) < 1e-12, "accuracy")
+    assert(math.abs(m.getDouble(7) - 2.0 * tp / (2.0 * tp + fp + fn)) < 1e-12, "f1")
+    // the distilled student must beat always-predict-majority — else the
+    // metrics row is reporting a degenerate model
+    val majority = math.max(teach.values.count(identity), teach.values.count(!_)) / n
+    assert(m.getDouble(4) > majority, s"accuracy ${m.getDouble(4)} vs majority $majority")
+  }
 }
