@@ -50,6 +50,7 @@ object SparkEntry {
     "setop_all_shipments" -> (Tpch.setopAllShipments _),
     "suppliers_no_returns" -> (Tpch.suppliersNoReturns _),
     "fuzzy_part_pairs"   -> ((s, d) => FuzzyJoin.fuzzyPartPairs(s, d)),
+    "sorted_neighborhood_pairs" -> ((s, d) => FuzzyJoin.sortedNeighborhoodPairs(s, d)),
     "fuzzy_entity_clusters" -> ((s, d) => FuzzyJoin.fuzzyEntityClusters(s, d)),
     "incremental_customer_revenue" -> (IncrementalAgg.incrementalCustomerRevenue _),
     "doc_pagerank"     -> (PageRank.docPageRank _),
@@ -107,6 +108,8 @@ object SparkEntry {
     "snapshot_diff" -> ((s, d) => graft.ops.TableChecks.snapshotDiff(s, d)),
     "k_anonymity_audit" -> ((s, d) => graft.ops.TableChecks.kAnonymityAudit(s, d)),
     "merge_upsert" -> ((s, d) => graft.ops.TableChecks.mergeUpsert(s, d)),
+    "profile_columns" -> ((s, d) => graft.ops.TableChecks.profileColumns(s, d)),
+    "profile_columns_approx" -> ((s, d) => graft.ops.TableChecks.profileColumnsApprox(s, d)),
     "value_percentiles" -> (Events.valuePercentiles _),
     "value_percentiles_approx" -> ((s, d) => Events.valuePercentilesApprox(s, d)),
     "asof_last_click" -> (AsofJoin.asofLastClick _),
@@ -222,9 +225,9 @@ object SparkEntry {
     * has bound the sweep's (session, dir); `Verify` does that before
     * dumping. Omitted (rows-only check), each for a stated reason:
     *  - `distinct_parts_approx`, `value_percentiles_approx`,
-    *    `value_quartiles_approx`, `quality_prune_approx`: HLL/GK/KLL
-    *    sketch internals are engine-specific (error envelopes spec-pinned
-    *    vs the exact twins);
+    *    `value_quartiles_approx`, `quality_prune_approx`,
+    *    `profile_columns_approx`: HLL/GK/KLL sketch internals are
+    *    engine-specific (error envelopes spec-pinned vs the exact twins);
     *  - `decontaminate_bloom`: the Bloom bit pattern depends on the
     *    engine's sketch hashes (no-false-negative superset of the exact
     *    `decontaminate` + fpp bound spec-pinned instead);
@@ -263,6 +266,7 @@ object SparkEntry {
     "setop_all_shipments" -> Tpch.setopAllShipmentsSql,
     "suppliers_no_returns" -> Tpch.suppliersNoReturnsSql,
     "fuzzy_part_pairs"   -> FuzzyJoin.fuzzyPartPairsSql,
+    "sorted_neighborhood_pairs" -> FuzzyJoin.sortedNeighborhoodPairsSql,
     "fuzzy_entity_clusters" -> FuzzyJoin.fuzzyEntityClustersSql,
     "incremental_customer_revenue" -> IncrementalAgg.incrementalCustomerRevenueSql,
     "doc_pagerank"     -> PageRank.docPageRankSql,
@@ -314,6 +318,7 @@ object SparkEntry {
     "snapshot_diff" -> graft.ops.TableChecks.snapshotDiffSql,
     "k_anonymity_audit" -> graft.ops.TableChecks.kAnonymityAuditSql,
     "merge_upsert" -> graft.ops.TableChecks.mergeUpsertSql,
+    "profile_columns" -> graft.ops.TableChecks.profileColumnsSql,
     "value_percentiles" -> Events.valuePercentilesSql,
     "asof_last_click" -> AsofJoin.asofLastClickSql,
     "events_in_windows" -> RangeJoin.eventsInWindowsSql,
@@ -421,7 +426,7 @@ object SparkEntry {
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
     "tpch_q14", "customers_without_urgent", "parts_in_both_years",
     "setop_all_shipments", "suppliers_no_returns", "also_bought",
-    "fuzzy_part_pairs",
+    "fuzzy_part_pairs", "sorted_neighborhood_pairs",
     "fuzzy_entity_clusters",
     "incremental_customer_revenue", "doc_pagerank", "doc_triangles",
     "doc_components",
@@ -441,7 +446,11 @@ object SparkEntry {
     "conversion_funnel", "ordered_funnel", "event_transitions",
     "conversion_latency",
     "view_purchase_recon",
+    // exact `profile_columns` (6-way multi-distinct Expand + sort-agg) is
+    // the unbenched correctness anchor; the benched profile is the sketch
+    // form — the value_quartiles convention
     "data_quality_checks", "snapshot_diff", "k_anonymity_audit", "merge_upsert",
+    "profile_columns_approx",
     "props_json_stats", "winsorized_stats", "cohort_retention",
     "hour_value_regression",
     "daily_gap_filled", "rolling_dau_7d", "rolling_dau_7d_hll",

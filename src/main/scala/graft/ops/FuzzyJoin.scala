@@ -127,6 +127,70 @@ object FuzzyJoin {
       |FROM names n LEFT JOIN cl ON cl.id = n.key
       |ORDER BY n.name""".stripMargin
 
+  /** Sorted-neighborhood record linkage (Hernández & Stolfo SIGMOD'95) —
+    * the OTHER classic blocking strategy next to [[fuzzyPairsOf]]'s token
+    * blocking: sort the dictionary on the entity string and compare each
+    * entry only with its `w` lexicographic neighbors. Catches variants
+    * token blocking misses (a typo inside every token leaves no shared
+    * block key but barely moves the sort position) and vice versa misses
+    * variants that differ in their leading characters — the documented,
+    * complementary recall trade.
+    *
+    * The global sort RANK is computed WITHOUT a global sort — the
+    * [[Sampling.sizeBalancedShards]] two-phase discipline on a string
+    * key: value-range buckets (2-char name prefix — lexicographic prefix
+    * grouping is order-consistent, so bucket-offset + within-bucket rank
+    * PROVABLY equals the global row_number), per-bucket counts, a
+    * cumulative-offset window over the bounded bucket table only, and a
+    * rank window PARTITIONED by bucket. Candidates pair through
+    * rank-blocks of width `w` (own + next block covers every gap ≤ w by
+    * construction), then Levenshtein verifies — integer-exact in both
+    * engines.
+    */
+  def sortedNeighborhoodPairs(spark: SparkSession, dir: String,
+      w: Int = 5, maxDist: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dict = Tables(spark, dir, "part")
+      .select(col("p_name").as("name")).distinct()
+    val bucketed = dict.withColumn("bkt", substring(col("name"), 1, 2))
+    val counts = bucketed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+    // the only unpartitioned window: O(|prefix buckets|) rows, never corpus
+    val offsets = counts
+      .withColumn("off", sum(col("cnt")).over(
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bkt"), coalesce(col("off"), lit(0L)).as("off"))
+    val ranked = bucketed.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("r", col("off") +
+        row_number().over(Window.partitionBy("bkt").orderBy("name")))
+      .select(col("name"), col("r"))
+      .persist() // feeds both sides of the neighborhood join
+    val aSide = ranked.select(col("name").as("name_a"), col("r").as("ra"))
+      .select(col("name_a"), col("ra"),
+        explode(array(expr(s"ra div $w"), expr(s"ra div $w + 1"))).as("blk"))
+    val bSide = ranked.select(col("name").as("name_b"), col("r").as("rb"))
+      .select(col("name_b"), col("rb"), expr(s"rb div $w").as("blk"))
+    aSide.join(bSide, Seq("blk"))
+      .filter((col("rb") - col("ra")).between(1, w))
+      .select(col("name_a"), col("name_b"), (col("rb") - col("ra")).as("gap"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"), col("gap"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** Oracle: the textbook single-window formulation — global row_number
+    * + rank-gap self-join. Equality is the two-phase-rank correctness
+    * claim (same shape of claim as `size_balanced_shards`). */
+  val sortedNeighborhoodPairsSql: String =
+    """WITH dict AS (SELECT DISTINCT p_name AS name FROM part),
+      |r AS (SELECT name, row_number() OVER (ORDER BY name) AS r FROM dict)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |  levenshtein(a.name, b.name) AS dist, b.r - a.r AS gap
+      |FROM r a JOIN r b ON b.r - a.r BETWEEN 1 AND 5
+      |WHERE levenshtein(a.name, b.name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
+
   val fuzzyPartPairsSql: String =
     """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
       |toks AS (SELECT name, unnest(string_split(name, ' ')) AS tok FROM names),

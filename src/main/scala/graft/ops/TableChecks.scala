@@ -225,4 +225,125 @@ object TableChecks {
        |FROM documents GROUP BY lang, source
        |HAVING count(*) < $AnonymityK
        |ORDER BY lang, source""".stripMargin
+
+  /** Numeric, string, and timestamp columns of `orders`, in profile
+    * order. One definition feeds the query, the oracle, and the spec. */
+  val ProfileNumCols: Seq[String] = Seq("o_orderkey", "o_custkey", "o_totalprice")
+  val ProfileStrCols: Seq[String] = Seq("o_orderstatus", "o_orderpriority")
+  val ProfileTsCols: Seq[String] = Seq("o_orderdate")
+
+  /** Column-profiling report (the Deequ `ColumnProfiler` capability): one
+    * row per column — non-null/null counts, EXACT distinct cardinality,
+    * and typed min/max (numerics as doubles, strings as-is, timestamps
+    * formatted) — the table stats a catalog publishes and a constraint
+    * author reads before writing [[dataQualityChecks]] rules.
+    *
+    * Scale shape: ONE aggregate over one scan computes every column's
+    * stats side by side; the row-per-column shape is a `stack` (unpivot)
+    * of the 1-row result — 6 rows, no second scan. The multi-column
+    * exact COUNT(DISTINCT) is the one Expand in the plan — the honest
+    * price of exact cardinalities, and precisely what the engine's
+    * [[graft.plans.ApproxDistinctRewrite]] session conf converts into
+    * fixed-memory HLL sketches for the 100-TB profile run (spec-pinned:
+    * under the flipped conf the plan loses the Expand and the
+    * cardinalities land inside the sketch envelope).
+    */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val allCols = ProfileNumCols ++ ProfileStrCols ++ ProfileTsCols
+    val aggs = allCols.flatMap { c =>
+      val base = Seq(
+        count(col(c)).as(s"${c}__nn"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nul"),
+        countDistinct(col(c)).as(s"${c}__nd"))
+      val mm =
+        if (ProfileNumCols.contains(c)) Seq(
+          min(col(c)).cast("double").as(s"${c}__mn"),
+          max(col(c)).cast("double").as(s"${c}__mx"),
+          lit(null).cast("string").as(s"${c}__smn"),
+          lit(null).cast("string").as(s"${c}__smx"))
+        else if (ProfileStrCols.contains(c)) Seq(
+          lit(null).cast("double").as(s"${c}__mn"),
+          lit(null).cast("double").as(s"${c}__mx"),
+          min(col(c)).as(s"${c}__smn"),
+          max(col(c)).as(s"${c}__smx"))
+        else Seq(
+          lit(null).cast("double").as(s"${c}__mn"),
+          lit(null).cast("double").as(s"${c}__mx"),
+          date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}__smn"),
+          date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}__smx"))
+      base ++ mm
+    }
+    val one = orders.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = allCols.map(c =>
+      s"'$c', ${c}__nn, ${c}__nul, ${c}__nd, ${c}__mn, ${c}__mx, ${c}__smn, ${c}__smx")
+      .mkString(", ")
+    one.select(expr(s"stack(${allCols.size}, $stackArgs) AS " +
+        "(column_name, n_nonnull, n_null, n_distinct, min_num, max_num, min_str, max_str)"))
+      .orderBy("column_name")
+  }
+
+  /** The 100-TB profile: identical report shape with `n_distinct` from
+    * the HLL++ sketch (`approx_count_distinct`) — what the exact query
+    * becomes under the [[graft.plans.ApproxDistinctRewrite]] conf, stated
+    * directly so the sweep times the plan a production profile run ships:
+    * ONE hash-friendly pass, no Expand, fixed-size sketch partials.
+    * Rows-only (sketch internals are engine-specific); the envelope vs
+    * the exact anchor is spec-pinned. Everything except `n_distinct`
+    * stays exact.
+    */
+  def profileColumnsApprox(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val allCols = ProfileNumCols ++ ProfileStrCols ++ ProfileTsCols
+    val aggs = allCols.flatMap { c =>
+      val base = Seq(
+        count(col(c)).as(s"${c}__nn"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nul"),
+        approx_count_distinct(col(c)).as(s"${c}__nd"))
+      val mm =
+        if (ProfileNumCols.contains(c)) Seq(
+          min(col(c)).cast("double").as(s"${c}__mn"),
+          max(col(c)).cast("double").as(s"${c}__mx"),
+          lit(null).cast("string").as(s"${c}__smn"),
+          lit(null).cast("string").as(s"${c}__smx"))
+        else if (ProfileStrCols.contains(c)) Seq(
+          lit(null).cast("double").as(s"${c}__mn"),
+          lit(null).cast("double").as(s"${c}__mx"),
+          min(col(c)).as(s"${c}__smn"),
+          max(col(c)).as(s"${c}__smx"))
+        else Seq(
+          lit(null).cast("double").as(s"${c}__mn"),
+          lit(null).cast("double").as(s"${c}__mx"),
+          date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}__smn"),
+          date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}__smx"))
+      base ++ mm
+    }
+    val one = orders.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = allCols.map(c =>
+      s"'$c', ${c}__nn, ${c}__nul, ${c}__nd, ${c}__mn, ${c}__mx, ${c}__smn, ${c}__smx")
+      .mkString(", ")
+    one.select(expr(s"stack(${allCols.size}, $stackArgs) AS " +
+        "(column_name, n_nonnull, n_null, n_distinct, min_num, max_num, min_str, max_str)"))
+      .orderBy("column_name")
+  }
+
+  val profileColumnsSql: String = {
+    def row(c: String, kind: String): String = {
+      val (mn, mx, smn, smx) = kind match {
+        case "num" => (s"min($c)::DOUBLE", s"max($c)::DOUBLE",
+          "NULL::VARCHAR", "NULL::VARCHAR")
+        case "str" => ("NULL::DOUBLE", "NULL::DOUBLE", s"min($c)", s"max($c)")
+        case _ => ("NULL::DOUBLE", "NULL::DOUBLE",
+          s"strftime(min($c), '%Y-%m-%d %H:%M:%S')",
+          s"strftime(max($c), '%Y-%m-%d %H:%M:%S')")
+      }
+      s"""SELECT '$c' AS column_name, count($c) AS n_nonnull,
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  $mn AS min_num, $mx AS max_num, $smn AS min_str, $smx AS max_str
+         |FROM orders""".stripMargin
+    }
+    (ProfileNumCols.map(row(_, "num")) ++ ProfileStrCols.map(row(_, "str")) ++
+      ProfileTsCols.map(row(_, "ts"))).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
 }

@@ -29,7 +29,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * unchanged on the enclosing AggregateExpression.
   *
   * Registered via `GraftExtensions` (injectOptimizerRule) or post-hoc
-  * through `spark.experimental.extraOptimizations`.
+  * through `spark.experimental.extraOptimizations`. POSITION CAVEAT: the
+  * extensions path runs among the operator-optimization batches — before
+  * `RewriteDistinctAggregates` — and therefore reaches aggregates with
+  * SEVERAL distinct counts (e.g. the [[graft.ops.TableChecks]] column
+  * profile); the extraOptimizations path runs at the end of the
+  * optimizer, after multi-distinct plans have already been expanded, so
+  * it only reaches single-distinct aggregates. Production sessions should
+  * prefer the extensions registration.
   */
 object ApproxDistinctRewrite extends Rule[LogicalPlan] {
 

@@ -344,6 +344,20 @@ class PlanShapeSpec extends SparkSuite {
     // unigram/bigram convention); model aggregates run on the persisted
     // PAIR table, never a second corpus pass
     "kneser_ney_logprob" -> (0, 1, 0, 1, 9, 0),
+    // everything here runs on the DISTINCT name dictionary (≪ corpus);
+    // the 4 "windows" are the persisted two-phase rank (bucket-offset
+    // cumsum over the bounded bucket table + per-bucket rank) rendered
+    // once per self-join side — the rank computes once, and no window
+    // ever sees an unbounded partition
+    "sorted_neighborhood_pairs" -> (0, 0, 0, 1, 12, 4),
+    // ONE scan computes every column's stats side by side (the Expand
+    // inside is the exact multi-distinct price; the ApproxDistinctRewrite
+    // conf converts it to sketches — spec-pinned); stack() unpivots the
+    // 1-row result
+    "profile_columns" -> (0, 0, 0, 1, 2, 0),
+    // the benched sketch profile: one hash-friendly pass, no Expand,
+    // fixed-size HLL partials — what the exact anchor becomes at 100 TB
+    "profile_columns_approx" -> (0, 0, 0, 1, 1, 0),
     // map-only HOF pipeline: the one sort is the output ordering
     "doc_top_tokens" -> (0, 0, 0, 1, 1, 0)
   )

@@ -25,6 +25,7 @@ class RegistrySpec extends SparkSuite {
     "value_percentiles_approx", // GK sketch internals are engine-specific
     "value_quartiles_approx",   // approx_percentile boundaries are engine-specific
     "quality_prune_approx",     // KLL quantile sketch is engine-specific (envelope spec vs exact)
+    "profile_columns_approx",   // HLL++ profile cardinalities are engine-specific (envelope spec vs exact)
     "decontaminate_bloom",      // Bloom bit pattern is engine-specific (sketch hashes)
     "vocab_heavy_hitters_cms",  // count-min hash layout is engine-specific
     "rolling_dau_7d_hll",       // DataSketches HLL layout is engine-specific (envelope spec vs exact twin)

