@@ -143,11 +143,21 @@ object TimeSeries {
     * HLL binary layout is engine-specific); the error envelope vs the
     * exact twin is spec-pinned in TimeSeriesSpec.
     */
-  def rollingDau7dHll(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir, "events")
-    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("aday"))
+  /** Per-(type, day) HLL user sketches from a raw event frame — the ONE
+    * corpus-touching aggregate, shared by the batch query and the
+    * streaming MV maintainer ([[graft.streaming.SketchStreams]]): a
+    * micro-batch's sketches merge into the stored daily-sketch view with
+    * `hll_union_agg`, which is register-wise max — associative and
+    * commutative, so batch/stream estimates agree EXACTLY, not just in
+    * envelope. */
+  private[graft] def dailySketches(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), to_date(col("ts")).as("aday"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    val bounds = ev.agg(max(to_date(col("ts"))).as("d1"))
+
+  /** The rolling-union serving tail over a (event_type, aday, sk)
+    * daily-sketch table — calendar-sized input, never raw events. */
+  private[graft] def rollingFromDailySketches(daily: DataFrame): DataFrame = {
+    val bounds = daily.groupBy().agg(max(col("aday")).as("d1"))
     daily.select(col("event_type"), col("sk"),
         explode(expr("sequence(aday, date_add(aday, 6))")).as("day"))
       .crossJoin(broadcast(bounds))
@@ -156,6 +166,9 @@ object TimeSeries {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("dau_7d_est"))
       .orderBy("event_type", "day")
   }
+
+  def rollingDau7dHll(spark: SparkSession, dir: String): DataFrame =
+    rollingFromDailySketches(dailySketches(Tables(spark, dir, "events")))
 
   /** Exact-integer daily anomaly flags — days whose count deviates from
     * the per-type mean by more than 2σ. The flag predicate is evaluated
