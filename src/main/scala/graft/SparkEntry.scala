@@ -85,6 +85,7 @@ object SparkEntry {
     "scd2_value_tiers"        -> (Analytics.scd2ValueTiers _),
     "scd2_temporal_join"      -> (Analytics.scd2TemporalJoin _),
     "rolling_revenue_7d"      -> (Analytics.rollingRevenue7d _),
+    "revenue_pareto"          -> (Analytics.revenuePareto _),
     "value_quartiles_approx"  -> ((s, d) => Analytics.valueQuartilesApprox(s, d)),
     // --- event-time windowing (streaming-ready shapes) ---
     "events_tumbling" -> (Events.tumbling _),
@@ -97,6 +98,7 @@ object SparkEntry {
     "conversion_latency" -> (Events.conversionLatency _),
     "view_purchase_recon" -> (Events.viewPurchaseRecon _),
     "props_json_stats" -> (Events.propsJsonStats _),
+    "value_mad_outliers" -> (Events.valueMadOutliers _),
     "daily_gap_filled" -> (TimeSeries.dailyGapFilled _),
     "rolling_dau_7d" -> (TimeSeries.rollingDau7d _),
     "rolling_dau_7d_hll" -> (TimeSeries.rollingDau7dHll _),
@@ -298,6 +300,7 @@ object SparkEntry {
     "scd2_value_tiers"        -> Analytics.scd2ValueTiersSql,
     "scd2_temporal_join"      -> Analytics.scd2TemporalJoinSql,
     "rolling_revenue_7d"      -> Analytics.rollingRevenue7dSql,
+    "revenue_pareto"          -> Analytics.revenueParetoSql,
     "events_tumbling" -> Events.tumblingSql,
     "events_sliding"  -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
@@ -308,6 +311,7 @@ object SparkEntry {
     "conversion_latency" -> Events.conversionLatencySql,
     "view_purchase_recon" -> Events.viewPurchaseReconSql,
     "props_json_stats" -> Events.propsJsonStatsSql,
+    "value_mad_outliers" -> Events.valueMadOutliersSql,
     "daily_gap_filled" -> TimeSeries.dailyGapFilledSql,
     "rolling_dau_7d" -> TimeSeries.rollingDau7dSql,
     "daily_count_anomalies" -> TimeSeries.dailyCountAnomaliesSql,
@@ -452,7 +456,7 @@ object SparkEntry {
     "data_quality_checks", "snapshot_diff", "k_anonymity_audit", "merge_upsert",
     "profile_columns_approx",
     "props_json_stats", "winsorized_stats", "cohort_retention",
-    "hour_value_regression",
+    "hour_value_regression", "value_mad_outliers", "revenue_pareto",
     "daily_gap_filled", "rolling_dau_7d", "rolling_dau_7d_hll",
     "daily_count_anomalies",
     "value_percentiles", "value_percentiles_approx",

@@ -392,4 +392,85 @@ object Analytics {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
       |  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Revenue bucket width (in cents) for the Pareto boundary search —
+    * bounds the bucket table at max_customer_revenue / width rows. */
+  val ParetoBucketCents = 500000L // $5,000
+
+  /** Pareto top-mass selection — "how many top customers carry HALF the
+    * revenue?", the 80/20 question every revenue dashboard asks. The
+    * textbook answer is a GLOBAL customer sort + running share — a
+    * single-task window over the customer dimension. This is the
+    * two-phase form instead (the [[graft.ops.Sampling.sizeBalancedShards]]
+    * discipline pointed downhill): bucket customers by revenue band,
+    * cumulate the BOUNDED bucket table top-down to find the boundary
+    * band, and rank ONLY the boundary band's customers. Exact-DECIMAL
+    * arithmetic end to end; the target test `2·cum ≥ T` is
+    * division-free; the output share is one exact division.
+    *
+    * Scale shape: one orders scan (customer-revenue hash agg), a window
+    * over O(max_rev / band) bucket rows, a rank window over ONE band's
+    * customers — never an all-customer sort. Provably equal to the global
+    * cumsum (the oracle states exactly that).
+    */
+  def revenuePareto(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(15,2)")).as("rev"))
+      .withColumn("cents", expr("CAST(rev * 100 AS BIGINT)"))
+      .withColumn("bkt", expr(s"cents div $ParetoBucketCents"))
+    val total = rev.agg(sum(col("rev")).as("t"), count(lit(1)).as("n_cust"))
+    val bAgg = rev.groupBy("bkt")
+      .agg(count(lit(1)).as("bc"), sum(col("rev")).as("bs"))
+    // top-down cumulative over the BOUNDED bucket table only
+    val wDesc = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bCum = bAgg
+      .withColumn("p", sum(col("bs")).over(wDesc))
+      .withColumn("pc", sum(col("bc")).over(wDesc))
+      .crossJoin(broadcast(total))
+      // the unique boundary band: prefix through it reaches the target,
+      // prefix strictly above it does not
+      .filter(col("p") * 2 >= col("t") && (col("p") - col("bs")) * 2 < col("t"))
+      .select(col("bkt").as("b_star"), (col("p") - col("bs")).as("above_rev"),
+        (col("pc") - col("bc")).as("above_cnt"), col("t"), col("n_cust"))
+    val wInBand = Window.partitionBy("b_star")
+      .orderBy(col("rev").desc, col("o_custkey"))
+    val ranked = rev.join(broadcast(bCum), col("bkt") === col("b_star"))
+      .withColumn("run", sum(col("rev")).over(
+        wInBand.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rk", row_number().over(wInBand))
+    ranked.filter((col("above_rev") + col("run")) * 2 >= col("t"))
+      .orderBy("rk").limit(1)
+      .select(
+        (col("above_cnt") + col("rk")).as("n_customers"),
+        col("n_cust"),
+        (col("above_rev") + col("run")).cast("double").as("covered_rev"),
+        col("t").cast("double").as("total_rev"),
+        ((col("above_rev") + col("run")).cast("double") /
+          col("t").cast("double")).as("share"))
+  }
+
+  /** Oracle: the textbook global ranking — running revenue over ALL
+    * customers ordered (rev DESC, custkey), first rank reaching half.
+    * Equality is the two-phase boundary-band claim. */
+  val revenueParetoSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey, sum(o_totalprice::DECIMAL(15,2)) AS rev
+      |  FROM orders GROUP BY 1
+      |), t AS (
+      |  SELECT sum(rev) AS t, count(*) AS n_cust FROM rev
+      |), r AS (
+      |  SELECT o_custkey, rev,
+      |    sum(rev) OVER (ORDER BY rev DESC, o_custkey
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk
+      |  FROM rev
+      |)
+      |SELECT rk AS n_customers, n_cust,
+      |  cum::DOUBLE AS covered_rev, t::DOUBLE AS total_rev,
+      |  cum::DOUBLE / t::DOUBLE AS share
+      |FROM r, t
+      |WHERE cum * 2 >= t
+      |ORDER BY rk LIMIT 1""".stripMargin
 }

@@ -549,6 +549,85 @@ object Events {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
 
+  /** Median-absolute-deviation robust outliers per event type — the
+    * scale-free cousin of [[graft.ops.TimeSeries.dailyCountAnomalies]]'
+    * 2σ rule: med = lower median, MAD = lower median of |x − med|, a row
+    * is an outlier when |x − med| > 3·MAD. Medians are OBSERVED order
+    * statistics off a value histogram (no interpolation, no engine
+    * quantile rounding — the [[winsorizedStats]] discipline), and every
+    * comparison is plain IEEE arithmetic on observed doubles, so the
+    * counts are cross-engine exact.
+    *
+    * Scale shape: ONE corpus scan builds the per-(type, value) histogram;
+    * the median cumsum, the DEVIATION histogram (re-keying the value
+    * histogram by |v − med| — no second scan), its cumsum, and the
+    * outlier count all run on distinct VALUES, not rows. The histogram is
+    * localCheckpointed: four consumers, one materialization.
+    */
+  def valueMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = hist.groupBy("event_type").agg(sum(col("c")).as("n"))
+    def lowerMedian(h: DataFrame, keyCol: String): DataFrame = {
+      // smallest observed value whose cumulative count reaches ceil(n/2)
+      val cum = h.withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("event_type").orderBy(keyCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cum.join(tot, Seq("event_type"))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy("event_type").agg(min(col(keyCol)).as("m"))
+    }
+    val med = lowerMedian(hist, "value").withColumnRenamed("m", "med")
+    val devHist = hist.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"), abs(col("value") - col("med")).as("value"))
+      .agg(sum(col("c")).as("c"))
+    val mad = lowerMedian(devHist, "value").withColumnRenamed("m", "mad")
+    hist.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(sum(col("c")).as("n"),
+        min(col("med")).as("med"), min(col("mad")).as("mad"),
+        sum(when(abs(col("value") - col("med")) > col("mad") * 3.0, col("c"))
+          .otherwise(lit(0L))).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val valueMadOutliersSql: String =
+    """WITH hist AS (
+      |  SELECT event_type, value, count(*) AS c FROM events GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT event_type, sum(c) AS n FROM hist GROUP BY 1
+      |), vcum AS (
+      |  SELECT event_type, value, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY value
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM hist
+      |), med AS (
+      |  SELECT v.event_type, min(value) AS med
+      |  FROM vcum v JOIN tot USING (event_type)
+      |  WHERE cum * 2 >= n GROUP BY v.event_type
+      |), dev AS (
+      |  SELECT h.event_type, abs(h.value - med) AS value, sum(c) AS c
+      |  FROM hist h JOIN med USING (event_type) GROUP BY 1, 2
+      |), dcum AS (
+      |  SELECT event_type, value, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY value
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM dev
+      |), mad AS (
+      |  SELECT d.event_type, min(value) AS mad
+      |  FROM dcum d JOIN tot USING (event_type)
+      |  WHERE cum * 2 >= n GROUP BY d.event_type
+      |)
+      |SELECT h.event_type, sum(c)::BIGINT AS n, min(med) AS med, min(mad) AS mad,
+      |  sum(CASE WHEN abs(h.value - med) > mad * 3.0 THEN c ELSE 0 END)::BIGINT
+      |    AS n_outliers
+      |FROM hist h JOIN med USING (event_type) JOIN mad USING (event_type)
+      |GROUP BY h.event_type
+      |ORDER BY h.event_type""".stripMargin
+
   /** Conversion-latency histogram — how long from first view to first
     * purchase, in half-hour buckets: the time-to-convert distribution a
     * growth team reads next to [[orderedFunnel]]'s stage counts. Latency

@@ -358,6 +358,14 @@ class PlanShapeSpec extends SparkSuite {
     // the benched sketch profile: one hash-friendly pass, no Expand,
     // fixed-size HLL partials — what the exact anchor becomes at 100 TB
     "profile_columns_approx" -> (0, 0, 0, 1, 1, 0),
+    // windows run over the checkpointed DISTINCT-VALUE histogram (value
+    // cumsum + deviation cumsum per type), never over event rows — the
+    // winsorized_stats discipline
+    "value_mad_outliers" -> (0, 0, 0, 1, 9, 3),
+    // window 1: top-down cumsum over the BOUNDED revenue-band table;
+    // window 2: rank within the ONE boundary band; the BNL is the 1-row
+    // total scalar-combine. No all-customer sort anywhere.
+    "revenue_pareto" -> (0, 1, 0, 0, 7, 2),
     // map-only HOF pipeline: the one sort is the output ordering
     "doc_top_tokens" -> (0, 0, 0, 1, 1, 0)
   )

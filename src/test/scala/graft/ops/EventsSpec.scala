@@ -80,6 +80,50 @@ class EventsSpec extends SparkSuite {
       t._1.get.before(t._2.get) && t._2.get.before(t._3.get)).toLong == full)
   }
 
+  test("valueMadOutliers: med/MAD/outlier counts equal an in-memory sort re-derivation") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val rows = Tables(spark, dir, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val expected = rows.groupBy(_._1).map { case (t, vs) =>
+      val sorted = vs.map(_._2).sorted
+      def lowerMedian(xs: Array[Double]): Double = xs((xs.length - 1) / 2)
+      val med = lowerMedian(sorted)
+      val mad = lowerMedian(vs.map(v => math.abs(v._2 - med)).sorted)
+      val out = vs.count(v => math.abs(v._2 - med) > mad * 3.0).toLong
+      t -> (vs.length.toLong, med, mad, out)
+    }
+    val got = Events.valueMadOutliers(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(got == expected, s"histogram medians diverge:\n$got\nvs\n$expected")
+    assert(got.values.exists(_._4 > 0), "the heavy-tailed corpus plants outliers")
+  }
+
+  test("revenuePareto: boundary-band selection equals the global-sort derivation") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val rev = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(org.apache.spark.sql.functions.sum(
+        col("o_totalprice").cast("decimal(15,2)")).as("rev"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1)))
+    val sorted = rev.map { case (k, v) => (k, BigDecimal(v)) }
+      .sortBy { case (k, v) => (-v, k) }
+    val t = sorted.map(_._2).sum
+    var cum = BigDecimal(0); var n = 0
+    while (cum * 2 < t) { cum += sorted(n)._2; n += 1 }
+    val row = Analytics.revenuePareto(spark, dir).collect()(0)
+    assert(row.getLong(0) == n.toLong, s"n_customers ${row.getLong(0)} vs $n")
+    assert(row.getLong(1) == rev.length.toLong)
+    assert(math.abs(row.getDouble(2) - cum.toDouble) < 1e-6, "covered revenue")
+    assert(row.getDouble(4) >= 0.5 && row.getDouble(4) < 1.0)
+    // taking from the top, half the revenue never needs more than half
+    // the customers (equality only under perfect uniformity)
+    assert(n <= (rev.length + 1) / 2, s"selection not top-heavy: $n of ${rev.length}")
+  }
+
   test("conversionLatency: buckets cover exactly the converting users; bounds inside buckets") {
     val dir = "/root/testdata/sf0.001"
     val out = Events.conversionLatency(spark, dir).collect()
