@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.{Literal, Lower}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, DotProduct, HtmlUnescape, MinHashBands, SimHash64, SlidingChunks, TopKByScore, Winnow, WordNGrams}
+import graft.functions.{CosineSimilarity, DotProduct, HilbertIndex, HtmlUnescape, MinHashBands, SimHash64, SlidingChunks, TopKByScore, Winnow, WordNGrams}
 
 /** SQL surface for the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT html_unescape(title) ...")` works alongside the
@@ -71,6 +71,9 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "minhash_bands(shingles[, k, bands]) requires an array and optional integer literals")
       }),
+    (FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (children: Seq[Expression]) => HilbertIndex(children(0), children(1))),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => children match {

@@ -191,6 +191,7 @@ object SparkEntry {
     "bucketed_join_revenue" -> ((s, d) => StorageLayout.bucketedJoinRevenue(s, d)),
     "partition_pruned_events" -> ((s, d) => StorageLayout.prunedEventsDaily(s, d)),
     "zorder_chunks" -> ((s, d) => StorageLayout.zorderChunks(s, d)),
+    "hilbert_chunks" -> ((s, d) => StorageLayout.hilbertChunks(s, d)),
     "zorder_pruned_scan" -> ((s, d) => StorageLayout.zorderPrunedScan(s, d)),
     "dpp_pruned_join" -> ((s, d) => StorageLayout.dppPrunedJoin(s, d)),
     // --- corpus sampling / splitting ---
@@ -379,6 +380,7 @@ object SparkEntry {
     "bucketed_join_revenue" -> StorageLayout.bucketedJoinRevenueSql,
     "partition_pruned_events" -> StorageLayout.prunedEventsDailySql,
     "zorder_chunks" -> StorageLayout.zorderChunksSql,
+    "hilbert_chunks" -> StorageLayout.hilbertChunksSql,
     "zorder_pruned_scan" -> StorageLayout.zorderPrunedScanSql,
     "dpp_pruned_join" -> StorageLayout.dppPrunedJoinSql,
     "split_counts"   -> Sampling.splitCountsSql,
@@ -491,7 +493,7 @@ object SparkEntry {
     "frame_sample", "frame_sample_digest", "frame_near_dup",
     "extract_features",
     "bucketed_join_revenue", "partition_pruned_events", "zorder_chunks",
-    "zorder_pruned_scan", "dpp_pruned_join",
+    "hilbert_chunks", "zorder_pruned_scan", "dpp_pruned_join",
     "split_counts", "stratified_sample", "mixture_sample", "temperature_sample",
     "shuffle_shards",
     "url_host_caps", "url_canonical_dedup", "host_lang_entropy",

@@ -319,6 +319,69 @@ object StorageLayout {
 
   /** Morton restated as exact integer arithmetic (bit i of v ≙
     * `(v // 2^i) % 2`; position p ≙ `· 2^p`). */
+  /** Hilbert-curve clustering manifest — the locality-tightest variant of
+    * [[zorderChunks]], same (user bucket, value bucket) grid and chunk
+    * granularity so the two manifests are directly comparable. Z-order
+    * seams (a contiguous z-range can own two disjoint boxes when a high
+    * interleaved bit flips) are what the Hilbert walk removes: every
+    * curve step moves one grid cell, so equal-width index ranges form
+    * strictly tighter bounding boxes — StorageLayoutSpec pins
+    * Σ(span_ux + span_vy) over Hilbert chunks ≤ the Morton manifest's.
+    *
+    * The key is the codegen'd [[graft.functions.HilbertIndex]] expression;
+    * the oracle re-derives it as a 10-level unrolled CTE chain in pure
+    * integer arithmetic (the PageRank unrolled-oracle convention).
+    */
+  def hilbertChunks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select(
+      pmod(col("user_id"), lit(1024L)).as("ux"),
+      greatest(least(floor(col("value")), lit(1023L)), lit(0L)).cast("long").as("vy"))
+    ev.withColumn("chunk",
+        shiftright(graft.functions.HilbertIndex(col("ux"), col("vy")), ZChunkShift))
+      .groupBy("chunk")
+      .agg(
+        count(lit(1)).as("n"),
+        min("ux").as("min_ux"), max("ux").as("max_ux"),
+        min("vy").as("min_vy"), max("vy").as("max_vy"))
+      .orderBy("chunk")
+  }
+
+  /** The xy2d walk unrolled: one CTE per level carries (x, y, d); rx/ry
+    * are bit tests as integer div/mod, the reflection is N−1−coordinate,
+    * the swap is column renaming. Identical arithmetic to
+    * [[graft.functions.HilbertIndex.compute]], level by level.
+    */
+  val hilbertChunksSql: String = {
+    val bits = graft.functions.HilbertIndex.Bits
+    val n = 1L << bits
+    val steps = (0 until bits).map { k =>
+      val s = 1L << (bits - 1 - k)
+      s"""s${k + 1} AS (
+         |  SELECT ux, vy,
+         |    d + ${s * s} * xor(3 * ((x // $s) % 2), (y // $s) % 2) AS d,
+         |    CASE WHEN (y // $s) % 2 = 0
+         |      THEN (CASE WHEN (x // $s) % 2 = 1 THEN ${n - 1} - y ELSE y END)
+         |      ELSE x END AS x,
+         |    CASE WHEN (y // $s) % 2 = 0
+         |      THEN (CASE WHEN (x // $s) % 2 = 1 THEN ${n - 1} - x ELSE x END)
+         |      ELSE y END AS y
+         |  FROM s$k)""".stripMargin
+    }
+    s"""WITH s0 AS (
+       |  SELECT ux, vy, ux AS x, vy AS y, 0::BIGINT AS d
+       |  FROM (
+       |    SELECT ((user_id % 1024) + 1024) % 1024 AS ux,
+       |      greatest(least(floor(value), 1023), 0)::BIGINT AS vy
+       |    FROM events)),
+       |${steps.mkString(",\n")}
+       |SELECT chunk, count(*) AS n,
+       |  min(ux) AS min_ux, max(ux) AS max_ux,
+       |  min(vy) AS min_vy, max(vy) AS max_vy
+       |FROM (SELECT ux, vy, d // ${1L << ZChunkShift} AS chunk FROM s$bits)
+       |GROUP BY chunk
+       |ORDER BY chunk""".stripMargin
+  }
+
   val zorderChunksSql: String = {
     val terms = (0 until ZBits).flatMap { i =>
       Seq(s"((ux // ${1L << i}) % 2) * ${1L << (2 * i)}",

@@ -120,6 +120,57 @@ class StorageLayoutSpec extends SparkSuite {
       s"z-order layout ($zSum) not at least 2x tighter than id-order ($idSum)")
   }
 
+  test("hilbert index: inverse round-trip and single-step adjacency (the property Morton lacks)") {
+    import graft.functions.HilbertIndex
+    val n = 1L << HilbertIndex.Bits
+    // canonical d2xy inverse, test-local: d -> (x, y)
+    def d2xy(d: Long): (Long, Long) = {
+      var t = d; var x = 0L; var y = 0L; var s = 1L
+      while (s < n) {
+        val rx = 1L & (t / 2)
+        val ry = 1L & (t ^ rx)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx; y += s * ry
+        t /= 4; s *= 2
+      }
+      (x, y)
+    }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 2000) {
+      val d = math.abs(rnd.nextLong()) % (n * n)
+      val (x, y) = d2xy(d)
+      assert(HilbertIndex.compute(x, y) == d, s"xy2d(d2xy($d)) != $d")
+    }
+    // consecutive curve positions are GRID-ADJACENT — only a true Hilbert
+    // walk has this everywhere; Morton jumps across the grid at seams
+    for (_ <- 1 to 500) {
+      val d = math.abs(rnd.nextLong()) % (n * n - 1)
+      val (x1, y1) = d2xy(d); val (x2, y2) = d2xy(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"seam at d=$d")
+    }
+    // corner anchors of the 1024-grid curve
+    assert(HilbertIndex.compute(0L, 0L) == 0L)
+    assert(HilbertIndex.compute(n - 1, 0L) == n * n - 1)
+  }
+
+  test("hilbert chunks bound both dims and beat the Morton manifest's total spans") {
+    val h = StorageLayout.hilbertChunks(spark, dir).collect()
+    val z = StorageLayout.zorderChunks(spark, dir).collect()
+    assert(h.nonEmpty)
+    for (r <- h) {
+      assert(r.getLong(3) - r.getLong(2) < 64, s"ux range loose in chunk ${r.getLong(0)}")
+      assert(r.getLong(5) - r.getLong(4) < 64, s"vy range loose in chunk ${r.getLong(0)}")
+    }
+    def spanSum(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(3) - r.getLong(2)) + (r.getLong(5) - r.getLong(4))).sum
+    val (hs, zs) = (spanSum(h), spanSum(z))
+    info(s"per-chunk dim-range sums: hilbert $hs vs morton $zs (${h.length}/${z.length} chunks)")
+    assert(hs <= zs, s"hilbert spans ($hs) should not exceed morton's ($zs)")
+  }
+
   test("zorder_pruned_scan result equals the plain-parquet aggregate, and the box predicate reaches the scan pushed down") {
     val df = StorageLayout.zorderPrunedScan(spark, dir)
     val got = df.collect()
