@@ -103,12 +103,16 @@ object SparkEntry {
     "rolling_dau_7d" -> (TimeSeries.rollingDau7d _),
     "rolling_dau_7d_hll" -> (TimeSeries.rollingDau7dHll _),
     "daily_count_anomalies" -> (TimeSeries.dailyCountAnomalies _),
+    "ewma_daily" -> (TimeSeries.ewmaDaily _),
+    "rolling_dau_7d_bitmap" -> (TimeSeries.rollingDau7dBitmap _),
+    "geo_near_pairs" -> ((s, d) => graft.ops.GeoJoin.geoNearPairs(s, d)),
     "winsorized_stats" -> (Events.winsorizedStats _),
     "cohort_retention" -> (Events.cohortRetention _),
     "hour_value_regression" -> (Events.hourValueRegression _),
     "data_quality_checks" -> ((s, d) => graft.ops.TableChecks.dataQualityChecks(s, d)),
     "snapshot_diff" -> ((s, d) => graft.ops.TableChecks.snapshotDiff(s, d)),
     "k_anonymity_audit" -> ((s, d) => graft.ops.TableChecks.kAnonymityAudit(s, d)),
+    "l_diversity_audit" -> ((s, d) => graft.ops.TableChecks.lDiversityAudit(s, d)),
     "merge_upsert" -> ((s, d) => graft.ops.TableChecks.mergeUpsert(s, d)),
     "profile_columns" -> ((s, d) => graft.ops.TableChecks.profileColumns(s, d)),
     "profile_columns_approx" -> ((s, d) => graft.ops.TableChecks.profileColumnsApprox(s, d)),
@@ -316,12 +320,18 @@ object SparkEntry {
     "daily_gap_filled" -> TimeSeries.dailyGapFilledSql,
     "rolling_dau_7d" -> TimeSeries.rollingDau7dSql,
     "daily_count_anomalies" -> TimeSeries.dailyCountAnomaliesSql,
+    "ewma_daily" -> TimeSeries.ewmaDailySql,
+    // bitmap rolling distinct: the textbook range-join oracle verbatim —
+    // bit-exact equality to an independent formulation IS the claim
+    "rolling_dau_7d_bitmap" -> TimeSeries.rollingDau7dSql,
+    "geo_near_pairs" -> graft.ops.GeoJoin.geoNearPairsSql,
     "winsorized_stats" -> Events.winsorizedStatsSql,
     "cohort_retention" -> Events.cohortRetentionSql,
     "hour_value_regression" -> Events.hourValueRegressionSql,
     "data_quality_checks" -> graft.ops.TableChecks.dataQualityChecksSql,
     "snapshot_diff" -> graft.ops.TableChecks.snapshotDiffSql,
     "k_anonymity_audit" -> graft.ops.TableChecks.kAnonymityAuditSql,
+    "l_diversity_audit" -> graft.ops.TableChecks.lDiversityAuditSql,
     "merge_upsert" -> graft.ops.TableChecks.mergeUpsertSql,
     "profile_columns" -> graft.ops.TableChecks.profileColumnsSql,
     "value_percentiles" -> Events.valuePercentilesSql,
@@ -455,12 +465,14 @@ object SparkEntry {
     // exact `profile_columns` (6-way multi-distinct Expand + sort-agg) is
     // the unbenched correctness anchor; the benched profile is the sketch
     // form — the value_quartiles convention
-    "data_quality_checks", "snapshot_diff", "k_anonymity_audit", "merge_upsert",
+    "data_quality_checks", "snapshot_diff", "k_anonymity_audit",
+    "l_diversity_audit", "merge_upsert",
     "profile_columns_approx",
     "props_json_stats", "winsorized_stats", "cohort_retention",
     "hour_value_regression", "value_mad_outliers", "revenue_pareto",
     "daily_gap_filled", "rolling_dau_7d", "rolling_dau_7d_hll",
-    "daily_count_anomalies",
+    "rolling_dau_7d_bitmap", "daily_count_anomalies", "ewma_daily",
+    "geo_near_pairs",
     "value_percentiles", "value_percentiles_approx",
     "winnow_near_dup", "incremental_near_dup", "prefix_jaccard_pairs",
     "repeated_ngram_spans",

@@ -226,6 +226,38 @@ object TableChecks {
        |HAVING count(*) < $AnonymityK
        |ORDER BY lang, source""".stripMargin
 
+  /** Default l for the diversity audit. */
+  val DiversityL = 3
+
+  /** l-diversity audit — the homogeneity-attack complement of
+    * [[kAnonymityAudit]] (Machanavajjhala et al., TKDD'07): a cell can be
+    * k-anonymous yet still leak if its SENSITIVE attribute is (near-)
+    * constant — an attacker who locates a target's cell learns the
+    * sensitive value without identifying the row. Quasi-identifiers here
+    * are (source, n_chars length decile); the sensitive attribute is
+    * `lang`; cells with fewer than l distinct sensitive values are
+    * reported with their size and diversity — the input to the same
+    * suppression/generalization step the k-audit feeds.
+    *
+    * Scale shape: one hash aggregate over one scan (count + exact
+    * count-distinct per cell); output bounded by the QI domain.
+    */
+  def lDiversityAudit(spark: SparkSession, dir: String,
+      l: Int = DiversityL): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(col("source"), expr("n_chars DIV 100").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"))
+      .filter(col("n_langs") < l)
+      .orderBy("source", "len_bucket")
+
+  val lDiversityAuditSql: String =
+    s"""SELECT source, n_chars // 100 AS len_bucket,
+       |  count(*) AS n_docs, count(DISTINCT lang) AS n_langs
+       |FROM documents GROUP BY 1, 2
+       |HAVING count(DISTINCT lang) < $DiversityL
+       |ORDER BY source, len_bucket""".stripMargin
+
   /** Numeric, string, and timestamp columns of `orders`, in profile
     * order. One definition feeds the query, the oracle, and the spec. */
   val ProfileNumCols: Seq[String] = Seq("o_orderkey", "o_custkey", "o_totalprice")

@@ -170,6 +170,106 @@ object TimeSeries {
   def rollingDau7dHll(spark: SparkSession, dir: String): DataFrame =
     rollingFromDailySketches(dailySketches(Tables(spark, dir, "events")))
 
+  /** EWMA-smoothed daily counts per type — exponential smoothing
+    * `s_t = (1−α)·s_{t−1} + α·x_t`, the trend line an ops dashboard draws
+    * over [[dailyCountAnomalies]]'s raw series (α = 1/4, s_0 = x_0).
+    *
+    * Exactness across engines: the recurrence is order-sensitive IEEE
+    * arithmetic, so the oracle does not restate it in closed form (the
+    * geometric-sum association order differs and drifts ULPs) — both
+    * engines run the IDENTICAL left fold `0.75·acc + 0.25·v` over the
+    * day-ordered series (Spark `aggregate` HOF / DuckDB `list_reduce`),
+    * so every intermediate rounds identically and the doubles are
+    * bit-equal, the [[Events.hourValueRegression]] determinism discipline
+    * applied to a recurrence.
+    *
+    * Scale shape: one corpus scan into the (type, day) hash aggregate;
+    * the series collect and per-prefix folds run on calendar-bounded
+    * frames (|days| per type — hundreds), so the O(d²) prefix re-fold is
+    * bounded work, not corpus work. An unbounded-key variant would carry
+    * the recurrence as a segmented scan over the linear representation
+    * (s_t = a·s_{t−1} + b associativity) — not needed at calendar scale.
+    */
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("series"))
+      .select(col("event_type"), explode(expr(
+        """transform(series, (s, i) -> named_struct(
+          |  'day', s.day, 'n', s.n,
+          |  'ewma', aggregate(slice(series, 2, i),
+          |            CAST(element_at(series, 1).n AS DOUBLE),
+          |            (acc, v) -> CAST(0.75 AS DOUBLE) * acc
+          |                      + CAST(0.25 AS DOUBLE) * CAST(v.n AS DOUBLE))))
+          |""".stripMargin)).as("o"))
+      .select(col("event_type"),
+        date_format(col("o.day"), "yyyy-MM-dd").as("day"),
+        col("o.n").as("n"), col("o.ewma").as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Oracle: the same left fold, element-for-element — DuckDB
+    * `list_reduce` seeds with the list head and folds left, exactly
+    * Spark's `aggregate(slice(arr, 2, i), arr[1], …)`. */
+  val ewmaDailySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::DATE AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), ser AS (
+      |  SELECT event_type,
+      |    list(n::DOUBLE ORDER BY day) AS arr,
+      |    list(day ORDER BY day) AS days
+      |  FROM daily GROUP BY 1
+      |), idx AS (
+      |  SELECT event_type, arr, days, i
+      |  FROM ser, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i)
+      |)
+      |SELECT event_type, strftime(days[i], '%Y-%m-%d') AS day,
+      |  arr[i]::BIGINT AS n,
+      |  list_reduce(arr[1:i],
+      |    (acc, v) -> 0.75::DOUBLE * acc + 0.25::DOUBLE * v) AS ewma
+      |FROM idx ORDER BY event_type, day""".stripMargin
+
+  /** Trailing 7-day distinct users via SEGMENT BITMAPS — the exact
+    * mergeable twin of [[rollingDau7dHll]], completing the rolling-distinct
+    * triad: exact re-ship ([[rollingDau7d]], per-user rows ×7 through a
+    * distinct agg), approximate mergeable (HLL, KB per cell, ±2%), exact
+    * mergeable (this — user IDs packed as bits, 32 users per int64 word).
+    *
+    * The corpus is touched ONCE by the (type, day, segment) `bit_or`
+    * aggregate (map-side combinable: OR is associative/commutative/
+    * idempotent, the same algebra that makes the HLL twin merge — so this
+    * view also maintains incrementally under streaming ingest). The
+    * rolling union then ORs 7 words per segment and popcounts —
+    * calendar × ⌈|users|/32⌉ work, never raw events. The dense-ID
+    * assumption is the honest bound (segment count ∝ max(user_id)/32,
+    * the roaring-bitmap regime); for sparse 64-bit key spaces the HLL twin
+    * is the right leg.
+    *
+    * Oracle: [[rollingDau7dSql]] verbatim — the textbook spine range-join;
+    * bit-exact equality to an independent formulation IS the claim.
+    */
+  def rollingDau7dBitmap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val words = ev.select(col("event_type"), to_date(col("ts")).as("aday"),
+        expr("user_id DIV 32").as("seg"),
+        expr("shiftleft(1L, CAST(pmod(user_id, 32) AS INT))").as("bit"))
+      .groupBy("event_type", "aday", "seg")
+      .agg(expr("bit_or(bit)").as("w"))
+    val bounds = ev.agg(max(to_date(col("ts"))).as("d1"))
+    words.select(col("event_type"), col("seg"), col("w"),
+        explode(expr("sequence(aday, date_add(aday, 6))")).as("day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("d1"))
+      .groupBy("event_type", "day", "seg")
+      .agg(expr("bit_or(w)").as("w7"))
+      .groupBy(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(sum(expr("bit_count(w7)")).cast("long").as("dau_7d"))
+      .orderBy("event_type", "day")
+  }
+
   /** Exact-integer daily anomaly flags — days whose count deviates from
     * the per-type mean by more than 2σ. The flag predicate is evaluated
     * in INTEGER arithmetic: |x − μ| > 2σ  ⇔  (k·x − S)² > 4·(k·S₂ − S²)

@@ -221,6 +221,10 @@ class PlanShapeSpec extends SparkSuite {
     // integer morton projection + one hash agg — no window, no sort
     // beyond the chunk-manifest presentation ordering
     "zorder_chunks" -> (0, 0, 0, 1, 2, 0),
+    "hilbert_chunks" -> (0, 0, 0, 1, 2, 0),
+    // the one exchange is the presentation sort: both join sides broadcast
+    // at this SF; at scale the cell equi-join becomes an ordinary SMJ
+    "geo_near_pairs" -> (0, 0, 0, 1, 1, 0),
     // scan of the clustered table + pushed box filter + agg exchange +
     // presentation-sort range exchange (5-row result)
     "zorder_pruned_scan" -> (0, 0, 0, 1, 2, 0),
@@ -296,6 +300,7 @@ class PlanShapeSpec extends SparkSuite {
     "doc_triangles" -> (0, 0, 2, 1, 6, 0),
     "rolling_revenue_7d" -> (0, 0, 0, 1, 2, 1),
     "k_anonymity_audit" -> (0, 0, 0, 1, 2, 0),
+    "l_diversity_audit" -> (0, 0, 0, 1, 3, 0),
     // the BNL is the 1-row total-token scalar-combine (unigram convention)
     "pmi_pairs" -> (0, 1, 0, 0, 4, 0),
     "url_canonical_dedup" -> (0, 0, 0, 1, 2, 0),
@@ -333,6 +338,12 @@ class PlanShapeSpec extends SparkSuite {
     "rolling_dau_7d_hll" -> (0, 1, 0, 1, 4, 0),
     // two hash aggs + broadcast stats join back — no window, no corpus sort
     "daily_count_anomalies" -> (0, 0, 0, 1, 4, 0),
+    // calendar-bounded frames end-to-end: daily agg, per-type series
+    // collect, presentation sort — no window, no corpus-sized sort
+    "ewma_daily" -> (0, 0, 0, 1, 3, 0),
+    // the nested-loop is the scalar calendar-bound cross join (the
+    // rolling_dau family shape); all five exchanges are keyed aggs
+    "rolling_dau_7d_bitmap" -> (0, 1, 0, 1, 5, 0),
     // the 4 "windows" are the persisted prefix-index's rank pair printed
     // once per self-join side (InMemoryRelation renders its child twice);
     // the index COMPUTES once, and its window partitions are per-doc

@@ -91,6 +91,23 @@ class TableChecksSpec extends SparkSuite {
     assert((all -- out.keys).values.forall(_ >= TableChecks.AnonymityK))
   }
 
+  test("lDiversityAudit: exactly the cells an independent distinct-count puts below l") {
+    import org.apache.spark.sql.functions.{col, countDistinct, count, lit, expr}
+    val out = TableChecks.lDiversityAudit(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val all = Tables(spark, dir, "documents")
+      .groupBy(col("source"), expr("n_chars DIV 100").as("b"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("d")).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val want = all.filter(_._2._2 < TableChecks.DiversityL)
+    assert(out == want, s"audit ${out.size} cells vs independent ${want.size}")
+    assert(out.nonEmpty, "no low-diversity cells at this SF — audit untested")
+    // a cell can be k-anonymous yet fail diversity: the audits are
+    // genuinely different gates (at least one flagged cell has >= k docs)
+    assert(out.values.exists(_._1 >= TableChecks.AnonymityK),
+      "expected a k-anonymous cell that still fails l-diversity")
+  }
+
   test("profileColumns: stats re-derive per column; one row per profiled column") {
     import org.apache.spark.sql.functions.{col, countDistinct}
     val dir = "/root/testdata/sf0.001"

@@ -92,4 +92,41 @@ class TimeSeriesSpec extends SparkSuite {
     assert(out == expected, "decimal-arithmetic flags equal the BigInt law")
     assert(out.nonEmpty, "the corpus plants at least one 2-sigma day")
   }
+
+  test("ewmaDaily: seeds at the first observation and obeys the recurrence bit-for-bit") {
+    val rows = TimeSeries.ewmaDaily(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_._1)
+    for ((_, series) <- byType) {
+      val ordered = series.sortBy(_._2)
+      assert(ordered.head._4 == ordered.head._3.toDouble, "s_0 = x_0")
+      // re-run the recurrence in plain scala doubles: the engine's fold
+      // must match every intermediate EXACTLY (same op order, same IEEE
+      // rounding) — not just within a tolerance
+      var acc = ordered.head._3.toDouble
+      for ((_, _, n, ewma) <- ordered.tail) {
+        acc = 0.75 * acc + 0.25 * n.toDouble
+        assert(ewma == acc, s"recurrence drift: got $ewma want $acc")
+      }
+    }
+    // smoothing actually smooths: per-type variance of ewma < variance of n
+    for ((_, series) <- byType if series.length > 5) {
+      def variance(xs: Seq[Double]) = {
+        val m = xs.sum / xs.length
+        xs.map(x => (x - m) * (x - m)).sum / xs.length
+      }
+      assert(variance(series.map(_._4).toSeq) < variance(series.map(_._3.toDouble).toSeq))
+    }
+  }
+
+  test("rollingDau7dBitmap equals the exact per-user rolling distinct everywhere") {
+    val exact = TimeSeries.rollingDau7d(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val bitmap = TimeSeries.rollingDau7dBitmap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(bitmap == exact,
+      "segment-bitmap popcount must equal the exact distinct count on every (type, day)")
+    assert(bitmap.nonEmpty)
+  }
 }
