@@ -399,4 +399,35 @@ object StorageLayout {
        |GROUP BY chunk
        |ORDER BY chunk""".stripMargin
   }
+
+  /** Generic small-file compaction — the lake-maintenance job every
+    * long-running ingest needs (the [[IncrementalIndex]] appends-gated
+    * compaction, generalized to any table): streaming sinks, incremental
+    * MERGEs, and per-batch appends each leave a trickle of small files;
+    * thousands of them turn every scan into a task-scheduling and
+    * footer-read storm. Compaction rewrites the table into
+    * ⌈rows/target⌉ range-partitioned, internally-sorted files — restoring
+    * both file sizing AND the sort-column clustering (footer min/max
+    * ranges disjoint across files) that data skipping depends on, so a
+    * compacted table prunes exactly like a freshly Z-/range-written one.
+    *
+    * Scale shape: the row count is a parquet METADATA read (count()
+    * pushes to footers — no data scan; at catalog scale use table stats),
+    * then one range shuffle + local sort. `maxRecordsPerFile` caps any
+    * file a skewed range would overstuff by splitting it — sorted order
+    * makes the splits still range-disjoint. Write to a NEW directory and
+    * swap atomically (the [[IncrementalIndex]] `compact` staging
+    * discipline) so readers never see a half-compacted table.
+    */
+  def compactTo(df: DataFrame, outPath: String, sortCol: String,
+      targetRecordsPerFile: Long): Int = {
+    val n = df.count()
+    val nFiles = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .parquet(outPath)
+    nFiles
+  }
 }
