@@ -251,14 +251,23 @@ object TimeSeries {
     * Oracle: [[rollingDau7dSql]] verbatim — the textbook spine range-join;
     * bit-exact equality to an independent formulation IS the claim.
     */
-  def rollingDau7dBitmap(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir, "events")
-    val words = ev.select(col("event_type"), to_date(col("ts")).as("aday"),
+  /** Per-(type, day, segment) bitmap words from a raw event frame — the
+    * ONE corpus-touching aggregate, shared by the batch query and the
+    * streaming MV maintainer ([[graft.streaming.SketchStreams]]): OR is
+    * associative, commutative, and IDEMPOTENT, so micro-batch words merge
+    * into the stored view with `bit_or` and batch/stream counts agree
+    * exactly — replayed batches are absorbed, not double-counted. */
+  private[graft] def dailyBitmapWords(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"), to_date(col("ts")).as("aday"),
         expr("user_id DIV 32").as("seg"),
         expr("shiftleft(1L, CAST(pmod(user_id, 32) AS INT))").as("bit"))
       .groupBy("event_type", "aday", "seg")
       .agg(expr("bit_or(bit)").as("w"))
-    val bounds = ev.agg(max(to_date(col("ts"))).as("d1"))
+
+  /** The rolling-union serving tail over a (event_type, aday, seg, w)
+    * daily-word table — calendar × segment input, never raw events. */
+  private[graft] def rollingFromDailyWords(words: DataFrame): DataFrame = {
+    val bounds = words.groupBy().agg(max(col("aday")).as("d1"))
     words.select(col("event_type"), col("seg"), col("w"),
         explode(expr("sequence(aday, date_add(aday, 6))")).as("day"))
       .crossJoin(broadcast(bounds))
@@ -269,6 +278,9 @@ object TimeSeries {
       .agg(sum(expr("bit_count(w7)")).cast("long").as("dau_7d"))
       .orderBy("event_type", "day")
   }
+
+  def rollingDau7dBitmap(spark: SparkSession, dir: String): DataFrame =
+    rollingFromDailyWords(dailyBitmapWords(Tables(spark, dir, "events")))
 
   /** Exact-integer daily anomaly flags — days whose count deviates from
     * the per-type mean by more than 2σ. The flag predicate is evaluated

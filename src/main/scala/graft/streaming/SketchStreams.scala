@@ -69,4 +69,45 @@ object SketchStreams {
       .option("checkpointLocation", ckpt)
       .outputMode("append")
       .start()
+
+  // ---- bitmap twin: the EXACT mergeable view ----------------------------
+
+  /** Per-batch fold for the SEGMENT-BITMAP view
+    * ([[TimeSeries.rollingDau7dBitmap]]'s state): same versioned-snapshot
+    * contract as [[foldBatch]], with `bit_or` as the merge. Where the HLL
+    * view's batch/stream agreement is estimate-equality, the bitmap
+    * view's is EXACT-count equality: OR idempotence absorbs replays, and
+    * popcounts over the merged words equal the batch query on the full
+    * corpus bit for bit (spec-pinned). State is O(types × days ×
+    * ⌈|users|/32⌉) — the dense-ID regime; for sparse key spaces the HLL
+    * twin is the right leg. */
+  def foldBitmapBatch(batch: DataFrame, batchId: Long, viewDir: String): Unit = {
+    val spark = batch.sparkSession
+    val prevVersion = versionsIn(viewDir).filter(_ < batchId).sorted.lastOption
+    val batchState = TimeSeries.dailyBitmapWords(batch)
+    val merged = prevVersion match {
+      case Some(v) =>
+        spark.read.parquet(s"$viewDir/version=$v")
+          .unionByName(batchState)
+          .groupBy("event_type", "aday", "seg")
+          .agg(expr("bit_or(w)").as("w"))
+      case None => batchState
+    }
+    merged.write.mode("overwrite").parquet(s"$viewDir/version=$batchId")
+    for (p <- prevVersion; v <- versionsIn(viewDir) if v < p)
+      graft.ops.IncrementalIndex.deleteDir(s"$viewDir/version=$v")
+  }
+
+  /** Rolling 7-day EXACT distinct served from the stored bitmap view. */
+  def currentRollingBitmap(spark: SparkSession, viewDir: String): DataFrame =
+    TimeSeries.rollingFromDailyWords(currentView(spark, viewDir))
+
+  /** Start the exact-bitmap maintainer on a raw event stream. */
+  def maintainDauBitmap(events: DataFrame, viewDir: String, ckpt: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        foldBitmapBatch(batch.toDF(), batchId, viewDir))
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
 }
