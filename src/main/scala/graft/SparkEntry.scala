@@ -106,6 +106,8 @@ object SparkEntry {
     "ewma_daily" -> (TimeSeries.ewmaDaily _),
     "rolling_dau_7d_bitmap" -> (TimeSeries.rollingDau7dBitmap _),
     "geo_near_pairs" -> ((s, d) => graft.ops.GeoJoin.geoNearPairs(s, d)),
+    "contrastive_batch_negatives" -> ((s, d) => graft.ops.Contrastive.batchNegatives(s, d)),
+    "hard_negatives_lsh" -> ((s, d) => graft.ops.Contrastive.hardNegativesLsh(s, d)),
     "winsorized_stats" -> (Events.winsorizedStats _),
     "cohort_retention" -> (Events.cohortRetention _),
     "hour_value_regression" -> (Events.hourValueRegression _),
@@ -325,6 +327,8 @@ object SparkEntry {
     // bit-exact equality to an independent formulation IS the claim
     "rolling_dau_7d_bitmap" -> TimeSeries.rollingDau7dSql,
     "geo_near_pairs" -> graft.ops.GeoJoin.geoNearPairsSql,
+    "contrastive_batch_negatives" -> graft.ops.Contrastive.batchNegativesSql,
+    "hard_negatives_lsh" -> graft.ops.Contrastive.hardNegativesLshSql,
     "winsorized_stats" -> Events.winsorizedStatsSql,
     "cohort_retention" -> Events.cohortRetentionSql,
     "hour_value_regression" -> Events.hourValueRegressionSql,
@@ -472,7 +476,7 @@ object SparkEntry {
     "hour_value_regression", "value_mad_outliers", "revenue_pareto",
     "daily_gap_filled", "rolling_dau_7d", "rolling_dau_7d_hll",
     "rolling_dau_7d_bitmap", "daily_count_anomalies", "ewma_daily",
-    "geo_near_pairs",
+    "geo_near_pairs", "contrastive_batch_negatives", "hard_negatives_lsh",
     "value_percentiles", "value_percentiles_approx",
     "winnow_near_dup", "incremental_near_dup", "prefix_jaccard_pairs",
     "repeated_ngram_spans",

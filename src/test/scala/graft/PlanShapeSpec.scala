@@ -61,6 +61,10 @@ class PlanShapeSpec extends SparkSuite {
     "corpus_dedup_report" -> (0, 2, 7, 3, 49, 1),
     "embedding_near_dup_lsh" -> (0, 0, 0, 1, 2, 0),
     "ann_lsh_topk" -> (0, 0, 0, 1, 3, 3),
+    // hard-negative mining IS ann_lsh_topk plus a label filter — same shape
+    "hard_negatives_lsh" -> (0, 0, 0, 1, 3, 3),
+    // batch-keyed self-join + per-anchor window over ≤|batch| rows
+    "contrastive_batch_negatives" -> (0, 0, 0, 1, 2, 3),
     "ann_ivf_topk" -> (0, 0, 0, 1, 2, 3),
     // the sort-merge is the intra-cell pair join (both legs are the
     // persisted cell assignment — cell-bounded, never corpus all-pairs)
