@@ -110,6 +110,7 @@ object SparkEntry {
     "hard_negatives_lsh" -> ((s, d) => graft.ops.Contrastive.hardNegativesLsh(s, d)),
     "winsorized_stats" -> (Events.winsorizedStats _),
     "cohort_retention" -> (Events.cohortRetention _),
+    "sequence_match_conversions" -> (Events.sequenceMatchConversions _),
     "hour_value_regression" -> (Events.hourValueRegression _),
     "data_quality_checks" -> ((s, d) => graft.ops.TableChecks.dataQualityChecks(s, d)),
     "snapshot_diff" -> ((s, d) => graft.ops.TableChecks.snapshotDiff(s, d)),
@@ -331,6 +332,7 @@ object SparkEntry {
     "hard_negatives_lsh" -> graft.ops.Contrastive.hardNegativesLshSql,
     "winsorized_stats" -> Events.winsorizedStatsSql,
     "cohort_retention" -> Events.cohortRetentionSql,
+    "sequence_match_conversions" -> Events.sequenceMatchConversionsSql,
     "hour_value_regression" -> Events.hourValueRegressionSql,
     "data_quality_checks" -> graft.ops.TableChecks.dataQualityChecksSql,
     "snapshot_diff" -> graft.ops.TableChecks.snapshotDiffSql,
@@ -477,6 +479,7 @@ object SparkEntry {
     "daily_gap_filled", "rolling_dau_7d", "rolling_dau_7d_hll",
     "rolling_dau_7d_bitmap", "daily_count_anomalies", "ewma_daily",
     "geo_near_pairs", "contrastive_batch_negatives", "hard_negatives_lsh",
+    "sequence_match_conversions",
     "value_percentiles", "value_percentiles_approx",
     "winnow_near_dup", "incremental_near_dup", "prefix_jaccard_pairs",
     "repeated_ngram_spans",

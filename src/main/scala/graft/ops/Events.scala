@@ -428,6 +428,49 @@ object Events {
       |  sum(CASE WHEN v < c AND c < p THEN 1 ELSE 0 END)::BIGINT AS full_funnel
       |FROM firsts""".stripMargin
 
+  /** Regex pattern over a user's ordered event-type sequence: a 'v'iew,
+    * then a 'c'lick, then a 'p'urchase, with no 'e'rror anywhere between
+    * the view and the purchase. */
+  val ConversionPattern = "v[^e]*c[^e]*p"
+
+  /** Sequence-pattern matching over per-user event histories — the CEP
+    * capability (Flink's MATCH_RECOGNIZE / CEP library, the one event
+    * shape [[orderedFunnel]]'s first-timestamp algebra cannot express):
+    * ORDER and EXCLUSION constraints together, here "converted without an
+    * intervening error". Each user's history becomes a character string
+    * (event type → its distinct initial, ordered by (ts, event_id)), and
+    * the pattern is a plain regex over that string — declarative,
+    * engine-portable, and far more general than hand-rolled min/max
+    * timestamp comparisons (any NFA-expressible funnel drops in).
+    *
+    * Scale shape: one shuffle to group by user; each user's sequence is
+    * bounded by their own activity (the per-key bound every
+    * sessionization op in this engine already carries), and the regex
+    * runs once per user, not per event. The Java and RE2 regex dialects
+    * agree on this pattern class (character classes + star — no
+    * backtracking pathology).
+    */
+  def sequenceMatchConversions(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ch"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, ch))), x -> x.ch)"),
+          "").as("seq"))
+      .select(col("user_id"), col("n_events"),
+        col("seq").rlike(ConversionPattern).as("converted"))
+      .orderBy("user_id")
+
+  val sequenceMatchConversionsSql: String =
+    s"""SELECT user_id, count(*) AS n_events,
+       |  regexp_matches(string_agg(substr(event_type, 1, 1), ''
+       |    ORDER BY ts, event_id), '$ConversionPattern') AS converted
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
   /** Cohort retention — the day-0 acquisition cohort × days-since
     * retention matrix every growth dashboard is built on: users cohort by
     * their FIRST purchase day, and each later purchase day marks them

@@ -241,4 +241,27 @@ class EventsSpec extends SparkSuite {
       assert(math.abs(mean - bruteMean) < 1e-9, s"$t mean $mean vs brute $bruteMean")
     }
   }
+
+  test("sequenceMatchConversions: flags equal a per-user in-memory NFA walk; exclusion bites") {
+    val dir = "/root/testdata/sf0.001"
+    val raw = Tables(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val expected = raw.groupBy(_._1).map { case (u, evs) =>
+      val seq = evs.sortBy(e => (e._2.getTime, e._3)).map(_._4.head).mkString
+      (u, evs.length.toLong,
+        Events.ConversionPattern.r.findFirstIn(seq).isDefined)
+    }.toSet
+    val got = Events.sequenceMatchConversions(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == expected)
+    assert(got.exists(_._3) && got.exists(!_._3), "both outcomes present")
+    // the exclusion is load-bearing: the plain ordered funnel (no error
+    // constraint) must admit at least one user this pattern rejects
+    val loose = raw.groupBy(_._1).count { case (_, evs) =>
+      val seq = evs.sortBy(e => (e._2.getTime, e._3)).map(_._4.head).mkString
+      "v.*c.*p".r.findFirstIn(seq).isDefined
+    }
+    assert(loose > got.count(_._3), "error exclusion should reject someone")
+  }
 }
