@@ -111,11 +111,13 @@ object SparkEntry {
     "winsorized_stats" -> (Events.winsorizedStats _),
     "cohort_retention" -> (Events.cohortRetention _),
     "sequence_match_conversions" -> (Events.sequenceMatchConversions _),
+    "cc_scrub" -> (Corpus.ccScrub _),
     "hour_value_regression" -> (Events.hourValueRegression _),
     "data_quality_checks" -> ((s, d) => graft.ops.TableChecks.dataQualityChecks(s, d)),
     "snapshot_diff" -> ((s, d) => graft.ops.TableChecks.snapshotDiff(s, d)),
     "k_anonymity_audit" -> ((s, d) => graft.ops.TableChecks.kAnonymityAudit(s, d)),
     "l_diversity_audit" -> ((s, d) => graft.ops.TableChecks.lDiversityAudit(s, d)),
+    "pseudonymized_revenue" -> ((s, d) => graft.ops.TableChecks.pseudonymizedRevenue(s, d)),
     "merge_upsert" -> ((s, d) => graft.ops.TableChecks.mergeUpsert(s, d)),
     "profile_columns" -> ((s, d) => graft.ops.TableChecks.profileColumns(s, d)),
     "profile_columns_approx" -> ((s, d) => graft.ops.TableChecks.profileColumnsApprox(s, d)),
@@ -333,11 +335,13 @@ object SparkEntry {
     "winsorized_stats" -> Events.winsorizedStatsSql,
     "cohort_retention" -> Events.cohortRetentionSql,
     "sequence_match_conversions" -> Events.sequenceMatchConversionsSql,
+    "cc_scrub" -> Corpus.ccScrubSql,
     "hour_value_regression" -> Events.hourValueRegressionSql,
     "data_quality_checks" -> graft.ops.TableChecks.dataQualityChecksSql,
     "snapshot_diff" -> graft.ops.TableChecks.snapshotDiffSql,
     "k_anonymity_audit" -> graft.ops.TableChecks.kAnonymityAuditSql,
     "l_diversity_audit" -> graft.ops.TableChecks.lDiversityAuditSql,
+    "pseudonymized_revenue" -> graft.ops.TableChecks.pseudonymizedRevenueSql,
     "merge_upsert" -> graft.ops.TableChecks.mergeUpsertSql,
     "profile_columns" -> graft.ops.TableChecks.profileColumnsSql,
     "value_percentiles" -> Events.valuePercentilesSql,
@@ -472,14 +476,14 @@ object SparkEntry {
     // the unbenched correctness anchor; the benched profile is the sketch
     // form — the value_quartiles convention
     "data_quality_checks", "snapshot_diff", "k_anonymity_audit",
-    "l_diversity_audit", "merge_upsert",
+    "l_diversity_audit", "pseudonymized_revenue", "merge_upsert",
     "profile_columns_approx",
     "props_json_stats", "winsorized_stats", "cohort_retention",
     "hour_value_regression", "value_mad_outliers", "revenue_pareto",
     "daily_gap_filled", "rolling_dau_7d", "rolling_dau_7d_hll",
     "rolling_dau_7d_bitmap", "daily_count_anomalies", "ewma_daily",
     "geo_near_pairs", "contrastive_batch_negatives", "hard_negatives_lsh",
-    "sequence_match_conversions",
+    "sequence_match_conversions", "cc_scrub",
     "value_percentiles", "value_percentiles_approx",
     "winnow_near_dup", "incremental_near_dup", "prefix_jaccard_pairs",
     "repeated_ngram_spans",

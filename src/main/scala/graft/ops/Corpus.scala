@@ -220,6 +220,75 @@ object Corpus {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Card-number candidate pattern (Java∩RE2): four 4-digit groups with
+    * optional space/hyphen separators. */
+  val CardRe = "\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}"
+
+  /** Checksum-gated card-number scrubbing — the precision upgrade over
+    * [[piiScrub]]'s pattern-only redaction: a bare 16-digit regex also
+    * matches order numbers, tracking ids, and hashes, and at corpus scale
+    * a false positive DESTROYS data (the scrub is irreversible). The
+    * standard discipline is validate-then-mask: extract candidates by
+    * regex, verify each with the Luhn checksum (the check digit every
+    * real card number carries), and mask only verified spans. Spark-side
+    * the verifier is the built-in codegen `luhn_check`; masking is a
+    * fold over the VALID spans only (`aggregate(valid, text, replace)`),
+    * so invalid candidates survive untouched — the spec and oracle both
+    * pin a planted near-miss (checksum-off-by-one) surviving.
+    *
+    * The oracle restates Luhn from first principles (reversed-digit
+    * indexed fold, doubling every second digit) and runs the identical
+    * replace fold — engine and oracle agree on candidates, verdicts, and
+    * scrubbed bytes. Planting follows the [[piiScrub]] convention (the
+    * corpus carries no card numbers; both engines derive identical
+    * planted text). Pure per-row projection — the 100-TB scrub shape.
+    */
+  def ccScrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" card 4111111111111111 on file")))
+      .when(col("doc_id") % 7 === 3,
+        concat(col("text"), lit(" order 4111111111111112 ref")))
+      .when(col("doc_id") % 7 === 5,
+        concat(col("text"), lit(" pay 5500-0000-0000-0004 now")))
+      .otherwise(col("text"))
+    val candsSql = s"regexp_extract_all(text, '${CardRe.replace("\\", "\\\\")}', 0)"
+    val validSql =
+      s"filter($candsSql, c -> luhn_check(regexp_replace(c, '[ -]', '')))"
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), planted.as("text"))
+      .select(col("doc_id"),
+        expr(s"size($candsSql)").as("n_candidates"),
+        expr(s"size($validSql)").as("n_valid"),
+        md5(expr(s"aggregate($validSql, text, (acc, c) -> replace(acc, c, '[CARD]'))")
+          .cast("binary")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  val ccScrubSql: String = {
+    val luhn = """list_sum(list_transform(
+      string_split(reverse(regexp_replace(c, '[ -]', '', 'g')), ''),
+      (d, i) -> CASE WHEN i % 2 = 1 THEN d::INT
+                     ELSE CASE WHEN 2 * d::INT > 9 THEN 2 * d::INT - 9
+                          ELSE 2 * d::INT END END)) % 10 = 0"""
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || ' card 4111111111111111 on file'
+       |         WHEN doc_id % 7 = 3 THEN text || ' order 4111111111111112 ref'
+       |         WHEN doc_id % 7 = 5 THEN text || ' pay 5500-0000-0000-0004 now'
+       |         ELSE text END AS text
+       |  FROM documents
+       |), spans AS (
+       |  SELECT doc_id, text,
+       |    regexp_extract_all(text, '$CardRe') AS cands,
+       |    list_filter(regexp_extract_all(text, '$CardRe'), c -> $luhn) AS valid
+       |  FROM planted
+       |)
+       |SELECT doc_id, len(cands) AS n_candidates, len(valid) AS n_valid,
+       |  md5(list_reduce(list_prepend(text, valid),
+       |      (acc, c) -> replace(acc, c, '[CARD]'))) AS scrubbed_md5
+       |FROM spans ORDER BY doc_id""".stripMargin
+  }
+
   /** Single-pass pipeline observability: run the quality-filter funnel as
     * ONE job — the action that consumes the kept documents — and collect
     * the funnel counters (total / kept / per-reason drops) as a SIDE

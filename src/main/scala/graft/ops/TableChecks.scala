@@ -258,6 +258,54 @@ object TableChecks {
        |HAVING count(DISTINCT lang) < $DiversityL
        |ORDER BY source, len_bucket""".stripMargin
 
+  /** Pseudonymization salt — in production a vaulted secret; pinned here
+    * so both engines derive identical tokens. */
+  val TokenSalt = "s9"
+
+  /** Salted-hash pseudonymization with referential integrity — the GDPR
+    * Art. 4(5) release shape: replace the direct identifier with
+    * sha256(salt ‖ key) IN EVERY TABLE, and analytics still join — the
+    * token is a pure function of (salt, key), so equality survives
+    * tokenization while the raw key never leaves the trust boundary.
+    * This query runs the revenue-per-segment join ENTIRELY ON TOKENS
+    * (the raw custkey is dropped before the join) and reports per-segment
+    * distinct-token cardinality next to order counts and exact-decimal
+    * revenue; the spec pins token-join ≡ raw-join and zero collisions.
+    *
+    * Scale shape: tokenization is a narrow codegen projection (sha2);
+    * the join/agg plan is unchanged from the raw-key version — the
+    * governance transform is plan-invisible, which is the point.
+    */
+  def pseudonymizedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    def token(c: org.apache.spark.sql.Column) =
+      sha2(concat(lit(TokenSalt), lit(":"), c.cast("string")), 256)
+    val cust = Tables(spark, dir, "customer")
+      .select(token(col("c_custkey")).as("tok"), col("c_mktsegment"))
+    val orders = Tables(spark, dir, "orders")
+      .select(token(col("o_custkey")).as("tok"), col("o_totalprice"))
+    orders.join(cust, Seq("tok"))
+      .groupBy("c_mktsegment")
+      .agg(countDistinct(col("tok")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(15,2)")), 2)
+          .cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  val pseudonymizedRevenueSql: String =
+    s"""WITH cust AS (
+       |  SELECT sha256('$TokenSalt:' || c_custkey::VARCHAR) AS tok, c_mktsegment
+       |  FROM customer
+       |), ord AS (
+       |  SELECT sha256('$TokenSalt:' || o_custkey::VARCHAR) AS tok, o_totalprice
+       |  FROM orders
+       |)
+       |SELECT c_mktsegment, count(DISTINCT tok) AS n_customers,
+       |  count(*) AS n_orders,
+       |  CAST(round(sum(o_totalprice::DECIMAL(15,2)), 2) AS DOUBLE) AS revenue
+       |FROM ord JOIN cust USING (tok)
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Numeric, string, and timestamp columns of `orders`, in profile
     * order. One definition feeds the query, the oracle, and the spec. */
   val ProfileNumCols: Seq[String] = Seq("o_orderkey", "o_custkey", "o_totalprice")

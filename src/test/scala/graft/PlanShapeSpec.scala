@@ -282,6 +282,7 @@ class PlanShapeSpec extends SparkSuite {
     "quality_filter" -> (0, 0, 0, 1, 3, 0),
     "repetition_stats" -> (0, 0, 0, 1, 3, 0),
     "pii_scrub" -> (0, 0, 0, 1, 1, 0),
+    "cc_scrub" -> (0, 0, 0, 1, 1, 0),
     "decontaminate" -> (0, 0, 0, 1, 3, 0),
     // same exchange budget as the exact variant, but with no gram join at
     // all — the bloom probe is a codegen BloomFilterMightContain predicate
@@ -305,6 +306,9 @@ class PlanShapeSpec extends SparkSuite {
     "rolling_revenue_7d" -> (0, 0, 0, 1, 2, 1),
     "k_anonymity_audit" -> (0, 0, 0, 1, 2, 0),
     "l_diversity_audit" -> (0, 0, 0, 1, 3, 0),
+    // identical plan to the raw-key join+agg — the governance transform
+    // is a narrow sha2 projection, plan-invisible
+    "pseudonymized_revenue" -> (0, 0, 0, 1, 3, 0),
     // the BNL is the 1-row total-token scalar-combine (unigram convention)
     "pmi_pairs" -> (0, 1, 0, 0, 4, 0),
     "url_canonical_dedup" -> (0, 0, 0, 1, 2, 0),

@@ -280,6 +280,37 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("ccScrub: Luhn gates the mask — valid cards scrubbed, the checksum near-miss survives") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = Corpus.ccScrub(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.nonEmpty)
+    for ((id, nCand, nValid, gotMd5) <- out) {
+      val (wantCand, wantValid, planted, scrubbed) = (id % 7) match {
+        case 0 =>
+          val t = docs(id) + " card 4111111111111111 on file"
+          (1, 1, t, t.replace("4111111111111111", "[CARD]"))
+        case 3 => // regex hit, checksum miss: an order id the naive scrub destroys
+          val t = docs(id) + " order 4111111111111112 ref"
+          (1, 0, t, t)
+        case 5 =>
+          val t = docs(id) + " pay 5500-0000-0000-0004 now"
+          (1, 1, t, t.replace("5500-0000-0000-0004", "[CARD]"))
+        case _ => (0, 0, docs(id), docs(id))
+      }
+      assert(nCand == wantCand, s"doc $id candidates")
+      assert(nValid == wantValid, s"doc $id valid")
+      assert(gotMd5 == md5Hex(scrubbed), s"doc $id scrub bytes")
+      if (wantValid == 0) assert(gotMd5 == md5Hex(planted), s"doc $id must survive untouched")
+    }
+  }
+
   test("qualityFilter: each rule fires, in its documented precedence") {
     import spark.implicits._
     // one doc per rule, plus one hitting TWO rules to pin precedence:

@@ -108,6 +108,32 @@ class TableChecksSpec extends SparkSuite {
       "expected a k-anonymous cell that still fails l-diversity")
   }
 
+  test("pseudonymizedRevenue: token join equals the raw-key join; tokens are collision-free") {
+    import org.apache.spark.sql.functions._
+    val got = TableChecks.pseudonymizedRevenue(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // the same aggregate on RAW keys — pseudonymization must not change
+    // any analytical result
+    val raw = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(countDistinct(col("c_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(15,2)")), 2)
+          .cast("double").as("revenue"))
+      .orderBy("c_mktsegment").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == raw, "tokenization changed an analytical result")
+    // token ↔ key is injective over the live key set (no silent merge of
+    // two customers into one token)
+    val cust = Tables(spark, dir, "customer")
+    val nKeys = cust.select("c_custkey").distinct().count()
+    val nToks = cust.select(
+      sha2(concat(lit(TableChecks.TokenSalt), lit(":"), col("c_custkey").cast("string")), 256))
+      .distinct().count()
+    assert(nKeys == nToks, "token collision")
+  }
+
   test("profileColumns: stats re-derive per column; one row per profiled column") {
     import org.apache.spark.sql.functions.{col, countDistinct}
     val dir = "/root/testdata/sf0.001"
