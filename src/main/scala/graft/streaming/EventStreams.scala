@@ -13,6 +13,11 @@ case class SessionRecord(
     user_id: Long, session_start: Timestamp, n_events: Long,
     duration_sec: Double, value_sum: Double)
 
+/** Typed rows for the streaming CEP matcher. */
+case class CepEvent(user_id: Long, ts: Timestamp, event_id: Long, ch: String)
+case class CepState(seq: String, n: Long, matched: Boolean)
+case class CepStatus(user_id: Long, n_events: Long, converted: Boolean)
+
 /** Structured Streaming variants of the batch [[graft.ops.Events]] shapes.
   *
   * Each function takes an unbounded DataFrame (from `readStream`) with the
@@ -196,4 +201,49 @@ object EventStreams {
   def dedupEvents(events: DataFrame, watermark: String = DefaultWatermark): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming CEP — the incremental twin of
+    * [[graft.ops.Events.sequenceMatchConversions]]: per-user regex
+    * matching over the growing event-type string, maintained as
+    * `mapGroupsWithState` state. Each update emits the user's current
+    * (n_events, converted) status; `converted` is STICKY (a matched
+    * pattern cannot un-match — new events only append), so once true the
+    * per-user string is dropped entirely and state collapses to a flag +
+    * counter.
+    *
+    * State bound: unmatched users keep only the trailing `maxSeq`
+    * characters — the standard CEP state/recall compromise (a match whose
+    * span exceeds the window can be missed; the batch operator is the
+    * exact anchor). Within a micro-batch events sort by (ts, event_id);
+    * across batches the matcher is arrival-ordered, so stream ≡ batch
+    * under in-order delivery (spec-pinned), the same contract as every
+    * append-log CEP engine.
+    */
+  def conversionMatcher(events: DataFrame,
+      maxSeq: Int = 4096): Dataset[CepStatus] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val pat = graft.ops.Events.ConversionPattern.r
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ch"))
+      .as[CepEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CepState, CepStatus](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[CepEvent], state: GroupState[CepState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val prev = state.getOption.getOrElse(CepState("", 0L, matched = false))
+          val n = prev.n + sorted.size
+          if (prev.matched) {
+            val next = CepState("", n, matched = true)
+            state.update(next)
+            CepStatus(userId, n, converted = true)
+          } else {
+            val seq = prev.seq + sorted.map(_.ch).mkString
+            val matched = pat.findFirstIn(seq).isDefined
+            state.update(CepState(
+              if (matched) "" else seq.takeRight(maxSeq), n, matched))
+            CepStatus(userId, n, matched)
+          }
+      }
+  }
 }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSuite
 
 case class TestEvent(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class CepTestEvent(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
 case class IdEvent(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
 
 class EventStreamsSpec extends SparkSuite {
@@ -200,5 +201,39 @@ class EventStreamsSpec extends SparkSuite {
     // the late 00:05 event was dropped: no 00:00 window in the output
     assert(emitted.map(_._1).contains(t(120)))
     assert(!emitted.map(_._1).contains(t(0)))
+  }
+
+  test("conversionMatcher: streamed CEP status equals the batch regex operator under in-order delivery") {
+    val dir = "/root/testdata/sf0.001"
+    // the real corpus, replayed in event-time order across three batches
+    val raw = graft.ops.Tables(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type").collect()
+      .map(r => CepTestEvent(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[CepTestEvent](spark)
+    val q = EventStreams.conversionMatcher(input.toDF())
+      .writeStream.format("memory").queryName("cep_out")
+      .outputMode(OutputMode.Update()).start()
+    for (chunk <- raw.grouped((raw.length + 2) / 3)) {
+      input.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // latest status per user (max n_events) vs the batch operator
+    val streamed = spark.table("cep_out").as[(Long, Long, Boolean)].collect()
+      .groupBy(_._1).map { case (u, rows) => rows.maxBy(_._2) }
+      .map(r => (r._1, r._2, r._3)).toSet
+    val batch = graft.ops.Events.sequenceMatchConversions(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(streamed == batch, "stream must equal batch under in-order delivery")
+    assert(streamed.exists(_._3) && streamed.exists(!_._3))
+    // stickiness: once a user converts, every later status stays converted
+    val perUser = spark.table("cep_out").as[(Long, Long, Boolean)].collect()
+      .groupBy(_._1)
+    for ((_, rows) <- perUser) {
+      val ordered = rows.sortBy(_._2).map(_._3)
+      assert(!ordered.zip(ordered.tail).exists { case (a, b) => a && !b },
+        "converted un-matched later")
+    }
   }
 }
