@@ -111,6 +111,7 @@ object SparkEntry {
     "winsorized_stats" -> (Events.winsorizedStats _),
     "cohort_retention" -> (Events.cohortRetention _),
     "sequence_match_conversions" -> (Events.sequenceMatchConversions _),
+    "bootstrap_mean_ci" -> (Events.bootstrapMeanCi _),
     "cc_scrub" -> (Corpus.ccScrub _),
     "hour_value_regression" -> (Events.hourValueRegression _),
     "data_quality_checks" -> ((s, d) => graft.ops.TableChecks.dataQualityChecks(s, d)),
@@ -335,6 +336,7 @@ object SparkEntry {
     "winsorized_stats" -> Events.winsorizedStatsSql,
     "cohort_retention" -> Events.cohortRetentionSql,
     "sequence_match_conversions" -> Events.sequenceMatchConversionsSql,
+    "bootstrap_mean_ci" -> Events.bootstrapMeanCiSql,
     "cc_scrub" -> Corpus.ccScrubSql,
     "hour_value_regression" -> Events.hourValueRegressionSql,
     "data_quality_checks" -> graft.ops.TableChecks.dataQualityChecksSql,
@@ -483,7 +485,7 @@ object SparkEntry {
     "daily_gap_filled", "rolling_dau_7d", "rolling_dau_7d_hll",
     "rolling_dau_7d_bitmap", "daily_count_anomalies", "ewma_daily",
     "geo_near_pairs", "contrastive_batch_negatives", "hard_negatives_lsh",
-    "sequence_match_conversions", "cc_scrub",
+    "sequence_match_conversions", "cc_scrub", "bootstrap_mean_ci",
     "value_percentiles", "value_percentiles_approx",
     "winnow_near_dup", "incremental_near_dup", "prefix_jaccard_pairs",
     "repeated_ngram_spans",

@@ -428,6 +428,85 @@ object Events {
       |  sum(CASE WHEN v < c AND c < p THEN 1 ELSE 0 END)::BIGINT AS full_funnel
       |FROM firsts""".stripMargin
 
+  /** Bootstrap replicate count (two md5 digests × eight 4-char windows). */
+  val BootReps = 16
+
+  /** One-pass Poisson-bootstrap confidence interval for the per-type mean
+    * value — the error bar every metrics dashboard should show and almost
+    * none can afford: a classical bootstrap re-samples the corpus B
+    * times (B extra scans); the POISSON bootstrap (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams", Google 2012)
+    * observes that resampling-with-replacement weights are ≈ iid
+    * Poisson(1) per row, so every replicate becomes a WEIGHTED aggregate
+    * and all B of them ride ONE scan as extra accumulators. Weights here
+    * are the standard Binomial(4, 1/4) Poisson approximation (mean 1),
+    * derived from md5(seed:event_id) hex windows — a pure function of the
+    * row key, so replicates are deterministic, engine-independent, and
+    * backfill-stable (the [[Sampling.shuffleShards]] discipline).
+    *
+    * Exactness: weighted sums run in DECIMAL(15,2) (the
+    * [[hourValueRegression]] moment discipline — no double-sum order
+    * drift); the interval is the PERCENTILE bootstrap — order statistics
+    * of the 16 replicate means (2nd and 15th ⇒ a ~87.5% central
+    * interval), so no variance arithmetic touches unordered doubles:
+    * replicate means sort in an array and the bounds are element picks.
+    *
+    * Scale shape: ONE hash aggregate over one scan with 2 + 2·B
+    * accumulators; everything after is a 5-row projection. B scales the
+    * accumulator count, never the scan count.
+    */
+  def bootstrapMeanCi(spark: SparkSession, dir: String): DataFrame = {
+    val reps = (0 until BootReps).map { b =>
+      val digest = if (b < 8) "md5(concat('bsA:', cast(event_id as string)))"
+                   else "md5(concat('bsB:', cast(event_id as string)))"
+      val off = (b % 8) * 4 + 1
+      val w = (0 until 4).map(i =>
+        s"(CASE WHEN substring($digest, ${off + i}, 1) < '4' THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      expr(w).as(s"w$b")
+    }
+    val ev = Tables(spark, dir, "events")
+      .select(Seq(col("event_type"), col("value").cast("decimal(15,2)").as("y")) ++ reps: _*)
+    val aggs =
+      Seq(count(lit(1)).as("n"), sum(col("y")).as("sy")) ++
+        (0 until BootReps).flatMap(b => Seq(
+          sum(col(s"w$b") * col("y")).as(s"sw$b"),
+          sum(col(s"w$b")).cast("long").as(s"nw$b")))
+    val means = (0 until BootReps)
+      .map(b => s"CAST(sw$b AS DOUBLE) / nw$b").mkString(", ")
+    ev.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+      .withColumn("boot", expr(s"array_sort(array($means))"))
+      .select(col("event_type"), col("n"),
+        (col("sy").cast("double") / col("n")).as("mean"),
+        expr("boot[1]").as("boot_lo"),   // 2nd order statistic
+        expr("boot[14]").as("boot_hi"))  // 15th
+      .orderBy("event_type")
+  }
+
+  val bootstrapMeanCiSql: String = {
+    val repSums = (0 until BootReps).map { b =>
+      val digest = if (b < 8) "md5('bsA:' || event_id::VARCHAR)"
+                   else "md5('bsB:' || event_id::VARCHAR)"
+      val off = (b % 8) * 4 + 1
+      val w = (0 until 4).map(i =>
+        s"(CASE WHEN substring($digest, ${off + i}, 1) < '4' THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"sum(($w) * value::DECIMAL(15,2)) AS sw$b,\n    sum($w)::BIGINT AS nw$b"
+    }.mkString(",\n    ")
+    val means = (0 until BootReps).map(b => s"sw$b::DOUBLE / nw$b").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT event_type, count(*) AS n, sum(value::DECIMAL(15,2)) AS sy,
+       |    $repSums
+       |  FROM events GROUP BY event_type
+       |), s AS (
+       |  SELECT event_type, n, sy::DOUBLE / n AS mean,
+       |    list_sort([$means]) AS boot
+       |  FROM m
+       |)
+       |SELECT event_type, n, mean, boot[2] AS boot_lo, boot[15] AS boot_hi
+       |FROM s ORDER BY event_type""".stripMargin
+  }
+
   /** Regex pattern over a user's ordered event-type sequence: a 'v'iew,
     * then a 'c'lick, then a 'p'urchase, with no 'e'rror anywhere between
     * the view and the purchase. */

@@ -346,6 +346,9 @@ class PlanShapeSpec extends SparkSuite {
     "rolling_dau_7d_hll" -> (0, 1, 0, 1, 4, 0),
     // two hash aggs + broadcast stats join back — no window, no corpus sort
     "daily_count_anomalies" -> (0, 0, 0, 1, 4, 0),
+    // ONE hash agg carries all 16 replicates as extra accumulators —
+    // B scales accumulators, never scans
+    "bootstrap_mean_ci" -> (0, 0, 0, 1, 2, 0),
     // one user-keyed agg (per-key sequences bounded by own activity) +
     // presentation sort; the regex runs once per user, not per event
     "sequence_match_conversions" -> (0, 0, 0, 1, 2, 0),

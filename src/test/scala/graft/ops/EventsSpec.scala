@@ -242,6 +242,38 @@ class EventsSpec extends SparkSuite {
     }
   }
 
+  test("bootstrapMeanCi: replicate order statistics equal a JVM md5 re-derivation; interval brackets the mean") {
+    val dir = "/root/testdata/sf0.001"
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Tables(spark, dir, "events")
+      .selectExpr("event_type", "event_id", "CAST(CAST(value AS DECIMAL(15,2)) AS STRING) AS y")
+      .collect().map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getString(2))))
+    val got = Events.bootstrapMeanCi(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    for ((t, n, mean, lo, hi) <- got) {
+      val mine = rows.filter(_._1 == t)
+      assert(n == mine.length)
+      val reps = (0 until Events.BootReps).map { b =>
+        val seed = if (b < 8) "bsA:" else "bsB:"
+        val off = (b % 8) * 4
+        var sw = BigDecimal(0); var nw = 0L
+        for ((_, id, y) <- mine) {
+          val h = md5Hex(seed + id)
+          val w = (0 until 4).count(i => h.charAt(off + i) < '4')
+          sw += y * w; nw += w
+        }
+        sw.toDouble / nw
+      }.sorted
+      assert(lo == reps(1) && hi == reps(14),
+        s"$t order stats: got ($lo, $hi) want (${reps(1)}, ${reps(14)})")
+      assert(lo <= mean && mean <= hi, s"$t interval misses the mean")
+      assert((hi - lo) / mean < 0.5, s"$t interval implausibly wide")
+    }
+  }
+
   test("sequenceMatchConversions: flags equal a per-user in-memory NFA walk; exclusion bites") {
     val dir = "/root/testdata/sf0.001"
     val raw = Tables(spark, dir, "events")
