@@ -288,6 +288,66 @@ object Multimodal {
        |SELECT fhash, n_docs, doc_id, frame_idx FROM sfp JOIN rep USING (fhash)
        |ORDER BY fhash, doc_id, frame_idx""".stripMargin
 
+  /** Thumbnail grid: the first ThumbSrc×ThumbSrc payload bytes downsample
+    * 2× to ThumbDst×ThumbDst. */
+  val ThumbSrc = 16
+  val ThumbDst = 8
+
+  /** Media resize — the thumbnailing leg of the decode/extract/resize/
+    * frame-sample family: the leading 16×16 byte grid of each payload
+    * block-average downsamples to an 8×8 thumbnail (each output cell =
+    * ⌊mean of its 2×2 source block⌋ — exact integer arithmetic, the
+    * standard box-filter in its smallest form). Payloads shorter than the
+    * source grid are skipped, mirroring a decoder rejecting truncated
+    * images. Output: the thumbnail as a CSV string (engine-portable exact
+    * representation) plus its brightness stats.
+    *
+    * Pure per-row projection over generated indices — no UDF, no shuffle
+    * beyond presentation; a real pipeline swaps the byte-grid reader for
+    * an image decoder and keeps the same plan shape. Oracle: identical
+    * arithmetic over `ascii(substr(...))` — valid because the synthetic
+    * payload is the ASCII text's UTF-8 bytes (the [[frameSampleDigest]]
+    * identity).
+    */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    val cell =
+      s"""(ascii(substring(text, (CAST(j DIV $ThumbDst AS INT) * 2) * $ThumbSrc + (CAST(j % $ThumbDst AS INT) * 2) + 1, 1))
+         | + ascii(substring(text, (CAST(j DIV $ThumbDst AS INT) * 2) * $ThumbSrc + (CAST(j % $ThumbDst AS INT) * 2) + 2, 1))
+         | + ascii(substring(text, (CAST(j DIV $ThumbDst AS INT) * 2 + 1) * $ThumbSrc + (CAST(j % $ThumbDst AS INT) * 2) + 1, 1))
+         | + ascii(substring(text, (CAST(j DIV $ThumbDst AS INT) * 2 + 1) * $ThumbSrc + (CAST(j % $ThumbDst AS INT) * 2) + 2, 1))
+         |) DIV 4""".stripMargin.replace("\n", " ")
+    Tables(spark, dir, "documents")
+      .filter(col("n_chars") >= ThumbSrc * ThumbSrc)
+      .withColumn("thumb",
+        expr(s"transform(sequence(0, ${ThumbDst * ThumbDst - 1}), j -> $cell)"))
+      .select(col("doc_id"),
+        expr("array_join(thumb, ',')").as("thumb_csv"),
+        expr("aggregate(thumb, 0L, (a, x) -> a + x)").as("brightness_sum"),
+        expr("array_min(thumb)").cast("long").as("px_min"),
+        expr("array_max(thumb)").cast("long").as("px_max"))
+      .orderBy("doc_id")
+  }
+
+  val mediaResizeSql: String = {
+    val cell =
+      s"""(ascii(substr(text, ((j // $ThumbDst) * 2) * $ThumbSrc + ((j % $ThumbDst) * 2) + 1, 1))
+         | + ascii(substr(text, ((j // $ThumbDst) * 2) * $ThumbSrc + ((j % $ThumbDst) * 2) + 2, 1))
+         | + ascii(substr(text, ((j // $ThumbDst) * 2 + 1) * $ThumbSrc + ((j % $ThumbDst) * 2) + 1, 1))
+         | + ascii(substr(text, ((j // $ThumbDst) * 2 + 1) * $ThumbSrc + ((j % $ThumbDst) * 2) + 2, 1))
+         |) // 4""".stripMargin.replace("\n", " ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, ${ThumbDst * ThumbDst}), j -> $cell) AS thumb
+       |  FROM documents WHERE n_chars >= ${ThumbSrc * ThumbSrc}
+       |)
+       |SELECT doc_id,
+       |  array_to_string(thumb, ',') AS thumb_csv,
+       |  list_sum(thumb)::BIGINT AS brightness_sum,
+       |  list_min(thumb)::BIGINT AS px_min,
+       |  list_max(thumb)::BIGINT AS px_max
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   /** The codec boundary — REAL since round 11 (was a PRNG stub through
     * round 10). `decode` computes an actual content-derived descriptor from
     * the payload bytes; `project` applies the learned PCA reduction fitted

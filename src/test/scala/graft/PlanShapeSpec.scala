@@ -216,6 +216,7 @@ class PlanShapeSpec extends SparkSuite {
     "frame_near_dup" -> (0, 0, 0, 1, 3, 0),
     "frame_sample" -> (0, 0, 0, 0, 0, 0),
     "frame_sample_digest" -> (0, 0, 0, 1, 1, 0),
+    "media_resize" -> (0, 0, 0, 1, 1, 0),
     "extract_features" -> (0, 0, 0, 1, 1, 0),
     // sortMerge=1 is the point: the co-located bucketed join (its
     // shuffle-freedom below the join is pinned by StorageLayoutSpec);

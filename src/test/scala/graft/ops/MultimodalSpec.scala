@@ -209,4 +209,28 @@ class MultimodalSpec extends SparkSuite {
     val docs = Tables(spark, dir, "documents").count()
     assert(stats.map(_.getAs[Long]("n")).sum == docs)
   }
+
+  test("mediaResize: thumbnails equal a JVM box-filter over the leading byte grid") {
+    val src = Multimodal.ThumbSrc; val dst = Multimodal.ThumbDst
+    val texts = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val eligible = texts.filter(_._3 >= src * src)
+    val out = Multimodal.mediaResize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSet == eligible.map(_._1).toSet,
+      "exactly the payloads long enough for the source grid")
+    assert(out.nonEmpty)
+    val byId = eligible.map(t => t._1 -> t._2).toMap
+    for ((id, csv, bSum, pMin, pMax) <- out) {
+      val t = byId(id)
+      val thumb = (0 until dst * dst).map { j =>
+        val (r0, c0) = ((j / dst) * 2, (j % dst) * 2)
+        def px(r: Int, c: Int) = t.charAt(r * src + c).toInt
+        (px(r0, c0) + px(r0, c0 + 1) + px(r0 + 1, c0) + px(r0 + 1, c0 + 1)) / 4
+      }
+      assert(csv == thumb.mkString(","), s"doc $id thumbnail")
+      assert(bSum == thumb.map(_.toLong).sum && pMin == thumb.min && pMax == thumb.max)
+    }
+  }
 }
