@@ -115,6 +115,56 @@ object Skew {
     * Approximate by construction → no value oracle; a spec pins relative
     * error vs the exact variant.
     */
+  /** Keys reported by the skew diagnostic. */
+  val SkewTopK = 10
+
+  /** Join-key skew diagnostics — the report an engineer runs BEFORE
+    * choosing armor ([[saltedUserAge]] salting vs AQE splits vs broadcast):
+    * for the zipf-hot host key, the top keys by row count with their
+    * corpus share (permille, integer-exact) and the share a uniform
+    * distribution would predict. A key whose share multiple is ≫1 is the
+    * reducer that will stall the shuffle join; the report is bounded by
+    * k, never by the key domain.
+    *
+    * Scale shape: one hash aggregate (map-side partials collapse the hot
+    * key per partition — counting skew does not itself skew), a scalar
+    * total broadcast back, and a top-k rank over the BOUNDED per-key
+    * count table. Permille arithmetic is integer (1000·n)/total — exact
+    * cross-engine, no double division.
+    */
+  def skewReport(spark: SparkSession, dir: String, k: Int = SkewTopK): DataFrame = {
+    val ev = Tables(spark, dir, "events").select(zipfHost.as("host"))
+    val counts = ev.groupBy("host").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+    import org.apache.spark.sql.expressions.Window
+    counts.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("host"))))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("host"), col("n"),
+        expr("(1000 * n) DIV total").as("share_permille"),
+        expr("(1000 * n * n_keys) DIV total").as("x_uniform"))
+      .orderBy("rank")
+  }
+
+  val skewReportSql: String =
+    s"""WITH hosts AS (
+       |  SELECT CASE WHEN event_id % 100 < 50 THEN 'h_mega'
+       |              ELSE 'h' || (event_id % 100)::VARCHAR END AS host
+       |  FROM events
+       |), counts AS (
+       |  SELECT host, count(*) AS n FROM hosts GROUP BY host
+       |), tot AS (
+       |  SELECT sum(n)::BIGINT AS total, count(*) AS n_keys FROM counts
+       |)
+       |SELECT rank, host, n, (1000 * n) // total AS share_permille,
+       |  (1000 * n * n_keys) // total AS x_uniform
+       |FROM (
+       |  SELECT row_number() OVER (ORDER BY n DESC, host) AS rank, host, n
+       |  FROM counts), tot
+       |WHERE rank <= $SkewTopK
+       |ORDER BY rank""".stripMargin
+
   def distinctPartsApprox(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy("l_returnflag")

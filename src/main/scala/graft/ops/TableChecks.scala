@@ -198,6 +198,54 @@ object TableChecks {
       |  FROM batch WHERE op <> 'D')
       |ORDER BY c_custkey""".stripMargin
 
+  /** Change-data-feed of [[mergeUpsert]] — the Delta/Iceberg
+    * `_change_type` contract: the same planted batch, emitted as the
+    * row-level feed a downstream incremental consumer subscribes to
+    * (updates as a preimage/postimage PAIR, inserts and deletes as single
+    * rows). Conflict precedence mirrors the merge exactly: a key matched
+    * by both the update and delete rules survives updated, so it emits
+    * update images and NO delete row — the feed replays to the same
+    * table state the merge produced (spec-pinned).
+    *
+    * Plan: narrow filters + projections over one dimension scan, union —
+    * the feed costs what the merge already paid.
+    */
+  def mergeChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables(spark, dir, "customer")
+    val upd = dim.filter(col("c_custkey") % 7 === 0)
+    val pre = upd.select(lit("update_preimage").as("_change_type"),
+      col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val post = upd.select(lit("update_postimage").as("_change_type"),
+      col("c_custkey"),
+      (col("c_acctbal").cast("decimal(15,2)") + lit(10)).cast("double").as("c_acctbal"),
+      lit("AUTOMOBILE").as("c_mktsegment"))
+    val ins = dim.filter(col("c_custkey") % 53 === 0)
+      .select(lit("insert").as("_change_type"),
+        (col("c_custkey") + 1000000L).as("c_custkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    val del = dim.filter(col("c_custkey") % 31 === 0 && col("c_custkey") % 7 =!= 0)
+      .select(lit("delete").as("_change_type"),
+        col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    pre.unionByName(post).unionByName(ins).unionByName(del)
+      .orderBy("c_custkey", "_change_type")
+  }
+
+  val mergeChangeFeedSql: String =
+    """SELECT * FROM (
+      |  SELECT 'update_preimage' AS _change_type, c_custkey, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT 'update_postimage', c_custkey,
+      |    CAST(c_acctbal::DECIMAL(15,2) + 10 AS DOUBLE), 'AUTOMOBILE'
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT 'insert', c_custkey + 1000000, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 53 = 0
+      |  UNION ALL
+      |  SELECT 'delete', c_custkey, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 31 = 0 AND c_custkey % 7 <> 0)
+      |ORDER BY c_custkey, _change_type""".stripMargin
+
   /** Default k for the anonymity audit. */
   val AnonymityK = 5
 

@@ -307,6 +307,10 @@ class PlanShapeSpec extends SparkSuite {
     "rolling_revenue_7d" -> (0, 0, 0, 1, 2, 1),
     "k_anonymity_audit" -> (0, 0, 0, 1, 2, 0),
     "l_diversity_audit" -> (0, 0, 0, 1, 3, 0),
+    "merge_change_feed" -> (0, 0, 0, 1, 1, 0),
+    // nested-loop = the scalar total broadcast back; the one Window is a
+    // rank over the BOUNDED per-key count table (~100 rows), never events
+    "skew_report" -> (0, 1, 0, 1, 3, 1),
     // identical plan to the raw-key join+agg — the governance transform
     // is a narrow sha2 projection, plan-invisible
     "pseudonymized_revenue" -> (0, 0, 0, 1, 3, 0),

@@ -108,6 +108,46 @@ class TableChecksSpec extends SparkSuite {
       "expected a k-anonymous cell that still fails l-diversity")
   }
 
+  test("mergeChangeFeed: replaying the feed onto the dimension reproduces the merged table") {
+    import org.apache.spark.sql.functions.col
+    val feed = TableChecks.mergeChangeFeed(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(feed.nonEmpty)
+    val dim = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_acctbal", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    // replay: delete, then overwrite with postimages, then add inserts
+    val state = scala.collection.mutable.Map(dim.toSeq: _*)
+    for ((t, k, _, _) <- feed if t == "delete") state.remove(k)
+    for ((t, k, bal, seg) <- feed if t == "update_postimage") state(k) = (bal, seg)
+    for ((t, k, bal, seg) <- feed if t == "insert") state(k) = (bal, seg)
+    val merged = TableChecks.mergeUpsert(spark, dir)
+      .select("c_custkey", "c_acctbal", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(state.toMap == merged,
+      "feed replay must reproduce exactly the merged table state")
+    // preimages match the pre-merge dimension
+    for ((t, k, bal, seg) <- feed if t == "update_preimage")
+      assert(dim(k) == ((bal, seg)), s"preimage of $k")
+  }
+
+  test("skewReport: the planted mega-key leads with an integer-exact share; counts re-derive") {
+    import org.apache.spark.sql.functions._
+    val out = Skew.skewReport(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == Skew.SkewTopK)
+    assert(out.head._2 == "h_mega" && out.head._1 == 1)
+    val ev = Tables(spark, dir, "events")
+    val total = ev.count()
+    val mega = ev.filter(expr("event_id % 100 < 50")).count()
+    assert(out.head._3 == mega)
+    assert(out.head._4 == (1000 * mega) / total, "integer permille share")
+    assert(out.head._4 > 400, "mega key should hold ~half the corpus")
+    // uniform-share multiple flags the hot key unambiguously
+    assert(out.head._5 > 10 * 1000, "x_uniform must scream")
+    assert(out.map(_._3).toSeq == out.map(_._3).toSeq.sorted.reverse, "ranked by count")
+  }
+
   test("pseudonymizedRevenue: token join equals the raw-key join; tokens are collision-free") {
     import org.apache.spark.sql.functions._
     val got = TableChecks.pseudonymizedRevenue(spark, dir).collect()
