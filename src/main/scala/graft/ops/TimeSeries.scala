@@ -282,6 +282,113 @@ object TimeSeries {
   def rollingDau7dBitmap(spark: SparkSession, dir: String): DataFrame =
     rollingFromDailyWords(dailyBitmapWords(Tables(spark, dir, "events")))
 
+  /** Theil–Sen robust trend per type — the slope estimator that shrugs
+    * off the outlier days [[dailyCountAnomalies]] flags (OLS's weakness:
+    * one anomalous day drags the fit; the MEDIAN of pairwise slopes has a
+    * 29% breakdown point). Runs on the calendar-bounded daily aggregate,
+    * so the O(d²) pair set is thousands of rows, not corpus-scale — the
+    * same bounded-frame license as [[ewmaDaily]]'s prefix folds.
+    *
+    * Exactness: each pairwise slope is one integer-subtraction pair and
+    * one IEEE division (identical in both engines); the estimate is the
+    * LOWER MEDIAN — an order-statistic pick with a total (slope, i, j)
+    * tie order, no averaging, no summation order anywhere.
+    */
+  def theilSenDailyTrend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = daily.groupBy("event_type").agg(min(col("day")).as("d0"))
+    val idx = daily.join(bounds, Seq("event_type"))
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("i"), col("n"))
+    val a = idx.select(col("event_type"), col("i"), col("n"))
+    val b = idx.select(col("event_type"), col("i").as("j"), col("n").as("m"))
+    val slopes = a.join(b, Seq("event_type"))
+      .filter(col("i") < col("j"))
+      .select(col("event_type"), col("i"), col("j"),
+        ((col("m") - col("n")).cast("double") / (col("j") - col("i"))).as("slope"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("slope"), col("i"), col("j"))
+    slopes
+      .withColumn("r", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("r") === expr("(np + 1) DIV 2"))
+      .select(col("event_type"),
+        expr("(np + 1) DIV 2").as("median_rank"),
+        col("np").as("n_pairs"), col("slope").as("sen_slope"))
+      .orderBy("event_type")
+  }
+
+  val theilSenDailyTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::DATE AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), idx AS (
+      |  SELECT event_type,
+      |    date_diff('day', min(day) OVER (PARTITION BY event_type), day)::BIGINT AS i,
+      |    n
+      |  FROM daily
+      |), slopes AS (
+      |  SELECT a.event_type, a.i, b.i AS j,
+      |    (b.n - a.n)::DOUBLE / (b.i - a.i) AS slope
+      |  FROM idx a JOIN idx b
+      |    ON a.event_type = b.event_type AND a.i < b.i
+      |), ranked AS (
+      |  SELECT event_type, slope,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY slope, i, j) AS r,
+      |    count(*) OVER (PARTITION BY event_type) AS np
+      |  FROM slopes
+      |)
+      |SELECT event_type, (np + 1) // 2 AS median_rank, np AS n_pairs,
+      |  slope AS sen_slope
+      |FROM ranked WHERE r = (np + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
+  /** Benford first-digit permille constants: round(log10(1+1/d)·1000). */
+  val BenfordPermille: Seq[Long] = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+
+  /** Benford's-law audit of the value column — the forensic-accounting
+    * screen (Nigrini's digit analysis): naturally-occurring multi-scale
+    * amounts follow log10(1+1/d) first-digit frequencies; fabricated or
+    * capped data doesn't. Reports observed vs expected permille per
+    * leading digit — the audit gate reads the deviation, the engine only
+    * promises exact counts (integer permille — no double division).
+    *
+    * One hash aggregate over one scan; 9 output rows.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val expected = array(BenfordPermille.map(lit): _*)
+    Tables(spark, dir, "events")
+      .filter(col("value") >= 1.0)
+      .select(substring(floor(col("value")).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(
+        Tables(spark, dir, "events").filter(col("value") >= 1.0)
+          .agg(count(lit(1)).as("total"))))
+      .select(col("digit"), col("n"),
+        expr("(1000 * n) DIV total").as("observed_permille"),
+        element_at(expected, col("digit").cast("int")).as("benford_permille"))
+      .orderBy("digit")
+  }
+
+  val benfordAuditSql: String = {
+    val cases = BenfordPermille.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }.mkString(" ")
+    s"""WITH digits AS (
+       |  SELECT substr(floor(value)::BIGINT::VARCHAR, 1, 1)::BIGINT AS digit
+       |  FROM events WHERE value >= 1.0
+       |), counts AS (
+       |  SELECT digit, count(*) AS n FROM digits GROUP BY digit
+       |), tot AS (SELECT sum(n)::BIGINT AS total FROM counts)
+       |SELECT digit, n, (1000 * n) // total AS observed_permille,
+       |  CASE digit $cases END AS benford_permille
+       |FROM counts, tot
+       |ORDER BY digit""".stripMargin
+  }
+
   /** Exact-integer daily anomaly flags — days whose count deviates from
     * the per-type mean by more than 2σ. The flag predicate is evaluated
     * in INTEGER arithmetic: |x − μ| > 2σ  ⇔  (k·x − S)² > 4·(k·S₂ − S²)

@@ -360,6 +360,11 @@ class PlanShapeSpec extends SparkSuite {
     // calendar-bounded frames end-to-end: daily agg, per-type series
     // collect, presentation sort — no window, no corpus-sized sort
     "ewma_daily" -> (0, 0, 0, 1, 3, 0),
+    // both windows run over the CALENDAR-BOUNDED pair/daily frames
+    // (d² ≈ thousands of rows), never events
+    "theil_sen_daily_trend" -> (0, 0, 0, 1, 6, 2),
+    // nested-loop = the scalar total broadcast (the skew_report shape)
+    "benford_audit" -> (0, 1, 0, 1, 3, 0),
     // the nested-loop is the scalar calendar-bound cross join (the
     // rolling_dau family shape); all five exchanges are keyed aggs
     "rolling_dau_7d_bitmap" -> (0, 1, 0, 1, 5, 0),

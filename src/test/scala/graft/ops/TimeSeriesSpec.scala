@@ -120,6 +120,51 @@ class TimeSeriesSpec extends SparkSuite {
     }
   }
 
+  test("theilSenDailyTrend: lower median of pairwise slopes equals an in-memory re-derivation") {
+    import org.apache.spark.sql.functions.{col, to_date, count, lit}
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val out = TimeSeries.theilSenDailyTrend(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    for ((t, medianRank, nPairs, slope) <- out) {
+      val series = daily.filter(_._1 == t)
+      val d0 = series.map(_._2).min
+      val pts = series.map(s => (java.time.temporal.ChronoUnit.DAYS.between(d0, s._2), s._3))
+      val slopes = (for {
+        (i, n) <- pts; (j, m) <- pts if i < j
+      } yield ((m - n).toDouble / (j - i), i, j)).sorted
+      assert(nPairs == slopes.length)
+      assert(nPairs == pts.length.toLong * (pts.length - 1) / 2)
+      val want = slopes((nPairs.toInt + 1) / 2 - 1)._1
+      assert(slope == want, s"$t sen slope $slope vs $want")
+      assert(medianRank == (nPairs + 1) / 2)
+    }
+  }
+
+  test("benfordAudit: digit counts re-derive; integer permille; all nine digits present") {
+    import org.apache.spark.sql.functions.col
+    val vals = Tables(spark, dir, "events")
+      .select("value").collect().map(_.getDouble(0)).filter(_ >= 1.0)
+    val byDigit = vals.groupBy(v => math.floor(v).toLong.toString.head.asDigit)
+      .view.mapValues(_.length.toLong).toMap
+    val out = TimeSeries.benfordAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSet == (1L to 9L).toSet, "every leading digit occurs")
+    val total = vals.length.toLong
+    for ((d, n, obs, ben) <- out) {
+      assert(n == byDigit(d.toInt), s"digit $d count")
+      assert(obs == 1000 * n / total)
+      assert(ben == TimeSeries.BenfordPermille(d.toInt - 1))
+    }
+    // the heavy-tailed synthetic values lean low-digit, Benford-ish:
+    // digit 1 must dominate digit 9
+    val m = out.map(r => r._1 -> r._2).toMap
+    assert(m(1L) > m(9L))
+  }
+
   test("rollingDau7dBitmap equals the exact per-user rolling distinct everywhere") {
     val exact = TimeSeries.rollingDau7d(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
