@@ -26,6 +26,13 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(hashes.getLong(1) ==
       spark.sql("SELECT simhash64(split('a b c', ' '))").head().getLong(0))
     assert(hashes.getSeq[Long](2).nonEmpty)
+    // hilbert_index: the SQL surface of the curve expression — corner
+    // anchors of the 1024-grid walk plus inverse consistency with compute()
+    val hil = spark.sql(
+      "SELECT hilbert_index(0L, 0L), hilbert_index(1023L, 0L), hilbert_index(3L, 5L)").head()
+    assert(hil.getLong(0) == 0L)
+    assert(hil.getLong(1) == 1024L * 1024L - 1)
+    assert(hil.getLong(2) == graft.functions.HilbertIndex.compute(3L, 5L))
   }
 
   test("generator and aggregate surfaces work from SQL") {

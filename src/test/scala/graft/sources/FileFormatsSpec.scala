@@ -90,4 +90,36 @@ class FileFormatsSpec extends SparkSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"),
       s"predicate not pushed into the ORC scan:\n$plan")
   }
+
+  test("binaryFile source ingests raw media files whole, with path/length metadata") {
+    // the multimodal INGESTION source: each file arrives as one row of
+    // (path, modificationTime, length, content) — the shape a decode
+    // pipeline fans out over before any of the Multimodal operators run
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_bin")
+    val payloads = Map(
+      "a.png" -> Array.tabulate[Byte](256)(i => i.toByte),
+      "b.wav" -> Array.fill[Byte](100)(7),
+      "c.mp4" -> Array.tabulate[Byte](512)(i => (i * 31).toByte))
+    for ((name, bytes) <- payloads)
+      Files.write(Paths.get(dir.toString, name), bytes)
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.{png,wav,mp4}")
+      .load(dir.toString)
+    val rows = df.collect().map { r =>
+      val p = r.getAs[String]("path")
+      p.substring(p.lastIndexOf('/') + 1) ->
+        (r.getAs[Long]("length"), r.getAs[Array[Byte]]("content"))
+    }.toMap
+    assert(rows.keySet == payloads.keySet)
+    for ((name, bytes) <- payloads) {
+      assert(rows(name)._1 == bytes.length.toLong, s"$name length")
+      assert(java.util.Arrays.equals(rows(name)._2, bytes), s"$name content intact")
+    }
+    // and the source composes with the engine's own expressions: dHash the
+    // binary content directly off the scan
+    graft.GraftFunctions.register(spark)
+    val fp = df.selectExpr("length", "md5(content) AS digest").collect()
+    assert(fp.length == 3 && fp.forall(_.getString(1).length == 32))
+  }
 }
