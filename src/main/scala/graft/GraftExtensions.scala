@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // `spark.experimental.extraOptimizations :+= <rule>`.
     ext.injectOptimizerRule(_ => graft.plans.BucketedRangeJoin)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    // whole-operator extension: the native as-of merge join (custom
+    // LogicalPlan + SparkStrategy + SparkPlan). For a live session use
+    // `GraftPlanBridge.addStrategy` (the Column API does it implicitly).
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 

@@ -82,6 +82,24 @@ object AsofJoin {
       .orderBy("event_id")
   }
 
+  /** [[asofLastClick]] through the NATIVE operator
+    * ([[graft.plans.AsofMergeJoinExec]]) instead of the union+window
+    * composition — same rows, same oracle, different physical plan: two
+    * co-partitioned sorted children and a single-buffered merge scan.
+    */
+  def asofLastClickNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.plans.AsofMergeJoin.asofLastPrior(
+      ev.select(col("event_id"), col("user_id"), col("ts")),
+      clicks, key = "user_id", time = "ts")
+      .select(col("event_id"),
+        date_format(col("asof_ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("last_click_ts"),
+        col("asof_value").as("last_click_value"))
+      .orderBy("event_id")
+  }
+
   val asofLastClickSql: String =
     """SELECT e.event_id,
       |  strftime(c.ts, '%Y-%m-%dT%H:%M:%S.%f') AS last_click_ts,

@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The native as-of operator (custom LogicalPlan → SparkStrategy →
+  * SparkPlan): semantics pinned against the compositional window
+  * formulation, and the physical contract (merge-join plan shape, declared
+  * output partitioning/ordering reused downstream) pinned against the
+  * executed plan.
+  */
+class AsofMergeJoinSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("native as-of equals the union+window composition on events") {
+    val native = graft.ops.AsofJoin.asofLastClickNative(spark, dir).collect()
+    val window = graft.ops.AsofJoin.asofLastClick(spark, dir).collect()
+    assert(native.length == window.length)
+    assert(native.sameElements(window))
+  }
+
+  test("plans as AsofMergeJoin with one exchange+sort per side") {
+    val ev = graft.ops.Tables(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val df = AsofMergeJoin.asofLastPrior(
+      ev.select(col("event_id"), col("user_id"), col("ts")),
+      clicks, key = "user_id", time = "ts")
+    df.count() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofMergeJoin"), s"native operator not planned:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"expected exactly one hash exchange per side:\n$plan")
+  }
+
+  test("strictness, null keys, null times, and latest-prior selection") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.{Row, types => T}
+    val lSchema = T.StructType(Seq(
+      T.StructField("k", T.StringType), T.StructField("t", T.LongType),
+      T.StructField("tag", T.StringType)))
+    val rSchema = T.StructType(Seq(
+      T.StructField("k", T.StringType), T.StructField("t", T.LongType),
+      T.StructField("v", T.StringType)))
+    val left = spark.createDataFrame(Seq(
+      Row("a", 5L, "before_any"),     // no right row < 5 for key a? r@(a,5) equal → strict, no match
+      Row("a", 10L, "after_two"),     // r@(a,5),(a,7) → latest prior is (a,7)
+      Row("b", 1L, "none"),           // right has no key b rows before 1
+      Row(null, 10L, "null_key"),     // null key never matches
+      Row("c", null, "null_time"),    // null time → no strict-prior row
+      Row("d", 9L, "skip_null_rt")    // right (d, null, x) must not match
+    ).asJava, lSchema)
+    val right = spark.createDataFrame(Seq(
+      Row("a", 5L, "a5"), Row("a", 7L, "a7"), Row("a", 10L, "a10"),
+      Row("b", 2L, "b2"), Row(null, 1L, "nullk"), Row("d", null, "dnull")
+    ).asJava, rSchema)
+    val out = AsofMergeJoin.asofLastPrior(left, right, key = "k", time = "t")
+      .select("tag", "asof_v", "asof_t")
+      .collect().map(r => r.getString(0) -> (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(out("before_any") == ((null, -1L)))   // equal-time right row excluded
+    assert(out("after_two") == (("a7", 7L)))     // latest strictly-prior wins
+    assert(out("none") == ((null, -1L)))
+    assert(out("null_key") == ((null, -1L)))
+    assert(out("null_time") == ((null, -1L)))
+    assert(out("skip_null_rt") == ((null, -1L)))
+  }
+
+  test("declared partitioning+ordering feed a downstream window without re-exchange or re-sort") {
+    val ev = graft.ops.Tables(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val joined = AsofMergeJoin.asofLastPrior(
+      ev.select(col("event_id"), col("user_id"), col("ts")),
+      clicks, key = "user_id", time = "ts")
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val df = joined.withColumn("rn", row_number().over(w))
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the window's required (hash(user_id), sort user_id+ts) must be proven
+    // satisfied by AsofMergeJoinExec's outputPartitioning/outputOrdering:
+    // exactly the join's own two exchanges, and only the join's two sorts
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"window added an exchange — outputPartitioning not honored:\n$plan")
+    assert("\\bSort\\b".r.findAllIn(plan).size == 2,
+      s"window added a sort — outputOrdering not honored:\n$plan")
+  }
+}
