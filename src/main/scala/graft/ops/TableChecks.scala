@@ -306,6 +306,90 @@ object TableChecks {
        |HAVING count(DISTINCT lang) < $DiversityL
        |ORDER BY source, len_bucket""".stripMargin
 
+  /** Default t for the closeness audit. */
+  val ClosenessT = 0.15
+
+  /** t-closeness audit — the distribution-skew completion of the privacy
+    * triad ([[kAnonymityAudit]], [[lDiversityAudit]]; Li, Li &
+    * Venkatasubramanian, ICDE'07): a cell can be k-anonymous AND
+    * l-diverse yet still leak if its sensitive-attribute DISTRIBUTION
+    * differs sharply from the global one — an attacker who locates a
+    * target's cell gains that skew as information. For the ordered
+    * sensitive attribute (n_chars length decile) the prescribed distance
+    * is the Earth Mover's Distance under the ordered metric:
+    * EMD = Σⱼ |P_cell(≤j) − P_glob(≤j)| / (m−1) over the m ordered
+    * buckets. Cells with EMD > t are flagged (`close = false`).
+    *
+    * Exactness: the cumulative difference is computed as the INTEGER
+    * |N·C_j − n·G_j| (C, G = cumulative cell/global counts), summed
+    * exactly, with ONE final division — no per-term float summation, so
+    * the value is order-independent and matches the oracle bit-for-bit
+    * before the display rounding.
+    *
+    * Scale shape: two hash aggregates over one scan (cell×bucket and
+    * global-bucket counts), a broadcast cross of the (QI-domain × bucket-
+    * domain) grid — both bounded by attribute domains, never by the
+    * corpus — and a window whose partitions are single cells of ≤ m rows.
+    */
+  def tClosenessAudit(spark: SparkSession, dir: String,
+      t: Double = ClosenessT): DataFrame = {
+    val counts = Tables(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"), expr("n_chars DIV 100").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val cells = counts.groupBy("lang", "source").agg(sum("c").as("n"))
+    val glob = counts.groupBy("bucket").agg(sum("c").as("g"))
+    val tot = glob.agg(sum("g").as("big_n"), count(lit(1)).as("m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "source").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    cells.crossJoin(broadcast(glob))
+      .join(counts, Seq("lang", "source", "bucket"), "left")
+      .na.fill(0, Seq("c"))
+      .withColumn("cc", sum("c").over(w))
+      .withColumn("cg", sum("g").over(w))
+      .crossJoin(broadcast(tot))
+      .groupBy("lang", "source")
+      .agg(first("n").as("n_docs"),
+        round(sum(abs(col("big_n") * col("cc") - col("n") * col("cg")))
+            .cast("double")
+          / (first("n") * first("big_n") * (first("m") - 1)).cast("double"),
+          6).as("emd"))
+      .withColumn("close", col("emd") <= t)
+      .orderBy("lang", "source")
+  }
+
+  val tClosenessAuditSql: String =
+    s"""SELECT *, (emd <= $ClosenessT) AS close FROM (
+       |  SELECT lang, source, any_value(n)::BIGINT AS n_docs,
+       |    round(sum(abs(big_n * cc - n * cg))::BIGINT
+       |      / (any_value(n) * any_value(big_n) * (any_value(m) - 1)), 6) AS emd
+       |  FROM (
+       |    SELECT g.lang, g.source, g.n, t.big_n, t.m,
+       |      (sum(g.c) OVER w)::BIGINT AS cc,
+       |      (sum(g.g) OVER w)::BIGINT AS cg
+       |    FROM (
+       |      SELECT cells.lang, cells.source, cells.n, gd.bucket, gd.g,
+       |        coalesce(counts.c, 0)::BIGINT AS c
+       |      FROM (SELECT lang, source, sum(c)::BIGINT AS n FROM (
+       |              SELECT lang, source, n_chars // 100 AS bucket, count(*) AS c
+       |              FROM documents GROUP BY 1, 2, 3) GROUP BY 1, 2) cells
+       |      CROSS JOIN (SELECT bucket, sum(c)::BIGINT AS g FROM (
+       |              SELECT lang, source, n_chars // 100 AS bucket, count(*) AS c
+       |              FROM documents GROUP BY 1, 2, 3) GROUP BY 1) gd
+       |      LEFT JOIN (SELECT lang, source, n_chars // 100 AS bucket, count(*) AS c
+       |              FROM documents GROUP BY 1, 2, 3) counts
+       |        ON counts.lang = cells.lang AND counts.source = cells.source
+       |        AND counts.bucket = gd.bucket) g
+       |    CROSS JOIN (SELECT sum(g)::BIGINT AS big_n, count(*)::BIGINT AS m
+       |      FROM (SELECT bucket, sum(c)::BIGINT AS g FROM (
+       |              SELECT lang, source, n_chars // 100 AS bucket, count(*) AS c
+       |              FROM documents GROUP BY 1, 2, 3) GROUP BY 1)) t
+       |    WINDOW w AS (PARTITION BY g.lang, g.source ORDER BY g.bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |  GROUP BY lang, source)
+       |ORDER BY lang, source""".stripMargin
+
   /** Pseudonymization salt — in production a vaulted secret; pinned here
     * so both engines derive identical tokens. */
   val TokenSalt = "s9"

@@ -243,4 +243,39 @@ class TableChecksSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!phys.contains("Expand"), s"sketch profile must not Expand:\n$phys")
   }
+
+  test("tClosenessAudit: EMD matches an independently computed ordered-EMD per cell") {
+    val rows = Tables(spark, dir, "documents")
+      .select(col("lang"), col("source"), expr("n_chars DIV 100").as("b"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val buckets = rows.map(_._3).distinct.sorted
+    val m = buckets.length
+    val bigN = rows.length.toLong
+    val globByB = rows.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    def emdOf(cell: Array[(String, String, Long)]): (Long, Double) = {
+      val n = cell.length.toLong
+      val cellByB = cell.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      var cc = 0L; var cg = 0L; var num = 0L
+      for (b <- buckets) {
+        cc += cellByB.getOrElse(b, 0L); cg += globByB(b)
+        num += math.abs(bigN * cc - n * cg)
+      }
+      val emd = BigDecimal(num.toDouble / (n.toDouble * bigN * (m - 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (n, emd)
+    }
+    val want = rows.groupBy(r => (r._1, r._2)).view.mapValues(c => emdOf(c)).toMap
+    val out = TableChecks.tClosenessAudit(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out.keySet == want.keySet)
+    for ((k, (n, emd)) <- want) {
+      assert(out(k)._1 == n, s"$k n_docs")
+      assert(math.abs(out(k)._2 - emd) < 1e-9, s"$k emd ${out(k)._2} vs $emd")
+      assert(out(k)._3 == (out(k)._2 <= TableChecks.ClosenessT), s"$k close flag")
+    }
+    // the gate is live in both directions at this SF
+    assert(out.values.exists(_._3) && out.values.exists(!_._3),
+      "expected both close and non-close cells — audit untested otherwise")
+  }
 }
