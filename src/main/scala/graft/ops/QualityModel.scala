@@ -285,6 +285,101 @@ object QualityModel {
        |          FROM documents)))""".stripMargin
   }
 
+
+  /** Hashed-feature buckets for [[dsirWeights]]. */
+  val DsirBuckets = 64
+
+  /** Additive smoothing for the bucket distributions. */
+  val DsirAlpha = 0.5
+
+  /** The curated slice the raw corpus is re-weighted toward. */
+  val DsirTargetSource = "src0"
+
+  /** DSIR importance weights — Data Selection via Importance Resampling
+    * (Xie et al., NeurIPS'23): re-weight a raw corpus toward a small
+    * curated target WITHOUT a trained model. Both distributions are
+    * estimated over HASHED token features (md5-bucketed unigrams here;
+    * the hashing is what makes the estimator O(buckets), not O(vocab),
+    * at 100 TB), and each document scores the mean log-likelihood ratio
+    * of its tokens' buckets:
+    *
+    *   w(doc) = avg_tok [ ln p̂_target(b(tok)) − ln p̂_raw(b(tok)) ]
+    *
+    * with add-α smoothing on both sides. Positive ⇒ the document looks
+    * more like the target slice than the raw average; downstream,
+    * sampling ∝ exp(w) is the DSIR selection step
+    * ([[qualityWeightedSample]] is the machinery that consumes such
+    * weights).
+    *
+    * Scale shape: one token explode feeding (a) the bucket model — at
+    * most [[DsirBuckets]] rows after two hash aggregates, broadcast back
+    * — and (b) the scoring join, a broadcast equi-join on the bucket id
+    * followed by one per-doc aggregate. No shuffle carries anything
+    * wider than (doc_id, bucket). The bucket id is the same 4-hex-digit
+    * md5 prefix both engines derive, so the oracle is exact; the per-doc
+    * mean is rounded to 4 (the [[Corpus.bigramLogProbScoreFrom]]
+    * convention absorbing summation-order ulp drift).
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsOf(Tables(spark, dir, "documents"), DsirTargetSource)
+
+  /** [[dsirWeights]] over any `(doc_id, source, text)` frame. */
+  def dsirWeightsOf(docs: DataFrame, targetSource: String): DataFrame = {
+    val aB = DsirAlpha * DsirBuckets
+    val bt = docs
+      .select(col("doc_id"), col("source"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10)
+          .cast("long") % DsirBuckets).as("b"))
+      .persist() // feeds the bucket model and the scoring join
+    val raw = bt.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tgt = bt.filter(col("source") === targetSource)
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val tot = raw.agg(sum("rc").as("raw_tot"))
+      .crossJoin(tgt.agg(sum("tc").as("tgt_tot")))
+    val model = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("tc") + lit(DsirAlpha)) / (col("tgt_tot") + lit(aB)))
+          - log((col("rc") + lit(DsirAlpha)) / (col("raw_tot") + lit(aB))))
+          .as("lw"))
+    val out = bt.join(broadcast(model), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (round(avg(col("lw")), 4) + lit(0.0)).as("dsir_weight")) // +0.0: -0.0 -> 0.0, both engines
+      .orderBy("doc_id")
+    val materialized = out.cache()
+    materialized.count()
+    bt.unpersist()
+    materialized
+  }
+
+  val dsirWeightsSql: String = {
+    val aB = DsirAlpha * DsirBuckets
+    s"""WITH bt AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(md5(tok), 1, 4))::INT % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, source,
+       |          unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+       |        FROM documents)
+       |), raw AS (SELECT b, count(*) AS rc FROM bt GROUP BY 1
+       |), tgt AS (SELECT b, count(*) AS tc FROM bt
+       |           WHERE source = '$DsirTargetSource' GROUP BY 1
+       |), tot AS (SELECT (SELECT sum(rc) FROM raw)::BIGINT AS raw_tot,
+       |                  (SELECT sum(tc) FROM tgt)::BIGINT AS tgt_tot
+       |), model AS (
+       |  SELECT raw.b,
+       |    ln((coalesce(tc, 0) + $DsirAlpha) / (tgt_tot + $aB))
+       |      - ln((rc + $DsirAlpha) / (raw_tot + $aB)) AS lw
+       |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+       |)
+       |SELECT doc_id, count(*) AS n_tokens, round(avg(lw), 4) + 0.0 AS dsir_weight
+       |FROM bt JOIN model USING (b)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracle context — the [[Similarity.setOracleContext]] mechanism. */
   @volatile private var oracleCtx: Option[(SparkSession, String)] = None
 

@@ -135,4 +135,46 @@ class QualityModelSpec extends SparkSuite {
     val majority = math.max(teach.values.count(identity), teach.values.count(!_)) / n
     assert(m.getDouble(4) > majority, s"accuracy ${m.getDouble(4)} vs majority $majority")
   }
+
+  test("dsirWeights: target-vocabulary documents outscore disjoint-vocabulary ones") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // target slice speaks {alpha, beta}; the raw remainder speaks
+    // {gamma, delta}; one probe doc of each vocabulary sits in the raw
+    // slice — DSIR must rank the target-sounding probe above the other
+    val docs = Seq(
+      (1L, "tgt", "alpha beta alpha beta alpha"),
+      (2L, "tgt", "beta alpha beta alpha beta"),
+      (3L, "raw", "gamma delta gamma delta gamma"),
+      (4L, "raw", "delta gamma delta gamma delta"),
+      (5L, "raw", "alpha beta alpha beta"),   // target-sounding probe
+      (6L, "raw", "gamma delta gamma delta")  // raw-sounding probe
+    ).toDF("doc_id", "source", "text")
+    val w = graft.ops.QualityModel.dsirWeightsOf(docs, "tgt").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(w(5L)._1 == 4 && w(6L)._1 == 4)
+    assert(w(5L)._2 > w(6L)._2,
+      s"target-sounding probe ${w(5L)._2} must outscore raw-sounding ${w(6L)._2}")
+    assert(w(1L)._2 > 0 && w(3L)._2 < 0,
+      s"pure-target doc ${w(1L)._2} should be positive, pure-raw ${w(3L)._2} negative")
+  }
+
+  test("dsirWeights on testdata: per-doc token counts re-derive; target slice mean is highest") {
+    val out = graft.ops.QualityModel.dsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), size(split(lower(col("text")), "\\s+")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.size == docs.length)
+    for ((id, _, n) <- docs) assert(out(id)._1 == n.toLong, s"doc $id token count")
+    // the re-weighting is toward the target slice: its docs' mean weight
+    // must exceed the overall mean (which is ~0 by construction)
+    val bySrc = docs.groupBy(_._2).view.mapValues(_.map(d => out(d._1)._2))
+    val tgtMean = bySrc(graft.ops.QualityModel.DsirTargetSource).sum /
+      bySrc(graft.ops.QualityModel.DsirTargetSource).size
+    val allW = docs.map(d => out(d._1)._2)
+    assert(tgtMean > allW.sum / allW.size,
+      s"target-slice mean $tgtMean not above corpus mean ${allW.sum / allW.size}")
+  }
 }
