@@ -82,6 +82,66 @@ object AsofJoin {
       .orderBy("event_id")
   }
 
+  /** Tolerance bound for [[asofClickWithin]]: 30 minutes, in microseconds. */
+  val ClickTolMicros: Long = 30L * 60 * 1000000
+
+  /** As-of with a TOLERANCE (the pandas `merge_asof(tolerance=...)` /
+    * kdb `wj` within-window form): the latest strictly-prior right row
+    * still matches only if it is at most `tolMicros` old; staler matches
+    * null out. Composed over the native merge-join (or the window
+    * formulation with `native = false`): the operator finds the latest
+    * prior row, one codegen projection applies the recency gate — the
+    * tolerance never changes the join shape, so it costs nothing at
+    * scale.
+    */
+  def asofLastPriorWithin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      tolMicros: Long,
+      prefix: String = "asof_",
+      native: Boolean = true): DataFrame = {
+    val joined =
+      if (native) graft.plans.AsofMergeJoin.asofLastPrior(left, right, key, time, prefix)
+      else asofLastPrior(left, right, key, time, prefix)
+    val payload = right.columns.filterNot(_ == key).toSeq
+    val flagged = joined.withColumn("_within",
+      col(s"$prefix$time").isNotNull &&
+        unix_micros(col(time)) - unix_micros(col(s"$prefix$time")) <= tolMicros)
+    payload.foldLeft(flagged)((df, p) =>
+      df.withColumn(s"$prefix$p", when(col("_within"), col(s"$prefix$p"))))
+      .drop("_within")
+  }
+
+  /** Concrete query: [[asofLastClick]] but a prior click only counts
+    * within [[ClickTolMicros]] — events whose last click is staler than
+    * 30 minutes report null, the "recent-attribution" shape.
+    */
+  def asofClickWithin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    asofLastPriorWithin(
+      ev.select(col("event_id"), col("user_id"), col("ts")),
+      clicks, key = "user_id", time = "ts", tolMicros = ClickTolMicros)
+      .select(col("event_id"),
+        date_format(col("asof_ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("last_click_ts"),
+        col("asof_value").as("last_click_value"))
+      .orderBy("event_id")
+  }
+
+  val asofClickWithinSql: String =
+    s"""SELECT e.event_id,
+       |  CASE WHEN epoch_us(e.ts) - epoch_us(c.ts) <= $ClickTolMicros
+       |       THEN strftime(c.ts, '%Y-%m-%dT%H:%M:%S.%f') END AS last_click_ts,
+       |  CASE WHEN epoch_us(e.ts) - epoch_us(c.ts) <= $ClickTolMicros
+       |       THEN c.value END AS last_click_value
+       |FROM events e ASOF LEFT JOIN
+       |  (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+       |  ON e.user_id = c.user_id AND e.ts > c.ts
+       |ORDER BY e.event_id""".stripMargin
+
   /** [[asofLastClick]] through the NATIVE operator
     * ([[graft.plans.AsofMergeJoinExec]]) instead of the union+window
     * composition — same rows, same oracle, different physical plan: two

@@ -36,4 +36,32 @@ class AsofJoinSpec extends SparkSuite {
     val out = AsofJoin.asofLastPrior(left, right, "user_id", "ts").head()
     assert(out.getAs[Any]("asof_value") == null)
   }
+
+  test("tolerance nulls exactly the matches staler than the bound, in both formulations") {
+    val dir = "/root/testdata/sf0.001"
+    val loose = AsofJoin.asofLastClickNative(spark, dir).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    for (native <- Seq(true, false)) {
+      val ev = Tables(spark, dir, "events")
+      val clicks = ev.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      val tight = AsofJoin.asofLastPriorWithin(
+        ev.select("event_id", "user_id", "ts"), clicks,
+        key = "user_id", time = "ts",
+        tolMicros = AsofJoin.ClickTolMicros, native = native)
+      val evTs = ev.select("event_id", "ts").collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(1).getTime * 1000).toMap
+      val rows = tight.collect().map { r =>
+        val id = r.getLong(0)
+        val m = Option(r.getAs[java.sql.Timestamp]("asof_ts")).map(_.getTime * 1000)
+        (id, m)
+      }
+      var nulled = 0
+      for ((id, m) <- rows) m match {
+        case Some(mt) => assert(evTs(id) - mt <= AsofJoin.ClickTolMicros, s"stale match kept for $id")
+        case None => if (loose(id).isDefined) nulled += 1
+      }
+      assert(nulled > 0, s"tolerance never fired (native=$native) — bound untested")
+    }
+  }
 }
