@@ -568,4 +568,46 @@ object Sampling {
        |  FROM documents)
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
+
+  /** Seed and sample size for [[weightedSampleEs]]. */
+  val EsSeed = "42"
+  val EsK = 50
+
+  /** Weighted sampling WITHOUT replacement via exponential keys — the
+    * Efraimidis–Spirakis A-ES scheme (IPL 2006): each row draws the
+    * deterministic uniform u = (md5-16-bit-draw + 1)/65537 and scores
+    * key = ln(u)/w; the k LARGEST keys are exactly a weighted
+    * without-replacement sample (P(row first) = w/Σw, recursively). Here
+    * w = n_chars, the "sample long documents proportionally more" shape
+    * a corpus auditor wants.
+    *
+    * Why this is THE distributed form: no sequential pass, no rejection
+    * loop, no replacement bookkeeping — selection is a global top-k by a
+    * per-row pure function, which Spark executes as per-partition top-k
+    * + driver merge of k-row heaps (TakeOrderedAndProject): one scan, no
+    * shuffle of anything but k rows per partition. Ties (same 16-bit
+    * draw AND same weight) break by doc_id in both engines, so the
+    * selected SET is deterministic; the published key rounds to 8 for
+    * display after selection.
+    */
+  def weightedSampleEs(spark: SparkSession, dir: String): DataFrame = {
+    val draw = conv(substring(seededKey(EsSeed, col("doc_id")), 1, 4), 16, 10)
+      .cast("double")
+    val key = log((draw + 1.0) / 65537.0) / col("n_chars")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("k"))
+      .orderBy(desc("k"), col("doc_id")).limit(EsK)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("k"), 8).as("es_key"))
+      .orderBy("doc_id")
+  }
+
+  val weightedSampleEsSql: String =
+    s"""SELECT doc_id, lang, n_chars, round(k, 8) AS es_key FROM (
+       |  SELECT doc_id, lang, n_chars,
+       |    ln((('0x' || substr(md5('$EsSeed:' || doc_id::VARCHAR), 1, 4))::INT
+       |        + 1.0) / 65537.0) / n_chars AS k
+       |  FROM documents
+       |  ORDER BY k DESC, doc_id LIMIT $EsK)
+       |ORDER BY doc_id""".stripMargin
 }

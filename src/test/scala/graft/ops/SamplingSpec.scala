@@ -269,4 +269,25 @@ class SamplingSpec extends SparkSuite {
       assert(r.getAs[Long]("n_langs") >= 3,
         s"shard ${r.get(0)} with ${r.getAs[Long]("n")} docs has only ${r.get(1)} langs")
   }
+
+  test("weightedSampleEs: distributed top-k plan, weight-biased selection, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Sampling.weightedSampleEs(spark, dir)
+    // A-ES selection must plan as per-partition top-k + driver merge,
+    // never a global sort of the corpus
+    val phys = out.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$phys")
+    val rows = out.collect()
+    assert(rows.length == Sampling.EsK)
+    assert(rows.map(_.getLong(0)).distinct.length == Sampling.EsK, "without replacement")
+    // weighting does real work: the n_chars-weighted draw must pull the
+    // sample's mean length above the corpus mean
+    val sampleMean = rows.map(_.getLong(2)).sum.toDouble / rows.length
+    val corpusMean = Tables(spark, dir, "documents")
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean — weights ignored?")
+    // pure function of (seed, key): identical on re-run
+    assert(Sampling.weightedSampleEs(spark, dir).collect().sameElements(rows))
+  }
 }
