@@ -1008,4 +1008,92 @@ object TextAnalysis {
        |ORDER BY n_hits DESC, doc_id
        |LIMIT 10""".stripMargin
   }
+
+  /** Head size for [[zipfFit]]: the fit runs over the top-R terms. */
+  val ZipfHead = 100
+
+  /** Zipf rank–frequency fit — the corpus-statistics screen (Zipf '49;
+    * Piantadosi, Psychon Bull Rev '14): regress ln(count) on ln(rank)
+    * over the vocabulary head and report slope (≈ −1 for natural text;
+    * far-off values flag synthetic/boilerplate corpora), intercept, and
+    * R². One of the standard "does this crawl look like language"
+    * audits next to [[langId]] and the length histogram.
+    *
+    * Exactness contract (the [[graft.ops.Events.hourValueRegression]]
+    * discipline, extended to log space): each regression point derives
+    * from INTEGERS (rank, count), so ln(r), ln(c) and their products are
+    * per-row-deterministic doubles; each is cast to DECIMAL(24,12)
+    * before summation, so every MOMENT is an exact order-free decimal
+    * sum, and slope/intercept/R² are fixed IEEE trees over the moments
+    * cast back to double. SUM reassociation — the only cross-engine
+    * nondeterminism — never touches a float.
+    *
+    * Scale shape: token counts are one two-level aggregate
+    * (vocabulary-sized output); the head is TakeOrderedAndProject over
+    * the vocab; the window and the moment aggregate see [[ZipfHead]]
+    * rows — constants, not corpus.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame =
+    zipfFitOf(Tables(spark, dir, "documents"))
+
+  /** [[zipfFit]] over any `(text)` frame (library surface). */
+  def zipfFitOf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cnt"), asc("tok"))
+    val dec = "decimal(24,12)"
+    val pts = docs
+      .select(explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok")).limit(ZipfHead)
+      .withColumn("r", row_number().over(w))
+      .select(log(col("r").cast("double")).as("lx"),
+        log(col("cnt").cast("double")).as("ly"))
+    val m = pts.agg(count(lit(1)).as("n"),
+      sum(col("lx").cast(dec)).as("sx"),
+      sum((col("lx") * col("lx")).cast(dec)).as("sxx"),
+      sum(col("ly").cast(dec)).as("sy"),
+      sum((col("ly") * col("ly")).cast(dec)).as("syy"),
+      sum((col("lx") * col("ly")).cast(dec)).as("sxy"))
+    val (n, sx, sxx, sy, syy, sxy) =
+      (col("n").cast("double"), col("sx").cast("double"),
+        col("sxx").cast("double"), col("sy").cast("double"),
+        col("syy").cast("double"), col("sxy").cast("double"))
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    val slope = cov / varx
+    m.select(col("n").as("n_terms"),
+      round(slope, 6).as("slope"),
+      round((sy - slope * sx) / n, 6).as("intercept"),
+      round(cov * cov / (varx * vary), 6).as("r2"))
+  }
+
+  val zipfFitSql: String =
+    s"""WITH tc AS (
+       |  SELECT tok, count(*) AS cnt
+       |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+       |        FROM documents)
+       |  GROUP BY tok
+       |), top AS (
+       |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS r
+       |  FROM tc ORDER BY cnt DESC, tok LIMIT $ZipfHead
+       |), pts AS (
+       |  SELECT ln(r::DOUBLE) AS lx, ln(cnt::DOUBLE) AS ly FROM top
+       |), m AS (
+       |  SELECT count(*) AS n,
+       |    sum(lx::DECIMAL(24,12)) AS sx, sum((lx*lx)::DECIMAL(24,12)) AS sxx,
+       |    sum(ly::DECIMAL(24,12)) AS sy, sum((ly*ly)::DECIMAL(24,12)) AS syy,
+       |    sum((lx*ly)::DECIMAL(24,12)) AS sxy
+       |  FROM pts
+       |)
+       |SELECT n AS n_terms,
+       |  round(slope, 6) AS slope,
+       |  round((sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE, 6) AS intercept,
+       |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+       |      * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+       |    / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+       |       * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS r2
+       |FROM (SELECT *,
+       |  (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+       |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS slope FROM m)""".stripMargin
 }
