@@ -1096,4 +1096,80 @@ object TextAnalysis {
        |FROM (SELECT *,
        |  (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
        |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS slope FROM m)""".stripMargin
+
+  /** Mutual information between the corpus's two composition axes
+    * (lang × source) — the dependence screen a mixing job runs before
+    * treating the axes as independent strata: MI ≈ 0 says source shares
+    * are language-independent (stratify on either); large MI says the
+    * grid is skewed and per-cell budgets are needed. Reported with both
+    * marginal entropies and the normalized coefficient
+    * mi / min(H(lang), H(source)) ∈ [0, 1].
+    *
+    * Exactness: every probability is a ratio of exact counts, each
+    * cell/marginal term is a per-row-deterministic double cast to
+    * DECIMAL(24,12) before summation ([[zipfFit]]'s order-free moment
+    * discipline), and the published scalars are fixed IEEE trees over
+    * the exact sums, rounded to 6.
+    *
+    * Scale shape: one hash aggregate to the (lang × source) grid —
+    * bounded by the attribute domains — then arithmetic on grid-sized
+    * frames; the corpus is scanned once.
+    */
+  def langSourceMi(spark: SparkSession, dir: String): DataFrame =
+    langSourceMiOf(Tables(spark, dir, "documents"))
+
+  /** [[langSourceMi]] over any `(lang, source)` frame (library surface). */
+  def langSourceMiOf(docs: DataFrame): DataFrame = {
+    val dec = "decimal(24,12)"
+    val cells = docs
+      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+    val lm = cells.groupBy("lang").agg(sum("c").as("cl"))
+    val sm = cells.groupBy("source").agg(sum("c").as("cs"))
+    val nn = cells.agg(sum("c").as("nn"))
+    def d(c: Column) = c.cast("double")
+    val mi = cells.join(lm, "lang").join(sm, "source").crossJoin(broadcast(nn))
+      .select(((d(col("c")) / d(col("nn")))
+        * log(d(col("c")) * d(col("nn")) / (d(col("cl")) * d(col("cs")))))
+        .cast(dec).as("t"))
+      .agg(count(lit(1)).as("n_cells"), sum("t").as("mi_d"))
+    def entropy(m: DataFrame, cnt: String, out: String) =
+      m.crossJoin(broadcast(nn))
+        .select((-(d(col(cnt)) / d(col("nn")))
+          * log(d(col(cnt)) / d(col("nn")))).cast(dec).as("t"))
+        .agg(sum("t").as(out))
+    mi.crossJoin(entropy(lm, "cl", "hl_d")).crossJoin(entropy(sm, "cs", "hs_d"))
+      .select(col("n_cells"),
+        round(d(col("mi_d")), 6).as("mi"),
+        round(d(col("hl_d")), 6).as("h_lang"),
+        round(d(col("hs_d")), 6).as("h_source"),
+        round(d(col("mi_d")) / least(d(col("hl_d")), d(col("hs_d"))), 6)
+          .as("mi_norm"))
+  }
+
+  val langSourceMiSql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2
+      |), lm AS (SELECT lang, sum(c)::BIGINT AS cl FROM cells GROUP BY 1
+      |), sm AS (SELECT source, sum(c)::BIGINT AS cs FROM cells GROUP BY 1
+      |), nn AS (SELECT sum(c)::BIGINT AS nn FROM cells
+      |), mi AS (
+      |  SELECT count(*) AS n_cells, sum(t) AS mi_d FROM (
+      |    SELECT ((c::DOUBLE / nn::DOUBLE)
+      |      * ln(c::DOUBLE * nn::DOUBLE / (cl::DOUBLE * cs::DOUBLE)))::DECIMAL(24,12) AS t
+      |    FROM cells JOIN lm USING (lang) JOIN sm USING (source) CROSS JOIN nn)
+      |), hl AS (
+      |  SELECT sum(t) AS hl_d FROM (
+      |    SELECT (-(cl::DOUBLE / nn::DOUBLE)
+      |      * ln(cl::DOUBLE / nn::DOUBLE))::DECIMAL(24,12) AS t
+      |    FROM lm CROSS JOIN nn)
+      |), hs AS (
+      |  SELECT sum(t) AS hs_d FROM (
+      |    SELECT (-(cs::DOUBLE / nn::DOUBLE)
+      |      * ln(cs::DOUBLE / nn::DOUBLE))::DECIMAL(24,12) AS t
+      |    FROM sm CROSS JOIN nn)
+      |)
+      |SELECT n_cells, round(mi_d::DOUBLE, 6) AS mi,
+      |  round(hl_d::DOUBLE, 6) AS h_lang, round(hs_d::DOUBLE, 6) AS h_source,
+      |  round(mi_d::DOUBLE / least(hl_d::DOUBLE, hs_d::DOUBLE), 6) AS mi_norm
+      |FROM mi CROSS JOIN hl CROSS JOIN hs""".stripMargin
 }
