@@ -390,6 +390,59 @@ object TableChecks {
        |  GROUP BY lang, source)
        |ORDER BY lang, source""".stripMargin
 
+
+  /** Source-concentration audit — the "is the corpus dominated by a few
+    * feeds" screen (HHI, the antitrust concentration index, plus the
+    * Gini coefficient and the top source's share). A training mix with
+    * HHI near 1/n_sources is balanced; spikes say one crawl dominates
+    * and the mixing step must cap it.
+    *
+    * Exactness: with counts c_i sorted ascending and ranked i = 1..n,
+    *   Gini = Σ(2i − n − 1)c_i / (n·Σc)   and   HHI = Σc_i² / (Σc)²
+    * — both numerators are exact INTEGER sums, so each statistic is one
+    * IEEE division. No float ever enters a SUM.
+    *
+    * Scale shape: one hash aggregate to per-source counts (bounded by
+    * the source domain); the rank window sees only those rows.
+    */
+  def sourceConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("c", "source")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("c"))
+      .withColumn("i", row_number().over(w))
+      .withColumn("nw", count(lit(1)).over(wAll))
+      .agg(count(lit(1)).as("n_sources"), sum("c").as("nn"),
+        sum(col("c") * col("c")).as("c2"),
+        sum((lit(2) * col("i") - col("nw") - 1) * col("c")).as("gnum"),
+        max("c").as("cmax"))
+      .select(col("n_sources"),
+        round(col("c2").cast("double") / (col("nn") * col("nn")).cast("double"), 6)
+          .as("hhi"),
+        round(col("gnum").cast("double") / (col("n_sources") * col("nn")).cast("double"), 6)
+          .as("gini"),
+        round(col("cmax").cast("double") / col("nn").cast("double"), 6)
+          .as("top_share"))
+  }
+
+  val sourceConcentrationSql: String =
+    """WITH sc AS (
+      |  SELECT source, count(*) AS c FROM documents GROUP BY 1
+      |), ranked AS (
+      |  SELECT c, row_number() OVER (ORDER BY c, source) AS i,
+      |    count(*) OVER () AS n FROM sc
+      |), m AS (
+      |  SELECT count(*)::BIGINT AS n_sources, sum(c)::BIGINT AS nn,
+      |    sum(c * c)::BIGINT AS c2,
+      |    sum((2 * i - n - 1) * c)::BIGINT AS gnum, max(c) AS cmax
+      |  FROM ranked
+      |)
+      |SELECT n_sources,
+      |  round(c2::DOUBLE / (nn * nn)::DOUBLE, 6) AS hhi,
+      |  round(gnum::DOUBLE / (n_sources * nn)::DOUBLE, 6) AS gini,
+      |  round(cmax::DOUBLE / nn::DOUBLE, 6) AS top_share
+      |FROM m""".stripMargin
+
   /** Pseudonymization salt — in production a vaulted secret; pinned here
     * so both engines derive identical tokens. */
   val TokenSalt = "s9"

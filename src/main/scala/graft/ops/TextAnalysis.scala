@@ -1097,6 +1097,66 @@ object TextAnalysis {
        |  (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
        |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS slope FROM m)""".stripMargin
 
+
+  /** Pairs reported by [[sourceVocabOverlap]]. */
+  val VocabOverlapK = 20
+
+  /** Cross-source vocabulary overlap — pairwise Jaccard similarity of
+    * the sources' token SETS, the "which feeds are the same content
+    * under two names" screen that runs before near-dup pair mining: two
+    * mirrors show up here at vocabulary level for the cost of a
+    * vocabulary join, long before any document pair is materialized.
+    *
+    * Exactness: |A∩B| from an equi-join on the (source, token) distinct
+    * set, |A|,|B| from its marginals — Jaccard is one division over
+    * exact integers, rounded 6; top pairs break ties by name so the
+    * selected set is deterministic.
+    *
+    * Scale shape: everything downstream of the first aggregate is
+    * VOCABULARY-sized (distinct (source, token)), never corpus-sized;
+    * the self-join fans out at most |sources|² per token. The corpus is
+    * scanned once.
+    */
+  def sourceVocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sv = Tables(spark, dir, "documents")
+      .select(col("source"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = sv.groupBy("source").agg(count(lit(1)).as("nv"))
+    val inter = sv.as("a").join(sv.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("nv").as("na")), Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("nv").as("nb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter"), col("na"), col("nb"),
+        round(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
+      .orderBy(desc("jaccard"), col("src_a"), col("src_b"))
+      .limit(VocabOverlapK)
+  }
+
+  val sourceVocabOverlapSql: String =
+    s"""WITH sv AS (
+       |  SELECT DISTINCT source, tok FROM (
+       |    SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+       |    FROM documents)
+       |), sizes AS (
+       |  SELECT source, count(*) AS nv FROM sv GROUP BY 1
+       |), pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+       |  FROM sv a JOIN sv b ON a.tok = b.tok AND a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT src_a, src_b, inter, na, nb,
+       |  round(inter::DOUBLE / (na + nb - inter)::DOUBLE, 6) AS jaccard
+       |FROM (SELECT p.*, sa.nv AS na, sb.nv AS nb
+       |      FROM pairs p
+       |      JOIN sizes sa ON sa.source = p.src_a
+       |      JOIN sizes sb ON sb.source = p.src_b)
+       |ORDER BY jaccard DESC, src_a, src_b
+       |LIMIT $VocabOverlapK""".stripMargin
+
   /** Mutual information between the corpus's two composition axes
     * (lang × source) — the dependence screen a mixing job runs before
     * treating the axes as independent strata: MI ≈ 0 says source shares

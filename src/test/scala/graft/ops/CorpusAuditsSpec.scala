@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Source-concentration (HHI / Gini / top share) and cross-source
+  * vocabulary overlap: full re-derivation from independent counts.
+  */
+class CorpusAuditsSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sourceConcentration: HHI, Gini, top share re-derive from raw counts") {
+    val row = graft.ops.TableChecks.sourceConcentration(spark, dir).head()
+    val counts = Tables(spark, dir, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(c => (c._2, c._1))
+    val n = counts.length
+    val total = counts.map(_._2).sum
+    val hhi = counts.map(c => c._2 * c._2).sum.toDouble / (total.toDouble * total)
+    val gini = counts.zipWithIndex
+      .map { case ((_, c), i0) => (2L * (i0 + 1) - n - 1) * c }.sum.toDouble /
+      (n.toDouble * total)
+    assert(row.getLong(0) == n.toLong)
+    assert(math.abs(row.getDouble(1) - hhi) < 1e-6)
+    assert(math.abs(row.getDouble(2) - gini) < 1e-6)
+    assert(math.abs(row.getDouble(3) - counts.map(_._2).max.toDouble / total) < 1e-6)
+    // a near-uniform synthetic grid has HHI ~ 1/n and tiny Gini — the
+    // testdata sources are near-uniform, so the audit should say so
+    assert(row.getDouble(1) < 2.0 / n, "HHI far above uniform on balanced sources")
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) < 0.5)
+  }
+
+  test("sourceVocabOverlap: Jaccard re-derives from the distinct token sets") {
+    val out = graft.ops.TextAnalysis.sourceVocabOverlap(spark, dir).collect()
+    assert(out.length == graft.ops.TextAnalysis.VocabOverlapK)
+    val vocab = Tables(spark, dir, "documents")
+      .select(col("source"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (r <- out) {
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, "pair order canonical")
+      val inter = (vocab(a) & vocab(b)).size
+      assert(r.getLong(2) == inter.toLong)
+      assert(r.getLong(3) == vocab(a).size.toLong && r.getLong(4) == vocab(b).size.toLong)
+      val j = inter.toDouble / (vocab(a).size + vocab(b).size - inter)
+      assert(math.abs(r.getDouble(5) - j) < 1e-6)
+    }
+    // rows arrive most-similar-first
+    val js = out.map(_.getDouble(5))
+    assert(js.zip(js.tail).forall { case (x, y) => x >= y })
+  }
+}
