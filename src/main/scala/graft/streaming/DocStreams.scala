@@ -52,6 +52,34 @@ object DocStreams {
       .drop("keep")
   }
 
+
+  /** Streaming twin of [[graft.ops.QualityModel.dsirWeights]] — DSIR
+    * selection at ingest. The fitted bucket model (≤ 64 entries,
+    * [[graft.ops.QualityModel.dsirModel]]) embeds as a plan-time MAP
+    * literal; each document scores the mean log-likelihood ratio of its
+    * tokens' md5 buckets entirely inside one projection:
+    * `aggregate(transform(tokens, t → m[bucket(t)]), …)` — stateless, no
+    * streaming state, no join, unseen buckets falling back to the
+    * zero-count smoothed default. Docs below `minWeight` drop at ingest,
+    * the DSIR selection step applied where it is cheapest.
+    */
+  def dsirScored(docs: DataFrame, model: Map[Long, Double],
+      default: Double, minWeight: Double = Double.NegativeInfinity): DataFrame = {
+    val mapLit = map(model.toSeq.sortBy(_._1)
+      .flatMap { case (b, w) => Seq(lit(b), lit(w)) }: _*)
+    val toks = Dedup.tokens(col("text"))
+    def bucket(t: org.apache.spark.sql.Column) =
+      conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("long") %
+        graft.ops.QualityModel.DsirBuckets
+    val total = aggregate(
+      transform(toks, t => coalesce(element_at(mapLit, bucket(t)), lit(default))),
+      lit(0.0), (acc, x) => acc + x)
+    docs
+      .select(col("doc_id"), col("ts"), col("text"), size(toks).as("n_tokens"),
+        round(total / size(toks), 4).as("dsir_weight"))
+      .filter(col("dsir_weight") >= minWeight)
+  }
+
   /** Streaming twin of [[graft.ops.Dedup.incrementalNearDup]] — the
     * production ingest: documents STREAM in and near-dup-check against a
     * STATIC corpus band index (`Dedup.bandIndex` / `Dedup.shingleIndex`,

