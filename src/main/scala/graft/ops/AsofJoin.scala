@@ -131,6 +131,36 @@ object AsofJoin {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of (pandas `merge_asof(direction='forward')`): for each
+    * event, the same user's EARLIEST strictly-later click. No new
+    * operator needed — time reverses: run the native backward merge on
+    * negated microseconds and "latest prior" becomes "earliest next".
+    * The negation is a codegen projection on both sides; the join shape,
+    * distribution and ordering contracts are untouched.
+    */
+  def asofNextClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val neg = (-unix_micros(col("ts"))).as("tneg")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), neg, col("ts"), col("value"))
+    graft.plans.AsofMergeJoin.asofLastPrior(
+      ev.select(col("event_id"), col("user_id"), neg),
+      clicks, key = "user_id", time = "tneg")
+      .select(col("event_id"),
+        date_format(col("asof_ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("next_click_ts"),
+        col("asof_value").as("next_click_value"))
+      .orderBy("event_id")
+  }
+
+  val asofNextClickSql: String =
+    """SELECT e.event_id,
+      |  strftime(c.ts, '%Y-%m-%dT%H:%M:%S.%f') AS next_click_ts,
+      |  c.value AS next_click_value
+      |FROM events e ASOF LEFT JOIN
+      |  (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      |  ON e.user_id = c.user_id AND e.ts < c.ts
+      |ORDER BY e.event_id""".stripMargin
+
   val asofClickWithinSql: String =
     s"""SELECT e.event_id,
        |  CASE WHEN epoch_us(e.ts) - epoch_us(c.ts) <= $ClickTolMicros

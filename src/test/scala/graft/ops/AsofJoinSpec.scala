@@ -37,6 +37,34 @@ class AsofJoinSpec extends SparkSuite {
     assert(out.getAs[Any]("asof_value") == null)
   }
 
+
+  test("forward as-of picks the earliest strictly-later click (negated-time reversal)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = AsofJoin.asofNextClick(spark, dir).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val ev = Tables(spark, dir, "events")
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val clicks = Tables(spark, dir, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.getTime).toSeq).toMap
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    var matched = 0
+    for ((id, uid, ts) <- ev) {
+      val next = clicks.getOrElse(uid, Seq.empty).find(_.getTime > ts.getTime)
+      (out(id), next) match {
+        case (Some(got), Some(want)) =>
+          assert(got.startsWith(fmt.format(want)), s"event $id: $got vs $want"); matched += 1
+        case (None, None) => ()
+        case other => fail(s"event $id mismatch: $other")
+      }
+    }
+    assert(matched > 0)
+  }
+
   test("tolerance nulls exactly the matches staler than the bound, in both formulations") {
     val dir = "/root/testdata/sf0.001"
     val loose = AsofJoin.asofLastClickNative(spark, dir).collect()
