@@ -88,4 +88,45 @@ class AsofMergeJoinSpec extends SparkSuite {
     assert("\\bSort\\b".r.findAllIn(plan).size == 2,
       s"window added a sort — outputOrdering not honored:\n$plan")
   }
+
+  test("pre-bucketed sorted layout: the native as-of plans with zero exchanges") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_asof_buckets").toFile
+    val ev = graft.ops.Tables(spark, dir, "events")
+    try {
+      // one file per bucket so the scan reports both the hash partitioning
+      // and the (user_id, ts) sort — the layout a production events table
+      // would carry precisely to make every per-user merge free
+      ev.select(col("event_id"), col("user_id"), col("ts")).repartition(1)
+        .write.mode("overwrite").option("path", s"$tmp/ev")
+        .bucketBy(4, "user_id").sortBy("user_id", "ts").saveAsTable("asof_ev_b")
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value")).repartition(1)
+        .write.mode("overwrite").option("path", s"$tmp/cl")
+        .bucketBy(4, "user_id").sortBy("user_id", "ts").saveAsTable("asof_cl_b")
+      val df = AsofMergeJoin.asofLastPrior(
+        spark.table("asof_ev_b"), spark.table("asof_cl_b"),
+        key = "user_id", time = "ts")
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AsofMergeJoin"), s"native operator not planned:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed as-of still shuffles — required distribution not matched to the layout:\n$plan")
+      // and the result is still the as-of result
+      val viaLayout = df.select("event_id", "asof_value").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      val direct = AsofMergeJoin.asofLastPrior(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value")),
+        key = "user_id", time = "ts")
+        .select("event_id", "asof_value").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(viaLayout == direct)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS asof_ev_b")
+      spark.sql("DROP TABLE IF EXISTS asof_cl_b")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+  }
 }
