@@ -173,4 +173,59 @@ object Skew {
         approx_count_distinct(col("l_suppkey"), rsd).as("n_supps_approx"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
+
+  /** Join-size prediction from key histograms — the optimizer statistic
+    * (System R's join cardinality formula, made exact): for an equi-join,
+    * |A ⋈ B| = Σ_k cA(k)·cB(k) over the shared keys. Computing that sum
+    * from the two per-key count aggregates PREDICTS the join's output
+    * size — and its per-key max is the skew ceiling — without shuffling
+    * a single payload row. The query reports the prediction next to the
+    * executed join's actual count and pins their equality: this is what
+    * a 100-TB pipeline runs BEFORE a fact-fact join to size shuffle
+    * partitions and pick salting.
+    *
+    * Scale shape: two key-count aggregates (map-side partials), a
+    * key-domain-sized equi-join between them, one scalar combine; the
+    * validation leg executes the real join once (bench excluded — the
+    * prediction is the operator; the actual is its oracle witness).
+    */
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    def side(t: String, c: String) =
+      ev.filter(col("event_type") === t).groupBy("user_id")
+        .agg(count(lit(1)).as(c))
+    val hist = side("view", "cv").join(side("purchase", "cp"), "user_id")
+    val est = hist.agg(
+      count(lit(1)).as("n_shared_keys"),
+      sum(col("cv") * col("cp")).as("predicted_pairs"),
+      max(col("cv") * col("cp")).as("max_key_pairs"))
+    val actual = ev.filter(col("event_type") === "view").select("user_id")
+      .join(ev.filter(col("event_type") === "purchase").select("user_id"), "user_id")
+      .agg(count(lit(1)).as("actual_pairs"))
+    est.crossJoin(actual)
+      .select(col("n_shared_keys"), col("predicted_pairs"), col("max_key_pairs"),
+        col("actual_pairs"),
+        (col("predicted_pairs") === col("actual_pairs")).as("exact_match"))
+  }
+
+  val joinSizeEstimateSql: String =
+    """WITH v AS (
+      |  SELECT user_id, count(*) AS cv FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), p AS (
+      |  SELECT user_id, count(*) AS cp FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1
+      |), h AS (SELECT cv, cp FROM v JOIN p USING (user_id)
+      |), est AS (
+      |  SELECT count(*) AS n_shared_keys, sum(cv * cp)::BIGINT AS predicted_pairs,
+      |    max(cv * cp)::BIGINT AS max_key_pairs FROM h
+      |), act AS (
+      |  SELECT count(*) AS actual_pairs
+      |  FROM (SELECT user_id FROM events WHERE event_type = 'view') a
+      |  JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') b
+      |    USING (user_id)
+      |)
+      |SELECT n_shared_keys, predicted_pairs, max_key_pairs, actual_pairs,
+      |  predicted_pairs = actual_pairs AS exact_match
+      |FROM est CROSS JOIN act""".stripMargin
 }

@@ -1098,6 +1098,42 @@ object TextAnalysis {
        |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS slope FROM m)""".stripMargin
 
 
+
+  /** Language-ID confusion matrix — the evaluation view of [[langId]]:
+    * cells (labeled × predicted) with counts and the within-label share
+    * (the recall decomposition); the diagonal share IS per-class recall.
+    * The screen that turns the heuristic classifier into a measured one
+    * before anyone trusts its routing decisions.
+    *
+    * Scale shape: the per-doc prediction is [[langId]]'s one codegen
+    * projection; the matrix is one hash aggregate to the (langs+1)²
+    * bounded grid plus a grid-sized totals join. Exact integers
+    * throughout; one division per cell.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .groupBy("labeled", "predicted").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("labeled").agg(sum("n").as("tot"))
+    cells.join(totals, "labeled")
+      .select(col("labeled"), col("predicted"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6).as("row_frac"))
+      .orderBy("labeled", "predicted")
+  }
+
+  val langIdConfusionSql: String = {
+    val core = langIdSql.replaceAll("\\s*ORDER BY doc_id\\s*$", "")
+    s"""WITH pred AS (
+       |$core
+       |), cells AS (
+       |  SELECT labeled, predicted, count(*) AS n FROM pred GROUP BY 1, 2
+       |), totals AS (
+       |  SELECT labeled, sum(n)::BIGINT AS tot FROM cells GROUP BY 1
+       |)
+       |SELECT labeled, predicted, n, round(n::DOUBLE / tot::DOUBLE, 6) AS row_frac
+       |FROM cells JOIN totals USING (labeled)
+       |ORDER BY labeled, predicted""".stripMargin
+  }
+
   /** Pairs reported by [[sourceVocabOverlap]]. */
   val VocabOverlapK = 20
 

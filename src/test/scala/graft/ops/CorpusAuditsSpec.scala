@@ -52,4 +52,24 @@ class CorpusAuditsSpec extends SparkSuite {
     val js = out.map(_.getDouble(5))
     assert(js.zip(js.tail).forall { case (x, y) => x >= y })
   }
+
+  test("langIdConfusion: cells re-derive from the per-doc classifier; diagonal is recall") {
+    val preds = graft.ops.TextAnalysis.langId(spark, dir)
+      .select("labeled", "predicted").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = preds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cells = graft.ops.TextAnalysis.langIdConfusion(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(cells.keySet == want.keySet)
+    val labTotals = preds.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    for ((k, (n, frac)) <- cells) {
+      assert(n == want(k))
+      assert(math.abs(frac - n.toDouble / labTotals(k._1)) < 1e-6)
+    }
+    // the classifier is better than chance: every label's diagonal share
+    // beats the uniform 1/(n_langs) baseline
+    val langs = labTotals.keySet
+    for (l <- langs if cells.contains((l, l)))
+      assert(cells((l, l))._2 > 1.0 / (langs.size + 1))
+  }
 }

@@ -91,4 +91,20 @@ class SkewSpec extends SparkSuite {
       assert(math.abs(r.getLong(2) - eSupps).toDouble / eSupps < 0.1)
     }
   }
+
+  test("joinSizeEstimate: histogram prediction equals the executed join exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val row = Skew.joinSizeEstimate(spark, dir).head()
+    assert(row.getBoolean(4), s"prediction ${row.getLong(1)} != actual ${row.getLong(3)}")
+    // re-derive the prediction from independent per-user counts
+    import org.apache.spark.sql.functions.col
+    val ev = Tables(spark, dir, "events").select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cv = ev.filter(_._2 == "view").groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cp = ev.filter(_._2 == "purchase").groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val shared = cv.keySet & cp.keySet
+    assert(row.getLong(0) == shared.size.toLong)
+    assert(row.getLong(1) == shared.toSeq.map(k => cv(k) * cp(k)).sum)
+    assert(row.getLong(2) == shared.toSeq.map(k => cv(k) * cp(k)).max)
+  }
 }
