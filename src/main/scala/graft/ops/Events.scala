@@ -832,6 +832,73 @@ object Events {
       |FROM trans t JOIN totals tt USING (prev)
       |ORDER BY prev, next""".stripMargin
 
+
+  /** Behavioral trigrams with a Markov-1 lift — the order test on top of
+    * [[eventTransitions]]: for each (a→b→c) path, observed count against
+    * the first-order prediction E[abc] = n(ab)·n(bc)/n(b→·). Lift ≈ 1
+    * everywhere says user behavior is memoryless (the transition matrix
+    * suffices); systematic lift exposes genuine 3-step patterns worth a
+    * sequence model. Top paths by observed count, ties by path.
+    *
+    * Scale shape: ONE per-user lag window produces both lookaheads; the
+    * trigram, bigram, and context tables are all |types|ᵏ-bounded
+    * aggregates of it (localCheckpoint — the [[eventTransitions]]
+    * convention — so the corpus window runs once); lift is one division
+    * over exact integers.
+    */
+  def eventTrigrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val seq = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("a"))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .withColumn("c", lead(col("a"), 2).over(w))
+      .filter(col("b").isNotNull)
+      .localCheckpoint()
+    val tri = seq.filter(col("c").isNotNull)
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("n3"))
+    val bi = seq.groupBy("a", "b").agg(count(lit(1)).as("n2"))
+    val ctx = bi.groupBy(col("a").as("b_ctx")).agg(sum("n2").as("nb"))
+    tri
+      .join(broadcast(bi.select(col("a"), col("b"), col("n2").as("n_ab"))), Seq("a", "b"))
+      .join(broadcast(bi.select(col("a").as("b"), col("b").as("c"),
+        col("n2").as("n_bc"))), Seq("b", "c"))
+      .join(broadcast(ctx), col("b") === col("b_ctx"))
+      .select(col("a"), col("b"), col("c"), col("n3"),
+        round(col("n_ab").cast("double") * col("n_bc").cast("double")
+          / col("nb").cast("double"), 6).as("markov1_expected"),
+        round(col("n3").cast("double") * col("nb").cast("double")
+          / (col("n_ab").cast("double") * col("n_bc").cast("double")), 6).as("lift"))
+      .orderBy(desc("n3"), col("a"), col("b"), col("c"))
+      .limit(k)
+  }
+
+  val eventTrigramsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS a,
+      |    lead(event_type, 1) OVER w AS b,
+      |    lead(event_type, 2) OVER w AS c
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), tri AS (
+      |  SELECT a, b, c, count(*) AS n3 FROM seq
+      |  WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2, 3
+      |), bi AS (
+      |  SELECT a, b, count(*) AS n2 FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+      |), ctx AS (
+      |  SELECT a AS b_ctx, sum(n2)::BIGINT AS nb FROM bi GROUP BY 1
+      |)
+      |SELECT t.a, t.b, t.c, n3,
+      |  round(ab.n2::DOUBLE * bc.n2::DOUBLE / ctx.nb::DOUBLE, 6) AS markov1_expected,
+      |  round(n3::DOUBLE * ctx.nb::DOUBLE / (ab.n2::DOUBLE * bc.n2::DOUBLE), 6) AS lift
+      |FROM tri t
+      |JOIN bi ab ON ab.a = t.a AND ab.b = t.b
+      |JOIN bi bc ON bc.a = t.b AND bc.b = t.c
+      |JOIN ctx ON ctx.b_ctx = t.b
+      |ORDER BY n3 DESC, t.a, t.b, t.c
+      |LIMIT 20""".stripMargin
+
   /** Grouped least-squares regression — value against hour-of-day per
     * event type (the "is there a time-of-day effect" screen): slope and
     * intercept from the closed-form normal equations, computed EXACTLY.

@@ -296,4 +296,34 @@ class EventsSpec extends SparkSuite {
     }
     assert(loose > got.count(_._3), "error exclusion should reject someone")
   }
+
+  test("eventTrigrams: counts and Markov-1 lift re-derive from raw sequences") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Events.eventTrigrams(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val seqs = Tables(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._2.getTime, e._3)).map(_._4).toSeq).toMap
+    val tri = scala.collection.mutable.Map.empty[(String, String, String), Long]
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (s0 <- seqs.values) {
+      s0.sliding(3).filter(_.length == 3).foreach { w =>
+        tri((w(0), w(1), w(2))) = tri.getOrElse((w(0), w(1), w(2)), 0L) + 1 }
+      s0.sliding(2).filter(_.length == 2).foreach { w =>
+        bi((w(0), w(1))) = bi.getOrElse((w(0), w(1)), 0L) + 1 }
+    }
+    val nb = bi.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    // top-k by (n3 desc, path) must match, with exact lift
+    val want = tri.toSeq.sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+    assert(out.length == math.min(20, tri.size))
+    for ((row, ((a, b, c), n3)) <- out.zip(want)) {
+      assert((row.getString(0), row.getString(1), row.getString(2)) == ((a, b, c)))
+      assert(row.getLong(3) == n3)
+      val exp = bi((a, b)).toDouble * bi((b, c)) / nb(b)
+      assert(math.abs(row.getDouble(4) - exp) < 1e-4, s"expected $exp got ${row.getDouble(4)}")
+      assert(math.abs(row.getDouble(5) - n3 * nb(b).toDouble / (bi((a, b)).toDouble * bi((b, c)))) < 1e-4)
+    }
+  }
 }
