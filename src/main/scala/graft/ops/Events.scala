@@ -956,4 +956,87 @@ object Events {
       |FROM (SELECT event_type, json_extract(props, '$.k')::INT AS k
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Attribution lookback: touches within 24 h before the conversion. */
+  val AttributionLookbackSeconds = 86400L
+
+  /** Multi-touch attribution — the marketing-analytics credit split: every
+    * `purchase` distributes one unit of credit across the SAME USER's
+    * preceding non-purchase touches inside a 24 h lookback, under three
+    * standard models at once: LINEAR (1/n each), RANK-DECAY (most recent
+    * touch weight n down to 1 — the discrete time-decay), and U-SHAPED
+    * (40% first touch, 40% last, 20% split over the middle — the
+    * "position-based" model). Per-channel totals let a budget owner
+    * compare first-vs-last-touch bias in one table.
+    *
+    * Credits are integer PARTS-PER-MILLION (`1000000 div n` etc. — the
+    * `skew_report` permille discipline, scaled), so every per-touch credit
+    * and every per-channel sum is exact integer arithmetic — no
+    * float-summation order to disagree across engines. The model identity
+    * Σ_pos weights = n(n+1)/2 makes rank-decay's `2·w·10⁶ div (n(n+1))`
+    * sum to ≤ 10⁶ per conversion with only truncation loss.
+    *
+    * Scale shape: conversions⋈touches is ONE equi-join on user_id with the
+    * lookback as a post-filter (per-user fanout is bounded by per-user
+    * activity — the [[orderedFunnel]] exchange, AQE-skew-safe); `pos`/`n`
+    * ride ONE window partitioned by conversion (a per-conversion frame,
+    * never global); the channel rollup is a domain-bounded hash aggregate.
+    */
+  def multiTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        unix_micros(col("ts")).as("conv_us"))
+    val touch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"), unix_micros(col("ts")).as("touch_us"))
+    val pairs = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_us") < col("conv_us") &&
+        col("conv_us") - col("touch_us") <= AttributionLookbackSeconds * 1000000L)
+    val wPos = Window.partitionBy("conv_id")
+      .orderBy(desc("touch_us"), desc("touch_id"))
+    val scored = pairs
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("conv_id")))
+    scored
+      .select(col("channel"), col("conv_id"),
+        expr("1000000L div n").as("lin"),
+        expr("((n - pos + 1L) * 2000000L) div (n * (n + 1L))").as("rnk"),
+        expr("""CASE WHEN n = 1 THEN 1000000L WHEN n = 2 THEN 500000L
+                WHEN pos = 1 OR pos = n THEN 400000L
+                ELSE 200000L div (n - 2L) END""").as("ush"))
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_touches"),
+        countDistinct(col("conv_id")).as("n_convs"),
+        sum(col("lin")).as("linear_ppm"),
+        sum(col("rnk")).as("rank_decay_ppm"),
+        sum(col("ush")).as("u_shape_ppm"))
+      .orderBy("channel")
+  }
+
+  val multiTouchAttributionSql: String =
+    s"""WITH conv AS (
+       |  SELECT event_id AS conv_id, user_id, epoch_us(ts) AS conv_us
+       |  FROM events WHERE event_type = 'purchase'
+       |), touch AS (
+       |  SELECT user_id, event_id AS touch_id, event_type AS channel,
+       |    epoch_us(ts) AS touch_us
+       |  FROM events WHERE event_type <> 'purchase'
+       |), pairs AS (
+       |  SELECT conv_id, channel,
+       |    row_number() OVER (PARTITION BY conv_id
+       |                       ORDER BY touch_us DESC, touch_id DESC) AS pos,
+       |    count(*) OVER (PARTITION BY conv_id) AS n
+       |  FROM conv JOIN touch USING (user_id)
+       |  WHERE touch_us < conv_us
+       |    AND conv_us - touch_us <= ${AttributionLookbackSeconds}000000
+       |)
+       |SELECT channel, count(*) AS n_touches, count(DISTINCT conv_id) AS n_convs,
+       |  sum(1000000 // n)::BIGINT AS linear_ppm,
+       |  sum(((n - pos + 1) * 2000000) // (n * (n + 1)))::BIGINT AS rank_decay_ppm,
+       |  sum(CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
+       |           WHEN pos = 1 OR pos = n THEN 400000
+       |           ELSE 200000 // (n - 2) END)::BIGINT AS u_shape_ppm
+       |FROM pairs GROUP BY channel ORDER BY channel""".stripMargin
 }

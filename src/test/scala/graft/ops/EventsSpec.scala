@@ -326,4 +326,49 @@ class EventsSpec extends SparkSuite {
       assert(math.abs(row.getDouble(5) - n3 * nb(b).toDouble / (bi((a, b)).toDouble * bi((b, c)))) < 1e-4)
     }
   }
+
+  test("multiTouchAttribution: ppm credits equal a brute per-conversion walk") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Events.multiTouchAttribution(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val rows = Tables(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000L
+        + (r.getTimestamp(1).getNanos / 1000) % 1000, r.getLong(2), r.getString(3)))
+    val byUser = rows.groupBy(_._3)
+    // brute: per purchase, collect in-lookback touches, rank by recency
+    val acc = scala.collection.mutable.Map.empty[String, Array[Long]]
+    val convs = scala.collection.mutable.Map.empty[String, Set[Long]].withDefaultValue(Set())
+    for ((_, evs) <- byUser; (cid, cus, _, tp) <- evs if tp == "purchase") {
+      val touches = evs.filter(e => e._4 != "purchase" && e._2 < cus &&
+          cus - e._2 <= Events.AttributionLookbackSeconds * 1000000L)
+        .sortBy(e => (-e._2, -e._1))
+      val n = touches.length.toLong
+      for (((tid, _, _, ch), i) <- touches.zipWithIndex) {
+        val pos = i + 1L
+        val lin = 1000000L / n
+        val rnk = ((n - pos + 1) * 2000000L) / (n * (n + 1))
+        val ush =
+          if (n == 1) 1000000L else if (n == 2) 500000L
+          else if (pos == 1 || pos == n) 400000L else 200000L / (n - 2)
+        val a = acc.getOrElseUpdate(ch, Array(0L, 0L, 0L, 0L))
+        a(0) += 1; a(1) += lin; a(2) += rnk; a(3) += ush
+        convs(ch) = convs(ch) + cid
+      }
+    }
+    assert(out.keySet == acc.keySet && out.nonEmpty)
+    for ((ch, a) <- acc) {
+      val (nt, nc, lin, rnk, ush) = out(ch)
+      assert(nt == a(0) && nc == convs(ch).size.toLong, s"counts for $ch")
+      assert(lin == a(1), s"linear $ch: got $lin want ${a(1)}")
+      assert(rnk == a(2), s"rank $ch: got $rnk want ${a(2)}")
+      assert(ush == a(3), s"ushape $ch: got $ush want ${a(3)}")
+    }
+    // model sanity: total credit never exceeds one unit per touched
+    // conversion (integer-div truncation only ever loses credit)
+    val touched = convs.values.flatten.toSet.size.toLong
+    for (i <- 1 to 3)
+      assert(acc.values.map(_(i)).sum <= touched * 1000000L)
+  }
 }
