@@ -611,4 +611,72 @@ object TableChecks {
     (ProfileNumCols.map(row(_, "num")) ++ ProfileStrCols.map(row(_, "str")) ++
       ProfileTsCols.map(row(_, "ts"))).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
+
+  /** Erasure-request selector: every 97th customer key — the deterministic
+    * stand-in for a right-to-be-forgotten tombstone table. */
+  val ErasureModulus = 97L
+
+  /** GDPR erasure-cascade impact audit — the dry-run a data-platform team
+    * runs before executing a right-to-be-forgotten batch: given a
+    * tombstone TABLE of customer keys, how many rows does the delete
+    * cascade touch in every downstream table (customer → orders →
+    * lineitem), and what fraction of each table goes? The output is the
+    * per-table blast radius (`n_rows`, `n_erased`, integer permille) a
+    * DPO signs off on and a capacity planner sizes the rewrite from.
+    *
+    * The tombstone set is deliberately consumed as a FRAME, not folded
+    * into a predicate: real erasure requests arrive as a table of ids, so
+    * the cascade must be join-shaped. Scale shape: two keyed semi-joins —
+    * orders⋉tombstones on custkey, lineitem⋉(erased orders) on orderkey —
+    * each one exchange, AQE-skew-safe; the per-table tallies are three
+    * single-row aggregates unioned into the report (no table scanned
+    * twice: the erased-orders key set feeds both its own count and the
+    * lineitem semi-join).
+    */
+  def erasureCascade(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val orders = Tables(spark, dir, "orders")
+    val lineitem = Tables(spark, dir, "lineitem")
+    val tomb = cust.filter(col("c_custkey") % ErasureModulus === 0L)
+      .select(col("c_custkey"))
+    val erasedOrders = orders
+      .join(tomb, orders("o_custkey") === tomb("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+      .localCheckpoint() // feeds its own count AND the lineitem semi-join
+    val erasedLineitem = lineitem
+      .join(erasedOrders,
+        lineitem("l_orderkey") === erasedOrders("o_orderkey"), "left_semi")
+    def tally(name: String, total: DataFrame, erased: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("n_rows")).crossJoin(
+        erased.agg(count(lit(1)).as("n_erased")))
+        .select(lit(name).as("table_name"), col("n_rows"), col("n_erased"),
+          expr("(n_erased * 1000L) div n_rows").as("erased_permille"))
+    tally("customer", cust, tomb)
+      .union(tally("lineitem", lineitem, erasedLineitem))
+      .union(tally("orders", orders, erasedOrders))
+      .orderBy("table_name")
+  }
+
+  val erasureCascadeSql: String =
+    s"""WITH tomb AS (
+       |  SELECT c_custkey FROM customer WHERE c_custkey % $ErasureModulus = 0
+       |), eo AS (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_custkey IN (SELECT c_custkey FROM tomb)
+       |)
+       |SELECT table_name, n_rows, n_erased,
+       |  (n_erased * 1000) // n_rows AS erased_permille
+       |FROM (
+       |  SELECT 'customer' AS table_name,
+       |    (SELECT count(*) FROM customer) AS n_rows,
+       |    (SELECT count(*) FROM tomb) AS n_erased
+       |  UNION ALL
+       |  SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+       |    (SELECT count(*) FROM lineitem
+       |     WHERE l_orderkey IN (SELECT o_orderkey FROM eo))
+       |  UNION ALL
+       |  SELECT 'orders', (SELECT count(*) FROM orders),
+       |    (SELECT count(*) FROM eo)
+       |)
+       |ORDER BY table_name""".stripMargin
 }

@@ -278,4 +278,28 @@ class TableChecksSpec extends SparkSuite {
     assert(out.values.exists(_._3) && out.values.exists(!_._3),
       "expected both close and non-close cells — audit untested otherwise")
   }
+
+  test("erasureCascade: blast radius equals a brute cascade walk") {
+    val dir = "/root/testdata/sf0.001"
+    val cust = Tables(spark, dir, "customer").select("c_custkey").collect().map(_.getLong(0))
+    val orders = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val li = Tables(spark, dir, "lineitem").select("l_orderkey").collect().map(_.getLong(0))
+    val tomb = cust.filter(_ % TableChecks.ErasureModulus == 0).toSet
+    val eo = orders.filter(o => tomb(o._2)).map(_._1).toSet
+    val el = li.count(eo)
+    val want = Map(
+      "customer" -> (cust.length.toLong, tomb.size.toLong),
+      "orders" -> (orders.length.toLong, eo.size.toLong),
+      "lineitem" -> (li.length.toLong, el.toLong))
+    val out = TableChecks.erasureCascade(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == want.keySet)
+    for ((t, (n, e)) <- want) {
+      assert(out(t)._1 == n && out(t)._2 == e, s"$t: got ${out(t)} want ($n, $e)")
+      assert(out(t)._3 == e * 1000L / n, s"$t permille")
+    }
+    // cascade must actually bite at every level at this SF
+    assert(want.values.forall(_._2 > 0), "tombstone set empty — audit untested")
+  }
 }
