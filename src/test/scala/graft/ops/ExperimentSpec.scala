@@ -1,0 +1,61 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import graft.SparkSuite
+
+class ExperimentSpec extends SparkSuite {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("abCupedLift: arms, means, theta and adjusted means equal a brute walk") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Tables(spark, dir, "events")
+      .select("user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+    val split = java.sql.Timestamp.valueOf(s"${Experiment.SplitDate} 00:00:00")
+    // exact per-user cents (value carries 2 decimals)
+    val pu = rows.groupBy(_._1).map { case (uid, evs) =>
+      val x = evs.filter(e => e._3 == "purchase" && e._2.before(split))
+        .map(e => BigDecimal(e._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      val y = evs.filter(e => e._3 == "purchase" && !e._2.before(split))
+        .map(e => BigDecimal(e._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      val arm = if (md5hex(s"${Experiment.AbSeed}:$uid").charAt(0) <= '7')
+        "control" else "treatment"
+      (uid, arm, x, y)
+    }.toSeq
+    val nAll = pu.size.toDouble
+    val sx = pu.map(_._3).sum.toDouble; val sy = pu.map(_._4).sum.toDouble
+    val sxx = pu.map(u => u._3 * u._3).sum.toDouble
+    val sxy = pu.map(u => u._3 * u._4).sum.toDouble
+    val theta = (nAll * sxy - sx * sy) / (nAll * sxx - sx * sx)
+    val out = Experiment.abCupedLift(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out.keySet == Set("control", "treatment"),
+      "both arms must be populated at this SF")
+    for (arm <- Seq("control", "treatment")) {
+      val members = pu.filter(_._2 == arm)
+      val n = members.size.toDouble
+      val mx = members.map(_._3).sum.toDouble / n
+      val my = members.map(_._4).sum.toDouble / n
+      val cuped = my - theta * (mx - sx / nAll)
+      val (gn, gmx, gmy, gth, gcu) = out(arm)
+      assert(gn == members.size.toLong, s"$arm n_users")
+      assert(math.abs(gmx - mx) < 1e-4, s"$arm mean_x $gmx vs $mx")
+      assert(math.abs(gmy - my) < 1e-4, s"$arm mean_y $gmy vs $my")
+      assert(math.abs(gth - theta) < 1e-4, s"$arm theta $gth vs $theta")
+      assert(math.abs(gcu - cuped) < 1e-4, s"$arm cuped $gcu vs $cuped")
+    }
+    // CUPED's point: adjusting with theta shrinks the per-user residual
+    // variance of y relative to raw y (equality only if cov(x,y) = 0)
+    val muX = sx / nAll; val muY = sy / nAll
+    val rawVar = pu.map(u => math.pow(u._4.toDouble - muY, 2)).sum
+    val adjVar = pu.map(u =>
+      math.pow(u._4.toDouble - theta * (u._3.toDouble - muX) - muY, 2)).sum
+    assert(adjVar <= rawVar + 1e-9, s"CUPED must not inflate variance: $adjVar > $rawVar")
+  }
+}
