@@ -430,4 +430,95 @@ object StorageLayout {
       .parquet(outPath)
     nFiles
   }
+
+  /** Ring topology: shard count before the change, virtual nodes per
+    * shard. The rebalance adds ONE shard. */
+  val RingShards = 16
+  val RingVnodes = 16
+
+  /** Shard-rebalance blast radius: consistent hashing vs modulo — the
+    * topology-change audit a storage team runs before growing a cluster
+    * from N to N+1 shards. Under `key mod N` almost every key moves
+    * (expected (N−1)/N — a full-cluster rewrite); under a consistent-hash
+    * ring (Karger et al. STOC'97; the memcached/Dynamo placement) only
+    * the arc the new shard's vnodes capture moves (expected ≈ 1/(N+1)).
+    * The report is one row per scheme with exact moved-key counts — the
+    * numbers that justify ring placement for any stateful 100-TB store.
+    *
+    * Determinism: positions are md5-derived uint32s computed IN-ENGINE on
+    * both sides (no RNG, no literals); the clockwise-successor choice is
+    * `min(adj·1024 + shard)` over exact integers, where
+    * `adj = (vpos − kpos) mod 2³²` — ties and wraparound resolve
+    * identically everywhere.
+    *
+    * Scale shape: the vnode table is O(shards·vnodes) rows — broadcast by
+    * construction; assignment is one broadcast cross join + one hash
+    * aggregate per key (no shuffle of the key table beyond its aggregate);
+    * the mod scheme is a pure projection. At a real deployment the key
+    * table is a key SAMPLE — the audit needs proportions, not a census.
+    */
+  def ringRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("key"),
+        expr("cast(conv(substring(md5(cast(concat('key:', cast(o_orderkey as string)) as binary)), 1, 8), 16, 10) as bigint)")
+          .as("kpos"))
+    def vnodes(n: Int) = {
+      val grid = for (s <- 0 until n; r <- 0 until RingVnodes) yield (s, r)
+      val df = spark.createDataFrame(grid).toDF("shard", "replica")
+      df.select(col("shard"),
+        expr("cast(conv(substring(md5(cast(concat('ring:', cast(shard as string), ':', cast(replica as string)) as binary)), 1, 8), 16, 10) as bigint)")
+          .as("vpos"))
+    }
+    def assign(ring: DataFrame, name: String) =
+      keys.crossJoin(broadcast(ring))
+        .select(col("key"),
+          (((col("vpos") - col("kpos") + lit(4294967296L)) % lit(4294967296L))
+            * lit(1024L) + col("shard")).as("comb"))
+        .groupBy("key").agg((min(col("comb")) % 1024L).as(name))
+    val ringMoves = assign(vnodes(RingShards), "before")
+      .join(assign(vnodes(RingShards + 1), "after"), "key")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("before") =!= col("after"), 1L).otherwise(0L)).as("n_moved"))
+      .select(lit("ring").as("scheme"), col("n_keys"), col("n_moved"))
+    val modMoves = keys
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("key") % RingShards =!= col("key") % (RingShards + 1), 1L)
+          .otherwise(0L)).as("n_moved"))
+      .select(lit("mod").as("scheme"), col("n_keys"), col("n_moved"))
+    modMoves.union(ringMoves)
+      .withColumn("moved_permille", expr("(n_moved * 1000L) div n_keys"))
+      .orderBy("scheme")
+  }
+
+  val ringRebalanceSql: String =
+    s"""WITH keys AS (
+       |  SELECT o_orderkey AS key,
+       |    ('0x' || substr(md5('key:' || o_orderkey::VARCHAR), 1, 8))::BIGINT AS kpos
+       |  FROM orders
+       |), vn AS (
+       |  SELECT s.range::INT AS shard, r.range::INT AS replica,
+       |    ('0x' || substr(md5('ring:' || s.range::VARCHAR || ':' || r.range::VARCHAR), 1, 8))::BIGINT AS vpos
+       |  FROM range($RingShards + 1) s CROSS JOIN range($RingVnodes) r
+       |), assigned AS (
+       |  SELECT key,
+       |    min(CASE WHEN shard < $RingShards
+       |      THEN ((vpos - kpos + 4294967296) % 4294967296) * 1024 + shard END)
+       |      % 1024 AS before,
+       |    min(((vpos - kpos + 4294967296) % 4294967296) * 1024 + shard)
+       |      % 1024 AS after
+       |  FROM keys CROSS JOIN vn
+       |  GROUP BY key, kpos
+       |)
+       |SELECT scheme, n_keys, n_moved, (n_moved * 1000) // n_keys AS moved_permille
+       |FROM (
+       |  SELECT 'mod' AS scheme, count(*) AS n_keys,
+       |    sum(CASE WHEN key % $RingShards <> key % (${RingShards} + 1)
+       |        THEN 1 ELSE 0 END)::BIGINT AS n_moved
+       |  FROM keys
+       |  UNION ALL
+       |  SELECT 'ring', count(*),
+       |    sum(CASE WHEN before <> after THEN 1 ELSE 0 END)::BIGINT
+       |  FROM assigned
+       |)
+       |ORDER BY scheme""".stripMargin
 }

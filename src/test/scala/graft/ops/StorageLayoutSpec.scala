@@ -320,4 +320,34 @@ class StorageLayoutSpec extends SparkSuite {
       .count(_.getName.startsWith("day="))
     assert(dayDirs > 7, s"only $dayDirs day partitions on disk — nothing to prune")
   }
+
+  test("ringRebalance: assignments equal a brute ring walk; ring beats mod") {
+    import java.security.MessageDigest
+    def md5hex(x: String): String =
+      MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def pos(x: String): Long = java.lang.Long.parseLong(md5hex(x).take(8), 16)
+    val dir = "/root/testdata/sf0.001"
+    val keys = Tables(spark, dir, "orders").select("o_orderkey").collect().map(_.getLong(0))
+    def vnodes(n: Int) = for {
+      s <- 0 until n; r <- 0 until StorageLayout.RingVnodes
+    } yield (s, pos(s"ring:$s:$r"))
+    def assign(k: Long, vs: Seq[(Int, Long)]): Int = {
+      val kp = pos(s"key:$k")
+      vs.map { case (s, vp) => ((vp - kp + 4294967296L) % 4294967296L) * 1024L + s }
+        .min % 1024L
+    }.toInt
+    val vsB = vnodes(StorageLayout.RingShards)
+    val vsA = vnodes(StorageLayout.RingShards + 1)
+    val ringMoved = keys.count(k => assign(k, vsB) != assign(k, vsA)).toLong
+    val modMoved = keys.count(k =>
+      k % StorageLayout.RingShards != k % (StorageLayout.RingShards + 1)).toLong
+    val out = StorageLayout.ringRebalance(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("mod") == ((keys.length.toLong, modMoved, modMoved * 1000 / keys.length)))
+    assert(out("ring") == ((keys.length.toLong, ringMoved, ringMoved * 1000 / keys.length)))
+    // the point of the ring: an N->N+1 grow moves ~1/(N+1), not ~N/(N+1)
+    assert(ringMoved > 0 && ringMoved * 5 < modMoved,
+      s"ring $ringMoved should be far below mod $modMoved")
+  }
 }
