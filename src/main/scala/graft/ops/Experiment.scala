@@ -112,4 +112,181 @@ object Experiment {
        |    6) AS cuped_mean
        |FROM arms CROSS JOIN pooled
        |ORDER BY arm""".stripMargin
+
+  /** Conversion bar: a user converts iff their experiment-period purchase
+    * value exceeds this (≈ the per-user median at every SF, so both arms'
+    * rates stay interior — a constant-rate definition like "any purchase"
+    * saturates at 100% on this activity level and degenerates the test). */
+  val ConversionValue = "300.00"
+
+  /** Two-proportion z-test on conversion — the classical A/B
+    * significance readout next to [[abCupedLift]]'s continuous metric:
+    * a user CONVERTS if their experiment-period purchase value clears
+    * [[ConversionValue]]; the pooled-variance z statistic decides whether
+    * the arms' conversion rates differ. Everything upstream of z is exact
+    * (DECIMAL cent sums → integer converter counts); z itself is one
+    * fixed-shape IEEE tree, rounded 6.
+    *
+    * Scale shape: one events scan → per-user flags (hash aggregate), a
+    * 2-row arm rollup, and a scalar-combine — the [[abCupedLift]] plan
+    * with a threshold flag instead of decimal sums.
+    */
+  def abConversionZtest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val dec = "cast(0.00 as decimal(15,2))"
+    val pu = ev.groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase" &&
+        col("ts") >= lit(SplitDate).cast("timestamp"),
+        col("value").cast("decimal(15,2)")).otherwise(expr(dec)))
+        > expr(s"cast($ConversionValue as decimal(15,2))"), 1L).otherwise(0L)
+        .as("converted"))
+      .withColumn("arm",
+        when(substring(md5(concat(lit(AbSeed), lit(":"),
+          col("user_id").cast("string")).cast("binary")), 1, 1)
+          .between("0", "7"), "control").otherwise("treatment"))
+    val arms = pu.groupBy("arm").agg(
+      count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val wide = arms.groupBy().pivot("arm", Seq("control", "treatment"))
+      .agg(first(col("n")).as("n"), first(col("conv")).as("conv"))
+    wide.select(
+      col("control_n").as("n_control"), col("control_conv").as("conv_control"),
+      col("treatment_n").as("n_treatment"), col("treatment_conv").as("conv_treatment"),
+      round(expr(
+        """(cast(treatment_conv as double) / cast(treatment_n as double)
+          | - cast(control_conv as double) / cast(control_n as double))
+          |/ sqrt(
+          |  (cast(control_conv + treatment_conv as double)
+          |    / cast(control_n + treatment_n as double))
+          |  * (1.0 - cast(control_conv + treatment_conv as double)
+          |      / cast(control_n + treatment_n as double))
+          |  * (1.0 / cast(control_n as double)
+          |     + 1.0 / cast(treatment_n as double)))""".stripMargin), 6).as("z"))
+  }
+
+  val abConversionZtestSql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CASE WHEN coalesce(sum(CASE WHEN event_type = 'purchase'
+       |        AND ts >= TIMESTAMP '$SplitDate 00:00:00'
+       |        THEN value::DECIMAL(15,2) END), 0.00::DECIMAL(15,2))
+       |      > $ConversionValue::DECIMAL(15,2) THEN 1 ELSE 0 END AS converted,
+       |    CASE WHEN substr(md5('$AbSeed:' || user_id::VARCHAR), 1, 1)
+       |      BETWEEN '0' AND '7' THEN 'control' ELSE 'treatment' END AS arm
+       |  FROM events GROUP BY user_id
+       |), arms AS (
+       |  SELECT
+       |    count(*) FILTER (arm = 'control') AS n_control,
+       |    sum(converted) FILTER (arm = 'control')::BIGINT AS conv_control,
+       |    count(*) FILTER (arm = 'treatment') AS n_treatment,
+       |    sum(converted) FILTER (arm = 'treatment')::BIGINT AS conv_treatment
+       |  FROM pu
+       |)
+       |SELECT n_control, conv_control, n_treatment, conv_treatment,
+       |  round(
+       |    (conv_treatment::DOUBLE / n_treatment::DOUBLE
+       |     - conv_control::DOUBLE / n_control::DOUBLE)
+       |    / sqrt(
+       |      ((conv_control + conv_treatment)::DOUBLE
+       |        / (n_control + n_treatment)::DOUBLE)
+       |      * (1.0 - (conv_control + conv_treatment)::DOUBLE
+       |          / (n_control + n_treatment)::DOUBLE)
+       |      * (1.0 / n_control::DOUBLE + 1.0 / n_treatment::DOUBLE)), 6) AS z
+       |FROM arms""".stripMargin
+
+  /** Mann–Whitney U rank test on the experiment metric — the
+    * distribution-free complement to [[abCupedLift]]: compares the ARMS'
+    * whole per-user metric distributions (robust to the heavy-tailed
+    * revenue that breaks t-tests). Average-rank tie handling is kept
+    * EXACT by working in doubled ranks: for metric value v,
+    * `2·rank(v) = 2·|{y < v}| + |{y = v}| + 1` — an integer — so the
+    * doubled rank-sum 2R₁, the doubled statistic 2U₁ = 2R₁ − n₁(n₁+1),
+    * and the tie term Σ(t³−t) are all exact integers; the tie-corrected
+    * normal z is one fixed-shape IEEE tree at the end, rounded 6.
+    *
+    * Scale shape: ranks come from the VALUE-DOMAIN aggregate (groupBy y:
+    * tie counts + one cumulative window over distinct values), broadcast
+    * back; everything else is per-user hash aggregates and a
+    * scalar-combine. The distinct-value table CAN approach the user count
+    * for a continuous metric — if it does, the two-phase bucketed prefix
+    * sum ([[Sampling.sizeBalancedShards]]) replaces the single cumulative
+    * window verbatim; kept single-window here as the exactness anchor.
+    */
+  def abRankTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir, "events")
+    val dec = "cast(0.00 as decimal(15,2))"
+    val pu = ev.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase" &&
+        col("ts") >= lit(SplitDate).cast("timestamp"),
+        col("value").cast("decimal(15,2)")).otherwise(expr(dec))).as("y"))
+      .withColumn("arm",
+        when(substring(md5(concat(lit(AbSeed), lit(":"),
+          col("user_id").cast("string")).cast("binary")), 1, 1)
+          .between("0", "7"), "control").otherwise("treatment"))
+    val ties = pu.groupBy(col("y")).agg(count(lit(1)).as("t"))
+    val wCum = Window.orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = ties
+      .withColumn("below", sum(col("t")).over(wCum) - col("t"))
+      .select(col("y"), (lit(2L) * col("below") + col("t") + 1L).as("rank2"),
+        (col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    val r1 = pu.join(broadcast(ranks.select("y", "rank2")), Seq("y"))
+      .groupBy("arm").agg(count(lit(1)).as("n"), sum(col("rank2")).as("r2sum"))
+    val tieSum = ranks.agg(sum(col("tie3")).as("tie3sum"))
+    val wide = r1.groupBy().pivot("arm", Seq("control", "treatment"))
+      .agg(first(col("n")).as("n"), first(col("r2sum")).as("r2"))
+      .crossJoin(broadcast(tieSum))
+    wide.select(
+      col("control_n").as("n_control"), col("treatment_n").as("n_treatment"),
+      (col("control_r2") - col("control_n") * (col("control_n") + 1L)).as("u2_control"),
+      round(expr(
+        """(cast(control_r2 - control_n * (control_n + 1L) as double) / 2.0
+          | - cast(control_n as double) * cast(treatment_n as double) / 2.0)
+          |/ sqrt(
+          |  cast(control_n as double) * cast(treatment_n as double) / 12.0
+          |  * (cast(control_n + treatment_n as double) + 1.0
+          |     - cast(tie3sum as double)
+          |       / (cast(control_n + treatment_n as double)
+          |          * (cast(control_n + treatment_n as double) - 1.0))))"""
+          .stripMargin), 6).as("z"))
+  }
+
+  val abRankTestSql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    coalesce(sum(CASE WHEN event_type = 'purchase'
+       |      AND ts >= TIMESTAMP '$SplitDate 00:00:00'
+       |      THEN value::DECIMAL(15,2) END), 0.00::DECIMAL(15,2)) AS y,
+       |    CASE WHEN substr(md5('$AbSeed:' || user_id::VARCHAR), 1, 1)
+       |      BETWEEN '0' AND '7' THEN 'control' ELSE 'treatment' END AS arm
+       |  FROM events GROUP BY user_id
+       |), ties AS (
+       |  SELECT y, count(*) AS t FROM pu GROUP BY y
+       |), ranks AS (
+       |  SELECT y,
+       |    2 * (sum(t) OVER (ORDER BY y
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1 AS rank2,
+       |    t * t * t - t AS tie3
+       |  FROM ties
+       |), arms AS (
+       |  SELECT
+       |    count(*) FILTER (arm = 'control') AS n_control,
+       |    sum(rank2) FILTER (arm = 'control')::BIGINT AS r2_control,
+       |    count(*) FILTER (arm = 'treatment') AS n_treatment
+       |  FROM pu JOIN ranks USING (y)
+       |), tiesum AS (
+       |  SELECT sum(tie3)::BIGINT AS tie3sum FROM ranks
+       |)
+       |SELECT n_control, n_treatment,
+       |  (r2_control - n_control * (n_control + 1))::BIGINT AS u2_control,
+       |  round(
+       |    ((r2_control - n_control * (n_control + 1))::DOUBLE / 2.0
+       |     - n_control::DOUBLE * n_treatment::DOUBLE / 2.0)
+       |    / sqrt(
+       |      n_control::DOUBLE * n_treatment::DOUBLE / 12.0
+       |      * ((n_control + n_treatment)::DOUBLE + 1.0
+       |         - tie3sum::DOUBLE
+       |           / ((n_control + n_treatment)::DOUBLE
+       |              * ((n_control + n_treatment)::DOUBLE - 1.0)))), 6) AS z
+       |FROM arms CROSS JOIN tiesum""".stripMargin
 }

@@ -58,4 +58,50 @@ class ExperimentSpec extends SparkSuite {
       math.pow(u._4.toDouble - theta * (u._3.toDouble - muX) - muY, 2)).sum
     assert(adjVar <= rawVar + 1e-9, s"CUPED must not inflate variance: $adjVar > $rawVar")
   }
+
+  test("abConversionZtest and abRankTest: statistics equal brute walks") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Tables(spark, dir, "events")
+      .select("user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+    val split = java.sql.Timestamp.valueOf(s"${Experiment.SplitDate} 00:00:00")
+    def armOf(uid: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${Experiment.AbSeed}:$uid".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (h.charAt(0) <= '7') "control" else "treatment"
+    }
+    val pu = rows.groupBy(_._1).map { case (uid, evs) =>
+      val post = evs.filter(e => e._3 == "purchase" && !e._2.before(split))
+      val y = post.map(e => BigDecimal(e._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      (uid, armOf(uid), y > BigDecimal(Experiment.ConversionValue), y)
+    }.toSeq
+    val (nc, nt) = (pu.count(_._2 == "control").toLong, pu.count(_._2 == "treatment").toLong)
+    val (cc, ct) = (pu.count(u => u._2 == "control" && u._3).toLong,
+      pu.count(u => u._2 == "treatment" && u._3).toLong)
+    // the test is live only if both rates are interior
+    assert(cc > 0 && cc < nc && ct > 0 && ct < nt,
+      s"conversion must be interior: $cc/$nc, $ct/$nt")
+    // z-test
+    val zt = Experiment.abConversionZtest(spark, dir).collect().head
+    assert((zt.getLong(0), zt.getLong(1), zt.getLong(2), zt.getLong(3)) == ((nc, cc, nt, ct)))
+    val pPool = (cc + ct).toDouble / (nc + nt)
+    val zWant = (ct.toDouble / nt - cc.toDouble / nc) /
+      math.sqrt(pPool * (1 - pPool) * (1.0 / nc + 1.0 / nt))
+    assert(math.abs(zt.getDouble(4) - zWant) < 1e-4, s"z ${zt.getDouble(4)} vs $zWant")
+    // rank test: doubled ranks with average-tie handling
+    val ys = pu.map(_._4)
+    def rank2(v: BigDecimal): Long = 2L * ys.count(_ < v) + ys.count(_ == v) + 1
+    val r2c = pu.filter(_._2 == "control").map(u => rank2(u._4)).sum
+    val u2c = r2c - nc * (nc + 1)
+    val tie3 = ys.groupBy(identity).values.map(g => {
+      val t = g.size.toLong; t * t * t - t }).sum
+    val n = nc + nt
+    val zr = (u2c.toDouble / 2.0 - nc.toDouble * nt / 2.0) /
+      math.sqrt(nc.toDouble * nt / 12.0 *
+        (n + 1.0 - tie3.toDouble / (n.toDouble * (n - 1.0))))
+    val rt = Experiment.abRankTest(spark, dir).collect().head
+    assert((rt.getLong(0), rt.getLong(1), rt.getLong(2)) == ((nc, nt, u2c)))
+    assert(math.abs(rt.getDouble(3) - zr) < 1e-4, s"rank z ${rt.getDouble(3)} vs $zr")
+  }
 }
