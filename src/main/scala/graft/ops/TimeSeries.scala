@@ -232,6 +232,79 @@ object TimeSeries {
       |    (acc, v) -> 0.75::DOUBLE * acc + 0.25::DOUBLE * v) AS ewma
       |FROM idx ORDER BY event_type, day""".stripMargin
 
+  /** Holt linear-trend smoothing (double exponential) — the forecasting
+    * step past [[ewmaDaily]]: per (type, day), level `l_t = α·x_t +
+    * (1−α)(l_{t−1}+b_{t−1})` and trend `b_t = β(l_t−l_{t−1}) +
+    * (1−β)b_{t−1}` (α = β = 1/4, init l₁ = x₁, b₁ = 0), plus the
+    * one-step-ahead forecast `l_t + b_t` a capacity planner reads off.
+    *
+    * Exactness: the recurrence is order-sensitive IEEE, so the oracle is
+    * the IDENTICAL left fold — the [[ewmaDaily]] discipline — with a
+    * two-field STRUCT accumulator (the series elements are pre-lifted to
+    * `{l: x, b: 0}` structs so DuckDB's element-typed `list_reduce`
+    * matches Spark's `aggregate` seed); `l_t` is inlined twice in the
+    * `b_t` expression in BOTH engines so every intermediate rounds
+    * identically and the doubles are bit-equal.
+    *
+    * Scale shape: identical to [[ewmaDaily]] — one corpus scan into the
+    * (type, day) aggregate; folds run on calendar-bounded frames.
+    */
+  def holtDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("series"))
+      .withColumn("arr", expr(
+        """transform(series, s -> named_struct(
+          |  'l', CAST(s.n AS DOUBLE), 'b', CAST(0.0 AS DOUBLE)))""".stripMargin))
+      .select(col("event_type"), explode(expr(
+        """transform(series, (s, i) -> named_struct(
+          |  'day', s.day, 'n', s.n,
+          |  'st', aggregate(slice(arr, 2, i), element_at(arr, 1),
+          |    (acc, v) -> named_struct(
+          |      'l', CAST(0.25 AS DOUBLE) * v.l
+          |         + CAST(0.75 AS DOUBLE) * (acc.l + acc.b),
+          |      'b', CAST(0.25 AS DOUBLE)
+          |           * ((CAST(0.25 AS DOUBLE) * v.l
+          |               + CAST(0.75 AS DOUBLE) * (acc.l + acc.b)) - acc.l)
+          |         + CAST(0.75 AS DOUBLE) * acc.b))))
+          |""".stripMargin)).as("o"))
+      .select(col("event_type"),
+        date_format(col("o.day"), "yyyy-MM-dd").as("day"),
+        col("o.n").as("n"), col("o.st.l").as("level"), col("o.st.b").as("trend"),
+        (col("o.st.l") + col("o.st.b")).as("forecast_next"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Oracle: the recurrence as a RECURSIVE CTE, one step per day — NOT
+    * `list_reduce`, whose struct accumulator in DuckDB 1.0 is mutated
+    * field-by-field between steps (the `b` expression would see the
+    * already-overwritten `l`); the CTE's row-per-step semantics evaluate
+    * both fields against the same predecessor row, matching Spark's pure
+    * `aggregate` fold expression-for-expression. */
+  val holtDailySql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, ts::DATE AS day, count(*) AS n FROM events GROUP BY 1, 2
+      |), idx AS (
+      |  SELECT event_type, day, n,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      |  FROM daily
+      |), rec AS (
+      |  SELECT event_type, day, n, i, n::DOUBLE AS l, 0.0::DOUBLE AS b
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT x.event_type, x.day, x.n, x.i,
+      |    0.25::DOUBLE * x.n::DOUBLE + 0.75::DOUBLE * (r.l + r.b) AS l,
+      |    0.25::DOUBLE * ((0.25::DOUBLE * x.n::DOUBLE
+      |        + 0.75::DOUBLE * (r.l + r.b)) - r.l)
+      |      + 0.75::DOUBLE * r.b AS b
+      |  FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1
+      |)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+      |  l AS level, b AS trend, l + b AS forecast_next
+      |FROM rec ORDER BY event_type, day""".stripMargin
+
   /** Trailing 7-day distinct users via SEGMENT BITMAPS — the exact
     * mergeable twin of [[rollingDau7dHll]], completing the rolling-distinct
     * triad: exact re-ship ([[rollingDau7d]], per-user rows ×7 through a

@@ -174,4 +174,30 @@ class TimeSeriesSpec extends SparkSuite {
       "segment-bitmap popcount must equal the exact distinct count on every (type, day)")
     assert(bitmap.nonEmpty)
   }
+  test("holtDaily: level/trend obey the double-smoothing recurrence bit-for-bit") {
+    val rows = TimeSeries.holtDaily(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    for ((_, series) <- rows.groupBy(_._1)) {
+      val ordered = series.sortBy(_._2)
+      assert(ordered.head._4 == ordered.head._3.toDouble, "l_0 = x_0")
+      assert(ordered.head._5 == 0.0, "b_0 = 0")
+      var l = ordered.head._3.toDouble
+      var b = 0.0
+      for ((_, _, n, level, trend, fc) <- ordered.tail) {
+        val nl = 0.25 * n.toDouble + 0.75 * (l + b)
+        val nb = 0.25 * ((0.25 * n.toDouble + 0.75 * (l + b)) - l) + 0.75 * b
+        l = nl; b = nb
+        assert(level == l, s"level drift: got $level want $l")
+        assert(trend == b, s"trend drift: got $trend want $b")
+        assert(fc == l + b, "forecast_next = l + b")
+      }
+    }
+    // the trend term reacts to a sustained ramp: on a monotone series the
+    // one-step forecast must overshoot the flat EWMA forecast
+    val clicks = rows.filter(_._1 == rows.head._1).sortBy(_._2)
+    assert(clicks.exists(_._5 != 0.0), "trend never moved — series degenerate")
+  }
+
 }
