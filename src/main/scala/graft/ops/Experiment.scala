@@ -200,6 +200,122 @@ object Experiment {
        |      * (1.0 / n_control::DOUBLE + 1.0 / n_treatment::DOUBLE)), 6) AS z
        |FROM arms""".stripMargin
 
+  /** Difference-in-differences readout — the 2×2 (arm × period) table and
+    * the DiD estimate `(ȳ_T − x̄_T) − (ȳ_C − x̄_C)`: the causal-inference
+    * workhorse when assignment isn't randomized (here it doubles as a
+    * placebo check on the hash assignment — pre-period means should NOT
+    * differ). Per-cell sums are exact DECIMAL cents; the estimate is one
+    * fixed-shape IEEE tree, rounded 6.
+    *
+    * Scale shape: the [[abCupedLift]] per-user aggregate, a 2-row arm
+    * rollup, one scalar-combine.
+    */
+  def abDiffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val pu = perUser(Tables(spark, dir, "events"))
+    val arms = pu.groupBy("arm").agg(
+      count(lit(1)).as("n_users"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+    val wide = arms.groupBy().pivot("arm", Seq("control", "treatment"))
+      .agg(first(col("n_users")).as("n"), first(col("sx")).as("sx"),
+        first(col("sy")).as("sy"))
+    wide.select(
+      col("control_n").as("n_control"), col("treatment_n").as("n_treatment"),
+      round(expr("cast(control_sx as double) / cast(control_n as double)"), 6)
+        .as("pre_control"),
+      round(expr("cast(control_sy as double) / cast(control_n as double)"), 6)
+        .as("post_control"),
+      round(expr("cast(treatment_sx as double) / cast(treatment_n as double)"), 6)
+        .as("pre_treatment"),
+      round(expr("cast(treatment_sy as double) / cast(treatment_n as double)"), 6)
+        .as("post_treatment"),
+      round(expr(
+        """(cast(treatment_sy as double) / cast(treatment_n as double)
+          | - cast(treatment_sx as double) / cast(treatment_n as double))
+          |- (cast(control_sy as double) / cast(control_n as double)
+          |   - cast(control_sx as double) / cast(control_n as double))"""
+          .stripMargin), 6).as("did_estimate"))
+  }
+
+  val abDiffInDiffSql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    coalesce(sum(CASE WHEN event_type = 'purchase'
+       |      AND ts < TIMESTAMP '$SplitDate 00:00:00'
+       |      THEN value::DECIMAL(15,2) END), 0.00::DECIMAL(15,2)) AS x,
+       |    coalesce(sum(CASE WHEN event_type = 'purchase'
+       |      AND ts >= TIMESTAMP '$SplitDate 00:00:00'
+       |      THEN value::DECIMAL(15,2) END), 0.00::DECIMAL(15,2)) AS y,
+       |    CASE WHEN substr(md5('$AbSeed:' || user_id::VARCHAR), 1, 1)
+       |      BETWEEN '0' AND '7' THEN 'control' ELSE 'treatment' END AS arm
+       |  FROM events GROUP BY user_id
+       |), arms AS (
+       |  SELECT
+       |    count(*) FILTER (arm = 'control') AS control_n,
+       |    sum(x) FILTER (arm = 'control') AS control_sx,
+       |    sum(y) FILTER (arm = 'control') AS control_sy,
+       |    count(*) FILTER (arm = 'treatment') AS treatment_n,
+       |    sum(x) FILTER (arm = 'treatment') AS treatment_sx,
+       |    sum(y) FILTER (arm = 'treatment') AS treatment_sy
+       |  FROM pu
+       |)
+       |SELECT control_n AS n_control, treatment_n AS n_treatment,
+       |  round(control_sx::DOUBLE / control_n::DOUBLE, 6) AS pre_control,
+       |  round(control_sy::DOUBLE / control_n::DOUBLE, 6) AS post_control,
+       |  round(treatment_sx::DOUBLE / treatment_n::DOUBLE, 6) AS pre_treatment,
+       |  round(treatment_sy::DOUBLE / treatment_n::DOUBLE, 6) AS post_treatment,
+       |  round(
+       |    (treatment_sy::DOUBLE / treatment_n::DOUBLE
+       |     - treatment_sx::DOUBLE / treatment_n::DOUBLE)
+       |    - (control_sy::DOUBLE / control_n::DOUBLE
+       |       - control_sx::DOUBLE / control_n::DOUBLE), 6) AS did_estimate
+       |FROM arms""".stripMargin
+
+  /** Sample-ratio-mismatch guardrail — the FIRST thing a trustworthy
+    * experimentation platform checks (Fabijan et al., KDD'19 diagnosis
+    * practice): under a healthy 50/50 hash split, the arm counts follow a
+    * binomial; a 1-df chi-square `(n_C − n_T)²/(n_C + n_T)` far above ~10
+    * means the assignment or logging pipeline is broken and every other
+    * readout is garbage. Counts are exact integers; chi² is one division;
+    * the pass flag applies the standard p≈0.001 bar (chi² < 10.828).
+    */
+  val SrmChi2Bar = "10.828"
+
+  def abSrmCheck(spark: SparkSession, dir: String): DataFrame = {
+    val pu = perUser(Tables(spark, dir, "events"))
+    val arms = pu.groupBy("arm").agg(count(lit(1)).as("n"))
+    // single-agg pivot names columns by pivot value alone
+    arms.groupBy().pivot("arm", Seq("control", "treatment"))
+      .agg(first(col("n")))
+      .select(col("control").as("n_control"),
+        col("treatment").as("n_treatment"),
+        round(expr(
+          """cast((control - treatment) * (control - treatment) as double)
+            |/ cast(control + treatment as double)""".stripMargin), 6)
+          .as("chi2"),
+        expr(s"""cast((control - treatment) * (control - treatment) as double)
+                |/ cast(control + treatment as double) < $SrmChi2Bar"""
+          .stripMargin).as("pass"))
+  }
+
+  val abSrmCheckSql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CASE WHEN substr(md5('$AbSeed:' || user_id::VARCHAR), 1, 1)
+       |      BETWEEN '0' AND '7' THEN 'control' ELSE 'treatment' END AS arm
+       |  FROM events GROUP BY user_id
+       |), arms AS (
+       |  SELECT
+       |    count(*) FILTER (arm = 'control') AS n_control,
+       |    count(*) FILTER (arm = 'treatment') AS n_treatment
+       |  FROM pu
+       |)
+       |SELECT n_control, n_treatment,
+       |  round(((n_control - n_treatment) * (n_control - n_treatment))::DOUBLE
+       |    / (n_control + n_treatment)::DOUBLE, 6) AS chi2,
+       |  ((n_control - n_treatment) * (n_control - n_treatment))::DOUBLE
+       |    / (n_control + n_treatment)::DOUBLE < $SrmChi2Bar AS pass
+       |FROM arms""".stripMargin
+
   /** Mann–Whitney U rank test on the experiment metric — the
     * distribution-free complement to [[abCupedLift]]: compares the ARMS'
     * whole per-user metric distributions (robust to the heavy-tailed

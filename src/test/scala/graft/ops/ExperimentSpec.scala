@@ -104,4 +104,43 @@ class ExperimentSpec extends SparkSuite {
     assert((rt.getLong(0), rt.getLong(1), rt.getLong(2)) == ((nc, nt, u2c)))
     assert(math.abs(rt.getDouble(3) - zr) < 1e-4, s"rank z ${rt.getDouble(3)} vs $zr")
   }
+
+  test("abDiffInDiff and abSrmCheck: cell means and chi2 equal brute walks") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Tables(spark, dir, "events")
+      .select("user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+    val split = java.sql.Timestamp.valueOf(s"${Experiment.SplitDate} 00:00:00")
+    def armOf(uid: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${Experiment.AbSeed}:$uid".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (h.charAt(0) <= '7') "control" else "treatment"
+    }
+    val pu = rows.groupBy(_._1).map { case (uid, evs) =>
+      def s(pre: Boolean) = evs
+        .filter(e => e._3 == "purchase" && (e._2.before(split) == pre))
+        .map(e => BigDecimal(e._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      (uid, armOf(uid), s(pre = true), s(pre = false))
+    }.toSeq
+    def cell(arm: String, pre: Boolean) = {
+      val m = pu.filter(_._2 == arm)
+      (if (pre) m.map(_._3).sum else m.map(_._4).sum).toDouble / m.size
+    }
+    val did = Experiment.abDiffInDiff(spark, dir).collect().head
+    val (nc, nt) = (pu.count(_._2 == "control").toLong, pu.count(_._2 == "treatment").toLong)
+    assert((did.getLong(0), did.getLong(1)) == ((nc, nt)))
+    assert(math.abs(did.getDouble(2) - cell("control", pre = true)) < 1e-4)
+    assert(math.abs(did.getDouble(3) - cell("control", pre = false)) < 1e-4)
+    assert(math.abs(did.getDouble(4) - cell("treatment", pre = true)) < 1e-4)
+    assert(math.abs(did.getDouble(5) - cell("treatment", pre = false)) < 1e-4)
+    val want = (cell("treatment", pre = false) - cell("treatment", pre = true)) -
+      (cell("control", pre = false) - cell("control", pre = true))
+    assert(math.abs(did.getDouble(6) - want) < 1e-4)
+    val srm = Experiment.abSrmCheck(spark, dir).collect().head
+    val chi2 = ((nc - nt) * (nc - nt)).toDouble / (nc + nt)
+    assert((srm.getLong(0), srm.getLong(1)) == ((nc, nt)))
+    assert(math.abs(srm.getDouble(2) - chi2) < 1e-6)
+    assert(srm.getBoolean(3) == (chi2 < 10.828), "pass flag must follow the bar")
+  }
 }
