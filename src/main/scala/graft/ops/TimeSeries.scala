@@ -305,6 +305,49 @@ object TimeSeries {
       |  l AS level, b AS trend, l + b AS forecast_next
       |FROM rec ORDER BY event_type, day""".stripMargin
 
+  /** Weekday seasonality index — the ratio-to-overall profile a capacity
+    * planner and an anomaly detector both condition on: per (type,
+    * weekday), mean daily count divided by the type's all-days mean
+    * (index > 1 ⇒ that weekday runs hot). Kept exact: the index is
+    * `sum_dow·cnt_all / (cnt_dow·sum_all)` — one division of exact
+    * integer products — so no mean-of-means float drift, rounded 6.
+    * Weekday is Monday=0 in both engines (Spark `weekday`, DuckDB
+    * `isodow − 1`).
+    *
+    * Scale shape: corpus scanned once into the (type, day) aggregate;
+    * everything after is calendar-bounded (≤ 7 rows per type).
+    */
+  def weekdaySeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byDow = daily.groupBy(col("event_type"), weekday(col("day")).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total"))
+    val overall = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt_all"), sum(col("n")).as("sum_all"))
+    byDow.join(broadcast(overall), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("n_days"), col("total"),
+        round((col("total") * col("cnt_all")).cast("double")
+          / (col("n_days") * col("sum_all")).cast("double"), 6).as("season_idx"))
+      .orderBy("event_type", "dow")
+  }
+
+  val weekdaySeasonalitySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::DATE AS day, count(*) AS n FROM events GROUP BY 1, 2
+      |), by_dow AS (
+      |  SELECT event_type, isodow(day) - 1 AS dow,
+      |    count(*) AS n_days, sum(n)::BIGINT AS total
+      |  FROM daily GROUP BY 1, 2
+      |), overall AS (
+      |  SELECT event_type, count(*) AS cnt_all, sum(n)::BIGINT AS sum_all
+      |  FROM daily GROUP BY 1
+      |)
+      |SELECT event_type, dow, n_days, total,
+      |  round((total * cnt_all)::DOUBLE / (n_days * sum_all)::DOUBLE, 6) AS season_idx
+      |FROM by_dow JOIN overall USING (event_type)
+      |ORDER BY event_type, dow""".stripMargin
+
   /** Trailing 7-day distinct users via SEGMENT BITMAPS — the exact
     * mergeable twin of [[rollingDau7dHll]], completing the rolling-distinct
     * triad: exact re-ship ([[rollingDau7d]], per-user rows ×7 through a

@@ -200,4 +200,22 @@ class TimeSeriesSpec extends SparkSuite {
     assert(clicks.exists(_._5 != 0.0), "trend never moved — series degenerate")
   }
 
+  test("weekdaySeasonality: index equals the exact integer-product ratio; mean is 1") {
+    val rows = TimeSeries.weekdaySeasonality(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty && rows.forall(r => r._2 >= 0 && r._2 <= 6))
+    for ((tp, g) <- rows.groupBy(_._1)) {
+      val cntAll = g.map(_._3).sum
+      val sumAll = g.map(_._4).sum
+      for ((_, _, nd, tot, idx) <- g) {
+        val want = (tot.toDouble * cntAll) / (nd.toDouble * sumAll)
+        assert(math.abs(idx - want) < 1e-6, s"$tp idx $idx vs $want")
+      }
+      // n_days-weighted mean of the index telescopes to exactly 1
+      val wmean = g.map(r => r._3 * r._5).sum / cntAll.toDouble
+      assert(math.abs(wmean - 1.0) < 1e-6, s"$tp weighted mean $wmean != 1")
+    }
+    assert(rows.forall(_._5 > 0.0))
+  }
+
 }
