@@ -679,4 +679,85 @@ object TableChecks {
        |    (SELECT count(*) FROM eo)
        |)
        |ORDER BY table_name""".stripMargin
+
+  /** PSI drift split date (reuses the experiment period boundary) and
+    * the standard alert bar (>0.2 = significant shift). */
+  val PsiSplitDate = "2024-01-16"
+  val PsiBar = "0.2"
+
+  /** Population-stability-index drift audit — the monitoring metric a
+    * production scoring pipeline computes nightly over every model input:
+    * PSI = Σ_buckets (p_actual − p_expected)·ln(p_actual/p_expected)
+    * between a baseline period and the current one (here: events before /
+    * after [[PsiSplitDate]]). Monitored columns: `value` (10 fixed-width
+    * buckets — fixed, not quantile, so bucketing is a pure projection)
+    * and `event_type` (categorical). Laplace +1 on every bucket keeps PSI
+    * total when a bucket empties on one side.
+    *
+    * Exactness: counts are integers; each bucket term is one fixed-shape
+    * IEEE tree cast to DECIMAL(24,12) before the ORDER-FREE decimal sum
+    * (the [[graft.ops.TextAnalysis.langSourceMiOf]] discipline), rounded
+    * 6. Scale shape: corpus scanned once per column into bucket-domain
+    * aggregates (≤ 10 rows each); everything after is bounded.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val pre = col("ts") < lit(PsiSplitDate).cast("timestamp")
+    def leg(name: String, bucket: org.apache.spark.sql.Column) =
+      ev.groupBy(bucket.as("bucket"))
+        .agg(sum(when(pre, 1L).otherwise(0L)).as("ce"),
+          sum(when(!pre, 1L).otherwise(0L)).as("ca"))
+        .withColumn("col_name", lit(name))
+    val cells = leg("value",
+        expr("cast(least(floor(value / 20.0), 9.0) as int)").cast("string"))
+      .unionByName(leg("event_type", col("event_type")))
+    val totals = cells.groupBy("col_name")
+      .agg(count(lit(1)).as("b"), sum("ce").as("ne"), sum("ca").as("na"))
+    cells.join(broadcast(totals), Seq("col_name"))
+      .select(col("col_name"), col("b"),
+        expr(
+          """cast(
+            |  (cast(ca + 1L as double) / cast(na + b as double)
+            |   - cast(ce + 1L as double) / cast(ne + b as double))
+            |  * ln((cast(ca + 1L as double) / cast(na + b as double))
+            |       / (cast(ce + 1L as double) / cast(ne + b as double)))
+            |as decimal(24,12))""".stripMargin).as("t"))
+      .groupBy("col_name")
+      .agg(first(col("b")).as("n_buckets"),
+        round(sum(col("t")).cast("double"), 6).as("psi"),
+        (sum(col("t")).cast("double") > expr(PsiBar)).as("drifted"))
+      .orderBy("col_name")
+  }
+
+  val psiDriftSql: String =
+    s"""WITH ev AS (
+       |  SELECT CASE WHEN ts < TIMESTAMP '$PsiSplitDate 00:00:00'
+       |    THEN 1 ELSE 0 END AS is_pre, value, event_type
+       |  FROM events
+       |), cells AS (
+       |  SELECT 'value' AS col_name,
+       |    least(floor(value / 20.0), 9.0)::INT::VARCHAR AS bucket,
+       |    sum(is_pre)::BIGINT AS ce, sum(1 - is_pre)::BIGINT AS ca
+       |  FROM ev GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'event_type', event_type,
+       |    sum(is_pre)::BIGINT, sum(1 - is_pre)::BIGINT
+       |  FROM ev GROUP BY 2
+       |), totals AS (
+       |  SELECT col_name, count(*) AS b,
+       |    sum(ce)::BIGINT AS ne, sum(ca)::BIGINT AS na
+       |  FROM cells GROUP BY 1
+       |), terms AS (
+       |  SELECT col_name, b,
+       |    (((ca + 1)::DOUBLE / (na + b)::DOUBLE
+       |      - (ce + 1)::DOUBLE / (ne + b)::DOUBLE)
+       |     * ln(((ca + 1)::DOUBLE / (na + b)::DOUBLE)
+       |          / ((ce + 1)::DOUBLE / (ne + b)::DOUBLE)))::DECIMAL(24,12) AS t
+       |  FROM cells JOIN totals USING (col_name)
+       |)
+       |SELECT col_name, any_value(b) AS n_buckets,
+       |  round(sum(t)::DOUBLE, 6) AS psi,
+       |  sum(t)::DOUBLE > $PsiBar AS drifted
+       |FROM terms GROUP BY col_name
+       |ORDER BY col_name""".stripMargin
 }

@@ -302,4 +302,40 @@ class TableChecksSpec extends SparkSuite {
     // cascade must actually bite at every level at this SF
     assert(want.values.forall(_._2 > 0), "tombstone set empty — audit untested")
   }
+
+  test("psiDrift: per-column PSI equals a brute Laplace-smoothed walk") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Tables(spark, dir, "events")
+      .select("ts", "value", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1), r.getString(2)))
+    val split = java.sql.Timestamp.valueOf(s"${TableChecks.PsiSplitDate} 00:00:00")
+    def psiOf(buckets: Map[String, (Long, Long)]): Double = {
+      val b = buckets.size
+      val ne = buckets.values.map(_._1).sum
+      val na = buckets.values.map(_._2).sum
+      buckets.values.map { case (ce, ca) =>
+        val pe = (ce + 1).toDouble / (ne + b)
+        val pa = (ca + 1).toDouble / (na + b)
+        BigDecimal((pa - pe) * math.log(pa / pe))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+    }
+    def counts(key: ((java.sql.Timestamp, Double, String)) => String) =
+      rows.groupBy(key).view.mapValues { g =>
+        (g.count(_._1.before(split)).toLong, g.count(!_._1.before(split)).toLong)
+      }.toMap
+    val valBuckets = counts(r => math.min(math.floor(r._2 / 20.0), 9.0).toInt.toString)
+    val typBuckets = counts(_._3)
+    val out = TableChecks.psiDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out.keySet == Set("value", "event_type"))
+    assert(out("value")._1 == valBuckets.size.toLong)
+    assert(out("event_type")._1 == typBuckets.size.toLong)
+    assert(math.abs(out("value")._2 - psiOf(valBuckets)) < 1e-5,
+      s"value psi ${out("value")._2} vs ${psiOf(valBuckets)}")
+    assert(math.abs(out("event_type")._2 - psiOf(typBuckets)) < 1e-5)
+    for ((_, (_, psi, drifted)) <- out) assert(drifted == (psi > 0.2))
+    // synthetic stream is stationary across the split: PSI should be tiny
+    assert(out.values.forall(_._2 < 0.2), "stationary corpus must not drift")
+  }
 }
