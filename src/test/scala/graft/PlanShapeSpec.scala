@@ -54,6 +54,42 @@ class PlanShapeSpec extends SparkSuite {
   // name -> (cartesian, nestedLoop, sortMerge, globalSort, shuffles, windows)
   private val Pinned: Map[String, (Int, Int, Int, Int, Int, Int)] = Map(
     "minhash_lsh_pairs" -> (0, 0, 2, 1, 12, 0),
+    // QI×bucket-domain grid; nested-loops are scalar-combines
+    "t_closeness_audit" -> (0, 2, 0, 1, 9, 1),
+    "source_concentration" -> (0, 0, 0, 0, 2, 2),
+    "asof_native_last_click" -> (0, 0, 0, 1, 3, 0),
+    // model normalizer scalar-combines; all aggregates O(buckets)-bounded
+    "dsir_weights" -> (0, 4, 0, 2, 16, 0),
+    "lang_id_confusion" -> (0, 0, 0, 1, 4, 0),
+    // vocab-sized aggregate + constant-sized head window
+    "zipf_fit" -> (0, 0, 0, 0, 1, 1),
+    // domain-bounded (lang×source) grid; nested-loops are the nn/entropy
+    // scalar-combines
+    "lang_source_mi" -> (0, 5, 0, 0, 18, 0),
+    "source_vocab_overlap" -> (0, 0, 0, 0, 7, 0),
+    // per-partition top-k (TakeOrderedAndProject); the one sort presents
+    // the k-row result
+    "weighted_sample_es" -> (0, 0, 0, 1, 0, 0),
+    // per-user lag window runs behind the localCheckpoint (hence 0 here);
+    // trigram/bigram/context tables are |types|ᵏ-bounded broadcasts
+    "event_trigrams" -> (0, 0, 0, 0, 5, 0),
+    // both windows are per-conversion frames; sort orders the channel rollup
+    "multi_touch_attribution" -> (0, 0, 0, 1, 3, 2),
+    // the nested-loops are 1-row count-aggregate scalar-combines (tally rows)
+    "erasure_cascade" -> (0, 3, 0, 1, 6, 0),
+    "psi_drift" -> (0, 0, 0, 1, 7, 0),
+    // pooled-moment scalar-combine
+    "ab_cuped_lift" -> (0, 1, 0, 1, 5, 0),
+    // the nested-loops are the keys×ring broadcast cross joins (ring is
+    // O(shards·vnodes)); the SMJ joins the two per-key assignment frames
+    "ring_rebalance" -> (0, 2, 1, 1, 4, 0),
+    "ab_conversion_ztest" -> (0, 0, 0, 0, 3, 0),
+    // tie-table cumulative window + tie3 scalar-combine
+    "ab_rank_test" -> (0, 1, 0, 0, 9, 1),
+    "ab_diff_in_diff" -> (0, 0, 0, 0, 3, 0),
+    "ab_srm_check" -> (0, 0, 0, 0, 3, 0),
+    "holt_daily" -> (0, 0, 0, 1, 3, 0),
+    "weekday_seasonality" -> (0, 0, 0, 1, 5, 0),
     "near_dup_clusters" -> (0, 0, 0, 0, 0, 0),
     // composite report: the full minhash-LSH + cut_spans pipelines under
     // three scalar-combine cross joins — a once-per-corpus audit query,
