@@ -700,17 +700,23 @@ object TableChecks {
     * 6. Scale shape: corpus scanned once per column into bucket-domain
     * aggregates (≤ 10 rows each); everything after is bounded.
     */
-  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir, "events")
-    val pre = col("ts") < lit(PsiSplitDate).cast("timestamp")
-    def leg(name: String, bucket: org.apache.spark.sql.Column) =
-      ev.groupBy(bucket.as("bucket"))
-        .agg(sum(when(pre, 1L).otherwise(0L)).as("ce"),
-          sum(when(!pre, 1L).otherwise(0L)).as("ca"))
+  /** The monitored-column bucket projections, shared with the streaming
+    * monitor ([[graft.streaming.DriftStreams]]). */
+  private[graft] val PsiColumns: Seq[(String, String)] = Seq(
+    "value" -> "cast(cast(least(floor(value / 20.0), 9.0) as int) as string)",
+    "event_type" -> "event_type")
+
+  /** Per-(column, bucket) counts of an events-shaped frame — the
+    * mergeable state the streaming monitor folds (integer adds). */
+  private[graft] def bucketCounts(ev: DataFrame): DataFrame =
+    PsiColumns.map { case (name, bucket) =>
+      ev.groupBy(expr(bucket).as("bucket"))
+        .agg(count(lit(1)).as("c"))
         .withColumn("col_name", lit(name))
-    val cells = leg("value",
-        expr("cast(least(floor(value / 20.0), 9.0) as int)").cast("string"))
-      .unionByName(leg("event_type", col("event_type")))
+    }.reduce(_ unionByName _)
+
+  /** The PSI rollup over a (col_name, bucket, ce, ca) cell frame. */
+  private[graft] def psiOfCells(cells: DataFrame): DataFrame = {
     val totals = cells.groupBy("col_name")
       .agg(count(lit(1)).as("b"), sum("ce").as("ne"), sum("ca").as("na"))
     cells.join(broadcast(totals), Seq("col_name"))
@@ -727,6 +733,18 @@ object TableChecks {
         round(sum(col("t")).cast("double"), 6).as("psi"),
         (sum(col("t")).cast("double") > expr(PsiBar)).as("drifted"))
       .orderBy("col_name")
+  }
+
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val pre = col("ts") < lit(PsiSplitDate).cast("timestamp")
+    val cells = PsiColumns.map { case (name, bucket) =>
+      ev.groupBy(expr(bucket).as("bucket"))
+        .agg(sum(when(pre, 1L).otherwise(0L)).as("ce"),
+          sum(when(!pre, 1L).otherwise(0L)).as("ca"))
+        .withColumn("col_name", lit(name))
+    }.reduce(_ unionByName _)
+    psiOfCells(cells)
   }
 
   val psiDriftSql: String =

@@ -269,6 +269,66 @@ object TextAnalysis {
       |ORDER BY tf DESC, token
       |LIMIT 100""".stripMargin
 
+  /** Vocabulary size for the OOV audit — small enough that the synthetic
+    * corpus's tail actually falls outside it (a full-coverage vocab would
+    * degenerate the audit to all-zeros). */
+  val OovVocabSize = 20
+
+  /** Out-of-vocabulary rate audit — the tokenizer-design readout: freeze
+    * the top-[[OovVocabSize]] corpus vocabulary (by tf, ties by token —
+    * the [[vocabTopTerms]] order) and measure, per language, how much of
+    * the token stream falls outside it. High per-lang OOV is the signal
+    * that a shared vocab under-serves that language (the multilingual
+    * fertility problem every tokenizer paper measures). Exact integers
+    * end-to-end; the rate is integer permille.
+    *
+    * Scale shape: vocab is a top-k (TakeOrderedAndProject) broadcast; the
+    * token stream is scanned once, membership is a broadcast left join;
+    * per-doc counts pre-aggregate map-side before the |langs|-bounded
+    * rollup.
+    */
+  def oovRateAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token")).limit(OovVocabSize)
+      .select(col("token"), lit(1).as("iv"))
+    val perDoc = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(col("n_oov")).as("oov_total"))
+      .withColumn("oov_permille", expr("(oov_total * 1000L) div tokens_total"))
+      .orderBy("lang")
+  }
+
+  val oovRateAuditSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT token FROM (
+       |    SELECT token, count(*) AS tf FROM toks GROUP BY 1)
+       |  ORDER BY tf DESC, token LIMIT $OovVocabSize
+       |), per_doc AS (
+       |  SELECT doc_id, lang, count(*) AS n_tok,
+       |    sum(CASE WHEN token NOT IN (SELECT token FROM vocab)
+       |        THEN 1 ELSE 0 END) AS n_oov
+       |  FROM toks GROUP BY 1, 2
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |  sum(n_tok)::BIGINT AS tokens_total,
+       |  sum(n_oov)::BIGINT AS oov_total,
+       |  ((sum(n_oov) * 1000) // sum(n_tok))::BIGINT AS oov_permille
+       |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Count-min-sketch heavy hitters — the frequency-estimation member of
     * the sketch family (HLL for cardinality, GK for percentiles, Bloom for
     * membership): term frequencies estimated from a fixed-size CMS instead

@@ -78,6 +78,8 @@ class PlanShapeSpec extends SparkSuite {
     // the nested-loops are 1-row count-aggregate scalar-combines (tally rows)
     "erasure_cascade" -> (0, 3, 0, 1, 6, 0),
     "psi_drift" -> (0, 0, 0, 1, 7, 0),
+    // top-k vocab broadcast; |langs|-bounded rollup
+    "oov_rate_audit" -> (0, 0, 0, 1, 4, 0),
     // pooled-moment scalar-combine
     "ab_cuped_lift" -> (0, 1, 0, 1, 5, 0),
     // the nested-loops are the keys×ring broadcast cross joins (ring is

@@ -72,4 +72,32 @@ class CorpusAuditsSpec extends SparkSuite {
     for (l <- langs if cells.contains((l, l)))
       assert(cells((l, l))._2 > 1.0 / (langs.size + 1))
   }
+
+  test("oovRateAudit: per-lang rates equal a brute vocab walk and stay interior") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String): Seq[String] = t.toLowerCase.split("\\s+").toSeq
+    val tf = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, _, t) <- docs; w <- toks(t)) tf(w) = tf.getOrElse(w, 0L) + 1
+    val vocab = tf.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(TextAnalysis.OovVocabSize).map(_._1).toSet
+    val byLang = docs.groupBy(_._2)
+    val out = TextAnalysis.oovRateAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.keySet == byLang.keySet)
+    for ((lang, g) <- byLang) {
+      val all = g.toSeq.flatMap(d => toks(d._3))
+      val oov = all.count(w => !vocab(w)).toLong
+      val (nd, tt, ot, pm) = out(lang)
+      assert(nd == g.size.toLong && tt == all.size.toLong && ot == oov,
+        s"$lang: got ($nd,$tt,$ot) want (${g.size},${all.size},$oov)")
+      assert(pm == oov * 1000L / all.size)
+    }
+    // the audit is live only if the vocab misses something and hits something
+    val (tots, oovs) = (out.values.map(_._2).sum, out.values.map(_._3).sum)
+    assert(oovs > 0 && oovs < tots, "OOV rate degenerate at this vocab size")
+  }
 }
