@@ -473,4 +473,67 @@ object Analytics {
       |FROM r, t
       |WHERE cum * 2 >= t
       |ORDER BY rk LIMIT 1""".stripMargin
+
+  /** Skyline (Pareto frontier) of orders under "cheaper is better, newer
+    * is better": the non-dominated set — no other order is both
+    * cheaper-or-equal AND newer-or-equal with one strict. The classic
+    * multi-criteria operator (Börzsönyi et al., ICDE'01) vanilla SQL can
+    * only state as a quadratic NOT EXISTS.
+    *
+    * Dominance collapse: within one day only the day's cheapest order can
+    * survive (any same-day cheaper row dominates on the strict price), so
+    * phase 1 reduces the corpus to one (day, min_price) point per calendar
+    * day — a hash aggregate, after which the frontier test runs on a
+    * CALENDAR-BOUNDED frame (the [[TimeSeries]] discipline): point r
+    * survives iff its price undercuts every strictly-newer day's minimum,
+    * i.e. `price < min(price) OVER (ORDER BY day DESC … 1 PRECEDING)`.
+    * The skyline days then re-attach to the corpus by (day, price)
+    * equi-join (broadcast: |skyline| ≤ |days|) to report multiplicity.
+    *
+    * General-dimension note (in-code contract): when NEITHER dimension has
+    * a bounded domain, phase 1 becomes grid-cell local skylines (bucket by
+    * one dim, window within cell, prefix-min across the O(cells) summary —
+    * the [[Sampling.sizeBalancedShards]] two-phase shape). The calendar
+    * dimension here makes that machinery unnecessary: the post-aggregate
+    * frame IS the bounded summary.
+    */
+  def skylineOrders(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val pts = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(min(col("o_totalprice")).as("price"))
+    val wNewer = Window.orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = pts
+      .withColumn("best_newer", min(col("price")).over(wNewer))
+      .filter(col("best_newer").isNull || col("price") < col("best_newer"))
+      .select("day", "price")
+    orders
+      .join(broadcast(sky),
+        to_date(col("o_orderdate")) === col("day") &&
+          col("o_totalprice") === col("price"))
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"), col("price"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("first_orderkey"))
+      .orderBy("day")
+  }
+
+  /** Oracle: the quadratic textbook statement — NOT EXISTS a dominating
+    * order. Equality is the dominance-collapse + prefix-min claim. */
+  val skylineOrdersSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_totalprice AS price, o_orderdate::DATE AS day
+      |  FROM orders
+      |), sky AS (
+      |  SELECT day, price FROM o r
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM o s
+      |    WHERE s.price <= r.price AND s.day >= r.day
+      |      AND (s.price < r.price OR s.day > r.day))
+      |  GROUP BY day, price
+      |)
+      |SELECT strftime(s.day, '%Y-%m-%d') AS day, s.price,
+      |  count(*) AS n_orders, min(o.o_orderkey) AS first_orderkey
+      |FROM sky s JOIN o ON o.day = s.day AND o.price = s.price
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 }

@@ -539,6 +539,121 @@ object TimeSeries {
       .orderBy("event_type", "day")
   }
 
+  /** CUSUM drift allowance, expressed as a fraction of the baseline mean:
+    * κ = μ_b / CusumSlackDen per observation. A mean-fraction (rather than
+    * the textbook σ/2) keeps every quantity RATIONAL, so the whole decision
+    * rule evaluates in exact integer arithmetic. */
+  val CusumSlackDen = 20L
+
+  /** CUSUM decision interval h, in baseline standard deviations. */
+  val CusumH = 5L
+
+  /** Baseline window length in days: the per-type mean/variance are FROZEN
+    * on the first `CusumBaselineDays` of the calendar and never updated —
+    * the [[graft.ops.Experiment]] PSI discipline (a drifting monitor must
+    * not contaminate its own reference). One FULL week, so the
+    * [[weekdaySeasonality]] cycle averages out of the baseline mean
+    * instead of biasing it (the test calendar spans 30 days; production
+    * deployments would use 4+ whole weeks — any multiple of 7 keeps the
+    * seasonality-cancellation property). */
+  val CusumBaselineDays = 7
+
+  /** Tabular CUSUM changepoint detection over per-type daily counts — the
+    * pipeline-health monitor "did this event type's volume shift after the
+    * baseline month?". Classic two-sided CUSUM: S⁺_t = max(0, S⁺_{t−1} +
+    * (x_t − μ_b − κ)), S⁻ mirrored, alarm when either exceeds h·σ_b. The
+    * max(0,·) recursion is NOT a plain running sum, but it has the exact
+    * prefix form S⁺_t = C_t − min(0, min_{j≤t} C_j) with C the cumulative
+    * sum of the centered series — two windows, no recursion.
+    *
+    * Exactness: with κ = μ_b/D (D = [[CusumSlackDen]]) every term scales to
+    * integers by D·k_b: y⁺_t = D·k_b·x_t − (D+1)·S_b, and the alarm
+    * S⁺ > h·σ_b·D·k_b squares to S⁺² > h²·D²·(k_b·S₂_b − S_b²) — divisions
+    * and square roots multiplied away (the [[dailyCountAnomalies]] moment
+    * discipline), so the flag set is exact and engine-independent. Products
+    * are carried as DECIMAL(38,0): at 1e9 events/day the cumulative term
+    * reaches ~1e16 and its square ~1e32 — inside decimal's 38 digits.
+    *
+    * Scale shape: one corpus scan into the (type, day) hash aggregate;
+    * the baseline moments aggregate over ≤ `CusumBaselineDays` rows per
+    * type and broadcast back; both cumsum windows partition by type over
+    * calendar-bounded frames (O(days), never O(corpus)).
+    */
+  def cusumChangepoints(spark: SparkSession, dir: String): DataFrame = {
+    val d = CusumSlackDen
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val b0 = daily.agg(min(col("day")).as("d0"))
+    val withB0 = daily.crossJoin(broadcast(b0))
+      .withColumn("in_base",
+        datediff(col("day"), col("d0")) < CusumBaselineDays)
+    val base = withB0.filter(col("in_base")).groupBy("event_type").agg(
+      count(lit(1)).as("kb"), sum(col("n")).as("sb"),
+      sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("s2b"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = withB0.filter(!col("in_base"))
+      .join(broadcast(base), Seq("event_type"))
+      .withColumn("yhi", expr(
+        s"CAST($d AS DECIMAL(38,0)) * kb * n - ${d + 1} * sb"))
+      .withColumn("ylo", expr(
+        s"CAST(${d - 1} AS DECIMAL(38,0)) * sb - $d * kb * n"))
+      .withColumn("chi", sum(col("yhi")).over(w))
+      .withColumn("clo", sum(col("ylo")).over(w))
+      .withColumn("spos", col("chi") - least(min(col("chi")).over(w), lit(0)))
+      .withColumn("sneg", col("clo") - least(min(col("clo")).over(w), lit(0)))
+      .withColumn("thr", expr(
+        s"CAST(${CusumH * CusumH} AS DECIMAL(38,0)) * ${d * d} " +
+          "* (kb * s2b - CAST(sb AS DECIMAL(38,0)) * sb)"))
+    scored
+      .filter(col("spos") * col("spos") > col("thr") ||
+        col("sneg") * col("sneg") > col("thr"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        when(col("spos") * col("spos") > col("thr"),
+          when(col("sneg") * col("sneg") > col("thr"), lit("both"))
+            .otherwise(lit("high")))
+          .otherwise(lit("low")).as("side"))
+      .orderBy("event_type", "day")
+  }
+
+  val cusumChangepointsSql: String = {
+    val d = CusumSlackDen
+    s"""WITH daily AS (
+      |  SELECT event_type, ts::DATE AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), b0 AS (SELECT min(day) AS d0 FROM daily
+      |), base AS (
+      |  SELECT event_type, count(*) AS kb, sum(n) AS sb,
+      |    sum(n::HUGEINT * n) AS s2b
+      |  FROM daily, b0 WHERE date_diff('day', d0, day) < $CusumBaselineDays
+      |  GROUP BY 1
+      |), c AS (
+      |  SELECT d.event_type, d.day, d.n, kb, sb, s2b,
+      |    sum($d::HUGEINT * kb * n - ${d + 1} * sb) OVER w AS chi,
+      |    sum(${d - 1}::HUGEINT * sb - $d * kb * n) OVER w AS clo
+      |  FROM daily d JOIN base USING (event_type), b0
+      |  WHERE date_diff('day', d0, d.day) >= $CusumBaselineDays
+      |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+      |               ROWS UNBOUNDED PRECEDING)
+      |), s AS (
+      |  SELECT event_type, day, n,
+      |    chi - least(min(chi) OVER w, 0) AS spos,
+      |    clo - least(min(clo) OVER w, 0) AS sneg,
+      |    ${CusumH * CusumH}::HUGEINT * ${d * d}
+      |      * (kb::HUGEINT * s2b - sb::HUGEINT * sb) AS thr
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS UNBOUNDED PRECEDING)
+      |)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+      |  CASE WHEN spos * spos > thr AND sneg * sneg > thr THEN 'both'
+      |       WHEN spos * spos > thr THEN 'high' ELSE 'low' END AS side
+      |FROM s WHERE spos * spos > thr OR sneg * sneg > thr
+      |ORDER BY event_type, day""".stripMargin
+  }
+
   val dailyCountAnomaliesSql: String =
     """WITH daily AS (
       |  SELECT event_type, ts::DATE AS day, count(*) AS n

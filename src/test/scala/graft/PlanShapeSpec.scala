@@ -440,7 +440,18 @@ class PlanShapeSpec extends SparkSuite {
     // total scalar-combine. No all-customer sort anywhere.
     "revenue_pareto" -> (0, 1, 0, 0, 7, 2),
     // map-only HOF pipeline: the one sort is the output ordering
-    "doc_top_tokens" -> (0, 0, 0, 1, 1, 0)
+    "doc_top_tokens" -> (0, 0, 0, 1, 1, 0),
+    // --- session 6 ---
+    // BNLs = the 1-row calendar-origin scalar-combine on both the baseline
+    // and monitoring legs; both windows (cumsum + prefix-min) partition by
+    // type over calendar-bounded daily frames
+    "cusum_changepoints" -> (0, 2, 0, 1, 7, 2),
+    // the window is the frontier prefix-min over the per-day min-price
+    // aggregate (calendar-bounded); skyline side broadcasts back
+    "skyline_orders" -> (0, 0, 0, 1, 4, 1),
+    // fit agg + confusion agg only: serving is a literal-centroid codegen
+    // fold — zero joins, zero windows BY CONSTRUCTION
+    "nearest_centroid_confusion" -> (0, 0, 0, 1, 2, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

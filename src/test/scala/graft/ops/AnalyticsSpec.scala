@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSuite
+import org.apache.spark.sql.functions.{col, date_format, to_date}
 
 /** Pins the approx-quartile scale path to the exact-ntile correctness
   * anchor: same bucket structure, per-bucket counts within the sketch's
@@ -132,5 +133,31 @@ class AnalyticsSpec extends SparkSuite {
       assert(out(t)._1 == n, s"tier $t count ${out(t)._1} vs brute $n")
       assert(math.abs(out(t)._2 - rev) < 0.01, s"tier $t revenue ${out(t)._2} vs brute $rev")
     }
+  }
+
+  test("skylineOrders equals the brute quadratic dominance check") {
+    val out = Analytics.skylineOrders(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+
+    val rows = Tables(spark, dir, "orders")
+      .select(date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("day"),
+        col("o_totalprice"), col("o_orderkey"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // brute: an order survives iff no other is cheaper-or-equal AND
+    // newer-or-equal with one strict
+    val survivors = rows.filter { r =>
+      !rows.exists(s => s._2 <= r._2 && s._1 >= r._1 &&
+        (s._2 < r._2 || s._1 > r._1))
+    }
+    val brute = survivors.groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((day, p), g) =>
+        (day, p, g.length.toLong, g.map(_._3).min) }
+      .sortBy(_._1)
+    assert(out.nonEmpty && out.toSeq == brute,
+      "two-phase frontier must equal the quadratic dominance definition")
+    // frontier law: an older survivor must undercut every newer day's
+    // minimum, so prices strictly increase with day
+    assert(out.sliding(2).forall(w => w.length < 2 || w(0)._2 < w(1)._2),
+      "skyline prices must be strictly increasing with day")
   }
 }

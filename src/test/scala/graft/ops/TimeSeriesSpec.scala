@@ -218,4 +218,45 @@ class TimeSeriesSpec extends SparkSuite {
     assert(rows.forall(_._5 > 0.0))
   }
 
+  test("cusumChangepoints: prefix form equals the textbook max(0,·) recursion in BigInt") {
+    val dir01 = "/root/testdata/sf0.01" // sf0.001 yields an empty alarm set
+    val out = TimeSeries.cusumChangepoints(spark, dir01).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+
+    // re-derive the daily series and frozen-baseline moments independently
+    val daily = Tables(spark, dir01, "events")
+      .groupBy(col("event_type"), date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val d0 = daily.map(_._2).min
+    def dayNum(s: String) = java.time.LocalDate.parse(s).toEpochDay
+    val D = BigInt(TimeSeries.CusumSlackDen)
+    val H2 = BigInt(TimeSeries.CusumH * TimeSeries.CusumH)
+    val brute = scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]()
+    for ((t, rows) <- daily.groupBy(_._1).toSeq.sortBy(_._1)) {
+      val (base, monitor) = rows.sortBy(_._2).partition(r =>
+        dayNum(r._2) - dayNum(d0) < TimeSeries.CusumBaselineDays)
+      if (base.nonEmpty) {
+        val kb = BigInt(base.length)
+        val sb = base.map(r => BigInt(r._3)).sum
+        val s2b = base.map(r => BigInt(r._3) * BigInt(r._3)).sum
+        val thr = H2 * D * D * (kb * s2b - sb * sb)
+        var spos = BigInt(0); var sneg = BigInt(0)
+        for ((_, day, n) <- monitor) {
+          // textbook recursion on the D·kb-scaled centered series
+          spos = (spos + D * kb * n - (D + 1) * sb).max(0)
+          sneg = (sneg + (D - 1) * sb - D * kb * n).max(0)
+          val hi = spos * spos > thr; val lo = sneg * sneg > thr
+          if (hi || lo) brute += ((t, day, n,
+            if (hi && lo) "both" else if (hi) "high" else "low"))
+        }
+      }
+    }
+    assert(out.nonEmpty, "sf0.01 must produce at least one alarm for the law to bite")
+    assert(out.toSeq == brute.toSeq,
+      "window prefix form must equal the max(0,·) recursion exactly")
+    // the baseline is frozen: no alarm may fall inside the baseline window
+    assert(out.forall(r => dayNum(r._2) - dayNum(d0) >= TimeSeries.CusumBaselineDays))
+  }
+
 }
