@@ -273,4 +273,85 @@ object PageRank {
        |$iterCtes
        |SELECT node AS doc_id, pr FROM r$Iterations ORDER BY doc_id""".stripMargin
   }
+
+  /** Fan-out of the planted hierarchy: parent(d) = d div HierarchyFanout,
+    * ids below the fanout are roots. Derived from doc_id alone so both
+    * engines walk the identical forest (the [[Sampling.urlCanonicalDedup]]
+    * planting discipline). */
+  val HierarchyFanout = 7L
+
+  /** Pointer-jumping rounds: ancestor distance doubles per round, so
+    * 5 rounds resolve any chain ≤ 32 deep — the div-7 forest reaches
+    * depth 12 only past 10^10 nodes. */
+  val HierarchyRounds = 5
+
+  /** Hierarchy flattening — root, depth, and the materialized root→node
+    * path for every node of a forest given as parent pointers (the
+    * org-chart / category-tree / reply-thread query). Spark has no
+    * recursive CTE; the naive translation walks one parent level per
+    * join — O(depth) corpus-sized joins. This uses POINTER JUMPING
+    * (path doubling): each round joins the frontier to itself, so the
+    * known-ancestor distance DOUBLES — O(log depth) rounds total, each
+    * one equi-join shuffle on the ancestor key, each ending in
+    * `localCheckpoint` (the Pregel lineage convention above).
+    *
+    * Invariant carried per node: (anc, depth, seg) where `seg` is the
+    * "/"-joined ids from anc EXCLUSIVE down to the node INCLUSIVE and
+    * `depth` the hop count to anc. Combining a node with its ancestor's
+    * state concatenates segments and adds depths; a node whose ancestor
+    * is a root stops combining (its state is final). All arithmetic is
+    * integer and all strings deterministic, so the DuckDB recursive-CTE
+    * oracle re-derives every path bit-for-bit.
+    */
+  def hierarchyPaths(spark: SparkSession, dir: String): DataFrame = {
+    val f = HierarchyFanout
+    var state = Tables(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        when(col("doc_id") >= f, expr(s"doc_id div $f")).as("anc"),
+        when(col("doc_id") >= f, lit(1L)).otherwise(lit(0L)).as("depth"),
+        col("doc_id").cast("string").as("seg"))
+      .localCheckpoint()
+    for (_ <- 1 to HierarchyRounds) {
+      val a = state.select(col("id").as("a_id"), col("anc").as("a_anc"),
+        col("depth").as("a_depth"), col("seg").as("a_seg"))
+      state = state.join(a, col("anc") === col("a_id"), "left")
+        .select(col("id"),
+          // combine only while the ancestor is itself below a root:
+          // anc null = I am a root; a_anc null = anc IS my root — final
+          when(col("anc").isNull || col("a_anc").isNull, col("anc"))
+            .otherwise(col("a_anc")).as("anc"),
+          when(col("anc").isNull || col("a_anc").isNull, col("depth"))
+            .otherwise(col("depth") + col("a_depth")).as("depth"),
+          when(col("anc").isNull || col("a_anc").isNull, col("seg"))
+            .otherwise(concat(col("a_seg"), lit("/"), col("seg"))).as("seg"))
+        .localCheckpoint()
+    }
+    state.select(col("id").as("doc_id"),
+        coalesce(col("anc"), col("id")).as("root_id"),
+        col("depth"),
+        when(col("anc").isNull, col("seg"))
+          .otherwise(concat(col("anc").cast("string"), lit("/"), col("seg")))
+          .as("path"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the textbook recursive CTE walking one parent per step —
+    * equality is the path-doubling claim. */
+  val hierarchyPathsSql: String =
+    s"""WITH RECURSIVE walk(id, anc, depth, path) AS (
+       |  SELECT doc_id, CASE WHEN doc_id >= $HierarchyFanout
+       |           THEN doc_id // $HierarchyFanout END,
+       |         0::BIGINT, doc_id::VARCHAR
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT w.id, CASE WHEN w.anc >= $HierarchyFanout
+       |           THEN w.anc // $HierarchyFanout END,
+       |         w.depth + 1, w.anc::VARCHAR || '/' || w.path
+       |  FROM walk w WHERE w.anc IS NOT NULL
+       |)
+       |SELECT id AS doc_id,
+       |  CAST(string_split(path, '/')[1] AS BIGINT) AS root_id,
+       |  depth, path
+       |FROM walk WHERE anc IS NULL
+       |ORDER BY doc_id""".stripMargin
 }

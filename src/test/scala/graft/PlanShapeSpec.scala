@@ -451,7 +451,11 @@ class PlanShapeSpec extends SparkSuite {
     "skyline_orders" -> (0, 0, 0, 1, 4, 1),
     // fit agg + confusion agg only: serving is a literal-centroid codegen
     // fold — zero joins, zero windows BY CONSTRUCTION
-    "nearest_centroid_confusion" -> (0, 0, 0, 1, 2, 0)
+    "nearest_centroid_confusion" -> (0, 0, 0, 1, 2, 0),
+    // final plan sees only the last pointer-jump localCheckpoint + the
+    // presentation sort; per-round join shapes truncate (doc_pagerank
+    // convention)
+    "hierarchy_paths" -> (0, 0, 0, 1, 1, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

@@ -94,4 +94,23 @@ class PageRankSpec extends SparkSuite {
     assert(a.exists(_.getLong(1) > PageRank.ScaleUnit),
       "no node accumulated rank above the initial mass — graph degenerate?")
   }
+
+  test("hierarchyPaths: pointer jumping equals a sequential parent walk") {
+    val out = PageRank.hierarchyPaths(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+    val ids = Tables(spark, dir, "documents").select("doc_id")
+      .collect().map(_.getLong(0))
+    val f = PageRank.HierarchyFanout
+    val brute = ids.sorted.map { id =>
+      var chain = List(id)
+      while (chain.head >= f) chain = (chain.head / f) :: chain
+      (id, chain.head, (chain.length - 1).toLong, chain.mkString("/"))
+    }
+    assert(out.length == ids.length, "one row per node")
+    assert(out.toSeq == brute.toSeq,
+      "log-round doubling must equal the one-step parent walk")
+    // the planted forest must actually be deep enough to exercise >1 jump
+    assert(out.map(_._3).max >= 3, "forest too shallow to test doubling")
+  }
 }
