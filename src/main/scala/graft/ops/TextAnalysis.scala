@@ -1328,4 +1328,91 @@ object TextAnalysis {
       |  round(hl_d::DOUBLE, 6) AS h_lang, round(hs_d::DOUBLE, 6) AS h_source,
       |  round(mi_d::DOUBLE / least(hl_d::DOUBLE, hs_d::DOUBLE), 6) AS mi_norm
       |FROM mi CROSS JOIN hl CROSS JOIN hs""".stripMargin
+
+  /** Stored-query count for [[percolateAlerts]]: the top
+    * `2 × PercolateQueries` document-frequency terms pair into
+    * `PercolateQueries` two-term conjunctive queries (rank i AND rank
+    * i+m) — derived from the corpus itself so both engines register the
+    * identical query set. Sized to the synthetic corpus's ~31-token
+    * vocabulary; real deployments register thousands — the plan shape
+    * (one pass, broadcast query terms) is what scales, not m. */
+  val PercolateQueries = 10
+
+  /** Percolation / reverse search — M STORED queries matched against the
+    * corpus in ONE pass (the Elasticsearch-percolator / alerting shape:
+    * "which standing alerts does each incoming document trigger?"). The
+    * naive form runs M corpus scans; this inverts it: the query-term
+    * table (|2M| rows) broadcasts onto the distinct per-doc token stream,
+    * and a conjunctive query fires for a doc iff its matched-term count
+    * equals the query's term count — an aggregate, not a scan per query.
+    *
+    * Scale shape: one corpus scan → per-doc distinct tokens (map-side
+    * `array_distinct`, no shuffle); broadcast join against the tiny
+    * query-term table; one (query, doc) hash aggregate whose input is
+    * bounded by matches (≤ docs × query-terms-per-doc), then a
+    * |queries|-bounded rollup. Queries with zero firing docs survive via
+    * the left re-attach (null first/last doc).
+    */
+  def percolateAlerts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = PercolateQueries
+    val docTok = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.tokens(col("text")))).as("token"))
+    // bounded deterministic driver fit (2m rows): the registered query set
+    // becomes PLAN LITERALS — no window, no tiny-frame self-join
+    val top = docTok.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(2 * m)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, df) => (-df, t) }.map(_._1)
+    val queries = (0 until m)
+      .map(i => (i.toLong, top(i), top(i + m)))
+      .toDF("query_id", "term_a", "term_b")
+    val qterms = queries.select(col("query_id"),
+      explode(array(col("term_a"), col("term_b"))).as("token"))
+    val fired = docTok.join(broadcast(qterms), Seq("token"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("matched"))
+      .filter(col("matched") === 2)
+      .groupBy("query_id").agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    broadcast(queries).join(fired, Seq("query_id"), "left")
+      .select(col("query_id"), col("term_a"), col("term_b"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("first_doc"), col("last_doc"))
+      .orderBy("query_id")
+  }
+
+  val percolateAlertsSql: String = {
+    val m = PercolateQueries
+    s"""WITH dt AS (
+      |  SELECT DISTINCT doc_id, token FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      |    FROM documents)
+      |), ranked AS (
+      |  SELECT token,
+      |    row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+      |  FROM dt GROUP BY token
+      |  ORDER BY count(*) DESC, token LIMIT ${2 * m}
+      |), q AS (
+      |  SELECT a.rk - 1 AS query_id, a.token AS term_a, b.token AS term_b
+      |  FROM ranked a JOIN ranked b ON b.rk = a.rk + $m
+      |  WHERE a.rk <= $m
+      |), qt AS (
+      |  SELECT query_id, term_a AS token FROM q
+      |  UNION ALL SELECT query_id, term_b FROM q
+      |), fired AS (
+      |  SELECT query_id, count(*) AS n_docs,
+      |    min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |  FROM (
+      |    SELECT qt.query_id, dt.doc_id
+      |    FROM dt JOIN qt USING (token)
+      |    GROUP BY 1, 2 HAVING count(*) = 2)
+      |  GROUP BY 1
+      |)
+      |SELECT q.query_id, q.term_a, q.term_b,
+      |  coalesce(f.n_docs, 0) AS n_docs, f.first_doc, f.last_doc
+      |FROM q LEFT JOIN fired f USING (query_id)
+      |ORDER BY q.query_id""".stripMargin
+  }
 }

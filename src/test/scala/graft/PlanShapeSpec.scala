@@ -455,7 +455,11 @@ class PlanShapeSpec extends SparkSuite {
     // final plan sees only the last pointer-jump localCheckpoint + the
     // presentation sort; per-round join shapes truncate (doc_pagerank
     // convention)
-    "hierarchy_paths" -> (0, 0, 0, 1, 1, 0)
+    "hierarchy_paths" -> (0, 0, 0, 1, 1, 0),
+    // one token pass + (query,doc) match agg + |queries| rollup; the
+    // registered query set is a bounded driver fit served as plan
+    // literals (no window, no tiny-frame self-join)
+    "percolate_alerts" -> (0, 0, 0, 1, 3, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

@@ -100,4 +100,32 @@ class CorpusAuditsSpec extends SparkSuite {
     val (tots, oovs) = (out.values.map(_._2).sum, out.values.map(_._3).sum)
     assert(oovs > 0 && oovs < tots, "OOV rate degenerate at this vocab size")
   }
+
+  test("percolateAlerts: query set and firing counts re-derive from a brute scan") {
+    val out = TextAnalysis.percolateAlerts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))
+    val m = TextAnalysis.PercolateQueries
+    assert(out.length == m && out.map(_._1).toSeq == (0L until m.toLong),
+      "one row per stored query, in id order")
+
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split("\\s+").toSet))
+    // brute query derivation: top-2m df terms, ties by term
+    val top = docs.flatMap { case (id, ts) => ts.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.length).toSeq
+      .sortBy { case (t, df) => (-df, t) }.take(2 * m).map(_._1)
+    for ((qid, ta, tb, n, first, last) <- out) {
+      assert(ta == top(qid.toInt) && tb == top(qid.toInt + m),
+        s"query $qid terms")
+      val hits = docs.filter { case (_, ts) => ts(ta) && ts(tb) }.map(_._1)
+      assert(n == hits.length.toLong, s"query $qid n_docs")
+      assert(first == (if (hits.isEmpty) -1L else hits.min), s"query $qid first")
+      assert(last == (if (hits.isEmpty) -1L else hits.max), s"query $qid last")
+    }
+    // the alert surface is live: some query fires, none fires on everything
+    assert(out.exists(_._4 > 0) && out.forall(_._4 < docs.length))
+  }
 }
