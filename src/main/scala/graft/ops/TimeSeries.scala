@@ -558,6 +558,61 @@ object TimeSeries {
     * seasonality-cancellation property). */
   val CusumBaselineDays = 7
 
+  /** The (type, day) count aggregate both the batch query and the
+    * streaming monitor fold over — counts are mergeable by addition, so
+    * a live monitor can maintain this frame incrementally. */
+  private[graft] def dailyTypeCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Frozen CUSUM baseline: per-type integer moments over the first
+    * [[CusumBaselineDays]] of the daily frame's calendar, carrying `cut`
+    * (the first monitoring day) so consumers need no second look at the
+    * calendar origin. */
+  private[graft] def cusumBaseline(daily: DataFrame): DataFrame = {
+    val b0 = daily.agg(min(col("day")).as("d0"))
+    daily.crossJoin(broadcast(b0))
+      .filter(datediff(col("day"), col("d0")) < CusumBaselineDays)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("kb"), sum(col("n")).as("sb"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("s2b"),
+        date_add(min(col("d0")), CusumBaselineDays).as("cut"))
+  }
+
+  /** The CUSUM decision rule over a daily frame against a (frozen)
+    * baseline — shared verbatim by [[cusumChangepoints]] and the
+    * streaming monitor, so the streamed readout is DEFINITIONALLY the
+    * batch metric. */
+  private[graft] def cusumAlarms(daily: DataFrame, base: DataFrame): DataFrame = {
+    val d = CusumSlackDen
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .join(broadcast(base), Seq("event_type"))
+      .filter(col("day") >= col("cut"))
+      .withColumn("yhi", expr(
+        s"CAST($d AS DECIMAL(38,0)) * kb * n - ${d + 1} * sb"))
+      .withColumn("ylo", expr(
+        s"CAST(${d - 1} AS DECIMAL(38,0)) * sb - $d * kb * n"))
+      .withColumn("chi", sum(col("yhi")).over(w))
+      .withColumn("clo", sum(col("ylo")).over(w))
+      .withColumn("spos", col("chi") - least(min(col("chi")).over(w), lit(0)))
+      .withColumn("sneg", col("clo") - least(min(col("clo")).over(w), lit(0)))
+      .withColumn("thr", expr(
+        s"CAST(${CusumH * CusumH} AS DECIMAL(38,0)) * ${d * d} " +
+          "* (kb * s2b - CAST(sb AS DECIMAL(38,0)) * sb)"))
+    scored
+      .filter(col("spos") * col("spos") > col("thr") ||
+        col("sneg") * col("sneg") > col("thr"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        when(col("spos") * col("spos") > col("thr"),
+          when(col("sneg") * col("sneg") > col("thr"), lit("both"))
+            .otherwise(lit("high")))
+          .otherwise(lit("low")).as("side"))
+      .orderBy("event_type", "day")
+  }
+
   /** Tabular CUSUM changepoint detection over per-type daily counts — the
     * pipeline-health monitor "did this event type's volume shift after the
     * baseline month?". Classic two-sided CUSUM: S⁺_t = max(0, S⁺_{t−1} +
@@ -580,42 +635,8 @@ object TimeSeries {
     * calendar-bounded frames (O(days), never O(corpus)).
     */
   def cusumChangepoints(spark: SparkSession, dir: String): DataFrame = {
-    val d = CusumSlackDen
-    val daily = Tables(spark, dir, "events")
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
-    val b0 = daily.agg(min(col("day")).as("d0"))
-    val withB0 = daily.crossJoin(broadcast(b0))
-      .withColumn("in_base",
-        datediff(col("day"), col("d0")) < CusumBaselineDays)
-    val base = withB0.filter(col("in_base")).groupBy("event_type").agg(
-      count(lit(1)).as("kb"), sum(col("n")).as("sb"),
-      sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("s2b"))
-    val w = Window.partitionBy("event_type").orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val scored = withB0.filter(!col("in_base"))
-      .join(broadcast(base), Seq("event_type"))
-      .withColumn("yhi", expr(
-        s"CAST($d AS DECIMAL(38,0)) * kb * n - ${d + 1} * sb"))
-      .withColumn("ylo", expr(
-        s"CAST(${d - 1} AS DECIMAL(38,0)) * sb - $d * kb * n"))
-      .withColumn("chi", sum(col("yhi")).over(w))
-      .withColumn("clo", sum(col("ylo")).over(w))
-      .withColumn("spos", col("chi") - least(min(col("chi")).over(w), lit(0)))
-      .withColumn("sneg", col("clo") - least(min(col("clo")).over(w), lit(0)))
-      .withColumn("thr", expr(
-        s"CAST(${CusumH * CusumH} AS DECIMAL(38,0)) * ${d * d} " +
-          "* (kb * s2b - CAST(sb AS DECIMAL(38,0)) * sb)"))
-    scored
-      .filter(col("spos") * col("spos") > col("thr") ||
-        col("sneg") * col("sneg") > col("thr"))
-      .select(col("event_type"),
-        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
-        when(col("spos") * col("spos") > col("thr"),
-          when(col("sneg") * col("sneg") > col("thr"), lit("both"))
-            .otherwise(lit("high")))
-          .otherwise(lit("low")).as("side"))
-      .orderBy("event_type", "day")
+    val daily = dailyTypeCounts(Tables(spark, dir, "events"))
+    cusumAlarms(daily, cusumBaseline(daily))
   }
 
   val cusumChangepointsSql: String = {

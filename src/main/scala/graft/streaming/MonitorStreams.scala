@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.TimeSeries
+
+/** Streaming CUSUM changepoint monitor —
+  * [[graft.ops.TimeSeries.cusumChangepoints]] kept live against an ingest
+  * stream, the [[DriftStreams]] discipline applied to the volume monitor:
+  * the per-type baseline MOMENTS (k_b, S_b, S₂_b, cut) are frozen once as
+  * a written parquet table, the live (type, day) count frame — mergeable
+  * by addition — folds under the versioned-MV exactly-once contract, and
+  * the alarm readout reuses the batch decision rule VERBATIM
+  * ([[TimeSeries.cusumAlarms]]), so the streamed alarm set is
+  * definitionally the batch metric on the ingested prefix.
+  *
+  * Scale shape: per-batch work is one hash aggregate over the batch into
+  * ≤ |types|×|days| rows; state is calendar-bounded, never stream-sized;
+  * the readout runs two windows over that bounded frame.
+  */
+object MonitorStreams {
+
+  private def versionsIn(dir: String): Seq[Long] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("version="))
+      .map(_.getName.stripPrefix("version=").toLong)
+
+  /** Freeze the CUSUM baseline of an events-shaped frame (typically the
+    * first weeks of history at deploy time). */
+  def writeBaseline(ev: DataFrame, baselineDir: String): Unit =
+    TimeSeries.cusumBaseline(TimeSeries.dailyTypeCounts(ev))
+      .write.mode("overwrite").parquet(baselineDir)
+
+  /** Per-batch fold: add this batch's (type, day) counts into the stored
+    * live frame, write `version=N`, prune. Replaying a batch id
+    * overwrites its own version — idempotent under restart. */
+  def foldBatch(batch: DataFrame, batchId: Long, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val prev = versionsIn(stateDir).filter(_ < batchId).sorted.lastOption
+    val delta = TimeSeries.dailyTypeCounts(batch)
+      .select(col("event_type"), col("day"), col("n").as("dn"))
+    val merged = prev match {
+      case Some(v) =>
+        spark.read.parquet(s"$stateDir/version=$v")
+          .select(col("event_type"), col("day"), col("n").as("on"))
+          .join(delta, Seq("event_type", "day"), "full_outer")
+          .select(col("event_type"), col("day"),
+            (coalesce(col("on"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
+      case None => delta.select(col("event_type"), col("day"), col("dn").as("n"))
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/version=$batchId")
+    for (p <- prev; v <- versionsIn(stateDir) if v < p)
+      graft.ops.IncrementalIndex.deleteDir(s"$stateDir/version=$v")
+  }
+
+  /** Current alarm set: the batch decision rule over the live daily frame
+    * against the frozen baseline. */
+  def currentAlarms(spark: SparkSession, stateDir: String,
+      baselineDir: String): DataFrame =
+    TimeSeries.cusumAlarms(
+      spark.read.parquet(s"$stateDir/version=${versionsIn(stateDir).max}"),
+      spark.read.parquet(baselineDir))
+
+  /** Start the monitor on a raw event stream. */
+  def maintainVolume(
+      events: DataFrame, stateDir: String, ckpt: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        foldBatch(batch.toDF(), batchId, stateDir))
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+}

@@ -442,10 +442,11 @@ class PlanShapeSpec extends SparkSuite {
     // map-only HOF pipeline: the one sort is the output ordering
     "doc_top_tokens" -> (0, 0, 0, 1, 1, 0),
     // --- session 6 ---
-    // BNLs = the 1-row calendar-origin scalar-combine on both the baseline
-    // and monitoring legs; both windows (cumsum + prefix-min) partition by
-    // type over calendar-bounded daily frames
-    "cusum_changepoints" -> (0, 2, 0, 1, 7, 2),
+    // BNL = the 1-row calendar-origin scalar-combine on the baseline leg
+    // (the monitor leg reads `cut` off the broadcast baseline instead);
+    // both windows (cumsum + prefix-min) partition by type over
+    // calendar-bounded daily frames
+    "cusum_changepoints" -> (0, 1, 0, 1, 6, 2),
     // the window is the frontier prefix-min over the per-day min-price
     // aggregate (calendar-bounded); skyline side broadcasts back
     "skyline_orders" -> (0, 0, 0, 1, 4, 1),

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSuite
+import graft.ops.{Tables, TimeSeries}
+
+case class MonitorEvent(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+class MonitorStreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus(): Array[MonitorEvent] =
+    Tables(spark, dir, "events").collect()
+      .map(r => MonitorEvent(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+
+  test("streamed CUSUM alarms against the frozen baseline equal the batch query") {
+    val base = java.nio.file.Files.createTempDirectory("cusum_base").toString
+    val state = java.nio.file.Files.createTempDirectory("cusum_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cusum_ckpt").toString
+    val evs = corpus()
+    // freeze the baseline from history (the batch query derives its own
+    // from the same corpus's first week — identical moments)
+    MonitorStreams.writeBaseline(evs.toSeq.toDF(), base)
+    val input = MemoryStream[MonitorEvent](spark)
+    val q = MonitorStreams.maintainVolume(input.toDF(), state, ckpt)
+    for (c <- evs.grouped((evs.length + 2) / 3)) {
+      input.addData(c.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = MonitorStreams.currentAlarms(spark, state, base)
+      .collect().map(_.toSeq).toSet
+    val want = TimeSeries.cusumChangepoints(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty, "batch alarm set empty — monitor untestable")
+    assert(got == want, s"streamed alarms diverged:\n$got\nvs\n$want")
+  }
+
+  test("replayed fold is idempotent; alarms only ever ADD as days complete") {
+    val base = java.nio.file.Files.createTempDirectory("cusum_base2").toString
+    val state = java.nio.file.Files.createTempDirectory("cusum_state2").toString
+    val evs = corpus().sortBy(_.ts.getTime) // stream in event-time order
+    MonitorStreams.writeBaseline(evs.toSeq.toDF(), base)
+    val (b0, b1) = evs.splitAt(evs.length / 2)
+    MonitorStreams.foldBatch(b0.toSeq.toDF(), 0, state)
+    val mid = MonitorStreams.currentAlarms(spark, state, base)
+      .collect().map(_.toSeq).toSet
+    MonitorStreams.foldBatch(b1.toSeq.toDF(), 1, state)
+    val first = MonitorStreams.currentAlarms(spark, state, base)
+      .collect().map(_.toSeq).toSet
+    MonitorStreams.foldBatch(b1.toSeq.toDF(), 1, state) // replay
+    val second = MonitorStreams.currentAlarms(spark, state, base)
+      .collect().map(_.toSeq).toSet
+    assert(first == second, "replay changed the alarm readout")
+    // monotonicity on completed days: every alarm whose day closed before
+    // the mid-stream cut must persist in the full readout (the CUSUM
+    // statistic of a FIXED prefix never changes once its days are final)
+    val lastMidDay = new java.sql.Date(b0.last.ts.getTime).toString
+    val settled = mid.filter(r => r(1).asInstanceOf[String] < lastMidDay)
+    assert(settled.subsetOf(first),
+      "a settled alarm vanished after more data arrived")
+    // state is calendar-bounded: |types| x |days|, not stream-sized
+    val stateRows = spark.read.parquet(s"$state/version=1").count()
+    val bound = Tables(spark, dir, "events").select(col("event_type")).distinct().count() *
+      Tables(spark, dir, "events").select(org.apache.spark.sql.functions
+        .to_date(col("ts"))).distinct().count()
+    assert(stateRows <= bound, "state exceeded the calendar bound")
+  }
+}
