@@ -610,4 +610,106 @@ object Sampling {
        |  FROM documents
        |  ORDER BY k DESC, doc_id LIMIT $EsK)
        |ORDER BY doc_id""".stripMargin
+
+  /** Length-bucket width for [[distributionMatchSample]]. */
+  val DmBucketChars = 100L
+
+  /** Draw seed for [[distributionMatchSample]]. */
+  val DmSeed = "dm42"
+
+  /** Distribution-matching rejection sampler — resample every source so
+    * its LENGTH-BUCKET distribution matches the corpus-wide target (the
+    * curation step behind "make every crawl slice look like the reference
+    * mix"; [[mixtureSample]] reweights source TOTALS, this matches the
+    * conditional feature distribution WITHIN each source). Classic
+    * rejection sampling: accept a doc of source s in bucket b with
+    * probability p_b/(M_s·q_{s,b}) where p is the target share, q the
+    * source's own share, and M_s = max_b p_b/q_{s,b} — the tightest
+    * constant that keeps every acceptance ≤ 1, so the kept subset of
+    * each source is distributed exactly like the target.
+    *
+    * Exactness: shares reduce to count ratios, so the acceptance test is
+    * `draw · C_b·T_{b*} < T_b·C_{b*} · 65536` — pure integer cross-
+    * multiplication against the engine's standard 16-bit [[seededKey]]
+    * draw; products carried as DECIMAL(38,0) (≤ ~1e27 at 10¹¹ docs).
+    * The argmax bucket b* orders by the IEEE-double quotient tb/cb —
+    * both inputs are exact integers < 2⁵³, so the rounded quotient is
+    * bit-identical in every engine; double-collision ties break to the
+    * smaller bucket in BOTH engines, so the choice stays engine-identical
+    * even if a collision hides the true max (a too-small M only clips
+    * that bucket's acceptance at 1).
+    *
+    * Scale shape: one corpus scan into the (source, bucket) hash
+    * aggregate; target and per-source argmax run on that bounded grid
+    * (|sources|×|buckets|) and broadcast back; the accept test is a pure
+    * per-row projection on the second scan. No window ever sees the
+    * corpus.
+    */
+  def distributionMatchSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("bucket", expr(s"n_chars div $DmBucketChars"))
+    val cells = docs.groupBy("source", "bucket").agg(count(lit(1)).as("cb"))
+    val target = cells.groupBy("bucket").agg(sum(col("cb")).as("tb"))
+    val grid = cells.join(broadcast(target), Seq("bucket"))
+      .withColumn("qd", col("tb").cast("double") / col("cb"))
+    val star = grid.withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("qd").desc, col("bucket"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("tb").as("tb_star"), col("cb").as("cb_star"))
+    // the bounded (|sources| x |buckets|) rate table MATERIALIZES once
+    // (localCheckpoint): without it every downstream reference re-plans —
+    // and re-scans — the corpus-backed cells aggregate
+    val rates = grid.join(broadcast(star), Seq("source"))
+      .select(col("source"), col("bucket"), col("cb"), col("tb"),
+        col("tb_star"), col("cb_star"))
+      .localCheckpoint()
+    val draw = conv(substring(seededKey(DmSeed, col("doc_id")), 1, 4), 16, 10)
+      .cast("long")
+    val kept = docs.join(broadcast(rates), Seq("source", "bucket"))
+      .filter(draw.cast("decimal(38,0)") * col("cb") * col("tb_star") <
+        col("tb").cast("decimal(38,0)") * col("cb_star") * lit(65536L))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source", "bucket"), "left")
+      .select(col("source"), col("bucket"), col("cb").as("n_before"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        expr("(1000 * CAST(tb AS DECIMAL(38,0)) * cb_star) div (CAST(cb AS DECIMAL(38,0)) * tb_star)")
+          .cast("long").as("accept_pm"))
+      .orderBy("source", "bucket")
+  }
+
+  val distributionMatchSampleSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, n_chars // $DmBucketChars AS bucket
+       |  FROM documents
+       |), cells AS (
+       |  SELECT source, bucket, count(*) AS cb FROM docs GROUP BY 1, 2
+       |), target AS (
+       |  SELECT bucket, sum(cb)::BIGINT AS tb FROM cells GROUP BY 1
+       |), grid AS (
+       |  SELECT c.source, c.bucket, c.cb, t.tb,
+       |    t.tb::DOUBLE / c.cb AS qd
+       |  FROM cells c JOIN target t USING (bucket)
+       |), star AS (
+       |  SELECT source, tb AS tb_star, cb AS cb_star FROM (
+       |    SELECT source, tb, cb,
+       |      row_number() OVER (PARTITION BY source
+       |        ORDER BY qd DESC, bucket) AS rk
+       |    FROM grid) WHERE rk = 1
+       |), kept AS (
+       |  SELECT d.source, d.bucket, count(*) AS n_kept
+       |  FROM docs d JOIN grid g ON d.source = g.source AND d.bucket = g.bucket
+       |  JOIN star s ON s.source = d.source
+       |  WHERE ('0x' || substr(md5('$DmSeed:' || d.doc_id::VARCHAR), 1, 4))::INT
+       |        ::HUGEINT * g.cb * s.tb_star
+       |      < g.tb::HUGEINT * s.cb_star * 65536
+       |  GROUP BY 1, 2
+       |)
+       |SELECT g.source, g.bucket, g.cb AS n_before,
+       |  coalesce(k.n_kept, 0) AS n_kept,
+       |  ((1000 * g.tb::HUGEINT * s.cb_star)
+       |    // (g.cb::HUGEINT * s.tb_star))::BIGINT AS accept_pm
+       |FROM grid g JOIN star s USING (source)
+       |LEFT JOIN kept k ON k.source = g.source AND k.bucket = g.bucket
+       |ORDER BY g.source, g.bucket""".stripMargin
 }

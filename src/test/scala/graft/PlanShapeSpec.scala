@@ -460,7 +460,12 @@ class PlanShapeSpec extends SparkSuite {
     // one token pass + (query,doc) match agg + |queries| rollup; the
     // registered query set is a bounded driver fit served as plan
     // literals (no window, no tiny-frame self-join)
-    "percolate_alerts" -> (0, 0, 0, 1, 3, 0)
+    "percolate_alerts" -> (0, 0, 0, 1, 3, 0),
+    // cells agg + kept agg + presentation sort; the rate grid
+    // localCheckpoints (sources x buckets, bounded) so the corpus-backed
+    // cells aggregate plans ONCE; the SMJ is the bounded rates-kept
+    // re-attach at the suite's tiny broadcast budget
+    "distribution_match_sample" -> (0, 0, 1, 1, 3, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

@@ -290,4 +290,41 @@ class SamplingSpec extends SparkSuite {
     // pure function of (seed, key): identical on re-run
     assert(Sampling.weightedSampleEs(spark, dir).collect().sameElements(rows))
   }
+
+  test("distributionMatchSample equals a BigInt rejection-rule re-derivation") {
+    val out = Sampling.distributionMatchSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2) / Sampling.DmBucketChars))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long): Long = {
+      val hex = md.digest(s"${Sampling.DmSeed}:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(4), 16)
+    }
+    val tb = docs.groupBy(_._3).view.mapValues(g => BigInt(g.length)).toMap
+    val brute = docs.groupBy(_._2).flatMap { case (src, g) =>
+      val cb = g.groupBy(_._3).view.mapValues(x => BigInt(x.length)).toMap
+      // argmax of tb/cb via the same IEEE-double quotient + bucket tie
+      val bStar = cb.keys.toSeq
+        .sortBy(b => (-(tb(b).toDouble / cb(b).toDouble), b)).head
+      val (tbS, cbS) = (tb(bStar), cb(bStar))
+      cb.keys.toSeq.map { b =>
+        val kept = g.filter(_._3 == b).count(d =>
+          BigInt(draw(d._1)) * cb(b) * tbS < tb(b) * cbS * 65536)
+        (src, b) -> (cb(b).toLong, kept.toLong,
+          (1000 * tb(b) * cbS / (cb(b) * tbS)).toLong)
+      }
+    }.toMap
+    assert(out == brute, "rejection rule must re-derive exactly")
+    // the tightest-constant law: each source's argmax bucket accepts all
+    assert(brute.groupBy(_._1._1).forall { case (_, cells) =>
+      cells.values.map(_._3).max == 1000L })
+    // the sampler actually rejects somewhere (the mix is not already flat)
+    assert(out.values.map(_._2).sum < out.values.map(_._1).sum)
+  }
 }
