@@ -37,6 +37,16 @@ object Bench {
       .filter(name => only.forall(_.contains(name)))
       .map { name =>
       val fn = SparkEntry.queries(name)
+      // Inter-query isolation: clearCache drops catalog-cached plans, but
+      // localCheckpoint blocks (the Pregel-shape queries) are only released
+      // by the ContextCleaner AFTER their RDD objects are GC'd — without
+      // the explicit unpersist+gc the sweep accumulates dead storage blocks
+      // that squeeze execution memory and spill the heavy span queries
+      // (observed: cross_doc_spans 1.7 s isolated vs 27 s late in a sweep).
+      // Runs OUTSIDE the timed section.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
       val times = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()

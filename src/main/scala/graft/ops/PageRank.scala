@@ -302,6 +302,15 @@ object PageRank {
     * is a root stops combining (its state is final). All arithmetic is
     * integer and all strings deterministic, so the DuckDB recursive-CTE
     * oracle re-derives every path bit-for-bit.
+    *
+    * Contract: parent pointers reference rows OF THIS TABLE (the normal
+    * org-chart/thread-table shape; the planted div-7 forest satisfies it
+    * on the contiguous-id test corpora). A DANGLING parent — no row for
+    * the id — finalizes the walk there (the orphan adopts its last
+    * reachable ancestor as root), where the oracle's pointer walk would
+    * continue through ids that exist only arithmetically; for that reason
+    * the sf1 cross-check (ScaleData key-shifts ids, breaking the planted
+    * contiguity) exercises the other session additions, not this one.
     */
   def hierarchyPaths(spark: SparkSession, dir: String): DataFrame = {
     val f = HierarchyFanout

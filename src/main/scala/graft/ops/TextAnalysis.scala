@@ -1375,7 +1375,9 @@ object TextAnalysis {
       .filter(col("matched") === 2)
       .groupBy("query_id").agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-    broadcast(queries).join(fired, Seq("query_id"), "left")
+    // no broadcast hint: the preserved side of a left-outer cannot build
+    // the hash side, and `fired` is already |queries|-bounded
+    queries.join(fired, Seq("query_id"), "left")
       .select(col("query_id"), col("term_a"), col("term_b"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         col("first_doc"), col("last_doc"))
