@@ -778,4 +778,85 @@ object TableChecks {
        |  sum(t)::DOUBLE > $PsiBar AS drifted
        |FROM terms GROUP BY col_name
        |ORDER BY col_name""".stripMargin
+
+  /** The numeric lineitem columns [[correlationMatrix]] profiles. */
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Pearson correlation matrix over the numeric lineitem columns — the
+    * table-stats diagnostic behind join reordering, feature pruning, and
+    * "is discount actually coupled to price?" questions. ALL pairwise
+    * moments accumulate in ONE hash-aggregate pass (14 accumulators for
+    * 4 columns), so the corpus is scanned once however many pairs are
+    * reported — the [[graft.ops.Events.hourValueRegression]] moment
+    * discipline widened to a matrix.
+    *
+    * Exactness: values quantize to integer cents (`floor(x·100 + 0.5)`,
+    * exact for TPC-H's 2-decimal domains), squares and cross-products
+    * carry DECIMAL(38,0), and r's numerator/denominator are formed in
+    * exact integer arithmetic before ONE cast to double each — identical
+    * in both engines bit-for-bit. At 10¹² rows the second moments reach
+    * ~1e33 — still inside decimal's 38 digits (the cents scale is the
+    * knob past that).
+    *
+    * Scale shape: one scan, one 1-row aggregate, a |pairs|-bounded
+    * literal explode for presentation. Nothing else.
+    */
+  def correlationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cents = CorrCols.map(c => (c, s"c_$c"))
+    var li = Tables(spark, dir, "lineitem")
+    for ((c, cc) <- cents)
+      li = li.withColumn(cc, floor(col(c) * 100.0 + 0.5).cast("long"))
+    val firstMoments = cents.flatMap { case (_, cc) =>
+      Seq(sum(col(cc)).as(s"s_$cc"),
+        sum(expr(s"CAST($cc AS DECIMAL(38,0)) * $cc")).as(s"ss_$cc"))
+    }
+    val crossMoments = cents.combinations(2).toSeq.map { pair =>
+      val (a, b) = (pair(0)._2, pair(1)._2)
+      sum(expr(s"CAST($a AS DECIMAL(38,0)) * $b")).as(s"sx_${a}_$b")
+    }
+    val m = li.agg(count(lit(1)).as("n"),
+      (firstMoments ++ crossMoments): _*)
+    val pairRows = cents.combinations(2).toSeq.map { pair =>
+      val ((ca, a), (cb, b)) = (pair(0), pair(1))
+      struct(lit(ca).as("col_a"), lit(cb).as("col_b"),
+        (expr(s"CAST(n AS DECIMAL(38,0)) * sx_${a}_$b - CAST(s_$a AS DECIMAL(38,0)) * s_$b")
+          .cast("double") /
+          sqrt(expr(s"CAST(n AS DECIMAL(38,0)) * ss_$a - CAST(s_$a AS DECIMAL(38,0)) * s_$a")
+            .cast("double") *
+            expr(s"CAST(n AS DECIMAL(38,0)) * ss_$b - CAST(s_$b AS DECIMAL(38,0)) * s_$b")
+              .cast("double"))).as("r"))
+    }
+    m.select(col("n"), explode(array(pairRows: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("n"),
+        round(col("p.r"), 6).as("r"))
+      .orderBy("col_a", "col_b")
+  }
+
+  val correlationMatrixSql: String = {
+    val moments = CorrCols.flatMap { c =>
+      Seq(s"sum(c_$c)::HUGEINT AS s_c_$c",
+        s"sum(c_$c::HUGEINT * c_$c) AS ss_c_$c")
+    } ++ CorrCols.combinations(2).map { p =>
+      s"sum(c_${p(0)}::HUGEINT * c_${p(1)}) AS sx_c_${p(0)}_c_${p(1)}"
+    }
+    val pairSelects = CorrCols.combinations(2).map { p =>
+      val (a, b) = (s"c_${p(0)}", s"c_${p(1)}")
+      s"""  SELECT '${p(0)}' AS col_a, '${p(1)}' AS col_b, n,
+         |    round((n::HUGEINT * sx_${a}_$b - s_$a::HUGEINT * s_$b)::DOUBLE
+         |      / sqrt((n::HUGEINT * ss_$a - s_$a::HUGEINT * s_$a)::DOUBLE
+         |           * (n::HUGEINT * ss_$b - s_$b::HUGEINT * s_$b)::DOUBLE),
+         |      6) AS r
+         |  FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val centCols = CorrCols
+      .map(c => s"CAST(floor($c * 100.0 + 0.5) AS BIGINT) AS c_$c")
+      .mkString(", ")
+    s"""WITH cents AS (
+       |  SELECT $centCols FROM lineitem
+       |), m AS (
+       |  SELECT count(*) AS n, ${moments.mkString(", ")} FROM cents
+       |)
+       |$pairSelects
+       |ORDER BY col_a, col_b""".stripMargin
+  }
 }

@@ -465,7 +465,10 @@ class PlanShapeSpec extends SparkSuite {
     // localCheckpoints (sources x buckets, bounded) so the corpus-backed
     // cells aggregate plans ONCE; the SMJ is the bounded rates-kept
     // re-attach at the suite's tiny broadcast budget
-    "distribution_match_sample" -> (0, 0, 1, 1, 3, 0)
+    "distribution_match_sample" -> (0, 0, 1, 1, 3, 0),
+    // ONE scan, ONE 1-row aggregate carrying all 14 pairwise moments;
+    // the pair explode is a literal projection
+    "correlation_matrix" -> (0, 0, 0, 1, 1, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

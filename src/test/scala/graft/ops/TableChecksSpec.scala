@@ -338,4 +338,35 @@ class TableChecksSpec extends SparkSuite {
     // synthetic stream is stationary across the split: PSI should be tiny
     assert(out.values.forall(_._2 < 0.2), "stationary corpus must not drift")
   }
+
+  test("correlationMatrix equals a BigInt moment re-derivation; r in [-1,1]") {
+    val out = TableChecks.correlationMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val rows = Tables(spark, dir, "lineitem")
+      .select(cols.map(org.apache.spark.sql.functions.col): _*).collect()
+      .map(r => cols.indices.map(i =>
+        BigInt(math.floor(r.getDouble(i) * 100.0 + 0.5).toLong)))
+    val n = BigInt(rows.length)
+    def s(i: Int) = rows.map(_(i)).sum
+    def sx(i: Int, j: Int) = rows.map(v => v(i) * v(j)).sum
+    for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } {
+      val num = (n * sx(i, j) - s(i) * s(j)).toDouble
+      val den = math.sqrt((n * sx(i, i) - s(i) * s(i)).toDouble *
+        (n * sx(j, j) - s(j) * s(j)).toDouble)
+      val want = BigDecimal(num / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gn, gr) = out((cols(i), cols(j)))
+      assert(gn == rows.length.toLong)
+      assert(math.abs(gr - want) < 2e-6, s"${cols(i)}x${cols(j)}: $gr vs $want")
+      assert(gr >= -1.0 && gr <= 1.0)
+    }
+    // the synthetic generator draws the four columns independently, so
+    // every r is near zero — which is itself the profile's finding; the
+    // law above (exact moment re-derivation) is the test, not the domain
+    assert(out.size == 6)
+  }
 }
