@@ -274,6 +274,85 @@ object PageRank {
        |SELECT node AS doc_id, pr FROM r$Iterations ORDER BY doc_id""".stripMargin
   }
 
+  /** BFS hop budget for [[docBfsLevels]]. */
+  val BfsMaxHops = 4
+
+  /** Seed source for [[docBfsLevels]] — the "untrusted slice" whose
+    * spread the audit traces. */
+  val BfsSeedSource = "src0"
+
+  /** Multi-source BFS levels over the link graph — the contamination-
+    * spread audit: "every document within k duplication/syndication hops
+    * of an untrusted source". Level-synchronous frontier expansion, the
+    * Pregel shape: each round joins the CURRENT frontier (not the visited
+    * set) to the edge table, anti-joins the accumulated visited set, and
+    * `localCheckpoint`s both frames — O(hops) rounds, each one equi-join
+    * shuffle proportional to the FRONTIER, never |visited|×|edges|.
+    * Integer hop distances; min-hop semantics fall out of first-visit.
+    *
+    * Scale shape: the edge table persists once (partitioned on src); the
+    * per-round anti-join is frontier-sized. The textbook alternative —
+    * iterate a min-aggregate over the full node set per round — touches
+    * every node every round; frontier BFS touches each node once.
+    */
+  def docBfsLevels(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val edges = linkGraph(docs).persist()
+    var visited = docs.filter(col("source") === BfsSeedSource)
+      .select(col("doc_id").as("id"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = visited
+    for (k <- 1 to BfsMaxHops) {
+      frontier = edges.join(frontier, col("src") === col("id"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), lit(k).as("dist"))
+        .localCheckpoint()
+      visited = visited.union(frontier).localCheckpoint()
+    }
+    edges.unpersist()
+    visited.select(col("id").as("doc_id"), col("dist")).orderBy("doc_id")
+  }
+
+  /** Oracle: unrolled per-level CTEs (the [[docPageRankSql]] convention) —
+    * level k = neighbors of level k−1 minus everything already reached. */
+  val docBfsLevelsSql: String = {
+    val levels = (1 to BfsMaxHops).map { k =>
+      s"""v$k AS (
+         |  SELECT DISTINCT e.dst AS id FROM edges e
+         |  JOIN v${k - 1} ON e.src = v${k - 1}.id
+         |  WHERE e.dst NOT IN (SELECT id FROM seen${k - 1})
+         |), seen$k AS (SELECT id FROM seen${k - 1} UNION SELECT id FROM v$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    val dists = (0 to BfsMaxHops)
+      .map(k => s"SELECT id AS doc_id, $k AS dist FROM v$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(t) >= 3
+       |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+       |      ELSE [lower(text)] END) AS sh
+       |  FROM toks JOIN documents USING (doc_id)
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS s FROM sh
+       |), rare AS (
+       |  SELECT doc_id, s FROM ex
+       |  WHERE s IN (SELECT s FROM ex GROUP BY s
+       |              HAVING count(*) BETWEEN $RareMinDf AND $RareMaxDf)
+       |), edges AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id != b.doc_id
+       |), v0 AS (
+       |  SELECT doc_id AS id FROM documents WHERE source = '$BfsSeedSource'
+       |), seen0 AS (SELECT id FROM v0),
+       |$levels
+       |$dists
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Fan-out of the planted hierarchy: parent(d) = d div HierarchyFanout,
     * ids below the fanout are roots. Derived from doc_id alone so both
     * engines walk the identical forest (the [[Sampling.urlCanonicalDedup]]

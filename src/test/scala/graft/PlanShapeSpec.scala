@@ -468,7 +468,10 @@ class PlanShapeSpec extends SparkSuite {
     "distribution_match_sample" -> (0, 0, 1, 1, 3, 0),
     // ONE scan, ONE 1-row aggregate carrying all 14 pairwise moments;
     // the pair explode is a literal projection
-    "correlation_matrix" -> (0, 0, 0, 1, 1, 0)
+    "correlation_matrix" -> (0, 0, 0, 1, 1, 0),
+    // final plan = last frontier-union localCheckpoint + presentation
+    // sort; per-round BFS join shapes truncate (doc_pagerank convention)
+    "doc_bfs_levels" -> (0, 0, 0, 1, 1, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {
