@@ -1353,26 +1353,44 @@ object TextAnalysis {
     * |queries|-bounded rollup. Queries with zero firing docs survive via
     * the left re-attach (null first/last doc).
     */
-  def percolateAlerts(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc distinct token stream — shared by the batch query and the
+    * streaming percolator (map-side `array_distinct`, no shuffle). */
+  private[graft] def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(Dedup.tokens(col("text")))).as("token"))
+
+  /** Register the stored-query set off a corpus: the top-2m df terms
+    * paired rank i / i+m. Bounded deterministic driver fit (2m rows). */
+  private[graft] def percolateQuerySet(spark: SparkSession,
+      docTok: DataFrame, m: Int = PercolateQueries): DataFrame = {
     import spark.implicits._
-    val m = PercolateQueries
-    val docTok = Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(Dedup.tokens(col("text")))).as("token"))
-    // bounded deterministic driver fit (2m rows): the registered query set
-    // becomes PLAN LITERALS — no window, no tiny-frame self-join
     val top = docTok.groupBy("token").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("token")).limit(2 * m)
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (t, df) => (-df, t) }.map(_._1)
-    val queries = (0 until m)
-      .map(i => (i.toLong, top(i), top(i + m)))
+    (0 until m).map(i => (i.toLong, top(i), top(i + m)))
       .toDF("query_id", "term_a", "term_b")
+  }
+
+  /** The conjunctive match core — (query_id, doc_id) pairs where the doc
+    * holds BOTH query terms. Shared VERBATIM by the batch rollup and the
+    * streaming percolator, so the streamed alert set is definitionally
+    * the batch predicate. */
+  private[graft] def firedPairs(docTok: DataFrame, queries: DataFrame): DataFrame = {
     val qterms = queries.select(col("query_id"),
       explode(array(col("term_a"), col("term_b"))).as("token"))
-    val fired = docTok.join(broadcast(qterms), Seq("token"))
+    docTok.join(broadcast(qterms), Seq("token"))
       .groupBy("query_id", "doc_id").agg(count(lit(1)).as("matched"))
       .filter(col("matched") === 2)
+      .select("query_id", "doc_id")
+  }
+
+  def percolateAlerts(spark: SparkSession, dir: String): DataFrame = {
+    val docTok = docTokens(Tables(spark, dir, "documents"))
+    // the registered query set becomes PLAN LITERALS — no window, no
+    // tiny-frame self-join
+    val queries = percolateQuerySet(spark, docTok)
+    val fired = firedPairs(docTok, queries)
       .groupBy("query_id").agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
     // no broadcast hint: the preserved side of a left-outer cannot build

@@ -89,4 +89,41 @@ object TextStreams {
     * the broadcast candidate join, never a corpus-scale re-aggregate. */
   private def bm25Index(spark: SparkSession, dir: String): TextAnalysis.Bm25Index =
     TextAnalysis.bm25BuildIndex(Tables(spark, dir, "documents"))
+
+  /** Register the percolator's stored-query set as a WRITTEN parquet
+    * table (the index-is-a-table contract: standing alerts must survive
+    * restarts and be shared across serving jobs). */
+  def writeQuerySet(spark: SparkSession, corpus: DataFrame,
+      queryDir: String): Unit =
+    TextAnalysis.percolateQuerySet(spark, TextAnalysis.docTokens(corpus))
+      .write.mode("overwrite").parquet(queryDir)
+
+  /** Streaming percolator — [[TextAnalysis.percolateAlerts]]'s match core
+    * kept live: each incoming micro-batch of documents is tokenized and
+    * tested against the FROZEN stored-query table, emitting
+    * (query_id, doc_id) alert rows through the exactly-once sink. The
+    * match is [[TextAnalysis.firedPairs]] VERBATIM, so the streamed alert
+    * log is definitionally the batch predicate over the ingested prefix —
+    * and per-doc alerts depend on nothing but the doc and the frozen
+    * query table, so micro-batches are embarrassingly independent (no
+    * state store at all).
+    *
+    * Scale shape: per-batch work = batch-sized tokenize + broadcast join
+    * against the tiny query table + a (query, doc) aggregate bounded by
+    * the batch's matches.
+    */
+  def percolateServe(docs: DataFrame, queryDir: String,
+      outDir: String, ckpt: String): StreamingQuery = {
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val queries = spark.read.parquet(queryDir)
+        val alerts = TextAnalysis.firedPairs(
+          TextAnalysis.docTokens(batch.toDF()), queries)
+        Sinks.idempotentBatchWrite(alerts, batchId, outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+  }
 }

@@ -91,4 +91,38 @@ class TextStreamsSpec extends SparkSuite {
     assert(served == expected,
       s"stream-served hybrid diverged from batch fusion: ${(served diff expected).take(5)} / ${(expected diff served).take(5)}")
   }
+
+  test("streaming percolator alerts equal the batch fired pairs; replay idempotent") {
+    val root = Files.createTempDirectory("graft-percolate").toFile
+    val (qdir, out, ckpt) = (s"$root/queries", s"$root/alerts", s"$root/ckpt")
+    val corpus = Tables(spark, dir, "documents")
+    TextStreams.writeQuerySet(spark, corpus, qdir)
+
+    val docs = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = TextStreams.percolateServe(
+      input.toDF().toDF("doc_id", "text"), qdir, out, ckpt)
+    for (c <- docs.grouped((docs.length + 2) / 3)) {
+      input.addData(c.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val served = Sinks.readSink(spark, out).select("query_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = TextAnalysis.firedPairs(
+        TextAnalysis.docTokens(corpus),
+        spark.read.parquet(qdir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && served == want,
+      "streamed alert log must equal the batch predicate")
+    // replaying a batch overwrites its own partition — alert set unchanged
+    val replay = corpus.limit(50).toDF()
+    Sinks.idempotentBatchWrite(TextAnalysis.firedPairs(
+      TextAnalysis.docTokens(replay), spark.read.parquet(qdir)), 0, out)
+    Sinks.idempotentBatchWrite(TextAnalysis.firedPairs(
+      TextAnalysis.docTokens(replay), spark.read.parquet(qdir)), 0, out)
+    val after = Sinks.readSink(spark, out).select("query_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.subsetOf(want), "replay introduced alerts outside the predicate")
+  }
 }
