@@ -611,6 +611,52 @@ object Sampling {
        |  ORDER BY k DESC, doc_id LIMIT $EsK)
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-stratum sample size for [[stratifiedTopkSample]]. */
+  val StratumK = 10
+
+  /** Per-stratum EXACT-k weighted sampling — the member of the sampling
+    * family [[mixtureSample]] deliberately trades away ("exact-N selection
+    * … would sort 1/|langs| of the corpus on one task"): when a fixed
+    * per-stratum count IS required (eval sets, human-review batches),
+    * take each language's top-k by the Efraimidis–Spirakis key
+    * ln(u)/w — [[weightedSampleEs]]'s draw, per stratum — so membership
+    * stays a pure function of (seed, key) and each stratum's sample is a
+    * true weight-proportional draw without replacement.
+    *
+    * Scale shape: the naive per-stratum rank IS the single-task sort
+    * mixtureSample warns about — but a rank-filter ≤ k plans as
+    * WindowGroupLimit (the [[urlHostCaps]] skew armor): a map-side
+    * PARTIAL top-k per stratum runs before the exchange, so at most k
+    * rows per stratum per input slice ever shuffle, and the final
+    * per-stratum sort ranks a capped, not corpus-sized, partition.
+    */
+  def stratifiedTopkSample(spark: SparkSession, dir: String,
+      k: Int = StratumK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val draw = conv(substring(seededKey(EsSeed, col("doc_id")), 1, 4), 16, 10)
+      .cast("double")
+    val key = log((draw + 1.0) / 65537.0) / col("n_chars")
+    val w = Window.partitionBy("lang").orderBy(desc("es_key"), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("es_key"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "rk")
+  }
+
+  val stratifiedTopkSampleSql: String =
+    s"""SELECT lang, rk, doc_id, n_chars FROM (
+       |  SELECT lang, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rk
+       |  FROM (
+       |    SELECT doc_id, lang, n_chars,
+       |      ln((('0x' || substr(md5('$EsSeed:' || doc_id::VARCHAR), 1, 4))::INT
+       |          + 1.0) / 65537.0) / n_chars AS k
+       |    FROM documents))
+       |WHERE rk <= $StratumK
+       |ORDER BY lang, rk""".stripMargin
+
   /** Length-bucket width for [[distributionMatchSample]]. */
   val DmBucketChars = 100L
 

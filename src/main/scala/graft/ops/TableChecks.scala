@@ -779,6 +779,91 @@ object TableChecks {
        |FROM terms GROUP BY col_name
        |ORDER BY col_name""".stripMargin
 
+  /** Key-range width of one checksum bucket in [[replicaBucketDiff]]. */
+  val ReplicaBucketKeys = 500L
+
+  /** Replica anti-entropy via bucket checksums — the Merkle-tree-style
+    * repair discipline (Cassandra/Dynamo): two replicas of a table are
+    * compared by ONE (count, checksum) row per key-range bucket, and only
+    * buckets that disagree ever need a row-level diff ([[snapshotDiff]]).
+    * At 10¹² rows that is N/[[ReplicaBucketKeys]] comparison rows instead
+    * of N — the difference between a nightly audit and an impossible one.
+    *
+    * Row fingerprint: a 60-bit integer from md5 over a CANONICALIZED
+    * column rendering (integer cents for the price, fixed date format —
+    * never raw double→string, whose formatting is engine-specific).
+    * Bucket checksum = SUM of fingerprints carried as DECIMAL(38,0):
+    * integer addition is order-free, so the checksum is partition- and
+    * engine-independent, and any single-row change moves it (adversarial
+    * collisions are not the threat model — bit rot and missed writes are).
+    *
+    * The "replica" here is planted from the same table so both engines
+    * derive it identically: one corrupted price per ~997 keys, one
+    * dropped row per ~1499 — the audit must flag exactly those buckets.
+    */
+  def replicaBucketDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    def canon(df: DataFrame) = df.select(col("o_orderkey"),
+      expr(s"o_orderkey div $ReplicaBucketKeys").as("bucket"),
+      concat_ws(":", col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        col("o_orderpriority")).as("r"))
+    def sums(df: DataFrame, n: String, s: String) = canon(df)
+      .withColumn("h", expr("CAST(conv(substring(md5(CAST(r AS BINARY)), 1, 15), 16, 10) AS DECIMAL(38,0))"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as(n), sum(col("h")).as(s))
+    val replica = orders
+      .filter(col("o_orderkey") % 1499 =!= 1) // planted missed write
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 997 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice"))) // planted bit rot
+    sums(orders, "n_a", "c_a")
+      .join(sums(replica, "n_b", "c_b"), Seq("bucket"), "full_outer")
+      .filter(coalesce(col("n_a"), lit(0L)) =!= coalesce(col("n_b"), lit(0L)) ||
+        col("c_a") =!= col("c_b"))
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .orderBy("bucket")
+  }
+
+  val replicaBucketDiffSql: String =
+    s"""WITH canon AS (
+       |  SELECT o_orderkey, o_orderkey // $ReplicaBucketKeys AS bucket,
+       |    o_orderkey::VARCHAR || ':' || o_custkey::VARCHAR || ':'
+       |      || o_orderstatus || ':'
+       |      || CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)::VARCHAR
+       |      || ':' || strftime(o_orderdate, '%Y-%m-%d') || ':'
+       |      || o_orderpriority AS r,
+       |    o_totalprice
+       |  FROM orders
+       |), a AS (
+       |  SELECT bucket, count(*) AS n_a,
+       |    sum(('0x' || substr(md5(r), 1, 15))::BIGINT) AS c_a
+       |  FROM canon GROUP BY 1
+       |), rb AS (
+       |  SELECT o_orderkey, o_orderkey // $ReplicaBucketKeys AS bucket,
+       |    o_orderkey::VARCHAR || ':' || o_custkey::VARCHAR || ':'
+       |      || o_orderstatus || ':'
+       |      || CAST(floor((CASE WHEN o_orderkey % 997 = 0
+       |                     THEN o_totalprice + 1.0 ELSE o_totalprice END)
+       |              * 100.0 + 0.5) AS BIGINT)::VARCHAR
+       |      || ':' || strftime(o_orderdate, '%Y-%m-%d') || ':'
+       |      || o_orderpriority AS r
+       |  FROM orders WHERE o_orderkey % 1499 != 1
+       |), b AS (
+       |  SELECT bucket, count(*) AS n_b,
+       |    sum(('0x' || substr(md5(r), 1, 15))::BIGINT) AS c_b
+       |  FROM rb GROUP BY 1
+       |)
+       |SELECT bucket, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+       |FROM a FULL OUTER JOIN b USING (bucket)
+       |WHERE coalesce(n_a, 0) != coalesce(n_b, 0)
+       |   OR c_a != c_b
+       |ORDER BY bucket""".stripMargin
+
   /** The numeric lineitem columns [[correlationMatrix]] profiles. */
   private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 

@@ -471,7 +471,14 @@ class PlanShapeSpec extends SparkSuite {
     "correlation_matrix" -> (0, 0, 0, 1, 1, 0),
     // final plan = last frontier-union localCheckpoint + presentation
     // sort; per-round BFS join shapes truncate (doc_pagerank convention)
-    "doc_bfs_levels" -> (0, 0, 0, 1, 1, 0)
+    "doc_bfs_levels" -> (0, 0, 0, 1, 1, 0),
+    // 3 "Window" = 1 Window + 2 WindowGroupLimit phases (the map-side
+    // per-stratum top-k cap — the url_host_caps skew armor)
+    "stratified_topk_sample" -> (0, 0, 0, 1, 2, 3),
+    // the SMJ is the bucket-level FULL OUTER (neither replica side is a
+    // priori small; full-outer has no broadcast form — the snapshot_diff
+    // convention); both inputs are bucket-sized aggregates, not rows
+    "replica_bucket_diff" -> (0, 0, 1, 1, 3, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

@@ -291,6 +291,31 @@ class SamplingSpec extends SparkSuite {
     assert(Sampling.weightedSampleEs(spark, dir).collect().sameElements(rows))
   }
 
+  test("stratifiedTopkSample: per-lang exact-k ES draw equals a brute rank") {
+    val out = Sampling.stratifiedTopkSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long): Long = {
+      val hex = md.digest(s"${Sampling.EsSeed}:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(4), 16)
+    }
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val brute = docs.groupBy(_._2).toSeq.flatMap { case (lang, g) =>
+      g.map { case (id, _, nc) =>
+          (math.log((draw(id) + 1.0) / 65537.0) / nc, id, nc) }
+        .sortBy { case (k, id, _) => (-k, id) }
+        .take(Sampling.StratumK).zipWithIndex
+        .map { case ((_, id, nc), i) => (lang, i + 1, id, nc) }
+    }.sortBy(t => (t._1, t._2))
+    assert(out.toSeq == brute, "WindowGroupLimit rank must equal brute ES rank")
+    // exactly k per stratum (every lang has >= k docs at this SF)
+    assert(out.groupBy(_._1).values.forall(_.length == Sampling.StratumK))
+  }
+
   test("distributionMatchSample equals a BigInt rejection-rule re-derivation") {
     val out = Sampling.distributionMatchSample(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->

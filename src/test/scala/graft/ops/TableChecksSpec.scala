@@ -339,6 +339,48 @@ class TableChecksSpec extends SparkSuite {
     assert(out.values.forall(_._2 < 0.2), "stationary corpus must not drift")
   }
 
+  test("replicaBucketDiff flags exactly the planted-mutation buckets") {
+    val out = TableChecks.replicaBucketDiff(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): BigInt =
+      BigInt(md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(15), 16)
+    val rows = Tables(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        col("o_orderpriority"))
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+          r.getString(4), r.getString(5))
+      }
+    def canon(k: Long, c: Long, st: String, p: Double, d: String, pr: String) =
+      s"$k:$c:$st:${math.floor(p * 100.0 + 0.5).toLong}:$d:$pr"
+    val w = TableChecks.ReplicaBucketKeys
+    def sums(rs: Seq[(Long, String)]): Map[Long, (Long, BigInt)] =
+      rs.groupBy(_._1 / w).view.mapValues(g =>
+        (g.length.toLong, g.map(x => h(x._2)).sum)).toMap
+    val a = sums(rows.toSeq.map(t => (t._1, canon(t._1, t._2, t._3, t._4, t._5, t._6))))
+    val b = sums(rows.toSeq.filter(_._1 % 1499 != 1).map { t =>
+      val p2 = if (t._1 % 997 == 0) t._4 + 1.0 else t._4
+      (t._1, canon(t._1, t._2, t._3, p2, t._5, t._6))
+    })
+    val brute = (a.keySet ++ b.keySet).toSeq.sorted.flatMap { bk =>
+      val (na, ca) = a.getOrElse(bk, (0L, BigInt(-1)))
+      val (nb, cb) = b.getOrElse(bk, (0L, BigInt(-1)))
+      if (na != nb || ca != cb) Some((bk, na, nb)) else None
+    }
+    assert(out.toSeq == brute, "bucket checksum diff must equal brute")
+    assert(out.nonEmpty, "planting produced no divergent bucket at this SF")
+    // every flagged bucket contains a planted key; every planted key's
+    // bucket is flagged
+    val planted = rows.map(_._1).filter(k => k % 1499 == 1 || k % 997 == 0)
+      .map(_ / w).toSet
+    assert(out.map(_._1).toSet == planted,
+      s"flagged ${out.map(_._1).toSet} vs planted-buckets $planted")
+  }
+
   test("correlationMatrix equals a BigInt moment re-derivation; r in [-1,1]") {
     val out = TableChecks.correlationMatrix(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
