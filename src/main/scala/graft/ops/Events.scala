@@ -914,6 +914,111 @@ object Events {
     * Scale shape: one hash aggregate (map-side partials), output one row
     * per group. The regression itself costs nothing beyond the sums.
     */
+  /** Debounce window: events of the same (user, type) closer than this
+    * are one burst; only the burst's first event survives. */
+  val DebounceMicros = 60L * 1000000L
+
+  /** Telemetry debounce — collapse rapid-fire duplicate signals: within
+    * each (user, type) stream, an event starts a new BURST iff it arrives
+    * more than [[DebounceMicros]] after its predecessor; only burst
+    * leaders survive (the client-retry / double-click / at-least-once
+    * scrub every ingest pipeline runs before counting anything). Exact
+    * integer gap arithmetic; the per-key report carries total, kept, and
+    * the largest burst.
+    *
+    * Scale shape: one lag window per (user, type) — partitions bounded by
+    * a key's own activity (the [[graft.ops.Analytics.userEventGaps]]
+    * discipline), then a hash aggregate; no corpus-wide sort.
+    */
+  def debounceEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val marked = Tables(spark, dir, "events")
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("leader",
+        col("gap_us").isNull || col("gap_us") > DebounceMicros)
+    // burst id = running count of leaders; burst size = rows per burst
+    val withBurst = marked
+      .withColumn("burst",
+        sum(when(col("leader"), 1L).otherwise(0L)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withBurst
+      .groupBy("user_id", "event_type", "burst")
+      .agg(count(lit(1)).as("burst_n"))
+      .groupBy("user_id", "event_type")
+      .agg(sum(col("burst_n")).as("n_total"),
+        count(lit(1)).as("n_kept"),
+        max(col("burst_n")).as("max_burst"))
+      .filter(col("n_total") > col("n_kept")) // report only keys that deduped
+      .orderBy("user_id", "event_type")
+  }
+
+  val debounceEventsSql: String =
+    s"""WITH g AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $DebounceMicros
+      |         THEN 1 ELSE 0 END AS leader
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), b AS (
+      |  SELECT user_id, event_type,
+      |    sum(leader) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS burst
+      |  FROM g
+      |), per_burst AS (
+      |  SELECT user_id, event_type, burst, count(*) AS burst_n
+      |  FROM b GROUP BY 1, 2, 3
+      |)
+      |SELECT user_id, event_type, sum(burst_n)::BIGINT AS n_total,
+      |  count(*) AS n_kept, max(burst_n) AS max_burst
+      |FROM per_burst GROUP BY 1, 2
+      |HAVING sum(burst_n) > count(*)
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** Per-user feature assembly — the feature-store materialization job:
+    * every behavioral feature a downstream model consumes (activity
+    * volume, breadth, recency span, intensity, monetary aggregates)
+    * computed in ONE keyed aggregate pass, not one job per feature. The
+    * two exact distinct-counts ride the same aggregate via Expand (the
+    * [[graft.ops.TableChecks]] profile discipline; under the
+    * [[graft.plans.ApproxDistinctRewrite]] conf they become fixed-memory
+    * sketches when approximate features are acceptable). Intensity is
+    * integer-exact (×1000 fixed point); money stays DECIMAL until the
+    * final rounded cast.
+    *
+    * Scale shape: one shuffle on user_id (the key the corpus already
+    * groups well on), map-side partials for everything non-distinct. A
+    * 100-TB feature refresh is one job.
+    */
+  def userFeatureStore(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        (datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1)
+          .cast("long").as("span_days"),
+        round(sum(col("value").cast("decimal(15,2)")), 2)
+          .cast("double").as("total_value"),
+        round(max(col("value")), 2).as("max_value"))
+      .withColumn("intensity_x1000",
+        expr("(1000 * n_events) div active_days"))
+      .orderBy("user_id")
+
+  val userFeatureStoreSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  count(DISTINCT event_type) AS n_types,
+      |  count(DISTINCT ts::DATE) AS active_days,
+      |  date_diff('day', min(ts::DATE), max(ts::DATE)) + 1 AS span_days,
+      |  round(sum(value::DECIMAL(15,2)), 2)::DOUBLE AS total_value,
+      |  round(max(value), 2) AS max_value,
+      |  (1000 * count(*)) // count(DISTINCT ts::DATE) AS intensity_x1000
+      |FROM events GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   def hourValueRegression(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
       .select(col("event_type"), hour(col("ts")).cast("long").as("x"),

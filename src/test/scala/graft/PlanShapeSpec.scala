@@ -478,7 +478,13 @@ class PlanShapeSpec extends SparkSuite {
     // the SMJ is the bucket-level FULL OUTER (neither replica side is a
     // priori small; full-outer has no broadcast form — the snapshot_diff
     // convention); both inputs are bucket-sized aggregates, not rows
-    "replica_bucket_diff" -> (0, 0, 1, 1, 3, 0)
+    "replica_bucket_diff" -> (0, 0, 1, 1, 3, 0),
+    // both windows share the (user, type) partitioning (lag + burst
+    // cumsum) — partitions bounded by a key's own activity
+    "debounce_events" -> (0, 0, 0, 1, 2, 2),
+    // one keyed aggregate (the 3rd exchange is the Expand'd two-distinct
+    // pass riding the same shuffle key) — a feature refresh is ONE job
+    "user_feature_store" -> (0, 0, 0, 1, 3, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

@@ -371,4 +371,66 @@ class EventsSpec extends SparkSuite {
     for (i <- 1 to 3)
       assert(acc.values.map(_(i)).sum <= touched * 1000000L)
   }
+
+  test("debounceEvents equals a brute burst walk per (user, type)") {
+    val dir = "/root/testdata/sf0.01" // sf0.001 is too sparse for any burst
+    val out = Events.debounceEvents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    val ev = Tables(spark, dir, "events")
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime * 1000L, r.getLong(3)))
+    val brute = ev.groupBy(e => (e._1, e._2)).flatMap { case (k, g) =>
+      val ts = g.sortBy(e => (e._3, e._4)).map(_._3)
+      val bursts = scala.collection.mutable.ArrayBuffer[Long]()
+      var cur = 0L
+      for ((t, i) <- ts.zipWithIndex) {
+        if (i == 0 || t - ts(i - 1) > Events.DebounceMicros) {
+          if (cur > 0) bursts += cur; cur = 1L
+        } else cur += 1
+      }
+      bursts += cur
+      val (total, kept, mx) = (ts.length.toLong, bursts.length.toLong, bursts.max)
+      if (total > kept) Some(k -> ((total, kept, mx))) else None
+    }
+    assert(out == brute, "window burst form must equal the sequential walk")
+    assert(out.nonEmpty, "no bursts collapsed at this SF — debounce untested")
+    // conservation: kept <= total everywhere, and max burst is >= 2 on
+    // every reported key (a key with only singleton bursts dedups nothing)
+    assert(out.values.forall { case (t, k, m) => k < t && m >= 2 })
+  }
+
+  test("userFeatureStore equals a brute per-user re-derivation") {
+    import org.apache.spark.sql.functions.{col, date_format, to_date}
+    val dir = "/root/testdata/sf0.001"
+    val out = Events.userFeatureStore(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getLong(7)))).toMap
+
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    def day(s: String) = java.time.LocalDate.parse(s).toEpochDay
+    val brute = ev.groupBy(_._1).map { case (u, g) =>
+      val days = g.map(_._3).distinct
+      val total = g.map(e => BigDecimal(e._4).setScale(2, BigDecimal.RoundingMode.HALF_EVEN)).sum
+      u -> ((g.length.toLong, g.map(_._2).distinct.length.toLong,
+        days.length.toLong, day(days.max) - day(days.min) + 1,
+        total.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(g.map(_._4).max).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        1000L * g.length / days.length))
+    }
+    assert(out.keySet == brute.keySet)
+    for ((u, want) <- brute) {
+      val got = out(u)
+      assert(got._1 == want._1 && got._2 == want._2 && got._3 == want._3 &&
+        got._4 == want._4 && got._7 == want._7, s"user $u ints: $got vs $want")
+      assert(math.abs(got._5 - want._5) < 0.02, s"user $u total_value")
+      assert(math.abs(got._6 - want._6) < 0.005, s"user $u max_value")
+    }
+  }
 }
