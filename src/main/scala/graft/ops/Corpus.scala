@@ -873,4 +873,72 @@ object Corpus {
       |    FROM documents))
       |GROUP BY lang, bin
       |ORDER BY lang, bin""".stripMargin
+
+  /** Quantile normalization map — batch-effect correction across sources:
+    * map every source's length distribution onto the POOLED distribution
+    * (the bioinformatics quantile-normalize recipe applied to corpus
+    * curation: after mapping, every source's length profile is the same,
+    * so length-correlated quality filters can't encode source identity).
+    *
+    * Exact rank matching, no interpolation: value v of source s (source
+    * cumulative rank r of n_s) maps to the SMALLEST pooled value u with
+    * cumPool(u)·n_s ≥ r·n_pool — the right-continuous inverse-CDF compose,
+    * stated as one integer cross-multiplication, engine-exact.
+    *
+    * Scale shape: everything runs on DISTINCT-VALUE histograms (the
+    * [[graft.ops.Events.winsorizedStats]] discipline) — the corpus is
+    * touched once by the (source, value) count aggregate; cumsums window
+    * over histogram rows, never docs; the rank-match is a theta join of
+    * two HISTOGRAM frames (|sources|·|values| × |values|), both bounded by
+    * the value domain, with the pooled side broadcast. The output is the
+    * MAP (one row per (source, value)), which a curation pass then applies
+    * as a broadcast projection.
+    */
+  def quantileNormalizeMap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents").select(col("source"),
+      col("n_chars").as("v"))
+    val srcHist = docs.groupBy("source", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds cumsum + per-source totals
+    val srcCum = srcHist
+      .withColumn("r", sum(col("c")).over(
+        Window.partitionBy("source").orderBy("v")))
+      .join(srcHist.groupBy("source").agg(sum(col("c")).as("n_src")), Seq("source"))
+    val poolHist = srcHist.groupBy("v").agg(sum(col("c")).as("cp"))
+    val poolCum = poolHist
+      .withColumn("cum_pool", sum(col("cp")).over(Window.orderBy("v")))
+      .select(col("v").as("u"), col("cum_pool"))
+      .crossJoin(broadcast(poolHist.agg(sum(col("cp")).as("n_pool"))))
+    srcCum.join(broadcast(poolCum),
+        col("cum_pool") * col("n_src") >= col("r") * col("n_pool"))
+      .groupBy("source", "v", "c")
+      .agg(min(col("u")).as("mapped"))
+      .select(col("source"), col("v").as("n_chars"), col("c").as("n_docs"),
+        col("mapped").as("mapped_chars"))
+      .orderBy("source", "n_chars")
+  }
+
+  val quantileNormalizeMapSql: String =
+    """WITH sh AS (
+      |  SELECT source, n_chars AS v, count(*) AS c
+      |  FROM documents GROUP BY 1, 2
+      |), sc AS (
+      |  SELECT source, v, c,
+      |    sum(c) OVER (PARTITION BY source ORDER BY v
+      |                 ROWS UNBOUNDED PRECEDING) AS r,
+      |    sum(c) OVER (PARTITION BY source) AS n_src
+      |  FROM sh
+      |), ph AS (
+      |  SELECT v, sum(c) AS cp FROM sh GROUP BY 1
+      |), pc AS (
+      |  SELECT v AS u,
+      |    sum(cp) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_pool,
+      |    sum(cp) OVER () AS n_pool
+      |  FROM ph
+      |)
+      |SELECT sc.source, sc.v AS n_chars, sc.c AS n_docs,
+      |  min(pc.u) AS mapped_chars
+      |FROM sc JOIN pc ON pc.cum_pool * sc.n_src >= sc.r * pc.n_pool
+      |GROUP BY 1, 2, 3
+      |ORDER BY source, n_chars""".stripMargin
 }

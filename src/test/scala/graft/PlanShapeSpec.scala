@@ -484,7 +484,12 @@ class PlanShapeSpec extends SparkSuite {
     "debounce_events" -> (0, 0, 0, 1, 2, 2),
     // one keyed aggregate (the 3rd exchange is the Expand'd two-distinct
     // pass riding the same shuffle key) — a feature refresh is ONE job
-    "user_feature_store" -> (0, 0, 0, 1, 3, 0)
+    "user_feature_store" -> (0, 0, 0, 1, 3, 0),
+    // BNLs = the 1-row pooled-total scalar-combine + the rank-match theta
+    // join of two HISTOGRAM frames (value-domain-bounded, pooled side
+    // broadcast — the t_closeness grid convention); windows run over
+    // histogram rows, never docs
+    "quantile_normalize_map" -> (0, 2, 0, 1, 7, 2)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

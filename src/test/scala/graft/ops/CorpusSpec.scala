@@ -393,4 +393,38 @@ class CorpusSpec extends SparkSuite {
       assert(r.getAs[Long]("bin0") == 0L, r.toString)
     }
   }
+
+  test("quantileNormalizeMap: exact rank matching; map is monotone and covers every cell") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Corpus.quantileNormalizeMap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+    val rows = Tables(spark, dir, "documents")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val pool = rows.map(_._2).sorted
+    val nPool = BigInt(pool.length)
+    val poolVals = pool.distinct
+    def cumPool(u: Long) = BigInt(pool.count(_ <= u))
+    val brute = rows.groupBy(_._1).flatMap { case (src, g) =>
+      val vs = g.map(_._2).sorted
+      val nSrc = BigInt(vs.length)
+      vs.distinct.toSeq.map { v =>
+        val r = BigInt(vs.count(_ <= v))
+        val mapped = poolVals.find(u => cumPool(u) * nSrc >= r * nPool).get
+        (src, v) -> ((vs.count(_ == v).toLong, mapped))
+      }
+    }.toMap
+    assert(out == brute, "rank matching must equal the brute inverse-CDF compose")
+    // law: the map is monotone non-decreasing within each source
+    for ((src, cells) <- out.groupBy(_._1._1)) {
+      val sorted = cells.toSeq.sortBy(_._1._2).map(_._2._2)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+        s"non-monotone map for $src")
+    }
+    // law: the largest value of every source maps to the pooled maximum
+    for ((src, cells) <- out.groupBy(_._1._1))
+      assert(cells.toSeq.maxBy(_._1._2)._2._2 == pool.max, s"$src top cell")
+  }
 }
