@@ -497,17 +497,27 @@ object Analytics {
     * dimension here makes that machinery unnecessary: the post-aggregate
     * frame IS the bounded summary.
     */
-  def skylineOrders(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables(spark, dir, "orders")
-    val pts = orders
-      .groupBy(to_date(col("o_orderdate")).as("day"))
+  /** The (day, min price) collapse both the batch query and the streaming
+    * monitor fold over — per-day minima are mergeable by MIN, so a live
+    * monitor can maintain this frame incrementally. */
+  private[graft] def dailyMinPrice(orders: DataFrame): DataFrame =
+    orders.groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(min(col("o_totalprice")).as("price"))
+
+  /** The frontier filter over a (day, price) frame — shared verbatim by
+    * batch and streaming, so the streamed frontier is definitionally the
+    * batch metric. */
+  private[graft] def frontierOf(pts: DataFrame): DataFrame = {
     val wNewer = Window.orderBy(col("day").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val sky = pts
-      .withColumn("best_newer", min(col("price")).over(wNewer))
+    pts.withColumn("best_newer", min(col("price")).over(wNewer))
       .filter(col("best_newer").isNull || col("price") < col("best_newer"))
       .select("day", "price")
+  }
+
+  def skylineOrders(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val sky = frontierOf(dailyMinPrice(orders))
     orders
       .join(broadcast(sky),
         to_date(col("o_orderdate")) === col("day") &&

@@ -72,4 +72,49 @@ object MonitorStreams {
       .option("checkpointLocation", ckpt)
       .outputMode("append")
       .start()
+
+  // ---- streaming skyline: the Pareto frontier kept live ----
+
+  /** Per-batch fold for the skyline monitor: per-day minima are mergeable
+    * by MIN, so the live (day, price) frame folds exactly like the CUSUM
+    * daily counts fold above — versioned, idempotent under replay. */
+  def foldSkylineBatch(batch: DataFrame, batchId: Long, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val prev = versionsIn(stateDir).filter(_ < batchId).sorted.lastOption
+    val delta = graft.ops.Analytics.dailyMinPrice(batch)
+      .select(col("day"), col("price").as("dp"))
+    val merged = prev match {
+      case Some(v) =>
+        spark.read.parquet(s"$stateDir/version=$v")
+          .select(col("day"), col("price").as("op"))
+          .join(delta, Seq("day"), "full_outer")
+          .select(col("day"),
+            least(coalesce(col("op"), col("dp")),
+              coalesce(col("dp"), col("op"))).as("price"))
+      case None => delta.select(col("day"), col("dp").as("price"))
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/version=$batchId")
+    for (p <- prev; v <- versionsIn(stateDir) if v < p)
+      graft.ops.IncrementalIndex.deleteDir(s"$stateDir/version=$v")
+  }
+
+  /** Current Pareto frontier over everything ingested — the batch
+    * frontier filter ([[graft.ops.Analytics.frontierOf]]) VERBATIM on the
+    * live calendar-bounded state. Note the frontier itself is NOT
+    * monotone under ingest (a new cheap-and-new point can evict older
+    * members) — which is exactly why the STATE is the per-day minima
+    * (mergeable, monotone under MIN) and the frontier is a readout. */
+  def currentFrontier(spark: SparkSession, stateDir: String): DataFrame =
+    graft.ops.Analytics.frontierOf(
+      spark.read.parquet(s"$stateDir/version=${versionsIn(stateDir).max}"))
+
+  /** Start the skyline monitor on an orders-shaped stream. */
+  def maintainFrontier(
+      orders: DataFrame, stateDir: String, ckpt: String): StreamingQuery =
+    orders.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        foldSkylineBatch(batch.toDF(), batchId, stateDir))
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
 }

@@ -73,4 +73,36 @@ class MonitorStreamsSpec extends SparkSuite {
         .to_date(col("ts"))).distinct().count()
     assert(stateRows <= bound, "state exceeded the calendar bound")
   }
+
+  test("streamed Pareto frontier equals the batch skyline day/price set") {
+    import org.apache.spark.sql.functions.to_date
+    val state = java.nio.file.Files.createTempDirectory("sky_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sky_ckpt").toString
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2)))
+    val input = MemoryStream[(Long, Double, Timestamp)](spark)
+    val q = MonitorStreams.maintainFrontier(
+      input.toDF().toDF("o_orderkey", "o_totalprice", "o_orderdate"),
+      state, ckpt)
+    for (c <- orders.grouped((orders.length + 2) / 3)) {
+      input.addData(c.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = MonitorStreams.currentFrontier(spark, state)
+      .collect().map(r => (r.getDate(0).toString, r.getDouble(1))).toSet
+    val want = graft.ops.Analytics.skylineOrders(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(want.nonEmpty && got == want,
+      s"streamed frontier diverged:\n$got\nvs\n$want")
+    // state bound: one row per calendar day, never per order
+    val stateRows = spark.read.parquet(
+      s"$state/version=${new java.io.File(state).listFiles()
+        .map(_.getName.stripPrefix("version=").toLong).max}").count()
+    val days = Tables(spark, dir, "orders")
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    assert(stateRows == days, "state must be exactly the per-day minima")
+  }
 }
