@@ -801,32 +801,40 @@ object TableChecks {
     * derive it identically: one corrupted price per ~997 keys, one
     * dropped row per ~1499 — the audit must flag exactly those buckets.
     */
-  def replicaBucketDiff(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables(spark, dir, "orders")
-    def canon(df: DataFrame) = df.select(col("o_orderkey"),
-      expr(s"o_orderkey div $ReplicaBucketKeys").as("bucket"),
-      concat_ws(":", col("o_orderkey"), col("o_custkey"),
-        col("o_orderstatus"),
-        floor(col("o_totalprice") * 100.0 + 0.5).cast("long"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd"),
-        col("o_orderpriority")).as("r"))
-    def sums(df: DataFrame, n: String, s: String) = canon(df)
+  /** Canonicalized per-bucket (count, checksum) sums of an orders-shaped
+    * frame. Counts AND checksums are both additive, so the bucket state is
+    * MERGEABLE — the streaming integrity monitor folds it incrementally. */
+  private[graft] def bucketSums(df: DataFrame, n: String, s: String): DataFrame =
+    df.select(expr(s"o_orderkey div $ReplicaBucketKeys").as("bucket"),
+        concat_ws(":", col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast("long"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          col("o_orderpriority")).as("r"))
       .withColumn("h", expr("CAST(conv(substring(md5(CAST(r AS BINARY)), 1, 15), 16, 10) AS DECIMAL(38,0))"))
       .groupBy("bucket")
       .agg(count(lit(1)).as(n), sum(col("h")).as(s))
-    val replica = orders
-      .filter(col("o_orderkey") % 1499 =!= 1) // planted missed write
-      .withColumn("o_totalprice",
-        when(col("o_orderkey") % 997 === 0, col("o_totalprice") + 1.0)
-          .otherwise(col("o_totalprice"))) // planted bit rot
-    sums(orders, "n_a", "c_a")
-      .join(sums(replica, "n_b", "c_b"), Seq("bucket"), "full_outer")
+
+  /** The divergent-buckets readout over two bucket-sum frames — shared
+    * verbatim by the batch audit and the streaming integrity monitor. */
+  private[graft] def bucketDiffOf(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, Seq("bucket"), "full_outer")
       .filter(coalesce(col("n_a"), lit(0L)) =!= coalesce(col("n_b"), lit(0L)) ||
         col("c_a") =!= col("c_b"))
       .select(col("bucket"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
       .orderBy("bucket")
+
+  def replicaBucketDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val replica = orders
+      .filter(col("o_orderkey") % 1499 =!= 1) // planted missed write
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 997 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice"))) // planted bit rot
+    bucketDiffOf(bucketSums(orders, "n_a", "c_a"),
+      bucketSums(replica, "n_b", "c_b"))
   }
 
   val replicaBucketDiffSql: String =

@@ -117,4 +117,51 @@ object MonitorStreams {
       .option("checkpointLocation", ckpt)
       .outputMode("append")
       .start()
+
+  // ---- streaming ingest-integrity monitor: live anti-entropy ----
+
+  /** Per-batch fold for the integrity monitor: per-bucket (count,
+    * checksum) pairs are BOTH additive, so the live state folds by plain
+    * addition — the cheapest mergeable state in the monitor family. */
+  def foldChecksumBatch(batch: DataFrame, batchId: Long, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val prev = versionsIn(stateDir).filter(_ < batchId).sorted.lastOption
+    val delta = graft.ops.TableChecks.bucketSums(batch, "dn", "dc")
+    val merged = prev match {
+      case Some(v) =>
+        spark.read.parquet(s"$stateDir/version=$v")
+          .select(col("bucket"), col("n").as("on"), col("c").as("oc"))
+          .join(delta, Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            (coalesce(col("on"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+            (coalesce(col("oc"), lit(0L).cast("decimal(38,0)")) +
+              coalesce(col("dc"), lit(0L).cast("decimal(38,0)"))).as("c"))
+      case None => delta.select(col("bucket"), col("dn").as("n"), col("dc").as("c"))
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/version=$batchId")
+    for (p <- prev; v <- versionsIn(stateDir) if v < p)
+      graft.ops.IncrementalIndex.deleteDir(s"$stateDir/version=$v")
+  }
+
+  /** Divergent buckets between what has been INGESTED and a reference
+    * table — the live anti-entropy readout: an empty result certifies the
+    * ingested prefix bucket-for-bucket; a non-empty one localizes exactly
+    * where a row was lost, duplicated, or corrupted. Reuses the batch
+    * [[graft.ops.TableChecks.bucketDiffOf]] verbatim. */
+  def currentIntegrityDiff(spark: SparkSession, stateDir: String,
+      reference: DataFrame): DataFrame =
+    graft.ops.TableChecks.bucketDiffOf(
+      graft.ops.TableChecks.bucketSums(reference, "n_a", "c_a"),
+      spark.read.parquet(s"$stateDir/version=${versionsIn(stateDir).max}")
+        .select(col("bucket"), col("n").as("n_b"), col("c").as("c_b")))
+
+  /** Start the integrity monitor on an orders-shaped ingest stream. */
+  def maintainIntegrity(
+      orders: DataFrame, stateDir: String, ckpt: String): StreamingQuery =
+    orders.writeStream
+      .foreachBatch((batch: Dataset[Row], batchId: Long) =>
+        foldChecksumBatch(batch.toDF(), batchId, stateDir))
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
 }

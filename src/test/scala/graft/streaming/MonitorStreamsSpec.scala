@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
 
 import graft.SparkSuite
-import graft.ops.{Tables, TimeSeries}
+import graft.ops.{TableChecks, Tables, TimeSeries}
 
 case class MonitorEvent(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
@@ -104,5 +104,49 @@ class MonitorStreamsSpec extends SparkSuite {
     val days = Tables(spark, dir, "orders")
       .select(to_date(col("o_orderdate"))).distinct().count()
     assert(stateRows == days, "state must be exactly the per-day minima")
+  }
+
+  test("streamed integrity monitor: clean ingest certifies empty; damaged ingest equals the batch audit") {
+    import org.apache.spark.sql.functions.{expr, floor, when}
+    val orders = Tables(spark, dir, "orders")
+    def collectRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").cast("timestamp"),
+        col("o_orderpriority")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3), r.getTimestamp(4), r.getString(5)))
+    def stream(rows: Array[(Long, Long, String, Double, Timestamp, String)],
+        state: String, ckpt: String): Unit = {
+      val input = MemoryStream[(Long, Long, String, Double, Timestamp, String)](spark)
+      val q = MonitorStreams.maintainIntegrity(
+        input.toDF().toDF("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority"), state, ckpt)
+      for (c <- rows.grouped(math.max(1, (rows.length + 2) / 3))) {
+        input.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+    }
+    // clean ingest: the live checksums certify the full corpus
+    val s1 = java.nio.file.Files.createTempDirectory("int_state1").toString
+    val c1 = java.nio.file.Files.createTempDirectory("int_ckpt1").toString
+    stream(collectRows(orders), s1, c1)
+    assert(MonitorStreams.currentIntegrityDiff(spark, s1, orders).count() == 0L,
+      "clean ingest must certify bucket-for-bucket")
+    // damaged ingest (the replicaBucketDiff plants): the live diff equals
+    // the batch audit's flagged buckets exactly
+    val damaged = orders
+      .filter(col("o_orderkey") % 1499 =!= 1)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 997 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    val s2 = java.nio.file.Files.createTempDirectory("int_state2").toString
+    val c2 = java.nio.file.Files.createTempDirectory("int_ckpt2").toString
+    stream(collectRows(damaged), s2, c2)
+    val got = MonitorStreams.currentIntegrityDiff(spark, s2, orders)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = TableChecks.replicaBucketDiff(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty && got == want,
+      s"live integrity diff diverged from the batch audit:\n$got\nvs\n$want")
   }
 }
