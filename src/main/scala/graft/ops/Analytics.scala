@@ -497,6 +497,57 @@ object Analytics {
     * dimension here makes that machinery unnecessary: the post-aggregate
     * frame IS the bounded summary.
     */
+  /** SLA breach threshold for [[fulfillmentSla]], in days. */
+  val SlaDays = 30
+
+  /** Order-fulfillment SLA readout — latency from order date to the FIRST
+    * line shipment, profiled per priority class: the operations query
+    * behind "are URGENT orders actually shipping faster, and how many
+    * breach the 30-day SLA?". Exact integer day latencies; the median is
+    * the exact interpolating percentile (the [[Events.valuePercentiles]]
+    * oracle-parity convention).
+    *
+    * Scale shape: ONE fact-fact equi-join on the order key (at 100 TB the
+    * [[StorageLayout]] bucketed layout makes it shuffle-free), a per-order
+    * min aggregate riding the same key, then a |priorities|-bounded
+    * rollup. The per-priority percentile is the one frame that sees more
+    * than |priorities| rows — at production scale swap in
+    * percentile_approx (the [[Analytics.valueQuartilesApprox]] twin
+    * convention); the exact form is the correctness anchor at test SF.
+    */
+  def fulfillmentSla(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+      .agg(min(col("l_shipdate")).as("first_ship"))
+      .withColumn("lat_days",
+        datediff(col("first_ship"), col("o_orderdate")).cast("long"))
+    perOrder.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(expr("percentile(lat_days, 0.5)"), 2).as("p50_days"),
+        max(col("lat_days")).as("max_days"),
+        sum((col("lat_days") > SlaDays).cast("long")).as("n_breached"))
+      .orderBy("o_orderpriority")
+  }
+
+  val fulfillmentSlaSql: String =
+    s"""WITH per_order AS (
+       |  SELECT o.o_orderkey, o.o_orderpriority,
+       |    date_diff('day', o.o_orderdate::DATE, min(l.l_shipdate)::DATE)
+       |      AS lat_days
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+       |)
+       |SELECT o_orderpriority, count(*) AS n_orders,
+       |  round(quantile_cont(lat_days, 0.5), 2) AS p50_days,
+       |  max(lat_days) AS max_days,
+       |  count(*) FILTER (lat_days > $SlaDays) AS n_breached
+       |FROM per_order GROUP BY 1
+       |ORDER BY o_orderpriority""".stripMargin
+
   /** The (day, min price) collapse both the batch query and the streaming
     * monitor fold over — per-day minima are mergeable by MIN, so a live
     * monitor can maintain this frame incrementally. */

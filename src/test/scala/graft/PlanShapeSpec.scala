@@ -489,7 +489,10 @@ class PlanShapeSpec extends SparkSuite {
     // join of two HISTOGRAM frames (value-domain-bounded, pooled side
     // broadcast — the t_closeness grid convention); windows run over
     // histogram rows, never docs
-    "quantile_normalize_map" -> (0, 2, 0, 1, 7, 2)
+    "quantile_normalize_map" -> (0, 2, 0, 1, 7, 2),
+    // fact-fact key join (broadcast at suite SF; bucketed layout makes it
+    // shuffle-free at scale) + per-order min + |priorities| rollup
+    "fulfillment_sla" -> (0, 0, 0, 1, 3, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

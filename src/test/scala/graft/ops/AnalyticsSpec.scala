@@ -135,6 +135,34 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("fulfillmentSla equals a brute per-order latency re-derivation") {
+    val out = Analytics.fulfillmentSla(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), date_format(to_date(col("l_shipdate")), "yyyy-MM-dd").as("d"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("d"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def day(s: String) = java.time.LocalDate.parse(s).toEpochDay
+    val firstShip = li.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val lats = ord.flatMap { case (k, pri, od) =>
+      firstShip.get(k).map(fs => (pri, day(fs) - day(od))) }
+    val brute = lats.groupBy(_._1).map { case (pri, g) =>
+      val ls = g.map(_._2.toDouble).sorted
+      // interpolating median (percentile/quantile_cont definition)
+      val h = (ls.length - 1) * 0.5
+      val med = ls(h.toInt) + (h - h.toInt) * (ls(math.ceil(h).toInt) - ls(h.toInt))
+      pri -> ((g.length.toLong,
+        BigDecimal(med).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        g.map(_._2).max, g.count(_._2 > Analytics.SlaDays).toLong))
+    }
+    assert(out == brute, s"SLA readout diverged:\n$out\nvs\n$brute")
+    assert(out.values.exists(_._4 > 0), "no SLA breaches at this SF — threshold dead")
+  }
+
   test("skylineOrders equals the brute quadratic dominance check") {
     val out = Analytics.skylineOrders(spark, dir).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
