@@ -5,6 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -50,6 +51,22 @@ case class TopKByScore(
   override def nullable: Boolean = false
   override def prettyName: String = "top_k_by_score"
 
+  // Reject wrong argument types at ANALYSIS time — without this, SQL misuse
+  // of the registered function surfaces as a runtime ClassCastException in
+  // update()'s asInstanceOf casts.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val expected = Seq(
+      ("score", score.dataType, DoubleType),
+      ("token", token.dataType, StringType),
+      ("tf", tf.dataType, LongType),
+      ("df", df.dataType, LongType))
+    expected.collectFirst {
+      case (name, actual, want) if actual != want =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: argument '$name' must be $want, got $actual")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("token", StringType),
     StructField("tf", LongType),
@@ -69,12 +86,16 @@ case class TopKByScore(
   override def update(buf: ArrayBuffer[Item], input: InternalRow): ArrayBuffer[Item] = {
     val s = score.eval(input)
     val t = token.eval(input)
-    if (s != null && t != null) {
+    val tfv = tf.eval(input)
+    val dfv = df.eval(input)
+    // a null in any argument means the row carries no rankable candidate —
+    // skip it rather than coerce null tf/df to 0
+    if (s != null && t != null && tfv != null && dfv != null) {
       buf += Item(
         s.asInstanceOf[Double],
         t.asInstanceOf[UTF8String].clone(),
-        tf.eval(input).asInstanceOf[Long],
-        df.eval(input).asInstanceOf[Long])
+        tfv.asInstanceOf[Long],
+        dfv.asInstanceOf[Long])
       // amortized: compact when the buffer holds 4 candidate generations
       if (buf.length >= 4 * k) compact(buf)
     }

@@ -32,12 +32,23 @@ object SetSimJoin {
     *
     * Scale shape: shingle df aggregate (one shuffle on the shingle key),
     * a per-DOC rank window (partitions bounded by doc length, never
-    * corpus-sized), prefix equi-join on the shingle, then candidate-only
-    * verification against the per-doc shingle ARRAYS (array_intersect in
-    * the row — no second corpus join). Prefix tokens are by construction
-    * the RAREST of each set, so the equi-join's per-key fan-out is the
-    * df of rare shingles — the same reason [[Dedup.containmentPairs]]
-    * caps df, achieved here without changing the measure's universe.
+    * corpus-sized), prefix equi-join, then candidate-only verification
+    * against the per-doc shingle ARRAYS (array_intersect in the row — no
+    * second corpus join). Prefix tokens are by construction the RAREST of
+    * each set, so the equi-join's per-key fan-out is the df of rare
+    * shingles — the same reason [[Dedup.containmentPairs]] caps df,
+    * achieved here without changing the measure's universe.
+    *
+    * Two candidate-stage economies (both LOSSLESS — every candidate is
+    * still verified exactly):
+    *  - the self-join keys on `xxhash64(s)` (8 bytes through the exchange)
+    *    instead of the ~20-40-byte shingle string; a hash collision can
+    *    only ADD a spurious candidate, which the exact verify rejects;
+    *  - PPJoin's length filter runs IN the join: J(A,B) ≥ τ forces
+    *    |A∩B| ≥ τ·max(|A|,|B|) and |A∩B| ≤ min(|A|,|B|), so any
+    *    qualifying pair has τ·max ≤ min — integer form
+    *    `TauNum·max(na,nb) ≤ TauDen·min(na,nb)` — pruning length-skewed
+    *    pairs before the distinct/verify stages ever see them.
     */
   def prefixJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
@@ -51,10 +62,13 @@ object SetSimJoin {
       .withColumn("pos", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("pos") <= col("n") - expr(s"($TauNum * n + ${TauDen - 1}) div $TauDen") + 1)
-      .select(col("doc_id"), col("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"), col("n"))
       .persist()
     val cands = pref.as("a")
-      .join(pref.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) * TauNum <=
+            least(col("a.n"), col("b.n")) * TauDen)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     cands

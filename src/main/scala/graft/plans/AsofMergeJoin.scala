@@ -111,7 +111,12 @@ case class AsofMergeJoinExec(
     val rKeyAt  = right.output.indexWhere(_.exprId == rightKey.exprId)
     val rTimeAt = right.output.indexWhere(_.exprId == rightTime.exprId)
     val rightWidth = right.output.size
-    val joinedSchema = left.output ++ right.output
+    // Bind the output projection against the OUTER-JOIN schema (right side
+    // forced nullable), not the right child's declared nullability: unmatched
+    // left rows emit a null-filled right row, and a projection generated
+    // without null checks for a non-nullable right column (e.g. a count()
+    // aggregate) would read 0/garbage instead of NULL.
+    val joinedSchema = left.output ++ right.output.map(_.withNullability(true))
     val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -188,6 +193,14 @@ object AsofMergeJoin {
       prefix: String = "asof_"): DataFrame = {
     val spark = left.sparkSession
     GraftPlanBridge.addStrategy(spark, AsofJoinStrategy)
+    // Prefixed right names must not shadow left columns: toDF would mint
+    // duplicate names and the trailing drop/getField would be ambiguous.
+    val prefixed = right.columns.toSeq
+      .map(c => if (c == key) s"${prefix}__key" else s"$prefix$c")
+    val clash = prefixed.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"asofLastPrior: prefixed right column(s) ${clash.mkString(", ")} " +
+        s"collide with left columns; pass a different prefix")
     // fresh exprIds on the right side (Alias mints new ids)
     val rightSafe = right.select(right.columns.toSeq.map(c => col(c).as(c)): _*)
     val lPlan = left.queryExecution.analyzed
@@ -199,8 +212,7 @@ object AsofMergeJoin {
       attr(lPlan, key, "left"), attr(lPlan, time, "left"),
       attr(rPlan, key, "right"), attr(rPlan, time, "right"),
       lPlan, rPlan)
-    val names = left.columns.toSeq ++
-      right.columns.toSeq.map(c => if (c == key) s"${prefix}__key" else s"$prefix$c")
+    val names = left.columns.toSeq ++ prefixed
     GraftPlanBridge.ofRows(spark, node)
       .toDF(names: _*)
       .drop(s"${prefix}__key")

@@ -59,4 +59,31 @@ class TopKByScoreSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(df == Map(1L -> 1, 2L -> 1), s"got $df")
   }
+
+  test("wrong argument types fail at analysis, not execution") {
+    // an int tf (not long) via the SQL surface must raise an analysis error
+    // naming the offending argument — not a ClassCastException mid-task
+    graft.GraftFunctions.register(spark)
+    Seq((1, "a", 2, 3)).toDF("g", "token", "tf", "df")
+      .createOrReplaceTempView("topk_badtypes")
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT g, top_k_by_score(CAST(tf AS DOUBLE), token, tf, df, 2)
+          |FROM topk_badtypes GROUP BY g""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("tf") || e.getMessage.contains("DATATYPE"),
+      s"expected an analysis-time type error, got: ${e.getMessage.take(200)}")
+  }
+
+  test("null tf/df rows are skipped, not coerced to zero") {
+    val out = Seq(
+      (1L, "a", Some(5L)), (1L, "b", None)
+    ).toDF("g", "token", "tf")
+      .withColumn("raw_score", coalesce(col("tf"), lit(99L)).cast("double"))
+      .groupBy("g")
+      .agg(TopKByScore(col("raw_score"), col("token"), col("tf"), lit(1L), 3).as("top"))
+      .select(explode(col("top")).as("t")).select("t.token").as[String].collect()
+    assert(out.toSeq == Seq("a"),
+      s"null-tf row must be skipped entirely, got ${out.toSeq}")
+  }
 }

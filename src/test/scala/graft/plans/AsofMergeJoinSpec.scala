@@ -69,6 +69,33 @@ class AsofMergeJoinSpec extends SparkSuite {
     assert(out("skip_null_rt") == ((null, -1L)))
   }
 
+  test("non-nullable right columns null out correctly on unmatched left rows") {
+    import spark.implicits._
+    // count() from a groupBy is non-nullable in the right child's schema; an
+    // output projection bound to that nullability would read 0 instead of
+    // NULL for left rows with no prior right row
+    val left = Seq(("a", 10L), ("b", 10L)).toDF("k", "t")
+    val right = Seq(("a", 1L), ("a", 2L)).toDF("k", "rt")
+      .groupBy("k").agg(max(col("rt")).as("t"), count(lit(1)).as("n"))
+    val out = AsofMergeJoin.asofLastPrior(left, right, key = "k", time = "t")
+      .select("k", "asof_n").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out("a") == Some(2L))
+    assert(out("b") == None,
+      "unmatched left row must surface NULL for a non-nullable right column, not 0")
+  }
+
+  test("prefixed right names colliding with left columns are rejected upfront") {
+    import spark.implicits._
+    val left = Seq(("a", 1L, "x")).toDF("k", "t", "asof_v")
+    val right = Seq(("a", 0L, "y")).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofMergeJoin.asofLastPrior(left, right, key = "k", time = "t")
+    }
+    assert(e.getMessage.contains("asof_v"))
+  }
+
   test("declared partitioning+ordering feed a downstream window without re-exchange or re-sort") {
     val ev = graft.ops.Tables(spark, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
