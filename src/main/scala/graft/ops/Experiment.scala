@@ -336,16 +336,7 @@ object Experiment {
     */
   def abRankTest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables(spark, dir, "events")
-    val dec = "cast(0.00 as decimal(15,2))"
-    val pu = ev.groupBy(col("user_id"))
-      .agg(sum(when(col("event_type") === "purchase" &&
-        col("ts") >= lit(SplitDate).cast("timestamp"),
-        col("value").cast("decimal(15,2)")).otherwise(expr(dec))).as("y"))
-      .withColumn("arm",
-        when(substring(md5(concat(lit(AbSeed), lit(":"),
-          col("user_id").cast("string")).cast("binary")), 1, 1)
-          .between("0", "7"), "control").otherwise("treatment"))
+    val pu = abPerUserMetric(spark, dir)
     val ties = pu.groupBy(col("y")).agg(count(lit(1)).as("t"))
     val wCum = Window.orderBy("y")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -353,7 +344,34 @@ object Experiment {
       .withColumn("below", sum(col("t")).over(wCum) - col("t"))
       .select(col("y"), (lit(2L) * col("below") + col("t") + 1L).as("rank2"),
         (col("t") * col("t") * col("t") - col("t")).as("tie3"))
-    val r1 = pu.join(broadcast(ranks.select("y", "rank2")), Seq("y"))
+    mannWhitneyZ(pu, ranks, broadcastRanks = true)
+  }
+
+  /** Per-user experiment frame shared by the rank-test formulations:
+    * post-split purchase revenue (decimal, exact) + the deterministic
+    * md5 arm split. */
+  private def abPerUserMetric(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val dec = "cast(0.00 as decimal(15,2))"
+    ev.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase" &&
+        col("ts") >= lit(SplitDate).cast("timestamp"),
+        col("value").cast("decimal(15,2)")).otherwise(expr(dec))).as("y"))
+      .withColumn("arm",
+        when(substring(md5(concat(lit(AbSeed), lit(":"),
+          col("user_id").cast("string")).cast("binary")), 1, 1)
+          .between("0", "7"), "control").otherwise("treatment"))
+  }
+
+  /** Tie-corrected Mann–Whitney z from a per-user frame and a per-value
+    * `(y, rank2, tie3)` rank table — the arm rollup + one-row IEEE tree
+    * shared by the anchor and the bucketed twin. `broadcastRanks` is the
+    * anchor's small-distinct-domain assumption; the scale twin shuffles
+    * the join instead (its premise is |ranks| ≈ |users|). */
+  private def mannWhitneyZ(pu: DataFrame, ranks: DataFrame,
+      broadcastRanks: Boolean): DataFrame = {
+    val rankSide = ranks.select("y", "rank2")
+    val r1 = pu.join(if (broadcastRanks) broadcast(rankSide) else rankSide, Seq("y"))
       .groupBy("arm").agg(count(lit(1)).as("n"), sum(col("rank2")).as("r2sum"))
     val tieSum = ranks.agg(sum(col("tie3")).as("tie3sum"))
     val wide = r1.groupBy().pivot("arm", Seq("control", "treatment"))
@@ -372,6 +390,55 @@ object Experiment {
           |       / (cast(control_n + treatment_n as double)
           |          * (cast(control_n + treatment_n as double) - 1.0))))"""
           .stripMargin), 6).as("z"))
+  }
+
+  /** Scale twin of [[abRankTest]] — the documented two-phase bucketed
+    * prefix sum replacing the anchor's single unpartitioned cumulative
+    * window over distinct metric values (the [[Sampling.sizeBalancedShards]]
+    * convention, where the construction and its provable equality to the
+    * global cumsum are spelled out). For a continuous metric the
+    * distinct-value table approaches the user count, so here:
+    *  1. the value domain buckets by `cents div B` (decimal(…,2) cents are
+    *     exact integers; truncating div is monotonic for the non-negative
+    *     revenue metric), B sized from the value SPAN so the bucket count
+    *     is bounded by cluster parallelism ([[Sampling.shardBucketWidth]]);
+    *  2. per-bucket tie totals → cumulative offsets over O(parallelism)
+    *     rows — the ONLY unpartitioned window — broadcast back;
+    *  3. within-bucket running sums (window PARTITIONED by bucket) + the
+    *     bucket offset give each distinct value its exact doubled rank;
+    *  4. the rank join back to users is a plain shuffle hash join — the
+    *     anchor's rank broadcast would not hold when |ranks| ≈ |users|.
+    * The distinct-value table persists because the span aggregate and the
+    * rank pipeline both consume it. Oracle: [[abRankTestSql]] verbatim —
+    * the twin is exact, not approximate.
+    */
+  def abRankTestBucketed(spark: SparkSession, dir: String,
+      bucket: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pu = abPerUserMetric(spark, dir)
+    val ties = pu.groupBy(col("y")).agg(count(lit(1)).as("t"))
+      .withColumn("cents", (col("y") * 100).cast("long"))
+      .persist()
+    val width = bucket.getOrElse {
+      val span = ties.agg(min("cents"), max("cents")).head()
+      if (span.isNullAt(0)) 1L
+      else Sampling.shardBucketWidth(span.getLong(1) - span.getLong(0) + 1,
+        spark.sessionState.conf.numShufflePartitions)
+    }
+    val bucketed = ties.withColumn("bucket", expr(s"cents div $width"))
+    val bucketTotals = bucketed.groupBy("bucket").agg(sum("t").as("btotal"))
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketTotals
+      .withColumn("boff", sum(col("btotal")).over(wOff) - col("btotal"))
+      .select("bucket", "boff")
+    val wIn = Window.partitionBy("bucket").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("below", col("boff") + sum(col("t")).over(wIn) - col("t"))
+      .select(col("y"), (lit(2L) * col("below") + col("t") + 1L).as("rank2"),
+        (col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    mannWhitneyZ(pu, ranks, broadcastRanks = false)
   }
 
   val abRankTestSql: String =

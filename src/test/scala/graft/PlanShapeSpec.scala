@@ -88,6 +88,10 @@ class PlanShapeSpec extends SparkSuite {
     "ab_conversion_ztest" -> (0, 0, 0, 0, 3, 0),
     // tie-table cumulative window + tie3 scalar-combine
     "ab_rank_test" -> (0, 1, 0, 0, 9, 1),
+    // two-phase twin: the only unpartitioned window runs over the
+    // O(parallelism) bucket-totals table; the count includes the persisted
+    // tie table's cached-plan text repeated per InMemoryTableScan reference
+    "ab_rank_test_bucketed" -> (0, 1, 0, 0, 24, 2),
     "ab_diff_in_diff" -> (0, 0, 0, 0, 3, 0),
     "ab_srm_check" -> (0, 0, 0, 0, 3, 0),
     "holt_daily" -> (0, 0, 0, 1, 3, 0),

@@ -105,6 +105,19 @@ class ExperimentSpec extends SparkSuite {
     assert(math.abs(rt.getDouble(3) - zr) < 1e-4, s"rank z ${rt.getDouble(3)} vs $zr")
   }
 
+  test("abRankTestBucketed: two-phase prefix-sum ranks equal the anchor, any bucket width") {
+    val dir = "/root/testdata/sf0.001"
+    val anchor = Experiment.abRankTest(spark, dir).collect().toSeq
+    // span-derived width, plus forced widths that split the value domain
+    // into many buckets (1-cent buckets = one distinct value per bucket,
+    // the extreme where the offset window carries ALL the rank work)
+    for (bucket <- Seq(None, Some(1L), Some(137L))) {
+      val twin = Experiment.abRankTestBucketed(spark, dir, bucket).collect().toSeq
+      assert(twin == anchor, s"bucket=$bucket: $twin vs $anchor")
+      spark.catalog.clearCache() // the twin persists its distinct-value table
+    }
+  }
+
   test("abDiffInDiff and abSrmCheck: cell means and chi2 equal brute walks") {
     val dir = "/root/testdata/sf0.001"
     val rows = Tables(spark, dir, "events")
