@@ -888,33 +888,51 @@ object Corpus {
     * Scale shape: everything runs on DISTINCT-VALUE histograms (the
     * [[graft.ops.Events.winsorizedStats]] discipline) — the corpus is
     * touched once by the (source, value) count aggregate; cumsums window
-    * over histogram rows, never docs; the rank-match is a theta join of
-    * two HISTOGRAM frames (|sources|·|values| × |values|), both bounded by
-    * the value domain, with the pooled side broadcast. The output is the
-    * MAP (one row per (source, value)), which a curation pass then applies
-    * as a broadcast projection.
+    * over histogram rows, never docs. The rank-match itself is an AS-OF
+    * join, not a theta join: "smallest u with cumPool(u)·n_src ≥ r·n_pool"
+    * is a forward as-of lookup of each source rank into the pooled CDF.
+    * With both sides cross-multiplied onto the shared integer axis
+    * `a = cum_pool·n_src` vs `r·n_pool` (per source, strictly increasing
+    * in u since every histogram row has cp ≥ 1) and NEGATED — the
+    * [[graft.ops.AsofJoin]] forward-as-of reversal, with a +1 shift to
+    * turn the operator's strict `<` into the spec's `≥` — the native
+    * [[graft.plans.AsofMergeJoin]] merge evaluates it in one sorted pass
+    * per source: O(|sources|·|values|) work where the theta-join
+    * formulation enumerated O(|sources|·|values|²) candidate pairs before
+    * its min aggregate. Every left row matches (r ≤ n_src forces
+    * r·n_pool ≤ n_pool·n_src, the pooled axis maximum), so the as-of
+    * result is total. The output is the MAP (one row per (source, value)),
+    * which a curation pass then applies as a broadcast projection.
     */
   def quantileNormalizeMap(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir, "documents").select(col("source"),
       col("n_chars").as("v"))
     val srcHist = docs.groupBy("source", "v").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // feeds cumsum + per-source totals
-    val srcCum = srcHist
-      .withColumn("r", sum(col("c")).over(
-        Window.partitionBy("source").orderBy("v")))
-      .join(srcHist.groupBy("source").agg(sum(col("c")).as("n_src")), Seq("source"))
+      .localCheckpoint() // feeds cumsum + per-source totals + pooled hist
+    val srcTotals = srcHist.groupBy("source").agg(sum(col("c")).as("n_src"))
     val poolHist = srcHist.groupBy("v").agg(sum(col("c")).as("cp"))
+    val nPool = poolHist.agg(sum(col("cp")).as("n_pool"))
     val poolCum = poolHist
       .withColumn("cum_pool", sum(col("cp")).over(Window.orderBy("v")))
       .select(col("v").as("u"), col("cum_pool"))
-      .crossJoin(broadcast(poolHist.agg(sum(col("cp")).as("n_pool"))))
-    srcCum.join(broadcast(poolCum),
-        col("cum_pool") * col("n_src") >= col("r") * col("n_pool"))
-      .groupBy("source", "v", "c")
-      .agg(min(col("u")).as("mapped"))
+    // left: each source cell's rank on the negated shared axis, +1 so the
+    // operator's strict last-prior (rt < lt) is exactly axis_r >= axis_l
+    val srcSide = srcHist
+      .withColumn("r", sum(col("c")).over(
+        Window.partitionBy("source").orderBy("v")))
+      .crossJoin(broadcast(nPool))
+      .select(col("source"), col("v"), col("c"),
+        (-(col("r") * col("n_pool")) + 1L).as("t"))
+    // right: the pooled CDF replicated per source on the same axis
+    // (srcTotals is |sources| rows — the broadcast side of the replication)
+    val poolSide = poolCum.crossJoin(broadcast(srcTotals))
+      .select(col("source"), (-(col("cum_pool") * col("n_src"))).as("t"),
+        col("u"))
+    graft.plans.AsofMergeJoin
+      .asofLastPrior(srcSide, poolSide, key = "source", time = "t", prefix = "qn_")
       .select(col("source"), col("v").as("n_chars"), col("c").as("n_docs"),
-        col("mapped").as("mapped_chars"))
+        col("qn_u").as("mapped_chars"))
       .orderBy("source", "n_chars")
   }
 

@@ -489,11 +489,12 @@ class PlanShapeSpec extends SparkSuite {
     // one keyed aggregate (the 3rd exchange is the Expand'd two-distinct
     // pass riding the same shuffle key) — a feature refresh is ONE job
     "user_feature_store" -> (0, 0, 0, 1, 3, 0),
-    // BNLs = the 1-row pooled-total scalar-combine + the rank-match theta
-    // join of two HISTOGRAM frames (value-domain-bounded, pooled side
-    // broadcast — the t_closeness grid convention); windows run over
-    // histogram rows, never docs
-    "quantile_normalize_map" -> (0, 2, 0, 1, 7, 2),
+    // BNLs = the 1-row pooled-total scalar-combine + the condition-free
+    // |sources|-row CDF replication; the rank-match itself is the native
+    // as-of MERGE (one exchange+sort per side — the extra shuffle vs the
+    // old theta form), no predicate-driven candidate pairs anywhere;
+    // windows run over histogram rows, never docs
+    "quantile_normalize_map" -> (0, 2, 0, 1, 8, 2),
     // fact-fact key join (broadcast at suite SF; bucketed layout makes it
     // shuffle-free at scale) + per-order min + |priorities| rollup
     "fulfillment_sla" -> (0, 0, 0, 1, 3, 0)

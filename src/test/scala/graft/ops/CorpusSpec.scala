@@ -396,7 +396,12 @@ class CorpusSpec extends SparkSuite {
 
   test("quantileNormalizeMap: exact rank matching; map is monotone and covers every cell") {
     val dir = "/root/testdata/sf0.001"
-    val out = Corpus.quantileNormalizeMap(spark, dir).collect()
+    val qdf = Corpus.quantileNormalizeMap(spark, dir)
+    // the rank-match must plan as the native as-of merge — no theta-join
+    // candidate enumeration over histogram pairs
+    assert(qdf.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
+      "rank-match should run through the native as-of operator")
+    val out = qdf.collect()
       .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
       .toMap
 
