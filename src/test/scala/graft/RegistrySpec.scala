@@ -49,6 +49,21 @@ class RegistrySpec extends SparkSuite {
     assert(ghostRowsOnly.isEmpty, s"rows-only entries with no query: ${ghostRowsOnly.mkString(", ")}")
   }
 
+  test("the ledger tally is pinned: registered = exact + rows-only") {
+    // THE single source of truth for the registered/exact/rows-only split
+    // (BASELINE.md's gate paragraph cites these numbers; the driver's
+    // correctness report derives from the same structures). The partition
+    // identity is enforced by the two set tests above; this pin makes the
+    // TALLY itself a deliberate, reviewed change instead of prose that can
+    // drift. "Exact" counts every query whose oracle Verify can emit —
+    // including the fitted-quantizer oracles generated once the contexts
+    // above are bound; "rows-only" is exactly `documentedRowsOnly`.
+    val tally = (SparkEntry.queries.size, SparkEntry.oracleSql.size,
+      documentedRowsOnly.size)
+    assert(tally == ((234, 225, 9)),
+      s"ledger tally changed to $tally — update this pin AND BASELINE.md's gate paragraph together")
+  }
+
   test("the bench set is a subset of the registry") {
     val ghosts = SparkEntry.benchQueries.toSet -- SparkEntry.queries.keySet
     assert(ghosts.isEmpty, s"benched but unregistered: ${ghosts.mkString(", ")}")
