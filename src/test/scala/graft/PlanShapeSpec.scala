@@ -92,6 +92,9 @@ class PlanShapeSpec extends SparkSuite {
     // O(parallelism) bucket-totals table; the count includes the persisted
     // tie table's cached-plan text repeated per InMemoryTableScan reference
     "ab_rank_test_bucketed" -> (0, 1, 0, 0, 24, 2),
+    // driver-gated regime at suite SF: one corpus word-count aggregate +
+    // the vocab-sized finisher (total scalar-combine, presentation sort)
+    "unigram_lm_vocab" -> (0, 1, 0, 1, 2, 0),
     "ab_diff_in_diff" -> (0, 0, 0, 0, 3, 0),
     "ab_srm_check" -> (0, 0, 0, 0, 3, 0),
     "holt_daily" -> (0, 0, 0, 1, 3, 0),
