@@ -1402,6 +1402,113 @@ object TextAnalysis {
       .orderBy("query_id")
   }
 
+  /** Boolean-percolator sizing: [[PercolateBoolQueries]] stored queries,
+    * each `p1 AND p2 AND p3 AND NOT n` over the corpus's top-df terms
+    * (query i takes ranks i, i+m, i+2m as positives and i+3m as the
+    * negation) — 4m ≤ |vocab| keeps the derivation total. */
+  val PercolateBoolQueries = 6
+  val PercolateBoolK = 3
+
+  /** Generalized percolation — k-term CONJUNCTIONS with NOT terms, still
+    * ONE corpus pass + one broadcast query-term table ([[percolateAlerts]]
+    * is the 2-term special case; this is the full Elasticsearch-percolator
+    * boolean shape). A signed term table (query_id, token, neg) broadcasts
+    * onto the per-doc distinct token stream; a query fires for a doc iff
+    * its positive-hit count equals k AND its negative-hit count is zero —
+    * one (query, doc) aggregate, no scan per query, no second corpus
+    * touch. Docs matching no term of a query never reach the aggregate,
+    * which is correct exactly because every query carries ≥ 1 positive
+    * term (pure-NOT queries are rejected, the standard percolator
+    * restriction).
+    */
+  private[graft] def percolateBoolQuerySet(spark: SparkSession,
+      docTok: DataFrame, m: Int = PercolateBoolQueries,
+      k: Int = PercolateBoolK): DataFrame = {
+    import spark.implicits._
+    val top = docTok.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit((k + 1) * m)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, df) => (-df, t) }.map(_._1)
+    require(top.length >= (k + 1) * m,
+      s"vocabulary too small for $m boolean queries of $k+1 terms")
+    (0 until m).map { i =>
+      (i.toLong, (0 until k).map(j => top(i + j * m)).mkString(","), top(i + k * m))
+    }.toDF("query_id", "pos_terms", "neg_term")
+  }
+
+  /** The signed match core — (query_id, doc_id) pairs where the doc holds
+    * ALL positive terms and NONE of the negated ones. */
+  private[graft] def firedBoolPairs(docTok: DataFrame, queries: DataFrame,
+      k: Int = PercolateBoolK): DataFrame = {
+    val qterms = queries.select(col("query_id"),
+        explode(split(col("pos_terms"), ",")).as("token"),
+        lit(0).as("neg"))
+      .unionAll(queries.select(col("query_id"),
+        col("neg_term").as("token"), lit(1).as("neg")))
+    docTok.join(broadcast(qterms), Seq("token"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(when(col("neg") === 0, 1).otherwise(0)).as("pos_hit"),
+        sum(col("neg")).as("neg_hit"))
+      .filter(col("pos_hit") === k && col("neg_hit") === 0)
+      .select("query_id", "doc_id")
+  }
+
+  def percolateBooleanAlerts(spark: SparkSession, dir: String): DataFrame = {
+    val docTok = docTokens(Tables(spark, dir, "documents"))
+    val queries = percolateBoolQuerySet(spark, docTok)
+    val fired = firedBoolPairs(docTok, queries)
+      .groupBy("query_id").agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    queries.join(fired, Seq("query_id"), "left")
+      .select(col("query_id"), col("pos_terms"), col("neg_term"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("first_doc"), col("last_doc"))
+      .orderBy("query_id")
+  }
+
+  val percolateBooleanAlertsSql: String = {
+    val m = PercolateBoolQueries
+    s"""WITH dt AS (
+      |  SELECT DISTINCT doc_id, token FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      |    FROM documents)
+      |), ranked AS (
+      |  SELECT token,
+      |    row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+      |  FROM dt GROUP BY token
+      |  ORDER BY count(*) DESC, token LIMIT ${4 * m}
+      |), q AS (
+      |  SELECT a.rk - 1 AS query_id,
+      |    a.token || ',' || b.token || ',' || c.token AS pos_terms,
+      |    a.token AS p1, b.token AS p2, c.token AS p3, d.token AS neg_term
+      |  FROM ranked a
+      |  JOIN ranked b ON b.rk = a.rk + $m
+      |  JOIN ranked c ON c.rk = a.rk + ${2 * m}
+      |  JOIN ranked d ON d.rk = a.rk + ${3 * m}
+      |  WHERE a.rk <= $m
+      |), qt AS (
+      |  SELECT query_id, p1 AS token, 0 AS neg FROM q
+      |  UNION ALL SELECT query_id, p2, 0 FROM q
+      |  UNION ALL SELECT query_id, p3, 0 FROM q
+      |  UNION ALL SELECT query_id, neg_term, 1 FROM q
+      |), fired AS (
+      |  SELECT query_id, count(*) AS n_docs,
+      |    min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |  FROM (
+      |    SELECT qt.query_id, dt.doc_id
+      |    FROM dt JOIN qt USING (token)
+      |    GROUP BY 1, 2
+      |    HAVING sum(CASE WHEN neg = 0 THEN 1 ELSE 0 END) = $PercolateBoolK
+      |       AND sum(neg) = 0)
+      |  GROUP BY 1
+      |)
+      |SELECT q.query_id, q.pos_terms, q.neg_term,
+      |  coalesce(f.n_docs, 0) AS n_docs, f.first_doc, f.last_doc
+      |FROM q LEFT JOIN fired f USING (query_id)
+      |ORDER BY q.query_id""".stripMargin
+  }
+
   val percolateAlertsSql: String = {
     val m = PercolateQueries
     s"""WITH dt AS (

@@ -468,6 +468,8 @@ class PlanShapeSpec extends SparkSuite {
     // registered query set is a bounded driver fit served as plan
     // literals (no window, no tiny-frame self-join)
     "percolate_alerts" -> (0, 0, 0, 1, 3, 0),
+    // identical one-pass shape with the signed (pos/NOT) term table
+    "percolate_boolean_alerts" -> (0, 0, 0, 1, 3, 0),
     // cells agg + kept agg + presentation sort; the rate grid
     // localCheckpoints (sources x buckets, bounded) so the corpus-backed
     // cells aggregate plans ONCE; the SMJ is the bounded rates-kept

@@ -128,4 +128,37 @@ class CorpusAuditsSpec extends SparkSuite {
     // the alert surface is live: some query fires, none fires on everything
     assert(out.exists(_._4 > 0) && out.forall(_._4 < docs.length))
   }
+
+  test("percolateBooleanAlerts: k-AND-NOT semantics re-derive from a brute scan; negation is live") {
+    val out = TextAnalysis.percolateBooleanAlerts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))
+    val m = TextAnalysis.PercolateBoolQueries
+    val k = TextAnalysis.PercolateBoolK
+    assert(out.length == m && out.map(_._1).toSeq == (0L until m.toLong))
+
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split("\\s+").toSet))
+    val top = docs.flatMap { case (id, ts) => ts.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.length).toSeq
+      .sortBy { case (t, df) => (-df, t) }.take((k + 1) * m).map(_._1)
+    var negationSuppressed = 0L
+    for ((qid, posStr, neg, n, first, last) <- out) {
+      val pos = (0 until k).map(j => top(qid.toInt + j * m))
+      assert(posStr == pos.mkString(",") && neg == top(qid.toInt + k * m),
+        s"query $qid terms")
+      val posHits = docs.filter { case (_, ts) => pos.forall(ts) }
+      val hits = posHits.filter { case (_, ts) => !ts(neg) }.map(_._1)
+      negationSuppressed += posHits.length - hits.length
+      assert(n == hits.length.toLong, s"query $qid n_docs")
+      assert(first == (if (hits.isEmpty) -1L else hits.min), s"query $qid first")
+      assert(last == (if (hits.isEmpty) -1L else hits.max), s"query $qid last")
+    }
+    // the NOT leg must actually do work on this corpus: somewhere a doc
+    // matches all positives but is suppressed by its negation
+    assert(negationSuppressed > 0, "negation semantics unexercised by the query set")
+    assert(out.exists(_._4 > 0))
+  }
 }
