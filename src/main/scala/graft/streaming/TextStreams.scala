@@ -126,4 +126,32 @@ object TextStreams {
       .outputMode("append")
       .start()
   }
+
+  /** Boolean-percolator query registration — the k-AND-NOT generalization's
+    * written stored-query table. */
+  def writeBoolQuerySet(spark: SparkSession, corpus: DataFrame,
+      queryDir: String): Unit =
+    TextAnalysis.percolateBoolQuerySet(spark, TextAnalysis.docTokens(corpus))
+      .write.mode("overwrite").parquet(queryDir)
+
+  /** Streaming boolean percolator — [[TextStreams.percolateServe]] with
+    * the signed match core: each micro-batch fires a stored query iff the
+    * doc holds ALL its positive terms and NONE of its negated ones. The
+    * match is [[TextAnalysis.firedBoolPairs]] VERBATIM (same
+    * batch-equivalence argument — per-doc alerts depend only on the doc
+    * and the frozen query table, so no state store). */
+  def percolateBoolServe(docs: DataFrame, queryDir: String,
+      outDir: String, ckpt: String): StreamingQuery = {
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val queries = spark.read.parquet(queryDir)
+        val alerts = TextAnalysis.firedBoolPairs(
+          TextAnalysis.docTokens(batch.toDF()), queries)
+        Sinks.idempotentBatchWrite(alerts, batchId, outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+  }
 }

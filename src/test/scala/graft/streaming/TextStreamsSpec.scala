@@ -125,4 +125,29 @@ class TextStreamsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after.subsetOf(want), "replay introduced alerts outside the predicate")
   }
+
+  test("streaming boolean percolator equals the batch k-AND-NOT predicate") {
+    val root = Files.createTempDirectory("graft-percolate-bool").toFile
+    val (qdir, out, ckpt) = (s"$root/queries", s"$root/alerts", s"$root/ckpt")
+    val corpus = Tables(spark, dir, "documents")
+    TextStreams.writeBoolQuerySet(spark, corpus, qdir)
+
+    val docs = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = TextStreams.percolateBoolServe(
+      input.toDF().toDF("doc_id", "text"), qdir, out, ckpt)
+    for (c <- docs.grouped((docs.length + 2) / 3)) {
+      input.addData(c.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val served = Sinks.readSink(spark, out).select("query_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = TextAnalysis.firedBoolPairs(
+        TextAnalysis.docTokens(corpus),
+        spark.read.parquet(qdir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && served == want,
+      "streamed boolean alert log must equal the batch k-AND-NOT predicate")
+  }
 }
