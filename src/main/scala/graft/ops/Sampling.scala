@@ -22,12 +22,16 @@ object Sampling {
     md5(concat(lit(seed), lit(":"), key.cast("string")).cast("binary"))
 
   /** Deterministic train/test assignment: first hex nibble of
-    * md5(doc_id) — 'c'..'f' (4/16 = 25%) → test, else train.
+    * md5(doc_id) — 'c'..'f' (4/16 = 25%) → test, else train. A PURE
+    * function of the key, so any operator holding a doc_id can derive
+    * the split in-row — no join against an assignment table.
     */
+  def splitOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(substring(md5(key.cast("string").cast("binary")), 1, 1)
+      .between("c", "f"), "test").otherwise("train")
+
   def withSplit(df: DataFrame, key: String): DataFrame =
-    df.withColumn("split",
-      when(substring(md5(col(key).cast("string").cast("binary")), 1, 1)
-        .between("c", "f"), "test").otherwise("train"))
+    df.withColumn("split", splitOf(col(key)))
 
   /** Per-(lang, split) counts of the hash-split documents table. */
   def splitCounts(spark: SparkSession, dir: String): DataFrame =

@@ -50,8 +50,13 @@ object SetSimJoin {
     *    `TauNum·max(na,nb) ≤ TauDen·min(na,nb)` — pruning length-skewed
     *    pairs before the distinct/verify stages ever see them.
     */
-  def prefixJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+  def prefixJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    prefixJaccardPairsOf(Tables(spark, dir, "documents"))
+
+  /** [[prefixJaccardPairs]] over any `(doc_id, text)` frame (library
+    * surface — composed by [[splitLeakageAudit]]).
+    */
+  def prefixJaccardPairsOf(docs: DataFrame): DataFrame = {
     val arr = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("arr"))
     val sh = arr.select(col("doc_id"), explode(col("arr")).as("s"))
     val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -81,6 +86,34 @@ object SetSimJoin {
       .filter(col("inter") * TauDen >= col("un") * TauNum)
       .withColumn("jac", col("inter").cast("double") / col("un"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** Split-leakage audit — test-set contamination through NEAR-duplicates.
+    *
+    * Exact dedup inside one split never catches the train/test leak that
+    * matters for eval integrity: a test document whose near-twin sits in
+    * train. This audit derives every exact-Jaccard ≥ τ pair
+    * ([[prefixJaccardPairsOf]] — lossless, so "0 leaked" is a guarantee,
+    * not an estimate) and buckets it by the engine's own deterministic
+    * split rule ([[Sampling.splitOf]], the SAME assignment `split_counts`
+    * releases). Cross-split rows are the leak; same-split rows the intra-
+    * split dedup backlog.
+    *
+    * Scale shape: the split is a pure md5 function of each pair's ids —
+    * derived IN the pair row, zero joins beyond the set-sim join itself;
+    * the final agg is a ≤3-row groupBy. At 100 TB the cost is exactly the
+    * cost of the exact near-dup pass, which the prefix filter already
+    * bounds.
+    */
+  def splitLeakageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = prefixJaccardPairsOf(Tables(spark, dir, "documents"))
+    val (sa, sb) = (Sampling.splitOf(col("a_id")), Sampling.splitOf(col("b_id")))
+    pairs
+      .select(least(sa, sb).as("split_a"), greatest(sa, sb).as("split_b"),
+        col("jac"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("pairs"), max(col("jac")).as("max_jac"))
+      .orderBy("split_a", "split_b")
   }
 
   /** Oracle: the BRUTE all-pairs formulation — every pair's exact
@@ -113,4 +146,32 @@ object SetSimJoin {
        |  JOIN sz nb ON nb.doc_id = p.b_id)
        |WHERE i * $TauDen >= un * $TauNum
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** Oracle: brute all-pairs Jaccard (independent of the prefix filter)
+    * bucketed by the same md5-nibble split rule as `split_counts`.
+    */
+  val splitLeakageAuditSql: String = {
+    val core = prefixJaccardPairsSql
+      .replaceAll("(?s)SELECT a_id, b_id, i AS inter.*$", "")
+    core +
+      s""", qual AS (
+         |  SELECT p.a_id, p.b_id, p.i::DOUBLE / (na.n + nb.n - p.i) AS jac
+         |  FROM pairs p
+         |  JOIN sz na ON na.doc_id = p.a_id
+         |  JOIN sz nb ON nb.doc_id = p.b_id
+         |  WHERE p.i * $TauDen >= (na.n + nb.n - p.i) * $TauNum
+         |), lab AS (
+         |  SELECT CASE WHEN substr(md5(a_id::VARCHAR), 1, 1) BETWEEN 'c' AND 'f'
+         |              THEN 'test' ELSE 'train' END AS la,
+         |         CASE WHEN substr(md5(b_id::VARCHAR), 1, 1) BETWEEN 'c' AND 'f'
+         |              THEN 'test' ELSE 'train' END AS lb,
+         |         jac
+         |  FROM qual
+         |)
+         |SELECT least(la, lb) AS split_a, greatest(la, lb) AS split_b,
+         |       count(*) AS pairs, max(jac) AS max_jac
+         |FROM lab
+         |GROUP BY 1, 2
+         |ORDER BY split_a, split_b""".stripMargin
+  }
 }

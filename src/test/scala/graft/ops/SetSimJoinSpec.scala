@@ -40,6 +40,31 @@ class SetSimJoinSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, 2L, 3L, 5L)), s"got ${out.toSeq}")
   }
 
+  test("split-leakage audit re-buckets exactly the lossless pair set") {
+    val pairs = SetSimJoin.prefixJaccardPairs(spark, dir)
+      .select("a_id", "b_id", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def splitOf(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.head >= 'c' && hex.head <= 'f') "test" else "train"
+    }
+    val brute = pairs
+      .map { case (a, b, j) =>
+        val (sa, sb) = (splitOf(a), splitOf(b))
+        ((if (sa <= sb) (sa, sb) else (sb, sa)), j)
+      }
+      .groupBy(_._1)
+      .map { case ((sa, sb), rows) => (sa, sb, rows.length.toLong, rows.map(_._2).max) }
+      .toSet
+    val out = SetSimJoin.splitLeakageAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out == brute, s"audit buckets diverge: $out vs $brute")
+    assert(out.map(t => (t._1, t._2)).contains(("test", "train")) ||
+      out.nonEmpty, "corpus yields at least one bucket")
+  }
+
   test("prefixes are strictly shorter than the sets they index") {
     val arr = Tables(spark, dir, "documents")
       .select(col("doc_id"), Dedup.shingles(col("text")).as("arr"))
