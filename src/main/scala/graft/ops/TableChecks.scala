@@ -443,6 +443,59 @@ object TableChecks {
       |  round(cmax::DOUBLE / nn::DOUBLE, 6) AS top_share
       |FROM m""".stripMargin
 
+  /** DP noise scale: ε = 1 per cell, count sensitivity 1 → Laplace b = 1.
+    * Cells of a groupBy partition the table, so parallel composition
+    * keeps the whole release at ε (Dwork et al., TCC'06 / the standard
+    * Laplace-mechanism calculus — public knowledge). */
+  val DpEpsilon = 1.0
+
+  /** Differentially-private count release — the Laplace mechanism over
+    * the (lang, source) contingency table, completing the governance
+    * suite's disclosure-control ladder (k-anonymity → l-diversity →
+    * t-closeness → DP): the earlier audits SCORE a release, this one
+    * PERTURBS it with calibrated noise so the scores cannot be gamed by
+    * a single row's presence.
+    *
+    * Determinism convention: production DP draws from a secret RNG; here
+    * the draw is the engine's standard seeded md5 surrogate
+    * ([[graft.ops.Sampling.seededKey]] argument — re-runs and other
+    * engines must agree on the released table, which is also what makes
+    * the mechanism oracle-checkable). u = (k + ½)/2¹⁶ from the first 4
+    * hex nibbles of md5("dp1:" ‖ cell key) is a dyadic rational, so
+    * u − ½, |·|, 1 − 2|·| are all IEEE-exact and both engines feed ln
+    * the identical double; inverse-CDF gives Laplace(b):
+    * noise = −b · sign(u − ½) · ln(1 − 2|u − ½|).
+    *
+    * Scale shape: one hash aggregate; the noise is a pure codegen
+    * projection of the group key — no join, no RNG state, no driver
+    * randomness. At 100 TB this is exactly the cost of the count.
+    */
+  def dpNoisyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val cellKey = concat(lit("dp1:"), col("lang"), lit("|"), col("source"))
+    val u16 = conv(substring(md5(cellKey.cast("binary")), 1, 4), 16, 10)
+      .cast("double")
+    val u = (u16 + lit(0.5)) / lit(65536.0)
+    val b = 1.0 / DpEpsilon
+    val noise = -lit(b) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    Tables(spark, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("source"),
+        round(col("n") + noise, 6).as("noisy_n"))
+      .orderBy("lang", "source")
+  }
+
+  val dpNoisyCountsSql: String =
+    s"""SELECT lang, source,
+       |  round(n + (-(1.0 / $DpEpsilon) * sign(u - 0.5)
+       |    * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS noisy_n
+       |FROM (
+       |  SELECT lang, source, count(*) AS n,
+       |    (('0x' || substr(md5('dp1:' || lang || '|' || source), 1, 4))::INT
+       |      + 0.5) / 65536.0 AS u
+       |  FROM documents GROUP BY 1, 2)
+       |ORDER BY lang, source""".stripMargin
+
   /** Pseudonymization salt — in production a vaulted secret; pinned here
     * so both engines derive identical tokens. */
   val TokenSalt = "s9"

@@ -279,6 +279,33 @@ class TableChecksSpec extends SparkSuite {
       "expected both close and non-close cells — audit untested otherwise")
   }
 
+  test("dpNoisyCounts: noise re-derives from the seeded inverse-CDF; release is deterministic") {
+    import org.apache.spark.sql.functions._
+    val out = TableChecks.dpNoisyCounts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val truth = Tables(spark, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def laplace(key: String): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp1:$key".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = (Integer.parseInt(hex.take(4), 16) + 0.5) / 65536.0
+      -(1.0 / TableChecks.DpEpsilon) * math.signum(u - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    }
+    assert(out.nonEmpty)
+    out.foreach { case (lang, source, noisy) =>
+      val want = truth((lang, source)) + laplace(s"$lang|$source")
+      assert(math.abs(noisy - want) < 1e-6, s"($lang,$source): $noisy vs $want")
+    }
+    assert(out.exists { case (l, s, noisy) =>
+      math.abs(noisy - truth((l, s))) > 1e-3
+    }, "at least one cell is actually perturbed")
+    val again = TableChecks.dpNoisyCounts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(out.sameElements(again), "the release is a pure function of the data")
+  }
+
   test("erasureCascade: blast radius equals a brute cascade walk") {
     val dir = "/root/testdata/sf0.001"
     val cust = Tables(spark, dir, "customer").select("c_custkey").collect().map(_.getLong(0))
