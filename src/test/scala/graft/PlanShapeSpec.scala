@@ -502,7 +502,9 @@ class PlanShapeSpec extends SparkSuite {
     "quantile_normalize_map" -> (0, 2, 0, 1, 8, 2),
     // fact-fact key join (broadcast at suite SF; bucketed layout makes it
     // shuffle-free at scale) + per-order min + |priorities| rollup
-    "fulfillment_sla" -> (0, 0, 0, 1, 3, 0)
+    "fulfillment_sla" -> (0, 0, 0, 1, 3, 0),
+    // one hash aggregate; the noise is a pure projection of the group key
+    "dp_noisy_counts" -> (0, 0, 0, 1, 2, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {
