@@ -385,11 +385,12 @@ object PageRank {
     * Contract: parent pointers reference rows OF THIS TABLE (the normal
     * org-chart/thread-table shape; the planted div-7 forest satisfies it
     * on the contiguous-id test corpora). A DANGLING parent — no row for
-    * the id — finalizes the walk there (the orphan adopts its last
-    * reachable ancestor as root), where the oracle's pointer walk would
-    * continue through ids that exist only arithmetically; for that reason
-    * the sf1 cross-check (ScaleData key-shifts ids, breaking the planted
-    * contiguity) exercises the other session additions, not this one.
+    * the id — finalizes the walk there: the node adopts the dangling id
+    * as its root and the walk never follows ids that exist only
+    * arithmetically. The oracle's recursive walk joins `documents` on
+    * each step for the same reason, so both engines agree on ANY id
+    * distribution — including ScaleData's key-shifted sf1 corpus, where
+    * every replica node's div-7 parent is dangling (depth-1 forest).
     */
   def hierarchyPaths(spark: SparkSession, dir: String): DataFrame = {
     val f = HierarchyFanout
@@ -424,22 +425,37 @@ object PageRank {
   }
 
   /** Oracle: the textbook recursive CTE walking one parent per step —
-    * equality is the path-doubling claim. */
+    * equality is the path-doubling claim. The walk JOINs `documents` on
+    * every step (pointer semantics: only a parent that exists can be
+    * followed), matching the engine's dangling-parent-is-root contract;
+    * a terminal row either reached a true root (anc NULL — the step into
+    * an id below the fanout) or a dangling ancestor (anc has no row).
+    */
   val hierarchyPathsSql: String =
     s"""WITH RECURSIVE walk(id, anc, depth, path) AS (
        |  SELECT doc_id, CASE WHEN doc_id >= $HierarchyFanout
        |           THEN doc_id // $HierarchyFanout END,
-       |         0::BIGINT, doc_id::VARCHAR
+       |         CASE WHEN doc_id >= $HierarchyFanout
+       |           THEN 1 ELSE 0 END::BIGINT,
+       |         doc_id::VARCHAR
        |  FROM documents
        |  UNION ALL
        |  SELECT w.id, CASE WHEN w.anc >= $HierarchyFanout
        |           THEN w.anc // $HierarchyFanout END,
-       |         w.depth + 1, w.anc::VARCHAR || '/' || w.path
-       |  FROM walk w WHERE w.anc IS NOT NULL
+       |         w.depth + CASE WHEN w.anc >= $HierarchyFanout
+       |           THEN 1 ELSE 0 END,
+       |         w.anc::VARCHAR || '/' || w.path
+       |  FROM walk w JOIN documents d ON d.doc_id = w.anc
        |)
        |SELECT id AS doc_id,
-       |  CAST(string_split(path, '/')[1] AS BIGINT) AS root_id,
-       |  depth, path
-       |FROM walk WHERE anc IS NULL
+       |  CASE WHEN anc IS NULL
+       |       THEN CAST(string_split(path, '/')[1] AS BIGINT)
+       |       ELSE anc END AS root_id,
+       |  depth,
+       |  CASE WHEN anc IS NULL THEN path
+       |       ELSE anc::VARCHAR || '/' || path END AS path
+       |FROM walk
+       |WHERE anc IS NULL
+       |   OR NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = anc)
        |ORDER BY doc_id""".stripMargin
 }

@@ -710,6 +710,86 @@ object TableChecks {
       .orderBy("table_name")
   }
 
+  /** Subjects filing an access request: every ([[AccessModulus]])-th
+    * custkey — deterministic so both engines export the same batch. */
+  val AccessModulus = 50L
+
+  /** Subject-access export — the GDPR Art. 15 counterpart of
+    * [[erasureCascade]] (Art. 17): for each requesting subject, an
+    * inventory of every row the engine holds about them, per table, with
+    * the money totals the subject would see. The erasure op measures the
+    * blast radius of deletion; this one materializes the disclosure —
+    * together they close the data-subject-rights pair.
+    *
+    * Scale shape: the request batch is tiny relative to the corpus, so
+    * every probe is a broadcast semi/inner join keyed by the subject (or
+    * their order keys) — the fact tables are scanned once each, no
+    * shuffle on the fact side. Subjects with no rows in a table still
+    * export an n_rows = 0 line (the Art. 15 answer "we hold nothing in
+    * X" is part of the disclosure), via the left join from the subject
+    * batch.
+    */
+  def subjectAccessExport(spark: SparkSession, dir: String): DataFrame = {
+    val subs = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") % AccessModulus === 0L)
+      .select(col("c_custkey").as("subject"), col("c_acctbal"))
+      .localCheckpoint() // feeds all three per-table probes
+    val orders = Tables(spark, dir, "orders")
+      .join(broadcast(subs.select("subject")),
+        col("o_custkey") === col("subject"))
+      .localCheckpoint() // feeds its own tally AND the lineitem probe
+    val custRows = subs.select(col("subject"), lit("customer").as("table_name"),
+      lit(1L).as("n_rows"), round(col("c_acctbal"), 2).as("amount"))
+    val orderRows = subs.select("subject").join(
+      broadcast(orders.groupBy("subject")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("amt"))),
+      Seq("subject"), "left")
+      .select(col("subject"), lit("orders").as("table_name"),
+        coalesce(col("n"), lit(0L)).as("n_rows"),
+        coalesce(col("amt"), lit(0.0)).as("amount"))
+    val lineRows = subs.select("subject").join(
+      broadcast(Tables(spark, dir, "lineitem")
+        .join(broadcast(orders.select("subject", "o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("subject")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("amt"))),
+      Seq("subject"), "left")
+      .select(col("subject"), lit("lineitem").as("table_name"),
+        coalesce(col("n"), lit(0L)).as("n_rows"),
+        coalesce(col("amt"), lit(0.0)).as("amount"))
+    custRows.union(orderRows).union(lineRows)
+      .orderBy("subject", "table_name")
+  }
+
+  val subjectAccessExportSql: String =
+    s"""WITH subs AS (
+       |  SELECT c_custkey AS subject, c_acctbal FROM customer
+       |  WHERE c_custkey % $AccessModulus = 0
+       |), so AS (
+       |  SELECT o.* , s.subject FROM orders o
+       |  JOIN subs s ON o.o_custkey = s.subject
+       |)
+       |SELECT * FROM (
+       |  SELECT subject, 'customer' AS table_name, 1::BIGINT AS n_rows,
+       |    round(c_acctbal, 2) AS amount
+       |  FROM subs
+       |  UNION ALL
+       |  SELECT s.subject, 'orders',
+       |    coalesce(t.n, 0), coalesce(t.amt, 0.0)
+       |  FROM subs s LEFT JOIN (
+       |    SELECT subject, count(*) AS n, round(sum(o_totalprice), 2) AS amt
+       |    FROM so GROUP BY 1) t USING (subject)
+       |  UNION ALL
+       |  SELECT s.subject, 'lineitem',
+       |    coalesce(t.n, 0), coalesce(t.amt, 0.0)
+       |  FROM subs s LEFT JOIN (
+       |    SELECT so.subject, count(*) AS n,
+       |      round(sum(l.l_extendedprice), 2) AS amt
+       |    FROM lineitem l JOIN so ON l.l_orderkey = so.o_orderkey
+       |    GROUP BY 1) t USING (subject)
+       |)
+       |ORDER BY subject, table_name""".stripMargin
+
   val erasureCascadeSql: String =
     s"""WITH tomb AS (
        |  SELECT c_custkey FROM customer WHERE c_custkey % $ErasureModulus = 0

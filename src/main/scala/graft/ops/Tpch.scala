@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   *
   * Money sums are rounded to 2 decimals in BOTH engines so double
   * summation-order noise (~1e-9 at sf0.1) can't flip the comparison.
+  * Q1 and Q5 — whose groups aggregate millions of rows, crossing that
+  * margin one decade past the bench SF — sum on the exact DECIMAL grid
+  * instead (the [[TpchAdapted.q9ProductProfit]] convention; sf1-verified).
   */
 object Tpch {
 
@@ -28,26 +31,45 @@ object Tpch {
     Tables(spark, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
+      // money/averages on the exact DECIMAL grid (q9ProductProfit
+      // convention): Q1's groups aggregate millions of rows, where the
+      // double-sum reordering bound n·ε·Σ|x| crosses the 2-dp rounding
+      // margin at sf1. Decimal sums are reorder-invariant; each average
+      // is ONE double division of an exact sum, bit-identical in both
+      // engines.
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(sum(col("l_quantity").cast("decimal(12,2)")), 2)
+          .cast("double").as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(15,2)")), 2)
+          .cast("double").as("sum_base_price"),
+        round(sum(col("l_extendedprice").cast("decimal(15,2)") *
+            (lit(1) - col("l_discount").cast("decimal(4,2)"))), 2)
+          .cast("double").as("sum_disc_price"),
+        round(sum(col("l_extendedprice").cast("decimal(15,2)") *
+            (lit(1) - col("l_discount").cast("decimal(4,2)")) *
+            (lit(1) + col("l_tax").cast("decimal(4,2)"))), 2)
+          .cast("double").as("sum_charge"),
+        round(sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
+          count(lit(1)), 4).as("avg_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(15,2)")).cast("double") /
+          count(lit(1)), 4).as("avg_price"),
+        round(sum(col("l_discount").cast("decimal(4,2)")).cast("double") /
+          count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  CAST(round(sum(l_quantity::DECIMAL(12,2)), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(l_extendedprice::DECIMAL(15,2)), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(l_extendedprice::DECIMAL(15,2)
+      |    * (1 - l_discount::DECIMAL(4,2))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum(l_extendedprice::DECIMAL(15,2)
+      |    * (1 - l_discount::DECIMAL(4,2))
+      |    * (1 + l_tax::DECIMAL(4,2))), 2) AS DOUBLE) AS sum_charge,
+      |  round(CAST(sum(l_quantity::DECIMAL(12,2)) AS DOUBLE) / count(*), 4) AS avg_qty,
+      |  round(CAST(sum(l_extendedprice::DECIMAL(15,2)) AS DOUBLE) / count(*), 4) AS avg_price,
+      |  round(CAST(sum(l_discount::DECIMAL(4,2)) AS DOUBLE) / count(*), 4) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
@@ -109,13 +131,19 @@ object Tpch {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      // money on the exact DECIMAL grid (the q9ProductProfit convention):
+      // at sf1 the double-sum reordering error crosses the 2-dp rounding
+      // margin; decimal summation is reorder-invariant at any scale
+      .agg(round(sum(col("l_extendedprice").cast("decimal(15,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)"))), 2)
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q5Sql: String =
     """SELECT n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  CAST(round(sum(l_extendedprice::DECIMAL(15,2)
+      |    * (1 - l_discount::DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey

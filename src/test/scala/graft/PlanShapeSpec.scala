@@ -504,7 +504,10 @@ class PlanShapeSpec extends SparkSuite {
     // shuffle-free at scale) + per-order min + |priorities| rollup
     "fulfillment_sla" -> (0, 0, 0, 1, 3, 0),
     // one hash aggregate; the noise is a pure projection of the group key
-    "dp_noisy_counts" -> (0, 0, 0, 1, 2, 0)
+    "dp_noisy_counts" -> (0, 0, 0, 1, 2, 0),
+    // fact tables probed by broadcast joins from the tiny subject batch;
+    // per-subject aggs shuffle only request-batch-sized frames
+    "subject_access_export" -> (0, 0, 0, 1, 6, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

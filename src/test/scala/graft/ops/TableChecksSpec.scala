@@ -306,6 +306,38 @@ class TableChecksSpec extends SparkSuite {
     assert(out.sameElements(again), "the release is a pure function of the data")
   }
 
+  test("subjectAccessExport: inventory equals a brute per-subject walk; zero-row tables still export") {
+    import org.apache.spark.sql.functions._
+    val out = TableChecks.subjectAccessExport(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val subs = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") % TableChecks.AccessModulus === 0L)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(subs.nonEmpty, "the smoke SF yields at least one subject")
+    assert(out.size == subs.size * 3, "three lines per subject, no more")
+    val orders = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lines = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    subs.foreach { case (s, bal) =>
+      val so = orders.filter(_._2 == s)
+      val sl = lines.filter(l => so.exists(_._1 == l._1))
+      assert(out((s, "customer")) == ((1L,
+        BigDecimal(bal).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      val (no, ao) = out((s, "orders"))
+      assert(no == so.length && math.abs(ao - so.map(_._3).sum) < 0.01, s"orders of $s")
+      val (nl, al) = out((s, "lineitem"))
+      assert(nl == sl.length && math.abs(al - sl.map(_._2).sum) < 0.01, s"lineitem of $s")
+    }
+    assert(out.exists { case ((_, t), (n, _)) => t == "orders" && n == 0L } ||
+      out.forall { case ((_, t), (n, _)) => t != "orders" || n > 0L },
+      "zero-order subjects, when present, still export a line")
+  }
+
   test("erasureCascade: blast radius equals a brute cascade walk") {
     val dir = "/root/testdata/sf0.001"
     val cust = Tables(spark, dir, "customer").select("c_custkey").collect().map(_.getLong(0))
