@@ -66,18 +66,18 @@ object Dedup {
 
   /** Union `docs` with id-shifted replicas — the planted-exact-duplicate
     * input of the registered dedup queries (the testdata's base texts are
-    * all distinct). The shift constant is embedded in each query's oracle
-    * SQL, so it cannot adapt to the data; instead the guard refuses an id
-    * space that would collide with it (a shifted replica landing on a
-    * genuine doc_id would silently corrupt the pair semantics).
+    * all distinct). The shift is `max(id) + 1` — collision-free on ANY id
+    * space by construction (ScaleData's key-shifted sf1 corpora included),
+    * and each oracle derives the SAME shift with a
+    * `(SELECT max(doc_id) + 1 FROM …)` scalar, so both engines plant
+    * identical twins. The max is one column-pruned aggregate over a frame
+    * the query scans anyway.
     */
-  private[ops] def doubledWithShift(docs: DataFrame, idCol: String = "doc_id",
-      shift: Long = 1000000L): DataFrame = {
+  private[ops] def doubledWithShift(docs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
     val maxId = Option(docs.agg(max(col(idCol)).cast("long")).head
       .getAs[java.lang.Long](0)).map(_.toLong).getOrElse(-1L)
-    require(maxId < shift,
-      s"doubling shift $shift collides with existing $idCol up to $maxId")
-    docs.unionAll(docs.withColumn(idCol, col(idCol) + shift))
+    docs.unionAll(docs.withColumn(idCol, col(idCol) + lit(maxId + 1L)))
   }
 
   /** Exact dedup: group by content hash, keep lowest doc_id, count members.
@@ -98,7 +98,8 @@ object Dedup {
       |FROM (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+      |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+      |         text FROM documents)
       |GROUP BY md5(text)
       |ORDER BY keeper_id""".stripMargin
 
@@ -606,7 +607,8 @@ object Dedup {
     }.mkString("\n       + ")
     s"""WITH doubled AS (
        |  SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+       |    AS doc_id, text FROM documents
        |), grams AS (
        |  SELECT doc_id, length(text) - 19 AS m, text,
        |    unnest(range(1, length(text) - 18)) AS p

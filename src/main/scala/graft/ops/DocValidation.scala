@@ -245,7 +245,8 @@ object DocValidation {
     s"""WITH doubled AS (
        |  SELECT doc_id, text, lang, source FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 1000000 AS doc_id, text, lang, source FROM documents
+       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+       |         text, lang, source FROM documents
        |), load_stats AS (
        |  SELECT count(*) AS n_loaded,
        |    count(CASE WHEN (text IS NULL OR trim(text) = '')

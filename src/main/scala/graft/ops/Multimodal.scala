@@ -202,7 +202,8 @@ object Multimodal {
       s""",
          |doubled AS (
          |  SELECT doc_id, hu, phash FROM sfp
-         |  UNION ALL SELECT doc_id + 1000000, hu, phash FROM sfp
+         |  UNION ALL SELECT doc_id + (SELECT max(doc_id) + 1 FROM sfp),
+         |    hu, phash FROM sfp
          |),
          |segpw(seg, pw) AS (VALUES (0, 1::HUGEINT), (1, 65536::HUGEINT),
          |  (2, 4294967296::HUGEINT), (3, 281474976710656::HUGEINT)),

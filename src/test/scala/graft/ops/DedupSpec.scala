@@ -36,12 +36,14 @@ class DedupSpec extends SparkSuite {
 
   test("winnow near-dup finds every planted duplicate pair") {
     val dir = "/root/testdata/sf0.001"
-    val docs = Tables(spark, dir, "documents").count()
+    val ids = Tables(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val shift = ids.max + 1L
     val pairs = Dedup.winnowNearDupPairs(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // the doubled corpus plants (i, i+1000000) exact-dup pairs — identical
+    // the doubled corpus plants (i, i+shift) exact-dup pairs — identical
     // text shares ALL fingerprints, so each must surface
-    val planted = (0L until docs).map(i => (i, i + 1000000L)).toSet
+    val planted = ids.map(i => (i, i + shift)).toSet
     assert((planted -- pairs).isEmpty,
       s"missed ${(planted -- pairs).size} planted duplicate pairs")
   }

@@ -173,9 +173,11 @@ class MultimodalSpec extends SparkSuite {
 
   test("media_near_dup: every doc pairs with its planted exact twin at hamming 0") {
     val docs = Tables(spark, dir, "documents").count()
+    val shift = Tables(spark, dir, "documents")
+      .agg(max(col("doc_id"))).head.getLong(0) + 1L
     val pairs = Multimodal.mediaNearDup(spark, dir).cache()
     val exact = pairs
-      .filter(col("b_id") === col("a_id") + 1000000 && col("hamming") === 0)
+      .filter(col("b_id") === col("a_id") + shift && col("hamming") === 0)
       .count()
     assert(exact == docs, s"$exact of $docs planted twins found")
     pairs.unpersist()
