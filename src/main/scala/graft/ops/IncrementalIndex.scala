@@ -69,9 +69,9 @@ object IncrementalIndex {
     * recomputable after executor loss, appendable in place (the no-drift
     * path is literally a file append), and released by deleting the
     * superseded directory at swap time. */
-  private def snapshotDir(): String = {
+  private[ops] def snapshotDir(family: String = "graft_pq_index"): String = {
     val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_pq_index",
+      sys.props("java.io.tmpdir"), family,
       java.util.UUID.randomUUID.toString)
     p.toString
   }
@@ -196,7 +196,7 @@ object IncrementalIndex {
     * fails, the files promoted so far are pulled back out before the
     * staging cleanup in [[appendWith]]'s catch deletes them with the rest.
     */
-  private def promoteStaged(staging: String, dest: String): Unit = {
+  private[ops] def promoteStaged(staging: String, dest: String): Unit = {
     val stamp = staging.substring(staging.lastIndexOf('-') + 1)
     val parts = Option(new java.io.File(staging).listFiles()).toSeq.flatten
       .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))

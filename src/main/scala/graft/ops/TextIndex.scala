@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Append-only incremental maintenance for the INVERTED text index — the
+  * BM25 sibling of [[IncrementalIndex]] (vectors). The serving loops
+  * ([[TextAnalysis.bm25TopKFor]], the streaming scorer) rebuild or cache
+  * the `(doc_id, tok, tf)` postings aggregate per context; at 100 TB the
+  * tokenize-and-count pass over the corpus is the expensive leg, and an
+  * ingest batch should pay it only for ITSELF.
+  *
+  * The key contrast with the PQ index, worth stating because it changes
+  * the maintenance contract: PQ serving depends on a FROZEN fitted model
+  * (codebooks), so appends need a drift gate and eventually a re-fit.
+  * BM25's "model" — df, N, avgdl — is a MERGEABLE AGGREGATE of the
+  * postings themselves: per-doc postings rows are a pure function of that
+  * document alone, and every global statistic re-derives from the grown
+  * postings table exactly. Incremental maintenance is therefore EXACT BY
+  * CONSTRUCTION — no drift statistic, no re-fit path — and the registered
+  * query pins precisely that: an index built on 90% of the corpus and
+  * appended with the rest must equal the one-shot full-corpus ranking
+  * under the full-corpus DuckDB oracle.
+  *
+  * Mechanics shared with [[IncrementalIndex]] (same snapshot/staging/
+  * compaction helpers): the postings table is a WRITTEN parquet snapshot
+  * (an index artifact, not a cached plan); `append` tokenizes ONLY the
+  * batch and promotes a staged write (no committed orphans on failure);
+  * an appends-gated compaction rewrites-and-swaps to keep the file count
+  * bounded. At production scale the snapshot is a catalog table, `append`
+  * an `INSERT INTO`, and df/dl/stats incrementally-maintained aggregate
+  * tables; the serve-time re-derivation here is one index-sized (never
+  * text-sized) aggregate pass, which the shared scoring tail
+  * ([[TextAnalysis.bm25Against]]) already performs.
+  */
+object TextIndex {
+
+  /** The served index artifact: `tf` is an immutable read of the written
+    * postings snapshot at `tfPath`; `appends` counts batches since the
+    * last compaction. */
+  final case class InvertedIndex(tf: DataFrame, tfPath: String, appends: Int)
+
+  private def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+
+  /** Full build: tokenize + aggregate the corpus once, WRITE the postings
+    * snapshot, read it back as the immutable serving frame. */
+  def build(docs: DataFrame): InvertedIndex = {
+    val path = IncrementalIndex.snapshotDir("graft_text_index")
+    try postings(docs).write.mode("overwrite").parquet(path)
+    catch { case e: Throwable => IncrementalIndex.deleteDir(path); throw e }
+    InvertedIndex(docs.sparkSession.read.parquet(path), path, 0)
+  }
+
+  /** Release the snapshot directory (swap/teardown discipline as
+    * [[IncrementalIndex.release]]). */
+  def release(idx: InvertedIndex): Unit =
+    IncrementalIndex.deleteDir(idx.tfPath)
+
+  /** Append a document batch (ids disjoint from the indexed corpus — the
+    * caller's ingest contract): tokenize ONLY the batch, stage, promote,
+    * compact at the [[IncrementalIndex.CompactEvery]] gate. Work ∝ batch;
+    * exactness needs no gate (see the object doc's mergeability argument).
+    */
+  def append(idx: InvertedIndex, batch: DataFrame,
+      compactEvery: Int = IncrementalIndex.CompactEvery): InvertedIndex = {
+    if (batch.isEmpty) return idx
+    val staging = s"${idx.tfPath}.staging-${
+      java.util.UUID.randomUUID.toString.replace("-", "")}"
+    try {
+      postings(batch).write.mode("overwrite").parquet(staging)
+      IncrementalIndex.promoteStaged(staging, idx.tfPath)
+    } catch { case e: Throwable =>
+      IncrementalIndex.deleteDir(staging); throw e
+    }
+    val appended = idx.copy(
+      tf = idx.tf.sparkSession.read.parquet(idx.tfPath),
+      appends = idx.appends + 1)
+    if (compactEvery > 0 && appended.appends >= compactEvery) compact(appended)
+    else appended
+  }
+
+  /** Rewrite the append-accumulated snapshot to the byte-sized file target
+    * and swap — rows unchanged, file count bounded (the
+    * [[IncrementalIndex.compact]] discipline). */
+  private[ops] def compact(idx: InvertedIndex): InvertedIndex = {
+    val bytes = Option(new java.io.File(idx.tfPath).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val targetFiles = math.max(1L,
+      (bytes + IncrementalIndex.CompactTargetFileBytes - 1) /
+        IncrementalIndex.CompactTargetFileBytes).toInt
+    val path = IncrementalIndex.snapshotDir("graft_text_index")
+    try idx.tf.coalesce(targetFiles).write.mode("overwrite").parquet(path)
+    catch { case e: Throwable => IncrementalIndex.deleteDir(path); throw e }
+    val out = idx.copy(
+      tf = idx.tf.sparkSession.read.parquet(path), tfPath = path, appends = 0)
+    IncrementalIndex.deleteDir(idx.tfPath)
+    out
+  }
+
+  /** Serve a query batch (`q_id`, `text`) — the shared BM25 scoring tail,
+    * so indexed/one-shot parity is structural. */
+  def topK(idx: InvertedIndex, queries: DataFrame, k: Int = 10): DataFrame =
+    TextAnalysis.bm25Against(idx.tf, queries, k)
+
+  /** Registered query: build on 90% of the corpus, `append` the remaining
+    * 10% ingest batch, serve the benchmark query set ([[TextAnalysis
+    * .bm25TopK]]'s `doc_id % 50` formulation) from the grown snapshot.
+    * The oracle is the FULL-CORPUS one-shot BM25 SQL — equality IS the
+    * exact-incremental-maintenance claim, checked in the correctness gate
+    * itself rather than only in a spec. The snapshot directories are
+    * transient per run (released on completion); production would hold
+    * them as catalog tables.
+    */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val base = build(docs.filter(col("doc_id") % 10 =!= 0))
+    val grown = append(base, docs.filter(col("doc_id") % 10 === 0))
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+    // bounded result (|queries| × k): materialize, then release the
+    // transient snapshot before returning
+    val out = topK(grown, queries, k).localCheckpoint(true)
+    release(grown)
+    out
+  }
+}

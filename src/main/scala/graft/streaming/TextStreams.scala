@@ -83,6 +83,56 @@ object TextStreams {
       .start()
   }
 
+  /** [[bm25Serve]] over a LIVE documents table with incremental index
+    * maintenance — the lexical twin of
+    * [[VectorStreams.adcServeIncremental]]: at each refresh boundary the
+    * live table's not-yet-indexed doc_ids (anti-join against the
+    * snapshot) tokenize into a staged postings append
+    * ([[graft.ops.TextIndex.append]] — work ∝ batch, appends-gated
+    * compaction), and serving continues from the grown snapshot. Because
+    * BM25's global statistics are mergeable aggregates of the postings
+    * (see the [[graft.ops.TextIndex]] contrast with the PQ index), every
+    * refresh is EXACT — served rankings equal a from-scratch build over
+    * the live corpus, with no drift gate and no re-fit path. A failed
+    * refresh logs and keeps serving the previous snapshot.
+    */
+  def bm25ServeIncremental(
+      spark: SparkSession,
+      dir: String,
+      queryStream: DataFrame,
+      outDir: String,
+      ckpt: String,
+      k: Int = 10,
+      refreshEvery: Long = 1L): StreamingQuery = {
+    import graft.ops.TextIndex
+    def liveCorpus() = Tables(spark, dir, "documents").select("doc_id", "text")
+    @volatile var index = TextIndex.build(liveCorpus())
+    queryStream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (refreshEvery > 0 && batchId > 0 && batchId % refreshEvery == 0) {
+          scala.util.Try {
+            val fresh = liveCorpus().join(
+              index.tf.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+            TextIndex.append(index, fresh)
+          } match {
+            case scala.util.Success(updated) =>
+              if (!(updated eq index))
+                System.err.println(s"[bm25ServeIncremental] batch $batchId: " +
+                  s"postings append (appends since compaction: ${updated.appends})")
+              index = updated
+            case scala.util.Failure(e) =>
+              System.err.println(s"[bm25ServeIncremental] refresh at batch " +
+                s"$batchId failed, serving previous snapshot: ${e.getMessage}")
+          }
+        }
+        Sinks.idempotentBatchWrite(
+          TextIndex.topK(index, batch.select(col("q_id"), col("text")), k),
+          batchId, outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+  }
+
   /** The static lexical index — ALL query-independent model legs (tf, df,
     * per-doc length term, scalar stats), each persisted for the serving
     * query's lifetime, so a micro-batch pays only the query tokenize and

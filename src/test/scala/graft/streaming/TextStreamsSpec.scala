@@ -126,6 +126,49 @@ class TextStreamsSpec extends SparkSuite {
     assert(after.subsetOf(want), "replay introduced alerts outside the predicate")
   }
 
+  test("incremental BM25 serve refreshes exactly onto the grown live corpus") {
+    val src = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("graft-bm25-incr").toFile
+    val cdir = s"$root/corpus"
+    val (out, ckpt) = (s"$root/out", s"$root/ckpt")
+
+    val orig = spark.read.parquet(s"$src/documents.parquet")
+    orig.write.parquet(s"$cdir/documents.parquet")
+    val shift = orig.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val qRows = Tables(spark, src, "documents")
+      .filter(col("doc_id") % 50 === 0).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).take(2)
+
+    val mem = MemoryStream[(Long, String)](spark)
+    mem.addData(qRows(0))
+    val q = TextStreams.bm25ServeIncremental(spark, cdir,
+      mem.toDF().toDF("q_id", "text"), out, ckpt, k = 10, refreshEvery = 1L)
+    q.processAllAvailable()
+    // live table grows: shifted exact twins in a disjoint id range
+    orig.withColumn("doc_id", col("doc_id") + shift)
+      .write.mode("append").parquet(s"$cdir/documents.parquet")
+    mem.addData(qRows(1))
+    q.processAllAvailable()
+    q.stop()
+
+    val afterRefresh = Sinks.readSink(spark, out)
+      .filter(col("batch_id") === 1)
+      .select("q_id", "doc_id", "rank", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(afterRefresh.exists(_._2 >= shift),
+      "post-refresh top-k never surfaced an appended doc — index did not grow")
+    // exactness: equals a from-scratch ranking over the grown corpus
+    import spark.implicits._
+    val grown = spark.read.parquet(s"$cdir/documents.parquet")
+      .select("doc_id", "text")
+    val expected = graft.ops.TextAnalysis.bm25TopKFor(grown,
+        Seq(qRows(1)).toDF("q_id", "text"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(afterRefresh == expected,
+      s"incremental BM25 diverged from the grown-corpus ranking: " +
+        s"${(afterRefresh diff expected).take(5)} / ${(expected diff afterRefresh).take(5)}")
+  }
+
   test("streaming boolean percolator equals the batch k-AND-NOT predicate") {
     val root = Files.createTempDirectory("graft-percolate-bool").toFile
     val (qdir, out, ckpt) = (s"$root/queries", s"$root/alerts", s"$root/ckpt")
