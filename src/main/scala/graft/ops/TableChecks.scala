@@ -790,6 +790,92 @@ object TableChecks {
        |)
        |ORDER BY subject, table_name""".stripMargin
 
+  /** Retention policy, pinned as constants (a production policy table —
+    * deterministic; never `now()`, which would break re-runs and
+    * cross-engine parity): orders kept from 1999-01-01, events kept from
+    * 2024-01-15; lineitem expires WITH its order (referential cascade —
+    * the fact rows of a purged order must not outlive it). */
+  val OrdersRetainFrom = "1999-01-01"
+  val EventsRetainFrom = "2024-01-15"
+
+  /** TTL purge plan — the storage-limitation leg (GDPR Art. 5(1)(e)) next
+    * to erasure (Art. 17, [[erasureCascade]]) and access (Art. 15,
+    * [[subjectAccessExport]]): per table, how many rows the retention
+    * policy expires, how many remain, and the oldest surviving timestamp
+    * (the auditor's "nothing older than policy" witness). Lineitem
+    * cascades through its parent order, not its own shipdate — the same
+    * referential discipline as the erasure walk.
+    *
+    * Scale shape: pure scan-and-count per table (the expiry predicate is
+    * a pushed-down date filter; on a date-partitioned production layout
+    * the expired set is PARTITION-PRUNED, which is what makes the actual
+    * purge a metadata drop); the cascade is one left-semi join on the
+    * order key.
+    */
+  def ttlPurgePlan(spark: SparkSession, dir: String): DataFrame = {
+    val oCut = lit(OrdersRetainFrom).cast("timestamp")
+    val eCut = lit(EventsRetainFrom).cast("timestamp")
+    val orders = Tables(spark, dir, "orders")
+    val events = Tables(spark, dir, "events")
+    val lineitem = Tables(spark, dir, "lineitem")
+    val expiredOrders = orders.filter(col("o_orderdate") < oCut)
+      .select(col("o_orderkey")).localCheckpoint() // feeds count + cascade
+    val expiredLine = lineitem.join(expiredOrders,
+      lineitem("l_orderkey") === expiredOrders("o_orderkey"), "left_semi")
+    def tally(name: String, total: DataFrame, expired: DataFrame,
+        retainedTs: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(expired.agg(count(lit(1)).as("n_expired")))
+        .crossJoin(retainedTs.agg(
+          // formatted, not raw (the date_range convention): a string
+          // survives NTZ/LTZ union coercion and compares cross-engine
+          date_format(min("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("oldest_retained")))
+        .select(lit(name).as("table_name"), col("n_rows"), col("n_expired"),
+          expr("(n_expired * 1000L) div n_rows").as("expired_permille"),
+          col("oldest_retained"))
+    tally("events", events,
+        events.filter(col("ts") < eCut),
+        events.filter(col("ts") >= eCut).select("ts"))
+      .union(tally("lineitem", lineitem, expiredLine,
+        lineitem.join(expiredOrders,
+            lineitem("l_orderkey") === expiredOrders("o_orderkey"), "left_anti")
+          .select(col("l_shipdate").as("ts"))))
+      .union(tally("orders", orders,
+        orders.filter(col("o_orderdate") < oCut),
+        orders.filter(col("o_orderdate") >= oCut)
+          .select(col("o_orderdate").as("ts"))))
+      .orderBy("table_name")
+  }
+
+  val ttlPurgePlanSql: String =
+    s"""WITH eo AS (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_orderdate < TIMESTAMP '$OrdersRetainFrom'
+       |)
+       |SELECT table_name, n_rows, n_expired,
+       |  (n_expired * 1000) // n_rows AS expired_permille, oldest_retained
+       |FROM (
+       |  SELECT 'events' AS table_name,
+       |    (SELECT count(*) FROM events) AS n_rows,
+       |    (SELECT count(*) FROM events
+       |     WHERE ts < TIMESTAMP '$EventsRetainFrom') AS n_expired,
+       |    (SELECT strftime(min(ts), '%Y-%m-%dT%H:%M:%S') FROM events
+       |     WHERE ts >= TIMESTAMP '$EventsRetainFrom') AS oldest_retained
+       |  UNION ALL
+       |  SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+       |    (SELECT count(*) FROM lineitem
+       |     WHERE l_orderkey IN (SELECT o_orderkey FROM eo)),
+       |    (SELECT strftime(min(l_shipdate), '%Y-%m-%dT%H:%M:%S') FROM lineitem
+       |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM eo))
+       |  UNION ALL
+       |  SELECT 'orders', (SELECT count(*) FROM orders),
+       |    (SELECT count(*) FROM orders
+       |     WHERE o_orderdate < TIMESTAMP '$OrdersRetainFrom'),
+       |    (SELECT strftime(min(o_orderdate), '%Y-%m-%dT%H:%M:%S') FROM orders
+       |     WHERE o_orderdate >= TIMESTAMP '$OrdersRetainFrom')
+       |)
+       |ORDER BY table_name""".stripMargin
+
   val erasureCascadeSql: String =
     s"""WITH tomb AS (
        |  SELECT c_custkey FROM customer WHERE c_custkey % $ErasureModulus = 0

@@ -511,7 +511,10 @@ class PlanShapeSpec extends SparkSuite {
     // the bounded (|queries|·k) result materializes via localCheckpoint
     // after the snapshot build/append/serve — the digest sees the
     // realized scan; the serve plan itself is bm25_topk's, pinned there
-    "bm25_topk_indexed" -> (0, 0, 0, 0, 0, 0)
+    "bm25_topk_indexed" -> (0, 0, 0, 0, 0, 0),
+    // the nested-loops are the per-table 1-row tally scalar-combines
+    // (erasure_cascade's shape, one more crossJoin per branch)
+    "ttl_purge_plan" -> (0, 6, 0, 1, 9, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

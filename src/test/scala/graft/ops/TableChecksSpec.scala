@@ -338,6 +338,45 @@ class TableChecksSpec extends SparkSuite {
       "zero-order subjects, when present, still export a line")
   }
 
+  test("ttlPurgePlan: expiry tallies equal a brute policy walk; nothing retained predates policy") {
+    import org.apache.spark.sql.functions._
+    import java.time.LocalDateTime
+    implicit val ldtOrd: Ordering[LocalDateTime] = Ordering.fromLessThan(_ isBefore _)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+    def ts(r: org.apache.spark.sql.Row, i: Int): LocalDateTime = r.get(i) match {
+      case l: LocalDateTime => l
+      case t: java.sql.Timestamp => t.toLocalDateTime
+      case other => sys.error(s"unexpected timestamp repr: $other")
+    }
+    val out = TableChecks.ttlPurgePlan(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          LocalDateTime.parse(r.getString(4), fmt))).toMap
+    val oCut = LocalDateTime.parse(s"${TableChecks.OrdersRetainFrom}T00:00:00")
+    val eCut = LocalDateTime.parse(s"${TableChecks.EventsRetainFrom}T00:00:00")
+    val orders = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0), ts(r, 1)))
+    val expiredKeys = orders.filter(_._2.isBefore(oCut)).map(_._1).toSet
+    val lines = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), ts(r, 1)))
+    val events = Tables(spark, dir, "events").select("ts").collect()
+      .map(r => ts(r, 0))
+    val (oN, oE) = (orders.length.toLong, expiredKeys.size.toLong)
+    assert(out("orders") == ((oN, oE, oE * 1000L / oN,
+      orders.filter(o => !o._2.isBefore(oCut)).map(_._2).min.withNano(0))))
+    val lE = lines.count(l => expiredKeys.contains(l._1)).toLong
+    assert(out("lineitem") == ((lines.length.toLong, lE,
+      lE * 1000L / lines.length,
+      lines.filter(l => !expiredKeys.contains(l._1)).map(_._2).min.withNano(0))))
+    val eE = events.count(_.isBefore(eCut)).toLong
+    assert(out("events") == ((events.length.toLong, eE,
+      eE * 1000L / events.length,
+      events.filter(e => !e.isBefore(eCut)).min.withNano(0))))
+    assert(eE > 0 && lE > 0 && oE > 0, "the policy actually expires rows at smoke SF")
+  }
+
   test("erasureCascade: blast radius equals a brute cascade walk") {
     val dir = "/root/testdata/sf0.001"
     val cust = Tables(spark, dir, "customer").select("c_custkey").collect().map(_.getLong(0))
