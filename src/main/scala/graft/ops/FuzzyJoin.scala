@@ -127,6 +127,56 @@ object FuzzyJoin {
       |FROM names n LEFT JOIN cl ON cl.id = n.key
       |ORDER BY n.name""".stripMargin
 
+  /** Entity golden records — the SURVIVORSHIP step after resolution (the
+    * classic MDM pipeline: block → match → cluster → merge): each
+    * resolved entity cluster collapses its member rows into ONE golden
+    * record under deterministic survivorship rules — the canonical
+    * surrogate is the cluster's min key (the same min-id keeper rule the
+    * cluster election uses), the golden name is the name AT that key
+    * (`min_by`, tie-free on the unique key), and the remaining fields
+    * carry the audit evidence a steward reviews: name-variant count,
+    * member-row count, and the price envelope across variants.
+    *
+    * Scale shape: the cluster map is dictionary-sized (distinct names),
+    * broadcast onto the part scan; one keyed aggregate builds every
+    * golden record in a single pass. Nothing here re-runs the pair join.
+    */
+  def entityGoldenRecords(spark: SparkSession, dir: String,
+      maxDist: Int = 3): DataFrame = {
+    val clusters = fuzzyEntityClusters(spark, dir, maxDist)
+      .select(col("name"), col("cluster_id"))
+    val part = Tables(spark, dir, "part")
+    part.join(broadcast(clusters), part("p_name") === clusters("name"))
+      .groupBy("cluster_id")
+      .agg(
+        min_by(col("p_name"), col("p_partkey")).as("golden_name"),
+        countDistinct(col("name")).as("n_names"),
+        count(lit(1)).as("n_rows"),
+        round(min("p_retailprice"), 2).as("price_min"),
+        round(max("p_retailprice"), 2).as("price_max"))
+      .orderBy("cluster_id")
+  }
+
+  /** Oracle: the recursive-closure cluster map (the
+    * [[fuzzyEntityClustersSql]] chain verbatim) joined back onto part and
+    * collapsed with the same survivorship rules. */
+  val entityGoldenRecordsSql: String =
+    fuzzyEntityClustersSql
+      .replaceAll("(?s)SELECT n\\.name, coalesce.*$", "") +
+      """, assign AS (
+        |  SELECT n.name, coalesce(cl.cluster_id, n.key) AS cluster_id
+        |  FROM names n LEFT JOIN cl ON cl.id = n.key
+        |)
+        |SELECT a.cluster_id,
+        |  arg_min(p.p_name, p.p_partkey) AS golden_name,
+        |  count(DISTINCT a.name) AS n_names,
+        |  count(*) AS n_rows,
+        |  round(min(p.p_retailprice), 2) AS price_min,
+        |  round(max(p.p_retailprice), 2) AS price_max
+        |FROM part p JOIN assign a ON p.p_name = a.name
+        |GROUP BY a.cluster_id
+        |ORDER BY a.cluster_id""".stripMargin
+
   /** Sorted-neighborhood record linkage (Hernández & Stolfo SIGMOD'95) —
     * the OTHER classic blocking strategy next to [[fuzzyPairsOf]]'s token
     * blocking: sort the dictionary on the entity string and compare each

@@ -57,6 +57,26 @@ class FuzzyJoinSpec extends SparkSuite {
       assert(cluster(a) == cluster(b), s"linked pair ($a, $b) split across clusters")
   }
 
+  test("entityGoldenRecords: survivorship re-derives from the cluster map + a brute collapse") {
+    val dir = "/root/testdata/sf0.001"
+    val clusters = FuzzyJoin.fuzzyEntityClusters(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val part = Tables(spark, dir, "part")
+      .select("p_partkey", "p_name", "p_retailprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val brute = part.groupBy(p => clusters(p._2)).map { case (cid, rows) =>
+      val golden = rows.minBy(_._1)._2
+      def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (cid, golden, rows.map(_._2).distinct.size.toLong, rows.size.toLong,
+        r2(rows.map(_._3).min), r2(rows.map(_._3).max))
+    }.toSet
+    val out = FuzzyJoin.entityGoldenRecords(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(out == brute, s"golden records diverge: ${(out diff brute).take(3)} vs ${(brute diff out).take(3)}")
+    assert(out.exists(_._3 > 1), "at least one multi-variant entity collapses")
+  }
+
   test("fuzzyPartPairs: real dictionary — pairs found, support attached, verify bound holds") {
     val out = FuzzyJoin.fuzzyPartPairs(spark, dir).collect()
     assert(out.nonEmpty, "no fuzzy part-name pairs at this SF")
