@@ -565,6 +565,63 @@ object TimeSeries {
     ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
 
+  /** Forecast backtest — the EVALUATION counterpart of the fitted
+    * forecasters ([[ewmaDaily]], [[holtDaily]], [[weekdaySeasonality]]):
+    * score the standard seasonal-naive baseline ŷ(t) = y(t − 7 days) one
+    * step ahead over the whole calendar and report, per event type, the
+    * metrics a forecasting change must beat — sMAPE, MAE, and mean bias.
+    * A fitted model that cannot beat seasonal-naive on this readout is
+    * noise; that comparison is the point of shipping the backtest next
+    * to the forecasters.
+    *
+    * Exactness: MAE/bias numerators are INTEGER sums; each sMAPE term
+    * 2|y−ŷ|/(y+ŷ) is one per-row IEEE division cast to DECIMAL(24,12)
+    * before summation (the zipfFit order-free-moment discipline), so
+    * every aggregate is reorder-invariant and each metric is one double
+    * division, bit-identical cross-engine.
+    *
+    * Scale shape: one corpus scan → the (type, day) aggregate; the
+    * lag-7 join and the metric rollup run on the calendar-bounded daily
+    * table only.
+    */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyTypeCounts(Tables(spark, dir, "events"))
+    val prev = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("n").as("yhat"))
+    val err = col("n") - col("yhat")
+    daily.join(prev, Seq("event_type", "day"))
+      .select(col("event_type"), col("n"), col("yhat"),
+        err.as("err"), abs(err).as("aerr"),
+        (lit(2.0) * abs(err).cast("double") / (col("n") + col("yhat")))
+          .cast("decimal(24,12)").as("sterm"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(sum("sterm").cast("double") / count(lit(1)), 6).as("smape"),
+        round(sum("aerr").cast("double") / count(lit(1)), 6).as("mae"),
+        round(sum("err").cast("double") / count(lit(1)), 6).as("bias"))
+      .orderBy("event_type")
+  }
+
+  val forecastBacktestSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::DATE AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), joined AS (
+      |  SELECT c.event_type, c.n, p.n AS yhat, c.n - p.n AS err,
+      |    abs(c.n - p.n) AS aerr,
+      |    (2.0 * abs(c.n - p.n)::DOUBLE / (c.n + p.n))::DECIMAL(24,12) AS sterm
+      |  FROM daily c
+      |  JOIN daily p ON p.event_type = c.event_type
+      |              AND p.day + INTERVAL 7 DAY = c.day
+      |)
+      |SELECT event_type, count(*) AS n_days,
+      |  round(sum(sterm)::DOUBLE / count(*), 6) AS smape,
+      |  round(sum(aerr)::DOUBLE / count(*), 6) AS mae,
+      |  round(sum(err)::DOUBLE / count(*), 6) AS bias
+      |FROM joined
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Frozen CUSUM baseline: per-type integer moments over the first
     * [[CusumBaselineDays]] of the daily frame's calendar, carrying `cut`
     * (the first monitoring day) so consumers need no second look at the

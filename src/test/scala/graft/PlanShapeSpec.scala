@@ -514,7 +514,10 @@ class PlanShapeSpec extends SparkSuite {
     "bm25_topk_indexed" -> (0, 0, 0, 0, 0, 0),
     // the nested-loops are the per-table 1-row tally scalar-combines
     // (erasure_cascade's shape, one more crossJoin per branch)
-    "ttl_purge_plan" -> (0, 6, 0, 1, 9, 0)
+    "ttl_purge_plan" -> (0, 6, 0, 1, 9, 0),
+    // lag-7 self-join + metric rollup both on the calendar-bounded daily
+    // table; the SMJ is daily⋈daily
+    "forecast_backtest" -> (0, 0, 1, 1, 5, 0)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

@@ -7,6 +7,32 @@ class TimeSeriesSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("forecastBacktest: metrics equal a brute seasonal-naive walk") {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val byKey = daily.map(d => (d._1, d._2) -> d._3).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val brute = daily.flatMap { case (t, day, n) =>
+      byKey.get((t, day.minusDays(7))).map(yhat => (t, n, yhat))
+    }.groupBy(_._1).map { case (t, rows) =>
+      val errs = rows.map(r => r._2 - r._3)
+      val sterms = rows.map(r =>
+        BigDecimal(2.0 * math.abs(r._2 - r._3).toDouble / (r._2 + r._3))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      (t, rows.size.toLong,
+        r6(sterms.sum.toDouble / rows.size),
+        r6(errs.map(math.abs).sum.toDouble / rows.size),
+        r6(errs.sum.toDouble / rows.size))
+    }.toSet
+    val out = TimeSeries.forecastBacktest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(out == brute, s"backtest diverges: ${(out diff brute).take(3)} vs ${(brute diff out).take(3)}")
+    assert(out.nonEmpty && out.forall(_._3 >= 0.0), "sMAPE is nonnegative")
+  }
+
   test("dailyGapFilled: complete spine, conserved counts, LOCF staleness law") {
     val out = TimeSeries.dailyGapFilled(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
