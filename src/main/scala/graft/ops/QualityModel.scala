@@ -295,6 +295,106 @@ object QualityModel {
   /** The curated slice the raw corpus is re-weighted toward. */
   val DsirTargetSource = "src0"
 
+  /** Miscoverage level for [[conformalCalibration]] — the released
+    * interval targets ≥ 90% coverage. */
+  val ConformalAlpha = 0.1
+
+  /** Split-conformal calibration (Vovk et al.; Angelopoulos & Bates '21 —
+    * public knowledge) — the DISTRIBUTION-FREE error bar for any point
+    * predictor, here the per-language train-mean of the TTR feature:
+    * train fits the predictor, a disjoint calibration split takes the
+    * ⌈(n+1)(1−α)⌉-th smallest nonconformity |y − ŷ| as q̂, and the held-out
+    * eval split audits that ŷ ± q̂ actually covers ≥ 1−α. Roles derive
+    * from the SAME md5 nibble as the engine's split rule, refined
+    * three ways ('0'-'9' train, 'a'-'d' calibration, 'e'-'f' eval) so
+    * assignment stays a pure function of doc_id.
+    *
+    * Exactness: y is the 4-dp TTR grid; ŷ is ONE double division of a
+    * DECIMAL(24,12) sum, so every nonconformity is bit-identical
+    * cross-engine; q̂ is an exact order statistic — selected as the
+    * smallest DISTINCT nonconformity whose cumulative count reaches k
+    * (the winsorized value-histogram discipline: the rank window runs
+    * over the distinct-value table, never a corpus-sized sort).
+    *
+    * Scale shape: one tokenize scan → per-doc (y, nib); the model is a
+    * |langs|-row broadcast; the q̂ window is histogram-bounded; every
+    * tail aggregate is a 1-row scalar combine.
+    */
+  def conformalCalibration(spark: SparkSession, dir: String,
+      alpha: Double = ConformalAlpha): DataFrame = {
+    val f = TextAnalysis.qualityFeatures
+    val base = Tables(spark, dir, "documents").select(
+      col("doc_id"), col("lang"), round(f.ttr, 4).as("y"),
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+        .as("nib"))
+    val model = base.filter(col("nib").between("0", "9"))
+      .groupBy("lang")
+      .agg((sum(col("y").cast("decimal(24,12)")).cast("double") /
+        count(lit(1))).as("yhat"))
+    val scored = base.join(broadcast(model), Seq("lang"))
+      .withColumn("s", abs(col("y") - col("yhat")))
+    val cal = scored.filter(col("nib").between("a", "d"))
+    val k = cal.agg(count(lit(1)).as("n_cal"))
+      .select(col("n_cal"),
+        ceil((col("n_cal") + 1) * lit(1.0 - alpha)).cast("long").as("k"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("s")
+    // 1-row result feeding BOTH the output projection and the coverage
+    // semi-join — materialized once (localCheckpoint, bounded) so the
+    // histogram window isn't planned twice
+    val qhat = cal.groupBy("s").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+      .crossJoin(broadcast(k))
+      .filter(col("cum") >= col("k"))
+      .agg(min("s").as("q_hat"), first("n_cal").as("n_cal"))
+      .localCheckpoint(true)
+    val ev = scored.filter(col("nib") >= "e")
+    ev.agg(count(lit(1)).as("n_eval")).crossJoin(broadcast(qhat))
+      .crossJoin(broadcast(
+        ev.join(broadcast(qhat.select("q_hat")),
+            ev("s") <= col("q_hat"), "left_semi")
+          .agg(count(lit(1)).as("n_covered"))))
+      .select(col("n_cal"), round(col("q_hat"), 6).as("q_hat"),
+        col("n_eval"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_eval"), 6)
+          .as("coverage"))
+  }
+
+  val conformalCalibrationSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    round(len(list_distinct(t))::DOUBLE / len(t), 4) AS y,
+       |    substr(md5(doc_id::VARCHAR), 1, 1) AS nib
+       |  FROM (SELECT doc_id, lang,
+       |          regexp_split_to_array(lower(text), '\\s+') AS t
+       |        FROM documents)
+       |), model AS (
+       |  SELECT lang,
+       |    CAST(sum(y::DECIMAL(24,12)) AS DOUBLE) / count(*) AS yhat
+       |  FROM base WHERE nib BETWEEN '0' AND '9' GROUP BY lang
+       |), scored AS (
+       |  SELECT b.doc_id, b.nib, abs(b.y - m.yhat) AS s
+       |  FROM base b JOIN model m USING (lang)
+       |), cal AS (
+       |  SELECT s FROM scored WHERE nib BETWEEN 'a' AND 'd'
+       |), kk AS (
+       |  SELECT count(*) AS n_cal,
+       |    CAST(ceil((count(*) + 1) * ${1.0 - ConformalAlpha}) AS BIGINT) AS k
+       |  FROM cal
+       |), qh AS (
+       |  SELECT min(s) AS q_hat, any_value(n_cal) AS n_cal FROM (
+       |    SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM (
+       |      SELECT s, count(*) AS c FROM cal GROUP BY s)) h, kk
+       |  WHERE h.cum >= kk.k
+       |), ev AS (
+       |  SELECT s FROM scored WHERE nib >= 'e'
+       |)
+       |SELECT qh.n_cal::BIGINT AS n_cal, round(qh.q_hat, 6) AS q_hat,
+       |  (SELECT count(*) FROM ev) AS n_eval,
+       |  (SELECT count(*) FROM ev, qh WHERE ev.s <= qh.q_hat) AS n_covered,
+       |  round((SELECT count(*) FROM ev, qh WHERE ev.s <= qh.q_hat)::DOUBLE
+       |    / (SELECT count(*) FROM ev), 6) AS coverage
+       |FROM qh""".stripMargin
+
   /** DSIR importance weights — Data Selection via Importance Resampling
     * (Xie et al., NeurIPS'23): re-weight a raw corpus toward a small
     * curated target WITHOUT a trained model. Both distributions are

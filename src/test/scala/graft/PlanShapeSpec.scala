@@ -517,7 +517,10 @@ class PlanShapeSpec extends SparkSuite {
     "ttl_purge_plan" -> (0, 6, 0, 1, 9, 0),
     // lag-7 self-join + metric rollup both on the calendar-bounded daily
     // table; the SMJ is daily⋈daily
-    "forecast_backtest" -> (0, 0, 1, 1, 5, 0)
+    "forecast_backtest" -> (0, 0, 1, 1, 5, 0),
+    // nested-loops are the k/q̂/covered 1-row scalar combines; the one
+    // window runs over the distinct-nonconformity histogram
+    "conformal_calibration" -> (0, 4, 0, 0, 8, 1)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {

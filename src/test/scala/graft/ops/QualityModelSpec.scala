@@ -14,6 +14,38 @@ class QualityModelSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("conformalCalibration: q-hat and coverage equal a brute conformal walk") {
+    import org.apache.spark.sql.functions._
+    val out = QualityModel.conformalCalibration(spark, dir).collect().head
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        round(size(array_distinct(split(lower(col("text")), "\\s+")))
+          .cast("double") / size(split(lower(col("text")), "\\s+")), 4).as("y"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def nib(id: Long): Char = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+    val train = base.filter(d => nib(d._1) <= '9')
+    val model = train.groupBy(_._2).map { case (l, rows) =>
+      l -> rows.map(r => BigDecimal(r._3).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble./(rows.size)
+    }
+    def s(d: (Long, String, Double)) = math.abs(d._3 - model(d._2))
+    val cal = base.filter(d => nib(d._1) >= 'a' && nib(d._1) <= 'd').map(s).sorted
+    val k = math.ceil((cal.length + 1) * (1.0 - QualityModel.ConformalAlpha)).toLong
+    val qhat = cal(k.toInt - 1)
+    val ev = base.filter(d => nib(d._1) >= 'e').map(s)
+    val covered = ev.count(_ <= qhat).toLong
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((out.getLong(0), out.getDouble(1), out.getLong(2), out.getLong(3),
+      out.getDouble(4)) ==
+      ((cal.length.toLong, r6(qhat), ev.length.toLong, covered,
+        r6(covered.toDouble / ev.length))),
+      s"conformal walk diverges: $out")
+    // the conformal guarantee is marginal over splits; on this fixed
+    // split just pin that coverage is in a sane band around 1 - alpha
+    assert(out.getDouble(4) >= 0.75 && covered <= ev.length)
+  }
+
   test("IRLS fit is deterministic and finite") {
     val docs = Tables(spark, dir, "documents")
     val w1 = QualityModel.fitFrom(docs)
