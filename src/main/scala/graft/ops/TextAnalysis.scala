@@ -435,6 +435,98 @@ object TextAnalysis {
     * The window partitions by the HIGH-cardinality key, so no task ever
     * sorts more than one document's terms.
     */
+  /** Phrases reported by [[rakeKeyphrases]]. */
+  val RakeTopK = 20
+
+  /** RAKE keyphrase extraction (Rose et al. 2010 — public knowledge):
+    * candidate phrases are the maximal stopword-delimited token runs;
+    * each word scores degree/frequency over its candidate occurrences
+    * (degree = Σ length of the phrases it appears in — favoring words
+    * that live in long, content-dense phrases); a phrase scores the sum
+    * of its words' scores. The corpus-level top-k completes the
+    * text-analysis keyword ladder: raw counts (vocab_top_terms) →
+    * distinctiveness (tf-idf / PMI) → multiword KEYPHRASES.
+    *
+    * Exactness: freq/degree are integer aggregates; each word score is
+    * one IEEE division, cast DECIMAL(24,12) before the per-phrase sum
+    * (order-free), one rounding at the end. Delimiters are the pinned
+    * multilingual stopword table.
+    *
+    * Scale shape: one tokenize scan; the run-id window is per-doc
+    * (partitions bounded by document length); word stats are a
+    * vocabulary-sized aggregate broadcast onto the distinct-phrase
+    * table; top-k via orderBy+limit (TakeOrderedAndProject — no global
+    * sort materializes).
+    */
+  def rakeKeyphrases(spark: SparkSession, dir: String,
+      k: Int = RakeTopK): DataFrame = {
+    val stops = Stopwords.flatMap(_._2)
+    val flat = Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .withColumnRenamed("col", "tok")
+      .withColumn("stop", col("tok").isInCollection(stops))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val cand = flat
+      .withColumn("run", sum(col("stop").cast("int")).over(w))
+      .filter(!col("stop"))
+      .groupBy("doc_id", "run")
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("pt"))
+      .select(
+        array_join(expr("transform(pt, x -> x.tok)"), " ").as("phrase"),
+        size(col("pt")).as("len"))
+      // persisted: feeds BOTH word stats and phrase occurrences — without
+      // it the tokenize scan + run-id window run twice (the bm25 tf
+      // discipline)
+      .persist()
+    val wstats = cand
+      .select(explode(split(col("phrase"), " ")).as("w"), col("len"))
+      .groupBy("w").agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+    val occ = cand.groupBy("phrase").agg(count(lit(1)).as("n_occurrences"))
+    occ.select(col("phrase"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(broadcast(wstats), Seq("w"))
+      .groupBy("phrase", "n_occurrences")
+      .agg(count(lit(1)).as("n_words"),
+        round(sum((col("deg").cast("double") / col("freq"))
+          .cast("decimal(24,12)")).cast("double"), 6).as("score"))
+      .select("phrase", "n_words", "n_occurrences", "score")
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+  }
+
+  val rakeKeyphrasesSql: String = {
+    val stopList = Stopwords.flatMap(_._2).map(s => s"'$s'").mkString(", ")
+    s"""WITH flat AS (
+       |  SELECT doc_id, pos, t[pos] AS tok, t[pos] IN ($stopList) AS stop
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t,
+       |          unnest(range(1, len(regexp_split_to_array(lower(text), '\\s+')) + 1)) AS pos
+       |        FROM documents)
+       |), runs AS (
+       |  SELECT doc_id, pos, tok, stop,
+       |    sum(CASE WHEN stop THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS run
+       |  FROM flat
+       |), cand AS (
+       |  SELECT doc_id, run,
+       |    string_agg(tok, ' ' ORDER BY pos) AS phrase, count(*) AS len
+       |  FROM runs WHERE NOT stop GROUP BY doc_id, run
+       |), wstats AS (
+       |  SELECT w, count(*) AS freq, sum(len) AS deg FROM (
+       |    SELECT unnest(string_split(phrase, ' ')) AS w, len FROM cand)
+       |  GROUP BY 1
+       |), occ AS (
+       |  SELECT phrase, count(*) AS n_occurrences FROM cand GROUP BY 1
+       |)
+       |SELECT phrase, count(*) AS n_words, any_value(n_occurrences) AS n_occurrences,
+       |  round(CAST(sum((deg::DOUBLE / freq)::DECIMAL(24,12)) AS DOUBLE), 6) AS score
+       |FROM (SELECT phrase, n_occurrences,
+       |        unnest(string_split(phrase, ' ')) AS w FROM occ) x
+       |JOIN wstats USING (w)
+       |GROUP BY phrase
+       |ORDER BY score DESC, phrase LIMIT $RakeTopK""".stripMargin
+  }
+
   def distinctiveTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val docTerm = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))

@@ -520,7 +520,13 @@ class PlanShapeSpec extends SparkSuite {
     "forecast_backtest" -> (0, 0, 1, 1, 5, 0),
     // nested-loops are the k/q̂/covered 1-row scalar combines; the one
     // window runs over the distinct-nonconformity histogram
-    "conformal_calibration" -> (0, 4, 0, 0, 8, 1)
+    "conformal_calibration" -> (0, 4, 0, 0, 8, 1),
+    // per-doc run-id window; vocabulary-sized broadcast; top-k via
+    // TakeOrderedAndProject (globalSort 0). The window executes ONCE in
+    // the persisted candidate table — the count of 2 is its cached-plan
+    // text repeated per InMemoryTableScan reference (the
+    // ab_rank_test_bucketed convention)
+    "rake_keyphrases" -> (0, 0, 0, 0, 4, 2)
   )
 
   test("every benched query's physical plan stays free of scale-killers") {
