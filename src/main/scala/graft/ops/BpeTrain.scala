@@ -100,7 +100,12 @@ object BpeTrain {
       }
       if (pairs.isEmpty) exhausted = true
       else {
-        val ((a, b), cnt) = pairs.minBy { case ((x, y), c) => (-c, x, y) }
+        // tie-break collation = UTF-8 byte order (the distributed
+        // regime's UTF8String sort and the DuckDB oracle's VARCHAR min),
+        // NOT Java's UTF-16 compareTo — see [[UnigramLm.utf8Lt]]
+        val ((a, b), cnt) = pairs.minBy { case ((x, y), c) => (-c, x, y) }(
+          Ordering.Tuple3(Ordering.Long, UnigramLm.utf8Ordering,
+            UnigramLm.utf8Ordering))
         out += ((rank, a, b, cnt))
         vocab = vocab.groupBy { case (syms, _) =>
           syms.foldLeft(Vector.empty[String]) { (acc, x) =>
@@ -221,12 +226,24 @@ object BpeTrain {
     * would drop out of the inner join; the production convention is
     * char-fallback, so unseen words count `len(word)+1` subwords (the
     * untrained segmentation) via the left join + coalesce.
+    *
+    * The segmentation table is vocabulary-sized: it usually broadcasts,
+    * but a 100-TB crawl's distinct-word table can exceed broadcast limits
+    * — the hint applies only within `broadcastGate` rows, past which the
+    * join falls back to a plain shuffle join (the
+    * [[UnigramLm.segmentStatsOf]] discipline).
     */
-  def segmentStatsAgainst(seg: DataFrame, docs: DataFrame): DataFrame =
+  def segmentStatsAgainst(seg: DataFrame, docs: DataFrame,
+      broadcastGate: Int = 1000000): DataFrame = {
+    val slim = seg.select(col("word"),
+      size(col("syms")).cast("long").as("n_sub"))
+    val vocabSide =
+      if (slim.limit(broadcastGate + 1).count() <= broadcastGate)
+        broadcast(slim)
+      else slim
     docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
-      .join(broadcast(seg.select(col("word"),
-        size(col("syms")).cast("long").as("n_sub"))), Seq("word"), "left")
+      .join(vocabSide, Seq("word"), "left")
       .withColumn("n_sub",
         coalesce(col("n_sub"), length(col("word")).cast("long") + 1))
       .groupBy("doc_id")
@@ -234,6 +251,7 @@ object BpeTrain {
       .withColumn("fertility",
         round(col("n_bpe_tokens").cast("double") / col("n_words"), 4))
       .orderBy("doc_id")
+  }
 
   /** Per-document subword counts under the trained tokenizer — real-BPE
     * token counting (the whitespace and regex counters in

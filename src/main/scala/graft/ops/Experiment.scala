@@ -412,6 +412,17 @@ object Experiment {
     * rank pipeline both consume it. Oracle: [[abRankTestSql]] verbatim —
     * the twin is exact, not approximate.
     */
+  /** FLOOR-division bucket key over the `cents` column. SQL `div`
+    * truncates toward zero, so with any NEGATIVE metric value (refunds)
+    * two adjacent value ranges around zero would collapse into bucket 0
+    * and bucket order would no longer agree with value order — silently
+    * breaking the two-phase rank reconstruction. Floor division is
+    * monotone over the whole domain, so the non-negativity of revenue is
+    * no longer a load-bearing assumption. */
+  private[ops] def floorDivBucket(width: Long): org.apache.spark.sql.Column =
+    expr(s"(cents div $width) - (CASE WHEN cents < 0 AND cents % $width != 0 " +
+      "THEN 1 ELSE 0 END)")
+
   def abRankTestBucketed(spark: SparkSession, dir: String,
       bucket: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -425,7 +436,7 @@ object Experiment {
       else Sampling.shardBucketWidth(span.getLong(1) - span.getLong(0) + 1,
         spark.sessionState.conf.numShufflePartitions)
     }
-    val bucketed = ties.withColumn("bucket", expr(s"cents div $width"))
+    val bucketed = ties.withColumn("bucket", floorDivBucket(width))
     val bucketTotals = bucketed.groupBy("bucket").agg(sum("t").as("btotal"))
     val wOff = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -496,6 +496,82 @@ object TableChecks {
        |  FROM documents GROUP BY 1, 2)
        |ORDER BY lang, source""".stripMargin
 
+  /** Per-record contribution cap for the DP sum release: document text
+    * length clamps to [0, DpClampChars] BEFORE aggregation, making the
+    * sum's sensitivity exactly DpClampChars regardless of outliers — the
+    * unclamped sum has unbounded sensitivity and NO noise scale makes it
+    * DP. Sized to engage on real rows (the sf0.01 corpus has text above
+    * it), which the clamping spec pins. */
+  val DpClampChars = 400
+
+  /** Differentially-private SUM and MEAN release — the next rung of the
+    * disclosure-control ladder after [[dpNoisyCounts]] (any DP consumer
+    * asks for means right after counts): per (lang, source) cell, the
+    * clamped-sensitivity Laplace sum (b = DpClampChars/ε, Dwork et al.'s
+    * calculus for bounded contributions) and the standard ratio-release
+    * mean = noisy_sum / max(noisy_n, 1) — a post-processing of two DP
+    * quantities, so it costs no extra budget beyond the ε_sum + ε_count
+    * composition (seeds `dps:`/`dpn:` keep the two draws independent).
+    *
+    * Determinism convention as [[dpNoisyCounts]]: the draw is the seeded
+    * md5 inverse-CDF surrogate — u is a dyadic rational, every step to
+    * the ln argument is IEEE-exact, so both engines release the identical
+    * table and the oracle stays value-exact. The mean divides the
+    * UNROUNDED noisy sum by the UNROUNDED noisy count (one double
+    * division, identically associated in both engines); only the
+    * released columns round.
+    *
+    * Scale shape: one hash aggregate over a clamp projection; noise is a
+    * codegen function of the group key. Cost of the count, at any SF.
+    */
+  def dpNoisySumMean(spark: SparkSession, dir: String): DataFrame = {
+    def lap(seedTag: String, b: Double) = {
+      val cellKey = concat(lit(seedTag), col("lang"), lit("|"), col("source"))
+      val u16 = conv(substring(md5(cellKey.cast("binary")), 1, 4), 16, 10)
+        .cast("double")
+      val u = (u16 + lit(0.5)) / lit(65536.0)
+      -lit(b) * signum(u - lit(0.5)) *
+        log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    }
+    val nNoise = lap("dpn:", 1.0 / DpEpsilon)
+    val sNoise = lap("dps:", DpClampChars / DpEpsilon)
+    Tables(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        least(length(col("text")).cast("long"), lit(DpClampChars.toLong)).as("x"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .select(col("lang"), col("source"),
+        round(col("n") + nNoise, 6).as("noisy_n"),
+        round(col("s") + sNoise, 6).as("noisy_sum"),
+        round((col("s") + sNoise) / greatest(col("n") + nNoise, lit(1.0)), 6)
+          .as("noisy_mean"))
+      .orderBy("lang", "source")
+  }
+
+  val dpNoisySumMeanSql: String = {
+    def lap(tag: String, b: String) =
+      s"""(-($b) * sign(u$tag - 0.5) * ln(1.0 - 2.0 * abs(u$tag - 0.5)))"""
+    s"""WITH cells AS (
+       |  SELECT lang, source, count(*) AS n,
+       |    sum(least(length(text), $DpClampChars))::BIGINT AS s
+       |  FROM documents GROUP BY 1, 2
+       |), noisy AS (
+       |  SELECT lang, source, n, s,
+       |    (('0x' || substr(md5('dpn:' || lang || '|' || source), 1, 4))::INT
+       |      + 0.5) / 65536.0 AS un,
+       |    (('0x' || substr(md5('dps:' || lang || '|' || source), 1, 4))::INT
+       |      + 0.5) / 65536.0 AS us
+       |  FROM cells
+       |)
+       |SELECT lang, source,
+       |  round(n + ${lap("n", s"1.0 / $DpEpsilon")}, 6) AS noisy_n,
+       |  round(s + ${lap("s", s"$DpClampChars / $DpEpsilon")}, 6) AS noisy_sum,
+       |  round((s + ${lap("s", s"$DpClampChars / $DpEpsilon")})
+       |    / greatest(n + ${lap("n", s"1.0 / $DpEpsilon")}, 1.0), 6) AS noisy_mean
+       |FROM noisy
+       |ORDER BY lang, source""".stripMargin
+  }
+
   /** Pseudonymization salt — in production a vaulted secret; pinned here
     * so both engines derive identical tokens. */
   val TokenSalt = "s9"
@@ -728,28 +804,39 @@ object TableChecks {
     * export an n_rows = 0 line (the Art. 15 answer "we hold nothing in
     * X" is part of the disclosure), via the left join from the subject
     * batch.
+    *
+    * Degenerate-regime guard: every broadcast here is sized by the
+    * REQUEST BATCH (or an aggregate bounded by it). A bulk-export run —
+    * regulator audit, migration — can make that batch arbitrarily large,
+    * so the hints apply only within `broadcastGate` subjects; past it
+    * every probe falls back to plain shuffle joins (results identical —
+    * the gate changes layout, never the answer; spec-pinned).
     */
-  def subjectAccessExport(spark: SparkSession, dir: String): DataFrame = {
+  def subjectAccessExport(spark: SparkSession, dir: String,
+      broadcastGate: Long = 1000000L): DataFrame = {
     val subs = Tables(spark, dir, "customer")
       .filter(col("c_custkey") % AccessModulus === 0L)
       .select(col("c_custkey").as("subject"), col("c_acctbal"))
-      .localCheckpoint() // feeds all three per-table probes
+      .localCheckpoint() // feeds all three per-table probes AND the gate
+    val nSubs = subs.count()
+    def gated(df: DataFrame): DataFrame =
+      if (nSubs <= broadcastGate) broadcast(df) else df
     val orders = Tables(spark, dir, "orders")
-      .join(broadcast(subs.select("subject")),
+      .join(gated(subs.select("subject")),
         col("o_custkey") === col("subject"))
       .localCheckpoint() // feeds its own tally AND the lineitem probe
     val custRows = subs.select(col("subject"), lit("customer").as("table_name"),
       lit(1L).as("n_rows"), round(col("c_acctbal"), 2).as("amount"))
     val orderRows = subs.select("subject").join(
-      broadcast(orders.groupBy("subject")
+      gated(orders.groupBy("subject")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("amt"))),
       Seq("subject"), "left")
       .select(col("subject"), lit("orders").as("table_name"),
         coalesce(col("n"), lit(0L)).as("n_rows"),
         coalesce(col("amt"), lit(0.0)).as("amount"))
     val lineRows = subs.select("subject").join(
-      broadcast(Tables(spark, dir, "lineitem")
-        .join(broadcast(orders.select("subject", "o_orderkey")),
+      gated(Tables(spark, dir, "lineitem")
+        .join(gated(orders.select("subject", "o_orderkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("subject")
         .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("amt"))),

@@ -761,9 +761,32 @@ object TextAnalysis {
       .orderBy("q_id", "rank")
   }
 
-  val bm25TopKSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+  /** The size of the pinned serving batch: queries are the documents with
+    * `doc_id ≤ ServeBatchMaxId` — a FIXED batch (≤100 queries at every
+    * scale factor; ScaleData replicas shift ids by 10⁸, so the original
+    * copy alone matches). Contrast with the benchmark formulation's
+    * `doc_id % 50` query set, which grows WITH the corpus and makes the
+    * benched cost scale ×100 at ×10 data (documented in BASELINE.md):
+    * this is the production serving shape, where cost ∝ batch. */
+  val ServeBatchMaxId = 100L
+
+  /** BM25 retrieval for the PINNED fixed-size query batch — the
+    * registered, benched form of [[bm25TopKFor]] (the serving API), so
+    * the headline bench carries the cost-∝-batch contract and not only
+    * the corpus-derived benchmark formulation. */
+  def bm25TopKServed(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val queries = docs.filter(col("doc_id") <= ServeBatchMaxId)
+      .select(col("doc_id").as("q_id"), col("text"))
+    bm25TopKFor(docs, queries, k)
+  }
+
+  /** Shared oracle template: `qPred` selects the query set from the
+    * corpus (`doc_id % 50 = 0` for the benchmark formulation,
+    * `doc_id <= ServeBatchMaxId` for the pinned serving batch). */
+  private def bm25SqlFor(qPred: String): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
       |  FROM documents
       |), tf AS (
       |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
@@ -774,7 +797,7 @@ object TextAnalysis {
       |), df AS (
       |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
       |), qterms AS (
-      |  SELECT doc_id AS q_id, tok FROM tf WHERE doc_id % 50 = 0
+      |  SELECT doc_id AS q_id, tok FROM tf WHERE $qPred
       |), scored AS (
       |  SELECT q.q_id, t.doc_id,
       |    round(sum(
@@ -796,6 +819,10 @@ object TextAnalysis {
       |  FROM scored)
       |WHERE rank <= 10
       |ORDER BY q_id, rank""".stripMargin
+
+  val bm25TopKServedSql: String = bm25SqlFor(s"doc_id <= $ServeBatchMaxId")
+
+  val bm25TopKSql: String = bm25SqlFor("doc_id % 50 = 0")
 
   /** Per-language quality pruning: keep the top `keepFrac` of each
     * language's documents by [[qualityScore]], rank ties broken by doc_id —

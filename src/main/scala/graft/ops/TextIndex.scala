@@ -64,7 +64,15 @@ object TextIndex {
     * exactness needs no gate (see the object doc's mergeability argument).
     */
   def append(idx: InvertedIndex, batch: DataFrame,
-      compactEvery: Int = IncrementalIndex.CompactEvery): InvertedIndex = {
+      compactEvery: Int = IncrementalIndex.CompactEvery): InvertedIndex =
+    appendWith(idx, batch, compactEvery, compact)
+
+  /** [[append]] with the compaction step injectable — exists so the
+    * compact-failure contract (grown snapshot served, never a stale
+    * listing) is spec-testable without real I/O fault injection. */
+  private[graft] def appendWith(idx: InvertedIndex, batch: DataFrame,
+      compactEvery: Int,
+      compactFn: InvertedIndex => InvertedIndex): InvertedIndex = {
     if (batch.isEmpty) return idx
     val staging = s"${idx.tfPath}.staging-${
       java.util.UUID.randomUUID.toString.replace("-", "")}"
@@ -77,8 +85,23 @@ object TextIndex {
     val appended = idx.copy(
       tf = idx.tf.sparkSession.read.parquet(idx.tfPath),
       appends = idx.appends + 1)
-    if (compactEvery > 0 && appended.appends >= compactEvery) compact(appended)
-    else appended
+    if (compactEvery > 0 && appended.appends >= compactEvery) {
+      // Compaction is a file-layout optimization over an ALREADY-promoted,
+      // consistent snapshot. Propagating its failure would hand the caller
+      // back the PRE-append index, whose frame holds a stale file listing
+      // of tfPath — the next refresh's anti-join would then re-select the
+      // already-promoted doc_ids and append them again, duplicating
+      // postings rows and inflating tf/df. Serve the grown, uncompacted
+      // snapshot instead; the next gated append retries the compaction.
+      try compactFn(appended)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[TextIndex] compaction failed (serving the grown uncompacted " +
+              s"snapshot; will retry at the next gate): ${e.getMessage}")
+          appended
+      }
+    } else appended
   }
 
   /** Rewrite the append-accumulated snapshot to the byte-sized file target

@@ -83,6 +83,34 @@ object UnigramLm {
     math.round(x)
   }
 
+  /** UTF-8 binary string order — the collation BOTH twins of this
+    * algorithm compare under: Spark's `min(struct(...))` orders
+    * UTF8String by unsigned byte, and DuckDB's VARCHAR min is UTF-8
+    * binary. Java's `String#compareTo` orders by UTF-16 CODE UNIT, which
+    * disagrees on ties mixing U+E000–U+FFFF chars (1 UTF-16 unit, bytes
+    * 0xEE–0xEF) with supplementary-plane chars (2 units starting 0xD800,
+    * bytes 0xF0+): UTF-16 sorts the surrogate first, UTF-8 the BMP char.
+    * Driver-regime tie-breaks must use THIS order or regime parity breaks
+    * on exactly those corpora. */
+  private[ops] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** [[utf8Lt]] as an `Ordering`, for driver-regime sorts that the
+    * distributed regime performs on UTF8String columns. */
+  private[ops] val utf8Ordering: Ordering[String] =
+    (a: String, b: String) =>
+      if (a == b) 0 else if (utf8Lt(a, b)) -1 else 1
+
   /** Viterbi segmentation of one word under integer piece costs: minimize
     * (total cost, piece count, Sep-joined path) — a total order, so the
     * result is unique. Every single character is in the model by
@@ -105,7 +133,7 @@ object UnigramLm {
               if (best == null ||
                   cand._1 < best._1 ||
                   (cand._1 == best._1 && (cand._2 < best._2 ||
-                    (cand._2 == best._2 && cand._3 < best._3)))) best = cand
+                    (cand._2 == best._2 && utf8Lt(cand._3, best._3))))) best = cand
             case None =>
           }
         }
@@ -128,7 +156,9 @@ object UnigramLm {
       cnt(p) = cnt.getOrElse(p, 0L) + n
     }
     val multis = cnt.iterator.filter(_._1.length >= 2).toSeq
-      .sortBy { case (p, c) => (-c, p) }.take(SeedMultiTop).map(_._1).toSet
+      .sortBy { case (p, c) => (-c, p) }(
+        Ordering.Tuple2(Ordering.Long, utf8Ordering))
+      .take(SeedMultiTop).map(_._1).toSet
     cnt.iterator.filter { case (p, _) => p.length == 1 || multis(p) }.toMap
   }
 
@@ -163,7 +193,13 @@ object UnigramLm {
   private[ops] def trainDistributed(spark: SparkSession, wc: DataFrame,
       emIters: Int): DataFrame = {
     val words = wc.select(col("word"), col("n")).localCheckpoint()
-    val maxLen = words.agg(max(length(col("word")))).head().getInt(0)
+    // empty vocabulary → empty model (max(length) aggregates to NULL; the
+    // driver gate normally routes empty corpora away from this regime, but
+    // a gate change must not turn that routing into an NPE here)
+    val maxLenRow = words.agg(max(length(col("word")))).head()
+    if (maxLenRow.isNullAt(0))
+      return words.select(col("word").as("piece"), col("n").as("c")).limit(0)
+    val maxLen = maxLenRow.getInt(0)
     // candidate edges (word, s, e, piece): every in-model substring slot
     val slots = words
       .select(col("word"), explode(sequence(lit(1), length(col("word")))).as("s"))
@@ -258,28 +294,52 @@ object UnigramLm {
 
   /** Per-document piece counts under the trained model — the serving
     * twin ([[BpeTrain.bpeSegmentStats]]'s convention): the Viterbi
-    * segmentation is computed once per DISTINCT word (the vocabulary is
-    * tiny next to the corpus) and broadcast-joined back; `fertility` is
-    * pieces per word. Re-trains the model first, so benching it would
-    * double-count the trainer.
+    * segmentation is computed once per DISTINCT word and joined back;
+    * `fertility` is pieces per word. Re-trains the model first, so
+    * benching it would double-count the trainer.
+    *
+    * Two driver-materialization boundaries, both gated, neither ever the
+    * raw vocabulary: the retrain step runs under the SAME
+    * `driverVocabGate` regime switch as [[unigramVocabOf]] (at 100 TB the
+    * distinct-word table is far beyond driver memory; only the MODEL —
+    * all singles + ≤ [[SeedMultiTop]] multis, bounded by construction —
+    * is ever collected, from either regime: it is what a tokenizer
+    * SHIPS), and serving segmentation runs IN EXECUTORS — the bounded
+    * piece-cost map broadcasts and Viterbi maps over the distinct-word
+    * frame partition-locally (the [[BpeTrain.segmentationOf]] precedent:
+    * segmentation stays on the cluster, once per DISTINCT word, never
+    * per occurrence). The vocabulary-sized `(word, k)` join back to the
+    * corpus broadcasts only within the same gate; past it the join falls
+    * back to shuffle — a 100-TB distinct-word table exceeds broadcast
+    * limits.
     */
   def segmentStatsOf(spark: SparkSession, docs: DataFrame,
-      emIters: Int = EmIters): DataFrame = {
+      emIters: Int = EmIters, driverVocabGate: Int = 100000): DataFrame = {
     import spark.implicits._
-    val wc = BpeTrain.wordCounts(docs)
-    // serving uses the driver-gated model: the artifact is always
-    // driver-materializable (it is what a tokenizer SHIPS); the trainer
-    // above is where the distributed regime lives
-    val model = trainDriverLocal(
-      wc.collect().map(r => (r.getString(0), r.getLong(1))), emIters)
+    // feeds the regime gate, the retrain, and the serving segmentation —
+    // compute the corpus-scale aggregate once
+    val wc = BpeTrain.wordCounts(docs).localCheckpoint()
+    val smallVocab = wc.limit(driverVocabGate + 1).count() <= driverVocabGate
+    val model: Map[String, Long] =
+      if (smallVocab)
+        trainDriverLocal(
+          wc.collect().map(r => (r.getString(0), r.getLong(1))), emIters)
+      else
+        trainDistributed(spark, wc, emIters).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = model.valuesIterator.sum
-    val cost = model.map { case (p, c) => p -> quantCost(c, total) }
-    val seg = wc.collect().map { r =>
-      (r.getString(0), viterbi(r.getString(0), cost).length.toLong)
-    }.toSeq.toDF("word", "k")
+    val cost: Map[String, Long] =
+      model.map { case (p, c) => p -> quantCost(c, total) }
+    val bcCost = spark.sparkContext.broadcast(cost)
+    val seg = wc.select(col("word")).as[String]
+      .mapPartitions { it =>
+        val c = bcCost.value
+        it.map(w => (w, viterbi(w, c).length.toLong))
+      }.toDF("word", "k")
+    val segSide = if (smallVocab) broadcast(seg) else seg
     docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
-      .join(broadcast(seg), Seq("word"))
+      .join(segSide, Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_pieces"))
       .withColumn("fertility",

@@ -121,8 +121,14 @@ object TextStreams {
                   s"postings append (appends since compaction: ${updated.appends})")
               index = updated
             case scala.util.Failure(e) =>
+              // a failure AFTER the staged promote may have grown tfPath on
+              // disk even though no updated index was returned: rebuild the
+              // served frame from the on-disk listing so the next refresh's
+              // anti-join sees every promoted doc_id (a stale listing would
+              // re-append them — duplicated postings, inflated tf/df)
+              index = index.copy(tf = spark.read.parquet(index.tfPath))
               System.err.println(s"[bm25ServeIncremental] refresh at batch " +
-                s"$batchId failed, serving previous snapshot: ${e.getMessage}")
+                s"$batchId failed, serving re-read snapshot: ${e.getMessage}")
           }
         }
         Sinks.idempotentBatchWrite(

@@ -118,6 +118,23 @@ class ExperimentSpec extends SparkSuite {
     }
   }
 
+  test("floorDivBucket: floor semantics on negatives keep bucket order monotone in value") {
+    import spark.implicits._
+    // refund-shaped domain: negative cents cross zero. SQL `div` truncates
+    // toward zero, collapsing (-w, w) into bucket 0 — floor division must
+    // agree with math.floorDiv everywhere, so bucket order ≡ value order.
+    val cents = Seq(-250L, -137L, -1L, 0L, 1L, 99L, 137L, 250L, -274L)
+    val w = 137L
+    val got = cents.toDF("cents")
+      .withColumn("bucket", Experiment.floorDivBucket(w))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (c <- cents)
+      assert(got(c) == math.floorDiv(c, w), s"cents=$c")
+    val sorted = cents.sorted
+    assert(sorted.map(got) == sorted.map(got).sorted,
+      "bucket key must be monotone over the signed domain")
+  }
+
   test("abDiffInDiff and abSrmCheck: cell means and chi2 equal brute walks") {
     val dir = "/root/testdata/sf0.001"
     val rows = Tables(spark, dir, "events")

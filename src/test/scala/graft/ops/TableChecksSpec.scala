@@ -306,6 +306,60 @@ class TableChecksSpec extends SparkSuite {
     assert(out.sameElements(again), "the release is a pure function of the data")
   }
 
+  test("dpNoisySumMean: clamping engages, noise re-derives, mean is the noisy ratio") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, dir, "documents")
+    // sensitivity bound must be LOAD-BEARING: rows above the clamp exist,
+    // so an unclamped sum (unbounded sensitivity — not DP at any scale)
+    // would release a different table
+    val nOver = docs.filter(length(col("text")) > TableChecks.DpClampChars).count()
+    assert(nOver > 0, "pick DpClampChars so the clamp engages on testdata")
+    val truth = docs
+      .select(col("lang"), col("source"),
+        least(length(col("text")).cast("long"),
+          lit(TableChecks.DpClampChars.toLong)).as("x"),
+        length(col("text")).cast("long").as("raw"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"), sum("raw").as("sraw"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def laplace(tag: String, key: String, b: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag$key".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = (Integer.parseInt(hex.take(4), 16) + 0.5) / 65536.0
+      -b * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    }
+    val out = TableChecks.dpNoisySumMean(spark, dir).collect()
+    assert(out.nonEmpty)
+    var clampMattered = false
+    out.foreach { r =>
+      val (lang, source) = (r.getString(0), r.getString(1))
+      val (n, s, sraw) = truth((lang, source))
+      val nb = laplace("dpn:", s"$lang|$source", 1.0 / TableChecks.DpEpsilon)
+      val sb = laplace("dps:", s"$lang|$source",
+        TableChecks.DpClampChars / TableChecks.DpEpsilon)
+      assert(math.abs(r.getDouble(2) - (n + nb)) < 1e-6, s"noisy_n of ($lang,$source)")
+      assert(math.abs(r.getDouble(3) - (s + sb)) < 1e-6, s"noisy_sum of ($lang,$source)")
+      val mean = (s + sb) / math.max(n + nb, 1.0)
+      assert(math.abs(r.getDouble(4) - mean) < 1e-6, s"noisy_mean of ($lang,$source)")
+      if (s != sraw) clampMattered = true
+    }
+    assert(clampMattered, "at least one cell's sum is actually clamped")
+  }
+
+  test("subjectAccessExport broadcast gate: past it the probes shuffle, answer unchanged") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hinted = TableChecks.subjectAccessExport(spark, dir)
+    val gatedOff = TableChecks.subjectAccessExport(spark, dir, broadcastGate = 0L)
+    def hints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints(hinted).nonEmpty, "within the gate the request batch broadcasts")
+    assert(hints(gatedOff).isEmpty, "past the gate no broadcast hint survives")
+    assert(gatedOff.collect().toSeq == hinted.collect().toSeq,
+      "the gate changes join layout, never the disclosure")
+  }
+
   test("subjectAccessExport: inventory equals a brute per-subject walk; zero-row tables still export") {
     import org.apache.spark.sql.functions._
     val out = TableChecks.subjectAccessExport(spark, dir).collect()

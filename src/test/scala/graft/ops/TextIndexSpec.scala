@@ -59,6 +59,31 @@ class TextIndexSpec extends SparkSuite {
     TextIndex.release(compacted)
   }
 
+  test("a failed compaction serves the GROWN snapshot, never a stale listing") {
+    // the post-promote failure mode: compact throws AFTER the batch's
+    // postings were promoted into tfPath. The old contract propagated the
+    // exception, so callers kept the pre-append index whose frame lists
+    // only the old files — their next refresh's anti-join would re-select
+    // the promoted doc_ids and append them AGAIN (duplicate postings,
+    // inflated tf/df). The contract now: append returns the grown,
+    // uncompacted index.
+    val base = TextIndex.build(docs.filter(col("doc_id") % 10 =!= 0))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val grown = TextIndex.appendWith(base, batch, compactEvery = 1,
+      _ => throw new RuntimeException("simulated compaction write failure"))
+    val servedIds = grown.tf.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(batchIds.subsetOf(servedIds),
+      "served frame must list the promoted batch despite the failed compact")
+    // the refresh anti-join over the returned frame selects NOTHING new
+    val fresh = docs.join(grown.tf.select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+    assert(fresh.isEmpty, "anti-join must see every promoted doc_id")
+    assert(grown.appends == 1, "failed compact leaves the append counter for retry")
+    TextIndex.release(grown)
+  }
+
   test("a failed append leaves no committed orphans in the serving directory") {
     val base = TextIndex.build(docs.filter(col("doc_id") % 10 =!= 0))
     val files = Option(new java.io.File(base.tfPath).listFiles())

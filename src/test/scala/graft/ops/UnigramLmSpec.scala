@@ -86,6 +86,61 @@ class UnigramLmSpec extends SparkSuite {
     assert(out == want)
   }
 
+  test("tie-break collation is UTF-8 byte order, not Java UTF-16 compareTo") {
+    // U+FFFD (UTF-8 ef bf bd) vs U+1F600 (UTF-8 f0 9f 98 80, UTF-16
+    // surrogate pair starting 0xD83D): Java compareTo sorts the surrogate
+    // FIRST (0xD83D < 0xFFFD), UTF-8 binary sorts it LAST (0xf0 > 0xef) —
+    // the distributed min(struct) and the DuckDB oracle both use UTF-8.
+    val bmp = "�"
+    val supp = new String(Character.toChars(0x1F600))
+    assert(bmp.compareTo(supp) > 0, "Java order: surrogate first")
+    assert(UnigramLm.utf8Lt(bmp, supp), "UTF-8 order: BMP char first")
+    assert(!UnigramLm.utf8Lt(supp, bmp))
+    // prefix rule: a strict prefix sorts first; equal strings sort neither
+    assert(UnigramLm.utf8Lt("ab", "abc") && !UnigramLm.utf8Lt("abc", "ab"))
+    assert(UnigramLm.utf8Ordering.compare("ab", "ab") == 0)
+    // agreement with Spark's own UTF8String collation on the pair above
+    import org.apache.spark.unsafe.types.UTF8String
+    assert((UTF8String.fromString(bmp).compareTo(UTF8String.fromString(supp)) < 0)
+      == UnigramLm.utf8Lt(bmp, supp))
+  }
+
+  test("serving segmentation runs in executors and both regimes agree") {
+    val docs = Tables(spark, dir, "documents")
+    val default = UnigramLm.segmentStatsOf(spark, docs)
+    val distributed = UnigramLm.segmentStatsOf(spark, docs, driverVocabGate = 0)
+    // plan pin: segmentation is a MapPartitions over the word-count
+    // aggregate — never a driver-collected LocalRelation of (word, k)
+    // rows (the old shape), which is what bounded the operator at the
+    // driver's memory
+    val plan = default.queryExecution.optimizedPlan.toString
+    assert(plan.contains("MapPartitions"),
+      "serving plan must segment in executors (MapPartitions node)")
+    assert(!plan.contains("LocalRelation"),
+      "serving plan must not materialize the vocabulary driver-side")
+    // regime parity: forcing the distributed retrain + unhinted join
+    // changes the layout, never the answer
+    assert(distributed.collect().toSeq == default.collect().toSeq)
+    // broadcast hint applies only within the gate
+    def hints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    assert(hints(distributed).isEmpty,
+      "past the gate the vocabulary join must not carry a broadcast hint")
+    assert(hints(default).nonEmpty,
+      "within the gate the vocabulary join broadcasts")
+  }
+
+  test("distributed trainer returns an empty model for an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val model = UnigramLm.trainDistributed(spark,
+      BpeTrain.wordCounts(empty), UnigramLm.EmIters)
+    assert(model.collect().isEmpty)
+    assert(model.columns.toSeq == Seq("piece", "c"))
+  }
+
   test("the margin guard trips on a boundary-adjacent quantization") {
     // c/C engineered so ln(C/c)*1e6 lands essentially on x.5: ln guard must
     // throw rather than round. exp(k + 0.5/1e6) scaled to integers:
