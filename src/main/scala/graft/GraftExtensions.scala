@@ -28,11 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((ident, info, builder))
     }
     // optimizer rules (each opt-in via its own session conf): naive range
-    // joins → bucketized equi-joins; exact COUNT(DISTINCT) → HLL++ sketch.
+    // joins → bucketized equi-joins; exact COUNT(DISTINCT) → HLL++ sketch;
+    // skewed aggregations → salted two-phase (key, salt) aggregates.
     // For a live session (tests, shells) use
     // `spark.experimental.extraOptimizations :+= <rule>`.
     ext.injectOptimizerRule(_ => graft.plans.BucketedRangeJoin)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.SaltedAggRewrite)
     // whole-operator extension: the native as-of merge join (custom
     // LogicalPlan + SparkStrategy + SparkPlan). For a live session use
     // `GraftPlanBridge.addStrategy` (the Column API does it implicitly).
