@@ -505,6 +505,9 @@ class PlanShapeSpec extends SparkSuite {
     "fulfillment_sla" -> (0, 0, 0, 1, 3, 0),
     // one hash aggregate; the noise is a pure projection of the group key
     "dp_noisy_counts" -> (0, 0, 0, 1, 2, 0),
+    // same shape: one clamp projection + one hash aggregate; both noisy
+    // columns are projections of the group key
+    "dp_noisy_sum_mean" -> (0, 0, 0, 1, 2, 0),
     // fact tables probed by broadcast joins from the tiny subject batch;
     // per-subject aggs shuffle only request-batch-sized frames
     "subject_access_export" -> (0, 0, 0, 1, 6, 0),
@@ -512,6 +515,11 @@ class PlanShapeSpec extends SparkSuite {
     // after the snapshot build/append/serve — the digest sees the
     // realized scan; the serve plan itself is bm25_topk's, pinned there
     "bm25_topk_indexed" -> (0, 0, 0, 0, 0, 0),
+    // the per-call serving API (bm25TopKFor) also materializes its
+    // bounded |batch|·k result via localCheckpoint (so the per-call tf
+    // cache can be released eagerly) — the digest sees the realized scan;
+    // the scoring plan is bm25_topk's, pinned there
+    "bm25_topk_served" -> (0, 0, 0, 0, 0, 0),
     // the nested-loops are the per-table 1-row tally scalar-combines
     // (erasure_cascade's shape, one more crossJoin per branch)
     "ttl_purge_plan" -> (0, 6, 0, 1, 9, 0),
