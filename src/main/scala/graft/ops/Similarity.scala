@@ -421,7 +421,8 @@ object Similarity {
     * sign-LSH is genuinely probabilistic) → rows-only oracle;
     * [[annTopKBrute]] is the exact anchor.
     */
-  def annLshTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def annLshTopK(spark: SparkSession, dir: String, k: Int = 10,
+      queryPred: Column = col("vec_id") % 50 === 0): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val buckets = (0 until LshTables).map(l => lshBucket(col("v"), LshBits, LshDims, l))
@@ -436,13 +437,13 @@ object Similarity {
     val banded = e.select(col("vec_id"),
       posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
       .persist()
-    val queries = banded.filter(col("vec_id") % 50 === 0)
+    val queries = banded.filter(queryPred)
       .select(col("table"), col("bucket"), col("vec_id").as("q_id"))
     val cand = banded.join(broadcast(queries), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"))
       .dropDuplicates("q_id", "n_id") // union across tables
-    val qVecs = e.filter(col("vec_id") % 50 === 0)
+    val qVecs = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
     val scored = cand
       .join(e.select(col("vec_id").as("n_id"), col("v")), Seq("n_id"))
@@ -1437,6 +1438,24 @@ object Similarity {
     fuseRrf(sparse, dense, k, c)
   }
 
+  /** Fixed-query-batch hybrid serving — [[hybridRrfLshTopK]] with BOTH
+    * retriever legs on the pinned ≤100-query batch
+    * ([[TextAnalysis.bm25TopKServed]]'s contract; `vec_id` is the
+    * parallel embedding id space): lexical queries `doc_id ≤ 100`, dense
+    * queries `vec_id ≤ 100`, fused per query with the same RRF combiner.
+    * The registered, benched production serving shape: cost ∝ batch —
+    * the corpus-scale legs (BM25 tf/df build, LSH bucket index) are the
+    * index builds a serving deployment pays once.
+    */
+  def hybridRrfServed(spark: SparkSession, dir: String, k: Int = 10, c: Int = 60): DataFrame = {
+    val sparse = TextAnalysis.bm25TopKServed(spark, dir, k)
+      .select(col("q_id"), col("doc_id"), col("rank").as("r_sparse"))
+    val dense = annLshTopK(spark, dir, k,
+        queryPred = col("vec_id") <= TextAnalysis.ServeBatchMaxId)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rank").as("r_dense"))
+    fuseRrf(sparse, dense, k, c)
+  }
+
   /** Shared RRF fusion tail: full outer join on (query, doc) + one windowed
     * top-k; `rrf = Σ 1/(c + rank)` over the lists that retrieved the doc.
     */
@@ -1459,11 +1478,18 @@ object Similarity {
     * literals nest as a `WITH` inside the `dense` CTE. */
   def hybridRrfLshTopKSql: String = hybridSqlWith(annLshTopKSql)
 
+  /** Generated oracle for [[hybridRrfServed]]: both legs' templates with
+    * the pinned ≤100 batch predicates. */
+  def hybridRrfServedSql: String = hybridSqlWith(
+    annLshTopKSqlFor(s"q.vec_id <= ${TextAnalysis.ServeBatchMaxId}"),
+    TextAnalysis.bm25TopKServedSql)
+
   /** The hybrid fusion SQL, parameterized by the dense leg (both legs emit
-    * (q_id, n_id, rank, cos)). */
-  private def hybridSqlWith(denseSql: String): String =
+    * (q_id, n_id, rank, cos)) and the sparse leg. */
+  private def hybridSqlWith(denseSql: String,
+      sparseSql: String = TextAnalysis.bm25TopKSql): String =
     s"""WITH sparse AS (
-       |${TextAnalysis.bm25TopKSql}
+       |$sparseSql
        |), dense AS (
        |$denseSql
        |), fused AS (
@@ -1480,11 +1506,15 @@ object Similarity {
        |WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
 
-  def annLshTopKSql: String = {
+  def annLshTopKSql: String = annLshTopKSqlFor("q.vec_id % 50 = 0")
+
+  /** [[annLshTopKSql]] with the query-set predicate parameterized (the
+    * fixed-batch serving oracle uses `q.vec_id <= 100`). */
+  def annLshTopKSqlFor(qPred: String): String = {
     s"""$bandedSqlCtes, cand AS (
        |  SELECT DISTINCT q.vec_id AS q_id, e.vec_id AS n_id
        |  FROM banded e JOIN banded q ON e.tbl = q.tbl AND e.bucket = q.bucket
-       |  WHERE q.vec_id % 50 = 0 AND e.vec_id <> q.vec_id
+       |  WHERE $qPred AND e.vec_id <> q.vec_id
        |)
        |SELECT q_id, n_id, rank, cos FROM (
        |  SELECT c.q_id, c.n_id,

@@ -253,6 +253,11 @@ class PlanShapeSpec extends SparkSuite {
     // anchor above); the sort-merge is the candidate⋈vector re-attach at
     // the suite's tiny broadcast budget
     "hybrid_rrf_lsh_topk" -> (0, 2, 1, 1, 20, 9),
+    // the fixed-batch serve: the sparse leg is bm25_topk_served's realized
+    // localCheckpoint scan (its BNLs/exchanges pinned there as the zero
+    // row), so the digest sees only the LSH dense leg (banded index + SMJ
+    // vector re-attach + rank/WindowGroupLimit) and the fusion window
+    "hybrid_rrf_served" -> (0, 0, 1, 1, 6, 6),
     "media_stats" -> (0, 0, 0, 1, 2, 0),
     // near_dup's 2 exchanges: the pair-dedup aggregate + final sort; the
     // segment-blocked candidate join itself broadcasts the fingerprint side
