@@ -175,27 +175,75 @@ object GraphAnn {
       .select(col("vec_id").as("n_id"), col("v").as("nv"))
   }
 
+  /** Duplicate-collapsed vector index: one representative per distinct
+    * vector VALUE (the min vec_id of each value group) plus the membership
+    * map back — `(reps(vec_id, v), members(vec_id, rep_id))`.
+    *
+    * Why the registered query builds its graph over THIS and not the raw
+    * table: a k-NN graph on a duplicate-heavy corpus degenerates. Every
+    * vector with d ≥ G byte-identical twins fills its whole neighbor list
+    * with them (cos = 1 beats every true neighbor), so the graph collapses
+    * into disconnected twin-cliques and beam search cannot navigate —
+    * MEASURED at the ×10 replicated sf1 probe: recall@10 fell from 0.89
+    * (sf0.01) to 0.05, with median rank-1 cosine 0.23 against an exact
+    * best of 1.0 (BASELINE.md round 14). Real web-scale embedding corpora
+    * are exactly this shape (that is why SemDeDup exists), so
+    * dedup-then-index is the production construction: graph + entry
+    * points over distinct values, search over representatives, then
+    * expand each retrieved representative to its duplicate group at
+    * re-rank (cos against a member IS cos against its representative —
+    * same value — so the expansion carries the score). Costs one
+    * value-grouping shuffle and shrinks construction on any corpus with
+    * duplicates; on an all-distinct corpus reps ≡ the table and members
+    * is the identity map.
+    */
+  private[ops] def repsOf(e: DataFrame): (DataFrame, DataFrame) = {
+    val reps = e.groupBy("v").agg(min("vec_id").as("vec_id"))
+      .select("vec_id", "v")
+    val members = e
+      .join(reps.select(col("vec_id").as("rep_id"), col("v")), "v")
+      .select(col("vec_id"), col("rep_id"))
+    (reps, members)
+  }
+
   /** Graph-ANN top-k for the standard sampled query set (vec_id ≡ 0 mod
-    * 50): NN-Descent graph + beam search, output shape identical to the
-    * rest of the ANN family `(q_id, n_id, rank, cos)`.
+    * 50): NN-Descent graph + beam search over the duplicate-collapsed
+    * representatives ([[repsOf]] — the measured sf1 degeneration is the
+    * rationale), output shape identical to the rest of the ANN family
+    * `(q_id, n_id, rank, cos)`.
     */
   def knnGraphTopK(spark: SparkSession, dir: String, k: Int = 10,
       nCentroids: Int = Similarity.NCentroids): DataFrame = {
     val e = embeddings(spark, dir)
     val cent = Similarity.fitCentroids(spark, dir, nCentroids)
-    val edges = knnGraphEdges(e, cent)
-    val entries = entryPoints(e, cent)
+    val (reps, members) = repsOf(e)
+    // both feed several supersteps / the final expansion — materialize once
+    val re = reps.persist()
+    val mem = members.persist()
+    val edges = knnGraphEdges(re, cent)
+    val entries = entryPoints(re, cent)
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
     // seed: every query scores every entry point (one tiny broadcast —
     // |entries| = cell count, the documented scalar-broadcast combine)
+    // PLUS its own representative — self-kNN knows its duplicate group at
+    // index time, and starting the descent at the query's own node is the
+    // standard navigable-graph warm start. distinct(): the own-rep seed
+    // may coincide with a medoid (identical inputs ⇒ identical double).
     // per-hop superstep state: `visited` feeds both the beam window and
     // the next union — left lazy, the lineage doubles per hop (2^hops
-    // re-execution). |visited| ≤ |q|·(cells + hops·beam·G) —
+    // re-execution). |visited| ≤ |q|·(cells + 1 + hops·beam·G) —
     // query-batch-sized, never corpus-sized.
     var visited = q.crossJoin(broadcast(entries))
       .select(col("q_id"), col("n_id"),
         Similarity.cosine(col("q_v"), col("nv")).as("c"))
+      .union(q
+        .join(mem.withColumnRenamed("vec_id", "q_id"), "q_id")
+        .join(re.select(col("vec_id").as("n_id"), col("v").as("nv")),
+          col("rep_id") === col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          Similarity.cosine(col("q_v"), col("nv")).as("c")))
+      .distinct()
       .localCheckpoint(true)
     for (_ <- 1 to KnnHops) {
       val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
@@ -214,26 +262,35 @@ object GraphAnn {
         .distinct()
         .join(visited.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
         .join(q, "q_id")
-        .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
+        .join(re.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
         .select(col("q_id"), col("n_id"),
           Similarity.cosine(col("q_v"), col("nv")).as("c"))
       // exp is internally distinct and disjoint from visited ⇒ the union
       // is already a set; no post-union distinct (one exchange saved)
       visited = visited.union(exp).localCheckpoint(true)
     }
+    // expand representatives to their duplicate groups (score carries —
+    // identical value), then the exact (c DESC, member id) top-k
     val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
-    visited.filter(col("n_id") =!= col("q_id"))
+    visited
+      .join(mem.select(col("rep_id").as("n_id"), col("vec_id").as("m_id")), "n_id")
+      .select(col("q_id"), col("m_id").as("n_id"), col("c"))
+      .filter(col("n_id") =!= col("q_id"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), round(col("c"), 4).as("cos"))
       .orderBy("q_id", "rank")
   }
 
   /** EXACT DuckDB oracle: the construction AND search unrolled as CTEs
-    * under the fitted-centroid literals. `g0` is the bucketed init, each
+    * under the fitted-centroid literals. `reps`/`members` restate the
+    * duplicate collapse ([[repsOf]]), `rcells` restricts the quantizer
+    * assignment to representatives, `g0` is the bucketed init, each
     * `u_i`/`g_i` pair one NN-Descent round, `entries` the per-cell
-    * medoids, `v_i`/`f_i` one beam hop each. Every ranking re-states the
-    * Spark window's `(score DESC, id)` tie-break; every cosine is the
-    * same left-to-right accumulation on both engines.
+    * medoids among representatives, `v_i`/`f_i` one beam hop each (v0
+    * additionally seeds each query's own representative), and the final
+    * ranking expands representatives through `members`. Every ranking
+    * re-states the Spark window's `(score DESC, id)` tie-break; every
+    * cosine is the same left-to-right accumulation on both engines.
     */
   private[ops] def knnGraphTopKSql(cent: Array[Array[Double]], k: Int = 10,
       g: Int = KnnDegree, rounds: Int = KnnRounds,
@@ -241,13 +298,19 @@ object GraphAnn {
     val sb = new StringBuilder
     sb ++= Similarity.cellsSqlCtes(cent)
     sb ++=
-      s""", c0 AS (
+      s""", reps AS (
+         |  SELECT min(vec_id) AS vec_id, v FROM ev GROUP BY v
+         |), members AS (
+         |  SELECT e.vec_id, r.vec_id AS rep_id FROM ev e JOIN reps r ON e.v = r.v
+         |), rcells AS (
+         |  SELECT c.vec_id, c.cell FROM cells c JOIN reps r ON r.vec_id = c.vec_id
+         |), c0 AS (
          |  SELECT DISTINCT src, dst FROM (
          |    SELECT a.vec_id AS src, b.vec_id AS dst
-         |    FROM cells a JOIN cells b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+         |    FROM rcells a JOIN rcells b ON b.cell = a.cell AND b.vec_id <> a.vec_id
          |    UNION ALL
          |    SELECT a.vec_id AS src, b.vec_id AS dst
-         |    FROM ev a JOIN ev b
+         |    FROM reps a JOIN reps b
          |      ON b.vec_id // $KnnChunk = a.vec_id // $KnnChunk
          |     AND b.vec_id <> a.vec_id)
          |), g0 AS (
@@ -288,13 +351,18 @@ object GraphAnn {
          |  SELECT vec_id FROM (
          |    SELECT s.vec_id, row_number() OVER (PARTITION BY s.cell
          |      ORDER BY s.score DESC, s.vec_id) AS r
-         |    FROM scored s JOIN cells cl ON cl.vec_id = s.vec_id AND cl.cell = s.cell)
+         |    FROM scored s JOIN rcells cl ON cl.vec_id = s.vec_id AND cl.cell = s.cell)
          |  WHERE r = 1
          |), q AS (
          |  SELECT vec_id AS q_id, v AS q_v FROM ev WHERE vec_id % 50 = 0
          |), v0 AS (
-         |  SELECT q.q_id, en.vec_id AS n_id, list_cosine_similarity(q.q_v, nv.v) AS c
-         |  FROM q CROSS JOIN entries en JOIN ev nv ON nv.vec_id = en.vec_id
+         |  SELECT DISTINCT q_id, n_id, c FROM (
+         |    SELECT q.q_id, en.vec_id AS n_id, list_cosine_similarity(q.q_v, nv.v) AS c
+         |    FROM q CROSS JOIN entries en JOIN ev nv ON nv.vec_id = en.vec_id
+         |    UNION ALL
+         |    SELECT q.q_id, m.rep_id AS n_id, list_cosine_similarity(q.q_v, nv.v) AS c
+         |    FROM q JOIN members m ON m.vec_id = q.q_id
+         |    JOIN ev nv ON nv.vec_id = m.rep_id)
          |)""".stripMargin
     for (i <- 1 to hops) {
       val pv = s"v${i - 1}"
@@ -321,9 +389,19 @@ object GraphAnn {
          |  SELECT q_id, n_id,
          |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rank,
          |    round(c, 4) AS cos
-         |  FROM v$hops WHERE n_id <> q_id)
+         |  FROM (
+         |    SELECT v.q_id, m.vec_id AS n_id, v.c
+         |    FROM v$hops v JOIN members m ON m.rep_id = v.n_id
+         |    WHERE m.vec_id <> v.q_id))
          |WHERE rank <= $k
          |ORDER BY q_id, rank""".stripMargin
-    sb.toString
+    // Force every CTE MATERIALIZED: the unrolled construction references
+    // each superstep CTE several times (u_i twice per round, g_rounds once
+    // per hop, ev/members throughout), and DuckDB's default inlining
+    // re-expands per reference — exponential in depth. That is what made
+    // this oracle spill 26 GB at sf1; materialized, it runs there in
+    // seconds. (The pattern only ever matches CTE definitions: window
+    // clauses are `OVER (`, the VALUES alias is `AS t(...)`.)
+    sb.toString.replaceAll("([A-Za-z_][A-Za-z0-9_]*) AS \\(", "$1 AS MATERIALIZED (")
   }
 }

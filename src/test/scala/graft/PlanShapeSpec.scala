@@ -141,7 +141,11 @@ class PlanShapeSpec extends SparkSuite {
     // only the final search stage is visible — the NN-Descent construction
     // supersteps truncate lineage (localCheckpoint); their plan shapes are
     // pinned in GraphAnnSpec instead
-    "knn_graph_topk" -> (0, 0, 0, 1, 2, 3),
+    // +4 exchanges over the pre-dedup form: the duplicate-collapse layer
+    // (reps groupBy-on-value + members join — GraphAnn.repsOf, the
+    // measured sf1 twin-clique fix) materializes inside the final stage's
+    // cached-plan text; the search supersteps stay checkpoint-truncated
+    "knn_graph_topk" -> (0, 0, 0, 1, 6, 3),
     "simhash_near_dup" -> (0, 0, 0, 3, 4, 0),
     "simhash" -> (0, 0, 0, 1, 1, 0),
     "ann_topk_brute" -> (0, 1, 0, 1, 2, 3),

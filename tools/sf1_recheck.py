@@ -30,11 +30,42 @@ What each check proves:
                        the corpus + verified pair dump; the cut-span
                        fields stay spec-gated (cross_doc_spans' documented
                        replicated-corpus exclusion).
+  knn_graph_topk       INVARIANTS (the committed oracle unrolls the whole
+                       NN-Descent construction and spilled 26 GB at sf1):
+                       (1) soundness ∝ output — every emitted cosine
+                       recomputed from embeddings, no self-pairs, ranks
+                       dense 1..k with cos non-increasing (rounding is
+                       monotone, so a rounded inversion is a real one),
+                       every %50 query covered with exactly k rows;
+                       (2) recall floor vs the TRUE exact top-k (brute is
+                       |q|x|corpus| = 8M cosines at sf1 — cheap even
+                       though the graph construction oracle is not),
+                       >= 0.5 (GraphAnnSpec's absolute floor; the
+                       measured value is printed).
+  ngram_jaccard_pairs  CONDITIONAL EXACT: full symmetric diff vs the
+                       prefix_jaccard_pairs dump — same shingles, same
+                       Jaccard, same tau, and prefix_jaccard_pairs IS
+                       sf1-oracle-exact (its PPJoin DuckDB oracle runs at
+                       scale), so set equality transfers that verdict to
+                       the brute anchor. Knife-edge caveat: the anchor
+                       filters on ROUND(jac,4) >= tau, prefix on the exact
+                       rational — a corpus pair landing in [0.49995, 0.5)
+                       would diff; zero diff certifies none exists.
+  winnow_near_dup      ALTERNATE EXACT: the full k=20/w=16 winnowing
+                       scheme (rolling hash mod 2^64, rightmost-window-
+                       min, df<=20 stop filter, shared>=2 pairs over the
+                       doubled corpus) re-derived in numpy — vectorized
+                       uint64, so the degenerate replicated-corpus cost
+                       that aborted the DuckDB HUGEINT oracle at >250
+                       CPU-minutes stays in seconds — then full set
+                       equality vs the Spark dump.
 
 Usage: python3 tools/sf1_recheck.py <sfDir> <verifyOutDir>
 where <verifyOutDir> holds graft.Verify dumps for: geo_near_pairs,
 minhash_lsh_pairs, incremental_near_dup, near_dup_clusters,
-corpus_dedup_report. Exits 1 on any violation.
+corpus_dedup_report, knn_graph_topk, ngram_jaccard_pairs,
+prefix_jaccard_pairs, winnow_near_dup (missing dumps are skipped).
+Exits 1 on any violation.
 """
 import glob, os, sys
 import duckdb
@@ -166,12 +197,123 @@ SELECT
            SELECT a_id AS doc_id FROM d_minhash_lsh_pairs
            UNION ALL SELECT b_id FROM d_minhash_lsh_pairs))))
 """),
+    ("knn_graph_topk", "soundness: cosine recompute + canon + rank/coverage", """
+SELECT
+  (SELECT count(*) FROM d_knn_graph_topk d
+   JOIN embeddings q ON q.vec_id = d.q_id
+   JOIN embeddings n ON n.vec_id = d.n_id
+   WHERE round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 4)
+         <> d.cos
+      OR d.n_id = d.q_id)
++ ((SELECT count(*) FROM d_knn_graph_topk)
+   - (SELECT count(*) FROM (SELECT DISTINCT q_id, n_id FROM d_knn_graph_topk)))
++ (SELECT count(*) FROM (
+     SELECT q_id FROM d_knn_graph_topk GROUP BY q_id
+     HAVING count(*) <> 10 OR count(DISTINCT rank) <> 10
+         OR min(rank) <> 1 OR max(rank) <> 10))
++ (SELECT count(*) FROM d_knn_graph_topk a JOIN d_knn_graph_topk b
+   ON a.q_id = b.q_id AND a.rank + 1 = b.rank AND a.cos < b.cos)
++ (SELECT count(*) FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0
+   EXCEPT SELECT DISTINCT q_id FROM d_knn_graph_topk))
+"""),
+    ("ngram_jaccard_pairs", "conditional-exact: set equality with the sf1-oracle-exact prefix dump", """
+SELECT
+  (SELECT count(*) FROM (SELECT a_id, b_id, round(jac, 4) AS jac
+                         FROM d_prefix_jaccard_pairs
+                         EXCEPT SELECT a_id, b_id, jac FROM d_ngram_jaccard_pairs))
++ (SELECT count(*) FROM (SELECT a_id, b_id, jac FROM d_ngram_jaccard_pairs
+                         EXCEPT SELECT a_id, b_id, round(jac, 4)
+                         FROM d_prefix_jaccard_pairs))
++ abs((SELECT count(*) FROM d_ngram_jaccard_pairs)
+    - (SELECT count(*) FROM d_prefix_jaccard_pairs))
+"""),
 ]
+
+# recall floor asserted in python so the measured value gets PRINTED;
+# brute exact top-k is |q| x |corpus| cosines — cheap at sf1 (8M) even
+# though the committed construction-unrolled oracle is not
+KNN_RECALL_FLOOR = 0.5
+KNN_RECALL_SQL = """
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id % 50 = 0),
+exact AS (
+  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+    row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(q.v, e.embedding::DOUBLE[]) DESC,
+               e.vec_id) AS r
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+), top AS (SELECT q_id, n_id FROM exact WHERE r <= 10)
+SELECT
+  (SELECT count(*) FROM top t JOIN d_knn_graph_topk d
+     ON t.q_id = d.q_id AND t.n_id = d.n_id)::DOUBLE
+  / (SELECT count(*) FROM top)
+"""
+
+
+def winnow_check(con, out_dir):
+    """ALTERNATE EXACT re-derivation of winnow_near_dup in numpy (k=20,
+    w=16, df<=20, shared>=2, doubled corpus) — ops/Dedup.winnowNearDupSql's
+    semantics, vectorized: rolling hash = sliding-window dot with the
+    257^(19-j) coefficients in wrapping uint64; window min compared as
+    SIGNED int64 (the Spark/SQL collation); rightmost tie via reversed
+    argmin. The corpus regime is full-window only (every sf doc is
+    >= 44 chars, so m = len-19 > w), matching the dumped data; a doc that
+    ever violated that would fail the set equality loudly.
+    """
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+    from collections import Counter, defaultdict
+
+    coef = np.array([pow(257, 19 - j, 2**64) for j in range(20)],
+                    dtype=np.uint64)
+
+    def fps_of(text):
+        o = np.frombuffer(text.encode("utf-16-le"), dtype=np.uint16).astype(np.uint64)
+        n = len(o)
+        if n < 20:
+            return frozenset()
+        m = n - 19
+        h = np.zeros(m, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(20):
+                h += o[j:j + m] * coef[j]
+        v = h.astype(np.int64)  # signed collation, as Spark longs / SQL BIGINT
+        if m <= 16:
+            i = m - 1 - int(np.argmin(v[::-1]))  # rightmost min
+            return frozenset([int(v[i])])
+        w = sliding_window_view(v, 16)
+        idx = 15 - np.argmin(w[:, ::-1], axis=1)  # rightmost min per window
+        return frozenset(v[np.arange(m - 15) + idx].tolist())
+
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    max_id = max(d for d, _ in docs)
+    cache = {}
+    fp2docs = defaultdict(list)
+    for doc_id, text in docs:
+        f = cache.get(text)
+        if f is None:
+            f = cache[text] = fps_of(text)
+        for fp in f:
+            fp2docs[fp].append(doc_id)           # original copy
+            fp2docs[fp].append(doc_id + max_id + 1)  # doubled copy
+    pairs = Counter()
+    for fp, ds in fp2docs.items():
+        if len(ds) <= 20:  # df <= maxDf stop filter
+            ds.sort()
+            for i in range(len(ds)):
+                for j in range(i + 1, len(ds)):
+                    pairs[(ds[i], ds[j])] += 1
+    want = {(a, b, c) for (a, b), c in pairs.items() if c >= 2}
+    got = set(map(tuple, con.execute(
+        f"SELECT a_id, b_id, n_shared FROM read_parquet('{out_dir}/winnow_near_dup/*.parquet')"
+    ).fetchall()))
+    return len(want - got) + len(got - want), len(want)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 DUMPS = ["geo_near_pairs", "minhash_lsh_pairs", "incremental_near_dup",
-         "near_dup_clusters", "corpus_dedup_report"]
+         "near_dup_clusters", "corpus_dedup_report", "knn_graph_topk",
+         "ngram_jaccard_pairs", "prefix_jaccard_pairs", "winnow_near_dup"]
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -186,8 +328,11 @@ def main():
             print(f"[skip] no Spark dump for {d}")
             continue
         con.execute(f"CREATE VIEW d_{d} AS SELECT * FROM read_parquet('{out_dir}/{d}/*.parquet')")
+    have = {d for d in DUMPS if glob.glob(f"{out_dir}/{d}/*.parquet")}
     fails = 0
     for name, what, sql in CHECKS:
+        if name not in have:
+            continue
         try:
             v = con.execute(sql).fetchone()[0]
             status = "OK" if v == 0 else f"FAIL ({v} violations)"
@@ -196,6 +341,28 @@ def main():
             print(f"{name}: {what}: {status}")
         except Exception as e:
             print(f"{name}: {what}: ERROR {e}")
+            fails += 1
+    if "knn_graph_topk" in have:
+        try:
+            r = con.execute(KNN_RECALL_SQL).fetchone()[0]
+            ok = r >= KNN_RECALL_FLOOR
+            if not ok:
+                fails += 1
+            print(f"knn_graph_topk: recall@10 vs exact brute = {r:.4f} "
+                  f"(floor {KNN_RECALL_FLOOR}): {'OK' if ok else 'FAIL'}")
+        except Exception as e:
+            print(f"knn_graph_topk: recall: ERROR {e}")
+            fails += 1
+    if "winnow_near_dup" in have:
+        try:
+            diff, n = winnow_check(con, out_dir)
+            status = "OK" if diff == 0 else f"FAIL ({diff} violations)"
+            if diff != 0:
+                fails += 1
+            print(f"winnow_near_dup: alternate-exact numpy re-derivation, "
+                  f"symmetric diff ({n} pairs): {status}")
+        except Exception as e:
+            print(f"winnow_near_dup: alternate-exact: ERROR {e}")
             fails += 1
     sys.exit(1 if fails else 0)
 
