@@ -216,6 +216,16 @@ object GraphAnn {
       nCentroids: Int = Similarity.NCentroids): DataFrame = {
     val e = embeddings(spark, dir)
     val cent = Similarity.fitCentroids(spark, dir, nCentroids)
+    knnGraphTopKFrom(e, cent, k)
+  }
+
+  /** [[knnGraphTopK]] over any `(vec_id, v)` frame under given centroids
+    * (library surface — the planted-duplicate regression spec builds a
+    * replicated frame and asserts recall survives, the failure mode the
+    * sf1 probe measured).
+    */
+  private[ops] def knnGraphTopKFrom(e: DataFrame, cent: Array[Array[Double]],
+      k: Int = 10): DataFrame = {
     val (reps, members) = repsOf(e)
     // both feed several supersteps / the final expansion — materialize once
     val re = reps.persist()

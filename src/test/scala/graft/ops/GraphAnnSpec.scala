@@ -37,6 +37,41 @@ class GraphAnnSpec extends SparkSuite {
     assert(gR >= 0.5, s"graph recall $gR below absolute floor 0.5")
   }
 
+  test("planted duplicates: recall survives a ×5 replicated corpus (the sf1 twin-clique regression)") {
+    // The failure the ×10 sf1 probe measured (BASELINE.md round 14): with
+    // d ≥ G byte-identical twins per vector, a raw-corpus k-NN graph
+    // degenerates into disconnected twin-cliques (every neighbor slot
+    // holds a cos=1 twin) and beam search cannot navigate — recall@10
+    // fell to 0.05. The duplicate-collapsed construction (repsOf) must
+    // keep recall high on exactly that shape. ×5 replication suffices:
+    // 4 twins + the true neighborhood still saturate a raw graph's
+    // navigability while staying cheap at test scale.
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val n = e.count()
+    val replicated = (0 until 5).map(i =>
+      e.select((col("vec_id") + lit(i * n)).as("vec_id"), col("v")))
+      .reduce(_ union _)
+    val cent = Similarity.fitCentroidsFrom(replicated, Similarity.NCentroids)
+    val got = idPairs(GraphAnn.knnGraphTopKFrom(replicated, cent))
+    // exact brute top-10 on the replicated frame (2500² pairs — test-only)
+    val a = replicated.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val b = replicated.select(col("vec_id").as("n_id"), col("v").as("nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
+    val brute = a.join(b, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), Similarity.cosine(col("qv"), col("nv")).as("c"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    info(s"replicated-corpus recall@10: $recall")
+    // every query's 4 cos=1 twins are reachable through its own-rep seed,
+    // and the rep graph is the distinct-value graph — recall must sit far
+    // above the degenerate 0.05, not just above the generic 0.5 floor
+    assert(recall >= 0.8, s"replicated-corpus recall $recall below 0.8 — twin-clique degeneration")
+  }
+
   test("knn graph: degree-bounded distinct out-edges over the full id space") {
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
