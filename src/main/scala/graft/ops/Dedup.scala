@@ -118,7 +118,14 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    // The brute anchor streams its left side through a broadcast
+    // nested-loop join, so its parallelism is the left side's partition
+    // count — which is the INPUT FILE SPLIT count (a 30 MB corpus = one
+    // split = one thread grinding n²/2 pairs). One cheap shuffle of the
+    // slim (id, shingles) frame buys full-cluster parallelism for the
+    // quadratic part; results are set-shaped, partitioning-invariant.
+    val a = sh.repartition(spark.sparkContext.defaultParallelism * 2)
+      .select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     a.join(broadcast(b), col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),

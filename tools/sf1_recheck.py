@@ -25,11 +25,15 @@ What each check proves:
                        minhash_lsh_pairs dump, full symmetric diff vs the
                        cluster dump (the committed oracle regenerates the
                        pair graph brute-force; this walks only the edges).
-  corpus_dedup_report  PARTIAL: the pair-derived fields (n_docs,
-                       near_dup_pairs, docs_in_near_dup) re-derived from
-                       the corpus + verified pair dump; the cut-span
-                       fields stay spec-gated (cross_doc_spans' documented
-                       replicated-corpus exclusion).
+  corpus_dedup_report  COMPLETE across both families: the pair-derived
+                       fields (n_docs, near_dup_pairs, docs_in_near_dup)
+                       re-derived from the corpus + verified pair dump;
+                       the cut-span fields (docs_cut, tokens_removed,
+                       pct_tokens_removed) re-derived from the cut_spans
+                       dump, which is ITSELF directly sf1-oracle-exact
+                       (as is cross_doc_spans since the r14 re-measure —
+                       its committed oracle runs at sf1 in ~3 s; the
+                       round-6 exclusion was stale).
   knn_graph_topk       INVARIANTS (the committed oracle unrolls the whole
                        NN-Descent construction and spilled 26 GB at sf1):
                        (1) soundness ∝ output — every emitted cosine
@@ -63,9 +67,9 @@ What each check proves:
 Usage: python3 tools/sf1_recheck.py <sfDir> <verifyOutDir>
 where <verifyOutDir> holds graft.Verify dumps for: geo_near_pairs,
 minhash_lsh_pairs, incremental_near_dup, near_dup_clusters,
-corpus_dedup_report, knn_graph_topk, ngram_jaccard_pairs,
-prefix_jaccard_pairs, winnow_near_dup (missing dumps are skipped).
-Exits 1 on any violation.
+corpus_dedup_report (+ cut_spans for its cut fields), knn_graph_topk,
+ngram_jaccard_pairs, prefix_jaccard_pairs, winnow_near_dup (missing
+dumps are skipped). Exits 1 on any violation.
 """
 import glob, os, sys
 import duckdb
@@ -186,7 +190,7 @@ SELECT
                          EXCEPT SELECT * FROM want))
 + abs((SELECT count(*) FROM want) - (SELECT count(*) FROM d_near_dup_clusters))
 """),
-    ("corpus_dedup_report", "pair-derived fields re-derived (cut fields spec-gated)", """
+    ("corpus_dedup_report", "pair-derived fields re-derived from the verified pair dump", """
 SELECT
   abs((SELECT n_docs FROM d_corpus_dedup_report)
       - (SELECT count(*) FROM documents))
@@ -196,6 +200,17 @@ SELECT
       - (SELECT count(*) FROM (SELECT DISTINCT doc_id FROM (
            SELECT a_id AS doc_id FROM d_minhash_lsh_pairs
            UNION ALL SELECT b_id FROM d_minhash_lsh_pairs))))
+"""),
+    ("corpus_dedup_report", "cut-span fields re-derived from the sf1-oracle-exact cut_spans dump", """
+SELECT
+  abs((SELECT docs_cut FROM d_corpus_dedup_report)
+      - (SELECT count(*) FROM d_cut_spans WHERE n_removed > 0))
++ abs((SELECT tokens_removed FROM d_corpus_dedup_report)
+      - (SELECT sum(n_removed) FROM d_cut_spans))
++ (CASE WHEN (SELECT pct_tokens_removed FROM d_corpus_dedup_report)
+       = round((SELECT sum(n_removed)::DOUBLE FROM d_cut_spans)
+             / (SELECT sum(n_kept + n_removed) FROM d_cut_spans), 6)
+   THEN 0 ELSE 1 END)
 """),
     ("knn_graph_topk", "soundness: cosine recompute + canon + rank/coverage", """
 SELECT
@@ -313,7 +328,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 DUMPS = ["geo_near_pairs", "minhash_lsh_pairs", "incremental_near_dup",
          "near_dup_clusters", "corpus_dedup_report", "knn_graph_topk",
-         "ngram_jaccard_pairs", "prefix_jaccard_pairs", "winnow_near_dup"]
+         "ngram_jaccard_pairs", "prefix_jaccard_pairs", "winnow_near_dup",
+         "cut_spans"]
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
