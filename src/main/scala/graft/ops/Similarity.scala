@@ -1528,4 +1528,103 @@ object Similarity {
        |WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  /** NDCG discount weights 1/log₂(r+1) for ranks 1..k, as shortest-repr
+    * double literals — embedded VERBATIM in both the Spark expression and
+    * the DuckDB oracle, so both engines evaluate the identical written
+    * left-to-right sum on the identical parsed doubles.
+    */
+  private def ndcgWeights(k: Int): Seq[String] =
+    (1 to k).map(r => (1.0 / (math.log(r + 1.0) / math.log(2.0))).toString)
+
+  /** The per-query DCG as a FIXED-ORDER expression over the integer hit
+    * bitmask (bit r−1 set ⇔ the index's rank-r result is in the exact
+    * top-k). The bitmask is built by an integer SUM — order-free and
+    * exact where a floating sum of the discount weights would be
+    * partition-order-dependent; the mask→DCG mapping is then one written
+    * expression, identical text on both engines.
+    */
+  private def dcgExprOf(k: Int): String =
+    ndcgWeights(k).zipWithIndex.map { case (w, i) =>
+      s"(CASE WHEN (hitmask & ${1L << i}) > 0 THEN $w ELSE 0.0 END)"
+    }.mkString(" + ")
+
+  /** Retrieval-quality evaluation — the metric harness every serving
+    * deployment runs next to its index: recall@k, MRR, and NDCG@k of the
+    * production LSH index ([[annLshTopK]]) against the EXACT brute-force
+    * truth ([[annTopKBrute]]), averaged over the standard query set.
+    *
+    * Determinism across engines (the forecast_backtest DECIMAL
+    * discipline): per-query hits fold to an integer bitmask (order-free),
+    * every per-query metric is one fixed-order expression over it cast to
+    * DECIMAL(24,12), the corpus average sums those decimals EXACTLY and
+    * divides once — so the oracle is value-exact, not a tolerance check.
+    *
+    * Bench-excluded by the anchor convention: the truth leg IS the brute
+    * O(|q|·n) anchor. At 100 TB the truth comes from a sampled query
+    * panel (|q| bounded), which this formulation already is.
+    */
+  def retrievalEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val idcg = ndcgWeights(k).map(_.toDouble).sum.toString
+    val got = annLshTopK(spark, dir, k).select("q_id", "n_id", "rank")
+    val truth = annTopKBrute(spark, dir, k).select("q_id", "n_id")
+    val hits = got.join(truth, Seq("q_id", "n_id"))
+    val hAgg = hits.groupBy("q_id").agg(
+      count(lit(1)).as("n_hits"),
+      sum(expr("CAST(pow(2, rank - 1) AS BIGINT)")).as("hitmask"),
+      min("rank").as("first_hit"))
+    val perq = truth.select("q_id").distinct()
+      .join(hAgg, Seq("q_id"), "left")
+      .select(
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("hitmask"), lit(0L)).as("hitmask"),
+        col("first_hit"))
+    val scored = perq.select(
+      expr(s"CAST(CAST(n_hits AS DOUBLE) / $k AS DECIMAL(24,12))").as("recall"),
+      expr("CAST(CASE WHEN first_hit IS NULL THEN CAST(0.0 AS DOUBLE) " +
+        "ELSE CAST(1.0 AS DOUBLE) / first_hit END AS DECIMAL(24,12))").as("rr"),
+      expr(s"CAST((${dcgExprOf(k)}) / $idcg AS DECIMAL(24,12))").as("ndcg"))
+    scored.agg(
+      count(lit(1)).as("n_queries"),
+      expr("round(CAST(sum(recall) AS DOUBLE) / count(*), 6)").as("recall_at_k"),
+      expr("round(CAST(sum(rr) AS DOUBLE) / count(*), 6)").as("mrr"),
+      expr("round(CAST(sum(ndcg) AS DOUBLE) / count(*), 6)").as("ndcg_at_k"))
+  }
+
+  /** Generated oracle for [[retrievalEval]]: the two committed leg
+    * templates nested as CTEs, then the identical bitmask/decimal
+    * arithmetic (the expression strings are shared with the Spark side,
+    * not re-written).
+    */
+  def retrievalEvalSql(k: Int = 10): String = {
+    val idcg = ndcgWeights(k).map(_.toDouble).sum.toString
+    s"""WITH got AS (
+       |$annLshTopKSql
+       |), truth AS (
+       |$annTopKSql
+       |), hits AS (
+       |  SELECT g.q_id, g.rank FROM got g
+       |  JOIN truth t ON t.q_id = g.q_id AND t.n_id = g.n_id
+       |), perq AS (
+       |  SELECT coalesce(h.n_hits, 0) AS n_hits,
+       |         coalesce(h.hitmask, 0) AS hitmask,
+       |         h.first_hit
+       |  FROM (SELECT DISTINCT q_id FROM truth) t
+       |  LEFT JOIN (SELECT q_id, count(*) AS n_hits,
+       |               sum(CAST(pow(2, rank - 1) AS BIGINT)) AS hitmask,
+       |               min(rank) AS first_hit
+       |             FROM hits GROUP BY q_id) h USING (q_id)
+       |), scored AS (
+       |  SELECT
+       |    CAST(CAST(n_hits AS DOUBLE) / $k AS DECIMAL(24,12)) AS recall,
+       |    CAST(CASE WHEN first_hit IS NULL THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(1.0 AS DOUBLE) / first_hit END AS DECIMAL(24,12)) AS rr,
+       |    CAST((${dcgExprOf(k)}) / $idcg AS DECIMAL(24,12)) AS ndcg
+       |  FROM perq)
+       |SELECT count(*) AS n_queries,
+       |  round(CAST(sum(recall) AS DOUBLE) / count(*), 6) AS recall_at_k,
+       |  round(CAST(sum(rr) AS DOUBLE) / count(*), 6) AS mrr,
+       |  round(CAST(sum(ndcg) AS DOUBLE) / count(*), 6) AS ndcg_at_k
+       |FROM scored""".stripMargin
+  }
 }
