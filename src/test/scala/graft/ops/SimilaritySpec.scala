@@ -19,6 +19,46 @@ class SimilaritySpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("retrievalEval: metrics re-derive from the raw id sets (bitmask arithmetic guard)") {
+    // Independent recompute path: collect the two top-k id sets and walk
+    // them directly — no bitmask, no decimal grid — then compare against
+    // the operator's averaged metrics at the final 6-dp rounding. Guards
+    // the pow/bitmask fold and the decimal averaging against silent
+    // arithmetic drift (the DuckDB oracle pins cross-engine equality, not
+    // internal correctness of the shared expression strings).
+    val dir = "/root/testdata/sf0.01"
+    val k = 10
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Int)]] =
+      df.select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val got = pairs(Similarity.annLshTopK(spark, dir, k))
+    val truth = pairs(Similarity.annTopKBrute(spark, dir, k))
+    val w = (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    val idcg = w.sum
+    val perQ = truth.keys.toSeq.map { q =>
+      val t = truth(q).map(_._1).toSet
+      val hitRanks = got.getOrElse(q, Seq.empty).filter(p => t.contains(p._1)).map(_._2)
+      val recall = hitRanks.size.toDouble / k
+      val mrr = if (hitRanks.isEmpty) 0.0 else 1.0 / hitRanks.min
+      val ndcg = hitRanks.sorted.map(r => w(r - 1)).sum / idcg
+      (recall, mrr, ndcg)
+    }
+    def avg6(xs: Seq[Double]): Double =
+      (xs.map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+        / perQ.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = Similarity.retrievalEval(spark, dir, k).collect().head
+    assert(row.getLong(0) == perQ.size, "n_queries mismatch")
+    val (gr, gm, gn) = (row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    val (er, em, en) =
+      (avg6(perQ.map(_._1)), avg6(perQ.map(_._2)), avg6(perQ.map(_._3)))
+    // the walk recomputes on plain doubles; the operator on the decimal
+    // grid — agreement to 1e-6 at the shared final rounding is the claim
+    assert(math.abs(gr - er) <= 1e-6, s"recall $gr vs recompute $er")
+    assert(math.abs(gm - em) <= 1e-6, s"mrr $gm vs recompute $em")
+    assert(math.abs(gn - en) <= 1e-6, s"ndcg $gn vs recompute $en")
+  }
+
   test("codegen cosine expression is bit-equal to the HOF formulation") {
     val vecs = Similarity.asDoubleForTest(spark, "/root/testdata/sf0.001")
     val hof = Similarity.dot(col("a"), col("b")) /
