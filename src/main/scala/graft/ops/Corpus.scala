@@ -959,4 +959,138 @@ object Corpus {
       |FROM sc JOIN pc ON pc.cum_pool * sc.n_src >= sc.r * pc.n_pool
       |GROUP BY 1, 2, 3
       |ORDER BY source, n_chars""".stripMargin
+
+  /** Filter-revision agreement audit: Cohen's kappa between the CURRENT
+    * quality battery ([[qualityFilterOf]]'s thresholds) and a TIGHTENED
+    * candidate revision, per language. This is the audit every filter
+    * change at corpus scale runs before shipping: raw percent agreement
+    * overstates consensus when both filters keep almost everything, and
+    * kappa corrects for that chance agreement — a kappa near 0 on some
+    * language says the revision redraws that language's boundary, not
+    * just trims it.
+    *
+    * Exactness: the confusion counts are integers, and kappa's
+    * chance-corrected form is a ratio of two integer polynomials —
+    *   num = n·(n11+n00) − (a1·b1 + a0·b0),  den = n² − (a1·b1 + a0·b0)
+    * (a1/a0 = filter-1 keep/drop margins, b1/b0 = filter-2's) — so both
+    * engines build NUM and DEN exactly and the only float op is ONE
+    * division of identical integers, rounded at 6 dp. Products stay
+    * under 2⁶³ up to n ≈ 3·10⁹ rows per language; past that promote to
+    * DECIMAL(38,0) on the same grid (the [[MarketBasket]] convention).
+    *
+    * Scale shape: the per-doc raw metrics are [[qualityFilterOf]]'s,
+    * computed ONCE per document in the same explode + two doc_id-keyed
+    * aggregates (both keep flags derive from the same metric row — the
+    * second battery costs zero extra scans), then ONE language-keyed
+    * aggregate of size |languages|. No windows, no joins.
+    */
+  def filterAgreementKappa(spark: SparkSession, dir: String): DataFrame =
+    filterAgreementKappaOf(Tables(spark, dir, "documents"))
+
+  def filterAgreementKappaOf(docs: DataFrame, n: Int = 3): DataFrame = {
+    val t = Dedup.tokens(col("text"))
+    val stoplist = array(TextAnalysis.Stopwords.head._2.map(lit): _*)
+    // same raw metrics as qualityFilterOf, carried through the gram
+    // explode identically (kept inline for the same one-scan plan shape)
+    val exploded = docs.select(
+      col("doc_id"), col("lang"),
+      size(t).as("n_tokens"),
+      (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+        .as("mean_len_raw"),
+      (size(filter(t, x => array_contains(stoplist, x))).cast("double") / size(t))
+        .as("stop_frac_raw"),
+      explode(graft.functions.WordNGrams.all(col("text"), n)).as("g"))
+    val gramCounts = exploded.groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"),
+        first("lang").as("lang"),
+        first("n_tokens").as("n_tokens"),
+        first("mean_len_raw").as("mean_len_raw"),
+        first("stop_frac_raw").as("stop_frac_raw"))
+    val perDoc = gramCounts.groupBy("doc_id")
+      .agg(
+        first("lang").as("lang"),
+        first("n_tokens").as("n_tokens"),
+        first("mean_len_raw").as("mean_len_raw"),
+        first("stop_frac_raw").as("stop_frac_raw"),
+        (sum(when(col("c") > 1, col("c")).otherwise(lit(0))).cast("double")
+          / sum(col("c"))).as("dup_frac_raw"))
+    // filter 1: the shipped battery; filter 2: the tightened candidate
+    val keep1 = col("n_tokens") >= 15 && col("n_tokens") <= 2000 &&
+      col("mean_len_raw") >= 2.0 && col("mean_len_raw") <= 8.0 &&
+      col("stop_frac_raw") >= 0.01 && col("dup_frac_raw") <= 0.2
+    val keep2 = col("n_tokens") >= 25 && col("n_tokens") <= 1500 &&
+      col("mean_len_raw") >= 2.5 && col("mean_len_raw") <= 7.5 &&
+      col("stop_frac_raw") >= 0.02 && col("dup_frac_raw") <= 0.15
+    val conf = perDoc
+      .select(col("lang"), keep1.as("k1"), keep2.as("k2"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("k1") && col("k2"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("k1") && !col("k2"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("k1") && col("k2"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("k1") && !col("k2"), 1L).otherwise(0L)).as("n00"))
+    conf.select(
+      col("lang"), col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round(
+        ((col("n") * (col("n11") + col("n00"))
+          - ((col("n11") + col("n10")) * (col("n11") + col("n01"))
+            + (col("n01") + col("n00")) * (col("n10") + col("n00"))))
+          .cast("double"))
+          / nullif(
+            col("n") * col("n")
+              - ((col("n11") + col("n10")) * (col("n11") + col("n01"))
+                + (col("n01") + col("n00")) * (col("n10") + col("n00"))),
+            lit(0)).cast("double"),
+        6).as("kappa"),
+      round((col("n11") + col("n00")).cast("double") / col("n"), 6).as("po"))
+      .orderBy("lang")
+  }
+
+  val filterAgreementKappaSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, text, regexp_split_to_array(lower(text), '\s+') AS t
+      |  FROM documents
+      |), metrics AS (
+      |  SELECT doc_id, lang, len(t) AS n_tokens,
+      |    list_sum(list_transform(t, x -> len(x)))::double / len(t) AS mean_len_raw,
+      |    len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to')))::double
+      |      / len(t) AS stop_frac_raw
+      |  FROM toks
+      |), gc AS (
+      |  SELECT doc_id, g, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+      |      ELSE [lower(text)] END) AS g
+      |    FROM toks)
+      |  GROUP BY doc_id, g
+      |), rep AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN c > 1 THEN c ELSE 0 END)::double / sum(c) AS dup_frac_raw
+      |  FROM gc GROUP BY doc_id
+      |), flags AS (
+      |  SELECT m.lang,
+      |    (m.n_tokens >= 15 AND m.n_tokens <= 2000
+      |      AND m.mean_len_raw >= 2.0 AND m.mean_len_raw <= 8.0
+      |      AND m.stop_frac_raw >= 0.01 AND r.dup_frac_raw <= 0.2) AS k1,
+      |    (m.n_tokens >= 25 AND m.n_tokens <= 1500
+      |      AND m.mean_len_raw >= 2.5 AND m.mean_len_raw <= 7.5
+      |      AND m.stop_frac_raw >= 0.02 AND r.dup_frac_raw <= 0.15) AS k2
+      |  FROM metrics m JOIN rep r USING (doc_id)
+      |), conf AS (
+      |  SELECT lang, count(*) AS n,
+      |    sum(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END)::BIGINT AS n11,
+      |    sum(CASE WHEN k1 AND NOT k2 THEN 1 ELSE 0 END)::BIGINT AS n10,
+      |    sum(CASE WHEN NOT k1 AND k2 THEN 1 ELSE 0 END)::BIGINT AS n01,
+      |    sum(CASE WHEN NOT k1 AND NOT k2 THEN 1 ELSE 0 END)::BIGINT AS n00
+      |  FROM flags GROUP BY lang
+      |)
+      |SELECT lang, n, n11, n10, n01, n00,
+      |  round(
+      |    (n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))::double
+      |    / nullif(n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)), 0)::double,
+      |  6) AS kappa,
+      |  round((n11 + n00)::double / n, 6) AS po
+      |FROM conf
+      |ORDER BY lang""".stripMargin
 }

@@ -335,6 +335,9 @@ class PlanShapeSpec extends SparkSuite {
     // global corpus-ordered window
     "size_balanced_shards" -> (0, 0, 0, 1, 5, 2),
     "quality_filter" -> (0, 0, 0, 1, 3, 0),
+    // the two-battery confusion: same one-scan explode shape as
+    // quality_filter plus the |languages|-keyed kappa aggregate
+    "filter_agreement_kappa" -> (0, 0, 0, 1, 4, 0),
     "repetition_stats" -> (0, 0, 0, 1, 3, 0),
     "pii_scrub" -> (0, 0, 0, 1, 1, 0),
     "cc_scrub" -> (0, 0, 0, 1, 1, 0),
@@ -387,6 +390,9 @@ class PlanShapeSpec extends SparkSuite {
     // BNL = the 1-row basket-total scalar-combine; items subtree NOT
     // cached by the containment convention (corpus-sized intermediate)
     "also_bought" -> (0, 1, 0, 0, 9, 0),
+    // one basket-keyed shuffle + three vocabulary-bounded level aggs;
+    // the nested-loop is the 1-row basket-total scalar combine
+    "basket_rules" -> (0, 1, 0, 1, 9, 0),
     // post-agg matrix checkpointed: the corpus lag window runs once
     "event_transitions" -> (0, 0, 0, 1, 2, 0),
     "merge_upsert" -> (0, 0, 0, 1, 1, 0),
