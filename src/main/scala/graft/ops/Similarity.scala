@@ -1627,4 +1627,153 @@ object Similarity {
        |  round(CAST(sum(ndcg) AS DOUBLE) / count(*), 6) AS ndcg_at_k
        |FROM scored""".stripMargin
   }
+
+  /** MMR re-rank weights, written as LITERALS on both engines: deriving
+    * μ = 1 − λ in Scala would yield 0.30000000000000004 while the oracle
+    * parses the decimal text 0.3 — a one-ulp mismatch that flips greedy
+    * argmax decisions on near-ties. */
+  val MmrLambda = "0.7"
+  val MmrMu = "0.3"
+
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein
+    * '98) over the pinned serving batch — the re-rank stage every RAG
+    * retrieval runs when its top-k collapses onto near-duplicates: pick
+    * greedily by `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`, so each
+    * pick is relevant AND far from what is already selected.
+    *
+    * Plan shape (the serving discipline of `bm25_topk_served`): queries
+    * are the FIXED `vec_id ≤ ServeBatchMaxId` batch; stage 1 is one
+    * corpus pass per batch (broadcast queries, per-query top-`nCand`
+    * window); stage 2 confines ALL pairwise similarity to the candidate
+    * set (`nCand`² per query, never corpus×corpus) and folds the greedy
+    * selection as ONE `aggregate` HOF over the per-query candidate array
+    * — k·nCand work per query inside a single projection, no iteration
+    * joins, no driver loop. At 100 TB stage 1 rides [[annLshTopK]]'s
+    * banded index instead of the brute pass (drop-in: same (q_id, n_id)
+    * candidate contract); stage 2 is batch-bounded either way.
+    *
+    * Cross-engine exactness: rel and sim are the same
+    * [[graft.functions.CosineSimilarity]] doubles the brute oracle
+    * computes (`list_cosine_similarity` — bit-equal, proven by the
+    * ann family), the MMR score is the same fixed expression over them,
+    * and the greedy argmax breaks ties on the smaller id in both
+    * engines, so the SELECTION SEQUENCE matches decision-for-decision —
+    * the oracle unrolls the k greedy steps as chained CTEs (the
+    * knn-construction convention).
+    */
+  def mmrRerankTopK(spark: SparkSession, dir: String, k: Int = 8,
+      nCand: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = e.filter(col("vec_id") <= TextAnalysis.ServeBatchMaxId)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_v"), col("v")).as("rel"), col("v"))
+    val w = Window.partitionBy("q_id").orderBy(col("rel").desc, col("n_id"))
+    // realized once: the candidate table is batch-bounded (|q|·nCand rows)
+    // but its SUBTREE is the corpus pass — without the checkpoint the
+    // self-join and the regroup would re-run that pass three times
+    val cand = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nCand)
+      .select(col("q_id"), col("n_id"), col("rel"), col("v"))
+      .localCheckpoint(true)
+    val pairSims = cand.as("x")
+      .join(cand.as("y"),
+        col("x.q_id") === col("y.q_id") && col("x.n_id") =!= col("y.n_id"))
+      .select(col("x.q_id").as("q_id"), col("x.n_id").as("n_id"),
+        col("y.n_id").as("o_id"), cosine(col("x.v"), col("y.v")).as("sim"))
+      .groupBy("q_id", "n_id")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("o_id"), col("sim"))))).as("sims"))
+    val grouped = cand.join(pairSims, Seq("q_id", "n_id"))
+      .groupBy("q_id")
+      // collection order is partition-dependent but irrelevant: the fold's
+      // argmax is order-free (strict struct max with the id tiebreak)
+      .agg(collect_list(struct(col("n_id"), col("rel"), col("sims"))).as("cands"))
+    // greedy fold: the accumulator rides the (score, negid, n_id) struct
+    // whose lexicographic max IS the argmax with the smaller-id tiebreak
+    val selected = expr(
+      s"""aggregate(
+         |  sequence(1, $k),
+         |  CAST(array() AS array<struct<score: double, negid: bigint, n_id: bigint>>),
+         |  (sel, step) -> concat(sel, array(
+         |    array_max(transform(
+         |      filter(cands, c -> NOT exists(sel, s -> s.n_id = c.n_id)),
+         |      c -> named_struct(
+         |        'score', CAST($MmrLambda AS DOUBLE) * c.rel
+         |          - CAST($MmrMu AS DOUBLE) * coalesce(
+         |              array_max(transform(sel, s -> element_at(c.sims, s.n_id))),
+         |              CAST(0.0 AS DOUBLE)),
+         |        'negid', -c.n_id,
+         |        'n_id', c.n_id))))))""".stripMargin)
+    grouped
+      .select(col("q_id"), posexplode(selected).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("s.n_id").as("n_id"), round(col("s.score"), 4).as("mmr"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Generated oracle for [[mmrRerankTopK]]: the k greedy steps unrolled
+    * as chained CTEs — step t joins the step-(t−1) state, excludes its
+    * picks, and takes the per-query argmax of the SAME score expression
+    * (GREATEST over the picked sims ≡ the Spark fold's array_max). */
+  def mmrRerankTopKSql(k: Int = 8, nCand: Int = 20): String = {
+    val head =
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS q_id, v AS q_v FROM e
+         |  WHERE vec_id <= ${TextAnalysis.ServeBatchMaxId}
+         |), scored AS (
+         |  SELECT q_id, e.vec_id AS n_id,
+         |    list_cosine_similarity(q_v, e.v) AS rel, e.v AS v
+         |  FROM q JOIN e ON e.vec_id <> q.q_id
+         |), cand AS (
+         |  SELECT q_id, n_id, rel, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rel DESC, n_id) AS rn
+         |    FROM scored) WHERE rn <= $nCand
+         |), pair AS (
+         |  SELECT x.q_id AS q_id, x.n_id AS aid, y.n_id AS bid,
+         |    list_cosine_similarity(x.v, y.v) AS sim
+         |  FROM cand x JOIN cand y ON x.q_id = y.q_id AND x.n_id <> y.n_id
+         |), s1 AS (
+         |  SELECT q_id, n_id AS id1, sc AS sc1 FROM (
+         |    SELECT q_id, n_id,
+         |      $MmrLambda::DOUBLE * rel - $MmrMu::DOUBLE * 0.0::DOUBLE AS sc,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY
+         |        $MmrLambda::DOUBLE * rel - $MmrMu::DOUBLE * 0.0::DOUBLE DESC,
+         |        n_id) AS rn
+         |    FROM cand) WHERE rn = 1
+         |)""".stripMargin
+    val steps = (2 to k).map { t =>
+      val prev = (1 until t)
+      val prevCols = prev.flatMap(i => Seq(s"p.id$i", s"p.sc$i")).mkString(", ")
+      val prevOut = prev.flatMap(i => Seq(s"id$i", s"sc$i")).mkString(", ")
+      val notPicked = prev.map(i => s"c.n_id <> p.id$i").mkString(" AND ")
+      val simJoins = prev.map(i =>
+        s"  JOIN pair j$i ON j$i.q_id = c.q_id AND j$i.aid = c.n_id AND j$i.bid = p.id$i")
+        .mkString("\n")
+      val maxSim =
+        if (t == 2) "j1.sim"
+        else s"GREATEST(${prev.map(i => s"j$i.sim").mkString(", ")})"
+      val sc = s"$MmrLambda::DOUBLE * c.rel - $MmrMu::DOUBLE * $maxSim"
+      s""", s$t AS (
+         |  SELECT q_id, $prevOut, n_id AS id$t, sc AS sc$t FROM (
+         |    SELECT c.q_id AS q_id, $prevCols, c.n_id AS n_id,
+         |      $sc AS sc,
+         |      row_number() OVER (PARTITION BY c.q_id ORDER BY $sc DESC, c.n_id) AS rn
+         |    FROM cand c
+         |    JOIN s${t - 1} p ON p.q_id = c.q_id AND $notPicked
+         |$simJoins
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString
+    val finals = (1 to k).map(t =>
+      s"SELECT q_id, $t AS rank, id$t AS n_id, round(sc$t, 4) AS mmr FROM s$k")
+      .mkString("\nUNION ALL\n")
+    s"$head$steps\n$finals\nORDER BY q_id, rank"
+  }
 }

@@ -146,6 +146,10 @@ class PlanShapeSpec extends SparkSuite {
     // measured sf1 twin-clique fix) materializes inside the final stage's
     // cached-plan text; the search supersteps stay checkpoint-truncated
     "knn_graph_topk" -> (0, 0, 0, 1, 6, 3),
+    // candidate table realized once (localCheckpoint — the corpus pass
+    // and its top-nCand window live inside it); the visible joins are
+    // batch-bounded candidate⋈candidate and the regroup
+    "mmr_rerank_topk" -> (0, 0, 2, 1, 6, 0),
     "simhash_near_dup" -> (0, 0, 0, 3, 4, 0),
     "simhash" -> (0, 0, 0, 1, 1, 0),
     "ann_topk_brute" -> (0, 1, 0, 1, 2, 3),
