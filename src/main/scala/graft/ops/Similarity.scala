@@ -1718,28 +1718,32 @@ object Similarity {
   /** Generated oracle for [[mmrRerankTopK]]: the k greedy steps unrolled
     * as chained CTEs — step t joins the step-(t−1) state, excludes its
     * picks, and takes the per-query argmax of the SAME score expression
-    * (GREATEST over the picked sims ≡ the Spark fold's array_max). */
+    * (GREATEST over the picked sims ≡ the Spark fold's array_max).
+    * Every CTE is `AS MATERIALIZED` (the knn-oracle lesson): each step
+    * references `cand`/`pair` and the final UNION references s_k k times
+    * — DuckDB re-inlines multiply-referenced CTEs by default, turning
+    * the chain superlinear in the unroll depth at scaled SFs. */
   def mmrRerankTopKSql(k: Int = 8, nCand: Int = 20): String = {
     val head =
-      s"""WITH e AS (
+      s"""WITH e AS MATERIALIZED (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         |), q AS (
+         |), q AS MATERIALIZED (
          |  SELECT vec_id AS q_id, v AS q_v FROM e
          |  WHERE vec_id <= ${TextAnalysis.ServeBatchMaxId}
-         |), scored AS (
+         |), scored AS MATERIALIZED (
          |  SELECT q_id, e.vec_id AS n_id,
          |    list_cosine_similarity(q_v, e.v) AS rel, e.v AS v
          |  FROM q JOIN e ON e.vec_id <> q.q_id
-         |), cand AS (
+         |), cand AS MATERIALIZED (
          |  SELECT q_id, n_id, rel, v FROM (
          |    SELECT *, row_number() OVER (PARTITION BY q_id
          |      ORDER BY rel DESC, n_id) AS rn
          |    FROM scored) WHERE rn <= $nCand
-         |), pair AS (
+         |), pair AS MATERIALIZED (
          |  SELECT x.q_id AS q_id, x.n_id AS aid, y.n_id AS bid,
          |    list_cosine_similarity(x.v, y.v) AS sim
          |  FROM cand x JOIN cand y ON x.q_id = y.q_id AND x.n_id <> y.n_id
-         |), s1 AS (
+         |), s1 AS MATERIALIZED (
          |  SELECT q_id, n_id AS id1, sc AS sc1 FROM (
          |    SELECT q_id, n_id,
          |      $MmrLambda::DOUBLE * rel - $MmrMu::DOUBLE * 0.0::DOUBLE AS sc,
@@ -1760,7 +1764,7 @@ object Similarity {
         if (t == 2) "j1.sim"
         else s"GREATEST(${prev.map(i => s"j$i.sim").mkString(", ")})"
       val sc = s"$MmrLambda::DOUBLE * c.rel - $MmrMu::DOUBLE * $maxSim"
-      s""", s$t AS (
+      s""", s$t AS MATERIALIZED (
          |  SELECT q_id, $prevOut, n_id AS id$t, sc AS sc$t FROM (
          |    SELECT c.q_id AS q_id, $prevCols, c.n_id AS n_id,
          |      $sc AS sc,
