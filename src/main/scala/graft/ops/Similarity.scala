@@ -1628,6 +1628,119 @@ object Similarity {
        |FROM scored""".stripMargin
   }
 
+  /** Matryoshka-style width-truncation evaluation: retrieval quality
+    * (recall@k / MRR / NDCG@k vs the full-width exact truth) when the
+    * index stores only the first `d` dimensions of each embedding — the
+    * audit a deployment runs before shipping a narrower (cheaper) index.
+    * One row per width; the full-width row is the 1.0/1.0/1.0 anchor by
+    * construction.
+    *
+    * Scale shape: ONE corpus×panel pass — the per-width cosines are extra
+    * projections on the SAME joined row (an `explode` of the width list),
+    * so adding widths costs projection work, not passes; ranking is one
+    * window over (width, query). Cross-engine exactness: truncated
+    * cosines are the same left-to-right doubles on the sliced arrays
+    * (`slice(v,1,d)` ≡ DuckDB `v[1:d]`, both 1-based inclusive), and the
+    * metric arithmetic is [[retrievalEval]]'s integer-bitmask / DECIMAL
+    * discipline verbatim. Bench-excluded by the anchor convention: every
+    * leg is the brute O(|panel|·n) scan (at 100 TB the panel is the
+    * bounded sample this formulation already is).
+    */
+  def dimTruncationEval(spark: SparkSession, dir: String, k: Int = 10,
+      dims: Seq[Int] = Seq(16, 32, 64)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val full = dims.max
+    val idcg = ndcgWeights(k).map(_.toDouble).sum.toString
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val rels = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        explode(array(dims.map(d => struct(lit(d).as("dim"),
+          cosine(slice(col("q_v"), 1, d), slice(col("v"), 1, d)).as("rel"))): _*))
+          .as("dr"))
+      .select(col("q_id"), col("n_id"), col("dr.dim").as("dim"), col("dr.rel").as("rel"))
+    val w = Window.partitionBy("dim", "q_id").orderBy(col("rel").desc, col("n_id"))
+    val got = rels.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("dim", "q_id", "n_id", "rank")
+    val truth = got.filter(col("dim") === full).select("q_id", "n_id")
+    val hits = got.join(truth, Seq("q_id", "n_id"))
+    val hAgg = hits.groupBy("dim", "q_id").agg(
+      count(lit(1)).as("n_hits"),
+      sum(expr("CAST(pow(2, rank - 1) AS BIGINT)")).as("hitmask"),
+      min("rank").as("first_hit"))
+    val base = got.select("dim", "q_id").distinct()
+    val perq = base.join(hAgg, Seq("dim", "q_id"), "left")
+      .select(col("dim"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("hitmask"), lit(0L)).as("hitmask"),
+        col("first_hit"))
+    val scored = perq.select(col("dim"),
+      expr(s"CAST(CAST(n_hits AS DOUBLE) / $k AS DECIMAL(24,12))").as("recall"),
+      expr("CAST(CASE WHEN first_hit IS NULL THEN CAST(0.0 AS DOUBLE) " +
+        "ELSE CAST(1.0 AS DOUBLE) / first_hit END AS DECIMAL(24,12))").as("rr"),
+      expr(s"CAST((${dcgExprOf(k)}) / $idcg AS DECIMAL(24,12))").as("ndcg"))
+    scored.groupBy("dim").agg(
+      count(lit(1)).as("n_queries"),
+      expr("round(CAST(sum(recall) AS DOUBLE) / count(*), 6)").as("recall_at_k"),
+      expr("round(CAST(sum(rr) AS DOUBLE) / count(*), 6)").as("mrr"),
+      expr("round(CAST(sum(ndcg) AS DOUBLE) / count(*), 6)").as("ndcg_at_k"))
+      .orderBy("dim")
+  }
+
+  /** Generated oracle for [[dimTruncationEval]]: one brute leg per width
+    * UNION'd under a shared window/bitmask/DECIMAL tail (every CTE
+    * materialized — the mmr/knn lesson). */
+  def dimTruncationEvalSql(k: Int = 10, dims: Seq[Int] = Seq(16, 32, 64)): String = {
+    val full = dims.max
+    val idcg = ndcgWeights(k).map(_.toDouble).sum.toString
+    val legs = dims.map(d =>
+      s"""    SELECT q_id, e.vec_id AS n_id, $d AS dim,
+         |      list_cosine_similarity(q_v[1:$d], e.v[1:$d]) AS rel
+         |    FROM q JOIN e ON e.vec_id <> q.q_id""".stripMargin)
+      .mkString("\n    UNION ALL\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), q AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id % 50 = 0
+       |), rels AS MATERIALIZED (
+       |$legs
+       |), got AS MATERIALIZED (
+       |  SELECT dim, q_id, n_id, rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY dim, q_id
+       |      ORDER BY rel DESC, n_id) AS rank
+       |    FROM rels) WHERE rank <= $k
+       |), truth AS MATERIALIZED (
+       |  SELECT q_id, n_id FROM got WHERE dim = $full
+       |), hits AS MATERIALIZED (
+       |  SELECT g.dim, g.q_id, g.rank FROM got g
+       |  JOIN truth t ON t.q_id = g.q_id AND t.n_id = g.n_id
+       |), base AS MATERIALIZED (
+       |  SELECT DISTINCT dim, q_id FROM got
+       |), perq AS MATERIALIZED (
+       |  SELECT b.dim, coalesce(h.n_hits, 0) AS n_hits,
+       |         coalesce(h.hitmask, 0) AS hitmask, h.first_hit
+       |  FROM base b
+       |  LEFT JOIN (SELECT dim, q_id, count(*) AS n_hits,
+       |               sum(CAST(pow(2, rank - 1) AS BIGINT)) AS hitmask,
+       |               min(rank) AS first_hit
+       |             FROM hits GROUP BY dim, q_id) h USING (dim, q_id)
+       |), scored AS MATERIALIZED (
+       |  SELECT dim,
+       |    CAST(CAST(n_hits AS DOUBLE) / $k AS DECIMAL(24,12)) AS recall,
+       |    CAST(CASE WHEN first_hit IS NULL THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(1.0 AS DOUBLE) / first_hit END AS DECIMAL(24,12)) AS rr,
+       |    CAST((${dcgExprOf(k)}) / $idcg AS DECIMAL(24,12)) AS ndcg
+       |  FROM perq)
+       |SELECT dim, count(*) AS n_queries,
+       |  round(CAST(sum(recall) AS DOUBLE) / count(*), 6) AS recall_at_k,
+       |  round(CAST(sum(rr) AS DOUBLE) / count(*), 6) AS mrr,
+       |  round(CAST(sum(ndcg) AS DOUBLE) / count(*), 6) AS ndcg_at_k
+       |FROM scored GROUP BY dim ORDER BY dim""".stripMargin
+  }
+
   /** MMR re-rank weights, written as LITERALS on both engines: deriving
     * μ = 1 − λ in Scala would yield 0.30000000000000004 while the oracle
     * parses the decimal text 0.3 — a one-ulp mismatch that flips greedy
