@@ -490,4 +490,111 @@ object Experiment {
        |           / ((n_control + n_treatment)::DOUBLE
        |              * ((n_control + n_treatment)::DOUBLE - 1.0)))), 6) AS z
        |FROM arms CROSS JOIN tiesum""".stripMargin
+
+  /** Probability the ε-greedy target policy puts on the segment's best
+    * (highest-mean-reward) action; the remainder spreads uniformly over
+    * the segment's other observed actions. */
+  val IpsPiBest = "0.9"
+
+  /** Off-policy evaluation (inverse-propensity scoring) of an ε-greedy
+    * target policy on the logged event stream — the counterfactual
+    * question every recommender change asks of its logs BEFORE an A/B
+    * slot opens: "what value would policy π have collected?", answered
+    * from data logged under policy μ. Context = user segment
+    * (`user_id % 10`), action = event_type, reward = the event's value
+    * (money grid: DECIMAL(12,2) → integer cents). The logging propensity
+    * is the empirical μ̂(a|seg) = n(seg,a)/n(seg); the target policy
+    * plays the segment's best observed action with probability
+    * [[IpsPiBest]] and spreads the rest uniformly.
+    *
+    * With exact empirical propensities the per-segment IPS estimate
+    * collapses to the closed form Σ_a π(a|seg)·mean(r | seg, a) — the
+    * identity the spec re-derives — and the effective sample size is
+    * ESS = 1 / Σ_a π(a|seg)²/n(seg,a), the overlap diagnostic that warns
+    * when π leans on thinly-logged actions.
+    *
+    * Determinism: cell sums are exact integer cents; each per-action
+    * term is ONE fixed double expression over exact integers, cast to
+    * DECIMAL(24,12) (identical rounding of identical doubles), and the
+    * per-segment combine is an exact DECIMAL sum — reorder-safe where a
+    * double sum over the action cells would be partition-order-dependent
+    * (the retrieval_eval discipline). Best-action ties break on the
+    * action name in both engines.
+    *
+    * Scale shape: one (segment, action)-keyed aggregate over the event
+    * scan, one |segments|×|actions|-bounded window for the argmax, one
+    * segment-keyed combine — no joins against the corpus, no windows
+    * over it; output = |segments| rows.
+    */
+  def ipsPolicyValue(spark: SparkSession, dir: String,
+      piBest: String = IpsPiBest): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables(spark, dir, "events")
+      .select((col("user_id") % 10).as("segment"), col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("bigint").as("cents"))
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("n_a"), sum(col("cents")).as("cents_a"))
+    val w = Window.partitionBy("segment")
+    val ranked = cells
+      .withColumn("mean_a", col("cents_a").cast("double") / (lit(100.0) * col("n_a")))
+      .withColumn("k_actions", count(lit(1)).over(w))
+      .withColumn("n_seg", sum(col("n_a")).over(w))
+      .withColumn("cents_seg", sum(col("cents_a")).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("mean_a").desc, col("event_type"))))
+    val terms = ranked
+      .withColumn("pi_a",
+        when(col("rk") === 1, expr(s"CAST($piBest AS DOUBLE)"))
+          .otherwise(expr(s"(CAST(1.0 AS DOUBLE) - CAST($piBest AS DOUBLE))") /
+            (col("k_actions") - 1)))
+      .withColumn("term_ips",
+        expr("CAST(pi_a * mean_a AS DECIMAL(24,12))"))
+      .withColumn("term_ess_inv",
+        expr("CAST(pi_a * pi_a / n_a AS DECIMAL(24,12))"))
+    terms.groupBy("segment")
+      .agg(
+        first("n_seg").as("n"),
+        first("k_actions").as("k_actions"),
+        max(when(col("rk") === 1, col("event_type"))).as("best_action"),
+        round(expr("first(cents_seg)").cast("double")
+          / (lit(100.0) * first("n_seg")), 6).as("v_log"),
+        round(expr("CAST(sum(term_ips) AS DOUBLE)"), 6).as("v_ips"),
+        round(lit(1.0) / expr("CAST(sum(term_ess_inv) AS DOUBLE)"), 6).as("ess"))
+      .orderBy("segment")
+  }
+
+  val ipsPolicyValueSql: String = ipsPolicyValueSqlFor(IpsPiBest)
+
+  /** [[ipsPolicyValue]]'s oracle, parameterized by the target policy's
+    * greedy mass (the spec runs the uniform-policy identity at 0.2). */
+  def ipsPolicyValueSqlFor(piBest: String): String =
+    s"""WITH cells AS (
+       |  SELECT user_id % 10 AS segment, event_type,
+       |    count(*) AS n_a,
+       |    sum((value::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS cents_a
+       |  FROM events GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT segment, event_type, n_a, cents_a,
+       |    cents_a::DOUBLE / (100.0 * n_a) AS mean_a,
+       |    count(*) OVER (PARTITION BY segment) AS k_actions,
+       |    sum(n_a) OVER (PARTITION BY segment) AS n_seg,
+       |    sum(cents_a) OVER (PARTITION BY segment) AS cents_seg,
+       |    row_number() OVER (PARTITION BY segment
+       |      ORDER BY cents_a::DOUBLE / (100.0 * n_a) DESC, event_type) AS rk
+       |  FROM cells
+       |), terms AS (
+       |  SELECT *,
+       |    CASE WHEN rk = 1 THEN CAST($piBest AS DOUBLE)
+       |         ELSE (CAST(1.0 AS DOUBLE) - CAST($piBest AS DOUBLE))
+       |              / (k_actions - 1) END AS pi_a
+       |  FROM ranked
+       |)
+       |SELECT segment, min(n_seg)::BIGINT AS n, min(k_actions)::BIGINT AS k_actions,
+       |  min(CASE WHEN rk = 1 THEN event_type END) AS best_action,
+       |  round(min(cents_seg)::DOUBLE / (100.0 * min(n_seg)), 6) AS v_log,
+       |  round(CAST(sum(CAST(pi_a * mean_a AS DECIMAL(24,12))) AS DOUBLE), 6) AS v_ips,
+       |  round(1.0 / CAST(sum(CAST(pi_a * pi_a / n_a AS DECIMAL(24,12))) AS DOUBLE), 6) AS ess
+       |FROM terms
+       |GROUP BY segment
+       |ORDER BY segment""".stripMargin
 }

@@ -97,6 +97,8 @@ class PlanShapeSpec extends SparkSuite {
     "unigram_lm_vocab" -> (0, 1, 0, 1, 2, 0),
     "ab_diff_in_diff" -> (0, 0, 0, 0, 3, 0),
     "ab_srm_check" -> (0, 0, 0, 0, 3, 0),
+    // (segment,action) agg + |segments|×|actions|-bounded argmax windows
+    "ips_policy_value" -> (0, 0, 0, 1, 3, 2),
     "holt_daily" -> (0, 0, 0, 1, 3, 0),
     "weekday_seasonality" -> (0, 0, 0, 1, 5, 0),
     "near_dup_clusters" -> (0, 0, 0, 0, 0, 0),
