@@ -260,6 +260,78 @@ object QualityModel {
           (col("tp") * 2L + col("fp") + col("fn"))).as("f1"))
   }
 
+  /** The ≥3-of-4 teacher rule battery as DuckDB SQL over the tokenized
+    * column `t` — one definition for every oracle that re-states the
+    * teacher label (the [[logitSql]] single-source discipline). */
+  private def teacherSql: String =
+    s"""(CASE WHEN len(t) >= ${TextAnalysis.QualityMinTokens} THEN 1 ELSE 0 END
+       |     + CASE WHEN len(list_distinct(t))::DOUBLE / len(t)::DOUBLE >= ${TextAnalysis.QualityMinTtr} THEN 1 ELSE 0 END
+       |     + CASE WHEN list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)::DOUBLE >= ${TextAnalysis.QualityLenLo}
+       |            AND list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)::DOUBLE <= ${TextAnalysis.QualityLenHi} THEN 1 ELSE 0 END
+       |     + CASE WHEN len(list_intersect(t, ['the', 'a', 'of', 'and', 'to'])) >= ${TextAnalysis.QualityMinStops} THEN 1 ELSE 0 END) >= 3""".stripMargin
+
+  /** Calibration audit of the served soft-filter probability (the
+    * [[qualityWeightedSample]] ramp `clamp(0.5 + logit/4, 0.1, 1)`)
+    * against the distillation teacher, in probability deciles — the
+    * reliability diagram every probabilistic filter ships with: per bin,
+    * predicted confidence vs empirical teacher rate and their gap (the
+    * per-bin term of expected calibration error). Deliberately NO
+    * sigmoid: like the rest of this family the served score is a linear
+    * ramp of the logit, so no `exp`/libm call whose last ulp differs
+    * across engines ever enters the comparison.
+    *
+    * Determinism: bin ids and counts are exact; per-bin confidence sums
+    * row probabilities on the DECIMAL(24,12) grid (exact, reorder-safe)
+    * with ONE final division; acc is one division of exact integers; gap
+    * is |difference| of those two doubles — all identical cross-engine.
+    *
+    * Scale shape: one corpus scan projecting (p, y), one 10-key hash
+    * aggregate with map-side partials. Output ≤ 10 rows.
+    */
+  def lrCalibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    val w = fitCached(spark, dir)
+    val p = greatest(least(lit(0.5) + logitCol(w) / 4.0, lit(1.0)), lit(0.1))
+    val y = TextAnalysis.qualityFeatures.ruleHits >= 3
+    Tables(spark, dir, "documents")
+      .select(p.as("keep_p"), y.as("y"))
+      .withColumn("bin", least(floor(col("keep_p") * 10.0), lit(9.0)).cast("int"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        expr("CAST(sum(CAST(keep_p AS DECIMAL(24,12))) AS DOUBLE)").as("conf_sum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("conf_sum") / col("n"), 6).as("conf"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("acc"),
+        round(abs(col("conf_sum") / col("n")
+          - col("n_pos").cast("double") / col("n")), 6).as("gap"))
+      .orderBy("bin")
+  }
+
+  /** Generated-literal oracle: the served ramp over the [[logitSql]]
+    * chain, the [[teacherSql]] label, and the identical decimal-grid
+    * confidence sum. */
+  private[ops] def lrCalibrationBinsSql(w: Array[Double]): String = {
+    val logit = logitSql(w)
+    s"""SELECT bin, n, n_pos,
+       |  round(conf_sum / n, 6) AS conf,
+       |  round(n_pos::DOUBLE / n, 6) AS acc,
+       |  round(abs(conf_sum / n - n_pos::DOUBLE / n), 6) AS gap
+       |FROM (
+       |  SELECT bin, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       |    CAST(sum(CAST(keep_p AS DECIMAL(24,12))) AS DOUBLE) AS conf_sum
+       |  FROM (
+       |    SELECT CAST(least(floor(keep_p * 10.0), 9.0) AS INTEGER) AS bin, keep_p, y
+       |    FROM (
+       |      SELECT greatest(least(0.5 + ($logit) / 4.0, 1.0), 0.1) AS keep_p,
+       |        $teacherSql AS y
+       |      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |            FROM documents)))
+       |  GROUP BY bin)
+       |ORDER BY bin""".stripMargin
+  }
+
   private[ops] def lrEvalMetricsSql(w: Array[Double]): String = {
     val logit = logitSql(w)
     s"""SELECT tp, fp, tn, fn,
@@ -533,7 +605,8 @@ object QualityModel {
       Map(
         "quality_lr_score" -> qualityLrScoreSql(w),
         "quality_weighted_sample" -> qualityWeightedSampleSql(w),
-        "lr_eval_metrics" -> lrEvalMetricsSql(w))
+        "lr_eval_metrics" -> lrEvalMetricsSql(w),
+        "lr_calibration_bins" -> lrCalibrationBinsSql(w))
     case None => Map.empty
   }
 }

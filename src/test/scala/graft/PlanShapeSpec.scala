@@ -341,6 +341,8 @@ class PlanShapeSpec extends SparkSuite {
     // global corpus-ordered window
     "size_balanced_shards" -> (0, 0, 0, 1, 5, 2),
     "quality_filter" -> (0, 0, 0, 1, 3, 0),
+    // one scan projecting (p, y) + a 10-key hash agg
+    "lr_calibration_bins" -> (0, 0, 0, 1, 2, 0),
     // the two-battery confusion: same one-scan explode shape as
     // quality_filter plus the |languages|-keyed kappa aggregate
     "filter_agreement_kappa" -> (0, 0, 0, 1, 4, 0),

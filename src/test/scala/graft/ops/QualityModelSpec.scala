@@ -209,4 +209,22 @@ class QualityModelSpec extends SparkSuite {
     assert(tgtMean > allW.sum / allW.size,
       s"target-slice mean $tgtMean not above corpus mean ${allW.sum / allW.size}")
   }
+
+  test("lrCalibrationBins: bins partition the corpus; conf inside bin bounds; gap re-derives") {
+    val out = graft.ops.QualityModel.lrCalibrationBins(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val nDocs = graft.ops.Tables(spark, dir, "documents").count()
+    assert(out.map(_._2).sum == nDocs, "bins must partition every document")
+    for ((bin, n, nPos, conf, acc, gap) <- out) {
+      assert(bin >= 1 && bin <= 9, s"ramp clamps p to [0.1, 1] → bins 1..9, got $bin")
+      // bin 9 also holds the clamp's p = 1.0 mass, so its upper bound is
+      // inclusive; every bin's mean must sit inside its own decile
+      val (lo, hi) = (bin / 10.0, if (bin == 9) 1.0 + 1e-9 else (bin + 1) / 10.0)
+      assert(conf >= lo - 1e-9 && conf < hi, s"bin $bin conf $conf outside [$lo, $hi)")
+      assert(nPos <= n)
+      assert(math.abs(gap - math.abs(conf - acc)) < 2e-6,
+        s"bin $bin gap $gap vs |conf-acc| ${math.abs(conf - acc)}")
+    }
+  }
 }
