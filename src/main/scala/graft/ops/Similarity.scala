@@ -1776,11 +1776,22 @@ object Similarity {
     */
   def mmrRerankTopK(spark: SparkSession, dir: String, k: Int = 8,
       nCand: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val queries = e.filter(col("vec_id") <= TextAnalysis.ServeBatchMaxId)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    mmrRerankFor(spark, dir, queries, k, nCand)
+  }
+
+  /** [[mmrRerankTopK]]'s core over ANY `(q_id, q_v)` query frame — the
+    * serving surface ([[graft.streaming.VectorStreams.mmrServe]] feeds
+    * micro-batches of query vectors through it against the static
+    * corpus; per-query independence makes stream ≡ batch exact). */
+  def mmrRerankFor(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 8, nCand: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosine(col("q_v"), col("v")).as("rel"), col("v"))

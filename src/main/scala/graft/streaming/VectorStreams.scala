@@ -150,4 +150,30 @@ object VectorStreams {
       .option("checkpointLocation", ckpt)
       .start()
   }
+
+  /** Diversified serving: each micro-batch of query vectors runs the MMR
+    * re-rank ([[Similarity.mmrRerankFor]] — literally shared with the
+    * batch `mmr_rerank_topk`, so parity is structural) against the static
+    * corpus. Per-query independence is what makes the stream exact: a
+    * query's greedy selection depends only on its own candidate set,
+    * never on which micro-batch carried it. Same `foreachBatch` rationale
+    * as [[adcServe]] (per-query top-k and the greedy fold need a CLOSED
+    * query set, which a micro-batch is), same exactly-once sink.
+    */
+  def mmrServe(
+      spark: SparkSession,
+      dir: String,
+      queryStream: DataFrame,
+      outDir: String,
+      ckpt: String,
+      k: Int = 8,
+      nCand: Int = 20): StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val queries = batch.select(col("vec_id").as("q_id"), col("v").as("q_v"))
+        Sinks.idempotentBatchWrite(
+          Similarity.mmrRerankFor(spark, dir, queries, k, nCand), batchId, outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
 }
