@@ -572,6 +572,81 @@ object TableChecks {
        |ORDER BY lang, source""".stripMargin
   }
 
+  /** Per-document contribution cap for the private vocabulary release:
+    * each document contributes only its [[DpVocabCap]] lexicographically
+    * first DISTINCT tokens — a deterministic bound that makes the
+    * histogram's per-record L1 sensitivity exactly DpVocabCap (an
+    * unbounded per-doc vocabulary has unbounded sensitivity and no noise
+    * scale is DP). */
+  val DpVocabCap = 10
+
+  /** δ of the (ε, δ) release — the probability mass allowed to the
+    * threshold's failure mode (a unique key leaking through). */
+  val DpVocabDelta = 1e-6
+
+  /** Stability-thresholded DP vocabulary histogram — the private release
+    * for UNKNOWN key domains ([[dpNoisyCounts]] needs the cell domain
+    * public; a token vocabulary is itself data, so publishing which keys
+    * exist leaks membership). The standard mechanism (Korolova et al.
+    * '09's search-log release shape): bound each record's contribution
+    * (cap C distinct tokens per doc), add Laplace(C/ε) noise to every
+    * token's doc-count, and publish ONLY tokens whose noisy count clears
+    * τ = C + (C/ε)·ln(1/(2δ)) — the threshold soaks the δ-probability
+    * that a token contributed by a single document survives.
+    *
+    * Determinism convention as the rest of the DP family: the draw is the
+    * seeded md5 inverse-CDF surrogate per token (`dpv:` + token), u is a
+    * dyadic rational, and the 6-dp rounding absorbs the last-ulp libm
+    * `ln` difference; τ is a Scala-computed literal embedded identically
+    * in both engines.
+    *
+    * Scale shape: per-doc cap → explode → ONE token-keyed count (map-side
+    * partials carry the heavy head), noise + threshold as a projection —
+    * no joins, no windows; output ∝ the surviving vocabulary, and the cap
+    * bounds the explode at C rows per document no matter how degenerate
+    * the text.
+    */
+  def dpThresholdedVocab(spark: SparkSession, dir: String): DataFrame = {
+    val b = DpVocabCap / DpEpsilon
+    val tau = DpVocabCap + b * math.log(1.0 / (2 * DpVocabDelta))
+    val capped = slice(
+      sort_array(array_distinct(Dedup.tokens(col("text")))), 1, DpVocabCap)
+    val u16 = conv(substring(
+      md5(concat(lit("dpv:"), col("token")).cast("binary")), 1, 4), 16, 10)
+      .cast("double")
+    val u = (u16 + lit(0.5)) / lit(65536.0)
+    val noise = -lit(b) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    Tables(spark, dir, "documents")
+      .select(explode(capped).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .withColumn("noisy_n", col("n") + noise)
+      .filter(col("noisy_n") >= tau)
+      .select(col("token"), round(col("noisy_n"), 6).as("noisy_n"))
+      .orderBy("token")
+  }
+
+  val dpThresholdedVocabSql: String = {
+    val b = DpVocabCap / DpEpsilon
+    val tau = DpVocabCap + b * math.log(1.0 / (2 * DpVocabDelta))
+    s"""SELECT token, round(noisy_n, 6) AS noisy_n
+       |FROM (
+       |  SELECT token,
+       |    n + (-$b * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))) AS noisy_n
+       |  FROM (
+       |    SELECT token, count(*) AS n,
+       |      (('0x' || substr(md5('dpv:' || token), 1, 4))::INT + 0.5)
+       |        / 65536.0 AS u
+       |    FROM (
+       |      SELECT unnest(list_slice(
+       |        list_sort(list_distinct(regexp_split_to_array(lower(text), '\\s+'))),
+       |        1, $DpVocabCap)) AS token
+       |      FROM documents)
+       |    GROUP BY token))
+       |WHERE noisy_n >= $tau
+       |ORDER BY token""".stripMargin
+  }
+
   /** Pseudonymization salt — in production a vaulted secret; pinned here
     * so both engines derive identical tokens. */
   val TokenSalt = "s9"

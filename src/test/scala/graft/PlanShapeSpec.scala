@@ -531,6 +531,8 @@ class PlanShapeSpec extends SparkSuite {
     // same shape: one clamp projection + one hash aggregate; both noisy
     // columns are projections of the group key
     "dp_noisy_sum_mean" -> (0, 0, 0, 1, 2, 0),
+    // capped explode → one token-keyed count; noise + threshold project
+    "dp_thresholded_vocab" -> (0, 0, 0, 1, 2, 0),
     // fact tables probed by broadcast joins from the tiny subject batch;
     // per-subject aggs shuffle only request-batch-sized frames
     "subject_access_export" -> (0, 0, 0, 1, 6, 0),

@@ -563,4 +563,26 @@ class TableChecksSpec extends SparkSuite {
     // law above (exact moment re-derivation) is the test, not the domain
     assert(out.size == 6)
   }
+
+  test("dpThresholdedVocab: threshold suppresses the long tail; survivors clear tau; repeatable") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TableChecks.dpThresholdedVocab(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val b = TableChecks.DpVocabCap / TableChecks.DpEpsilon
+    val tau = TableChecks.DpVocabCap +
+      b * math.log(1.0 / (2 * TableChecks.DpVocabDelta))
+    assert(out.nonEmpty, "nothing cleared the threshold — cap/eps miscalibrated")
+    assert(out.forall(_._2 >= tau - 1e-6), "a published count below tau")
+    // the release must actually SUPPRESS: the capped vocabulary is far
+    // larger than the published head (that suppression IS the privacy)
+    val cappedVocab = Tables(spark, dir, "documents")
+      .select(explode(slice(sort_array(array_distinct(
+        split(lower(col("text")), "\\s+"))), 1, TableChecks.DpVocabCap)).as("t"))
+      .select("t").distinct().count()
+    assert(out.length < cappedVocab / 2,
+      s"published ${out.length} of $cappedVocab capped-vocab tokens — threshold not engaging")
+    val again = TableChecks.dpThresholdedVocab(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    assert(out.toSeq == again.toSeq, "seeded release must be deterministic")
+  }
 }
