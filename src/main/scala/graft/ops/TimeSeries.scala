@@ -305,6 +305,105 @@ object TimeSeries {
       |  l AS level, b AS trend, l + b AS forecast_next
       |FROM rec ORDER BY event_type, day""".stripMargin
 
+  /** Holt–Winters additive TRIPLE smoothing (level + trend + weekly
+    * seasonality) — the rung above [[holtDaily]] that completes the
+    * forecasting ladder (seasonal-naive → EWMA → Holt → Holt–Winters):
+    * the recurrence keeps a 7-slot seasonal state next to level/trend,
+    *
+    *   l' = α·(n − s[m]) + (1−α)·(l + b)
+    *   b' = β·(l' − l) + (1−β)·b
+    *   s'[m] = γ·(n − l') + (1−γ)·s[m]      (m = (step−1) mod 7)
+    *
+    * α = β = 0.25 (the [[holtDaily]] constants), γ = 0.3; init l = n₁,
+    * b = 0, s = 0⃗ (slots warm up over the first week — pinned, not a
+    * fitted init). `forecast_next = l' + b' + s'[step mod 7]` reads the
+    * NEXT day's seasonal slot.
+    *
+    * Same execution shape as [[holtDaily]]: one corpus scan into the
+    * (type, day) aggregate, then the fold runs inside ONE projection per
+    * type over the calendar-bounded day array (`aggregate` over a
+    * prefix slice per output row — O(T²) in days, T ≤ the calendar).
+    * The seasonal array rides the fold accumulator as a struct field;
+    * every step is pure +/−/× double arithmetic, so both engines derive
+    * bit-identical states and no rounding is needed anywhere.
+    */
+  def holtWintersDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    // l' appears inside b' and s' — inlined (the holtDaily discipline:
+    // both engines must read the PREVIOUS state everywhere, never a
+    // half-updated alias)
+    val lNew = """CAST(0.25 AS DOUBLE) * (v.n - element_at(acc.s, v.m + 1))
+                 |         + CAST(0.75 AS DOUBLE) * (acc.l + acc.b)""".stripMargin
+    daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("series"))
+      .withColumn("arr", expr(
+        """transform(series, (s, i) -> named_struct(
+          |  'day', s.day, 'n', CAST(s.n AS DOUBLE), 'i', i, 'm', i % 7))"""
+          .stripMargin))
+      .select(col("event_type"), explode(expr(
+        s"""transform(arr, (x, p) -> named_struct(
+           |  'day', x.day, 'n', x.n, 'm', x.m, 'i', x.i,
+           |  'st', aggregate(slice(arr, 2, p),
+           |    named_struct(
+           |      'l', element_at(arr, 1).n,
+           |      'b', CAST(0.0 AS DOUBLE),
+           |      's', array_repeat(CAST(0.0 AS DOUBLE), 7)),
+           |    (acc, v) -> named_struct(
+           |      'l', $lNew,
+           |      'b', CAST(0.25 AS DOUBLE) * (($lNew) - acc.l)
+           |         + CAST(0.75 AS DOUBLE) * acc.b,
+           |      's', transform(acc.s, (sv, j) ->
+           |        IF(j = v.m,
+           |           CAST(0.3 AS DOUBLE) * (v.n - ($lNew))
+           |             + CAST(0.7 AS DOUBLE) * sv,
+           |           sv))))))""".stripMargin)).as("o"))
+      .select(col("event_type"),
+        date_format(col("o.day"), "yyyy-MM-dd").as("day"),
+        col("o.n").cast("bigint").as("n"),
+        col("o.st.l").as("level"), col("o.st.b").as("trend"),
+        element_at(col("o.st.s"), col("o.m") + 1).as("season"),
+        (col("o.st.l") + col("o.st.b")
+          + element_at(col("o.st.s"), ((col("o.i") + 1) % 7) + 1))
+          .as("forecast_next"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Oracle: the triple recurrence as a RECURSIVE CTE carrying the
+    * 7-slot seasonal LIST, one row per day (the [[holtDailySql]]
+    * rationale: row-per-step semantics read the whole previous state;
+    * l' is inlined everywhere, never a lateral alias). */
+  val holtWintersDailySql: String = {
+    val lNew = "0.25::DOUBLE * (x.n::DOUBLE - r.s[x.m + 1]) " +
+      "+ 0.75::DOUBLE * (r.l + r.b)"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, ts::DATE AS day, count(*) AS n FROM events GROUP BY 1, 2
+       |), idx AS (
+       |  SELECT event_type, day, n,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+       |    (row_number() OVER (PARTITION BY event_type ORDER BY day) - 1) % 7 AS m
+       |  FROM daily
+       |), rec AS (
+       |  SELECT event_type, day, n, i, m, n::DOUBLE AS l, 0.0::DOUBLE AS b,
+       |    [0.0::DOUBLE, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS s
+       |  FROM idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT x.event_type, x.day, x.n, x.i, x.m,
+       |    $lNew AS l,
+       |    0.25::DOUBLE * (($lNew) - r.l) + 0.75::DOUBLE * r.b AS b,
+       |    list_transform(r.s, (sv, j) ->
+       |      CASE WHEN j = x.m + 1
+       |           THEN 0.3::DOUBLE * (x.n::DOUBLE - ($lNew)) + 0.7::DOUBLE * sv
+       |           ELSE sv END) AS s
+       |  FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1
+       |)
+       |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+       |  l AS level, b AS trend, s[m + 1] AS season,
+       |  l + b + s[(i % 7) + 1] AS forecast_next
+       |FROM rec ORDER BY event_type, day""".stripMargin
+  }
+
   /** Weekday seasonality index — the ratio-to-overall profile a capacity
     * planner and an anomaly detector both condition on: per (type,
     * weekday), mean daily count divided by the type's all-days mean

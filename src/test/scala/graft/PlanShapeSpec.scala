@@ -100,6 +100,8 @@ class PlanShapeSpec extends SparkSuite {
     // (segment,action) agg + |segments|×|actions|-bounded argmax windows
     "ips_policy_value" -> (0, 0, 0, 1, 3, 2),
     "holt_daily" -> (0, 0, 0, 1, 3, 0),
+    // same shape: the 7-slot seasonal state rides the fold accumulator
+    "holt_winters_daily" -> (0, 0, 0, 1, 3, 0),
     "weekday_seasonality" -> (0, 0, 0, 1, 5, 0),
     "near_dup_clusters" -> (0, 0, 0, 0, 0, 0),
     // composite report: the full minhash-LSH + cut_spans pipelines under

@@ -226,6 +226,36 @@ class TimeSeriesSpec extends SparkSuite {
     assert(clicks.exists(_._5 != 0.0), "trend never moved — series degenerate")
   }
 
+  test("holtWintersDaily: level/trend/season obey the triple recurrence bit-for-bit") {
+    val rows = TimeSeries.holtWintersDaily(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    for ((_, series) <- rows.groupBy(_._1)) {
+      val ordered = series.sortBy(_._2)
+      assert(ordered.head._4 == ordered.head._3.toDouble, "l_1 = x_1")
+      assert(ordered.head._5 == 0.0 && ordered.head._6 == 0.0, "b_1 = s = 0")
+      var l = ordered.head._3.toDouble
+      var b = 0.0
+      val s = Array.fill(7)(0.0)
+      for (((_, _, n, level, trend, season, fc), p) <- ordered.tail.zipWithIndex) {
+        val m = (p + 1) % 7 // 0-based step index of this row
+        val nl = 0.25 * (n.toDouble - s(m)) + 0.75 * (l + b)
+        val nb = 0.25 * (nl - l) + 0.75 * b
+        s(m) = 0.3 * (n.toDouble - nl) + 0.7 * s(m)
+        l = nl; b = nb
+        assert(level == l, s"level drift: got $level want $l")
+        assert(trend == b, s"trend drift: got $trend want $b")
+        assert(season == s(m), s"season drift: got $season want ${s(m)}")
+        assert(fc == l + b + s((p + 2) % 7), "forecast_next = l + b + next slot")
+      }
+      // the seasonal state must actually differentiate by weekday after
+      // the warm-up week, else the third component is dead weight
+      assert(ordered.drop(7).map(_._6).distinct.length > 1,
+        "seasonal slots never diverged — series degenerate")
+    }
+  }
+
   test("weekdaySeasonality: index equals the exact integer-product ratio; mean is 1") {
     val rows = TimeSeries.weekdaySeasonality(spark, dir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
