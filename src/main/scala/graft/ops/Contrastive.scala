@@ -151,4 +151,110 @@ object Contrastive {
        |  JOIN embeddings ne ON ne.vec_id = c.neg_id)
        |WHERE neg_rank <= $NegsPerAnchor
        |ORDER BY anchor_id, neg_rank""".stripMargin
+
+  /** Triplet margin, as decimal TEXT shared by both engines (the
+    * [[Similarity.MmrLambda]] rationale). */
+  val TripletMargin = "0.05"
+
+  /** Semi-hard triplet mining (Schroff et al. '15, FaceNet) — the third
+    * member of the contrastive family: [[batchNegatives]] draws easy
+    * negatives, [[hardNegativesLsh]] the hardest; the triplet recipe
+    * wants the SEMI-HARD band — negatives farther than the positive but
+    * within the margin, `cos(a,p) − m < cos(a,n) < cos(a,p)` — because
+    * hardest-only collapses training and easy-only stalls it. Per panel
+    * anchor: the HARDEST positive (same label, minimum cosine — the
+    * pair the margin must hold against), the best semi-hard negative
+    * (max cosine inside the band; falls back to the hardest negative
+    * overall when the band is empty, flagged), and the margin-violation
+    * bit `cos(a,n) ≥ cos(a,p)` the training loss would fire on.
+    *
+    * Scale shape: TWO passes of the corpus×panel brute join (the pos
+    * pass reduces to one row per anchor and broadcasts back into the
+    * neg pass — the semi-hard band needs cos_ap before negatives can
+    * rank). Everything per-anchor is a plain aggregate: argmin/argmax
+    * via min/max over (cos, ±id) structs — no row_number windows at
+    * all. At 100 TB the candidate stream comes from the banded LSH
+    * index ([[hardNegativesLsh]]'s shape) instead of the brute join;
+    * the mining tail is unchanged.
+    *
+    * Cross-engine exactness: cosines are the proven bit-equal doubles,
+    * band edges compare against `cos_ap − 0.05` with the margin as
+    * decimal text on both sides, and every argmin/argmax tie breaks on
+    * the id inside the struct ordering.
+    */
+  def tripletMining(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val anchors = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("v").as("a_v"))
+    val scored = e.join(broadcast(anchors), col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("a_label"), col("vec_id").as("n_id"),
+        col("label"), Similarity.cosine(col("a_v"), col("v")).as("c"))
+    val pos = scored.filter(col("label") === col("a_label"))
+      .groupBy("a_id")
+      .agg(min(struct(col("c"), col("n_id"))).as("p"))
+      .select(col("a_id"), col("p.n_id").as("pos_id"), col("p.c").as("cos_ap"))
+    val m = expr(s"CAST($TripletMargin AS DOUBLE)")
+    scored.filter(col("label") =!= col("a_label"))
+      .join(broadcast(pos), Seq("a_id"))
+      .withColumn("semi",
+        col("c") < col("cos_ap") && col("c") > col("cos_ap") - m)
+      .groupBy("a_id")
+      .agg(
+        first("a_label").as("a_label"),
+        first("pos_id").as("pos_id"),
+        first("cos_ap").as("cos_ap_raw"),
+        max(when(col("semi"), struct(col("c"), (-col("n_id")).as("negid"))))
+          .as("sh"),
+        max(struct(col("c"), (-col("n_id")).as("negid"))).as("hard"))
+      .select(col("a_id"), col("a_label"), col("pos_id"),
+        round(col("cos_ap_raw"), 4).as("cos_ap"),
+        col("sh").isNotNull.as("semi_hard"),
+        (-coalesce(col("sh.negid"), col("hard.negid"))).as("neg_id"),
+        round(coalesce(col("sh.c"), col("hard.c")), 4).as("cos_an"),
+        (coalesce(col("sh.c"), col("hard.c")) >= col("cos_ap_raw"))
+          .as("margin_violation"))
+      .orderBy("a_id")
+  }
+
+  val tripletMiningSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |), a AS (
+       |  SELECT vec_id AS a_id, label AS a_label, v AS a_v FROM e
+       |  WHERE vec_id % 50 = 0
+       |), scored AS (
+       |  SELECT a_id, a_label, e.vec_id AS n_id, e.label,
+       |    list_cosine_similarity(a_v, e.v) AS c
+       |  FROM a JOIN e ON e.vec_id <> a.a_id
+       |), pos AS (
+       |  SELECT a_id,
+       |    min(struct_pack(c := c, n_id := n_id)) AS p
+       |  FROM scored WHERE label = a_label GROUP BY a_id
+       |), neg AS (
+       |  SELECT s.a_id, s.a_label, p.p.n_id AS pos_id, p.p.c AS cos_ap,
+       |    s.n_id, s.c,
+       |    (s.c < p.p.c AND s.c > p.p.c - $TripletMargin::DOUBLE) AS is_semi
+       |  FROM scored s JOIN pos p ON p.a_id = s.a_id
+       |  WHERE s.label <> s.a_label
+       |)
+       |SELECT a_id, min(a_label)::BIGINT AS a_label, min(pos_id)::BIGINT AS pos_id,
+       |  round(min(cos_ap), 4) AS cos_ap,
+       |  (max(CASE WHEN is_semi THEN struct_pack(c := c, negid := -n_id) END)
+       |    IS NOT NULL) AS semi_hard,
+       |  -coalesce(
+       |    max(CASE WHEN is_semi THEN struct_pack(c := c, negid := -n_id) END).negid,
+       |    max(struct_pack(c := c, negid := -n_id)).negid)::BIGINT AS neg_id,
+       |  round(coalesce(
+       |    max(CASE WHEN is_semi THEN struct_pack(c := c, negid := -n_id) END).c,
+       |    max(struct_pack(c := c, negid := -n_id)).c), 4) AS cos_an,
+       |  (coalesce(
+       |    max(CASE WHEN is_semi THEN struct_pack(c := c, negid := -n_id) END).c,
+       |    max(struct_pack(c := c, negid := -n_id)).c) >= min(cos_ap))
+       |    AS margin_violation
+       |FROM neg
+       |GROUP BY a_id
+       |ORDER BY a_id""".stripMargin
 }

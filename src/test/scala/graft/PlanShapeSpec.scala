@@ -112,6 +112,9 @@ class PlanShapeSpec extends SparkSuite {
     "ann_lsh_topk" -> (0, 0, 0, 1, 3, 3),
     // hard-negative mining IS ann_lsh_topk plus a label filter — same shape
     "hard_negatives_lsh" -> (0, 0, 0, 1, 3, 3),
+    // panel-brute candidate pass (the nested-loop is the broadcast
+    // anchor join); mining tail is min/max struct aggregates, no windows
+    "triplet_mining" -> (0, 1, 0, 1, 3, 0),
     // batch-keyed self-join + per-anchor window over ≤|batch| rows
     "contrastive_batch_negatives" -> (0, 0, 0, 1, 2, 3),
     "ann_ivf_topk" -> (0, 0, 0, 1, 2, 3),
