@@ -398,6 +398,9 @@ class PlanShapeSpec extends SparkSuite {
     // BNL = the 1-row totals scalar-combine (unigram convention)
     "vocab_divergence" -> (0, 1, 0, 0, 3, 0),
     "cohort_retention" -> (0, 0, 0, 1, 4, 0),
+    // per-user lead window on purchase rows; the nested-loop is the
+    // 1-row observation-end scalar combine; KM fold is one projection
+    "km_purchase_gaps" -> (0, 1, 0, 1, 4, 1),
     "ordered_funnel" -> (0, 0, 0, 0, 2, 0),
     "hour_value_regression" -> (0, 0, 0, 1, 2, 0),
     // BNL = the 1-row basket-total scalar-combine; items subtree NOT

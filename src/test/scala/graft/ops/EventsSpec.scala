@@ -433,4 +433,48 @@ class EventsSpec extends SparkSuite {
       assert(math.abs(got._6 - want._6) < 0.005, s"user $u max_value")
     }
   }
+
+  test("kmPurchaseGaps: KM invariants hold and the curve re-derives from a brute recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Events.kmPurchaseGaps(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // telescoping risk set + monotone survival in [0, 1]
+    for (Array(a, b) <- rows.sliding(2) if rows.length > 1) {
+      assert(b._2 == a._2 - a._3 - a._4, "n_risk must telescope by d + c")
+      assert(b._5 <= a._5 + 1e-12, "survival must be non-increasing")
+    }
+    assert(rows.forall(r => r._5 >= 0.0 && r._5 <= 1.0 && r._6 >= 0.0))
+    // every purchasing user contributes exactly ONE censored final gap
+    val users = Tables(spark, dir, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._4).sum == users, "one censored open gap per user")
+    // brute recompute of the full curve from raw purchase times
+    val p = Tables(spark, dir, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mx = p.map(_._2).max
+    val gaps = p.groupBy(_._1).values.flatMap { es =>
+      val ts = es.map(_._2).sorted
+      ts.zip(ts.drop(1) :+ -1L).map { case (a, b) =>
+        if (b >= 0) ((b - a) / 3600000000L, true) else ((mx - a) / 3600000000L, false)
+      }
+    }.toSeq
+    var (rem, surv) = (gaps.size.toLong, 1.0)
+    for ((t, nRisk, d, c, s6, _) <- rows) {
+      val dd = gaps.count(g => g._1 == t && g._2)
+      val cc = gaps.count(g => g._1 == t && !g._2)
+      assert((d, c) == ((dd.toLong, cc.toLong)), s"t=$t counts")
+      assert(nRisk == rem, s"t=$t risk set")
+      surv *= 1.0 - dd.toDouble / rem
+      rem -= dd + cc
+      assert(math.abs(s6 - BigDecimal(surv).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12, s"t=$t survival")
+    }
+  }
 }
