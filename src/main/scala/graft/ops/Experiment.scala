@@ -491,6 +491,150 @@ object Experiment {
        |              * ((n_control + n_treatment)::DOUBLE - 1.0)))), 6) AS z
        |FROM arms CROSS JOIN tiesum""".stripMargin
 
+  /** mSPRT mixture scale τ, in CENTS (τ² enters the likelihood ratio);
+    * decimal text shared by both engines. */
+  val MsprtTauCents = "100.0"
+
+  /** Sequential A/B monitoring — the mSPRT always-valid p-value (Johari
+    * et al. '17, "Peeking at A/B tests"): the fixed-n z-test
+    * ([[abConversionZtest]]) is only valid at ONE pre-committed look,
+    * but every real dashboard is peeked daily; the mixture sequential
+    * probability ratio test gives a p-value that is valid at EVERY look
+    * simultaneously, so stopping the moment it crosses α never inflates
+    * the false-positive rate. Per day n (cumulative purchase values per
+    * arm, cents grid):
+    *
+    *   V_n      = σ̂²·(1/n_c + 1/n_t)          (σ̂² pooled within-arm)
+    *   log Λ_n  = ½·ln(V_n/(V_n+τ²)) + Δ̂²·τ²/(2·V_n·(V_n+τ²))
+    *   p_n      = min(1, exp(−max_{k≤n} log Λ_k))   (monotone ↓)
+    *
+    * Days where either arm has < 2 cumulative observations are not
+    * released (σ̂² undefined). The plug-in σ̂² is the standard practical
+    * variant of the known-variance mSPRT.
+    *
+    * Determinism: all cumulants (n, Σx, Σx²) are EXACT (cents and cents²
+    * on the DECIMAL(38,0) grid through the window cumsum — reorder-safe,
+    * overflow-safe at 100 TB); every per-day statistic is one fixed
+    * double expression over them, `ln`/`exp` last-ulp differences are
+    * absorbed by the 6-dp release rounding (the DP-family convention),
+    * and the running max compares identical doubles.
+    *
+    * Scale shape: one events scan → (day, arm) aggregate; everything
+    * after runs on the calendar-bounded daily grid (cumsums are windows
+    * over ≤ |days| rows per arm; the arm join is day-keyed). Output ∝
+    * days.
+    */
+  def abSequentialMsprt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arm = when(substring(md5(concat(lit(AbSeed), lit(":"),
+      col("user_id").cast("string")).cast("binary")), 1, 1)
+      .between("0", "7"), "control").otherwise("treatment")
+    val obs = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"), arm.as("arm"),
+        (col("value").cast("decimal(12,2)") * 100).cast("bigint").as("cents"))
+    val daily = obs.groupBy("day", "arm").agg(
+      count(lit(1)).as("n"),
+      sum(col("cents").cast("decimal(38,0)")).as("s"),
+      sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("ss"))
+    val spine = daily.select("day").distinct()
+    def cum(a: String, p: String) = {
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(
+          daily.filter(col("arm") === a).drop("arm"), Seq("day"), "left")
+        .select(col("day"),
+          sum(coalesce(col("n"), lit(0L))).over(w).as(s"n_$p"),
+          sum(coalesce(col("s"), expr("CAST(0 AS DECIMAL(38,0))"))).over(w)
+            .as(s"s_$p"),
+          sum(coalesce(col("ss"), expr("CAST(0 AS DECIMAL(38,0))"))).over(w)
+            .as(s"ss_$p"))
+    }
+    val tau2 = s"(CAST($MsprtTauCents AS DOUBLE) * CAST($MsprtTauCents AS DOUBLE))"
+    val joined = cum("control", "c").join(cum("treatment", "t"), Seq("day"))
+      .filter(col("n_c") >= 2 && col("n_t") >= 2)
+      .withColumn("sig2", expr(
+        """((CAST(ss_c AS DOUBLE) - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / n_c)
+          | + (CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) / n_t))
+          | / (n_c + n_t - 2)""".stripMargin))
+      .withColumn("v", expr("sig2 * (CAST(1.0 AS DOUBLE) / n_c + CAST(1.0 AS DOUBLE) / n_t)"))
+      .withColumn("delta", expr(
+        "CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c"))
+      .withColumn("log_lambda", expr(
+        s"""CAST(0.5 AS DOUBLE) * ln(v / (v + $tau2))
+           | + delta * delta * $tau2 / (CAST(2.0 AS DOUBLE) * v * (v + $tau2))"""
+          .stripMargin))
+    val wMax = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    joined
+      .withColumn("run_max", max(col("log_lambda")).over(wMax))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_c"), col("n_t"),
+        round(col("delta"), 4).as("delta_cents"),
+        round(col("log_lambda"), 6).as("log_lambda"),
+        round(least(lit(1.0), exp(-col("run_max"))), 6).as("p_seq"))
+      .orderBy("day")
+  }
+
+  val abSequentialMsprtSql: String = {
+    val tau2 = s"(CAST($MsprtTauCents AS DOUBLE) * CAST($MsprtTauCents AS DOUBLE))"
+    s"""WITH obs AS (
+       |  SELECT ts::DATE AS day,
+       |    CASE WHEN substr(md5('$AbSeed:' || user_id::VARCHAR), 1, 1)
+       |      BETWEEN '0' AND '7' THEN 'control' ELSE 'treatment' END AS arm,
+       |    (value::DECIMAL(12,2) * 100)::BIGINT AS cents
+       |  FROM events WHERE event_type = 'purchase'
+       |), daily AS (
+       |  SELECT day, arm, count(*) AS n, sum(cents) AS s,
+       |    sum(cents * cents) AS ss
+       |  FROM obs GROUP BY 1, 2
+       |), spine AS (
+       |  SELECT DISTINCT day FROM daily
+       |), cc AS (
+       |  SELECT sp.day,
+       |    sum(coalesce(d.n, 0)) OVER (ORDER BY sp.day
+       |      ROWS UNBOUNDED PRECEDING)::BIGINT AS n_c,
+       |    sum(coalesce(d.s, 0)) OVER (ORDER BY sp.day
+       |      ROWS UNBOUNDED PRECEDING) AS s_c,
+       |    sum(coalesce(d.ss, 0)) OVER (ORDER BY sp.day
+       |      ROWS UNBOUNDED PRECEDING) AS ss_c
+       |  FROM spine sp LEFT JOIN daily d ON d.day = sp.day AND d.arm = 'control'
+       |), ct AS (
+       |  SELECT sp.day,
+       |    sum(coalesce(d.n, 0)) OVER (ORDER BY sp.day
+       |      ROWS UNBOUNDED PRECEDING)::BIGINT AS n_t,
+       |    sum(coalesce(d.s, 0)) OVER (ORDER BY sp.day
+       |      ROWS UNBOUNDED PRECEDING) AS s_t,
+       |    sum(coalesce(d.ss, 0)) OVER (ORDER BY sp.day
+       |      ROWS UNBOUNDED PRECEDING) AS ss_t
+       |  FROM spine sp LEFT JOIN daily d ON d.day = sp.day AND d.arm = 'treatment'
+       |), stat AS (
+       |  SELECT cc.day, n_c, n_t,
+       |    ((ss_c::DOUBLE - s_c::DOUBLE * s_c::DOUBLE / n_c)
+       |     + (ss_t::DOUBLE - s_t::DOUBLE * s_t::DOUBLE / n_t))
+       |     / (n_c + n_t - 2) AS sig2,
+       |    s_t::DOUBLE / n_t - s_c::DOUBLE / n_c AS delta
+       |  FROM cc JOIN ct ON ct.day = cc.day
+       |  WHERE n_c >= 2 AND n_t >= 2
+       |), lam AS (
+       |  SELECT day, n_c, n_t, delta,
+       |    CAST(0.5 AS DOUBLE) * ln(
+       |      (sig2 * (CAST(1.0 AS DOUBLE) / n_c + CAST(1.0 AS DOUBLE) / n_t))
+       |      / ((sig2 * (CAST(1.0 AS DOUBLE) / n_c + CAST(1.0 AS DOUBLE) / n_t)) + $tau2))
+       |    + delta * delta * $tau2
+       |      / (CAST(2.0 AS DOUBLE)
+       |         * (sig2 * (CAST(1.0 AS DOUBLE) / n_c + CAST(1.0 AS DOUBLE) / n_t))
+       |         * ((sig2 * (CAST(1.0 AS DOUBLE) / n_c + CAST(1.0 AS DOUBLE) / n_t)) + $tau2))
+       |      AS log_lambda
+       |  FROM stat
+       |)
+       |SELECT strftime(day, '%Y-%m-%d') AS day, n_c, n_t,
+       |  round(delta, 4) AS delta_cents,
+       |  round(log_lambda, 6) AS log_lambda,
+       |  round(least(1.0::DOUBLE, exp(-max(log_lambda) OVER (ORDER BY day
+       |    ROWS UNBOUNDED PRECEDING))), 6) AS p_seq
+       |FROM lam ORDER BY day""".stripMargin
+  }
+
   /** Probability the ε-greedy target policy puts on the segment's best
     * (highest-mean-reward) action; the remainder spreads uniformly over
     * the segment's other observed actions. */

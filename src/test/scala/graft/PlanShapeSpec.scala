@@ -99,6 +99,8 @@ class PlanShapeSpec extends SparkSuite {
     "ab_srm_check" -> (0, 0, 0, 0, 3, 0),
     // (segment,action) agg + |segments|×|actions|-bounded argmax windows
     "ips_policy_value" -> (0, 0, 0, 1, 3, 2),
+    // (day,arm) agg; cumsums + running max are calendar-bounded windows
+    "ab_sequential_msprt" -> (0, 0, 0, 1, 6, 3),
     "holt_daily" -> (0, 0, 0, 1, 3, 0),
     // same shape: the 7-slot seasonal state rides the fold accumulator
     "holt_winters_daily" -> (0, 0, 0, 1, 3, 0),

@@ -173,4 +173,47 @@ class ExperimentSpec extends SparkSuite {
     assert(math.abs(srm.getDouble(2) - chi2) < 1e-6)
     assert(srm.getBoolean(3) == (chi2 < 10.828), "pass flag must follow the bar")
   }
+
+  test("abSequentialMsprt: always-valid p is monotone; the statistic re-derives from raw cumulants") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Experiment.abSequentialMsprt(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // released days are cumulative-complete and the p-value never rises
+    for (Array(a, b) <- rows.sortBy(_._1).sliding(2).toSeq if rows.length > 1) {
+      assert(b._2 >= a._2 && b._3 >= a._3, "cumulative counts must be monotone")
+      assert(b._6 <= a._6 + 1e-12, "always-valid p must be non-increasing")
+    }
+    assert(rows.forall(r => r._6 > 0.0 && r._6 <= 1.0))
+    assert(rows.forall(r => r._2 >= 2 && r._3 >= 2), "release gate: >= 2 obs per arm")
+    // brute recompute of the last day's statistic from the raw purchases
+    val fns = org.apache.spark.sql.functions
+    val obs = Tables(spark, dir, "events")
+      .filter(fns.col("event_type") === "purchase")
+      .select(fns.to_date(fns.col("ts")).cast("string").as("day"),
+        fns.substring(fns.md5(fns.concat(fns.lit(Experiment.AbSeed), fns.lit(":"),
+          fns.col("user_id").cast("string")).cast("binary")), 1, 1).as("h"),
+        (fns.col("value").cast("decimal(12,2)") * 100).cast("bigint").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1) <= "7", r.getLong(2)))
+    val last = rows.map(_._1).max
+    val upTo = obs.filter(_._1 <= last)
+    def cum(ctrl: Boolean) = {
+      val xs = upTo.filter(_._2 == ctrl).map(_._3)
+      (xs.length.toLong, xs.sum.toDouble, xs.map(x => x.toDouble * x).sum)
+    }
+    val ((nc, sc, ssc), (nt, st, sst)) = (cum(true), cum(false))
+    val lastRow = rows.maxBy(_._1)
+    assert((lastRow._2, lastRow._3) == ((nc, nt)), "final cumulative counts")
+    val sig2 = ((ssc - sc * sc / nc) + (sst - st * st / nt)) / (nc + nt - 2)
+    val v = sig2 * (1.0 / nc + 1.0 / nt)
+    val tau2 = 100.0 * 100.0
+    val delta = st / nt - sc / nc
+    val logLam = 0.5 * math.log(v / (v + tau2)) +
+      delta * delta * tau2 / (2.0 * v * (v + tau2))
+    assert(math.abs(lastRow._5 - logLam) < 1e-4,
+      s"log_lambda ${lastRow._5} vs brute $logLam")
+    assert(math.abs(lastRow._4 - delta) < 1e-3, "delta re-derivation")
+  }
 }
