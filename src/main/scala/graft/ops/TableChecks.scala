@@ -647,6 +647,89 @@ object TableChecks {
        |ORDER BY token""".stripMargin
   }
 
+  /** Public candidate grid for the DP quantile release: 0..1000 step 5 —
+    * data-INDEPENDENT by construction (a data-derived domain would leak
+    * through the mechanism's support). Covers the documents.n_chars
+    * range with slack. */
+  val DpQuantGridMax = 1000
+  val DpQuantGridStep = 5
+
+  /** Differentially-private QUANTILES via the exponential mechanism —
+    * the DP ladder's next rung after counts, sums/means, and the
+    * thresholded histogram: order statistics have unbounded sensitivity
+    * under Laplace, so the standard release (McSherry & Talwar's
+    * mechanism with the Smith '11 quantile utility) scores every
+    * candidate x on the PUBLIC grid by u(x) = −|#{v ≤ x} − q·n|
+    * (sensitivity 1) and samples ∝ exp(ε·u/2) — realized here as the
+    * Gumbel-max trick with the engine's seeded inverse-CDF draw per
+    * (lang, q, candidate), so both engines release the identical value.
+    *
+    * Scale shape: one scan → per-(lang, value) histogram (domain-
+    * bounded), then a grid×histogram theta-join that is |grid|·|domain|
+    * per language — both mechanism constants, independent of corpus
+    * size — and one argmax aggregate per (lang, q). The ln ulps sit
+    * under the Gumbel draw; the ARGMAX compares identical doubles, so
+    * no rounding enters the released value at all (it is a grid point).
+    */
+  def dpQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq("0.25", "0.5", "0.75")
+    val hist = Tables(spark, dir, "documents")
+      .groupBy(col("lang"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val totals = hist.groupBy("lang").agg(sum(col("c")).as("n"))
+    val grid = totals.select(col("lang"), col("n"),
+      explode(expr(s"sequence(0, $DpQuantGridMax, $DpQuantGridStep)")).as("x"))
+    val cntLe = grid.join(hist, Seq("lang"), "left")
+      .withColumn("le", when(col("v") <= col("x"), col("c")).otherwise(lit(0L)))
+      .groupBy("lang", "n", "x").agg(sum(col("le")).as("cnt_le"))
+    val scored = cntLe.select(col("lang"), col("n"), col("x"),
+      explode(array(qs.map(q => struct(lit(q).as("q"),
+        (-abs(col("cnt_le").cast("double")
+          - expr(s"CAST($q AS DOUBLE)") * col("n"))).as("u"))): _*)).as("qq"))
+      .select(col("lang"), col("x"), col("qq.q").as("q"), col("qq.u").as("u"))
+    val u16 = conv(substring(md5(concat(lit("dpq:"), col("lang"), lit("|"),
+      col("q"), lit("|"), col("x").cast("string")).cast("binary")), 1, 4), 16, 10)
+      .cast("double")
+    val u01 = (u16 + lit(0.5)) / lit(65536.0)
+    val gumbel = -log(-log(u01))
+    val score = expr(s"CAST($DpEpsilon AS DOUBLE) / CAST(2.0 AS DOUBLE)") *
+      col("u") + gumbel
+    scored.withColumn("score", score)
+      .groupBy("lang", "q")
+      .agg(max(struct(col("score"), (-col("x")).as("negx"))).as("best"))
+      .select(col("lang"), col("q"), (-col("best.negx")).as("released"))
+      .orderBy("lang", "q")
+  }
+
+  val dpQuantilesSql: String =
+    s"""WITH hist AS (
+       |  SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2
+       |), totals AS (
+       |  SELECT lang, sum(c)::BIGINT AS n FROM hist GROUP BY lang
+       |), grid AS (
+       |  SELECT lang, n, unnest(generate_series(0, $DpQuantGridMax, $DpQuantGridStep)) AS x
+       |  FROM totals
+       |), cntle AS (
+       |  SELECT g.lang, g.n, g.x,
+       |    sum(CASE WHEN h.v <= g.x THEN h.c ELSE 0 END)::BIGINT AS cnt_le
+       |  FROM grid g LEFT JOIN hist h ON h.lang = g.lang
+       |  GROUP BY 1, 2, 3
+       |), scored AS (
+       |  SELECT lang, x, q,
+       |    -abs(cnt_le::DOUBLE - CAST(q AS DOUBLE) * n) AS u
+       |  FROM cntle, unnest(['0.25', '0.5', '0.75']) AS t(q)
+       |), drawn AS (
+       |  SELECT lang, q, x,
+       |    CAST($DpEpsilon AS DOUBLE) / CAST(2.0 AS DOUBLE) * u
+       |      + (-ln(-ln((('0x' || substr(md5('dpq:' || lang || '|' || q || '|'
+       |          || x::VARCHAR), 1, 4))::INT + 0.5) / 65536.0))) AS score
+       |  FROM scored
+       |)
+       |SELECT lang, q,
+       |  -(max(struct_pack(score := score, negx := -x)).negx)::BIGINT AS released
+       |FROM drawn GROUP BY lang, q
+       |ORDER BY lang, q""".stripMargin
+
   /** Pseudonymization salt — in production a vaulted secret; pinned here
     * so both engines derive identical tokens. */
   val TokenSalt = "s9"

@@ -543,6 +543,8 @@ class PlanShapeSpec extends SparkSuite {
     "dp_noisy_sum_mean" -> (0, 0, 0, 1, 2, 0),
     // capped explode → one token-keyed count; noise + threshold project
     "dp_thresholded_vocab" -> (0, 0, 0, 1, 2, 0),
+    // domain-bounded histogram × public grid; argmax per (lang, q)
+    "dp_quantiles" -> (0, 0, 0, 1, 4, 0),
     // fact tables probed by broadcast joins from the tiny subject batch;
     // per-subject aggs shuffle only request-batch-sized frames
     "subject_access_export" -> (0, 0, 0, 1, 6, 0),

@@ -585,4 +585,35 @@ class TableChecksSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getDouble(1))
     assert(out.toSeq == again.toSeq, "seeded release must be deterministic")
   }
+
+  test("dpQuantiles: releases sit on the public grid and match the brute Gumbel-max recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TableChecks.dpQuantiles(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Number](2).longValue)).toMap
+    assert(out.nonEmpty && out.keys.map(_._2).toSet == Set("0.25", "0.5", "0.75"))
+    assert(out.values.forall(x =>
+      x >= 0 && x <= TableChecks.DpQuantGridMax && x % TableChecks.DpQuantGridStep == 0),
+      "released value must be a public grid point")
+    // independent recompute: utility + seeded Gumbel draw + argmax in Scala
+    val vals = Tables(spark, dir, "documents")
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).intValue))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u01(key: String): Double = {
+      val hex = md.digest(key.getBytes("UTF-8")).take(2)
+        .map("%02x".format(_)).mkString
+      (java.lang.Integer.parseInt(hex, 16) + 0.5) / 65536.0
+    }
+    for (((lang, q), released) <- out) {
+      val vs = vals.filter(_._1 == lang).map(_._2)
+      val n = vs.length
+      val best = (0 to TableChecks.DpQuantGridMax by TableChecks.DpQuantGridStep)
+        .map { x =>
+          val u = -math.abs(vs.count(_ <= x).toDouble - q.toDouble * n)
+          val g = -math.log(-math.log(u01(s"dpq:$lang|$q|$x")))
+          (1.0 / 2.0 * u + g, -x)
+        }.max
+      assert(released == -best._2.toLong, s"($lang, $q): $released vs ${-best._2}")
+    }
+  }
 }
