@@ -1145,6 +1145,128 @@ object Events {
        |           ELSE 200000 // (n - 2) END)::BIGINT AS u_shape_ppm
        |FROM pairs GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** Channel → bitmask bit for the Shapley exposure game, alphabetical
+    * (the non-purchase event types). Shared by the Spark literal table
+    * and the generated oracle VALUES. */
+  private[graft] val ShapleyChannels: Seq[(String, Int)] =
+    Seq("click" -> 1, "error" -> 2, "signup" -> 4, "view" -> 8)
+
+  /** (channel, bit, subset-without-bit, |S|!·(n−|S|−1)! numerator) rows —
+    * Shapley weights for n = 4 as EXACT integers over the common
+    * denominator 4! = 24, so the only float ops are the v(S) rate
+    * divisions. */
+  private def shapleyGrid: Seq[(String, Int, Int, Int)] = {
+    val numByCard = Map(0 -> 6, 1 -> 2, 2 -> 2, 3 -> 6) // |S|!·(3−|S|)!
+    for {
+      (ch, bit) <- ShapleyChannels
+      s <- 0 until 16 if (s & bit) == 0
+    } yield (ch, bit, s, numByCard(Integer.bitCount(s)))
+  }
+
+  /** Shapley-value channel attribution — the principled upgrade over
+    * [[multiTouchAttribution]]'s positional rules (linear / rank-decay /
+    * U-shape are conventions; the Shapley value is the unique allocation
+    * satisfying efficiency + symmetry + dummy + additivity): the game's
+    * players are channels, a user's coalition is the SET of channels
+    * they touched before first purchase, v(S) = conversion rate of users
+    * with exposure set exactly S (0 for unobserved sets — documented),
+    * and φ_i = Σ_{S∌i} |S|!(n−|S|−1)!/n! · (v(S∪i) − v(S)).
+    *
+    * Exactness: exposure sets fold to integer bitmasks, (n_S, c_S) are
+    * exact counts, the Shapley weights are exact integers over the
+    * common denominator 4! (so each term is ONE double expression
+    * num·(c₁/n₁ − c₀/n₀)), terms cross the per-channel sum on the
+    * DECIMAL(24,12) grid (reorder-safe), and the final /24 + 6-dp round
+    * is one division. The efficiency identity Σφ = v(full) − v(∅) is
+    * spec-pinned.
+    *
+    * Scale shape: everything corpus-sized is keyed on user_id — the
+    * first-purchase aggregate, the pre-conversion touch filter (a
+    * user-keyed join), the distinct (user, bit) reduction, and the mask
+    * aggregate + converter outer join; after that the problem is a
+    * 16-row set table and a 32-row literal weight grid (mechanism
+    * constants, corpus-independent). Output = |channels| rows.
+    */
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    val firstConv = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("cus"))
+    val bit = ShapleyChannels.tail.foldLeft(
+      when(col("event_type") === ShapleyChannels.head._1,
+        lit(ShapleyChannels.head._2))) {
+      case (acc, (ch, b)) => acc.when(col("event_type") === ch, lit(b))
+    }
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), bit.as("bit"), unix_micros(col("ts")).as("us"))
+      .join(firstConv, Seq("user_id"), "left")
+      .filter(col("cus").isNull || col("us") < col("cus"))
+      .select("user_id", "bit").distinct()
+    val masks = touches.groupBy("user_id").agg(sum(col("bit")).as("mask"))
+      .join(firstConv.select(col("user_id"), lit(true).as("conv")),
+        Seq("user_id"), "full_outer")
+      .select(coalesce(col("mask"), lit(0L)).as("mask"),
+        coalesce(col("conv"), lit(false)).as("conv"))
+    val sets = masks.groupBy("mask").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("conv"), 1L).otherwise(0L)).as("c"))
+    val grid = shapleyGrid.toDF("channel", "bit", "smask", "num")
+    grid
+      .join(broadcast(sets.select(col("mask").as("smask"),
+        col("n").as("n0"), col("c").as("c0"))), Seq("smask"), "left")
+      .join(broadcast(sets.select(col("mask").as("m1"),
+        col("n").as("n1"), col("c").as("c1"))),
+        col("m1") === col("smask") + col("bit"), "left")
+      .withColumn("term", expr(
+        """CAST(num * (coalesce(CAST(c1 AS DOUBLE) / n1, CAST(0.0 AS DOUBLE))
+          |  - coalesce(CAST(c0 AS DOUBLE) / n0, CAST(0.0 AS DOUBLE)))
+          |  AS DECIMAL(24,12))""".stripMargin))
+      .groupBy("channel")
+      .agg(expr("round(CAST(sum(term) AS DOUBLE) / 24.0, 6)").as("shapley"))
+      .orderBy("channel")
+  }
+
+  val shapleyAttributionSql: String = {
+    val values = (for {
+      (ch, bit) <- ShapleyChannels
+      s <- 0 until 16 if (s & bit) == 0
+    } yield s"('$ch', $bit, $s, ${Map(0 -> 6, 1 -> 2, 2 -> 2, 3 -> 6)(Integer.bitCount(s))})")
+      .mkString(",\n       |    ")
+    s"""WITH fc AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS cus FROM events
+       |  WHERE event_type = 'purchase' GROUP BY 1
+       |), tb AS (
+       |  SELECT DISTINCT e.user_id,
+       |    CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+       |         WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END AS bit
+       |  FROM events e LEFT JOIN fc ON fc.user_id = e.user_id
+       |  WHERE e.event_type <> 'purchase'
+       |    AND (fc.cus IS NULL OR epoch_us(e.ts) < fc.cus)
+       |), um AS (
+       |  SELECT user_id, sum(bit)::BIGINT AS mask FROM tb GROUP BY 1
+       |), allu AS (
+       |  SELECT coalesce(um.mask, 0) AS mask,
+       |    (fc.user_id IS NOT NULL) AS conv
+       |  FROM um FULL JOIN fc ON fc.user_id = um.user_id
+       |), sets AS (
+       |  SELECT mask, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN conv THEN 1 ELSE 0 END)::BIGINT AS c
+       |  FROM allu GROUP BY mask
+       |), w(channel, bit, smask, num) AS (
+       |  VALUES $values
+       |), terms AS (
+       |  SELECT channel,
+       |    CAST(num * (coalesce(CAST(c1.c AS DOUBLE) / c1.n, CAST(0.0 AS DOUBLE))
+       |      - coalesce(CAST(c0.c AS DOUBLE) / c0.n, CAST(0.0 AS DOUBLE)))
+       |      AS DECIMAL(24,12)) AS term
+       |  FROM w
+       |  LEFT JOIN sets c0 ON c0.mask = w.smask
+       |  LEFT JOIN sets c1 ON c1.mask = w.smask + w.bit
+       |)
+       |SELECT channel, round(CAST(sum(term) AS DOUBLE) / 24.0, 6) AS shapley
+       |FROM terms GROUP BY channel ORDER BY channel""".stripMargin
+  }
+
   /** Kaplan–Meier survival of inter-purchase gaps with right-censoring —
     * the statistically-correct upgrade of [[cohortRetention]]'s raw
     * rates: the question is "what fraction of purchase gaps exceed t

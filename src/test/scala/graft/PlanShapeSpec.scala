@@ -403,6 +403,9 @@ class PlanShapeSpec extends SparkSuite {
     // per-user lead window on purchase rows; the nested-loop is the
     // 1-row observation-end scalar combine; KM fold is one projection
     "km_purchase_gaps" -> (0, 1, 0, 1, 4, 1),
+    // every corpus-sized stage keys on user_id (agg, touch join, mask
+    // agg, converter outer join); the Shapley combine is 32×16 literals
+    "shapley_attribution" -> (0, 0, 2, 1, 12, 0),
     "ordered_funnel" -> (0, 0, 0, 0, 2, 0),
     "hour_value_regression" -> (0, 0, 0, 1, 2, 0),
     // BNL = the 1-row basket-total scalar-combine; items subtree NOT

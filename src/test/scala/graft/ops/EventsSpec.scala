@@ -434,6 +434,47 @@ class EventsSpec extends SparkSuite {
     }
   }
 
+  test("shapleyAttribution: brute recompute matches; efficiency identity holds") {
+    val dir = "/root/testdata/sf0.001"
+    val fns = org.apache.spark.sql.functions
+    val out = Events.shapleyAttribution(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set("click", "error", "signup", "view"))
+    // brute exposure sets + conversion flags from the raw events
+    val ev = Tables(spark, dir, "events")
+      .select(fns.col("user_id"), fns.col("event_type"),
+        fns.unix_micros(fns.col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bitOf = Map("click" -> 1, "error" -> 2, "signup" -> 4, "view" -> 8)
+    val firstConv = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val users = ev.map(_._1).distinct
+    val maskOf = users.map { u =>
+      val cut = firstConv.get(u)
+      val bits = ev.filter(e => e._1 == u && e._2 != "purchase" &&
+        cut.forall(e._3 < _)).map(e => bitOf(e._2)).distinct
+      u -> bits.sum
+    }.toMap
+    val sets = users.groupBy(maskOf)
+      .map { case (m, us) => m -> (us.size, us.count(firstConv.contains)) }
+    def v(m: Int): Double =
+      sets.get(m).map { case (n, c) => c.toDouble / n }.getOrElse(0.0)
+    val numByCard = Map(0 -> 6, 1 -> 2, 2 -> 2, 3 -> 6)
+    for ((ch, bit) <- bitOf) {
+      val terms = (0 until 16).filter(s => (s & bit) == 0).map { s =>
+        BigDecimal(numByCard(Integer.bitCount(s)) * (v(s | bit) - v(s)))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val want = BigDecimal(terms.sum.toDouble / 24.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(out(ch) - want) < 1e-12, s"$ch: ${out(ch)} vs $want")
+    }
+    // efficiency: the allocations exhaust v(full) − v(∅) under the same
+    // unobserved-set-is-zero convention (up to the 6-dp release rounding)
+    assert(math.abs(out.values.sum - (v(15) - v(0))) < 4e-6,
+      s"sum ${out.values.sum} vs ${v(15) - v(0)}")
+  }
+
   test("kmPurchaseGaps: KM invariants hold and the curve re-derives from a brute recompute") {
     val dir = "/root/testdata/sf0.001"
     val rows = Events.kmPurchaseGaps(spark, dir).collect()
