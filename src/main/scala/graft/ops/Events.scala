@@ -1267,6 +1267,192 @@ object Events {
        |FROM terms GROUP BY channel ORDER BY channel""".stripMargin
   }
 
+  /** Fixed-point iterations for the Markov absorption probability. The
+    * released statistic is DEFINED as the K-step value (identical on
+    * both engines whatever the convergence state); at K = 200 the
+    * residual of a substochastic channel chain is ≪ the 6-dp release
+    * grid anyway. */
+  val MarkovAbsorbSteps = 200
+
+  /** State indices for the removal-effect chain: 1 = start, 2..5 = the
+    * [[ShapleyChannels]] in order, 6 = the conv absorber (null absorbs
+    * implicitly as the substochastic remainder). */
+  private val MarkovStates = 5
+
+  /** The p_i ← Σ_j t_ij·p_j + t_i6 recurrence, generated ONCE and shared
+    * by the Spark fold and the oracle's recursive CTE (`ref` is how the
+    * previous state is spelled: `acc.` / `r.`); removing channel `pin`
+    * pins its probability to zero — "any visit to the removed channel
+    * fails", which is exactly the removal-effect semantics. */
+  private def markovStep(ref: String, pin: Int): Seq[String] =
+    (1 to MarkovStates).map { i =>
+      if (i == pin) "CAST(0.0 AS DOUBLE)"
+      else (1 to MarkovStates).map(j => s"t$i$j * $ref" + s"p$j")
+        .mkString("", " + ", s" + t${i}6")
+    }
+
+  /** Markov removal-effect attribution (the absorbing-chain model that,
+    * with [[shapleyAttribution]], completes the principled attribution
+    * pair): journeys are first-order chains start → channel → … →
+    * conv/null; a channel's credit is its REMOVAL EFFECT — the relative
+    * drop in the chain's conversion probability when every visit to it
+    * is sent to the null absorber, 1 − P₋ᵢ(conv)/P(conv) — normalized to
+    * shares. P(conv) is the absorption probability from `start`,
+    * computed as [[MarkovAbsorbSteps]] fixed-point iterations of
+    * p = T·p + t_conv (a fold — no matrix inverse, no driver math).
+    *
+    * Cross-engine exactness: transition probabilities are single
+    * divisions of exact counts; the K-step recurrence is ONE generated
+    * formula text shared by the Spark fold and the oracle's recursive
+    * CTE (per removal), so every intermediate double is bit-identical;
+    * effects and shares are fixed arithmetic over the six absorption
+    * values, rounded 6 dp.
+    *
+    * Scale shape: the corpus-sized work is one user-keyed journey
+    * window (lag over pre-conversion touches) and a 7×7-bounded
+    * transition count aggregate; the chain algebra runs in one
+    * projection over a single row. Output = |channels| rows.
+    */
+  def markovRemovalAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val firstConv = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("cus"))
+    val stateOf = ShapleyChannels.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, ((ch, _), i)) =>
+        when(col("event_type") === ch, lit(i + 2)).otherwise(acc)
+    }
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), stateOf.as("st"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .join(firstConv, Seq("user_id"), "left")
+      .filter(col("cus").isNull || col("us") < col("cus"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val within = touches
+      .withColumn("prev", lag("st", 1).over(w))
+      .withColumn("nxt", lead("st", 1).over(w))
+    // edges: prev→st for every touch (start when first), plus the
+    // terminal edge last-touch→conv(6)/null(7); users with a purchase
+    // but no prior touch contribute start→conv directly
+    val bodyEdges = within.select(
+      coalesce(col("prev"), lit(1)).as("from"), col("st").as("to"))
+    val termEdges = within.filter(col("nxt").isNull)
+      .select(col("st").as("from"),
+        when(col("cus").isNotNull, lit(6)).otherwise(lit(7)).as("to"))
+    val directConv = firstConv.join(
+        touches.select("user_id").distinct(), Seq("user_id"), "left_anti")
+      .select(lit(1).as("from"), lit(6).as("to"))
+    val counts = bodyEdges.unionAll(termEdges).unionAll(directConv)
+      .groupBy("from", "to").agg(count(lit(1)).as("c"))
+    // pivot the ≤ 7×7 count table into one row of t_ij probabilities
+    val cCols = for (i <- 1 to MarkovStates; j <- 1 to 6) yield
+      sum(when(col("from") === i && col("to") === j, col("c"))
+        .otherwise(lit(0L))).as(s"c$i$j")
+    val rCols = (1 to MarkovStates).map(i =>
+      sum(when(col("from") === i, col("c")).otherwise(lit(0L))).as(s"r$i"))
+    var row = counts.agg((cCols ++ rCols).head, (cCols ++ rCols).tail: _*)
+    for (i <- 1 to MarkovStates; j <- 1 to 6)
+      row = row.withColumn(s"t$i$j", expr(
+        s"IF(r$i > 0, CAST(c$i$j AS DOUBLE) / CAST(r$i AS DOUBLE), CAST(0.0 AS DOUBLE))"))
+    def absorb(pin: Int): String = {
+      val step = markovStep("acc.", pin)
+      val fields = (1 to MarkovStates)
+        .map(i => s"'p$i', ${step(i - 1)}").mkString(", ")
+      s"""aggregate(sequence(1, $MarkovAbsorbSteps),
+         |  named_struct(${(1 to MarkovStates)
+            .map(i => s"'p$i', CAST(0.0 AS DOUBLE)").mkString(", ")}),
+         |  (acc, stp) -> named_struct($fields),
+         |  acc -> acc.p1)""".stripMargin
+    }
+    var solved = row.withColumn("conv_base", expr(absorb(0)))
+    for (r <- 2 to MarkovStates)
+      solved = solved.withColumn(s"conv_rm$r", expr(absorb(r)))
+    val effects = (2 to MarkovStates).map(r =>
+      s"(CAST(1.0 AS DOUBLE) - conv_rm$r / conv_base)")
+    val effSum = s"((${effects(0)} + ${effects(1)}) + (${effects(2)} + ${effects(3)}))"
+    val outRows = ShapleyChannels.zipWithIndex.map { case ((ch, _), i) =>
+      s"named_struct('channel', '$ch', 'removal_effect', round(${effects(i)}, 6), " +
+        s"'share', round(${effects(i)} / $effSum, 6))"
+    }.mkString(", ")
+    solved.select(explode(expr(s"array($outRows)")).as("o"))
+      .select(col("o.channel").as("channel"),
+        col("o.removal_effect").as("removal_effect"),
+        col("o.share").as("share"))
+      .orderBy("channel")
+  }
+
+  val markovRemovalAttributionSql: String = {
+    val cSelects = (for (i <- 1 to MarkovStates; j <- 1 to 6) yield
+      s"sum(CASE WHEN f = $i AND t = $j THEN c ELSE 0 END)::BIGINT AS c$i$j")
+      .mkString(",\n       |    ")
+    val rSelects = (1 to MarkovStates).map(i =>
+      s"sum(CASE WHEN f = $i THEN c ELSE 0 END)::BIGINT AS r$i")
+      .mkString(",\n       |    ")
+    val tSelects = (for (i <- 1 to MarkovStates; j <- 1 to 6) yield
+      s"CASE WHEN r$i > 0 THEN CAST(c$i$j AS DOUBLE) / CAST(r$i AS DOUBLE) " +
+        s"ELSE CAST(0.0 AS DOUBLE) END AS t$i$j")
+      .mkString(",\n       |    ")
+    def recCte(pin: Int): String = {
+      val name = if (pin == 0) "base" else s"rm$pin"
+      val step = markovStep("r.", pin)
+      s""", $name AS (
+         |  SELECT 0 AS k, ${(1 to MarkovStates)
+            .map(i => s"CAST(0.0 AS DOUBLE) AS p$i").mkString(", ")}
+         |  UNION ALL
+         |  SELECT r.k + 1, ${(1 to MarkovStates)
+            .map(i => s"${step(i - 1)} AS p$i").mkString(", ")}
+         |  FROM $name r CROSS JOIN tmat
+         |  WHERE r.k < $MarkovAbsorbSteps
+         |)""".stripMargin
+    }
+    val effects = (2 to MarkovStates).map(r =>
+      s"(CAST(1.0 AS DOUBLE) - (SELECT p1 FROM rm$r WHERE k = $MarkovAbsorbSteps)" +
+        s" / (SELECT p1 FROM base WHERE k = $MarkovAbsorbSteps))")
+    val effSum = s"((${effects(0)} + ${effects(1)}) + (${effects(2)} + ${effects(3)}))"
+    val outRows = ShapleyChannels.zipWithIndex.map { case ((ch, _), i) =>
+      s"SELECT '$ch' AS channel, round(${effects(i)}, 6) AS removal_effect, " +
+        s"round(${effects(i)} / $effSum, 6) AS share"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE fc AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS cus FROM events
+       |  WHERE event_type = 'purchase' GROUP BY 1
+       |), touches AS (
+       |  SELECT e.user_id, fc.cus,
+       |    CASE e.event_type WHEN 'click' THEN 2 WHEN 'error' THEN 3
+       |         WHEN 'signup' THEN 4 WHEN 'view' THEN 5 END AS st,
+       |    epoch_us(e.ts) AS us, e.event_id
+       |  FROM events e LEFT JOIN fc ON fc.user_id = e.user_id
+       |  WHERE e.event_type <> 'purchase'
+       |    AND (fc.cus IS NULL OR epoch_us(e.ts) < fc.cus)
+       |), within AS (
+       |  SELECT user_id, cus, st,
+       |    lag(st) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev,
+       |    lead(st) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+       |  FROM touches
+       |), edges AS (
+       |  SELECT coalesce(prev, 1) AS f, st AS t FROM within
+       |  UNION ALL
+       |  SELECT st AS f, CASE WHEN cus IS NOT NULL THEN 6 ELSE 7 END AS t
+       |  FROM within WHERE nxt IS NULL
+       |  UNION ALL
+       |  SELECT 1 AS f, 6 AS t FROM fc
+       |  WHERE user_id NOT IN (SELECT DISTINCT user_id FROM touches)
+       |), counts AS (
+       |  SELECT f, t, count(*) AS c FROM edges GROUP BY 1, 2
+       |), pivoted AS (
+       |  SELECT
+       |    $cSelects,
+       |    $rSelects
+       |  FROM counts
+       |), tmat AS (
+       |  SELECT
+       |    $tSelects
+       |  FROM pivoted
+       |)${recCte(0)}${(2 to MarkovStates).map(recCte).mkString}
+       |SELECT * FROM (
+       |$outRows
+       |) ORDER BY channel""".stripMargin
+  }
+
   /** Kaplan–Meier survival of inter-purchase gaps with right-censoring —
     * the statistically-correct upgrade of [[cohortRetention]]'s raw
     * rates: the question is "what fraction of purchase gaps exceed t

@@ -406,6 +406,9 @@ class PlanShapeSpec extends SparkSuite {
     // every corpus-sized stage keys on user_id (agg, touch join, mask
     // agg, converter outer join); the Shapley combine is 32×16 literals
     "shapley_attribution" -> (0, 0, 2, 1, 12, 0),
+    // user-keyed journey windows + a 7×7-bounded transition pivot;
+    // the chain algebra runs in one projection over a single row
+    "markov_removal_attribution" -> (0, 0, 0, 1, 9, 2),
     "ordered_funnel" -> (0, 0, 0, 0, 2, 0),
     "hour_value_regression" -> (0, 0, 0, 1, 2, 0),
     // BNL = the 1-row basket-total scalar-combine; items subtree NOT

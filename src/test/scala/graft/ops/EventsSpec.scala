@@ -475,6 +475,59 @@ class EventsSpec extends SparkSuite {
       s"sum ${out.values.sum} vs ${v(15) - v(0)}")
   }
 
+  test("markovRemovalAttribution: brute chain recompute matches; effects non-negative, shares sum to 1") {
+    val dir = "/root/testdata/sf0.001"
+    val fns = org.apache.spark.sql.functions
+    val out = Events.markovRemovalAttribution(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set("click", "error", "signup", "view"))
+    assert(out.values.forall(_._1 >= -1e-12), "removal cannot HELP conversion")
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 4e-6, "shares sum to 1")
+    // brute: rebuild journeys, transition matrix, and the K-step chain
+    val ev = Tables(spark, dir, "events")
+      .select(fns.col("user_id"), fns.col("event_type"),
+        fns.unix_micros(fns.col("ts")).as("us"), fns.col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val stIdx = Map("click" -> 2, "error" -> 3, "signup" -> 4, "view" -> 5)
+    val firstConv = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val c = Array.ofDim[Long](6, 8)
+    for (u <- ev.map(_._1).distinct) {
+      val cut = firstConv.get(u)
+      val js = ev.filter(e => e._1 == u && e._2 != "purchase" &&
+          cut.forall(e._3 < _))
+        .sortBy(e => (e._3, e._4)).map(e => stIdx(e._2)).toList
+      if (js.isEmpty) { if (cut.isDefined) c(1)(6) += 1 }
+      else {
+        c(1)(js.head) += 1
+        for (List(a, b) <- js.sliding(2) if js.length > 1) c(a)(b) += 1
+        // terminal: conv absorbs at 6; null edges (7) only contribute to
+        // the row total — the substochastic remainder
+        c(js.last)(if (cut.isDefined) 6 else 7) += 1
+      }
+    }
+    def absorb(pin: Int): Double = {
+      val rr = (1 to 5).map(i => (1 to 7).map(j => c(i)(j)).sum)
+      def t(i: Int, j: Int): Double =
+        if (rr(i - 1) > 0) c(i)(j).toDouble / rr(i - 1).toDouble else 0.0
+      var p = Array.fill(6)(0.0)
+      for (_ <- 1 to Events.MarkovAbsorbSteps) {
+        val np = Array.fill(6)(0.0)
+        for (i <- 1 to 5 if i != pin)
+          np(i) = (1 to 5).map(j => t(i, j) * p(j)).sum + t(i, 6)
+        p = np
+      }
+      p(1)
+    }
+    val base = absorb(0)
+    for ((ch, idx) <- stIdx) {
+      val want = BigDecimal(1.0 - absorb(idx) / base)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(out(ch)._1 - want) < 2e-6,
+        s"$ch: effect ${out(ch)._1} vs brute $want")
+    }
+  }
+
   test("kmPurchaseGaps: KM invariants hold and the curve re-derives from a brute recompute") {
     val dir = "/root/testdata/sf0.001"
     val rows = Events.kmPurchaseGaps(spark, dir).collect()
