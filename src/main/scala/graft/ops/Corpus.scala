@@ -960,6 +960,122 @@ object Corpus {
       |GROUP BY 1, 2, 3
       |ORDER BY source, n_chars""".stripMargin
 
+  /** Sequence capacity for [[ffdPackBins]] (tokens per training bin) and
+    * the TARGET SHARD SIZE in documents. Shard size is the recipe
+    * constant and shard COUNT grows with the corpus — the other way
+    * round (fixed shard count) makes the per-shard sequential fold
+    * O(corpus²/shards): measured at the ×10 probe, a fixed 16-way
+    * sharding blew the fold past a 10-minute budget, while ~512-doc
+    * shards keep every fold at a few-hundred-bin state regardless of
+    * scale. */
+  val FfdCapacity = 128
+  val FfdShardDocs = 256
+
+  /** First-fit-decreasing bin packing of WHOLE documents into
+    * fixed-capacity training sequences — the no-splitting counterpart of
+    * [[packSequences]] (concat-then-chunk slices documents across bin
+    * boundaries; attention-boundary-respecting recipes must not, so they
+    * pack whole docs and eat the padding — FFD is the classic
+    * 11/9·OPT+1 heuristic that minimizes it). Documents longer than the
+    * capacity get a bin of their own, flagged oversize.
+    *
+    * Exactness: INTEGER-ONLY — token counts, bin ids, and loads; the
+    * greedy is deterministic (sort by length desc then doc_id; first
+    * fitting bin by ascending bin id), so both engines derive the
+    * identical assignment with zero float ops.
+    *
+    * Scale shape: packing is inherently sequential, so parallelism comes
+    * from SHARDING — ⌈corpus / [[FfdShardDocs]]⌉ independent packers
+    * keyed by a seeded md5 hash (the shuffleShards convention,
+    * identical in both engines; the shard count rides in as a broadcast
+    * 1-row scalar combine, so the plan stays fully distributed): one
+    * scan → per-shard sorted array (shard size ≈ the recipe constant) →
+    * ONE fold per shard whose state is the bin-load array. The fold is
+    * O(docs·bins) per shard — both bounded by the shard-size constant,
+    * so total work is LINEAR in the corpus. Oracle = per-shard
+    * recursive CTE walking the same rank order.
+    */
+  def ffdPackBins(spark: SparkSession, dir: String,
+      cap: Int = FfdCapacity): DataFrame = {
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(Dedup.tokens(col("text"))).as("n_tok"))
+    val nRow = base.agg(count(lit(1)).as("n_docs"))
+    val docs = base.crossJoin(broadcast(nRow))
+      .withColumn("shard", expr(
+        s"""CAST(conv(substring(md5(CAST(concat('ffd:', CAST(doc_id AS STRING))
+           |  AS BINARY)), 1, 8), 16, 10) AS BIGINT)
+           |  % greatest(CAST(ceil(CAST(n_docs AS DOUBLE) / $FfdShardDocs.0)
+           |             AS BIGINT), 1L)""".stripMargin))
+    docs.groupBy("shard")
+      .agg(sort_array(collect_list(
+        struct((-col("n_tok")).as("neg_len"), col("doc_id"), col("n_tok"))))
+        .as("docs"))
+      .select(col("shard"), explode(expr(
+        s"""aggregate(docs,
+           |  named_struct(
+           |    'loads', CAST(array() AS array<bigint>),
+           |    'out', CAST(array() AS array<struct<
+           |      doc_id: bigint, n_tokens: int, bin: int>>)),
+           |  (acc, d) -> element_at(transform(
+           |    array(coalesce(
+           |      try_element_at(filter(transform(acc.loads, (vv, kk) -> kk + 1),
+           |        i -> element_at(acc.loads, i) + d.n_tok <= $cap), 1),
+           |      -1)),
+           |    pk -> named_struct(
+           |      'loads',
+           |        IF(pk = -1,
+           |           concat(acc.loads, array(CAST(d.n_tok AS BIGINT))),
+           |           transform(acc.loads, (v, i) ->
+           |             IF(i + 1 = pk, v + d.n_tok, v))),
+           |      'out', concat(acc.out, array(named_struct(
+           |        'doc_id', d.doc_id, 'n_tokens', d.n_tok,
+           |        'bin', CAST(IF(pk = -1, size(acc.loads) + 1, pk) AS INT)))))),
+           |    1),
+           |  acc -> acc.out)""".stripMargin)).as("o"))
+      .select(col("o.doc_id").as("doc_id"), col("shard"),
+        col("o.n_tokens").as("n_tokens"), col("o.bin").as("bin"),
+        (col("o.n_tokens") > cap).as("oversize"))
+      .orderBy("doc_id")
+  }
+
+  def ffdPackBinsSql(cap: Int = FfdCapacity): String =
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id, len(regexp_split_to_array(lower(text), '\\s+')) AS n_tok
+       |  FROM documents
+       |), sharded AS (
+       |  SELECT doc_id, n_tok,
+       |    ('0x' || substr(md5('ffd:' || doc_id::VARCHAR), 1, 8))::BIGINT
+       |      % greatest(ceil((SELECT count(*) FROM docs)::DOUBLE
+       |                      / $FfdShardDocs.0)::BIGINT, 1) AS shard
+       |  FROM docs
+       |), ranked AS (
+       |  SELECT shard, doc_id, n_tok,
+       |    row_number() OVER (PARTITION BY shard
+       |      ORDER BY n_tok DESC, doc_id) AS rk
+       |  FROM sharded
+       |), rec AS (
+       |  SELECT shard, rk, doc_id, n_tok, 1 AS bin,
+       |    [n_tok::BIGINT] AS loads
+       |  FROM ranked WHERE rk = 1
+       |  UNION ALL
+       |  SELECT x.shard, x.rk, x.doc_id, x.n_tok,
+       |    coalesce(
+       |      list_filter(generate_series(1, len(r.loads)),
+       |        i -> r.loads[i] + x.n_tok <= $cap)[1],
+       |      len(r.loads) + 1)::INT AS bin,
+       |    CASE WHEN list_filter(generate_series(1, len(r.loads)),
+       |           i -> r.loads[i] + x.n_tok <= $cap)[1] IS NULL
+       |         THEN list_append(r.loads, x.n_tok::BIGINT)
+       |         ELSE list_transform(r.loads, (v, i) ->
+       |           CASE WHEN i = list_filter(generate_series(1, len(r.loads)),
+       |                  i2 -> r.loads[i2] + x.n_tok <= $cap)[1]
+       |                THEN v + x.n_tok ELSE v END)
+       |    END AS loads
+       |  FROM rec r JOIN ranked x ON x.shard = r.shard AND x.rk = r.rk + 1
+       |)
+       |SELECT doc_id, shard, n_tok AS n_tokens, bin, n_tok > $cap AS oversize
+       |FROM rec ORDER BY doc_id""".stripMargin
+
   /** Filter-revision agreement audit: Cohen's kappa between the CURRENT
     * quality battery ([[qualityFilterOf]]'s thresholds) and a TIGHTENED
     * candidate revision, per language. This is the audit every filter

@@ -350,6 +350,9 @@ class PlanShapeSpec extends SparkSuite {
     "quality_filter" -> (0, 0, 0, 1, 3, 0),
     // one scan projecting (p, y) + a 10-key hash agg
     "lr_calibration_bins" -> (0, 0, 0, 1, 2, 0),
+    // the nested-loop is the 1-row doc-count scalar combine; one
+    // shard-keyed shuffle, then the FFD fold runs inside the agg rows
+    "ffd_pack_bins" -> (0, 1, 0, 1, 3, 0),
     // the two-battery confusion: same one-scan explode shape as
     // quality_filter plus the |languages|-keyed kappa aggregate
     "filter_agreement_kappa" -> (0, 0, 0, 1, 4, 0),
