@@ -274,6 +274,39 @@ object Similarity {
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
 
+  /** EXACT DuckDB oracle for [[annFilteredTopK]] — [[annIvfTopKSql]] with
+    * the served ≤100 query batch and the per-query label predicate joined
+    * into the candidate step (`ne.label = p.q_label`), exactly where the
+    * Spark plan carries it as an equi-join key.
+    */
+  private[ops] def annFilteredTopKSql(
+      cent: Array[Array[Double]], k: Int = 10, nProbe: Int = NProbe): String =
+    s"""${cellsSqlCtes(cent, "  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings")}, probes AS (
+       |  SELECT s.vec_id AS q_id, e.label AS q_label, s.cell
+       |  FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS pr
+       |    FROM scored WHERE vec_id <= ${TextAnalysis.ServeBatchMaxId}) s
+       |  JOIN ev e ON e.vec_id = s.vec_id
+       |  WHERE s.pr <= $nProbe
+       |), cand AS (
+       |  SELECT p.q_id, c.vec_id AS n_id
+       |  FROM probes p
+       |  JOIN cells c ON c.cell = p.cell
+       |  JOIN ev ne ON ne.vec_id = c.vec_id AND ne.label = p.q_label
+       |  WHERE c.vec_id <> p.q_id
+       |)
+       |SELECT q_id, n_id, rank, cos FROM (
+       |  SELECT cd.q_id, cd.n_id,
+       |    row_number() OVER (PARTITION BY cd.q_id
+       |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, cd.n_id) AS rank,
+       |    round(list_cosine_similarity(qe.v, ne.v), 4) AS cos
+       |  FROM cand cd
+       |  JOIN ev qe ON qe.vec_id = cd.q_id
+       |  JOIN ev ne ON ne.vec_id = cd.n_id)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
   /** EXACT DuckDB oracle for [[semDedup]] under the same fitted-centroid
     * literals: a vector is dropped iff some lower-id vector in its cell has
     * cosine ≥ τ — the `a_id < b_id` equi-join restated, with the keep flag
@@ -317,6 +350,7 @@ object Similarity {
       val (rotC, chainCent, chainBooks) = fitOpqIvf(spark, dir, NCentroids, PqM, PqKs)
       Map(
         "ann_ivf_topk"      -> annIvfTopKSql(cent),
+        "ann_filtered_topk" -> annFilteredTopKSql(cent),
         "semdedup_clusters" -> semDedupSql(cent),
         "pq_adc_topk"       -> pqAdcTopKSql(books),
         "pq_rerank_topk"    -> pqRerankTopKSql(books),
@@ -398,6 +432,62 @@ object Similarity {
       .select(col("q_id"), col("q_v"), explode(col("probes.cell")).as("cell"))
 
     val scored = assigned.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_v"), col("v")).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("c"), 4).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Metadata-filtered ANN serving — the single most common production
+    * vector-search request shape: "top-k nearest WHERE <metadata predicate>"
+    * for a fixed query batch (the `bm25_topk_served` contract: `vec_id ≤
+    * ServeBatchMaxId`, ≤100 queries at any SF, cost ∝ batch). The filter
+    * here is per-query label equality (`n.label = q.label` — same-class
+    * retrieval; a lang/date filter is the same shape with a different
+    * column).
+    *
+    * PRE-filter, not post-filter: the predicate joins INTO the IVF
+    * cell-pruned candidate scan as part of the equi-key — candidates are
+    * `(cell, label)` matches, so the filter prunes BEFORE any distance
+    * arithmetic. At 100 TB the IVF codes table is laid out partitioned by
+    * `(label, cell)` (or the filter column is a partition/Z-order column),
+    * so a filtered probe stays a partition-pruned scan; the alternative —
+    * filtering AFTER an unfiltered top-k — silently returns < k results
+    * whenever fewer than k of the unfiltered top-k share the query's label
+    * (the recall contrast [[graft.ops.SimilaritySpec]] documents).
+    *
+    * Exactness: same fitted-centroid-literal argument as [[annIvfTopK]]
+    * (one deterministic cell per vector, candidate set = set-equal
+    * equi-join on (cell, label), exact-cosine ranking with n_id tiebreak)
+    * → generated DuckDB oracle, exact at sf0.01 and sf1.
+    */
+  def annFilteredTopK(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      nCentroids: Int = NCentroids,
+      nProbe: Int = NProbe): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+    val cent = fitCentroids(spark, dir, nCentroids)
+    // Persisted for the annIvfTopK reason: the assignment feeds both the
+    // query leg and the candidate leg as independent subtrees.
+    val assigned = assignCells(e, cent).persist()
+
+    val queries = assigned.filter(col("vec_id") <= TextAnalysis.ServeBatchMaxId)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("label"))
+      .withColumn("probes",
+        slice(reverse(array_sort(array(cellStructs(cent, col("q_v")): _*))), 1, nProbe))
+      .select(col("q_id"), col("q_v"), col("label"), explode(col("probes.cell")).as("cell"))
+
+    // the metadata filter IS a join key: candidates must match the probe
+    // cell AND the query's label — never scored, never shuffled otherwise
+    val scored = assigned.join(broadcast(queries), Seq("cell", "label"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosine(col("q_v"), col("v")).as("c"))

@@ -120,6 +120,10 @@ class PlanShapeSpec extends SparkSuite {
     // batch-keyed self-join + per-anchor window over ≤|batch| rows
     "contrastive_batch_negatives" -> (0, 0, 0, 1, 2, 3),
     "ann_ivf_topk" -> (0, 0, 0, 1, 2, 3),
+    // the filtered serve shares ann_ivf_topk's plan verbatim — the label
+    // predicate rides the candidate equi-join KEY (cell, label), adding no
+    // exchange, no post-join filter stage
+    "ann_filtered_topk" -> (0, 0, 0, 1, 2, 3),
     // the sort-merge is the intra-cell pair join (both legs are the
     // persisted cell assignment — cell-bounded, never corpus all-pairs)
     "semdedup_clusters" -> (0, 0, 1, 1, 3, 0),

@@ -96,6 +96,53 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.3, s"IVF recall@10 degraded: $recall")
   }
 
+  test("annFilteredTopK: label predicate enforced pre-scan, deterministic, beats post-filtering") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Tables(spark, dir, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    val vecs = rows.map(r => r._1 -> r._2).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val f1 = Similarity.annFilteredTopK(spark, dir).collect()
+    val f2 = Similarity.annFilteredTopK(spark, dir).collect()
+    assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq,
+      "fitted-centroid quantizer must make the filtered serve deterministic")
+    // the serving contract: fixed batch, and EVERY neighbor satisfies the
+    // metadata predicate (the filter ran in the scan, nothing leaked past)
+    for (r <- f1) {
+      assert(r.getLong(0) <= 100L, s"query outside the pinned batch: $r")
+      assert(labels(r.getLong(1)) == labels(r.getLong(0)),
+        s"neighbor violates the label predicate: $r")
+    }
+    // recall floor vs the brute same-label truth (IVF convention: 4/16
+    // cells probed on near-orthogonal vectors is a floor, not a target)
+    val batch = rows.filter(_._1 <= 100L)
+    val truth = batch.flatMap { case (q, qv, ql) =>
+      rows.filter(r => r._1 != q && r._3 == ql)
+        .map(r => (q, r._1, cos(qv, r._2)))
+        .sortBy { case (_, id, c) => (-c, id) }.take(10).map(t => (t._1, t._2))
+    }.toSet
+    val got = f1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.3, s"filtered-serve recall@10 degraded: $recall")
+    // the CONTRAST the docstring documents: post-filtering an UNfiltered
+    // exact top-k by label keeps only the same-label fraction (~1/|labels|
+    // of each list) — far fewer answers than the pre-filtered scan returns
+    val postFilter = batch.flatMap { case (q, qv, ql) =>
+      rows.filter(_._1 != q)
+        .map(r => (r._1, cos(qv, r._2), r._3))
+        .sortBy { case (id, c, _) => (-c, id) }.take(10)
+        .filter(_._3 == ql).map(t => (q, t._1))
+    }
+    assert(postFilter.size < got.size / 2,
+      s"post-filter kept ${postFilter.size} of the pre-filter's ${got.size} — " +
+        "contrast collapsed, the pre-filter scan is not earning its place")
+  }
+
   test("semDedup: planted near-identical vectors dropped in favor of the min id; originals kept") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
