@@ -61,14 +61,24 @@ object SetSimJoin {
     val sh = arr.select(col("doc_id"), explode(col("arr")).as("s"))
     val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
-    // persisted: the prefix index feeds BOTH sides of the candidate
-    // self-join — without it the df aggregate and rank window run twice
+    // Persisted AND eagerly materialized: the prefix index feeds BOTH
+    // sides of the candidate self-join. Lazy persist left the two join
+    // legs to populate the cache concurrently inside the join job — the
+    // r14 sweep's occasional 3× sample outlier. The count() realizes the
+    // index as its own short job first, so the self-join always scans a
+    // warm, fully-built cache; the index is slim by construction
+    // ((doc_id, 8-byte hash, n) for prefix tokens only — the artifact a
+    // production deployment would write to a table anyway), so the
+    // materialization barrier costs one bounded pass, not a replan.
+    // (An eager localCheckpoint was measured here too: 3.5× slower at
+    // sf0.1 — checkpoint serialization dwarfs the subtree it saves.)
     val pref = sh.join(df, "s")
       .withColumn("pos", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("pos") <= col("n") - expr(s"($TauNum * n + ${TauDen - 1}) div $TauDen") + 1)
       .select(col("doc_id"), xxhash64(col("s")).as("h"), col("n"))
       .persist()
+    pref.count() // materialization barrier — see the comment above
     val cands = pref.as("a")
       .join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&

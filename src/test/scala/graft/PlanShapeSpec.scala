@@ -459,11 +459,13 @@ class PlanShapeSpec extends SparkSuite {
     // the nested-loop is the scalar calendar-bound cross join (the
     // rolling_dau family shape); all five exchanges are keyed aggs
     "rolling_dau_7d_bitmap" -> (0, 1, 0, 1, 5, 0),
-    // the 4 "windows" are the persisted prefix-index's rank pair printed
-    // once per self-join side (InMemoryRelation renders its child twice);
-    // the index COMPUTES once, and its window partitions are per-doc
-    // shingle lists, never corpus-sized
-    "prefix_jaccard_pairs" -> (0, 0, 0, 1, 6, 4),
+    // the "windows" are the persisted prefix-index's rank pair printed in
+    // the MATERIALIZED InMemoryRelation's cached-plan text, repeated per
+    // self-join reference (r15 added an eager count() barrier so the index
+    // realizes as its own job before the self-join — the r14 sweep-variance
+    // fix); the index COMPUTES exactly once, and its window partitions are
+    // per-doc shingle lists, never corpus-sized
+    "prefix_jaccard_pairs" -> (0, 0, 0, 1, 9, 8),
     // one scan projecting two booleans + one 4-cell aggregate; 1-row output
     "lr_eval_metrics" -> (0, 0, 0, 0, 1, 0),
     // the BNL is the 1-row bigram-type-count scalar-combine (the
