@@ -1366,8 +1366,12 @@ object Events {
     var solved = row.withColumn("conv_base", expr(absorb(0)))
     for (r <- 2 to MarkovStates)
       solved = solved.withColumn(s"conv_rm$r", expr(absorb(r)))
+    // conv_base = 0 guard (a corpus slice with no conversions from start):
+    // 1 − x/0 would release NaN effects/shares silently — emit NULL
+    // instead, the honest "attribution undefined without conversions"
     val effects = (2 to MarkovStates).map(r =>
-      s"(CAST(1.0 AS DOUBLE) - conv_rm$r / conv_base)")
+      s"IF(conv_base > CAST(0.0 AS DOUBLE), " +
+        s"CAST(1.0 AS DOUBLE) - conv_rm$r / conv_base, CAST(NULL AS DOUBLE))")
     val effSum = s"((${effects(0)} + ${effects(1)}) + (${effects(2)} + ${effects(3)}))"
     val outRows = ShapleyChannels.zipWithIndex.map { case ((ch, _), i) =>
       s"named_struct('channel', '$ch', 'removal_effect', round(${effects(i)}, 6), " +
@@ -1404,9 +1408,12 @@ object Events {
          |  WHERE r.k < $MarkovAbsorbSteps
          |)""".stripMargin
     }
+    // the same conv_base = 0 → NULL guard as the Spark projection
     val effects = (2 to MarkovStates).map(r =>
-      s"(CAST(1.0 AS DOUBLE) - (SELECT p1 FROM rm$r WHERE k = $MarkovAbsorbSteps)" +
-        s" / (SELECT p1 FROM base WHERE k = $MarkovAbsorbSteps))")
+      s"(CASE WHEN (SELECT p1 FROM base WHERE k = $MarkovAbsorbSteps) > CAST(0.0 AS DOUBLE)" +
+        s" THEN CAST(1.0 AS DOUBLE) - (SELECT p1 FROM rm$r WHERE k = $MarkovAbsorbSteps)" +
+        s" / (SELECT p1 FROM base WHERE k = $MarkovAbsorbSteps)" +
+        s" ELSE CAST(NULL AS DOUBLE) END)")
     val effSum = s"((${effects(0)} + ${effects(1)}) + (${effects(2)} + ${effects(3)}))"
     val outRows = ShapleyChannels.zipWithIndex.map { case ((ch, _), i) =>
       s"SELECT '$ch' AS channel, round(${effects(i)}, 6) AS removal_effect, " +

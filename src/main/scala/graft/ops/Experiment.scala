@@ -509,8 +509,12 @@ object Experiment {
     *   p_n      = min(1, exp(−max_{k≤n} log Λ_k))   (monotone ↓)
     *
     * Days where either arm has < 2 cumulative observations are not
-    * released (σ̂² undefined). The plug-in σ̂² is the standard practical
-    * variant of the known-variance mSPRT.
+    * released (σ̂² undefined), and neither are days where σ̂² = 0 (both
+    * arms' values constant so far — possible right at the n ≥ 2 gate,
+    * e.g. two equal-priced purchases per arm: V_n = 0 would make
+    * log Λ = ½·ln 0 + 0/0 = NaN and poison the running max for every
+    * later day). The plug-in σ̂² is the standard practical variant of
+    * the known-variance mSPRT.
     *
     * Determinism: all cumulants (n, Σx, Σx²) are EXACT (cents and cents²
     * on the DECIMAL(38,0) grid through the window cumsum — reorder-safe,
@@ -556,6 +560,7 @@ object Experiment {
         """((CAST(ss_c AS DOUBLE) - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / n_c)
           | + (CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) / n_t))
           | / (n_c + n_t - 2)""".stripMargin))
+      .filter(col("sig2") > 0) // release gate — see the σ̂² = 0 note above
       .withColumn("v", expr("sig2 * (CAST(1.0 AS DOUBLE) / n_c + CAST(1.0 AS DOUBLE) / n_t)"))
       .withColumn("delta", expr(
         "CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c"))
@@ -625,7 +630,7 @@ object Experiment {
        |         * (sig2 * (CAST(1.0 AS DOUBLE) / n_c + CAST(1.0 AS DOUBLE) / n_t))
        |         * ((sig2 * (CAST(1.0 AS DOUBLE) / n_c + CAST(1.0 AS DOUBLE) / n_t)) + $tau2))
        |      AS log_lambda
-       |  FROM stat
+       |  FROM stat WHERE sig2 > 0
        |)
        |SELECT strftime(day, '%Y-%m-%d') AS day, n_c, n_t,
        |  round(delta, 4) AS delta_cents,

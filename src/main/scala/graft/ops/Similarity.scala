@@ -1907,21 +1907,32 @@ object Similarity {
       // argmax is order-free (strict struct max with the id tiebreak)
       .agg(collect_list(struct(col("n_id"), col("rel"), col("sims"))).as("cands"))
     // greedy fold: the accumulator rides the (score, negid, n_id) struct
-    // whose lexicographic max IS the argmax with the smaller-id tiebreak
+    // whose lexicographic max IS the argmax with the smaller-id tiebreak.
+    // Exhaustion guard: when a query has fewer than k candidates (tiny
+    // corpus, filtered candidate set, nCand < k) the remaining steps keep
+    // `sel` unchanged — a clean truncated list, never a null struct from
+    // array_max over an empty set. (The unrolled oracle instead DROPS a
+    // query that exhausts mid-chain — its step CTE loses the row — so the
+    // registered query pins the regime where every query fills k, which
+    // the ≥nCand-per-query corpus guarantees; MmrSpec pins the truncation
+    // behavior of this serving surface directly.)
     val selected = expr(
       s"""aggregate(
          |  sequence(1, $k),
          |  CAST(array() AS array<struct<score: double, negid: bigint, n_id: bigint>>),
-         |  (sel, step) -> concat(sel, array(
-         |    array_max(transform(
-         |      filter(cands, c -> NOT exists(sel, s -> s.n_id = c.n_id)),
-         |      c -> named_struct(
-         |        'score', CAST($MmrLambda AS DOUBLE) * c.rel
-         |          - CAST($MmrMu AS DOUBLE) * coalesce(
-         |              array_max(transform(sel, s -> element_at(c.sims, s.n_id))),
-         |              CAST(0.0 AS DOUBLE)),
-         |        'negid', -c.n_id,
-         |        'n_id', c.n_id))))))""".stripMargin)
+         |  (sel, step) -> IF(
+         |    size(filter(cands, c -> NOT exists(sel, s -> s.n_id = c.n_id))) = 0,
+         |    sel,
+         |    concat(sel, array(
+         |      array_max(transform(
+         |        filter(cands, c -> NOT exists(sel, s -> s.n_id = c.n_id)),
+         |        c -> named_struct(
+         |          'score', CAST($MmrLambda AS DOUBLE) * c.rel
+         |            - CAST($MmrMu AS DOUBLE) * coalesce(
+         |                array_max(transform(sel, s -> element_at(c.sims, s.n_id))),
+         |                CAST(0.0 AS DOUBLE)),
+         |          'negid', -c.n_id,
+         |          'n_id', c.n_id)))))))""".stripMargin)
     grouped
       .select(col("q_id"), posexplode(selected).as(Seq("pos", "s")))
       .select(col("q_id"), (col("pos") + 1).as("rank"),

@@ -667,9 +667,15 @@ object TableChecks {
     * Scale shape: one scan → per-(lang, value) histogram (domain-
     * bounded), then a grid×histogram theta-join that is |grid|·|domain|
     * per language — both mechanism constants, independent of corpus
-    * size — and one argmax aggregate per (lang, q). The ln ulps sit
-    * under the Gumbel draw; the ARGMAX compares identical doubles, so
-    * no rounding enters the released value at all (it is a grid point).
+    * size — and one argmax aggregate per (lang, q). The released value
+    * is a grid point, but the score under the argmax contains an
+    * engine-native `ln` (the Gumbel draw), so the score is rounded to a
+    * fixed 12-dp grid BEFORE the argmax on both engines — the DP-count
+    * family's 6-dp discipline applied one stage earlier. Without it a
+    * near-tie between two grid candidates within the last libm ulp could
+    * release different grid points across engines; 12 dp absorbs ulp
+    * noise (~1e-16 relative) while leaving real utility gaps (≥ ε/2 per
+    * unit of u) untouched.
     */
   def dpQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val qs = Seq("0.25", "0.5", "0.75")
@@ -694,7 +700,7 @@ object TableChecks {
     val gumbel = -log(-log(u01))
     val score = expr(s"CAST($DpEpsilon AS DOUBLE) / CAST(2.0 AS DOUBLE)") *
       col("u") + gumbel
-    scored.withColumn("score", score)
+    scored.withColumn("score", round(score, 12))
       .groupBy("lang", "q")
       .agg(max(struct(col("score"), (-col("x")).as("negx"))).as("best"))
       .select(col("lang"), col("q"), (-col("best.negx")).as("released"))
@@ -720,9 +726,9 @@ object TableChecks {
        |  FROM cntle, unnest(['0.25', '0.5', '0.75']) AS t(q)
        |), drawn AS (
        |  SELECT lang, q, x,
-       |    CAST($DpEpsilon AS DOUBLE) / CAST(2.0 AS DOUBLE) * u
+       |    round(CAST($DpEpsilon AS DOUBLE) / CAST(2.0 AS DOUBLE) * u
        |      + (-ln(-ln((('0x' || substr(md5('dpq:' || lang || '|' || q || '|'
-       |          || x::VARCHAR), 1, 4))::INT + 0.5) / 65536.0))) AS score
+       |          || x::VARCHAR), 1, 4))::INT + 0.5) / 65536.0))), 12) AS score
        |  FROM scored
        |)
        |SELECT lang, q,

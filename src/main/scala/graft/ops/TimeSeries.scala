@@ -312,7 +312,14 @@ object TimeSeries {
     *
     *   l' = α·(n − s[m]) + (1−α)·(l + b)
     *   b' = β·(l' − l) + (1−β)·b
-    *   s'[m] = γ·(n − l') + (1−γ)·s[m]      (m = (step−1) mod 7)
+    *   s'[m] = γ·(n − l') + (1−γ)·s[m]      (m = weekday(day), Mon = 0)
+    *
+    * The slot keys on the CALENDAR weekday, not the row's position in
+    * the series: a zero-event day produces no row, and a positional
+    * `i mod 7` would permanently shift slot-to-weekday alignment past
+    * every gap — silently degrading the "weekly seasonality" semantics
+    * even with both engines agreeing. `forecast_next` reads tomorrow's
+    * slot, (m+1) mod 7.
     *
     * α = β = 0.25 (the [[holtDaily]] constants), γ = 0.3; init l = n₁,
     * b = 0, s = 0⃗ (slots warm up over the first week — pinned, not a
@@ -340,7 +347,7 @@ object TimeSeries {
       .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("series"))
       .withColumn("arr", expr(
         """transform(series, (s, i) -> named_struct(
-          |  'day', s.day, 'n', CAST(s.n AS DOUBLE), 'i', i, 'm', i % 7))"""
+          |  'day', s.day, 'n', CAST(s.n AS DOUBLE), 'i', i, 'm', weekday(s.day)))"""
           .stripMargin))
       .select(col("event_type"), explode(expr(
         s"""transform(arr, (x, p) -> named_struct(
@@ -365,7 +372,7 @@ object TimeSeries {
         col("o.st.l").as("level"), col("o.st.b").as("trend"),
         element_at(col("o.st.s"), col("o.m") + 1).as("season"),
         (col("o.st.l") + col("o.st.b")
-          + element_at(col("o.st.s"), ((col("o.i") + 1) % 7) + 1))
+          + element_at(col("o.st.s"), ((col("o.m") + 1) % 7) + 1))
           .as("forecast_next"))
       .orderBy("event_type", "day")
   }
@@ -382,7 +389,7 @@ object TimeSeries {
        |), idx AS (
        |  SELECT event_type, day, n,
        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
-       |    (row_number() OVER (PARTITION BY event_type ORDER BY day) - 1) % 7 AS m
+       |    isodow(day) - 1 AS m
        |  FROM daily
        |), rec AS (
        |  SELECT event_type, day, n, i, m, n::DOUBLE AS l, 0.0::DOUBLE AS b,
@@ -400,7 +407,7 @@ object TimeSeries {
        |)
        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
        |  l AS level, b AS trend, s[m + 1] AS season,
-       |  l + b + s[(i % 7) + 1] AS forecast_next
+       |  l + b + s[((m + 1) % 7) + 1] AS forecast_next
        |FROM rec ORDER BY event_type, day""".stripMargin
   }
 

@@ -67,6 +67,19 @@ class MmrSpec extends SparkSuite {
     }
   }
 
+  test("exhausted queries truncate cleanly: k > nCand yields exactly nCand picks, no nulls") {
+    // nCand = 3 < k = 8: every query runs out of candidates mid-fold — the
+    // guard must stop the selection at 3 clean rows (never a null struct
+    // from array_max over an empty filtered set)
+    val small = 3
+    val out = Similarity.mmrRerankTopK(spark, dir, k, small).collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.isNullAt(2)), "null n_id leaked from an exhausted fold step")
+    val perQ = out.groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).sorted.toSeq)
+    for ((q, ranks) <- perQ)
+      assert(ranks == (1 to small), s"q=$q: expected ranks 1..$small, got $ranks")
+  }
+
   test("mmr diversifies: selected sets are no more self-similar than plain top-k") {
     val vecs = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).collect()
