@@ -353,6 +353,114 @@ object PageRank {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Synchronous label-propagation rounds for [[docCommunities]] — fixed
+    * (the [[Iterations]] convention): bounded rounds make the release a
+    * deterministic function of the graph on BOTH engines, where
+    * run-to-convergence would hand the tie-heavy synchronous dynamics an
+    * unbounded, oscillation-prone loop. */
+  val LpaRounds = 5
+
+  /** Label-propagation communities over the link graph — the fourth
+    * member of the graph family (authority = [[docPageRank]], clustering
+    * = [[docTriangles]], reachability = [[docComponents]], communities =
+    * here). Components answer "what is CONNECTED"; communities answer
+    * "what is DENSE" — the curation unit for mixing caps when one
+    * syndication network spans an entire component but contains several
+    * distinct duplication cliques (Raghavan et al. '07, LPA).
+    *
+    * Dynamics, pinned for cross-engine determinism: every node starts
+    * labeled with its own id; each SYNCHRONOUS round relabels every node
+    * with the most frequent label among its NEIGHBORS (tie → smallest
+    * label; isolated nodes keep their own id); [[LpaRounds]] rounds, then
+    * release (label = community id, plus community size). Every step is
+    * integer counting with a total-order tiebreak, so the unrolled oracle
+    * re-derives the identical labeling round for round.
+    *
+    * Scale shape (the Pregel convention of this file): the symmetric edge
+    * table persists once, partitioned on src; each round is ONE shuffle —
+    * the (src, label) count aggregate — plus a per-node argmax window
+    * whose partitions are bounded by a node's distinct neighbor labels
+    * (≤ degree, never corpus-sized), ending in `localCheckpoint` so
+    * lineage stays O(1) across rounds.
+    */
+  def docCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    lpaOn(docs.select(col("doc_id").as("node")), linkGraph(docs))
+      .select(col("node").as("doc_id"), col("lbl").as("community_id"),
+        col("community_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Core LPA rounds on an explicit (nodes, edges) graph — `nodes` one
+    * `node` column, `edges` symmetric `src`/`dst` (the [[pageRankOn]]
+    * contract). Returns (node, lbl, community_size). */
+  def lpaOn(nodes: DataFrame, edges: DataFrame,
+      rounds: Int = LpaRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ed = edges.persist()
+    val ns = nodes.persist()
+    var labels = ns.withColumn("lbl", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = ed
+        .join(labels, col("dst") === col("node"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("src").orderBy(col("c").desc, col("lbl"))
+      val best = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("lbl").as("new_lbl"))
+      labels = ns.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_lbl"), col("node")).as("lbl"))
+        .localCheckpoint()
+    }
+    ed.unpersist(); ns.unpersist()
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lbl"))
+  }
+
+  /** Oracle: the rounds unrolled as CTEs (the [[docPageRankSql]]
+    * convention) — round k's per-node argmax restates the Spark window's
+    * (count DESC, label ASC) rule. */
+  val docCommunitiesSql: String = {
+    val rounds = (1 to LpaRounds).map { k =>
+      s"""l$k AS (
+         |  SELECT n.doc_id AS node, coalesce(b.lbl, n.doc_id) AS lbl
+         |  FROM documents n LEFT JOIN (
+         |    SELECT src, lbl FROM (
+         |      SELECT e.src AS src, l.lbl AS lbl,
+         |        row_number() OVER (PARTITION BY e.src
+         |          ORDER BY count(*) DESC, l.lbl) AS rn
+         |      FROM edges e JOIN l${k - 1} l ON l.node = e.dst
+         |      GROUP BY e.src, l.lbl) WHERE rn = 1
+         |  ) b ON b.src = n.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(t) >= 3
+       |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+       |      ELSE [lower(text)] END) AS sh
+       |  FROM toks JOIN documents USING (doc_id)
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS s FROM sh
+       |), rare AS (
+       |  SELECT doc_id, s FROM ex
+       |  WHERE s IN (SELECT s FROM ex GROUP BY s
+       |              HAVING count(*) BETWEEN $RareMinDf AND $RareMaxDf)
+       |), edges AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id != b.doc_id
+       |), l0 AS (
+       |  SELECT doc_id AS node, doc_id AS lbl FROM documents
+       |),
+       |$rounds
+       |SELECT a.node AS doc_id, a.lbl AS community_id, s.community_size
+       |FROM l$LpaRounds a JOIN (
+       |  SELECT lbl, count(*) AS community_size FROM l$LpaRounds GROUP BY lbl
+       |) s ON s.lbl = a.lbl
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Fan-out of the planted hierarchy: parent(d) = d div HierarchyFanout,
     * ids below the fanout are roots. Derived from doc_id alone so both
     * engines walk the identical forest (the [[Sampling.urlCanonicalDedup]]

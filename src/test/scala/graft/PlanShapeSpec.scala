@@ -428,6 +428,12 @@ class PlanShapeSpec extends SparkSuite {
     "event_transitions" -> (0, 0, 0, 1, 2, 0),
     "merge_upsert" -> (0, 0, 0, 1, 1, 0),
     "doc_components" -> (0, 0, 1, 1, 3, 0),
+    // final plan = last round's localCheckpoint + size agg + re-attach
+    // join + presentation sort; per-round vote/argmax shapes truncate
+    // (doc_pagerank convention). The SMJ is the labels⋈sizes re-attach at
+    // the suite's tiny broadcast budget (sizes is a bounded aggregate —
+    // broadcasts at bench SF; the distribution_match_sample convention)
+    "doc_communities" -> (0, 0, 1, 1, 3, 0),
     "conversion_latency" -> (0, 0, 0, 1, 3, 0),
     // --- session 4 ---
     // BNL = the 1-row calendar-bounds scalar-combine; the window is the

@@ -119,6 +119,62 @@ class PageRankSpec extends SparkSuite {
     assert(out.values.toSet.size >= 3, s"degenerate levels: ${out.values.toSet}")
   }
 
+  /** Independent LPA re-derivation on adjacency maps — synchronous rounds,
+    * (count DESC, label ASC) argmax, isolated nodes keep their own id. */
+  private def refLpa(nodes: Seq[Long], edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lbl = nodes.map { n =>
+        val votes = adj.getOrElse(n, Seq.empty).map(lbl).groupBy(identity)
+          .view.mapValues(_.size).toSeq
+        n -> (if (votes.isEmpty) lbl(n)
+              else votes.minBy { case (l, c) => (-c, l) }._1)
+      }.toMap
+    }
+    lbl
+  }
+
+  test("lpaOn: two cliques with a weak bridge resolve to two communities; matches the map recompute") {
+    import spark.implicits._
+    // cliques {1,2,3,4} and {10,11,12,13}, one bridge 4–10, 20 isolated
+    val cliqueA = Seq(1L, 2L, 3L, 4L)
+    val cliqueB = Seq(10L, 11L, 12L, 13L)
+    val und = (for (c <- Seq(cliqueA, cliqueB); a <- c; b <- c if a < b)
+      yield (a, b)) :+ ((4L, 10L))
+    val edges = und ++ und.map(_.swap)
+    val nodes = (cliqueA ++ cliqueB) :+ 20L
+    val got = PageRank.lpaOn(nodes.toDF("node"), edges.toDF("src", "dst"))
+      .select("node", "lbl", "community_size").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = refLpa(nodes, edges, PageRank.LpaRounds)
+    assert(got.view.mapValues(_._1).toMap == want,
+      s"LPA labels diverged from the independent recompute: $got vs $want")
+    // the two cliques hold distinct labels; the isolated node is a singleton
+    assert(cliqueA.map(want).toSet.size == 1 && cliqueB.map(want).toSet.size == 1,
+      "each clique must agree on one label internally")
+    assert(want(1L) != want(10L), "the weak bridge must not merge the cliques")
+    assert(got(20L) == ((20L, 1L)), "isolated node must be its own singleton")
+  }
+
+  test("docCommunities: deterministic; every community sits inside one connected component") {
+    val c1 = PageRank.docCommunities(spark, dir).collect()
+    val c2 = PageRank.docCommunities(spark, dir).collect()
+    assert(c1.map(_.toString).toSeq == c2.map(_.toString).toSeq, "LPA not deterministic")
+    val comm = c1.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val comp = PageRank.docComponents(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // labels travel only along edges, so one community never spans two
+    // components — and communities REFINE components (same-or-finer)
+    for ((ms) <- comm.groupBy(_._2).values)
+      assert(ms.keys.map(comp).toSet.size == 1,
+        s"community ${ms.head._2} spans multiple components")
+    // sizes are consistent with the labeling
+    val sizes = c1.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    for ((l, ms) <- comm.groupBy(_._2))
+      assert(sizes(l) == ms.size, s"community_size mismatch for label $l")
+  }
+
   test("hierarchyPaths: pointer jumping equals a sequential parent walk") {
     val out = PageRank.hierarchyPaths(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
