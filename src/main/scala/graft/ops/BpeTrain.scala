@@ -72,22 +72,36 @@ object BpeTrain {
     */
   def learnMergesOf(spark: SparkSession, docs: DataFrame,
       nMerges: Int = DefaultMerges,
-      driverVocabGate: Int = 100000): DataFrame = {
+      driverVocabGate: Int = 100000): DataFrame =
+    learnMergesFrom(spark, wordCounts(docs), nMerges, driverVocabGate,
+      CharSymsOf, CharInitCol)
+
+  /** Char-level initial symbolization: one symbol per char + `</w>`. */
+  private val CharSymsOf: String => Vector[String] =
+    w => w.map(_.toString).toVector :+ EndOfWord
+  private val CharInitCol: Column =
+    concat(array_remove(split(col("word"), ""), ""), array(lit(EndOfWord)))
+
+  /** The regime-gated merge loop over any word-count table, generic over
+    * the initial symbolization (char-level above, byte-level hex in
+    * [[learnByteMergesOf]]). */
+  private def learnMergesFrom(spark: SparkSession, wc: DataFrame,
+      nMerges: Int, driverVocabGate: Int,
+      symsOf: String => Vector[String], initCol: Column): DataFrame = {
     import spark.implicits._
-    val wc = wordCounts(docs)
     val merges =
       if (wc.limit(driverVocabGate + 1).count() <= driverVocabGate)
         learnDriverLocal(
-          wc.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
-      else learnDistributed(spark, wc, nMerges)
+          wc.collect().map(r => (r.getString(0), r.getLong(1))), nMerges, symsOf)
+      else learnDistributed(spark, wc, nMerges, initCol)
     merges.toDF("rank", "left_sym", "right_sym", "pair_n").orderBy("rank")
   }
 
   /** The small-vocabulary regime: identical algorithm, plain collections. */
   private def learnDriverLocal(words: Array[(String, Long)],
-      nMerges: Int): Seq[(Int, String, String, Long)] = {
+      nMerges: Int, symsOf: String => Vector[String]): Seq[(Int, String, String, Long)] = {
     var vocab: Map[Vector[String], Long] = words.groupBy {
-      case (w, _) => w.map(_.toString).toVector :+ EndOfWord
+      case (w, _) => symsOf(w)
     }.map { case (k, vs) => k -> vs.map(_._2).sum }
     val out = ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
@@ -121,12 +135,10 @@ object BpeTrain {
 
   /** The large-vocabulary regime: the merge loop as distributed jobs. */
   private[ops] def learnDistributed(spark: SparkSession, wc: DataFrame,
-      nMerges: Int): Seq[(Int, String, String, Long)] = {
+      nMerges: Int,
+      initCol: Column = CharInitCol): Seq[(Int, String, String, Long)] = {
     var vocab = wc
-      .select(
-        concat(array_remove(split(col("word"), ""), ""),
-          array(lit(EndOfWord))).as("l"),
-        col("n"))
+      .select(initCol.as("l"), col("n"))
       .localCheckpoint()
     val merges = ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
@@ -171,14 +183,17 @@ object BpeTrain {
     * is why `word` is carried through the chain: [[bpeSegmentStatsSql]]
     * joins the corpus back onto it.
     */
-  private def chainCtes(n: Int): String = {
-    val v0 =
-      """v0 AS MATERIALIZED (
-        |  SELECT word, list_append(string_split(word, ''), '</w>') AS l, n FROM (
-        |    SELECT tok AS word, count(*) AS n FROM (
-        |      SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
-        |      FROM documents) WHERE tok <> '' GROUP BY tok)
-        |)""".stripMargin
+  private def chainCtes(n: Int): String = chainCtesFrom(n,
+    """v0 AS MATERIALIZED (
+      |  SELECT word, list_append(string_split(word, ''), '</w>') AS l, n FROM (
+      |    SELECT tok AS word, count(*) AS n FROM (
+      |      SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+      |      FROM documents) WHERE tok <> '' GROUP BY tok)
+      |)""".stripMargin)
+
+  /** The merge-stage CTEs are symbolization-agnostic — parameterize the
+    * v0 seed so the byte-level chain reuses them verbatim. */
+  private def chainCtesFrom(n: Int, v0: String): String = {
     val stages = (0 until n).map { k =>
       s"""b$k AS MATERIALIZED (
          |  SELECT pr[1] AS a, pr[2] AS b, sum(n) AS cnt FROM (
@@ -279,4 +294,82 @@ object BpeTrain {
        |FROM toks JOIN seg USING (word)
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Byte-level BPE (GPT-2 class; Radford et al. '19) — the production
+  // pretokenizer variant next to the char-level trainer above:
+  //  - pretokens come from [[TextAnalysis.BpePattern]] (the contraction/
+  //    letter-run/digit-run/punct-run classes, leading-space convention),
+  //    CASE-PRESERVING — byte-level BPE never lowercases;
+  //  - the initial symbols are the pretoken's UTF-8 BYTES (no `</w>`, no
+  //    out-of-vocabulary state: all 256 bytes are base symbols, so any
+  //    string — any language, any emoji, any binary-ish junk — segments
+  //    without a fallback, and concatenating a segmentation's symbols
+  //    reproduces the input losslessly, multi-byte UTF-8 included);
+  //  - merges run the identical (count desc, left, right) loop.
+  // Cross-engine representation: a symbol is the UPPERCASE HEX of its
+  // byte run ("68", "65", merged "6865"…) — Spark `hex(encode(word,
+  // 'UTF-8'))` and DuckDB `hex(word::BLOB)` emit the identical text, hex
+  // is pure ASCII so the tie-break collations trivially agree, and
+  // `unhex` inverts it exactly (the lossless-reassembly spec's claim).
+  // ------------------------------------------------------------------
+
+  /** Pretoken counts under the GPT-2-class pattern — the byte-level
+    * trainer's only corpus-scale job (one explode + count, the
+    * [[wordCounts]] shape; the merge loop then sees only the vocabulary). */
+  def bytePretokenCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(regexp_extract_all(col("text"),
+        lit(TextAnalysis.BpePattern), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  private val ByteInitCol: Column =
+    regexp_extract_all(hex(encode(col("word"), "UTF-8")), lit(".."), lit(0))
+
+  private val ByteSymsOf: String => Vector[String] =
+    w => w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").toVector
+
+  /** Learn byte-level merges from any `(doc_id, text)` frame — the same
+    * regime-gated loop as [[learnMergesOf]] over hex byte symbols. */
+  def learnByteMergesOf(spark: SparkSession, docs: DataFrame,
+      nMerges: Int = DefaultMerges,
+      driverVocabGate: Int = 100000): DataFrame =
+    learnMergesFrom(spark, bytePretokenCounts(docs), nMerges, driverVocabGate,
+      ByteSymsOf, ByteInitCol)
+
+  /** Registered query: the byte-level merge table on the documents table. */
+  def bpeByteMerges(spark: SparkSession, dir: String): DataFrame =
+    learnByteMergesOf(spark, Tables(spark, dir, "documents"))
+
+  /** Segment every distinct pretoken with the learned byte merges in rank
+    * order (the [[segmentationOf]] serving shape: fold once per DISTINCT
+    * pretoken, join back to the corpus). Lossless by construction:
+    * `unhex(concat(syms))` is the pretoken's exact byte sequence — the
+    * spec reassembles multi-byte UTF-8 through it. */
+  def byteSegmentationOf(spark: SparkSession, docs: DataFrame,
+      nMerges: Int = DefaultMerges): DataFrame = {
+    val merges = learnByteMergesOf(spark, docs, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val syms = merges.foldLeft(ByteInitCol) { case (c, (a, b)) => mergePair(c, a, b) }
+    bytePretokenCounts(docs).select(col("word"), syms.as("syms"))
+  }
+
+  /** Literal-free generated oracle for [[bpeByteMerges]]: the SAME merge
+    * stages as the char-level chain ([[chainCtesFrom]]) seeded with the
+    * hex-byte symbolization — `hex(word::BLOB)` emits the identical
+    * uppercase hex text as Spark's `hex(encode(word, 'UTF-8'))`, split
+    * into byte pairs by the same `..` regex. */
+  val bpeByteMergesSql: String = {
+    val v0 =
+      """v0 AS MATERIALIZED (
+        |  SELECT word, regexp_extract_all(hex(word::BLOB), '..') AS l, n FROM (
+        |    SELECT tok AS word, count(*) AS n FROM (
+        |      SELECT unnest(regexp_extract_all(text,
+        |        '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS tok
+        |      FROM documents) GROUP BY tok)
+        |)""".stripMargin
+    val union = (0 until DefaultMerges).map { k =>
+      s"SELECT ${k + 1} AS rank, a AS left_sym, b AS right_sym, cnt::BIGINT AS pair_n FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${chainCtesFrom(DefaultMerges, v0)}\nSELECT * FROM (\n$union\n) ORDER BY rank"
+  }
 }

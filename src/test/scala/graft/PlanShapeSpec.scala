@@ -337,6 +337,9 @@ class PlanShapeSpec extends SparkSuite {
     // driver-local merge loop (the distributed regime is spec-pinned
     // equal; its per-round argmax plan matches this digest)
     "bpe_merges" -> (0, 0, 0, 1, 1, 0),
+    // byte-level twin: same driver-gated regime at suite SF — one corpus
+    // pretoken-count aggregate + the vocabulary-sized finisher
+    "bpe_byte_merges" -> (0, 0, 0, 1, 1, 0),
     // windows: rank/dense_rank/percent_rank/cume_dist fuse into one Window
     // over (type, day); +1 per extra pass Spark keeps separate
     "rank_family" -> (0, 0, 0, 1, 2, 1),

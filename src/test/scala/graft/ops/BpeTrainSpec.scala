@@ -88,6 +88,78 @@ class BpeTrainSpec extends SparkSuite {
     assert(stats.getLong(1) >= stats.getLong(0), "fewer subwords than words")
   }
 
+  /** Byte-level reference: same loop over hex byte symbols, no `</w>`. */
+  private def referenceByteBpe(words: Map[String, Long], nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.groupMapReduce { case (w, _) =>
+        w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").toVector }(_._2)(_ + _)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- vocab; Seq(a, b) <- syms.sliding(2))
+        pairs((a, b)) = pairs.getOrElse((a, b), 0L) + n
+      if (pairs.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = pairs.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((rank, a, b, cnt))
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+            else acc :+ x
+          }
+        }(_._2)(_ + _)
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  test("byte-level merges equal the independent reference; both regimes agree") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val got = BpeTrain.learnByteMergesOf(spark, docs, nMerges = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val words = BpeTrain.bytePretokenCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = referenceByteBpe(words, 10)
+    assert(got == want, s"\ngot  $got\nwant $want")
+    val dist = BpeTrain.learnByteMergesOf(spark, docs, nMerges = 10,
+      driverVocabGate = 0).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(dist == want, s"distributed regime diverged:\ndist $dist\nwant $want")
+  }
+
+  test("byte-level segmentation is LOSSLESS on multi-byte UTF-8, no fallback state") {
+    // pretokens with 2-, 3-, and 4-byte UTF-8 sequences, mixed case and
+    // punctuation — the inputs char-fallback BPE handles specially and
+    // byte-level must handle natively
+    val docs = Seq(
+      (1L, "Héllo wörld Héllo"),
+      (2L, "日本語 テスト 日本語"),
+      (3L, "emoji 👍👍 mix—dash… don't"),
+      (4L, "Héllo 日本語 👍")).toDF("doc_id", "text")
+    val seg = BpeTrain.byteSegmentationOf(spark, docs, nMerges = 15).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1))
+    assert(seg.nonEmpty)
+    for ((word, syms) <- seg) {
+      // every symbol is non-empty even-length hex (a whole byte run)
+      for (s <- syms)
+        assert(s.nonEmpty && s.length % 2 == 0 && s.matches("[0-9A-F]+"),
+          s"non-hex symbol '$s' for pretoken '$word'")
+      // lossless reassembly: unhex(concat(syms)) == the original bytes
+      val bytes = syms.mkString("").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+      assert(new String(bytes, "UTF-8") == word,
+        s"lossy byte segmentation for '$word': $syms")
+    }
+    // no unseen-word state exists: every distinct pretoken got a segmentation
+    val nPre = BpeTrain.bytePretokenCounts(docs).count()
+    assert(seg.length.toLong == nPre, "some pretoken missing a segmentation")
+    // case preserved: 'Héllo' must appear as its own pretoken (no lowercasing)
+    assert(seg.exists(_._1 == "Héllo"), "byte-level BPE must not lowercase")
+  }
+
   test("merge table is deterministic and exhausts gracefully") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // [a b </w>] exhausts after 2 merges; asking for 10 must not loop/fail
