@@ -1010,33 +1010,39 @@ object Corpus {
       .agg(sort_array(collect_list(
         struct((-col("n_tok")).as("neg_len"), col("doc_id"), col("n_tok"))))
         .as("docs"))
-      .select(col("shard"), explode(expr(
-        s"""aggregate(docs,
-           |  named_struct(
-           |    'loads', CAST(array() AS array<bigint>),
-           |    'out', CAST(array() AS array<struct<
-           |      doc_id: bigint, n_tokens: int, bin: int>>)),
-           |  (acc, d) -> element_at(transform(
-           |    array(coalesce(
-           |      try_element_at(filter(transform(acc.loads, (vv, kk) -> kk + 1),
-           |        i -> element_at(acc.loads, i) + d.n_tok <= $cap), 1),
-           |      -1)),
-           |    pk -> named_struct(
-           |      'loads',
-           |        IF(pk = -1,
-           |           concat(acc.loads, array(CAST(d.n_tok AS BIGINT))),
-           |           transform(acc.loads, (v, i) ->
-           |             IF(i + 1 = pk, v + d.n_tok, v))),
-           |      'out', concat(acc.out, array(named_struct(
-           |        'doc_id', d.doc_id, 'n_tokens', d.n_tok,
-           |        'bin', CAST(IF(pk = -1, size(acc.loads) + 1, pk) AS INT)))))),
-           |    1),
-           |  acc -> acc.out)""".stripMargin)).as("o"))
+      .select(col("shard"), explode(expr(ffdFoldExpr(cap))).as("o"))
       .select(col("o.doc_id").as("doc_id"), col("shard"),
         col("o.n_tokens").as("n_tokens"), col("o.bin").as("bin"),
         (col("o.n_tokens") > cap).as("oversize"))
       .orderBy("doc_id")
   }
+
+  /** The FFD greedy as one `aggregate` HOF over a shard's sorted
+    * `docs` array of (neg_len, doc_id, n_tok) structs — state = the
+    * bin-load array; shared by [[ffdPackBins]] and the refresh
+    * composite's packing stage. */
+  private[ops] def ffdFoldExpr(cap: Int): String =
+    s"""aggregate(docs,
+       |  named_struct(
+       |    'loads', CAST(array() AS array<bigint>),
+       |    'out', CAST(array() AS array<struct<
+       |      doc_id: bigint, n_tokens: int, bin: int>>)),
+       |  (acc, d) -> element_at(transform(
+       |    array(coalesce(
+       |      try_element_at(filter(transform(acc.loads, (vv, kk) -> kk + 1),
+       |        i -> element_at(acc.loads, i) + d.n_tok <= $cap), 1),
+       |      -1)),
+       |    pk -> named_struct(
+       |      'loads',
+       |        IF(pk = -1,
+       |           concat(acc.loads, array(CAST(d.n_tok AS BIGINT))),
+       |           transform(acc.loads, (v, i) ->
+       |             IF(i + 1 = pk, v + d.n_tok, v))),
+       |      'out', concat(acc.out, array(named_struct(
+       |        'doc_id', d.doc_id, 'n_tokens', d.n_tok,
+       |        'bin', CAST(IF(pk = -1, size(acc.loads) + 1, pk) AS INT)))))),
+       |    1),
+       |  acc -> acc.out)""".stripMargin
 
   def ffdPackBinsSql(cap: Int = FfdCapacity): String =
     s"""WITH RECURSIVE docs AS (

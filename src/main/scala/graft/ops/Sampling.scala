@@ -363,9 +363,20 @@ object Sampling {
     * on the canonical key — the [[graft.ops.Dedup.exactDedup]] exchange.
     */
   def urlCanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), canonicalUrl(plantedUrl).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_urls"))
+      .orderBy("canon_url")
+  }
+
+  /** The deterministic planted URL-variant mess over (source, doc_id) —
+    * shared by [[urlCanonicalDedup]] and the refresh composite so both
+    * derive the identical raw URLs the canonicalizer resolves. */
+  def plantedUrl: org.apache.spark.sql.Column = {
     val host = concat(col("source"), lit(".example.com"))
     val path = concat(lit("/articles/"), (col("doc_id") % 13).cast("string"))
-    val raw = when(col("doc_id") % 4 === 0,
+    when(col("doc_id") % 4 === 0,
         concat(lit("https://"), host, path))
       .when(col("doc_id") % 4 === 1,
         concat(lit("https://"), host, path,
@@ -373,12 +384,6 @@ object Sampling {
       .when(col("doc_id") % 4 === 2,
         concat(lit("https://"), host, path, lit("/")))
       .otherwise(concat(lit("HTTPS://"), upper(host), lit(":443"), path))
-    val canon = canonicalUrl(raw)
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), canon.as("canon_url"))
-      .groupBy("canon_url")
-      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_urls"))
-      .orderBy("canon_url")
   }
 
   /** The canonicalizer (library surface): scheme/host lowercase, default

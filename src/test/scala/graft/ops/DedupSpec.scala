@@ -50,9 +50,10 @@ class DedupSpec extends SparkSuite {
 
   test("MinHashBands equals the explode→aggregate signature formulation") {
     // pins the hand-rolled hashing in MinHashBands.compute to the builtin
-    // xxhash64 construction it replaces: h1 = xxhash64(g) & 2^32-1,
-    // h2 = xxhash64(g, 1) & 2^32-1, slot i = min(h1 + h2*i), band hash =
-    // xxhash64(slots..., band)
+    // xxhash64 construction it replaces: slot i = min(xxhash64(g, i) &
+    // 2^32-1) — per-slot INDEPENDENT mixes (the r15 fix for the
+    // Carter-Wegman ladder's correlated-slot containment misses; see the
+    // MinHashBands class doc), band hash = xxhash64(slots..., band)
     val dir = "/root/testdata/sf0.001"
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     val viaExpr = docs.select(col("doc_id"),
@@ -61,11 +62,9 @@ class DedupSpec extends SparkSuite {
         .as(Seq("band", "band_hash")))
     val shingleRows = docs
       .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("g"))
-      .select(col("doc_id"),
-        xxhash64(col("g")).bitwiseAND(lit(0xFFFFFFFFL)).as("h1"),
-        xxhash64(col("g"), lit(1)).bitwiseAND(lit(0xFFFFFFFFL)).as("h2"))
     val sigAggs = (0 until Dedup.MinhashK)
-      .map(i => min(col("h1") + col("h2") * i).as(s"s$i"))
+      .map(i => min(xxhash64(col("g"), lit(i))
+        .bitwiseAND(lit(0xFFFFFFFFL))).as(s"s$i"))
     val sig = shingleRows.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val bandHashes = (0 until Dedup.Bands).map { b =>
       val slots = (b * Dedup.RowsPerBand until (b + 1) * Dedup.RowsPerBand)
