@@ -353,23 +353,72 @@ object BpeTrain {
     bytePretokenCounts(docs).select(col("word"), syms.as("syms"))
   }
 
+  /** Per-document subword counts under the trained BYTE-LEVEL tokenizer —
+    * [[bpeSegmentStats]]'s production twin: GPT-2-class pretokens
+    * (case-preserving), byte-hex segmentation, and NO fallback leg at all
+    * (byte-level vocabularies are total, so the join is inner by
+    * construction — every pretoken the corpus produces has a
+    * segmentation). `fertility` = subwords per pretoken.
+    *
+    * Scale shape: segmentation folds once per DISTINCT pretoken
+    * ([[byteSegmentationOf]]); the corpus re-joins on the pretoken string
+    * (vocabulary-sized side, broadcast under the same gate discipline as
+    * [[segmentStatsAgainst]]); one doc_id-keyed aggregate.
+    */
+  def bpeByteSegmentStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val slim = byteSegmentationOf(spark, docs).select(col("word"),
+      size(col("syms")).cast("long").as("n_sub"))
+    val vocabSide =
+      if (slim.limit(1000001).count() <= 1000000) broadcast(slim) else slim
+    docs.select(col("doc_id"), explode(regexp_extract_all(col("text"),
+        lit(TextAnalysis.BpePattern), lit(0))).as("word"))
+      .join(vocabSide, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pretokens"), sum("n_sub").as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast("double") / col("n_pretokens"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the byte chain's final stage IS the segmentation; the corpus
+    * joins back on the pretoken (inner — the vocabulary is total). */
+  val bpeByteSegmentStatsSql: String =
+    s"""WITH ${chainCtesFrom(DefaultMerges, ByteV0Sql)},
+       |seg AS (
+       |  SELECT word, len(l)::BIGINT AS n_sub FROM v$DefaultMerges
+       |), toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text,
+       |    '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS word
+       |  FROM documents
+       |)
+       |SELECT doc_id, count(*) AS n_pretokens, sum(n_sub)::BIGINT AS n_bpe_tokens,
+       |  round(sum(n_sub)::DOUBLE / count(*), 4) AS fertility
+       |FROM toks JOIN seg USING (word)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** Literal-free generated oracle for [[bpeByteMerges]]: the SAME merge
     * stages as the char-level chain ([[chainCtesFrom]]) seeded with the
     * hex-byte symbolization — `hex(word::BLOB)` emits the identical
     * uppercase hex text as Spark's `hex(encode(word, 'UTF-8'))`, split
     * into byte pairs by the same `..` regex. */
+  /** The byte chain's v0 seed CTE, shared by the merge-table and
+    * segment-stats oracles (a def: the stats oracle val initializes
+    * before this point in declaration order). */
+  private def ByteV0Sql: String =
+    """v0 AS MATERIALIZED (
+      |  SELECT word, regexp_extract_all(hex(word::BLOB), '..') AS l, n FROM (
+      |    SELECT tok AS word, count(*) AS n FROM (
+      |      SELECT unnest(regexp_extract_all(text,
+      |        '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS tok
+      |      FROM documents) GROUP BY tok)
+      |)""".stripMargin
+
   val bpeByteMergesSql: String = {
-    val v0 =
-      """v0 AS MATERIALIZED (
-        |  SELECT word, regexp_extract_all(hex(word::BLOB), '..') AS l, n FROM (
-        |    SELECT tok AS word, count(*) AS n FROM (
-        |      SELECT unnest(regexp_extract_all(text,
-        |        '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS tok
-        |      FROM documents) GROUP BY tok)
-        |)""".stripMargin
     val union = (0 until DefaultMerges).map { k =>
       s"SELECT ${k + 1} AS rank, a AS left_sym, b AS right_sym, cnt::BIGINT AS pair_n FROM b$k"
     }.mkString("\nUNION ALL\n")
-    s"WITH ${chainCtesFrom(DefaultMerges, v0)}\nSELECT * FROM (\n$union\n) ORDER BY rank"
+    s"WITH ${chainCtesFrom(DefaultMerges, ByteV0Sql)}\nSELECT * FROM (\n$union\n) ORDER BY rank"
   }
 }

@@ -160,6 +160,25 @@ class BpeTrainSpec extends SparkSuite {
     assert(seg.exists(_._1 == "Héllo"), "byte-level BPE must not lowercase")
   }
 
+  test("byte-level segment stats reconcile with a direct pretoken count; fertility sane") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+    val stats = BpeTrain.bpeByteSegmentStats(spark, dir)
+      .agg(sum("n_pretokens"), sum("n_bpe_tokens")).head()
+    val direct = docs.select(explode(regexp_extract_all(col("text"),
+      lit(TextAnalysis.BpePattern), lit(0))).as("w")).count()
+    assert(stats.getLong(0) == direct,
+      "pretoken totals diverge from the corpus (the vocabulary must be total)")
+    // bytes-per-pretoken bounds: 1 <= n_sub, and merges only shrink, so
+    // subword total <= byte total and >= pretoken total
+    val bytes = docs.select(explode(regexp_extract_all(col("text"),
+        lit(TextAnalysis.BpePattern), lit(0))).as("w"))
+      .agg(sum(length(encode(col("w"), "UTF-8")))).head().getLong(0)
+    assert(stats.getLong(1) >= stats.getLong(0) && stats.getLong(1) <= bytes,
+      s"subword total ${stats.getLong(1)} outside [pretokens $direct, bytes $bytes]")
+  }
+
   test("merge table is deterministic and exhausts gracefully") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // [a b </w>] exhausts after 2 merges; asking for 10 must not loop/fail
