@@ -175,6 +175,56 @@ class PageRankSpec extends SparkSuite {
       assert(sizes(l) == ms.size, s"community_size mismatch for label $l")
   }
 
+  test("communityModularity: rows recompute from labels+edges; Q positive on real structure") {
+    val out = PageRank.communityModularity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val docs = Tables(spark, dir, "documents")
+    val edges = PageRank.linkGraph(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = PageRank.docCommunities(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = math.max(edges.length, 1)
+    // independent per-community recompute
+    val byC = labels.groupBy(_._2)
+    for ((c, nNodes, inE, degS, contrib) <- out) {
+      val members = byC(c).keySet
+      assert(nNodes == members.size)
+      assert(inE == edges.count { case (s, d) => members(s) && members(d) }.toLong)
+      assert(degS == edges.count { case (s, _) => members(s) }.toLong)
+      val want = BigDecimal(inE.toDouble / m - math.pow(degS.toDouble / m, 2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(contrib - want) <= 1e-6, s"community $c: $contrib vs $want")
+    }
+    // the dense rare-shingle graph has NO modular structure — LPA honestly
+    // collapses it, and the metric reads ≈ 0: that VERDICT is the finding
+    // (a fabricated Q here would mean the metric lies)
+    val q = out.map(_._5).sum
+    assert(math.abs(q) < 0.05, s"unexpected modularity on the dense corpus graph: $q")
+    assert(q <= 1.0 + 1e-9)
+  }
+
+  test("modularityOf: hand-derived Q on the planted two-clique partition") {
+    import spark.implicits._
+    val cliqueA = Seq(1L, 2L, 3L, 4L)
+    val cliqueB = Seq(10L, 11L, 12L, 13L)
+    val und = (for (c <- Seq(cliqueA, cliqueB); a <- c; b <- c if a < b)
+      yield (a, b)) :+ ((4L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labels = (cliqueA.map(_ -> 1L) ++ cliqueB.map(_ -> 10L))
+      .toDF("node", "lbl")
+    val out = PageRank.modularityOf(labels, edges).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // M = 26 directed edges; per clique: in = 12, degree_sum = 13
+    // contribution = 12/26 − (13/26)² = 0.461538 − 0.25 = 0.211538
+    val want = BigDecimal(12.0 / 26 - math.pow(13.0 / 26, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set(1L, 10L))
+    for ((c, contrib) <- out)
+      assert(math.abs(contrib - want) <= 1e-9, s"clique $c: $contrib vs $want")
+    val q = out.values.sum
+    assert(q > 0.4, s"two-clique partition must be strongly modular: $q")
+  }
+
   test("hierarchyPaths: pointer jumping equals a sequential parent walk") {
     val out = PageRank.hierarchyPaths(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
