@@ -102,14 +102,22 @@ object CorpusRefresh {
       .otherwise(concat(lit("HTTPS://"), upper(host), lit(":443"), path))
   }
 
-  def refreshOf(history: DataFrame, batch: DataFrame): DataFrame =
-    refreshAgainstIndex(
-      history.select(
-        Sampling.canonicalUrl(plantedRefreshUrl).as("canon")).distinct(),
-      bandsOf(history).select(
-        col("band"), col("band_hash"), col("doc_id").as("hist_id")),
-      history.select(col("doc_id"), Dedup.shingles(col("text")).as("sh")),
-      batch)
+  def refreshOf(history: DataFrame, batch: DataFrame): DataFrame = {
+    val (canon, bands, shingles) = indexArtifactsOf(history)
+    refreshAgainstIndex(canon, bands, shingles, batch)
+  }
+
+  /** The three index artifacts of a CURATED `(doc_id, source, text)`
+    * frame — what a full run LANDS next to its output so the next refresh
+    * never re-scans history ((canon), (band, band_hash, hist_id),
+    * (doc_id, sh)). The streaming ingest twin grows these per micro-batch
+    * with each batch's landed docs. */
+  def indexArtifactsOf(curated: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    (curated.select(
+       Sampling.canonicalUrl(plantedRefreshUrl).as("canon")).distinct(),
+     bandsOf(curated).select(
+       col("band"), col("band_hash"), col("doc_id").as("hist_id")),
+     curated.select(col("doc_id"), Dedup.shingles(col("text")).as("sh")))
 
   /** The core: refresh a `(doc_id, source, text)` batch against the
     * history INDEX artifacts only — `histCanon` (canon), `histBands`

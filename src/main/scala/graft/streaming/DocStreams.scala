@@ -145,4 +145,63 @@ object DocStreams {
       }
       .option("checkpointLocation", ckpt)
       .start()
+
+  /** Write the refresh composite's history index artifacts
+    * ([[graft.ops.CorpusRefresh.indexArtifactsOf]]) as the BASE partition
+    * of a growable artifact store — the "last full run" a streaming
+    * ingest refreshes against. */
+  def writeRefreshArtifacts(history: DataFrame, artifactDir: String): Unit = {
+    val (c, b, s) = graft.ops.CorpusRefresh.indexArtifactsOf(history)
+    c.write.mode("overwrite").parquet(s"$artifactDir/canon/part=base")
+    b.write.mode("overwrite").parquet(s"$artifactDir/bands/part=base")
+    s.write.mode("overwrite").parquet(s"$artifactDir/shingles/part=base")
+  }
+
+  /** Streaming twin of [[graft.ops.CorpusRefresh]] — CONTINUOUS ingest:
+    * each micro-batch of raw docs runs the full refresh funnel against
+    * the CURRENT artifact store (base = the last full run, plus every
+    * prior micro-batch's landed docs), lands its fate rows through the
+    * exactly-once sink, and GROWS the store by its own landed docs'
+    * artifacts (curated = scrubbed text — what a full run would have
+    * stored). Growth writes go to per-batch `part=b<id>` partitions with
+    * overwrite, so a replayed micro-batch rewrites its own partition —
+    * idempotent end to end (the bm25ServeIncremental staging discipline).
+    *
+    * The refresh ≡ rebuild theorem composes across micro-batches: with a
+    * curated base and id-ordered batches, the streamed fates equal BOTH
+    * the sequential batch refreshes AND one full rebuild over
+    * base ∪ all batches — spec-pinned.
+    */
+  def refreshServe(
+      spark: org.apache.spark.sql.SparkSession,
+      docStream: DataFrame,
+      artifactDir: String,
+      outDir: String,
+      ckpt: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.ops.CorpusRefresh
+        val canon = spark.read.parquet(s"$artifactDir/canon").select("canon")
+        val bands = spark.read.parquet(s"$artifactDir/bands")
+          .select("band", "band_hash", "hist_id")
+        val shingles = spark.read.parquet(s"$artifactDir/shingles")
+          .select("doc_id", "sh")
+        val b = batch.select("doc_id", "source", "text")
+        Sinks.idempotentBatchWrite(
+          CorpusRefresh.refreshAgainstIndex(canon, bands, shingles, b),
+          batchId, outDir)
+        // grow the store by THIS batch's landed docs (their curated —
+        // scrubbed — text), from the just-written fate partition
+        val landedIds = spark.read.parquet(s"$outDir/batch_id=$batchId")
+          .filter(col("fate") === "landed").select("doc_id")
+        val landed = b.join(landedIds, Seq("doc_id"))
+          .select(col("doc_id"), col("source"),
+            graft.ops.Corpus.scrubbed(col("text")).as("text"))
+        val (c2, b2, s2) = CorpusRefresh.indexArtifactsOf(landed)
+        c2.write.mode("overwrite").parquet(s"$artifactDir/canon/part=b$batchId")
+        b2.write.mode("overwrite").parquet(s"$artifactDir/bands/part=b$batchId")
+        s2.write.mode("overwrite").parquet(s"$artifactDir/shingles/part=b$batchId")
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
 }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSuite
 
 case class TestDoc(doc_id: Long, ts: Timestamp, text: String)
+case class RefreshDoc(doc_id: Long, source: String, text: String)
 
 class DocStreamsSpec extends SparkSuite {
   import spark.implicits._
@@ -200,5 +201,89 @@ class DocStreamsSpec extends SparkSuite {
     assert(got == expected,
       s"stream-static near-dup diverged from batch: extra=${got -- expected}, missing=${expected -- got}")
     assert(got.nonEmpty, "fixture produced no near-dup pairs — spec is vacuous")
+  }
+
+  test("streaming refresh: micro-batches equal sequential batch refreshes AND one full rebuild") {
+    import graft.ops.CorpusRefresh
+    // curated history (ids precede the batches), then two ingest batches —
+    // the CorpusRefreshSpec planting, split across micro-batches so batch 2
+    // must near-dup against batch 1's LANDED doc through the grown store
+    val histText = Seq(
+      "the museum curator arranged ancient pottery along marble shelves " +
+        "while visitors studied each label with genuine curiosity tonight",
+      "the lighthouse keeper climbed seventy iron steps before dawn and " +
+        "polished every lens until ships could trust the beam tonight",
+      "the orchestra rehearsed a difficult passage until the strings and " +
+        "brass finally agreed about tempo near the ninth measure",
+      "the botanist catalogued rare ferns growing beside volcanic springs " +
+        "and pressed samples carefully between sheets of waxed paper",
+      "the carpenter measured oak planks twice before cutting joints for " +
+        "a staircase that would spiral gently toward the attic",
+      "the astronomer tracked a faint comet across winter skies and " +
+        "logged its position against familiar constellations every evening",
+      "the baker proofed sourdough loaves overnight then scored patterns " +
+        "into the crust so steam could escape during the morning bake",
+      "the cartographer traced river bends onto vellum and shaded the " +
+        "foothills until the whole valley seemed to rise from the page")
+    val history = (40L to 47L).zip(histText).map { case (id, t) => RefreshDoc(id, "srcA", t) }
+    val b1 = Seq(
+      // 48 % 40 = 8 → URL key 47 claimed by history → url_dup
+      RefreshDoc(48, "srcB", "the gardener pruned climbing roses along the brick wall " +
+        "and watered each bed before the sun grew too strong"),
+      RefreshDoc(49, "srcB", histText(1).replace("tonight", "today")), // near_dup vs base
+      RefreshDoc(58, "srcB", "tiny doc indeed"),                       // quality_too_short
+      // 89: own URL key, quality-passing → LANDS, growing the store
+      RefreshDoc(89, "srcB", "the fresh unique meadow text about planting orchards " +
+        "with the family every spring morning while birds sing loudly"))
+    val b2 = Seq(
+      // near-copy of BATCH-1's landed doc 89 (id-ordered: 98 > 89) — only
+      // the grown store can catch it
+      RefreshDoc(98, "srcB", "the fresh unique meadow text about planting orchards " +
+        "with the family every spring morning while birds sing loud"),
+      RefreshDoc(108, "srcB", "the third unique essay concerning rivers that bend " +
+        "through the valley and the bridges people build across them"))
+    val root = java.nio.file.Files.createTempDirectory("graft-refresh-serve").toFile
+    val (art, out, ckpt) = (s"$root/art", s"$root/out", s"$root/ckpt")
+    val histDf = history.toDF()
+    DocStreams.writeRefreshArtifacts(histDf, art)
+    val input = MemoryStream[RefreshDoc](spark)
+    input.addData(b1)
+    val q = DocStreams.refreshServe(spark, input.toDF(), art, out, ckpt)
+    q.processAllAvailable()
+    input.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    def fates(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2))).toMap
+    val streamed = fates(Sinks.readSink(spark, out)
+      .select("doc_id", "fate", "shard").collect())
+    // (a) equals the SEQUENTIAL batch refreshes, batch 2 against the grown
+    // history (base + batch 1's landed docs in curated/scrubbed form)
+    val seq1 = CorpusRefresh.refreshOf(histDf, b1.toDF()).collect()
+    val landed1Ids = seq1.filter(_.getString(1) == "landed").map(_.getLong(0)).toSet
+    val grown = histDf.unionAll(b1.toDF()
+      .filter(col("doc_id").isin(landed1Ids.toSeq: _*))
+      .select(col("doc_id"), col("source"),
+        graft.ops.Corpus.scrubbed(col("text")).as("text")))
+    val seq2 = CorpusRefresh.refreshOf(grown, b2.toDF()).collect()
+    val sequential = fates(seq1.map(r => org.apache.spark.sql.Row(
+        r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getInt(2)))
+      ++ seq2.map(r => org.apache.spark.sql.Row(
+        r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getInt(2))))
+    assert(streamed == sequential,
+      s"stream $streamed != sequential batch refreshes $sequential")
+    // (b) equals one FULL REBUILD over base ∪ both batches (fate + shard;
+    // pack bins are per-refresh artifacts by contract) — the composability
+    // of the refresh ≡ rebuild theorem across micro-batches
+    val rebuild = fates(CorpusRefresh.refreshOf(
+        histDf.limit(0), (history ++ b1 ++ b2).toDF()).collect()
+      .filter(r => (b1 ++ b2).exists(_.doc_id == r.getLong(0)))
+      .map(r => org.apache.spark.sql.Row(
+        r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getInt(2))))
+    assert(streamed == rebuild, s"stream $streamed != full rebuild $rebuild")
+    // the cross-micro-batch near-dup actually fired, and the store grew
+    assert(streamed(89L)._1 == "landed", "batch-1's clean doc must land")
+    assert(streamed(98L)._1 == "near_dup",
+      "batch-2 near-copy of batch-1's landed doc must be caught via the grown store")
   }
 }
