@@ -351,6 +351,7 @@ object Similarity {
       Map(
         "ann_ivf_topk"      -> annIvfTopKSql(cent),
         "ann_filtered_topk" -> annFilteredTopKSql(cent),
+        "ivf_pq_filtered_topk" -> ivfPqFilteredTopKSql(cent, books),
         "semdedup_clusters" -> semDedupSql(cent),
         "pq_adc_topk"       -> pqAdcTopKSql(books),
         "pq_rerank_topk"    -> pqRerankTopKSql(books),
@@ -1018,12 +1019,13 @@ object Similarity {
     * PQ oracles (appended after an `ev` CTE): codebooks, codes, and the
     * per-query LUT of subvector·codeword dots.
     */
-  private def pqSqlCtes(books: Array[Array[Array[Double]]]): String = {
+  private def pqSqlCtes(books: Array[Array[Array[Double]]],
+      qPred: String = "q.vec_id % 50 = 0"): String = {
     val dsub = books(0)(0).length
     s"""${booksSqlCte(books)}${codesubSqlCtes("ev", dsub, books.length)}, lut AS (
        |  SELECT q.vec_id AS q_id, b.j, b.code,
        |    list_dot_product(q.v[b.j*$dsub+1 : b.j*$dsub+$dsub], b.c) AS pd
-       |  FROM ev q CROSS JOIN books b WHERE q.vec_id % 50 = 0
+       |  FROM ev q CROSS JOIN books b WHERE $qPred
        |)""".stripMargin
   }
 
@@ -1067,6 +1069,83 @@ object Similarity {
        |  WHERE c.vec_id <> p.q_id
        |), adc AS (
        |  SELECT cd.q_id, cd.n_id, round(list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) AS adc
+       |  FROM cand cd
+       |  JOIN codesub cs ON cs.vec_id = cd.n_id
+       |  JOIN lut l ON l.q_id = cd.q_id AND l.j = cs.j AND l.code = cs.code
+       |  GROUP BY cd.q_id, cd.n_id
+       |)
+       |SELECT q_id, n_id, rank, adc FROM (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rank, adc
+       |  FROM adc)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** [[annFilteredTopK]]'s ADC tier — metadata-filtered serving over the
+    * CODES table: the same fixed ≤100-query batch and per-query label
+    * predicate, pruned through the (cell, label) candidate equi-join
+    * BEFORE any ADC arithmetic, then scored by LUT reads exactly as
+    * [[ivfPqTopK]]. This is the full production filtered-vector-search
+    * stack: at 100 TB the 8-byte code table partitions by (label, cell),
+    * so a filtered probe is a partition-pruned scan of codes — the raw
+    * vectors never enter the query at all. Oracle is EXACT (shared
+    * fitted centroid + codebook literals, the quantizer-oracle family).
+    */
+  def ivfPqFilteredTopK(
+      spark: SparkSession, dir: String, k: Int = 10,
+      nCentroids: Int = NCentroids, nProbe: Int = NProbe,
+      m: Int = PqM, ks: Int = PqKs): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+    val cent = fitCentroids(spark, dir, nCentroids)
+    val books = fitPq(spark, dir, m, ks)
+    val assigned = assignCells(e, cent).persist()
+    val codes = assignCodes(assigned, books, Seq("vec_id", "cell", "label"))
+    val queries = assigned.filter(col("vec_id") <= TextAnalysis.ServeBatchMaxId)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("label"))
+      .withColumn("probes",
+        slice(reverse(array_sort(array(cellStructs(cent, col("q_v")): _*))), 1, nProbe))
+      .select(col("q_id"), col("label"), adcLut(books).as("lut"),
+        explode(col("probes.cell")).as("cell"))
+    // + 0.0 normalizes IEEE −0.0: a tiny negative ADC sum rounding to
+    // zero keeps its sign bit on some engines (the community_modularity
+    // lesson — observed live at sf0.01 on this query's batch)
+    val scored = codes.join(broadcast(queries), Seq("cell", "label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (round(adcScore(ks, m), 4) + lit(0.0)).as("adc"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adc"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** EXACT generated oracle for [[ivfPqFilteredTopK]]: [[ivfPqTopKSql]]
+    * under the served batch with the label predicate joined into the
+    * candidate step — where the Spark plan carries it as an equi-key. */
+  private[ops] def ivfPqFilteredTopKSql(
+      cent: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      k: Int = 10, nProbe: Int = NProbe): String =
+    s"""${cellsSqlCtes(cent, "  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings")}${
+        pqSqlCtes(books, s"q.vec_id <= ${TextAnalysis.ServeBatchMaxId}")}, probes AS (
+       |  SELECT s.vec_id AS q_id, e.label AS q_label, s.cell
+       |  FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS pr
+       |    FROM scored WHERE vec_id <= ${TextAnalysis.ServeBatchMaxId}) s
+       |  JOIN ev e ON e.vec_id = s.vec_id
+       |  WHERE s.pr <= $nProbe
+       |), cand AS (
+       |  SELECT p.q_id, c.vec_id AS n_id
+       |  FROM probes p
+       |  JOIN cells c ON c.cell = p.cell
+       |  JOIN ev ne ON ne.vec_id = c.vec_id AND ne.label = p.q_label
+       |  WHERE c.vec_id <> p.q_id
+       |), adc AS (
+       |  SELECT cd.q_id, cd.n_id,
+       |    round(list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) + 0.0 AS adc
        |  FROM cand cd
        |  JOIN codesub cs ON cs.vec_id = cd.n_id
        |  JOIN lut l ON l.q_id = cd.q_id AND l.j = cs.j AND l.code = cs.code

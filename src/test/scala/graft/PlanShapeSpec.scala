@@ -139,6 +139,9 @@ class PlanShapeSpec extends SparkSuite {
     // per-query-partitioned, never global
     "pq_rerank_topk" -> (0, 1, 0, 1, 2, 5),
     "ivf_pq_topk" -> (0, 0, 0, 1, 2, 3),
+    // the filtered ADC serve shares ivf_pq_topk's plan — the label rides
+    // the candidate equi-join key, adding no exchange or filter stage
+    "ivf_pq_filtered_topk" -> (0, 0, 0, 1, 2, 3),
     // residual encoding adds no exchange: the centroid subtract and the
     // per-cell ⟨q,c⟩ constant are both projection-local
     "ivf_pq_residual_topk" -> (0, 0, 0, 1, 2, 3),

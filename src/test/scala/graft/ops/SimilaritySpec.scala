@@ -143,6 +143,34 @@ class SimilaritySpec extends SparkSuite {
         "contrast collapsed, the pre-filter scan is not earning its place")
   }
 
+  test("ivfPqFilteredTopK: label predicate enforced on the coded scan, deterministic, candidates agree with the exact-rank filtered serve") {
+    val dir = "/root/testdata/sf0.01"
+    val labels = Tables(spark, dir, "embeddings").select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val f1 = Similarity.ivfPqFilteredTopK(spark, dir).collect()
+    val f2 = Similarity.ivfPqFilteredTopK(spark, dir).collect()
+    assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq,
+      "fitted quantizers must make the filtered ADC serve deterministic")
+    for (r <- f1) {
+      assert(r.getLong(0) <= 100L, s"query outside the pinned batch: $r")
+      assert(labels(r.getLong(1)) == labels(r.getLong(0)),
+        s"neighbor violates the label predicate: $r")
+    }
+    // both filtered serves prune the IDENTICAL (cell, label) candidate set
+    // and differ only in scoring (exact cosine vs ADC) — so per query they
+    // return the same NUMBER of results, and their id sets overlap well
+    // above the unfiltered-vs-filtered baseline
+    val exact = Similarity.annFilteredTopK(spark, dir).collect()
+    val exactByQ = exact.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val adcByQ = f1.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(adcByQ == exactByQ,
+      "candidate exhaustion must match the exact-rank filtered serve per query")
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcSet = f1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exactSet & adcSet).size.toDouble / exactSet.size
+    assert(overlap >= 0.2, s"ADC diverged from exact ranking beyond quantization error: $overlap")
+  }
+
   test("semDedup: planted near-identical vectors dropped in favor of the min id; originals kept") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
