@@ -287,7 +287,7 @@ object GraphAnn {
       .select(col("q_id"), col("m_id").as("n_id"), col("c"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), round(col("c"), 4).as("cos"))
+      .select(col("q_id"), col("n_id"), col("rank"), (round(col("c"), 4) + lit(0.0)).as("cos"))
       .orderBy("q_id", "rank")
   }
 
@@ -398,7 +398,7 @@ object GraphAnn {
          |SELECT q_id, n_id, rank, cos FROM (
          |  SELECT q_id, n_id,
          |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rank,
-         |    round(c, 4) AS cos
+         |    round(c, 4) + 0.0 AS cos
          |  FROM (
          |    SELECT v.q_id, m.vec_id AS n_id, v.c
          |    FROM v$hops v JOIN members m ON m.rep_id = v.n_id

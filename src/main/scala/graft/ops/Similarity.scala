@@ -63,7 +63,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), round(col("c"), 4).as("cos"))
+      .select(col("q_id"), col("n_id"), col("rank"), (round(col("c"), 4) + lit(0.0)).as("cos"))
       .orderBy("q_id", "rank")
   }
 
@@ -73,7 +73,7 @@ object Similarity {
       |    row_number() OVER (PARTITION BY q.vec_id
       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
       |               e.vec_id) AS rank,
-      |    round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cos
+      |    round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) + 0.0 AS cos
       |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
       |  WHERE q.vec_id % 50 = 0)
       |WHERE rank <= 10
@@ -267,7 +267,7 @@ object Similarity {
        |  SELECT cd.q_id, cd.n_id,
        |    row_number() OVER (PARTITION BY cd.q_id
        |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, cd.n_id) AS rank,
-       |    round(list_cosine_similarity(qe.v, ne.v), 4) AS cos
+       |    round(list_cosine_similarity(qe.v, ne.v), 4) + 0.0 AS cos
        |  FROM cand cd
        |  JOIN ev qe ON qe.vec_id = cd.q_id
        |  JOIN ev ne ON ne.vec_id = cd.n_id)
@@ -300,7 +300,7 @@ object Similarity {
        |  SELECT cd.q_id, cd.n_id,
        |    row_number() OVER (PARTITION BY cd.q_id
        |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, cd.n_id) AS rank,
-       |    round(list_cosine_similarity(qe.v, ne.v), 4) AS cos
+       |    round(list_cosine_similarity(qe.v, ne.v), 4) + 0.0 AS cos
        |  FROM cand cd
        |  JOIN ev qe ON qe.vec_id = cd.q_id
        |  JOIN ev ne ON ne.vec_id = cd.n_id)
@@ -440,7 +440,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), round(col("c"), 4).as("cos"))
+      .select(col("q_id"), col("n_id"), col("rank"), (round(col("c"), 4) + lit(0.0)).as("cos"))
       .orderBy("q_id", "rank")
   }
 
@@ -496,7 +496,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), round(col("c"), 4).as("cos"))
+      .select(col("q_id"), col("n_id"), col("rank"), (round(col("c"), 4) + lit(0.0)).as("cos"))
       .orderBy("q_id", "rank")
   }
 
@@ -544,7 +544,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), round(col("c"), 4).as("cos"))
+      .select(col("q_id"), col("n_id"), col("rank"), (round(col("c"), 4) + lit(0.0)).as("cos"))
       .orderBy("q_id", "rank")
   }
 
@@ -665,7 +665,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), round(col("s"), 4).as("score"))
+      .select(col("q_id"), col("n_id"), col("rank"), (round(col("s"), 4) + lit(0.0)).as("score"))
       .orderBy("q_id", "rank")
   }
 
@@ -684,7 +684,7 @@ object Similarity {
       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
       |    row_number() OVER (PARTITION BY a.vec_id
       |      ORDER BY list_dot_product(a.q, b.q) / (a.sc * b.sc) DESC, b.vec_id) AS rank,
-      |    round(list_dot_product(a.q, b.q) / (a.sc * b.sc), 4) AS score
+      |    round(list_dot_product(a.q, b.q) / (a.sc * b.sc), 4) + 0.0 AS score
       |  FROM qq a JOIN qq b ON b.vec_id <> a.vec_id
       |  WHERE a.vec_id % 50 = 0)
       |WHERE rank <= 10
@@ -865,7 +865,7 @@ object Similarity {
     val qlut = queries.select(col("q_id"), adcLut(books).as("lut"))
     val scored = codes.join(broadcast(qlut), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        round(adcScore(ks, m), 4).as("adc"))
+        (round(adcScore(ks, m), 4) + lit(0.0)).as("adc"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -899,7 +899,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
     val short = codes.join(broadcast(qlut), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), round(adcScore(ks, m), 4).as("adc"))
+      .select(col("q_id"), col("vec_id").as("n_id"), (round(adcScore(ks, m), 4) + lit(0.0)).as("adc"))
       .withColumn("sr", row_number().over(wAdc))
       .filter(col("sr") <= shortlist)
       .select(col("q_id"), col("n_id"))
@@ -910,7 +910,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
     rer.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), round(col("c"), 4).as("cos"))
+      .select(col("q_id"), col("n_id"), col("rank"), (round(col("c"), 4) + lit(0.0)).as("cos"))
       .orderBy("q_id", "rank")
   }
 
@@ -923,7 +923,7 @@ object Similarity {
     s"""WITH ev AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |)${pqSqlCtes(books)}, adc AS (
-       |  SELECT l.q_id, cs.vec_id AS n_id, round(list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) AS adc
+       |  SELECT l.q_id, cs.vec_id AS n_id, round(list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) + 0.0 AS adc
        |  FROM codesub cs JOIN lut l ON l.j = cs.j AND l.code = cs.code
        |  WHERE cs.vec_id <> l.q_id
        |  GROUP BY l.q_id, cs.vec_id
@@ -938,7 +938,7 @@ object Similarity {
        |  SELECT s.q_id, s.n_id,
        |    row_number() OVER (PARTITION BY s.q_id
        |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, s.n_id) AS rank,
-       |    round(list_cosine_similarity(qe.v, ne.v), 4) AS cos
+       |    round(list_cosine_similarity(qe.v, ne.v), 4) + 0.0 AS cos
        |  FROM short s
        |  JOIN ev qe ON qe.vec_id = s.q_id
        |  JOIN ev ne ON ne.vec_id = s.n_id)
@@ -973,7 +973,7 @@ object Similarity {
     val scored = codes.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        round(adcScore(ks, m), 4).as("adc"))
+        (round(adcScore(ks, m), 4) + lit(0.0)).as("adc"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -1037,7 +1037,7 @@ object Similarity {
     s"""WITH ev AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |)${pqSqlCtes(books)}, adc AS (
-       |  SELECT l.q_id, cs.vec_id AS n_id, round(list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) AS adc
+       |  SELECT l.q_id, cs.vec_id AS n_id, round(list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) + 0.0 AS adc
        |  FROM codesub cs JOIN lut l ON l.j = cs.j AND l.code = cs.code
        |  WHERE cs.vec_id <> l.q_id
        |  GROUP BY l.q_id, cs.vec_id
@@ -1068,7 +1068,7 @@ object Similarity {
        |  FROM probes p JOIN cells c ON c.cell = p.cell
        |  WHERE c.vec_id <> p.q_id
        |), adc AS (
-       |  SELECT cd.q_id, cd.n_id, round(list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) AS adc
+       |  SELECT cd.q_id, cd.n_id, round(list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) + 0.0 AS adc
        |  FROM cand cd
        |  JOIN codesub cs ON cs.vec_id = cd.n_id
        |  JOIN lut l ON l.q_id = cd.q_id AND l.j = cs.j AND l.code = cs.code
@@ -1232,7 +1232,7 @@ object Similarity {
     codes.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        round(col("qc") + adcScore(ks, m), 4).as("adc"))
+        (round(col("qc") + adcScore(ks, m), 4) + lit(0.0)).as("adc"))
   }
 
   /** The full production retrieval stack in one declarative plan — FAISS's
@@ -1270,7 +1270,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
     rer.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), round(col("c"), 4).as("cos"))
+      .select(col("q_id"), col("n_id"), col("rank"), (round(col("c"), 4) + lit(0.0)).as("cos"))
       .orderBy("q_id", "rank")
   }
 
@@ -1295,7 +1295,7 @@ object Similarity {
        |  SELECT s.q_id, s.n_id,
        |    row_number() OVER (PARTITION BY s.q_id
        |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, s.n_id) AS rank,
-       |    round(list_cosine_similarity(qe.v, ne.v), 4) AS cos
+       |    round(list_cosine_similarity(qe.v, ne.v), 4) + 0.0 AS cos
        |  FROM short s
        |  JOIN ev qe ON qe.vec_id = s.q_id
        |  JOIN ev ne ON ne.vec_id = s.n_id)
@@ -1339,7 +1339,7 @@ object Similarity {
        |  WHERE c.vec_id <> p.q_id
        |), adc AS (
        |  SELECT cd.q_id, cd.n_id,
-       |    round(qn.qc + list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) AS adc
+       |    round(qn.qc + list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) + 0.0 AS adc
        |  FROM cand cd
        |  JOIN qconst qn ON qn.q_id = cd.q_id AND qn.cell = cd.cell
        |  JOIN codesub cs ON cs.vec_id = cd.n_id
@@ -1556,7 +1556,7 @@ object Similarity {
     s"""WITH ev AS (
        |${rotatedEvSql(rot)}
        |)${pqSqlCtes(books)}, adc AS (
-       |  SELECT l.q_id, cs.vec_id AS n_id, round(list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) AS adc
+       |  SELECT l.q_id, cs.vec_id AS n_id, round(list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) + 0.0 AS adc
        |  FROM codesub cs JOIN lut l ON l.j = cs.j AND l.code = cs.code
        |  WHERE cs.vec_id <> l.q_id
        |  GROUP BY l.q_id, cs.vec_id
@@ -1690,7 +1690,7 @@ object Similarity {
        |    row_number() OVER (PARTITION BY c.q_id
        |      ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) DESC,
        |               c.n_id) AS rank,
-       |    round(list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 4) AS cos
+       |    round(list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 4) + 0.0 AS cos
        |  FROM cand c
        |  JOIN embeddings qe ON qe.vec_id = c.q_id
        |  JOIN embeddings ne ON ne.vec_id = c.n_id)
@@ -2015,7 +2015,7 @@ object Similarity {
     grouped
       .select(col("q_id"), posexplode(selected).as(Seq("pos", "s")))
       .select(col("q_id"), (col("pos") + 1).as("rank"),
-        col("s.n_id").as("n_id"), round(col("s.score"), 4).as("mmr"))
+        col("s.n_id").as("n_id"), (round(col("s.score"), 4) + lit(0.0)).as("mmr"))
       .orderBy("q_id", "rank")
   }
 
@@ -2080,7 +2080,7 @@ object Similarity {
          |)""".stripMargin
     }.mkString
     val finals = (1 to k).map(t =>
-      s"SELECT q_id, $t AS rank, id$t AS n_id, round(sc$t, 4) AS mmr FROM s$k")
+      s"SELECT q_id, $t AS rank, id$t AS n_id, round(sc$t, 4) + 0.0 AS mmr FROM s$k")
       .mkString("\nUNION ALL\n")
     s"$head$steps\n$finals\nORDER BY q_id, rank"
   }
