@@ -352,6 +352,7 @@ object Similarity {
         "ann_ivf_topk"      -> annIvfTopKSql(cent),
         "ann_filtered_topk" -> annFilteredTopKSql(cent),
         "ivf_pq_filtered_topk" -> ivfPqFilteredTopKSql(cent, books),
+        "filtered_retrieval_eval" -> filteredRetrievalEvalSql(cent),
         "semdedup_clusters" -> semDedupSql(cent),
         "pq_adc_topk"       -> pqAdcTopKSql(books),
         "pq_rerank_topk"    -> pqRerankTopKSql(books),
@@ -1733,10 +1734,16 @@ object Similarity {
     * O(|q|·n) anchor. At 100 TB the truth comes from a sampled query
     * panel (|q| bounded), which this formulation already is.
     */
-  def retrievalEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def retrievalEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    evalTailOf(
+      annLshTopK(spark, dir, k).select("q_id", "n_id", "rank"),
+      annTopKBrute(spark, dir, k).select("q_id", "n_id"), k)
+
+  /** The bitmask/DECIMAL metric tail shared by [[retrievalEval]] and
+    * [[filteredRetrievalEval]] — got = (q_id, n_id, rank) from the index
+    * under audit, truth = (q_id, n_id) from the exact anchor. */
+  private def evalTailOf(got: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     val idcg = ndcgWeights(k).map(_.toDouble).sum.toString
-    val got = annLshTopK(spark, dir, k).select("q_id", "n_id", "rank")
-    val truth = annTopKBrute(spark, dir, k).select("q_id", "n_id")
     val hits = got.join(truth, Seq("q_id", "n_id"))
     val hAgg = hits.groupBy("q_id").agg(
       count(lit(1)).as("n_hits"),
@@ -1760,17 +1767,75 @@ object Similarity {
       expr("round(CAST(sum(ndcg) AS DOUBLE) / count(*), 6)").as("ndcg_at_k"))
   }
 
+  /** The filtered stack's exactness anchor: brute same-label top-k over
+    * the served batch — every (cell, label)-pruned serve is audited
+    * against THIS. O(|batch|·n) by design; bench-excluded (the
+    * `ann_topk_brute` anchor convention). Static oracle — no fitted
+    * literals anywhere. */
+  def annFilteredBrute(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+    val q = e.filter(col("vec_id") <= TextAnalysis.ServeBatchMaxId)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("label").as("q_label"))
+    val scored = e.join(broadcast(q),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_v"), col("v")).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        (round(col("c"), 4) + lit(0.0)).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  val annFilteredBruteSql: String =
+    s"""SELECT q_id, n_id, rank, cos FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+       |               e.vec_id) AS rank,
+       |    round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) + 0.0 AS cos
+       |  FROM embeddings q JOIN embeddings e
+       |    ON e.label = q.label AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id <= ${TextAnalysis.ServeBatchMaxId})
+       |WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Retrieval-quality metrics of the FILTERED serve ([[annFilteredTopK]])
+    * against the brute filtered truth ([[annFilteredBrute]]) — the audit
+    * that closes the filtered-vector-search stack (index → serve → eval):
+    * how much recall the (cell, label) pruning actually costs, measured
+    * with [[retrievalEval]]'s exact bitmask/DECIMAL discipline. Bench-
+    * excluded: the truth leg IS the filtered brute anchor. */
+  def filteredRetrievalEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    evalTailOf(
+      annFilteredTopK(spark, dir, k).select("q_id", "n_id", "rank"),
+      annFilteredBrute(spark, dir, k).select("q_id", "n_id"), k)
+
+  /** Generated oracle for [[filteredRetrievalEval]] — the shared eval
+    * template over the fitted filtered-serve oracle and the static
+    * filtered brute truth. */
+  private[ops] def filteredRetrievalEvalSql(cent: Array[Array[Double]], k: Int = 10): String =
+    retrievalEvalSqlWith(annFilteredTopKSql(cent), annFilteredBruteSql, k)
+
   /** Generated oracle for [[retrievalEval]]: the two committed leg
     * templates nested as CTEs, then the identical bitmask/decimal
     * arithmetic (the expression strings are shared with the Spark side,
     * not re-written).
     */
-  def retrievalEvalSql(k: Int = 10): String = {
+  def retrievalEvalSql(k: Int = 10): String =
+    retrievalEvalSqlWith(annLshTopKSql, annTopKSql, k)
+
+  /** The eval-oracle template, parameterized by the got/truth legs. */
+  private def retrievalEvalSqlWith(gotSql: String, truthSql: String, k: Int): String = {
     val idcg = ndcgWeights(k).map(_.toDouble).sum.toString
     s"""WITH got AS (
-       |$annLshTopKSql
+       |$gotSql
        |), truth AS (
-       |$annTopKSql
+       |$truthSql
        |), hits AS (
        |  SELECT g.q_id, g.rank FROM got g
        |  JOIN truth t ON t.q_id = g.q_id AND t.n_id = g.n_id
