@@ -398,11 +398,6 @@ object BpeTrain {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
-  /** Literal-free generated oracle for [[bpeByteMerges]]: the SAME merge
-    * stages as the char-level chain ([[chainCtesFrom]]) seeded with the
-    * hex-byte symbolization — `hex(word::BLOB)` emits the identical
-    * uppercase hex text as Spark's `hex(encode(word, 'UTF-8'))`, split
-    * into byte pairs by the same `..` regex. */
   /** The byte chain's v0 seed CTE, shared by the merge-table and
     * segment-stats oracles (a def: the stats oracle val initializes
     * before this point in declaration order). */
@@ -415,6 +410,11 @@ object BpeTrain {
       |      FROM documents) GROUP BY tok)
       |)""".stripMargin
 
+  /** Literal-free generated oracle for [[bpeByteMerges]]: the SAME merge
+    * stages as the char-level chain ([[chainCtesFrom]]) seeded with the
+    * hex-byte symbolization — `hex(word::BLOB)` emits the identical
+    * uppercase hex text as Spark's `hex(encode(word, 'UTF-8'))`, split
+    * into byte pairs by the same `..` regex. */
   val bpeByteMergesSql: String = {
     val union = (0 until DefaultMerges).map { k =>
       s"SELECT ${k + 1} AS rank, a AS left_sym, b AS right_sym, cnt::BIGINT AS pair_n FROM b$k"

@@ -72,9 +72,6 @@ object CorpusRefresh {
       Dedup.shingles(col("text")), Dedup.MinhashK, Dedup.Bands))
       .as(Seq("band", "band_hash")))
 
-  /** Derive the three history index artifacts from a raw history frame
-    * and run the core — the registered-query path. A deployment calls
-    * [[refreshAgainstIndex]] on the STORED artifacts instead. */
   /** The composite's planted URL-variant mess — PROPORTIONAL collisions,
     * unlike [[Sampling.plantedUrl]]'s fixed |sources|×13 URL space (which
     * saturates as the corpus grows: at sf1 nearly every batch URL is
@@ -102,6 +99,9 @@ object CorpusRefresh {
       .otherwise(concat(lit("HTTPS://"), upper(host), lit(":443"), path))
   }
 
+  /** Derive the three history index artifacts from a raw history frame
+    * and run the core — the registered-query path. A deployment calls
+    * [[refreshAgainstIndex]] on the STORED artifacts instead. */
   def refreshOf(history: DataFrame, batch: DataFrame): DataFrame = {
     val (canon, bands, shingles) = indexArtifactsOf(history)
     refreshAgainstIndex(canon, bands, shingles, batch)
@@ -116,7 +116,11 @@ object CorpusRefresh {
     (curated.select(
        Sampling.canonicalUrl(plantedRefreshUrl).as("canon")).distinct(),
      bandsOf(curated).select(
-       col("band"), col("band_hash"), col("doc_id").as("hist_id")),
+       col("band"), col("band_hash"), col("doc_id").as("hist_id"),
+       // hash-scheme stamp — see Dedup.requireBandScheme (a stale-version
+       // index never collides with fresh band hashes, so readers fail fast
+       // instead of silently missing every near-dup)
+       lit(graft.functions.MinHashBands.SchemeVersion).as("mh_scheme")),
      curated.select(col("doc_id"), Dedup.shingles(col("text")).as("sh")))
 
   /** The core: refresh a `(doc_id, source, text)` batch against the

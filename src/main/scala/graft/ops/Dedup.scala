@@ -237,24 +237,6 @@ object Dedup {
        |WHERE jac >= $JaccardThreshold
        |ORDER BY a_id, b_id""".stripMargin
 
-  /** k minhash values of a shingle array via the Carter–Wegman construction:
-    * the i-th family member of shingle hash pair (h₁, h₂) is h₁ + i·h₂.
-    * 32-bit base hashes keep h₁ + i·h₂ ≤ ~2³⁸ — no long overflow under ANSI
-    * mode, and 32 bits is ample for minhash collision resistance.
-    *
-    * Array-column variant, used where the signature is wanted as a single
-    * column. CAUTION: higher-order-function lambdas re-evaluate their
-    * invariant subtrees per element and CollapseProject happily inlines the
-    * whole expression into every consumer, so in multi-consumer plans use
-    * the explode→aggregate shape of [[minhashLshPairs]] instead.
-    */
-  def minhashSignature(sh: Column, k: Int = MinhashK): Column = {
-    val h1 = transform(sh, x => xxhash64(x).bitwiseAND(lit(0xFFFFFFFFL)))
-    val h2 = transform(sh, x => xxhash64(x, lit(1)).bitwiseAND(lit(0xFFFFFFFFL)))
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(zip_with(h1, h2, (a, b) => a + i * b)))
-  }
-
   /** MinHash + LSH near-dup pairs, verified against exact Jaccard.
     *
     * Collision probability for similarity s: 1 − (1 − s⁴)¹⁶ — ≈ 1 for the
@@ -268,9 +250,10 @@ object Dedup {
     * one-liner):
     *
     *  1. band hashes = ONE map-side pass per document
-    *     ([[graft.functions.MinHashBands]]): shingle → (h₁, h₂) → k=64
-    *     incremental mins → 16 band hashes, all inside a single generated
-    *     call — each shingle string is hashed exactly twice, and NOTHING
+    *     ([[graft.functions.MinHashBands]]): shingle → one base xxhash64 →
+    *     k=64 per-slot integer avalanche mixes, incremental mins → 16 band
+    *     hashes, all inside a single generated call — each shingle STRING
+    *     is hashed exactly once (slots derive by integer mixes), and NOTHING
     *     shuffles to build the index (the previous explode→64-buffer
     *     HashAggregate shuffled ~3.7 M shingle rows at sf0.1 and its
     *     64-expression generated update method fell off the JIT fast path:
@@ -865,7 +848,33 @@ object Dedup {
     docs.select(
       posexplode(graft.functions.MinHashBands(shingles(col("text")), MinhashK, Bands))
         .as(Seq("band", "band_hash")),
-      col("doc_id").as("hist_id"))
+      col("doc_id").as("hist_id"),
+      lit(graft.functions.MinHashBands.SchemeVersion).as("mh_scheme"))
+
+  /** Fail-fast guard for a STORED band index: requires every row's
+    * `mh_scheme` stamp to equal the running
+    * [[graft.functions.MinHashBands.SchemeVersion]], then drops the stamp.
+    * Band hashes from different scheme versions never collide, so without
+    * this check a refresh against a stale index reports zero near-dups
+    * with no error — the failure mode the stamp exists to catch. A missing
+    * `mh_scheme` column means a pre-versioning artifact: also fatal, also
+    * "rebuild the index". The check is one column-pruned scan of a
+    * constant RLE int column — negligible next to the band join that
+    * follows, and it runs only where a PERSISTED artifact enters a query.
+    */
+  def requireBandScheme(bands: DataFrame): DataFrame = {
+    require(bands.columns.contains("mh_scheme"),
+      "band index artifact has no mh_scheme stamp (pre-versioning build) — " +
+        "rebuild the index with the current MinHashBands scheme " +
+        s"(v${graft.functions.MinHashBands.SchemeVersion})")
+    val versions = bands.select("mh_scheme").distinct().collect().map(_.getInt(0))
+    require(versions.forall(_ == graft.functions.MinHashBands.SchemeVersion),
+      s"band index artifact written under minhash scheme " +
+        s"v${versions.mkString(",")} but this build hashes with " +
+        s"v${graft.functions.MinHashBands.SchemeVersion} — hashes never " +
+        "collide across schemes, so the index MUST be rebuilt")
+    bands.drop("mh_scheme")
+  }
 
   /** The verify-side shingle store for the band index: `(hist_id, hist_sh)`. */
   def shingleIndex(docs: DataFrame): DataFrame =

@@ -323,8 +323,8 @@ object TimeSeries {
     *
     * α = β = 0.25 (the [[holtDaily]] constants), γ = 0.3; init l = n₁,
     * b = 0, s = 0⃗ (slots warm up over the first week — pinned, not a
-    * fitted init). `forecast_next = l' + b' + s'[step mod 7]` reads the
-    * NEXT day's seasonal slot.
+    * fitted init). `forecast_next = l' + b' + s'[(weekday + 1) mod 7]` —
+    * tomorrow's CALENDAR-weekday slot, per the rule above.
     *
     * Same execution shape as [[holtDaily]]: one corpus scan into the
     * (type, day) aggregate, then the fold runs inside ONE projection per

@@ -182,7 +182,10 @@ object DocStreams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.ops.CorpusRefresh
         val canon = spark.read.parquet(s"$artifactDir/canon").select("canon")
-        val bands = spark.read.parquet(s"$artifactDir/bands")
+        // fail fast on a hash-scheme mismatch: a stale-version band store
+        // never collides with fresh hashes → zero near-dups, silently
+        val bands = graft.ops.Dedup
+          .requireBandScheme(spark.read.parquet(s"$artifactDir/bands"))
           .select("band", "band_hash", "hist_id")
         val shingles = spark.read.parquet(s"$artifactDir/shingles")
           .select("doc_id", "sh")

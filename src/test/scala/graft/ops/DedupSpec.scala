@@ -77,6 +77,31 @@ class DedupSpec extends SparkSuite {
     assert(viaAgg.exceptAll(viaExpr).count() == 0)
   }
 
+  test("band-index artifacts are scheme-stamped and stale versions fail fast") {
+    // the r15 ladder→per-slot-mix switch changed every band hash: a refresh
+    // against a pre-switch store finds ZERO collisions and reports no
+    // near-dups with no error. The stamp turns that silence into a crash.
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text").limit(20)
+    val idx = Dedup.bandIndex(docs)
+    assert(idx.columns.contains("mh_scheme"))
+    // current stamp passes and the guard strips the column for the join
+    val ok = Dedup.requireBandScheme(idx)
+    assert(!ok.columns.contains("mh_scheme"))
+    // CorpusRefresh's stored bands leg carries the same stamp
+    val (_, refreshBands, _) = CorpusRefresh.indexArtifactsOf(
+      docs.withColumn("source", lit("s")))
+    assert(!Dedup.requireBandScheme(refreshBands).columns.contains("mh_scheme"))
+    // a store written under another scheme version is rejected…
+    val stale = idx.withColumn("mh_scheme", lit(1))
+    val eStale = intercept[IllegalArgumentException](Dedup.requireBandScheme(stale))
+    assert(eStale.getMessage.contains("rebuilt"))
+    // …and so is a pre-versioning store with no stamp at all
+    val unstamped = idx.drop("mh_scheme")
+    val eNone = intercept[IllegalArgumentException](Dedup.requireBandScheme(unstamped))
+    assert(eNone.getMessage.contains("rebuild"))
+  }
+
   test("SimHash64 equals the explode→aggregate formulation") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
