@@ -120,10 +120,13 @@ class PlanShapeSpec extends SparkSuite {
     // batch-keyed self-join + per-anchor window over ≤|batch| rows
     "contrastive_batch_negatives" -> (0, 0, 0, 1, 2, 3),
     "ann_ivf_topk" -> (0, 0, 0, 1, 2, 3),
-    // the filtered serve shares ann_ivf_topk's plan verbatim — the label
-    // predicate rides the candidate equi-join KEY (cell, label), adding no
-    // exchange, no post-join filter stage
-    "ann_filtered_topk" -> (0, 0, 0, 1, 2, 3),
+    // ann_ivf_topk's plan + the adaptive probe budget: the two extra
+    // exchanges are the (cell,label) count-directory aggregate (output
+    // bounded at nCentroids×|labels| rows) and the budget window's q_id
+    // repartition; the extra window is the per-query cumulative count
+    // over ≤ nCentroids rows. The label predicate still rides the
+    // candidate equi-join KEY — no post-join filter stage
+    "ann_filtered_topk" -> (0, 0, 0, 1, 4, 4),
     // the sort-merge is the intra-cell pair join (both legs are the
     // persisted cell assignment — cell-bounded, never corpus all-pairs)
     "semdedup_clusters" -> (0, 0, 1, 1, 3, 0),
@@ -139,9 +142,11 @@ class PlanShapeSpec extends SparkSuite {
     // per-query-partitioned, never global
     "pq_rerank_topk" -> (0, 1, 0, 1, 2, 5),
     "ivf_pq_topk" -> (0, 0, 0, 1, 2, 3),
-    // the filtered ADC serve shares ivf_pq_topk's plan — the label rides
-    // the candidate equi-join key, adding no exchange or filter stage
-    "ivf_pq_filtered_topk" -> (0, 0, 0, 1, 2, 3),
+    // the filtered ADC serve: ivf_pq_topk's plan + the same two bounded
+    // probe-budget stages as ann_filtered_topk (count directory +
+    // per-query cumulative window); the label rides the candidate
+    // equi-join key
+    "ivf_pq_filtered_topk" -> (0, 0, 0, 1, 4, 4),
     // residual encoding adds no exchange: the centroid subtract and the
     // per-cell ⟨q,c⟩ constant are both projection-local
     "ivf_pq_residual_topk" -> (0, 0, 0, 1, 2, 3),

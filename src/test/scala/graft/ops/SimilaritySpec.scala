@@ -118,8 +118,9 @@ class SimilaritySpec extends SparkSuite {
       assert(labels(r.getLong(1)) == labels(r.getLong(0)),
         s"neighbor violates the label predicate: $r")
     }
-    // recall floor vs the brute same-label truth (IVF convention: 4/16
-    // cells probed on near-orthogonal vectors is a floor, not a target)
+    // recall vs the brute same-label truth: at this SF every label's
+    // member count (~50) is below the k·α = 150 adaptive budget, so the
+    // serve probes the label exhaustively — recall must be ≈ 1
     val batch = rows.filter(_._1 <= 100L)
     val truth = batch.flatMap { case (q, qv, ql) =>
       rows.filter(r => r._1 != q && r._3 == ql)
@@ -128,7 +129,7 @@ class SimilaritySpec extends SparkSuite {
     }.toSet
     val got = f1.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & got).size.toDouble / truth.size
-    assert(recall >= 0.3, s"filtered-serve recall@10 degraded: $recall")
+    assert(recall >= 0.95, s"filtered-serve recall@10 degraded: $recall")
     // the CONTRAST the docstring documents: post-filtering an UNfiltered
     // exact top-k by label keeps only the same-label fraction (~1/|labels|
     // of each list) — far fewer answers than the pre-filtered scan returns
@@ -169,6 +170,48 @@ class SimilaritySpec extends SparkSuite {
     val adcSet = f1.map(r => (r.getLong(0), r.getLong(1))).toSet
     val overlap = (exactSet & adcSet).size.toDouble / exactSet.size
     assert(overlap >= 0.2, s"ADC diverged from exact ranking beyond quantization error: $overlap")
+  }
+
+  test("adaptiveProbes: budget rule is the minimal score-ranked prefix, label-aware, minProbe-floored") {
+    import spark.implicits._
+    // synthetic 2-dim corpus with 4 well-separated cells: label 9 is RARE
+    // (one member per cell), label 1 is DENSE (many members per cell) —
+    // the budget must probe rare-label queries deeper than dense-label ones
+    val cent = Array(Array(10.0, 0.0), Array(-10.0, 0.0), Array(0.0, 10.0), Array(0.0, -10.0))
+    val members = (0 until 4).flatMap { c =>
+      val base = cent(c)
+      // 8 dense-label members + 1 rare-label member near each centroid
+      (0 until 8).map(i => (1000L + c * 100 + i, Array(base(0) + i * 0.01, base(1) + 0.1), 1)) :+
+        ((2000L + c, Array(base(0) - 0.05, base(1) - 0.1), 9))
+    }
+    // two served queries (vec_id ≤ ServeBatchMaxId): one per label
+    val qs = Seq((1L, Array(10.0, 0.05), 1), (2L, Array(10.0, -0.05), 9))
+    val e = (members ++ qs).toDF("vec_id", "v", "label")
+    val assigned = Similarity.assignCells(e, cent)
+    val k = 2; val minProbe = 1; val alpha = 3 // budget = 6
+    val probes = Similarity.adaptiveProbes(assigned, cent, k, minProbe, alpha)
+      .select("q_id", "label", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byQ = probes.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // dense label (9 candidates in the first cell incl. the query): the
+    // first cell alone holds ≥ 6, so exactly one cell is probed
+    assert(byQ(1L).size == 1, s"dense-label query over-probed: ${byQ(1L)}")
+    // rare label (1 candidate per cell + the query itself): prefix counts
+    // run 2,3,4,5 < 6 — all 4 cells probed and still under budget
+    assert(byQ(2L).size == 4, s"rare-label query under-probed: ${byQ(2L)}")
+    // minProbe floor: alpha = 0 forces budget 0, yet minProbe cells remain
+    val floored = Similarity.adaptiveProbes(assigned, cent, k, 3, 0)
+      .groupBy("q_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(floored.values.forall(_ == 3L), s"minProbe floor violated: $floored")
+  }
+
+  test("filteredRetrievalEval: adaptive budget clears the production recall bar") {
+    // the r15 fixed-probe serve measured recall@10 0.41/0.46 — the
+    // adaptive budget's whole point is clearing 0.8 (measured 1.0 at
+    // sf0.01, 0.9149 at sf0.1; MRR 1.0 at both)
+    val m = Similarity.filteredRetrievalEval(spark, "/root/testdata/sf0.01").collect()(0)
+    assert(m.getDouble(1) >= 0.8, s"filtered recall@10 below the bar: ${m.getDouble(1)}")
+    assert(m.getDouble(2) >= 0.9, s"filtered MRR collapsed: ${m.getDouble(2)}")
   }
 
   test("semDedup: planted near-identical vectors dropped in favor of the min id; originals kept") {
