@@ -772,6 +772,140 @@ object Similarity {
       |WHERE rank <= 10
       |ORDER BY q_id, rank""".stripMargin
 
+  // -------------------------------------------------- binary (sign) BQ ---
+
+  /** One packed sign word: bit j = [v[off+j] ≥ 0]. Words are 32 bits wide
+    * carried in BIGINTs so every packed value, XOR, and popcount stays
+    * positive — no cross-engine disagreement at the 64-bit sign bit. */
+  private def signWord(v: Column, off: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      when(element_at(v, off + j + 1) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce[Column](_.bitwiseOR(_))
+
+  /** The packed binary code table: `(vec_id, w0, w1)` — 64 dims → two
+    * 32-bit sign words, 16 bytes of scanned payload per vector vs 512 for
+    * raw doubles (FAISS `IndexBinaryFlat`'s storage shape). */
+  private def bqCodes(e: DataFrame, dims: Int = LshDims): DataFrame =
+    e.select(col("vec_id"),
+      signWord(col("v"), 0, dims / 2).as("w0"),
+      signWord(col("v"), dims / 2, dims / 2).as("w1"))
+
+  /** Binary (sign) quantization top-k — the cheapest rung of the
+    * quantization ladder, below [[sq8TopK]]: distance = integer Hamming =
+    * popcount(XOR) over the packed sign words, ranked ASCENDING with the
+    * n_id tiebreak. 32× less scanned than raw doubles and the arithmetic
+    * is pure integer end to end — trivially exact cross-engine, static
+    * oracle, no fitted model. Production role: the coarse pass in a
+    * binary → ADC/exact re-rank serve ([[bqRerankTopK]]); at 100 TB the
+    * 16-byte code table is the only thing the first tier ever scans.
+    */
+  def bqHammingTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val codes = bqCodes(e)
+    val queries = codes.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("w0").as("q0"), col("w1").as("q1"))
+    val scored = codes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        expr("bit_count(w0 ^ q0) + bit_count(w1 ^ q1)").cast("int").as("hamming"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("hamming").asc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("hamming"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Static EXACT oracle for [[bqHammingTopK]] — the same packing (list
+    * sum of disjoint powers of two ≡ the OR chain), XOR, and popcount in
+    * DuckDB's integer functions. */
+  val bqHammingTopKSql: String =
+    """WITH ev AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), bq AS (
+      |  SELECT vec_id,
+      |    list_sum([CASE WHEN v[j+1] >= 0 THEN (1::BIGINT << j) ELSE 0 END
+      |              FOR j IN range(0, 32)])::BIGINT AS w0,
+      |    list_sum([CASE WHEN v[j+33] >= 0 THEN (1::BIGINT << j) ELSE 0 END
+      |              FOR j IN range(0, 32)])::BIGINT AS w1
+      |  FROM ev
+      |)
+      |SELECT q_id, n_id, rank, hamming FROM (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY bit_count(xor(q.w0, e.w0)) + bit_count(xor(q.w1, e.w1)),
+      |               e.vec_id) AS rank,
+      |    (bit_count(xor(q.w0, e.w0)) + bit_count(xor(q.w1, e.w1)))::INTEGER AS hamming
+      |  FROM bq q JOIN bq e ON e.vec_id <> q.vec_id
+      |  WHERE q.vec_id % 50 = 0)
+      |WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** Binary shortlist + exact re-rank — the two-tier serve the binary
+    * code earns its place in (the [[pqRerankTopK]] pattern with a 32×
+    * cheaper first pass): top `shortlist` per query by integer Hamming
+    * over the 16-byte codes, then ONLY those re-attach raw vectors for
+    * the exact-cosine final top-k. The shortlist rank is integer-exact,
+    * the re-rank is the standard rounded-cosine release — so the whole
+    * composition carries a static EXACT oracle. (The three-tier
+    * binary → ADC → exact form composes the same shortlist with
+    * [[adcTopKAgainst]]; the recall bottleneck is the binary tier pinned
+    * here, so the two-tier form is what the registry prices.)
+    */
+  def bqRerankTopK(
+      spark: SparkSession, dir: String, k: Int = 10, shortlist: Int = 50): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val short = bqHammingTopK(spark, dir, shortlist)
+      .select(col("q_id"), col("n_id"))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val rer = short
+      .join(e.select(col("vec_id").as("n_id"), col("v")), Seq("n_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_v"), col("v")).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), (round(col("c"), 4) + lit(0.0)).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Static EXACT oracle for [[bqRerankTopK]]: the Hamming shortlist CTE
+    * (integer window) + the exact-cosine re-rank tail of
+    * [[pqRerankTopKSql]]. */
+  def bqRerankTopKSql(k: Int = 10, shortlist: Int = 50): String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), bq AS (
+       |  SELECT vec_id,
+       |    list_sum([CASE WHEN v[j+1] >= 0 THEN (1::BIGINT << j) ELSE 0 END
+       |              FOR j IN range(0, 32)])::BIGINT AS w0,
+       |    list_sum([CASE WHEN v[j+33] >= 0 THEN (1::BIGINT << j) ELSE 0 END
+       |              FOR j IN range(0, 32)])::BIGINT AS w1
+       |  FROM ev
+       |), short AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY bit_count(xor(q.w0, e.w0)) + bit_count(xor(q.w1, e.w1)),
+       |                 e.vec_id) AS sr
+       |    FROM bq q JOIN bq e ON e.vec_id <> q.vec_id
+       |    WHERE q.vec_id % 50 = 0)
+       |  WHERE sr <= $shortlist
+       |)
+       |SELECT q_id, n_id, rank, cos FROM (
+       |  SELECT s.q_id, s.n_id,
+       |    row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, s.n_id) AS rank,
+       |    round(list_cosine_similarity(qe.v, ne.v), 4) + 0.0 AS cos
+       |  FROM short s
+       |  JOIN ev qe ON qe.vec_id = s.q_id
+       |  JOIN ev ne ON ne.vec_id = s.n_id)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- PQ ---
 
   // The coarse-quantizer family's shared parameters: the registered queries,

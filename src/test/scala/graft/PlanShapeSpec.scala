@@ -135,6 +135,12 @@ class PlanShapeSpec extends SparkSuite {
     // 512-byte vectors); ivf_pq prunes via the cell equi-join instead
     "pq_adc_topk" -> (0, 1, 0, 1, 2, 3),
     "sq8_topk" -> (0, 1, 0, 1, 2, 3),
+    // the binary tier scans 16-byte packed sign codes; the BNL is the
+    // broadcast query batch (the ann_topk_brute anchor shape, 32× less
+    // payload)
+    "bq_hamming_topk" -> (0, 1, 0, 1, 2, 3),
+    // Hamming shortlist + slim re-attach joins + exact re-rank window
+    "bq_rerank_topk" -> (0, 1, 0, 1, 2, 5),
     // shingle-keyed exchanges only (df cap, pair agg, size joins) — pairs
     // form exclusively via shared rare shingles, never all-pairs
     "containment_pairs" -> (0, 0, 0, 1, 8, 0),

@@ -214,6 +214,26 @@ class SimilaritySpec extends SparkSuite {
     assert(m.getDouble(2) >= 0.9, s"filtered MRR collapsed: ${m.getDouble(2)}")
   }
 
+  test("binary sign quantization: deterministic, Hamming integer-exact, exact re-rank beats the raw tier") {
+    val dir = "/root/testdata/sf0.01"
+    val b1 = Similarity.bqHammingTopK(spark, dir).collect()
+    val b2 = Similarity.bqHammingTopK(spark, dir).collect()
+    assert(b1.map(_.toString).toSeq == b2.map(_.toString).toSeq)
+    // every reported distance is a valid 0..64 popcount
+    assert(b1.forall(r => r.getInt(3) >= 0 && r.getInt(3) <= 64))
+    val truth = Similarity.annTopKBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(rows: Array[org.apache.spark.sql.Row]) =
+      (rows.map(r => (r.getLong(0), r.getLong(1))).toSet & truth).size.toDouble / truth.size
+    val rBq = recall(b1)
+    val rRer = recall(Similarity.bqRerankTopK(spark, dir).collect())
+    // 64 sign bits on near-orthogonal vectors are a coarse pass, not a
+    // ranking (measured 0.30 / 0.73 at sf0.01) — floors, not targets
+    assert(rBq >= 0.15, s"binary-tier recall collapsed: $rBq")
+    assert(rRer >= 0.5, s"re-ranked binary recall collapsed: $rRer")
+    assert(rRer >= rBq, s"exact re-rank lost to raw Hamming: $rRer < $rBq")
+  }
+
   test("semDedup: planted near-identical vectors dropped in favor of the min id; originals kept") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
