@@ -91,6 +91,64 @@ object PageRank {
       .orderBy("doc_id")
   }
 
+  /** Restart-seed source for [[docPersonalizedPageRank]] — the "trusted
+    * slice" proximity is measured to (the counterpoint of
+    * [[BfsSeedSource]]'s untrusted spread audit). */
+  val PprSeedSource = "src1"
+
+  /** Personalized (seed-restart) PageRank — the curation form of
+    * [[pageRankOn]]: the restart mass teleports to a TRUSTED SEED SET
+    * instead of uniformly, so scores measure link-proximity to the seeds
+    * (rank corpus docs by how strongly the syndication graph ties them to
+    * vetted sources — the standard seed-expansion signal for corpus
+    * curation). Same integer fixed-point recurrence, seed-restarted:
+    *
+    *   pr₀(v)  = seed(v) · 1 000 000
+    *   pr'(v) = seed(v) · 150 000
+    *            + (850 × Σ_{u→v} (pr(u) div outdeg(u))) div 1000
+    *
+    * (per-seed restart mass rather than /|S|-normalized — a positive
+    * integer scale factor that leaves the ranking untouched and keeps
+    * every division integral). Unreachable nodes sit at exactly 0 — the
+    * property the global recurrence cannot express. Same superstep shape
+    * as [[pageRankOn]]: loop-invariant edge table persisted once, one dst
+    * shuffle per round, `localCheckpoint` lineage truncation. `nodes`
+    * needs (node, is_seed).
+    */
+  def personalizedPageRankOn(nodes: DataFrame, edges: DataFrame,
+      iterations: Int = Iterations): DataFrame = {
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = edges.join(outdeg, Seq("src")).persist()
+    val ns = nodes.persist()
+    val restart = when(col("is_seed"), lit(150000L)).otherwise(lit(0L))
+    var ranks = ns.select(col("node"),
+      when(col("is_seed"), lit(ScaleUnit)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to iterations) {
+      val contribs = ed.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+      ranks = ns.join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (restart + expr("(850 * coalesce(in_sum, 0)) div 1000")).as("pr"))
+        .localCheckpoint()
+    }
+    ed.unpersist(); ns.unpersist()
+    ranks
+  }
+
+  /** Registered query: five seed-restart iterations over the same
+    * shingle-derived doc graph as [[docPageRank]]; seeds = the
+    * [[PprSeedSource]] docs. */
+  def docPersonalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    personalizedPageRankOn(
+      docs.select(col("doc_id").as("node"),
+        (col("source") === PprSeedSource).as("is_seed")),
+      linkGraph(docs))
+      .select(col("node").as("doc_id"), col("pr").as("ppr"))
+      .orderBy("doc_id")
+  }
+
   /** Per-node triangle counts over the same link graph — the clustering
     * signal next to [[docPageRank]]'s authority signal (a doc whose
     * neighbors also link each other sits in a dense duplication/
@@ -236,17 +294,10 @@ object PageRank {
        |  UNION ALL SELECT c FROM tri
        |) GROUP BY node ORDER BY node""".stripMargin
 
-  val docPageRankSql: String = {
-    val iterCtes = (1 to Iterations).map { i =>
-      s"""r$i AS (
-         |  SELECT n.doc_id AS node,
-         |    (150000 + (850 * coalesce(s.in_sum, 0)) // 1000)::BIGINT AS pr
-         |  FROM documents n LEFT JOIN (
-         |    SELECT ed.dst, sum(r.pr // ed.deg) AS in_sum
-         |    FROM ed JOIN r${i - 1} r ON ed.src = r.node GROUP BY ed.dst
-         |  ) s ON s.dst = n.doc_id)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH toks AS (
+  /** The shingle-graph + out-degree-attached edge-table CTE prefix shared
+    * by the two PageRank oracles (`toks` … `ed`). */
+  private def linkEdSqlCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
        |), sh AS (
        |  SELECT doc_id,
@@ -267,11 +318,40 @@ object PageRank {
        |  SELECT src, count(*) AS deg FROM edges GROUP BY src
        |), ed AS (
        |  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)
-       |), r0 AS (
+       |)""".stripMargin
+
+  /** The five unrolled superstep CTEs shared by the two PageRank oracles,
+    * parameterized by the restart term (a SQL expression over alias `n`). */
+  private def prIterCtes(restartSql: String): String =
+    (1 to Iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT n.doc_id AS node,
+         |    ($restartSql + (850 * coalesce(s.in_sum, 0)) // 1000)::BIGINT AS pr
+         |  FROM documents n LEFT JOIN (
+         |    SELECT ed.dst, sum(r.pr // ed.deg) AS in_sum
+         |    FROM ed JOIN r${i - 1} r ON ed.src = r.node GROUP BY ed.dst
+         |  ) s ON s.dst = n.doc_id)""".stripMargin
+    }.mkString(",\n")
+
+  val docPageRankSql: String =
+    s"""WITH $linkEdSqlCtes, r0 AS (
        |  SELECT doc_id AS node, ${ScaleUnit}::BIGINT AS pr FROM documents
        |),
-       |$iterCtes
+       |${prIterCtes("150000")}
        |SELECT node AS doc_id, pr FROM r$Iterations ORDER BY doc_id""".stripMargin
+
+  /** Oracle for [[docPersonalizedPageRank]]: the same unrolled supersteps
+    * with the restart term gated on seed membership and the seed-massed
+    * r0 — all integer, exact. */
+  val docPersonalizedPageRankSql: String = {
+    val seed = s"(CASE WHEN n.source = '$PprSeedSource' THEN 150000 ELSE 0 END)"
+    s"""WITH $linkEdSqlCtes, r0 AS (
+       |  SELECT doc_id AS node,
+       |    (CASE WHEN source = '$PprSeedSource' THEN $ScaleUnit ELSE 0 END)::BIGINT AS pr
+       |  FROM documents
+       |),
+       |${prIterCtes(seed)}
+       |SELECT node AS doc_id, pr AS ppr FROM r$Iterations ORDER BY doc_id""".stripMargin
   }
 
   /** BFS hop budget for [[docBfsLevels]]. */

@@ -397,6 +397,8 @@ class PlanShapeSpec extends SparkSuite {
     // final plan sees only the last localCheckpoint + the output sort;
     // per-iteration shapes are materialized inside pageRankOn
     "doc_pagerank" -> (0, 0, 0, 1, 1, 0),
+    // same superstep truncation; only the final round's shape is visible
+    "doc_personalized_pagerank" -> (0, 0, 0, 1, 1, 0),
     // SMJs are the wedge-close and verify equi-joins on checkpointed,
     // degree-oriented edges (no broadcast side by design at graph scale)
     "doc_triangles" -> (0, 0, 2, 1, 6, 0),

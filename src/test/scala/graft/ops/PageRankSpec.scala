@@ -37,6 +37,56 @@ class PageRankSpec extends SparkSuite {
     assert(got(4L) == 150000L)
   }
 
+  /** Seed-restart twin of [[refRanks]] — the PPR ground truth. */
+  private def refPpr(nodes: Seq[Long], seeds: Set[Long],
+      edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = nodes.map(n => n -> (if (seeds(n)) PageRank.ScaleUnit else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => pr(u) / out(u) }.sum).toMap
+      pr = nodes.map(n => n ->
+        ((if (seeds(n)) 150000L else 0L) + 850L * in.getOrElse(n, 0L) / 1000L)).toMap
+    }
+    pr
+  }
+
+  test("personalizedPageRankOn: matches the map recurrence; unreachable nodes at exactly 0") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    val seeds = Set(1L)
+    // seed 1 feeds the 1→2→3→1 cycle; 4→2 injects nothing (4 has no mass);
+    // 5 is unreachable from the seed
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L))
+    val got = PageRank.personalizedPageRankOn(
+      nodes.map(n => (n, seeds(n))).toDF("node", "is_seed"),
+      edges.toDF("src", "dst"), PageRank.Iterations)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = refPpr(nodes, seeds, edges, PageRank.Iterations)
+    assert(got == want, s"got $got want $want")
+    // the property the GLOBAL recurrence cannot express: nodes the seed
+    // set cannot reach score exactly zero
+    assert(got(4L) == 0L && got(5L) == 0L)
+    // the seed keeps its restart floor; its cycle successors hold mass
+    assert(got(1L) >= 150000L)
+    assert(got(2L) > 0L && got(3L) > 0L)
+  }
+
+  test("docPersonalizedPageRank: deterministic; seeds floored at restart mass; seeds outrank on average") {
+    val p1 = PageRank.docPersonalizedPageRank(spark, dir).collect()
+    val p2 = PageRank.docPersonalizedPageRank(spark, dir).collect()
+    assert(p1.map(_.toString).toSeq == p2.map(_.toString).toSeq)
+    val src = Tables(spark, dir, "documents").select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (seedRows, restRows) = p1.partition(r => src(r.getLong(0)) == PageRank.PprSeedSource)
+    assert(seedRows.nonEmpty && seedRows.forall(_.getLong(1) >= 150000L),
+      "a seed scored below its restart floor")
+    // proximity semantics: the trusted slice's mean dominates the rest's
+    val seedMean = seedRows.map(_.getLong(1)).sum.toDouble / seedRows.length
+    val restMean = restRows.map(_.getLong(1)).sum.toDouble / restRows.length
+    assert(seedMean > restMean, s"seed mean $seedMean <= rest mean $restMean")
+  }
+
   test("linkGraph: edges symmetric, loop-free, and bounded by rare-shingle fan-out") {
     val docs = Tables(spark, dir, "documents")
     val edges = PageRank.linkGraph(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
