@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Late-interaction multi-vector retrieval (the ColBERT scoring shape):
+  * a "document" is a BAG of chunk vectors, and relevance of doc d to
+  * query q is MaxSim — for each query chunk, the best-matching doc chunk,
+  * summed:
+  *
+  *   score(q, d) = Σ_{i ∈ chunks(q)} max_{j ∈ chunks(d)} cos(qᵢ, dⱼ)
+  *
+  * This is the retrieval form RAG serving stacks run between single-vector
+  * ANN (too lossy) and full cross-encoders (too slow): fine-grained
+  * token/chunk interaction at index-friendly cost.
+  *
+  * Multi-vector corpus: the embeddings table grouped [[MaxSimFan]] chunk
+  * vectors per document (`doc = vec_id div 4` — contiguous ids, so the
+  * grouping is a pure integer function both engines derive identically;
+  * with a real chunker the (doc, chunk) keys would come from
+  * `chunk_documents` and the chunk embedder). The query side is the
+  * served batch convention: docs holding vec_ids ≤
+  * [[TextAnalysis.ServeBatchMaxId]], ≤ 26 query docs at any SF.
+  *
+  * CANDIDATES COME FROM THE BANDED LSH INDEX, never corpus × corpus: a
+  * doc pair is scored iff ANY query chunk shares an (table, bucket) LSH
+  * cell with ANY of the candidate's chunks — the same seeded-hyperplane
+  * index [[Similarity.annLshTopK]] serves from, aggregated chunk → doc.
+  * At 100 TB the chunk-level index is the stored artifact; candidate
+  * generation is the same equi-join, and only |cand| × fan² cosines are
+  * ever computed.
+  *
+  * Exactness: the candidate set is bit-derivable (seeded plane literals —
+  * the [[Similarity.annLshTopKSql]] argument), each cosine is the shared
+  * left-to-right kernel, per-query-chunk maxima are ORDER-FREE, and the
+  * chunk-sum is ONE written fixed-order expression (m0 + m1 + m2 + m3)
+  * rather than a float aggregate — so the raw score is bit-identical
+  * cross-engine; ranking uses the rounded release with the −0.0 armor
+  * (the ADC convention). Generated-free static oracle.
+  */
+object MaxSim {
+
+  /** Chunk vectors per multi-vector document. */
+  val MaxSimFan = 4
+
+  /** Query-doc bound: docs fully inside the served vec_id batch. */
+  def queryMaxDoc: Long = TextAnalysis.ServeBatchMaxId / MaxSimFan
+
+  /** Registered query: MaxSim top-k over LSH-shortlisted candidates.
+    * Output (q_doc, d_doc, rank, maxsim). */
+  def maxSimTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val chunks = e.select(expr(s"vec_id div $MaxSimFan").as("doc"), col("vec_id"), col("v"))
+
+    // chunk-level LSH index with the doc key attached — the stored artifact
+    // (bare ids, the annLshTopK discipline); persisted: feeds both join legs
+    val buckets = (0 until Similarity.LshTables)
+      .map(t => Similarity.lshBucket(col("v"), Similarity.LshBits, Similarity.LshDims, t))
+    val banded = chunks.select(col("doc"),
+      posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
+      .persist()
+
+    // candidate DOC pairs: any query chunk colliding with any corpus chunk
+    val qBand = banded.filter(col("doc") <= queryMaxDoc)
+      .select(col("table"), col("bucket"), col("doc").as("q_doc"))
+    val cand = banded.select(col("table"), col("bucket"), col("doc").as("d_doc"))
+      .join(broadcast(qBand), Seq("table", "bucket"))
+      .filter(col("d_doc") =!= col("q_doc"))
+      .select("q_doc", "d_doc")
+      .dropDuplicates("q_doc", "d_doc")
+
+    // late interaction: per (pair, query-chunk) the ORDER-FREE max over the
+    // candidate's chunks, folded in ONE aggregate via conditional maxima
+    val qc = chunks.filter(col("doc") <= queryMaxDoc)
+      .select(col("doc").as("q_doc"), (col("vec_id") % MaxSimFan).as("qi"),
+        col("v").as("q_v"))
+    val dc = chunks.select(col("doc").as("d_doc"), col("v").as("d_v"))
+    val maxes = (0 until MaxSimFan).map(i =>
+      max(when(col("qi") === i, col("c"))).as(s"m$i"))
+    val perPair = cand
+      .join(broadcast(qc), Seq("q_doc"))
+      .join(dc, Seq("d_doc"))
+      .select(col("q_doc"), col("d_doc"), col("qi"),
+        Similarity.cosine(col("q_v"), col("d_v")).as("c"))
+      .groupBy("q_doc", "d_doc")
+      .agg(maxes.head, maxes.tail: _*)
+    // the chunk-sum is ONE written expression — fixed order, no float agg;
+    // rounded release ranks (the ADC armor, incl. −0.0 normalization)
+    val sumExpr = (0 until MaxSimFan)
+      .map(i => coalesce(col(s"m$i"), lit(0.0)))
+      .reduce[org.apache.spark.sql.Column](_ + _)
+    val scored = perPair.select(col("q_doc"), col("d_doc"),
+      (round(sumExpr, 4) + lit(0.0)).as("maxsim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_doc")).orderBy(col("maxsim").desc, col("d_doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_doc"), col("d_doc"), col("rank"), col("maxsim"))
+      .orderBy("q_doc", "rank")
+  }
+
+  /** Static EXACT oracle: the banded-LSH CTE prefix (embedded plane
+    * literals), the same doc-level candidate join, conditional maxima,
+    * and the identical written four-term sum. */
+  def maxSimTopKSql(k: Int = 10): String = {
+    val f = MaxSimFan
+    val maxCols = (0 until f).map(i =>
+      s"max(CASE WHEN qe.vec_id % $f = $i THEN list_cosine_similarity(qe.v, de.v) END) AS m$i")
+      .mkString(",\n    ")
+    val sum = (0 until f).map(i => s"coalesce(m$i, 0.0)").mkString(" + ")
+    s"""${Similarity.bandedSqlCtes}, cand AS (
+       |  SELECT DISTINCT q.vec_id // $f AS q_doc, b.vec_id // $f AS d_doc
+       |  FROM banded q JOIN banded b ON b.tbl = q.tbl AND b.bucket = q.bucket
+       |  WHERE q.vec_id // $f <= $queryMaxDoc AND b.vec_id // $f <> q.vec_id // $f
+       |), mx AS (
+       |  SELECT c.q_doc, c.d_doc,
+       |    $maxCols
+       |  FROM cand c
+       |  JOIN ev qe ON qe.vec_id // $f = c.q_doc
+       |  JOIN ev de ON de.vec_id // $f = c.d_doc
+       |  GROUP BY c.q_doc, c.d_doc
+       |), sc AS (
+       |  SELECT q_doc, d_doc, round($sum, 4) + 0.0 AS maxsim FROM mx
+       |)
+       |SELECT q_doc, d_doc, rank, maxsim FROM (
+       |  SELECT q_doc, d_doc,
+       |    row_number() OVER (PARTITION BY q_doc ORDER BY maxsim DESC, d_doc) AS rank,
+       |    maxsim
+       |  FROM sc)
+       |WHERE rank <= $k
+       |ORDER BY q_doc, rank""".stripMargin
+  }
+}

@@ -141,6 +141,10 @@ class PlanShapeSpec extends SparkSuite {
     "bq_hamming_topk" -> (0, 1, 0, 1, 2, 3),
     // Hamming shortlist + slim re-attach joins + exact re-rank window
     "bq_rerank_topk" -> (0, 1, 0, 1, 2, 5),
+    // ann_lsh_topk's index shape, aggregated chunk → doc: candidate
+    // pair dedup + the conditional-maxima aggregate + top-k window —
+    // candidates form only through banded collisions, never doc×doc
+    "maxsim_topk" -> (0, 0, 0, 1, 3, 3),
     // shingle-keyed exchanges only (df cap, pair agg, size joins) — pairs
     // form exclusively via shared rare shingles, never all-pairs
     "containment_pairs" -> (0, 0, 0, 1, 8, 0),
