@@ -539,13 +539,25 @@ object Similarity {
     */
   private[ops] def adaptiveProbes(
       assigned: DataFrame, cent: Array[Array[Double]],
+      k: Int, minProbe: Int, alpha: Int): DataFrame =
+    adaptiveProbesFor(assigned,
+      assigned.filter(col("vec_id") <= TextAnalysis.ServeBatchMaxId)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("label")),
+      cent, k, minProbe, alpha)
+
+  /** [[adaptiveProbes]] for an ARBITRARY `(q_id, q_v, label)` query frame —
+    * the form the streaming filtered serve
+    * ([[graft.streaming.VectorStreams.filteredAdcServe]]) feeds each
+    * micro-batch through, so stream/batch parity is structural. */
+  private[graft] def adaptiveProbesFor(
+      assigned: DataFrame, queries: DataFrame, cent: Array[Array[Double]],
       k: Int, minProbe: Int, alpha: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val budget = k.toLong * alpha
     val counts = assigned.groupBy("cell", "label").agg(count(lit(1)).as("cnt"))
-    val ranked = assigned.filter(col("vec_id") <= TextAnalysis.ServeBatchMaxId)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("label"),
-        posexplode(reverse(array_sort(array(cellStructs(cent, col("v")): _*))))
+    val ranked = queries
+      .select(col("q_id"), col("q_v"), col("label"),
+        posexplode(reverse(array_sort(array(cellStructs(cent, col("q_v")): _*))))
           .as(Seq("pos", "pc")))
       .select(col("q_id"), col("q_v"), col("label"),
         (col("pos") + 1).as("pr"), col("pc.cell").as("cell"))
@@ -1317,11 +1329,28 @@ object Similarity {
       m: Int = PqM, ks: Int = PqKs, alpha: Int = FilteredAlpha): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+    ivfPqFilteredTopKFor(spark, dir,
+      e.filter(col("vec_id") <= TextAnalysis.ServeBatchMaxId)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("label")),
+      k, nCentroids, minProbe, m, ks, alpha)
+  }
+
+  /** [[ivfPqFilteredTopK]] for an ARBITRARY `(q_id, q_v, label)` query
+    * frame — the serving core the streaming twin
+    * ([[graft.streaming.VectorStreams.filteredAdcServe]]) runs per
+    * micro-batch; the registered batch query is exactly this under the
+    * served-batch filter. */
+  private[graft] def ivfPqFilteredTopKFor(
+      spark: SparkSession, dir: String, qFrame: DataFrame, k: Int = 10,
+      nCentroids: Int = NCentroids, minProbe: Int = NProbe,
+      m: Int = PqM, ks: Int = PqKs, alpha: Int = FilteredAlpha): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
     val cent = fitCentroids(spark, dir, nCentroids)
     val books = fitPq(spark, dir, m, ks)
     val assigned = assignCells(e, cent).persist()
     val codes = assignCodes(assigned, books, Seq("vec_id", "cell", "label"))
-    val queries = adaptiveProbes(assigned, cent, k, minProbe, alpha)
+    val queries = adaptiveProbesFor(assigned, qFrame, cent, k, minProbe, alpha)
       .select(col("q_id"), col("label"), adcLut(books).as("lut"), col("cell"))
     // + 0.0 normalizes IEEE −0.0: a tiny negative ADC sum rounding to
     // zero keeps its sign bit on some engines (the community_modularity

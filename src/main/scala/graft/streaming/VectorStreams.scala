@@ -151,6 +151,37 @@ object VectorStreams {
       .start()
   }
 
+  /** Metadata-FILTERED ADC serving — the streaming twin of the batch
+    * `ivf_pq_filtered_topk`: an unbounded stream of `(vec_id, v, label)`
+    * queries scores per micro-batch against the static (cell, label)-keyed
+    * code table, with the label predicate riding the candidate equi-join
+    * KEY and the label-aware adaptive probe budget deciding how many
+    * score-ranked cells each query opens
+    * ([[Similarity.ivfPqFilteredTopKFor]] is literally shared, so
+    * stream/batch parity is structural). Same `foreachBatch` rationale as
+    * [[adcServe]] (per-query top-k needs a CLOSED query set — a
+    * micro-batch is one), same exactly-once sink. Per-query independence
+    * makes the stream exact: a query's probes, candidates, and ranking
+    * depend only on the static index and its own (vector, label), never
+    * on which micro-batch carried it.
+    */
+  def filteredAdcServe(
+      spark: SparkSession,
+      dir: String,
+      queryStream: DataFrame,
+      outDir: String,
+      ckpt: String,
+      k: Int = 10): StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val queries = batch.select(
+          col("vec_id").as("q_id"), col("v").as("q_v"), col("label"))
+        Sinks.idempotentBatchWrite(
+          Similarity.ivfPqFilteredTopKFor(spark, dir, queries, k), batchId, outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
   /** Diversified serving: each micro-batch of query vectors runs the MMR
     * re-rank ([[Similarity.mmrRerankFor]] — literally shared with the
     * batch `mmr_rerank_topk`, so parity is structural) against the static

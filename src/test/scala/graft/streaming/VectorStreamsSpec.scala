@@ -54,6 +54,42 @@ class VectorStreamsSpec extends SparkSuite {
       s"stream-served ADC diverged from batch: ${(served diff batch).take(5)} / ${(batch diff served).take(5)}")
   }
 
+  test("micro-batched FILTERED ADC serving equals the batch filtered serve per query id") {
+    val dir = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("graft-vec-fserve").toFile
+    val (out, ckpt) = (s"$root/out", s"$root/ckpt")
+
+    // the batch serve's own query set (vec_id ≤ ServeBatchMaxId), streamed
+    // in TWO micro-batches — per-query independence means the union of the
+    // per-batch outputs must equal the batch result row-for-row, probes,
+    // label cut, budget and all
+    val served = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") <= graft.ops.TextAnalysis.ServeBatchMaxId)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"),
+        col("label"))
+      .as[(Long, Seq[Double], Int)].collect().sortBy(_._1)
+    assert(served.length >= 4, "need a few served queries in the smoke corpus")
+    val (b1, b2) = served.splitAt(served.length / 2)
+
+    val mem = MemoryStream[(Long, Seq[Double], Int)](spark)
+    val stream = mem.toDF().toDF("vec_id", "v", "label")
+    mem.addData(b1.toIndexedSeq)
+    val q = VectorStreams.filteredAdcServe(spark, dir, stream, out, ckpt)
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = Sinks.readSink(spark, out)
+      .select("q_id", "n_id", "rank", "adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val batch = Similarity.ivfPqFilteredTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got == batch,
+      s"stream-served filtered ADC diverged from batch: ${(got diff batch).take(5)} / ${(batch diff got).take(5)}")
+    assert(got.nonEmpty, "filtered serve produced no rows — spec is vacuous")
+  }
+
   /** Live-index serving: the corpus GROWS between micro-batches, and the
     * `refreshEvery` hook must re-fit + re-persist + swap without a stream
     * restart. The appended vectors are exact twins of the originals in a
