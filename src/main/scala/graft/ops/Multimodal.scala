@@ -84,11 +84,40 @@ object Multimodal {
           .as("frame"))
   }
 
+  /** The raw-frame release in driver-hashable form: the COMPLETE sampled
+    * frame payload, hex-encoded — LOSSLESS, unlike the md5 twin below
+    * (binary cells defeat the driver's pandas-side value hash; uppercase
+    * hex text round-trips the identical bytes through both engines — the
+    * `bpe_byte_merges` symbolization precedent). This is what the
+    * registered `frame_sample` serves; the binary [[frameSample]] stays
+    * the internal form downstream consumers ([[frameNearDup]]) slice.
+    */
+  def frameSampleHex(spark: SparkSession, dir: String, every: Int = 4): DataFrame =
+    frameSample(spark, dir, every)
+      .select(col("doc_id"), col("frame_idx"), hex(col("frame")).as("frame_hex"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** EXACT oracle for [[frameSampleHex]]: the digest twin's slice
+    * arithmetic with `hex(::BLOB)` in place of md5 (DuckDB's hex emits the
+    * same uppercase text as Spark's hex-over-binary; payload ≡ the ASCII
+    * text's UTF-8 bytes, so byte slicing ≙ character slicing). */
+  val frameSampleHexSql: String =
+    s"""WITH media AS (
+       |  SELECT doc_id, text, length(text) AS n_bytes FROM documents
+       |), frames AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, (n_bytes + ${FrameBytes - 1}) // $FrameBytes, 4)) AS frame_idx,
+       |    text
+       |  FROM media WHERE n_bytes > 0
+       |)
+       |SELECT doc_id, frame_idx,
+       |  hex(substr(text, frame_idx * $FrameBytes + 1, $FrameBytes)::BLOB) AS frame_hex
+       |FROM frames
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** [[frameSample]] reduced to driver-hashable scalars: per frame, its
-    * byte length and md5 digest — the registered oracle-checked twin (raw
-    * binary cells defeat the driver's pandas-side value hash, so the raw
-    * variant stays rows-only while THIS query pins the slicing logic
-    * cross-engine byte-for-byte).
+    * byte length and md5 digest — the oracle-checked digest twin that pins
+    * the slicing logic cross-engine byte-for-byte.
     */
   def frameSampleDigest(spark: SparkSession, dir: String, every: Int = 4): DataFrame =
     frameSample(spark, dir, every)

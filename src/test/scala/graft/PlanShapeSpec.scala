@@ -303,7 +303,8 @@ class PlanShapeSpec extends SparkSuite {
     "media_phash" -> (0, 0, 0, 1, 1, 0),
     "media_near_dup" -> (0, 0, 0, 1, 2, 0),
     "frame_near_dup" -> (0, 0, 0, 1, 3, 0),
-    "frame_sample" -> (0, 0, 0, 0, 0, 0),
+    // the hex release adds the presentation sort of the digest twin
+    "frame_sample" -> (0, 0, 0, 1, 1, 0),
     "frame_sample_digest" -> (0, 0, 0, 1, 1, 0),
     "media_resize" -> (0, 0, 0, 1, 1, 0),
     "extract_features" -> (0, 0, 0, 1, 1, 0),
