@@ -149,6 +149,112 @@ object PageRank {
       .orderBy("doc_id")
   }
 
+  /** HITS hubs & authorities (Kleinberg '99) on a DIRECTED view of the
+    * link graph — the two-sided signal PageRank's single score cannot
+    * express: an AUTHORITY is a doc many good hubs point at (the original
+    * a syndication cluster copies); a HUB points at many good authorities
+    * (the aggregator that republishes originals). Direction: each
+    * undirected shingle edge orients newer → older (`src > dst` on
+    * doc_id) — the crawl-order heuristic that later copies cite earlier
+    * originals; on the raw SYMMETRIC graph the two scores provably
+    * coincide, which is why HITS needs the directed view.
+    *
+    * Mutual recursion with per-round integer renormalization:
+    *
+    *   a'(v) = (Σ_{u→v} h(u)) · 10⁶ div max_raw_a
+    *   h'(v) = (Σ_{v→w} a'(w)) · 10⁶ div max_raw_h
+    *
+    * — the max-normalized power iteration, all divisions integral, so
+    * both engines derive identical micro-unit scores and the oracle
+    * unrolls the rounds as CTEs with a scalar-subquery max per round (the
+    * [[docPageRank]] convention, doubled). Normalization bounds every
+    * score at 10⁶, so raw sums stay ≤ degree·10⁶ — BIGINT-safe at any
+    * corpus (degree is bounded by the rare-shingle fan-out cap).
+    *
+    * Scale shape per round: one dst-keyed shuffle (authority pull), one
+    * src-keyed shuffle (hub pull), two 1-row max scalar-combines, and a
+    * `localCheckpoint` after each half-step — lineage stays O(1).
+    */
+  def hitsOn(nodes: DataFrame, directed: DataFrame,
+      iterations: Int = Iterations): DataFrame = {
+    val ed = directed.persist()
+    val ns = nodes.persist()
+    var hubs = ns.withColumn("h", lit(ScaleUnit))
+    var auths = ns.withColumn("a", lit(0L))
+    for (_ <- 1 to iterations) {
+      val aRaw = ed.join(hubs, col("src") === col("node"))
+        .groupBy("dst").agg(sum(col("h")).as("ar"))
+      val aN = ns.join(aRaw, col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("ar"), lit(0L)).as("ar"))
+      val aMax = aN.agg(greatest(max(col("ar")), lit(1L)).as("am"))
+      auths = aN.crossJoin(broadcast(aMax))
+        .select(col("node"), expr(s"(ar * $ScaleUnit) div am").as("a"))
+        .localCheckpoint()
+      val hRaw = ed.join(auths, col("dst") === col("node"))
+        .groupBy("src").agg(sum(col("a")).as("hr"))
+      val hN = ns.join(hRaw, col("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("hr"), lit(0L)).as("hr"))
+      val hMax = hN.agg(greatest(max(col("hr")), lit(1L)).as("hm"))
+      hubs = hN.crossJoin(broadcast(hMax))
+        .select(col("node"), expr(s"(hr * $ScaleUnit) div hm").as("h"))
+        .localCheckpoint()
+    }
+    ed.unpersist(); ns.unpersist()
+    hubs.join(auths, Seq("node"))
+  }
+
+  /** Registered query: five HITS rounds on the newer→older orientation of
+    * the shingle link graph. */
+  def docHits(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    hitsOn(
+      docs.select(col("doc_id").as("node")),
+      linkGraph(docs).filter(col("src") > col("dst")))
+      .select(col("node").as("doc_id"), col("h").as("hub"), col("a").as("auth"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[docHits]]: the shared graph prefix, the directed-edge
+    * cut, and per round an authority CTE pair + a hub CTE pair, each with
+    * its scalar-subquery max — exact integer arithmetic throughout.
+    * Every round CTE is `AS MATERIALIZED` (the knn_graph/mmr lesson):
+    * each raw table is referenced TWICE (projection + scalar max), so
+    * DuckDB's default re-inlining would go exponential across the
+    * unrolled rounds — observed as thousands of concurrent parquet opens.
+    */
+  val docHitsSql: String = {
+    val rounds = (1 to Iterations).map { i =>
+      s"""a${i}r AS MATERIALIZED (
+         |  SELECT n.doc_id AS node, coalesce(s.ar, 0)::BIGINT AS ar
+         |  FROM documents n LEFT JOIN (
+         |    SELECT de.dst, sum(h.h) AS ar FROM de JOIN h${i - 1} h ON de.src = h.node
+         |    GROUP BY de.dst) s ON s.dst = n.doc_id
+         |), a$i AS MATERIALIZED (
+         |  SELECT node,
+         |    ((ar * $ScaleUnit) // greatest((SELECT max(ar) FROM a${i}r), 1))::BIGINT AS a
+         |  FROM a${i}r
+         |), h${i}r AS MATERIALIZED (
+         |  SELECT n.doc_id AS node, coalesce(s.hr, 0)::BIGINT AS hr
+         |  FROM documents n LEFT JOIN (
+         |    SELECT de.src, sum(a.a) AS hr FROM de JOIN a$i a ON de.dst = a.node
+         |    GROUP BY de.src) s ON s.src = n.doc_id
+         |), h$i AS MATERIALIZED (
+         |  SELECT node,
+         |    ((hr * $ScaleUnit) // greatest((SELECT max(hr) FROM h${i}r), 1))::BIGINT AS h
+         |  FROM h${i}r
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkEdSqlCtes, de AS MATERIALIZED (
+       |  SELECT src, dst FROM edges WHERE src > dst
+       |), h0 AS (
+       |  SELECT doc_id AS node, ${ScaleUnit}::BIGINT AS h FROM documents
+       |),
+       |$rounds
+       |SELECT h.node AS doc_id, h.h AS hub, a.a AS auth
+       |FROM h$Iterations h JOIN a$Iterations a USING (node)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-node triangle counts over the same link graph — the clustering
     * signal next to [[docPageRank]]'s authority signal (a doc whose
     * neighbors also link each other sits in a dense duplication/

@@ -351,6 +351,7 @@ object Similarity {
         "filtered_retrieval_eval" -> filteredRetrievalEvalSql(cent),
         "semdedup_clusters" -> semDedupSql(cent),
         "pq_adc_topk"       -> pqAdcTopKSql(books),
+        "bq_adc_rerank_topk" -> bqAdcRerankTopKSql(books),
         "pq_rerank_topk"    -> pqRerankTopKSql(books),
         "ivf_pq_topk"       -> ivfPqTopKSql(cent, books),
         "ivf_pq_residual_topk" -> ivfPqResidualTopKSql(cent, residBooks),
@@ -828,30 +829,48 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** Static EXACT oracle for [[bqHammingTopK]] — the same packing (list
-    * sum of disjoint powers of two ≡ the OR chain), XOR, and popcount in
-    * DuckDB's integer functions. */
-  val bqHammingTopKSql: String =
-    """WITH ev AS (
-      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      |), bq AS (
+  /** The packed-sign-word CTE shared by the three BQ oracles (list sum of
+    * disjoint powers of two ≡ the OR chain). Appends after `ev`. */
+  private val bqWordsSqlCte: String =
+    """, bq AS (
       |  SELECT vec_id,
       |    list_sum([CASE WHEN v[j+1] >= 0 THEN (1::BIGINT << j) ELSE 0 END
       |              FOR j IN range(0, 32)])::BIGINT AS w0,
       |    list_sum([CASE WHEN v[j+33] >= 0 THEN (1::BIGINT << j) ELSE 0 END
       |              FOR j IN range(0, 32)])::BIGINT AS w1
       |  FROM ev
-      |)
-      |SELECT q_id, n_id, rank, hamming FROM (
-      |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
-      |    row_number() OVER (PARTITION BY q.vec_id
-      |      ORDER BY bit_count(xor(q.w0, e.w0)) + bit_count(xor(q.w1, e.w1)),
-      |               e.vec_id) AS rank,
-      |    (bit_count(xor(q.w0, e.w0)) + bit_count(xor(q.w1, e.w1)))::INTEGER AS hamming
-      |  FROM bq q JOIN bq e ON e.vec_id <> q.vec_id
-      |  WHERE q.vec_id % 50 = 0)
-      |WHERE rank <= 10
-      |ORDER BY q_id, rank""".stripMargin
+      |)""".stripMargin
+
+  /** The Hamming-ranked shortlist CTE shared by the re-rank oracles:
+    * `(q_id, n_id)` pairs with shortlist rank ≤ `shortlist`. */
+  private def bqShortSqlCte(name: String, shortlist: Int): String =
+    s""", $name AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY bit_count(xor(q.w0, e.w0)) + bit_count(xor(q.w1, e.w1)),
+       |                 e.vec_id) AS sr
+       |    FROM bq q JOIN bq e ON e.vec_id <> q.vec_id
+       |    WHERE q.vec_id % 50 = 0)
+       |  WHERE sr <= $shortlist
+       |)""".stripMargin
+
+  /** Static EXACT oracle for [[bqHammingTopK]] — the same packing, XOR,
+    * and popcount in DuckDB's integer functions. */
+  val bqHammingTopKSql: String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |)$bqWordsSqlCte
+       |SELECT q_id, n_id, rank, hamming FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY bit_count(xor(q.w0, e.w0)) + bit_count(xor(q.w1, e.w1)),
+       |               e.vec_id) AS rank,
+       |    (bit_count(xor(q.w0, e.w0)) + bit_count(xor(q.w1, e.w1)))::INTEGER AS hamming
+       |  FROM bq q JOIN bq e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 50 = 0)
+       |WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
 
   /** Binary shortlist + exact re-rank — the two-tier serve the binary
     * code earns its place in (the [[pqRerankTopK]] pattern with a 32×
@@ -890,29 +909,87 @@ object Similarity {
   def bqRerankTopKSql(k: Int = 10, shortlist: Int = 50): String =
     s"""WITH ev AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |), bq AS (
-       |  SELECT vec_id,
-       |    list_sum([CASE WHEN v[j+1] >= 0 THEN (1::BIGINT << j) ELSE 0 END
-       |              FOR j IN range(0, 32)])::BIGINT AS w0,
-       |    list_sum([CASE WHEN v[j+33] >= 0 THEN (1::BIGINT << j) ELSE 0 END
-       |              FOR j IN range(0, 32)])::BIGINT AS w1
-       |  FROM ev
-       |), short AS (
-       |  SELECT q_id, n_id FROM (
-       |    SELECT q.vec_id AS q_id, e.vec_id AS n_id,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY bit_count(xor(q.w0, e.w0)) + bit_count(xor(q.w1, e.w1)),
-       |                 e.vec_id) AS sr
-       |    FROM bq q JOIN bq e ON e.vec_id <> q.vec_id
-       |    WHERE q.vec_id % 50 = 0)
-       |  WHERE sr <= $shortlist
-       |)
+       |)$bqWordsSqlCte${bqShortSqlCte("short", shortlist)}
        |SELECT q_id, n_id, rank, cos FROM (
        |  SELECT s.q_id, s.n_id,
        |    row_number() OVER (PARTITION BY s.q_id
        |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, s.n_id) AS rank,
        |    round(list_cosine_similarity(qe.v, ne.v), 4) + 0.0 AS cos
        |  FROM short s
+       |  JOIN ev qe ON qe.vec_id = s.q_id
+       |  JOIN ev ne ON ne.vec_id = s.n_id)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** The FULL three-tier serve the binary code exists for
+    * (binary → ADC → exact): integer-Hamming coarse pass over the 16-byte
+    * sign codes takes `short1` per query, the survivors' 8-byte PQ codes
+    * refine by ADC to `short2`, and only those re-attach raw vectors for
+    * the exact-cosine final top-k. Each tier scans an order of magnitude
+    * fewer, richer candidates — at 100 TB tier 1 is the only corpus-wide
+    * scan and it reads 16 bytes/vector. Oracle is EXACT and compositional:
+    * the integer Hamming shortlist, the fitted-codebook LUT/codes CTEs,
+    * and the rounded cosine tail each reuse their committed templates.
+    */
+  def bqAdcRerankTopK(
+      spark: SparkSession, dir: String, k: Int = 10,
+      short1: Int = 200, short2: Int = 50,
+      m: Int = PqM, ks: Int = PqKs): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val books = fitPq(spark, dir, m, ks)
+    val codes = assignCodes(e, books, Seq("vec_id"))
+    val s1 = bqHammingTopK(spark, dir, short1).select(col("q_id"), col("n_id"))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val qlut = queries.select(col("q_id"), adcLut(books).as("lut"))
+    import org.apache.spark.sql.expressions.Window
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    val s2 = s1.join(codes.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
+      .join(broadcast(qlut), Seq("q_id"))
+      .select(col("q_id"), col("n_id"), (round(adcScore(ks, m), 4) + lit(0.0)).as("adc"))
+      .withColumn("sr", row_number().over(wAdc))
+      .filter(col("sr") <= short2)
+      .select("q_id", "n_id")
+    val rer = s2
+      .join(e.select(col("vec_id").as("n_id"), col("v")), Seq("n_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_v"), col("v")).as("c"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("n_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), (round(col("c"), 4) + lit(0.0)).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** EXACT generated oracle for [[bqAdcRerankTopK]] — the three committed
+    * tier templates chained: Hamming shortlist, ADC refine over shortlist
+    * candidates only, exact-cosine tail. */
+  private[ops] def bqAdcRerankTopKSql(
+      books: Array[Array[Array[Double]]], k: Int = 10,
+      short1: Int = 200, short2: Int = 50): String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |)${pqSqlCtes(books)}$bqWordsSqlCte${bqShortSqlCte("short1", short1)}, adc AS (
+       |  SELECT s.q_id, s.n_id,
+       |    round(list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b), 4) + 0.0 AS adc
+       |  FROM short1 s
+       |  JOIN codesub cs ON cs.vec_id = s.n_id
+       |  JOIN lut l ON l.q_id = s.q_id AND l.j = cs.j AND l.code = cs.code
+       |  GROUP BY s.q_id, s.n_id
+       |), short2 AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS sr
+       |    FROM adc)
+       |  WHERE sr <= $short2
+       |)
+       |SELECT q_id, n_id, rank, cos FROM (
+       |  SELECT s.q_id, s.n_id,
+       |    row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, s.n_id) AS rank,
+       |    round(list_cosine_similarity(qe.v, ne.v), 4) + 0.0 AS cos
+       |  FROM short2 s
        |  JOIN ev qe ON qe.vec_id = s.q_id
        |  JOIN ev ne ON ne.vec_id = s.n_id)
        |WHERE rank <= $k

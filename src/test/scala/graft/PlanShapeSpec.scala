@@ -404,6 +404,13 @@ class PlanShapeSpec extends SparkSuite {
     "doc_pagerank" -> (0, 0, 0, 1, 1, 0),
     // same superstep truncation; only the final round's shape is visible
     "doc_personalized_pagerank" -> (0, 0, 0, 1, 1, 0),
+    // rounds truncate likewise; the SMJ is the final hub⋈auth re-attach —
+    // two corpus-sized checkpointed node frames, the correct join at scale
+    "doc_hits" -> (0, 0, 1, 1, 3, 0),
+    // three-tier serve: Hamming window + ADC-shortlist window + exact
+    // re-rank window (each with its WindowGroupLimit pushdown pair); the
+    // BNL is the broadcast query batch of the binary tier
+    "bq_adc_rerank_topk" -> (0, 1, 0, 1, 2, 7),
     // SMJs are the wedge-close and verify equi-joins on checkpointed,
     // degree-oriented edges (no broadcast side by design at graph scale)
     "doc_triangles" -> (0, 0, 2, 1, 6, 0),

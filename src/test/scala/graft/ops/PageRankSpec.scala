@@ -87,6 +87,56 @@ class PageRankSpec extends SparkSuite {
     assert(seedMean > restMean, s"seed mean $seedMean <= rest mean $restMean")
   }
 
+  /** Independent HITS re-derivation on adjacency maps, mirroring the
+    * integer max-normalized recurrence. */
+  private def refHits(nodes: Seq[Long], directed: Seq[(Long, Long)],
+      iters: Int): Map[Long, (Long, Long)] = {
+    val u = PageRank.ScaleUnit
+    var h = nodes.map(_ -> u).toMap
+    var a = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      val ar = nodes.map(n => n -> directed.filter(_._2 == n).map(e => h(e._1)).sum).toMap
+      val am = math.max(ar.values.max, 1L)
+      a = ar.view.mapValues(v => v * u / am).toMap
+      val hr = nodes.map(n => n -> directed.filter(_._1 == n).map(e => a(e._2)).sum).toMap
+      val hm = math.max(hr.values.max, 1L)
+      h = hr.view.mapValues(v => v * u / hm).toMap
+    }
+    nodes.map(n => n -> (h(n), a(n))).toMap
+  }
+
+  test("hitsOn: matches the map recurrence; star graph separates pure hubs from the authority") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    // star: 3,4,5 all point at 1 (newer copies of one original); chain
+    // 5→2 gives 5 a second authority; 6 is isolated
+    val directed = Seq((3L, 1L), (4L, 1L), (5L, 1L), (5L, 2L))
+    val got = PageRank.hitsOn(nodes.toDF("node"), directed.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = refHits(nodes, directed, PageRank.Iterations)
+    assert(got == want, s"got $got want $want")
+    // 1 is the top authority (pointed at by every hub) and a pure sink
+    assert(got(1L)._2 == PageRank.ScaleUnit && got(1L)._1 == 0L)
+    // 5 points at BOTH authorities — the top hub; 3/4 are lesser hubs
+    assert(got(5L)._1 == PageRank.ScaleUnit)
+    assert(got(3L)._1 < got(5L)._1 && got(4L)._1 < got(5L)._1)
+    // the isolated node carries neither signal
+    assert(got(6L) == ((0L, 0L)))
+  }
+
+  test("docHits: deterministic; scores bounded by the unit; both signals present") {
+    val h1 = PageRank.docHits(spark, dir).collect()
+    val h2 = PageRank.docHits(spark, dir).collect()
+    assert(h1.map(_.toString).toSeq == h2.map(_.toString).toSeq)
+    assert(h1.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= PageRank.ScaleUnit))
+    assert(h1.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= PageRank.ScaleUnit))
+    // the directed view must produce genuinely two-sided signal: the top
+    // hub and the top authority are different documents
+    val topHub = h1.maxBy(_.getLong(1)).getLong(0)
+    val topAuth = h1.maxBy(_.getLong(2)).getLong(0)
+    assert(topHub != topAuth, s"hub/auth collapsed onto doc $topHub")
+  }
+
   test("linkGraph: edges symmetric, loop-free, and bounded by rare-shingle fan-out") {
     val docs = Tables(spark, dir, "documents")
     val edges = PageRank.linkGraph(docs).collect().map(r => (r.getLong(0), r.getLong(1)))

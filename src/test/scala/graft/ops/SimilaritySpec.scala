@@ -232,6 +232,10 @@ class SimilaritySpec extends SparkSuite {
     assert(rBq >= 0.15, s"binary-tier recall collapsed: $rBq")
     assert(rRer >= 0.5, s"re-ranked binary recall collapsed: $rRer")
     assert(rRer >= rBq, s"exact re-rank lost to raw Hamming: $rRer < $rBq")
+    // the three-tier serve digs a 4× deeper binary shortlist before the
+    // ADC cut, so it must not fall below the two-tier's recall
+    val rThree = recall(Similarity.bqAdcRerankTopK(spark, dir).collect())
+    assert(rThree >= rRer, s"three-tier recall $rThree below two-tier $rRer")
   }
 
   test("semDedup: planted near-identical vectors dropped in favor of the min id; originals kept") {
