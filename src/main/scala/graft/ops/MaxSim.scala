@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Late-interaction multi-vector retrieval (the ColBERT scoring shape):
@@ -46,24 +46,42 @@ object MaxSim {
   /** Query-doc bound: docs fully inside the served vec_id batch. */
   def queryMaxDoc: Long = TextAnalysis.ServeBatchMaxId / MaxSimFan
 
-  /** Registered query: MaxSim top-k over LSH-shortlisted candidates.
-    * Output (q_doc, d_doc, rank, maxsim). */
+  /** Registered query: MaxSim top-k over LSH-shortlisted candidates for
+    * the served query-doc batch. Output (q_doc, d_doc, rank, maxsim). */
   def maxSimTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val qChunks = e.filter(expr(s"vec_id div $MaxSimFan") <= queryMaxDoc)
+      .select(expr(s"vec_id div $MaxSimFan").as("q_doc"),
+        (col("vec_id") % MaxSimFan).as("qi"), col("v").as("q_v"))
+    maxSimTopKFor(spark, dir, qChunks, k)
+  }
+
+  /** The MaxSim serving core for an ARBITRARY `(q_doc, qi, q_v)` chunk
+    * frame — shared verbatim with the streaming twin
+    * ([[graft.streaming.VectorStreams.maxSimServe]]), so stream/batch
+    * parity is structural. Query buckets derive from the chunk vectors
+    * through the same seeded planes as the stored index, so a query doc
+    * need not BE in the corpus. */
+  private[graft] def maxSimTopKFor(
+      spark: SparkSession, dir: String, qChunks: DataFrame, k: Int = 10): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val chunks = e.select(expr(s"vec_id div $MaxSimFan").as("doc"), col("vec_id"), col("v"))
 
     // chunk-level LSH index with the doc key attached — the stored artifact
-    // (bare ids, the annLshTopK discipline); persisted: feeds both join legs
-    val buckets = (0 until Similarity.LshTables)
-      .map(t => Similarity.lshBucket(col("v"), Similarity.LshBits, Similarity.LshDims, t))
+    // (bare ids, the annLshTopK discipline); persisted: feeds the candidate
+    // join leg (queries bucket independently through the same planes)
+    def bucketsOf(v: Column) = (0 until Similarity.LshTables)
+      .map(t => Similarity.lshBucket(v, Similarity.LshBits, Similarity.LshDims, t))
     val banded = chunks.select(col("doc"),
-      posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
+      posexplode(array(bucketsOf(col("v")): _*)).as(Seq("table", "bucket")))
       .persist()
 
     // candidate DOC pairs: any query chunk colliding with any corpus chunk
-    val qBand = banded.filter(col("doc") <= queryMaxDoc)
-      .select(col("table"), col("bucket"), col("doc").as("q_doc"))
+    val qBand = qChunks.select(col("q_doc"),
+      posexplode(array(bucketsOf(col("q_v")): _*)).as(Seq("table", "bucket")))
+      .select(col("table"), col("bucket"), col("q_doc"))
     val cand = banded.select(col("table"), col("bucket"), col("doc").as("d_doc"))
       .join(broadcast(qBand), Seq("table", "bucket"))
       .filter(col("d_doc") =!= col("q_doc"))
@@ -72,9 +90,7 @@ object MaxSim {
 
     // late interaction: per (pair, query-chunk) the ORDER-FREE max over the
     // candidate's chunks, folded in ONE aggregate via conditional maxima
-    val qc = chunks.filter(col("doc") <= queryMaxDoc)
-      .select(col("doc").as("q_doc"), (col("vec_id") % MaxSimFan).as("qi"),
-        col("v").as("q_v"))
+    val qc = qChunks.select(col("q_doc"), col("qi"), col("q_v"))
     val dc = chunks.select(col("doc").as("d_doc"), col("v").as("d_v"))
     val maxes = (0 until MaxSimFan).map(i =>
       max(when(col("qi") === i, col("c"))).as(s"m$i"))

@@ -182,6 +182,32 @@ object VectorStreams {
       .option("checkpointLocation", ckpt)
       .start()
 
+  /** Late-interaction (MaxSim) serving — the streaming twin of the batch
+    * `maxsim_topk`: an unbounded stream of multi-vector query docs (rows
+    * `(doc, chunk, v)`; a doc's chunks MUST arrive within one micro-batch —
+    * in production the upstream assembler is a session window keyed on the
+    * doc id) scores per micro-batch against the static chunk-level LSH
+    * index ([[graft.ops.MaxSim.maxSimTopKFor]] is literally shared, so
+    * stream/batch parity is structural). Per-query-doc independence makes
+    * the stream exact; same exactly-once sink.
+    */
+  def maxSimServe(
+      spark: SparkSession,
+      dir: String,
+      queryStream: DataFrame,
+      outDir: String,
+      ckpt: String,
+      k: Int = 10): StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val qChunks = batch.select(
+          col("doc").as("q_doc"), col("chunk").as("qi"), col("v").as("q_v"))
+        Sinks.idempotentBatchWrite(
+          graft.ops.MaxSim.maxSimTopKFor(spark, dir, qChunks, k), batchId, outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
   /** Diversified serving: each micro-batch of query vectors runs the MMR
     * re-rank ([[Similarity.mmrRerankFor]] — literally shared with the
     * batch `mmr_rerank_topk`, so parity is structural) against the static

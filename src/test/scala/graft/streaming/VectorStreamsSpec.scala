@@ -90,6 +90,44 @@ class VectorStreamsSpec extends SparkSuite {
     assert(got.nonEmpty, "filtered serve produced no rows — spec is vacuous")
   }
 
+  test("micro-batched MaxSim serving equals the batch late-interaction serve per query doc") {
+    val dir = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("graft-maxsim-serve").toFile
+    val (out, ckpt) = (s"$root/out", s"$root/ckpt")
+    import graft.ops.MaxSim
+
+    // the batch query docs, streamed as (doc, chunk, v) rows in TWO
+    // micro-batches split on WHOLE docs (the serving contract: a doc's
+    // chunks arrive together)
+    val rows = Tables(spark, dir, "embeddings")
+      .filter(expr(s"vec_id div ${MaxSim.MaxSimFan}") <= MaxSim.queryMaxDoc)
+      .select(expr(s"vec_id div ${MaxSim.MaxSimFan}").as("doc"),
+        (col("vec_id") % MaxSim.MaxSimFan).as("chunk"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Long, Seq[Double])].collect()
+    val docs = rows.map(_._1).distinct.sorted
+    val (d1, d2) = docs.splitAt(docs.length / 2)
+    val (b1, b2) = (rows.filter(r => d1.contains(r._1)), rows.filter(r => d2.contains(r._1)))
+
+    val mem = MemoryStream[(Long, Long, Seq[Double])](spark)
+    val stream = mem.toDF().toDF("doc", "chunk", "v")
+    mem.addData(b1.toIndexedSeq)
+    val q = VectorStreams.maxSimServe(spark, dir, stream, out, ckpt)
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = Sinks.readSink(spark, out)
+      .select("q_doc", "d_doc", "rank", "maxsim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val batch = MaxSim.maxSimTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got == batch,
+      s"stream-served MaxSim diverged from batch: ${(got diff batch).take(5)} / ${(batch diff got).take(5)}")
+    assert(got.nonEmpty, "MaxSim serve produced no rows — spec is vacuous")
+  }
+
   /** Live-index serving: the corpus GROWS between micro-batches, and the
     * `refreshEvery` hook must re-fit + re-persist + swap without a stream
     * restart. The appended vectors are exact twins of the originals in a
