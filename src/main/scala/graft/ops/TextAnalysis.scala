@@ -824,6 +824,170 @@ object TextAnalysis {
 
   val bm25TopKSql: String = bm25SqlFor("doc_id % 50 = 0")
 
+  /** Feedback depth / expansion width / expansion weight for
+    * [[bm25PrfTopK]]. β = 0.5 is the standard RM3 interpolation midpoint. */
+  val FbDocs = 5
+  val FbTerms = 5
+  val FbBeta = 0.5
+
+  /** Pseudo-relevance-feedback query expansion (the RM3/Rocchio two-pass
+    * shape — the production retrieval step after plain BM25): pass 1
+    * retrieves each query's top [[FbDocs]] docs; the expansion picks the
+    * [[FbTerms]] terms most shared across that feedback set (ranked by
+    * feedback-document frequency, rarest-in-collection first on ties —
+    * Rocchio with binary weights, chosen over RM1's P(t|R) float weights
+    * deliberately: term SELECTION stays pure integer arithmetic, so the
+    * expanded query set is bit-derivable cross-engine); pass 2 rescores
+    * with original terms at weight 1 and expansion terms at β = 0.5,
+    * rounded-sum ranking (the bm25 armor).
+    *
+    * Scale shape: both passes are the [[bm25TopKFrom]] plan — candidates
+    * form only through (broadcast) query-vocabulary term joins; the
+    * feedback join is |batch|·fbDocs × doc-vocabulary, batch-bounded. The
+    * query set is the pinned serving batch, so cost ∝ batch at any SF.
+    * With fbTerms = 0 the whole query provably reduces to
+    * [[bm25TopKServed]] (×1.0 is an IEEE identity) — spec-pinned.
+    */
+  def bm25PrfTopK(spark: SparkSession, dir: String, k: Int = 10,
+      fbDocs: Int = FbDocs, fbTerms: Int = FbTerms, beta: Double = FbBeta,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dlb = dl.crossJoin(broadcast(stats))
+      .select(col("doc_id"), (lit(b) * col("dl") / col("avgdl")).as("bdl"))
+    val qterms = tf.filter(col("doc_id") <= ServeBatchMaxId)
+      .select(col("doc_id").as("q_id"), col("tok"))
+
+    // one weighted scoring pass: (q_id, tok, w) → rounded per-doc sums
+    def scorePass(wq: DataFrame) = {
+      val qidf = wq.join(df, Seq("tok")).crossJoin(broadcast(stats))
+        .select(col("q_id"), col("tok"), col("w"),
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1).as("idf"))
+      tf.join(broadcast(qidf), Seq("tok"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .join(dlb, Seq("doc_id"))
+        .withColumn("s",
+          col("w") * col("idf") * col("tf") * lit(k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1 - b) + col("bdl"))))
+        .groupBy("q_id", "doc_id")
+        .agg(round(sum(col("s")), 4).as("score"))
+    }
+    val wRank = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+
+    // pass 1 → the pseudo-relevant feedback set
+    val fb = scorePass(qterms.withColumn("w", lit(1.0)))
+      .withColumn("r", row_number().over(wRank)).filter(col("r") <= fbDocs)
+      .select("q_id", "doc_id")
+    // expansion: terms of the feedback docs, NOT already in the query,
+    // ranked by (feedback df DESC, collection df ASC, tok) — all integers
+    val fbt = fb.join(tf.select("doc_id", "tok"), Seq("doc_id"))
+      .groupBy("q_id", "tok").agg(count(lit(1)).as("fb_df"))
+    val wTr = Window.partitionBy("q_id")
+      .orderBy(col("fb_df").desc, col("df").asc, col("tok"))
+    val expansion = fbt.join(df, Seq("tok"))
+      .join(qterms.withColumn("orig", lit(true)), Seq("q_id", "tok"), "left")
+      .filter(col("orig").isNull)
+      .withColumn("tr", row_number().over(wTr)).filter(col("tr") <= fbTerms)
+      .select("q_id", "tok")
+
+    // pass 2: original terms at weight 1, expansion at β
+    val wq2 = qterms.withColumn("w", lit(1.0))
+      .unionByName(expansion.withColumn("w", lit(beta)))
+    val out = scorePass(wq2)
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("rank"), col("score"))
+      .orderBy("q_id", "rank")
+      .localCheckpoint(true) // bounded (|batch|×k); release the tf cache
+    tf.unpersist()
+    out
+  }
+
+  /** Static EXACT oracle for [[bm25PrfTopK]]: the bm25 model CTEs, the
+    * rounded pass-1 window capped at fbDocs, the integer expansion
+    * ranking, and the weighted pass-2 restated with the identical
+    * left-to-right arithmetic. */
+  def bm25PrfTopKSql(k: Int = 10, fbDocs: Int = FbDocs,
+      fbTerms: Int = FbTerms, beta: Double = FbBeta): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+       |  FROM documents
+       |), tf AS MATERIALIZED (
+       |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+       |), dl AS MATERIALIZED (
+       |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+       |), stats AS MATERIALIZED (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+       |), df AS MATERIALIZED (
+       |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+       |), qterms AS MATERIALIZED (
+       |  SELECT doc_id AS q_id, tok FROM tf WHERE doc_id <= $ServeBatchMaxId
+       |), scored1 AS (
+       |  SELECT q.q_id, t.doc_id,
+       |    round(sum(
+       |      1.0 * ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+       |        * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+       |    ), 4) AS score
+       |  FROM tf t
+       |  JOIN qterms q USING (tok)
+       |  JOIN df USING (tok)
+       |  JOIN dl ON dl.doc_id = t.doc_id
+       |  CROSS JOIN stats s
+       |  WHERE t.doc_id <> q.q_id
+       |  GROUP BY 1, 2
+       |), fb AS MATERIALIZED (
+       |  SELECT q_id, doc_id FROM (
+       |    SELECT q_id, doc_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS r
+       |    FROM scored1)
+       |  WHERE r <= $fbDocs
+       |), fbt AS (
+       |  SELECT f.q_id, t.tok, count(*) AS fb_df
+       |  FROM fb f JOIN tf t ON t.doc_id = f.doc_id
+       |  GROUP BY 1, 2
+       |), expansion AS MATERIALIZED (
+       |  SELECT q_id, tok FROM (
+       |    SELECT f.q_id, f.tok,
+       |      row_number() OVER (PARTITION BY f.q_id
+       |        ORDER BY f.fb_df DESC, df.df ASC, f.tok) AS tr
+       |    FROM fbt f
+       |    JOIN df USING (tok)
+       |    LEFT JOIN qterms qt ON qt.q_id = f.q_id AND qt.tok = f.tok
+       |    WHERE qt.tok IS NULL)
+       |  WHERE tr <= $fbTerms
+       |), wq AS (
+       |  SELECT q_id, tok, 1.0 AS w FROM qterms
+       |  UNION ALL
+       |  SELECT q_id, tok, $beta AS w FROM expansion
+       |), scored2 AS (
+       |  SELECT q.q_id, t.doc_id,
+       |    round(sum(
+       |      q.w * ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+       |        * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+       |    ), 4) AS score
+       |  FROM tf t
+       |  JOIN wq q USING (tok)
+       |  JOIN df USING (tok)
+       |  JOIN dl ON dl.doc_id = t.doc_id
+       |  CROSS JOIN stats s
+       |  WHERE t.doc_id <> q.q_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT q_id, doc_id, rank, score FROM (
+       |  SELECT q_id, doc_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank,
+       |    score
+       |  FROM scored2)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
   /** Per-language quality pruning: keep the top `keepFrac` of each
     * language's documents by [[qualityScore]], rank ties broken by doc_id —
     * the curation step that follows scoring in a training pipeline (prune

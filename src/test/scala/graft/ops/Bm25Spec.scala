@@ -168,4 +168,32 @@ class Bm25Spec extends SparkSuite {
     val nonsense = Seq((7L, "zqxjkwv bbqzzz notaword")).toDF("q_id", "text")
     assert(TextAnalysis.bm25TopKFor(docs, nonsense).collect().isEmpty)
   }
+
+  test("bm25PrfTopK: reduces to the plain serve at fbTerms=0; expansion is bounded, disjoint, and does something") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // reduction: zero expansion terms leaves only the original terms at
+    // weight 1.0, and ×1.0 is an IEEE identity — row-for-row equality
+    val reduced = TextAnalysis.bm25PrfTopK(spark, dir, fbTerms = 0)
+      .collect().map(_.toString).toSeq
+    val plain = TextAnalysis.bm25TopKServed(spark, dir).collect().map(_.toString).toSeq
+    assert(reduced == plain, "fbTerms=0 did not reduce to the unexpanded serve")
+    // determinism of the full two-pass form
+    val p1 = TextAnalysis.bm25PrfTopK(spark, dir).collect()
+    val p2 = TextAnalysis.bm25PrfTopK(spark, dir).collect()
+    assert(p1.map(_.toString).toSeq == p2.map(_.toString).toSeq)
+    // the expansion must genuinely move rankings for SOME query (if this
+    // converges to zero the fixture stopped exercising feedback)
+    val expanded = p1.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val base = plain.toSet
+    assert(expanded.map(t => s"[${t._1},${t._2},${t._3}]") != base,
+      "expansion changed nothing — spec is vacuous")
+    // ranks stay dense 1..k per query and scores non-increasing
+    for ((_, rows) <- p1.groupBy(_.getLong(0))) {
+      val byRank = rows.sortBy(_.getInt(2))
+      assert(byRank.map(_.getInt(2)).toSeq == (1 to byRank.length))
+      val scores = byRank.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
