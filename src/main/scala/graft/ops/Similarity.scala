@@ -470,7 +470,7 @@ object Similarity {
     * label partition when the label has < k·α members, which is exactly
     * when a full same-label scan is the right plan), dense labels stop
     * early. Measured by [[filteredRetrievalEval]] at α = 15: recall@10
-    * 1.0 / 0.9149, MRR 1.0 / 1.0 at sf0.01 / sf0.1.
+    * 1.0 / 0.9149 / 0.9604, MRR 1.0 everywhere, at sf0.01 / sf0.1 / sf1.
     *
     * Exactness: same fitted-centroid-literal argument as [[annIvfTopK]]
     * (one deterministic cell per vector, candidate set = set-equal
@@ -512,8 +512,8 @@ object Similarity {
   /** Candidate-budget multiplier for the filtered serves: probe until
     * k·α same-label candidates are in reach. α = 15 is the measured knee
     * for this corpus (near-orthogonal synthetic vectors — the hardest
-    * IVF regime): recall@10 1.0/0.9149 at sf0.01/sf0.1 vs 0.41/0.46
-    * under the fixed 4-probe rule (a 150-candidate budget probes ~12 of
+    * IVF regime): recall@10 1.0/0.9149/0.9604 at sf0.01/sf0.1/sf1 vs
+    * 0.41/0.46 under the fixed 4-probe rule (a 150-candidate budget probes ~12 of
     * 16 cells at sf0.1's ~12.5 same-label rows per cell; at sf0.01 the
     * ~50-member labels fall below the budget entirely, so the serve
     * degrades to the full label partition — the correct plan there). The
