@@ -116,6 +116,90 @@ object MaxSim {
       .orderBy("q_doc", "rank")
   }
 
+  /** The exactness anchor of the MaxSim stack: brute late-interaction
+    * top-k over ALL doc pairs for the served query docs — O(|batch|·n)
+    * by design, bench-excluded (the ann_topk_brute anchor convention).
+    * Static oracle; every LSH-shortlisted serve is audited against THIS
+    * by [[maxSimRetrievalEval]]. */
+  def maxSimBrute(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val chunks = e.select(expr(s"vec_id div $MaxSimFan").as("doc"), col("vec_id"), col("v"))
+    val qc = chunks.filter(col("doc") <= queryMaxDoc)
+      .select(col("doc").as("q_doc"), (col("vec_id") % MaxSimFan).as("qi"),
+        col("v").as("q_v"))
+    val dc = chunks.select(col("doc").as("d_doc"), col("v").as("d_v"))
+    val maxes = (0 until MaxSimFan).map(i =>
+      max(when(col("qi") === i, col("c"))).as(s"m$i"))
+    // all pairs: the small query-chunk side broadcasts onto one corpus pass
+    val perPair = dc.join(broadcast(qc), col("d_doc") =!= col("q_doc"))
+      .select(col("q_doc"), col("d_doc"), col("qi"),
+        Similarity.cosine(col("q_v"), col("d_v")).as("c"))
+      .groupBy("q_doc", "d_doc")
+      .agg(maxes.head, maxes.tail: _*)
+    val sumExpr = (0 until MaxSimFan)
+      .map(i => coalesce(col(s"m$i"), lit(0.0)))
+      .reduce[Column](_ + _)
+    val scored = perPair.select(col("q_doc"), col("d_doc"),
+      (round(sumExpr, 4) + lit(0.0)).as("maxsim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_doc")).orderBy(col("maxsim").desc, col("d_doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_doc"), col("d_doc"), col("rank"), col("maxsim"))
+      .orderBy("q_doc", "rank")
+  }
+
+  /** Static EXACT oracle for [[maxSimBrute]] — the shortlisted oracle's
+    * scoring tail with the all-pairs candidate set. */
+  def maxSimBruteSql(k: Int = 10): String = {
+    val f = MaxSimFan
+    val maxCols = (0 until f).map(i =>
+      s"max(CASE WHEN qe.vec_id % $f = $i THEN list_cosine_similarity(qe.v, de.v) END) AS m$i")
+      .mkString(",\n    ")
+    val sum = (0 until f).map(i => s"coalesce(m$i, 0.0)").mkString(" + ")
+    s"""WITH ev AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), mx AS (
+       |  SELECT qe.vec_id // $f AS q_doc, de.vec_id // $f AS d_doc,
+       |    $maxCols
+       |  FROM ev qe JOIN ev de ON de.vec_id // $f <> qe.vec_id // $f
+       |  WHERE qe.vec_id // $f <= $queryMaxDoc
+       |  GROUP BY 1, 2
+       |), sc AS (
+       |  SELECT q_doc, d_doc, round($sum, 4) + 0.0 AS maxsim FROM mx
+       |)
+       |SELECT q_doc, d_doc, rank, maxsim FROM (
+       |  SELECT q_doc, d_doc,
+       |    row_number() OVER (PARTITION BY q_doc ORDER BY maxsim DESC, d_doc) AS rank,
+       |    maxsim
+       |  FROM sc)
+       |WHERE rank <= $k
+       |ORDER BY q_doc, rank""".stripMargin
+  }
+
+  /** Retrieval-quality metrics of the LSH-shortlisted MaxSim serve
+    * against the brute late-interaction truth — closes the multi-vector
+    * stack (index → serve → eval) the way `filtered_retrieval_eval`
+    * closes the filtered stack. Shares [[Similarity.evalTailOf]]'s exact
+    * bitmask/DECIMAL discipline. Bench-excluded: the truth leg IS the
+    * brute anchor. Reads 1.0/1.0/1.0 at both test SFs — the chunk-level
+    * banding admits a pair on ANY of fan×tables collisions; the row
+    * exists to catch a future index weakening, not to flatter it. */
+  def maxSimRetrievalEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Similarity.evalTailOf(
+      maxSimTopK(spark, dir, k)
+        .select(col("q_doc").as("q_id"), col("d_doc").as("n_id"), col("rank")),
+      maxSimBrute(spark, dir, k)
+        .select(col("q_doc").as("q_id"), col("d_doc").as("n_id")), k)
+
+  /** Oracle: the shared eval template over the two MaxSim legs (aliased
+    * to the template's q_id/n_id contract). */
+  def maxSimRetrievalEvalSql(k: Int = 10): String =
+    Similarity.retrievalEvalSqlWith(
+      s"SELECT q_doc AS q_id, d_doc AS n_id, rank, maxsim FROM (\n${maxSimTopKSql(k)})",
+      s"SELECT q_doc AS q_id, d_doc AS n_id, rank, maxsim FROM (\n${maxSimBruteSql(k)})", k)
+
   /** Static EXACT oracle: the banded-LSH CTE prefix (embedded plane
     * literals), the same doc-level candidate join, conditional maxima,
     * and the identical written four-term sum. */

@@ -2057,7 +2057,7 @@ object Similarity {
   /** The bitmask/DECIMAL metric tail shared by [[retrievalEval]] and
     * [[filteredRetrievalEval]] — got = (q_id, n_id, rank) from the index
     * under audit, truth = (q_id, n_id) from the exact anchor. */
-  private def evalTailOf(got: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+  private[ops] def evalTailOf(got: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     val idcg = ndcgWeights(k).map(_.toDouble).sum.toString
     val hits = got.join(truth, Seq("q_id", "n_id"))
     val hAgg = hits.groupBy("q_id").agg(
@@ -2145,7 +2145,7 @@ object Similarity {
     retrievalEvalSqlWith(annLshTopKSql, annTopKSql, k)
 
   /** The eval-oracle template, parameterized by the got/truth legs. */
-  private def retrievalEvalSqlWith(gotSql: String, truthSql: String, k: Int): String = {
+  private[ops] def retrievalEvalSqlWith(gotSql: String, truthSql: String, k: Int): String = {
     val idcg = ndcgWeights(k).map(_.toDouble).sum.toString
     s"""WITH got AS (
        |$gotSql

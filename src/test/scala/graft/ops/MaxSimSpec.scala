@@ -43,6 +43,16 @@ class MaxSimSpec extends SparkSuite {
     assert(recall >= 0.9, s"MaxSim shortlist recall collapsed: $recall")
   }
 
+  test("maxSimRetrievalEval: the shortlist currently loses nothing to brute — pinned as the regression tripwire") {
+    // 1.0 everywhere today (chunk-level banding admits a pair on ANY of
+    // fan×tables collisions); a future LshBits/LshTables weakening or a
+    // candidate-join bug shows up HERE first
+    val m = MaxSim.maxSimRetrievalEval(spark, dir).collect()(0)
+    assert(m.getLong(0) > 0)
+    assert(m.getDouble(1) == 1.0, s"maxsim shortlist recall dropped: ${m.getDouble(1)}")
+    assert(m.getDouble(2) == 1.0, s"maxsim MRR dropped: ${m.getDouble(2)}")
+  }
+
   test("maxSimTopK: late interaction is not single-vector retrieval in disguise") {
     // mean-pooling each doc's chunks into ONE vector (the single-vector
     // baseline the operator exists to beat) recovers well under 70% of
