@@ -988,6 +988,121 @@ object TextAnalysis {
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Dirichlet smoothing mass for [[qldTopK]] — the same order as the
+    * corpus's ~100-token documents (Zhai & Lafferty's guidance: μ near
+    * the average document length). */
+  val QldMu = 100.0
+
+  /** Query-likelihood retrieval with Dirichlet smoothing (Ponte & Croft
+    * '98 / Zhai & Lafferty '01) — the LANGUAGE-MODEL ranking next to
+    * BM25's probabilistic one (production stacks A/B the two):
+    *
+    *   score(q, d) = Σ_{t∈q} qtf·ln((tf + μ·P(t|C)) / (dl + μ))
+    *
+    * computed via the Zhai–Lafferty decomposition
+    * `Σ_{matched} qtf·ln(1 + tf·C/(μ·cf)) + qconst − |q|·ln(dl+μ)` with
+    * `qconst = Σ_{t∈q} qtf·ln(μ·cf/C)` — a sparse matched-term sum, one
+    * per-QUERY scalar, one per-doc term — which is what makes the plan
+    * the bm25 shape: candidates form ONLY through (broadcast)
+    * query-vocabulary term joins, never corpus×queries×vocabulary. The
+    * released value is the TRUE query log-likelihood (spec-checked
+    * against the undecomposed formula), not just a rank-equivalent.
+    * Docs sharing no term with the query never become candidates (the
+    * bm25 candidate convention; their constant-only scores are strictly
+    * dominated in practice and top-k never reaches them on this corpus).
+    *
+    * Cross-engine exactness: tf·C and μ·cf are exact integer products in
+    * doubles; each matched term is ONE fixed expression; the matched sum
+    * is reassociation-noisy so the release rounds AFTER adding the
+    * per-doc constant and ranking uses the rounded score (the bm25
+    * armor). Query set: the pinned serving batch.
+    */
+  def qldTopK(spark: SparkSession, dir: String, k: Int = 10,
+      mu: Double = QldMu): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist()
+    val cf = tf.groupBy("tok").agg(sum("tf").as("cf"))
+    val totC = tf.agg(sum("tf").as("c_total"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val qt = tf.filter(col("doc_id") <= ServeBatchMaxId)
+      .select(col("doc_id").as("q_id"), col("tok"), col("tf").as("qtf"))
+    // per-(query, term) model stats — query-vocabulary-sized, broadcast
+    val qstats = qt.join(cf, Seq("tok")).crossJoin(broadcast(totC))
+    val qagg = qstats.groupBy("q_id").agg(
+      sum("qtf").as("qlen"),
+      sum(col("qtf") * log(lit(mu) * col("cf") / col("c_total"))).as("qconst"))
+    val sparse = tf.join(broadcast(qstats), Seq("tok"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("s", col("qtf") *
+        log(lit(1.0) + (col("tf") * col("c_total")) / (lit(mu) * col("cf"))))
+      .groupBy("q_id", "doc_id").agg(sum(col("s")).as("sp"))
+    val scored = sparse
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(qagg), Seq("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        round(col("sp") + col("qconst") - col("qlen") * log(col("dl") + lit(mu)), 4)
+          .as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("rank"), col("score"))
+      .orderBy("q_id", "rank")
+      .localCheckpoint(true) // bounded; release the tf cache
+    tf.unpersist()
+    out
+  }
+
+  /** Static EXACT oracle for [[qldTopK]] — the decomposition restated
+    * with the identical op order (integer products, one division per
+    * term, round after the constant add). */
+  def qldTopKSql(k: Int = 10, mu: Double = QldMu): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+       |  FROM documents
+       |), tf AS MATERIALIZED (
+       |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+       |), cf AS MATERIALIZED (
+       |  SELECT tok, sum(tf) AS cf FROM tf GROUP BY 1
+       |), tot AS (
+       |  SELECT sum(tf) AS c_total FROM tf
+       |), dl AS MATERIALIZED (
+       |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+       |), qt AS MATERIALIZED (
+       |  SELECT doc_id AS q_id, tok, tf AS qtf FROM tf
+       |  WHERE doc_id <= $ServeBatchMaxId
+       |), qagg AS (
+       |  SELECT q.q_id, sum(q.qtf) AS qlen,
+       |    sum(q.qtf * ln($mu * cf.cf / tot.c_total)) AS qconst
+       |  FROM qt q JOIN cf USING (tok) CROSS JOIN tot
+       |  GROUP BY 1
+       |), sparse AS (
+       |  SELECT q.q_id, t.doc_id,
+       |    sum(q.qtf * ln(1.0 + (t.tf * tot.c_total) / ($mu * cf.cf))) AS sp
+       |  FROM tf t
+       |  JOIN qt q USING (tok)
+       |  JOIN cf USING (tok)
+       |  CROSS JOIN tot
+       |  WHERE t.doc_id <> q.q_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT s.q_id, s.doc_id,
+       |    round(s.sp + qa.qconst - qa.qlen * ln(dl.dl + $mu), 4) AS score
+       |  FROM sparse s
+       |  JOIN dl ON dl.doc_id = s.doc_id
+       |  JOIN qagg qa ON qa.q_id = s.q_id
+       |)
+       |SELECT q_id, doc_id, rank, score FROM (
+       |  SELECT q_id, doc_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank,
+       |    score
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
   /** Per-language quality pruning: keep the top `keepFrac` of each
     * language's documents by [[qualityScore]], rank ties broken by doc_id —
     * the curation step that follows scoring in a training pipeline (prune

@@ -169,6 +169,40 @@ class Bm25Spec extends SparkSuite {
     assert(TextAnalysis.bm25TopKFor(docs, nonsense).collect().isEmpty)
   }
 
+  test("qldTopK: decomposition equals the full query-likelihood formula among candidates") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val mu = TextAnalysis.QldMu
+    // first-principles re-derivation: full score(q,d) = Σ_t qtf·ln((tf +
+    // μ·cf/C)/(dl+μ)) over ALL query terms, computed in plain Scala; the
+    // engine's sparse decomposition must match to rounding on every
+    // released row
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val tf = docs.map { case (d, ts) => d -> ts.groupBy(identity).view.mapValues(_.size.toLong).toMap }
+    val cf = tf.values.flatten.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val cTotal = cf.values.sum.toDouble
+    val dl = tf.view.mapValues(_.values.sum).toMap
+    val got = TextAnalysis.qldTopK(spark, dir).collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val (q, d, score) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      val full = tf(q).map { case (t, qtf) =>
+        qtf * math.log((tf(d).getOrElse(t, 0L) + mu * cf(t) / cTotal) / (dl(d) + mu))
+      }.sum
+      assert(math.abs(full - score) < 1e-3,
+        s"q=$q d=$d engine $score vs first-principles $full")
+    }
+    // determinism + the model genuinely differs from bm25's ranking
+    val again = TextAnalysis.qldTopK(spark, dir).collect().map(_.toString).toSeq
+    assert(got.map(_.toString).toSeq == again)
+    val bm = TextAnalysis.bm25TopKServed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ql = got.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ql != bm, "QL ranking identical to BM25 — the second model is redundant")
+  }
+
   test("bm25PrfTopK: reduces to the plain serve at fbTerms=0; expansion is bounded, disjoint, and does something") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
