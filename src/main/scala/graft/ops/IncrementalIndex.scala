@@ -239,6 +239,43 @@ object IncrementalIndex {
     out
   }
 
+  /** ERASURE from the serving index (GDPR Art. 17 applied to a vector
+    * store — the [[graft.ops.TableChecks]] erasure-cascade family's
+    * reach into the ANN stack): delete `ids` from the code table WITHOUT
+    * a rebuild or re-fit. The snapshot is rewritten minus the erased
+    * rows into a fresh directory and swapped (the [[compact]]
+    * discipline), so the erased vectors' code BYTES leave disk — a
+    * tombstone filter would serve correctly but retain the 8-byte codes,
+    * which still leak coarse geometry of the erased vectors (their cell
+    * and nearest codewords); Art. 17 wants the data gone, not masked.
+    * The retained `corpus` frame narrows by the same anti-join, so a
+    * LATER drift re-fit can never resurrect erased vectors into the
+    * rebuilt index, and codebooks/baseErr stay frozen — serving for the
+    * remaining corpus is bit-identical to an index that never contained
+    * the erased rows under the same books (spec-pinned). Work ∝
+    * |snapshot| rewrite, the same cost class as one compaction — at
+    * 100 TB this is a partition-pruned rewrite of the (label, cell)
+    * partitions the erased ids live in, not the whole table. The
+    * codebooks themselves were fitted on a ≤50k-vector sample that may
+    * have included erased vectors; a strict deployment schedules a
+    * re-fit at the next drift boundary (the narrowed corpus makes that
+    * automatic) — documented residual, standard for quantizer models.
+    */
+  def remove(idx: PqIndex, ids: DataFrame): PqIndex = {
+    val gone = ids.select("vec_id")
+    val path = snapshotDir()
+    try idx.codes.join(gone, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(path)
+    catch { case e: Throwable => deleteDir(path); throw e }
+    val codes = idx.codes.sparkSession.read.parquet(path)
+    val out = idx.copy(
+      codes = codes, codesPath = path,
+      corpus = idx.corpus.join(gone, Seq("vec_id"), "left_anti"),
+      appends = 0)
+    deleteDir(idx.codesPath) // the erased codes' bytes leave disk here
+    out
+  }
+
   /** Serve a query batch (`q_id`, `q_v`) — the shared ADC scan+rank tail,
     * so results are definitionally comparable with the batch PQ family. */
   def topK(idx: PqIndex, queries: DataFrame, k: Int = 10): DataFrame =

@@ -104,10 +104,15 @@ object VectorStreams {
     * vector index. Small-file growth is bounded by the index's own
     * appends-gated compaction ([[graft.ops.IncrementalIndex.CompactEvery]]):
     * every Nth no-drift refresh rewrites and swaps the snapshot directory,
-    * so a long-running ingest never degrades the codes scan. Failure
-    * isolation matches [[adcServe]]: the append/refit runs inside a Try
-    * with the result eagerly materialized, so a failed refresh keeps the
-    * previous index serving.
+    * so a long-running ingest never degrades the codes scan. The refresh
+    * boundary also runs an ERASURE SYNC: ids indexed but gone from the
+    * live table (deleted upstream — the GDPR cascade reaching the vector
+    * store) are removed via [[graft.ops.IncrementalIndex.remove]], so the
+    * serving index mirrors a corpus that SHRINKS as well as grows and the
+    * erased codes' bytes leave disk. Failure isolation matches
+    * [[adcServe]]: erasure and append each run inside their own Try with
+    * results eagerly materialized, so a failed refresh keeps the previous
+    * (or pruned) index serving.
     */
   def adcServeIncremental(
       spark: SparkSession,
@@ -125,6 +130,30 @@ object VectorStreams {
     queryStream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (refreshEvery > 0 && batchId > 0 && batchId % refreshEvery == 0) {
+          // ERASURE SYNC first, under its own failure isolation: ids
+          // indexed but no longer in the live table were erased upstream
+          // (the GDPR cascade reaching the vector store) — drop them via
+          // IncrementalIndex.remove, which rewrites the snapshot minus
+          // the erased codes so their bytes leave disk. Sequenced BEFORE
+          // the growth sync so a later append failure still leaves the
+          // valid pruned index serving; remove's own swap discipline
+          // (write-new, delete-old-last) means ITS failure leaves the
+          // previous index intact.
+          scala.util.Try {
+            val gone = index.codes.select("vec_id")
+              .join(liveCorpus().select("vec_id"), Seq("vec_id"), "left_anti")
+              .localCheckpoint(true)
+            if (gone.isEmpty) index else IncrementalIndex.remove(index, gone)
+          } match {
+            case scala.util.Success(pruned) =>
+              if (!(pruned eq index))
+                System.err.println(s"[adcServeIncremental] batch $batchId: " +
+                  "erased upstream-deleted vectors from the serving index")
+              index = pruned
+            case scala.util.Failure(e) =>
+              System.err.println(
+                s"[adcServeIncremental] erasure sync at batch $batchId failed, serving previous index: ${e.getMessage}")
+          }
           scala.util.Try {
             val grown = liveCorpus()
             val fresh = grown.join(index.codes.select("vec_id"), Seq("vec_id"), "left_anti")

@@ -53,6 +53,50 @@ class IncrementalIndexSpec extends SparkSuite {
     IncrementalIndex.release(idx1)
   }
 
+  test("remove: erased ids leave the serve AND the disk; later maintenance cannot resurrect them") {
+    val idx0 = IncrementalIndex.build(corpus0)
+    val oldPath = idx0.codesPath
+    import spark.implicits._
+    // erase every 7th vector (includes some of the %50 query set's top hits)
+    val goneIds = corpus0.filter(col("vec_id") % 7 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    val idx1 = IncrementalIndex.remove(idx0, goneIds.toSeq.toDF("vec_id"))
+
+    // serving: no erased id ever appears; results equal serving the
+    // filtered code table under the SAME frozen books (erasure must not
+    // move the model)
+    assert(idx1.books eq idx0.books)
+    val served = IncrementalIndex.topK(idx1, queriesOf(corpus0), k = 10).collect()
+    assert(served.nonEmpty)
+    assert(served.forall(r => !goneIds.contains(r.getLong(1))),
+      "an erased vector was served")
+    val remaining = corpus0.join(goneIds.toSeq.toDF("vec_id"), Seq("vec_id"), "left_anti")
+    val expect = Similarity.adcTopKAgainst(
+      Similarity.assignCodes(remaining, idx0.books, Seq("vec_id")),
+      queriesOf(corpus0), idx0.books, 10).collect().map(_.toString).toSeq
+    assert(served.map(_.toString).toSeq == expect,
+      "post-erasure serve diverged from an index that never held the erased rows")
+
+    // Art. 17: the superseded snapshot (holding the erased codes) is GONE
+    assert(!new java.io.File(oldPath).exists(), "old snapshot bytes still on disk")
+    assert(idx1.codes.filter(col("vec_id").isin(goneIds.toSeq: _*)).isEmpty)
+
+    // a later frozen-books append cannot resurrect: append fresh twins,
+    // erased ids stay absent from codes and serve
+    val twins = remaining.select((col("vec_id") + Shift).as("vec_id"), col("v"))
+    val idx2 = IncrementalIndex.append(idx1, twins)
+    assert(idx2.codes.filter(col("vec_id").isin(goneIds.toSeq: _*)).isEmpty)
+    // and the narrowed corpus means even a full re-fit path rebuilds
+    // WITHOUT the erased rows
+    assert(idx2.corpus.filter(col("vec_id").isin(goneIds.toSeq: _*)).isEmpty)
+    // removing ids that are not indexed is a row-level no-op (count taken
+    // BEFORE the remove — its swap releases idx2's directory)
+    val idx2Count = idx2.codes.count()
+    val idx3 = IncrementalIndex.remove(idx2, Seq(999999999L).toDF("vec_id"))
+    assert(idx3.codes.count() == idx2Count)
+    IncrementalIndex.release(idx3)
+  }
+
   test("drift append: re-fit runs and is bit-identical to a from-scratch build on the grown corpus") {
     val idx0 = IncrementalIndex.build(corpus0)
     // a far-shifted, rescaled batch: far outside the fitted codeword range

@@ -192,6 +192,63 @@ class VectorStreamsSpec extends SparkSuite {
         s"${(afterSwap diff expected).take(5)} / ${(expected diff afterSwap).take(5)}")
   }
 
+  test("incremental refresh erases upstream-deleted vectors from the serving index") {
+    val src = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("graft-vec-erase").toFile
+    val dir = s"$root/corpus"
+    val (out, ckpt) = (s"$root/out", s"$root/ckpt")
+
+    val orig = spark.read.parquet(s"$src/embeddings.parquet")
+    orig.write.parquet(s"$dir/embeddings.parquet")
+    val seed = Tables(spark, src, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val qIds = seed.filter(col("vec_id") % 50 === 0)
+      .select("vec_id").as[Long].collect().sorted.take(2)
+    val qVecs = seed.filter(col("vec_id").isin(qIds: _*))
+      .as[(Long, Seq[Double])].collect().toMap
+    // the ids to erase: query 1's CURRENT top hits — if erasure fails,
+    // they will provably reappear in the post-refresh serve
+    val books0 = Similarity.fitPqFrom(seed, Similarity.PqM, Similarity.PqKs)
+    val codes0 = Similarity.assignCodes(seed, books0, Seq("vec_id"))
+    val q1 = seed.filter(col("vec_id") === qIds(1))
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val goneIds = Similarity.adcTopKAgainst(codes0, q1, books0, 3)
+      .select("n_id").as[Long].collect().toSet
+    assert(goneIds.nonEmpty)
+
+    val mem = MemoryStream[(Long, Seq[Double])](spark)
+    val stream = mem.toDF().toDF("vec_id", "v")
+    mem.addData((qIds(0), qVecs(qIds(0))))
+    val q = VectorStreams.adcServeIncremental(spark, dir, stream, out, ckpt,
+      k = 10, refreshEvery = 1L)
+    q.processAllAvailable()
+    // upstream erasure: rewrite the corpus dir minus the erased ids (the
+    // cascade's delete reaching the table the index mirrors)
+    val shrunk = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(!col("vec_id").isin(goneIds.toSeq: _*))
+      .localCheckpoint(true)
+    shrunk.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    mem.addData((qIds(1), qVecs(qIds(1))))
+    q.processAllAvailable()
+    q.stop()
+
+    val afterErase = Sinks.readSink(spark, out)
+      .filter(col("batch_id") === 1)
+      .select("q_id", "n_id", "rank", "adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(afterErase.nonEmpty)
+    assert(afterErase.forall(r => !goneIds.contains(r._2)),
+      s"an erased vector is still served: ${afterErase.filter(r => goneIds.contains(r._2))}")
+    // frozen-books parity with the shrunken corpus (no drift, no append —
+    // erasure must not move the model)
+    val remaining = seed.filter(!col("vec_id").isin(goneIds.toSeq: _*))
+    val expected = Similarity.adcTopKAgainst(
+      Similarity.assignCodes(remaining, books0, Seq("vec_id")), q1, books0, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(afterErase == expected,
+      s"post-erasure serving diverged: ${(afterErase diff expected).take(5)} / ${(expected diff afterErase).take(5)}")
+  }
+
   /** Incremental live index ([[VectorStreams.adcServeIncremental]]): the
     * corpus grows with same-distribution twins (the NO-drift path), and the
     * post-refresh batch must equal scoring the grown corpus under the
