@@ -122,6 +122,31 @@ object TextIndex {
     out
   }
 
+  /** ERASURE from the lexical index (the GDPR cascade's reach into the
+    * search stack, next to [[IncrementalIndex.remove]]'s vector-side
+    * form) — and here erasure is EXACT end to end, the designed contrast
+    * with the PQ side's documented codebook residual: BM25's model
+    * statistics (df, N, avgdl) re-derive from the postings at serve
+    * time, so deleting a document's postings rows IS deleting it from
+    * the model — serving after `remove` is row-identical to an index
+    * built from scratch on the remaining corpus (spec-pinned). Same
+    * swap discipline: the snapshot rewrites minus the erased doc_ids
+    * into a fresh directory, and the superseded one — holding the
+    * erased documents' term statistics, which reconstruct their
+    * vocabulary — is deleted, so the bytes leave disk.
+    */
+  def remove(idx: InvertedIndex, ids: DataFrame): InvertedIndex = {
+    val gone = ids.select("doc_id")
+    val path = IncrementalIndex.snapshotDir("graft_text_index")
+    try idx.tf.join(gone, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(path)
+    catch { case e: Throwable => IncrementalIndex.deleteDir(path); throw e }
+    val out = idx.copy(
+      tf = idx.tf.sparkSession.read.parquet(path), tfPath = path, appends = 0)
+    IncrementalIndex.deleteDir(idx.tfPath)
+    out
+  }
+
   /** Serve a query batch (`q_id`, `text`) — the shared BM25 scoring tail,
     * so indexed/one-shot parity is structural. */
   def topK(idx: InvertedIndex, queries: DataFrame, k: Int = 10): DataFrame =

@@ -38,6 +38,34 @@ class TextIndexSpec extends SparkSuite {
     TextIndex.release(grown)
   }
 
+  test("remove: erasure is EXACT — serve equals a from-scratch build on the remaining corpus") {
+    import spark.implicits._
+    val full = TextIndex.build(docs)
+    val oldPath = full.tfPath
+    val goneIds = docs.filter(col("doc_id") % 7 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    val pruned = TextIndex.remove(full, goneIds.toSeq.toDF("doc_id"))
+    val queries = docs.filter(col("doc_id") % 50 === 0 && col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+    val served = TextIndex.topK(pruned, queries).collect().map(_.toString).toSeq
+    assert(served.nonEmpty)
+    // the whole point vs the PQ side: df/N/avgdl re-derive from postings,
+    // so erasure is exact — identical rows to never having indexed them
+    val fresh = TextIndex.build(docs.filter(col("doc_id") % 7 =!= 0))
+    val fromScratch = TextIndex.topK(fresh, queries).collect().map(_.toString).toSeq
+    assert(served == fromScratch,
+      "post-erasure serve diverged from a from-scratch build on the remaining corpus")
+    // the superseded snapshot (holding the erased docs' term stats) is gone
+    assert(!new java.io.File(oldPath).exists(), "old postings bytes still on disk")
+    assert(pruned.tf.filter(col("doc_id").isin(goneIds.toSeq: _*)).isEmpty)
+    // append after erasure cannot resurrect
+    val reAppended = TextIndex.append(pruned,
+      docs.filter(col("doc_id") % 10 === 3 && col("doc_id") % 7 =!= 0).limit(0)
+        .unionByName(docs.limit(0))) // empty batch: no-op path
+    assert(reAppended.tf.filter(col("doc_id").isin(goneIds.toSeq: _*)).isEmpty)
+    TextIndex.release(fresh); TextIndex.release(reAppended)
+  }
+
   test("compaction preserves every row and reduces the snapshot to the byte target") {
     var idx = TextIndex.build(docs.filter(col("doc_id") % 4 === 0))
     for (r <- 1 to 3)
