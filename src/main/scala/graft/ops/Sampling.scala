@@ -767,4 +767,102 @@ object Sampling {
        |FROM grid g JOIN star s USING (source)
        |LEFT JOIN kept k ON k.source = g.source AND k.bucket = g.bucket
        |ORDER BY g.source, g.bucket""".stripMargin
+
+
+  /** Number of k-center coreset representatives ([[kcenterCoreset]]). */
+  val KcK = 8
+
+  /** Greedy k-center coreset selection (Gonzalez '85 farthest-point
+    * traversal, the classic 2-approximation) over the embeddings — the
+    * DIVERSITY-side curation primitive next to the density-side samplers
+    * above: pick the corpus point farthest (squared L2) from everything
+    * chosen so far, k times, then assign every vector to its nearest
+    * representative. Training-data pipelines use the representatives as a
+    * coverage-preserving subset and the assignment radii as a coverage
+    * audit.
+    *
+    * Execution shape: the selection is a DRIVER LOOP of k bounded steps
+    * (the [[Similarity.mmrRerankTopK]] greedy-bounded-driver convention) —
+    * each step is ONE distributed argmax (TakeOrderedAndProject over the
+    * persisted corpus; the driver ever holds only the k chosen vectors),
+    * and the assignment is one more scan against k plan-time literals.
+    * At 100 TB: k + 1 scans total, no shuffle beyond the top-1 combine.
+    *
+    * Exactness: dist² = ⟨v,v⟩ − 2⟨v,c⟩ + ⟨c,c⟩ as ONE written expression
+    * over the shared left-to-right dot kernel, so every distance is
+    * bit-identical cross-engine; argmax ties break by vec_id, assignment
+    * ties by center rank — the oracle re-derives the identical greedy
+    * chain LITERAL-FREE as chained MATERIALIZED CTEs ([[kcenterCoresetSql]]).
+    */
+  def kcenterCoreset(spark: SparkSession, dir: String, k: Int = KcK): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .persist() // k argmax scans + the assignment pass
+    def dist2To(c: Array[Double]) = {
+      val dbb = c.map(x => x * x).sum
+      graft.functions.DotProduct(col("v"), col("v")) -
+        lit(2.0) * graft.functions.DotProduct(col("v"), lit(c)) + lit(dbb)
+    }
+    val first = e.orderBy("vec_id").limit(1).collect()(0)
+    var centers = Vector((first.getLong(0), first.getSeq[Double](1).toArray))
+    for (_ <- 2 to k) {
+      val d =
+        if (centers.size == 1) dist2To(centers.head._2)
+        else least(centers.map(c => dist2To(c._2)): _*)
+      val next = e.select(col("vec_id"), col("v"), d.as("d"))
+        .orderBy(col("d").desc, col("vec_id")).limit(1).collect()(0)
+      centers = centers :+ ((next.getLong(0), next.getSeq[Double](1).toArray))
+    }
+    val structs = centers.zipWithIndex.map { case ((cid, cv), i) =>
+      struct(dist2To(cv).as("d"), lit(i + 1).as("center_rank"),
+        lit(cid).as("center_id"))
+    }
+    val out = e.select(col("vec_id"),
+      element_at(array_sort(array(structs: _*)), 1).as("a"))
+      .select(col("vec_id"), col("a.center_rank").as("center_rank"),
+        col("a.center_id").as("center_id"), round(col("a.d"), 4).as("d2"))
+      .orderBy("vec_id")
+      .localCheckpoint(true) // realize, then release the corpus cache
+    e.unpersist()
+    out
+  }
+
+  /** Literal-free EXACT oracle for [[kcenterCoreset]]: the greedy chain
+    * unrolled as MATERIALIZED CTE pairs (cᵢ = argmax of the running min
+    * distance dᵢ₋₁; dᵢ = least(dᵢ₋₁, dist² to cᵢ)), then the per-vector
+    * nearest-center window with the same (d, rank) tie rule. */
+  def kcenterCoresetSql(k: Int = KcK): String = {
+    def dist(ev: String, cv: String) =
+      s"list_dot_product($ev, $ev) - 2.0 * list_dot_product($ev, $cv) + list_dot_product($cv, $cv)"
+    val steps = (2 to k).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT $i AS r, vec_id, v FROM (
+         |    SELECT vec_id, v, row_number() OVER (ORDER BY d DESC, vec_id) AS rn
+         |    FROM d${i - 1}) WHERE rn = 1
+         |), d$i AS MATERIALIZED (
+         |  SELECT e.vec_id, e.v, least(e.d, ${dist("e.v", "c.v")}) AS d
+         |  FROM d${i - 1} e CROSS JOIN c$i c
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(i => s"SELECT r, vec_id, v FROM c$i").mkString("\nUNION ALL\n")
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), c1 AS MATERIALIZED (
+       |  SELECT 1 AS r, vec_id, v FROM ev ORDER BY vec_id LIMIT 1
+       |), d1 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v, ${dist("e.v", "c.v")} AS d
+       |  FROM ev e CROSS JOIN c1 c
+       |),
+       |$steps, centers AS MATERIALIZED (
+       |$union
+       |)
+       |SELECT vec_id, center_rank, center_id, d2 FROM (
+       |  SELECT e.vec_id, c.r AS center_rank, c.vec_id AS center_id,
+       |    round(${dist("e.v", "c.v")}, 4) AS d2,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dist("e.v", "c.v")}, c.r) AS rn
+       |  FROM ev e CROSS JOIN centers c)
+       |WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
 }

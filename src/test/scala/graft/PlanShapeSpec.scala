@@ -613,6 +613,9 @@ class PlanShapeSpec extends SparkSuite {
     // plan runs eagerly inside; per-pass shapes are the bm25 family's
     "bm25_prf_topk" -> (0, 0, 0, 0, 0, 0),
     "qld_topk" -> (0, 0, 0, 0, 0, 0),
+    // localCheckpoint(true)-realized (the greedy driver loop runs eagerly
+    // inside: k TakeOrdered argmax scans + one assignment pass)
+    "kcenter_coreset" -> (0, 0, 0, 0, 0, 0),
     // the nested-loops are the per-table 1-row tally scalar-combines
     // (erasure_cascade's shape, one more crossJoin per branch)
     "ttl_purge_plan" -> (0, 6, 0, 1, 9, 0),

@@ -352,4 +352,39 @@ class SamplingSpec extends SparkSuite {
     // the sampler actually rejects somewhere (the mix is not already flat)
     assert(out.values.map(_._2).sum < out.values.map(_._1).sum)
   }
+
+  test("kcenterCoreset: greedy chain matches an independent in-memory recompute; assignment is nearest-center") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Tables(spark, dir, "embeddings").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var daa = 0.0; var dab = 0.0; var dbb = 0.0; var i = 0
+      while (i < a.length) { daa += a(i) * a(i); dab += a(i) * b(i); dbb += b(i) * b(i); i += 1 }
+      daa - 2.0 * dab + dbb
+    }
+    // independent farthest-point traversal
+    var centers = Vector(rows.head)
+    for (_ <- 2 to Sampling.KcK) {
+      val next = rows.map { case (id, v) =>
+        (id, v, centers.map(c => d2(v, c._2)).min)
+      }.maxBy { case (id, _, d) => (d, -id) } // max d, tie -> smaller id
+      centers = centers :+ ((next._1, next._2))
+    }
+    val got = Sampling.kcenterCoreset(spark, dir).collect()
+    val gotCenters = got.filter(r => r.getLong(0) == r.getLong(2))
+      .sortBy(_.getInt(1)).map(_.getLong(0)).toVector
+    assert(gotCenters == centers.map(_._1),
+      s"greedy chain diverged: engine $gotCenters vs reference ${centers.map(_._1)}")
+    // every assignment is the true nearest center (tie -> lowest rank)
+    val cByRank = centers.zipWithIndex.map { case ((id, v), i) => (i + 1, id, v) }
+    for (r <- got) {
+      val v = rows.find(_._1 == r.getLong(0)).get._2
+      val best = cByRank.map { case (rk, id, cv) => (d2(v, cv), rk, id) }.min
+      assert(r.getInt(1) == best._2, s"vec ${r.getLong(0)} assigned to rank ${r.getInt(1)}, nearest is ${best._2}")
+    }
+    // determinism
+    val again = Sampling.kcenterCoreset(spark, dir).collect().map(_.toString).toSeq
+    assert(got.map(_.toString).toSeq == again)
+  }
 }
