@@ -349,6 +349,7 @@ object Similarity {
         "ann_filtered_topk" -> annFilteredTopKSql(cent),
         "ivf_pq_filtered_topk" -> ivfPqFilteredTopKSql(cent, books),
         "filtered_retrieval_eval" -> filteredRetrievalEvalSql(cent),
+        "ivf_retrieval_eval" -> ivfRetrievalEvalSql(cent),
         "semdedup_clusters" -> semDedupSql(cent),
         "pq_adc_topk"       -> pqAdcTopKSql(books),
         "bq_adc_rerank_topk" -> bqAdcRerankTopKSql(books),
@@ -2118,6 +2119,23 @@ object Similarity {
        |  WHERE q.vec_id <= ${TextAnalysis.ServeBatchMaxId})
        |WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
+
+  /** Retrieval-quality metrics of the IVF index ([[annIvfTopK]]) against
+    * the exact brute truth — completes the per-tier eval coverage (LSH =
+    * [[retrievalEval]], filtered = [[filteredRetrievalEval]], MaxSim =
+    * [[graft.ops.MaxSim.maxSimRetrievalEval]]): what the fixed 4/16-probe
+    * trade actually costs on this corpus, measured instead of asserted
+    * (the spec's 0.3 floor was the only quantification before this).
+    * Bench-excluded: the truth leg IS the brute anchor. */
+  def ivfRetrievalEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    evalTailOf(
+      annIvfTopK(spark, dir, k).select("q_id", "n_id", "rank"),
+      annTopKBrute(spark, dir, k).select("q_id", "n_id"), k)
+
+  /** Generated oracle for [[ivfRetrievalEval]] — the shared eval template
+    * over the fitted IVF oracle and the static brute truth. */
+  private[ops] def ivfRetrievalEvalSql(cent: Array[Array[Double]], k: Int = 10): String =
+    retrievalEvalSqlWith(annIvfTopKSql(cent), annTopKSql, k)
 
   /** Retrieval-quality metrics of the FILTERED serve ([[annFilteredTopK]])
     * against the brute filtered truth ([[annFilteredBrute]]) — the audit

@@ -205,6 +205,15 @@ class SimilaritySpec extends SparkSuite {
     assert(floored.values.forall(_ == 3L), s"minProbe floor violated: $floored")
   }
 
+  test("ivfRetrievalEval: the fixed-probe trade measured — MRR stays ~1, recall floor holds") {
+    // 4/16 probes on near-orthogonal vectors: measured recall@10 0.48 at
+    // sf0.01 with MRR 1.0 (the top hit is essentially always found; the
+    // tail is the probe-budget trade, nProbe is the knob)
+    val m = Similarity.ivfRetrievalEval(spark, "/root/testdata/sf0.01").collect()(0)
+    assert(m.getDouble(1) >= 0.3, s"IVF recall@10 collapsed: ${m.getDouble(1)}")
+    assert(m.getDouble(2) >= 0.9, s"IVF MRR collapsed: ${m.getDouble(2)}")
+  }
+
   test("filteredRetrievalEval: adaptive budget clears the production recall bar") {
     // the r15 fixed-probe serve measured recall@10 0.41/0.46 — the
     // adaptive budget's whole point is clearing 0.8 (measured 1.0 at
