@@ -168,6 +168,154 @@ object BpeTrain {
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     learnMergesOf(spark, Tables(spark, dir, "documents"))
 
+  /** WordPiece merge training (Schuster & Nakajima '12; the BERT
+    * tokenizer's objective) — completes the trainer set next to char-BPE,
+    * byte-BPE, and the unigram LM: same merge MECHANISM as BPE, different
+    * SELECTION — the pair maximizing the likelihood ratio
+    * `count(ab) / (count(a)·count(b))` (mutual-information-like: prefer
+    * pairs that co-occur more than their parts predict) instead of the
+    * raw pair count. Same two-regime gate as [[learnMergesOf]].
+    *
+    * Cross-engine exactness of the score: counts are exact integers, the
+    * product count(a)·count(b) stays well under 2⁵³ (symbol counts are
+    * bounded by corpus tokens — document the bound at larger corpora the
+    * way [[PageRank]] documents its unit scale), so the score is ONE
+    * correctly-rounded IEEE division of exact integers — bit-identical on
+    * both engines (the distinctiveTerms raw-ratio argument); ties break
+    * (left, right) in UTF-8 order. The released merge table carries the
+    * integer pair count; the ratio only ranks.
+    */
+  def wordpieceMerges(spark: SparkSession, dir: String,
+      nMerges: Int = DefaultMerges, driverVocabGate: Int = 100000): DataFrame = {
+    val spark2 = spark; import spark2.implicits._
+    val wc = wordCounts(Tables(spark, dir, "documents"))
+    val merges =
+      if (wc.limit(driverVocabGate + 1).count() <= driverVocabGate)
+        wordpieceDriverLocal(
+          wc.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
+      else wordpieceDistributed(spark, wc, nMerges)
+    merges.toDF("rank", "left_sym", "right_sym", "pair_n").orderBy("rank")
+  }
+
+  /** Small-vocabulary regime: identical objective, plain collections. */
+  private[ops] def wordpieceDriverLocal(words: Array[(String, Long)],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = words.groupBy {
+      case (w, _) => CharSymsOf(w)
+    }.map { case (k, vs) => k -> vs.map(_._2).sum }
+    val out = ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      val syms = scala.collection.mutable.Map.empty[String, Long]
+      for ((ss, n) <- vocab) {
+        for (s <- ss) syms(s) = syms.getOrElse(s, 0L) + n
+        for (i <- 0 until ss.length - 1) {
+          val key = (ss(i), ss(i + 1))
+          pairs(key) = pairs.getOrElse(key, 0L) + n
+        }
+      }
+      if (pairs.isEmpty) exhausted = true
+      else {
+        // score = cnt / (c(a)·c(b)) — the SAME double both regimes and
+        // the oracle divide; max score, ties (a, b) UTF-8 ascending
+        val ((a, b), cnt) = pairs.minBy { case ((x, y), c) =>
+          (-(c.toDouble / (syms(x) * syms(y))), x, y)
+        }(Ordering.Tuple3(Ordering.Double.TotalOrdering,
+          UnigramLm.utf8Ordering, UnigramLm.utf8Ordering))
+        out += ((rank, a, b, cnt))
+        vocab = vocab.groupBy { case (ss, _) =>
+          ss.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+            else acc :+ x
+          }
+        }.map { case (k, vs) => k -> vs.values.sum }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Large-vocabulary regime: per round one symbol-count aggregate + one
+    * pair-score argmax job (driver receives a single row), checkpointed
+    * like [[learnDistributed]]. */
+  private[ops] def wordpieceDistributed(spark: SparkSession, wc: DataFrame,
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = wc
+      .select(CharInitCol.as("l"), col("n"))
+      .localCheckpoint()
+    val merges = ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (rank <- 1 to nMerges if !exhausted) {
+      val syms = vocab.select(explode(col("l")).as("sym"), col("n"))
+        .groupBy("sym").agg(sum("n").as("c"))
+      val zipped = arrays_zip(
+        slice(col("l"), lit(1), size(col("l")) - 1),
+        slice(col("l"), lit(2), size(col("l")) - 1))
+      val best = vocab
+        .select(explode(zipped).as("pr"), col("n"))
+        .select(col("pr.0").as("a"), col("pr.1").as("b"), col("n"))
+        .groupBy("a", "b").agg(sum("n").as("cnt"))
+        .join(syms.select(col("sym").as("a"), col("c").as("ca")), Seq("a"))
+        .join(syms.select(col("sym").as("b"), col("c").as("cb")), Seq("b"))
+        .withColumn("score", col("cnt") / (col("ca") * col("cb")))
+        .select(col("a"), col("b"), col("cnt"), col("score"))
+        .orderBy(col("score").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, a, b, cnt))
+        vocab = vocab
+          .select(mergePair(col("l"), a, b).as("l"), col("n"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Literal-free generated oracle for [[wordpieceMerges]]: the BPE chain
+    * with a per-round symbol-count CTE and the likelihood-ratio argmax —
+    * the score is the identical one-division double, so the selected
+    * chain re-derives exactly. */
+  val wordpieceMergesSql: String = {
+    val v0 =
+      """v0 AS MATERIALIZED (
+        |  SELECT word, list_append(string_split(word, ''), '</w>') AS l, n FROM (
+        |    SELECT tok AS word, count(*) AS n FROM (
+        |      SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |      FROM documents) WHERE tok <> '' GROUP BY tok)
+        |)""".stripMargin
+    val stages = (0 until DefaultMerges).map { k =>
+      s"""s$k AS MATERIALIZED (
+         |  SELECT sym, sum(n) AS c FROM (SELECT unnest(l) AS sym, n FROM v$k)
+         |  GROUP BY sym
+         |), b$k AS MATERIALIZED (
+         |  SELECT a, b, cnt FROM (
+         |    SELECT p.a, p.b, p.cnt, p.cnt / (ca.c * cb.c) AS score
+         |    FROM (
+         |      SELECT pr[1] AS a, pr[2] AS b, sum(n) AS cnt FROM (
+         |        SELECT unnest(list_zip(l, l[2:])) AS pr, n FROM v$k) WHERE pr[2] IS NOT NULL
+         |      GROUP BY pr[1], pr[2]) p
+         |    JOIN s$k ca ON ca.sym = p.a
+         |    JOIN s$k cb ON cb.sym = p.b)
+         |  ORDER BY score DESC, a, b LIMIT 1
+         |), v${k + 1} AS MATERIALIZED (
+         |  SELECT word, string_split(trim(
+         |      replace(chr(30) || array_to_string(l, chr(31) || chr(30)) || chr(31),
+         |              chr(30) || a || chr(31) || chr(30) || b || chr(31),
+         |              chr(30) || a || b || chr(31)),
+         |      chr(30) || chr(31)), chr(31) || chr(30)) AS l, n
+         |  FROM v$k, b$k
+         |)""".stripMargin
+    }
+    val union = (0 until DefaultMerges).map { k =>
+      s"SELECT ${k + 1} AS rank, a AS left_sym, b AS right_sym, cnt::BIGINT AS pair_n FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${(v0 +: stages).mkString(",\n")}\nSELECT * FROM (\n$union\n) ORDER BY rank"
+  }
+
   /** Literal-free generated oracle: stage k recomputes pair counts from
     * the stage-k vocabulary, takes the identical (count desc, left, right)
     * argmax, and applies the merge with the bracket-encoded replace.

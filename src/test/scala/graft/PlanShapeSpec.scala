@@ -356,6 +356,9 @@ class PlanShapeSpec extends SparkSuite {
     // driver-local merge loop (the distributed regime is spec-pinned
     // equal; its per-round argmax plan matches this digest)
     "bpe_merges" -> (0, 0, 0, 1, 1, 0),
+    // driver-gated regime at suite SF: one corpus word-count aggregate
+    // + the presentation sort of the 20-row merge table
+    "wordpiece_merges" -> (0, 0, 0, 1, 1, 0),
     // byte-level twin: same driver-gated regime at suite SF — one corpus
     // pretoken-count aggregate + the vocabulary-sized finisher
     "bpe_byte_merges" -> (0, 0, 0, 1, 1, 0),

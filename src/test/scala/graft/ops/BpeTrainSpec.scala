@@ -54,6 +54,60 @@ class BpeTrainSpec extends SparkSuite {
     assert(driver == dist, s"\ndriver $driver\ndist   $dist")
   }
 
+  /** Independent WordPiece reference: same mechanics, likelihood-ratio
+    * selection cnt/(c(a)·c(b)). */
+  private def referenceWp(words: Map[String, Long], nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.groupMapReduce { case (w, _) => w.map(_.toString).toVector :+ "</w>" }(_._2)(_ + _)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      val syms = scala.collection.mutable.Map.empty[String, Long]
+      for ((ss, n) <- vocab) {
+        for (s <- ss) syms(s) = syms.getOrElse(s, 0L) + n
+        for (Seq(a, b) <- ss.sliding(2)) pairs((a, b)) = pairs.getOrElse((a, b), 0L) + n
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = pairs.minBy { case ((x, y), c) =>
+          (-(c.toDouble / (syms(x) * syms(y))), x, y) }
+        out += ((rank, a, b, cnt))
+        vocab = vocab.groupMapReduce { case (ss, _) =>
+          ss.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+            else acc :+ x
+          }
+        }(_._2)(_ + _)
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  test("wordpiece merges equal the independent reference; regimes agree; objective differs from BPE") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+    val got = BpeTrain.wordpieceMerges(spark, dir, nMerges = 12).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val words = BpeTrain.wordCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = referenceWp(words, 12)
+    assert(got == want, s"\ngot  $got\nwant $want")
+    // both regimes walk the identical chain
+    val dist = BpeTrain.wordpieceMerges(spark, dir, nMerges = 8, driverVocabGate = 0)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(dist == want.take(dist.length), s"\ndist $dist\nwant ${want.take(dist.length)}")
+    // the likelihood-ratio objective genuinely selects differently than
+    // raw pair counts (wordpiece's first merge on this corpus is the
+    // classic q+u; BPE's is the most frequent pair)
+    val bpe = BpeTrain.learnMergesOf(spark, docs, nMerges = 12).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got.map(t => (t._2, t._3)) != bpe,
+      "wordpiece selected the identical merge chain as BPE — objective is vacuous")
+  }
+
   test("pair stats overlap, merges don't: 'aaa' corpus merges in the documented order") {
     val docs = Seq((1L, "aaa aaa aaa")).toDF("doc_id", "text")
     val got = BpeTrain.learnMergesOf(spark, docs, nMerges = 3).collect()
