@@ -82,24 +82,36 @@ object BpeTrain {
   private val CharInitCol: Column =
     concat(array_remove(split(col("word"), ""), ""), array(lit(EndOfWord)))
 
+  /** Merge-selection objective, the ONE thing that separates the trainers
+    * sharing this machinery: BPE takes the most frequent pair; WordPiece
+    * the highest likelihood ratio cnt/(c(a)·c(b)) — one correctly-rounded
+    * division of exact integer counts, bit-identical cross-engine. Ties
+    * break (left, right) in UTF-8 order under both. */
+  private[ops] sealed trait MergeObjective
+  private[ops] case object CountObjective extends MergeObjective
+  private[ops] case object RatioObjective extends MergeObjective
+
   /** The regime-gated merge loop over any word-count table, generic over
     * the initial symbolization (char-level above, byte-level hex in
-    * [[learnByteMergesOf]]). */
+    * [[learnByteMergesOf]]) AND the selection objective. */
   private def learnMergesFrom(spark: SparkSession, wc: DataFrame,
       nMerges: Int, driverVocabGate: Int,
-      symsOf: String => Vector[String], initCol: Column): DataFrame = {
+      symsOf: String => Vector[String], initCol: Column,
+      objective: MergeObjective = CountObjective): DataFrame = {
     import spark.implicits._
     val merges =
       if (wc.limit(driverVocabGate + 1).count() <= driverVocabGate)
         learnDriverLocal(
-          wc.collect().map(r => (r.getString(0), r.getLong(1))), nMerges, symsOf)
-      else learnDistributed(spark, wc, nMerges, initCol)
+          wc.collect().map(r => (r.getString(0), r.getLong(1))), nMerges, symsOf,
+          objective)
+      else learnDistributed(spark, wc, nMerges, initCol, objective)
     merges.toDF("rank", "left_sym", "right_sym", "pair_n").orderBy("rank")
   }
 
   /** The small-vocabulary regime: identical algorithm, plain collections. */
   private def learnDriverLocal(words: Array[(String, Long)],
-      nMerges: Int, symsOf: String => Vector[String]): Seq[(Int, String, String, Long)] = {
+      nMerges: Int, symsOf: String => Vector[String],
+      objective: MergeObjective = CountObjective): Seq[(Int, String, String, Long)] = {
     var vocab: Map[Vector[String], Long] = words.groupBy {
       case (w, _) => symsOf(w)
     }.map { case (k, vs) => k -> vs.map(_._2).sum }
@@ -117,9 +129,20 @@ object BpeTrain {
         // tie-break collation = UTF-8 byte order (the distributed
         // regime's UTF8String sort and the DuckDB oracle's VARCHAR min),
         // NOT Java's UTF-16 compareTo — see [[UnigramLm.utf8Lt]]
-        val ((a, b), cnt) = pairs.minBy { case ((x, y), c) => (-c, x, y) }(
-          Ordering.Tuple3(Ordering.Long, UnigramLm.utf8Ordering,
-            UnigramLm.utf8Ordering))
+        val ((a, b), cnt) = objective match {
+          case CountObjective =>
+            pairs.minBy { case ((x, y), c) => (-c, x, y) }(
+              Ordering.Tuple3(Ordering.Long, UnigramLm.utf8Ordering,
+                UnigramLm.utf8Ordering))
+          case RatioObjective =>
+            val symCounts = scala.collection.mutable.Map.empty[String, Long]
+            for ((ss, n) <- vocab; s <- ss)
+              symCounts(s) = symCounts.getOrElse(s, 0L) + n
+            pairs.minBy { case ((x, y), c) =>
+              (-(c.toDouble / (symCounts(x) * symCounts(y))), x, y)
+            }(Ordering.Tuple3(Ordering.Double.TotalOrdering,
+              UnigramLm.utf8Ordering, UnigramLm.utf8Ordering))
+        }
         out += ((rank, a, b, cnt))
         vocab = vocab.groupBy { case (syms, _) =>
           syms.foldLeft(Vector.empty[String]) { (acc, x) =>
@@ -133,10 +156,13 @@ object BpeTrain {
     out.toSeq
   }
 
-  /** The large-vocabulary regime: the merge loop as distributed jobs. */
+  /** The large-vocabulary regime: the merge loop as distributed jobs —
+    * per round one pair aggregate + argmax job ([[CountObjective]]), plus
+    * one symbol-count aggregate when the [[RatioObjective]] scores. */
   private[ops] def learnDistributed(spark: SparkSession, wc: DataFrame,
       nMerges: Int,
-      initCol: Column = CharInitCol): Seq[(Int, String, String, Long)] = {
+      initCol: Column = CharInitCol,
+      objective: MergeObjective = CountObjective): Seq[(Int, String, String, Long)] = {
     var vocab = wc
       .select(initCol.as("l"), col("n"))
       .localCheckpoint()
@@ -146,12 +172,23 @@ object BpeTrain {
       val zipped = arrays_zip(
         slice(col("l"), lit(1), size(col("l")) - 1),
         slice(col("l"), lit(2), size(col("l")) - 1))
-      val best = vocab
+      val pairCounts = vocab
         .select(explode(zipped).as("pr"), col("n"))
         .select(col("pr.0").as("a"), col("pr.1").as("b"), col("n"))
         .groupBy("a", "b").agg(sum("n").as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
+      val best = (objective match {
+        case CountObjective =>
+          pairCounts.orderBy(col("cnt").desc, col("a"), col("b"))
+        case RatioObjective =>
+          val syms = vocab.select(explode(col("l")).as("sym"), col("n"))
+            .groupBy("sym").agg(sum("n").as("c"))
+          pairCounts
+            .join(syms.select(col("sym").as("a"), col("c").as("ca")), Seq("a"))
+            .join(syms.select(col("sym").as("b"), col("c").as("cb")), Seq("b"))
+            .withColumn("score", col("cnt") / (col("ca") * col("cb")))
+            .select(col("a"), col("b"), col("cnt"), col("score"))
+            .orderBy(col("score").desc, col("a"), col("b"))
+      }).limit(1).collect()
       if (best.isEmpty) exhausted = true
       else {
         val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
@@ -186,94 +223,9 @@ object BpeTrain {
     * integer pair count; the ratio only ranks.
     */
   def wordpieceMerges(spark: SparkSession, dir: String,
-      nMerges: Int = DefaultMerges, driverVocabGate: Int = 100000): DataFrame = {
-    val spark2 = spark; import spark2.implicits._
-    val wc = wordCounts(Tables(spark, dir, "documents"))
-    val merges =
-      if (wc.limit(driverVocabGate + 1).count() <= driverVocabGate)
-        wordpieceDriverLocal(
-          wc.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
-      else wordpieceDistributed(spark, wc, nMerges)
-    merges.toDF("rank", "left_sym", "right_sym", "pair_n").orderBy("rank")
-  }
-
-  /** Small-vocabulary regime: identical objective, plain collections. */
-  private[ops] def wordpieceDriverLocal(words: Array[(String, Long)],
-      nMerges: Int): Seq[(Int, String, String, Long)] = {
-    var vocab: Map[Vector[String], Long] = words.groupBy {
-      case (w, _) => CharSymsOf(w)
-    }.map { case (k, vs) => k -> vs.map(_._2).sum }
-    val out = ArrayBuffer.empty[(Int, String, String, Long)]
-    var rank = 1
-    var exhausted = false
-    while (rank <= nMerges && !exhausted) {
-      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
-      val syms = scala.collection.mutable.Map.empty[String, Long]
-      for ((ss, n) <- vocab) {
-        for (s <- ss) syms(s) = syms.getOrElse(s, 0L) + n
-        for (i <- 0 until ss.length - 1) {
-          val key = (ss(i), ss(i + 1))
-          pairs(key) = pairs.getOrElse(key, 0L) + n
-        }
-      }
-      if (pairs.isEmpty) exhausted = true
-      else {
-        // score = cnt / (c(a)·c(b)) — the SAME double both regimes and
-        // the oracle divide; max score, ties (a, b) UTF-8 ascending
-        val ((a, b), cnt) = pairs.minBy { case ((x, y), c) =>
-          (-(c.toDouble / (syms(x) * syms(y))), x, y)
-        }(Ordering.Tuple3(Ordering.Double.TotalOrdering,
-          UnigramLm.utf8Ordering, UnigramLm.utf8Ordering))
-        out += ((rank, a, b, cnt))
-        vocab = vocab.groupBy { case (ss, _) =>
-          ss.foldLeft(Vector.empty[String]) { (acc, x) =>
-            if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
-            else acc :+ x
-          }
-        }.map { case (k, vs) => k -> vs.values.sum }
-        rank += 1
-      }
-    }
-    out.toSeq
-  }
-
-  /** Large-vocabulary regime: per round one symbol-count aggregate + one
-    * pair-score argmax job (driver receives a single row), checkpointed
-    * like [[learnDistributed]]. */
-  private[ops] def wordpieceDistributed(spark: SparkSession, wc: DataFrame,
-      nMerges: Int): Seq[(Int, String, String, Long)] = {
-    var vocab = wc
-      .select(CharInitCol.as("l"), col("n"))
-      .localCheckpoint()
-    val merges = ArrayBuffer.empty[(Int, String, String, Long)]
-    var exhausted = false
-    for (rank <- 1 to nMerges if !exhausted) {
-      val syms = vocab.select(explode(col("l")).as("sym"), col("n"))
-        .groupBy("sym").agg(sum("n").as("c"))
-      val zipped = arrays_zip(
-        slice(col("l"), lit(1), size(col("l")) - 1),
-        slice(col("l"), lit(2), size(col("l")) - 1))
-      val best = vocab
-        .select(explode(zipped).as("pr"), col("n"))
-        .select(col("pr.0").as("a"), col("pr.1").as("b"), col("n"))
-        .groupBy("a", "b").agg(sum("n").as("cnt"))
-        .join(syms.select(col("sym").as("a"), col("c").as("ca")), Seq("a"))
-        .join(syms.select(col("sym").as("b"), col("c").as("cb")), Seq("b"))
-        .withColumn("score", col("cnt") / (col("ca") * col("cb")))
-        .select(col("a"), col("b"), col("cnt"), col("score"))
-        .orderBy(col("score").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((rank, a, b, cnt))
-        vocab = vocab
-          .select(mergePair(col("l"), a, b).as("l"), col("n"))
-          .localCheckpoint()
-      }
-    }
-    merges.toSeq
-  }
+      nMerges: Int = DefaultMerges, driverVocabGate: Int = 100000): DataFrame =
+    learnMergesFrom(spark, wordCounts(Tables(spark, dir, "documents")),
+      nMerges, driverVocabGate, CharSymsOf, CharInitCol, RatioObjective)
 
   /** Literal-free generated oracle for [[wordpieceMerges]]: the BPE chain
     * with a per-round symbol-count CTE and the likelihood-ratio argmax —

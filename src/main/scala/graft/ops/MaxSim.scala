@@ -57,32 +57,52 @@ object MaxSim {
     maxSimTopKFor(spark, dir, qChunks, k)
   }
 
+  /** The MaxSim serve's STATIC index state: the chunk table and the
+    * chunk-level LSH index with the doc key attached (bare ids, the
+    * annLshTopK discipline; persisted — it feeds the candidate join of
+    * every batch). Built ONCE per serving query, the adcServe
+    * index-outside-the-loop discipline. */
+  private[graft] final case class MaxSimIndex(chunks: DataFrame, banded: DataFrame)
+
+  private def bucketsOf(v: Column): Seq[Column] =
+    (0 until Similarity.LshTables)
+      .map(t => Similarity.lshBucket(v, Similarity.LshBits, Similarity.LshDims, t))
+
+  private[graft] def buildMaxSimIndex(spark: SparkSession, dir: String): MaxSimIndex = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val chunks = e.select(expr(s"vec_id div $MaxSimFan").as("doc"), col("vec_id"), col("v"))
+    val banded = chunks.select(col("doc"),
+      posexplode(array(bucketsOf(col("v")): _*)).as(Seq("table", "bucket")))
+      .persist()
+    MaxSimIndex(chunks, banded)
+  }
+
+  /** Release the index's cached state (stream teardown). */
+  private[graft] def releaseMaxSimIndex(ix: MaxSimIndex): Unit = {
+    ix.banded.unpersist(); ()
+  }
+
   /** The MaxSim serving core for an ARBITRARY `(q_doc, qi, q_v)` chunk
-    * frame — shared verbatim with the streaming twin
+    * frame — one-shot form, shared with the batch registered query. A
+    * serving LOOP holds a [[buildMaxSimIndex]] result and calls
+    * [[maxSimTopKAgainst]] per batch instead
     * ([[graft.streaming.VectorStreams.maxSimServe]]), so stream/batch
     * parity is structural. Query buckets derive from the chunk vectors
     * through the same seeded planes as the stored index, so a query doc
     * need not BE in the corpus. */
   private[graft] def maxSimTopKFor(
-      spark: SparkSession, dir: String, qChunks: DataFrame, k: Int = 10): DataFrame = {
-    val e = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    val chunks = e.select(expr(s"vec_id div $MaxSimFan").as("doc"), col("vec_id"), col("v"))
+      spark: SparkSession, dir: String, qChunks: DataFrame, k: Int = 10): DataFrame =
+    maxSimTopKAgainst(buildMaxSimIndex(spark, dir), qChunks, k)
 
-    // chunk-level LSH index with the doc key attached — the stored artifact
-    // (bare ids, the annLshTopK discipline); persisted: feeds the candidate
-    // join leg (queries bucket independently through the same planes)
-    def bucketsOf(v: Column) = (0 until Similarity.LshTables)
-      .map(t => Similarity.lshBucket(v, Similarity.LshBits, Similarity.LshDims, t))
-    val banded = chunks.select(col("doc"),
-      posexplode(array(bucketsOf(col("v")): _*)).as(Seq("table", "bucket")))
-      .persist()
-
+  /** The scoring core over an already-built [[MaxSimIndex]]. */
+  private[graft] def maxSimTopKAgainst(
+      ix: MaxSimIndex, qChunks: DataFrame, k: Int = 10): DataFrame = {
     // candidate DOC pairs: any query chunk colliding with any corpus chunk
     val qBand = qChunks.select(col("q_doc"),
       posexplode(array(bucketsOf(col("q_v")): _*)).as(Seq("table", "bucket")))
       .select(col("table"), col("bucket"), col("q_doc"))
-    val cand = banded.select(col("table"), col("bucket"), col("doc").as("d_doc"))
+    val cand = ix.banded.select(col("table"), col("bucket"), col("doc").as("d_doc"))
       .join(broadcast(qBand), Seq("table", "bucket"))
       .filter(col("d_doc") =!= col("q_doc"))
       .select("q_doc", "d_doc")
@@ -91,7 +111,7 @@ object MaxSim {
     // late interaction: per (pair, query-chunk) the ORDER-FREE max over the
     // candidate's chunks, folded in ONE aggregate via conditional maxima
     val qc = qChunks.select(col("q_doc"), col("qi"), col("q_v"))
-    val dc = chunks.select(col("doc").as("d_doc"), col("v").as("d_v"))
+    val dc = ix.chunks.select(col("doc").as("d_doc"), col("v").as("d_v"))
     val maxes = (0 until MaxSimFan).map(i =>
       max(when(col("qi") === i, col("c"))).as(s"m$i"))
     val perPair = cand

@@ -820,7 +820,12 @@ object Sampling {
     val out = e.select(col("vec_id"),
       element_at(array_sort(array(structs: _*)), 1).as("a"))
       .select(col("vec_id"), col("a.center_rank").as("center_rank"),
-        col("a.center_id").as("center_id"), round(col("a.d"), 4).as("d2"))
+        col("a.center_id").as("center_id"),
+        // + 0.0: dist² of a near-twin of a center can evaluate to a tiny
+        // NEGATIVE double (catastrophic cancellation) whose rounded zero
+        // keeps its sign bit on some engines — the community_modularity
+        // −0.0 lesson, applied before it bites here
+        (round(col("a.d"), 4) + lit(0.0)).as("d2"))
       .orderBy("vec_id")
       .localCheckpoint(true) // realize, then release the corpus cache
     e.unpersist()
@@ -858,7 +863,7 @@ object Sampling {
        |)
        |SELECT vec_id, center_rank, center_id, d2 FROM (
        |  SELECT e.vec_id, c.r AS center_rank, c.vec_id AS center_id,
-       |    round(${dist("e.v", "c.v")}, 4) AS d2,
+       |    round(${dist("e.v", "c.v")}, 4) + 0.0 AS d2,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${dist("e.v", "c.v")}, c.r) AS rn
        |  FROM ev e CROSS JOIN centers c)

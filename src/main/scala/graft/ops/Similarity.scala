@@ -1413,23 +1413,55 @@ object Similarity {
       k, nCentroids, minProbe, m, ks, alpha)
   }
 
-  /** [[ivfPqFilteredTopK]] for an ARBITRARY `(q_id, q_v, label)` query
-    * frame — the serving core the streaming twin
-    * ([[graft.streaming.VectorStreams.filteredAdcServe]]) runs per
-    * micro-batch; the registered batch query is exactly this under the
-    * served-batch filter. */
-  private[graft] def ivfPqFilteredTopKFor(
-      spark: SparkSession, dir: String, qFrame: DataFrame, k: Int = 10,
-      nCentroids: Int = NCentroids, minProbe: Int = NProbe,
-      m: Int = PqM, ks: Int = PqKs, alpha: Int = FilteredAlpha): DataFrame = {
+  /** The filtered serve's STATIC index state — fitted models, the
+    * persisted cell assignment (which the probe budget's count directory
+    * and the candidate scan both read), and the coded corpus. Built ONCE
+    * per serving query (the [[graft.streaming.VectorStreams.adcServe]]
+    * index-outside-the-loop discipline): a per-micro-batch rebuild would
+    * re-fit and re-assign the whole corpus every batch and leak one
+    * persisted frame per batch. */
+  private[graft] final case class FilteredIndex(
+      cent: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      assigned: DataFrame, codes: DataFrame)
+
+  private[graft] def buildFilteredIndex(
+      spark: SparkSession, dir: String, nCentroids: Int = NCentroids,
+      m: Int = PqM, ks: Int = PqKs): FilteredIndex = {
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
     val cent = fitCentroids(spark, dir, nCentroids)
     val books = fitPq(spark, dir, m, ks)
     val assigned = assignCells(e, cent).persist()
-    val codes = assignCodes(assigned, books, Seq("vec_id", "cell", "label"))
-    val queries = adaptiveProbesFor(assigned, qFrame, cent, k, minProbe, alpha)
-      .select(col("q_id"), col("label"), adcLut(books).as("lut"), col("cell"))
+    FilteredIndex(cent, books, assigned,
+      assignCodes(assigned, books, Seq("vec_id", "cell", "label")))
+  }
+
+  /** Release the filtered-serve index's cached state (stream teardown). */
+  private[graft] def releaseFilteredIndex(ix: FilteredIndex): Unit = {
+    ix.assigned.unpersist(); ()
+  }
+
+  /** [[ivfPqFilteredTopK]] for an ARBITRARY `(q_id, q_v, label)` query
+    * frame — one-shot form: builds the index state and scores (the
+    * registered batch query is exactly this under the served-batch
+    * filter). A serving LOOP holds a [[buildFilteredIndex]] result and
+    * calls [[ivfPqFilteredTopKAgainst]] per batch instead. */
+  private[graft] def ivfPqFilteredTopKFor(
+      spark: SparkSession, dir: String, qFrame: DataFrame, k: Int = 10,
+      nCentroids: Int = NCentroids, minProbe: Int = NProbe,
+      m: Int = PqM, ks: Int = PqKs, alpha: Int = FilteredAlpha): DataFrame =
+    ivfPqFilteredTopKAgainst(
+      buildFilteredIndex(spark, dir, nCentroids, m, ks), qFrame, k, minProbe, alpha)
+
+  /** The scoring core over an already-built [[FilteredIndex]]. */
+  private[graft] def ivfPqFilteredTopKAgainst(
+      ix: FilteredIndex, qFrame: DataFrame, k: Int = 10,
+      minProbe: Int = NProbe, alpha: Int = FilteredAlpha): DataFrame = {
+    val m = ix.books.length
+    val ks = ix.books(0).length
+    val codes = ix.codes
+    val queries = adaptiveProbesFor(ix.assigned, qFrame, ix.cent, k, minProbe, alpha)
+      .select(col("q_id"), col("label"), adcLut(ix.books).as("lut"), col("cell"))
     // + 0.0 normalizes IEEE −0.0: a tiny negative ADC sum rounding to
     // zero keeps its sign bit on some engines (the community_modularity
     // lesson — observed live at sf0.01 on this query's batch)

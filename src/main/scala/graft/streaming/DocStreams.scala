@@ -100,6 +100,11 @@ object DocStreams {
       histBands: DataFrame,
       histShingles: DataFrame,
       watermark: String = DefaultWatermark): DataFrame = {
+    // fail fast on a hash-scheme mismatch — this is the OTHER persisted-
+    // band-artifact entry point beside refreshServe, and a stale-version
+    // store here silently streams zero near-dups forever (the failure
+    // mode the mh_scheme stamp exists to catch)
+    val hb = graft.ops.Dedup.requireBandScheme(histBands)
     val inc = docs.withWatermark("ts", watermark)
       .select(col("doc_id").as("inc_id"), col("ts"),
         Dedup.shingles(col("text")).as("inc_sh"))
@@ -107,7 +112,7 @@ object DocStreams {
       .select(col("inc_id"), col("ts"), col("inc_sh"),
         posexplode(graft.functions.MinHashBands(
           col("inc_sh"), Dedup.MinhashK, Dedup.Bands)).as(Seq("band", "band_hash")))
-      .join(histBands, Seq("band", "band_hash"))
+      .join(hb, Seq("band", "band_hash"))
       // NO broadcast hint: the shingle store is corpus-sized at production
       // scale (the batch path ships shingles only for colliding ids for the
       // same reason). This equi-join runs AFTER the band join, so only the

@@ -200,16 +200,22 @@ object VectorStreams {
       queryStream: DataFrame,
       outDir: String,
       ckpt: String,
-      k: Int = 10): StreamingQuery =
+      k: Int = 10): StreamingQuery = {
+    // the index state (fits + persisted cell assignment + codes) is built
+    // ONCE, outside the loop — the adcServe discipline; a per-batch
+    // ivfPqFilteredTopKFor call would re-fit and re-assign the corpus
+    // every micro-batch and leak one persisted frame per batch
+    val index = Similarity.buildFilteredIndex(spark, dir)
     queryStream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val queries = batch.select(
           col("vec_id").as("q_id"), col("v").as("q_v"), col("label"))
         Sinks.idempotentBatchWrite(
-          Similarity.ivfPqFilteredTopKFor(spark, dir, queries, k), batchId, outDir)
+          Similarity.ivfPqFilteredTopKAgainst(index, queries, k), batchId, outDir)
       }
       .option("checkpointLocation", ckpt)
       .start()
+  }
 
   /** Late-interaction (MaxSim) serving — the streaming twin of the batch
     * `maxsim_topk`: an unbounded stream of multi-vector query docs (rows
@@ -226,16 +232,20 @@ object VectorStreams {
       queryStream: DataFrame,
       outDir: String,
       ckpt: String,
-      k: Int = 10): StreamingQuery =
+      k: Int = 10): StreamingQuery = {
+    // chunk table + persisted chunk-level LSH index built ONCE (the
+    // adcServe discipline) — not per micro-batch
+    val index = graft.ops.MaxSim.buildMaxSimIndex(spark, dir)
     queryStream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val qChunks = batch.select(
           col("doc").as("q_doc"), col("chunk").as("qi"), col("v").as("q_v"))
         Sinks.idempotentBatchWrite(
-          graft.ops.MaxSim.maxSimTopKFor(spark, dir, qChunks, k), batchId, outDir)
+          graft.ops.MaxSim.maxSimTopKAgainst(index, qChunks, k), batchId, outDir)
       }
       .option("checkpointLocation", ckpt)
       .start()
+  }
 
   /** Diversified serving: each micro-batch of query vectors runs the MMR
     * re-rank ([[Similarity.mmrRerankFor]] — literally shared with the
