@@ -134,6 +134,14 @@ object CorpusRefresh {
       histBands: DataFrame,
       histShingles: DataFrame,
       batch: DataFrame): DataFrame = {
+    // Persisted-artifact entry point: fail fast on a stale-scheme band
+    // store (a pre-v2 index would silently report ZERO near-dups — its
+    // hashes never collide with fresh ones). The guard lives HERE, not
+    // only in the streaming wrappers, so every direct caller of the
+    // documented stored-artifact API hits the same check. `histBands`
+    // must therefore carry the `mh_scheme` stamp as written by
+    // [[indexArtifactsOf]]; the guard strips it before the band join.
+    val hb = Dedup.requireBandScheme(histBands)
     // Stage 1 — PII scrub: per-row projection, drops nothing.
     val b = batch.select(col("doc_id"), col("source"),
       Corpus.scrubbed(col("text")).as("text"))
@@ -158,7 +166,7 @@ object CorpusRefresh {
     // (batch×index and batch×smaller-id-batch; history×history never),
     // then exact-Jaccard verification over shingles of colliding ids only.
     val s1b = bandsOf(s1).persist()
-    val candHist = s1b.join(histBands, Seq("band", "band_hash"))
+    val candHist = s1b.join(hb, Seq("band", "band_hash"))
       .select(col("doc_id"), col("hist_id").as("partner"))
     val candBatch = s1b
       .join(s1b.select(col("band"), col("band_hash"),

@@ -262,7 +262,12 @@ object IncrementalIndex {
     * automatic) — documented residual, standard for quantizer models.
     */
   def remove(idx: PqIndex, ids: DataFrame): PqIndex = {
-    val gone = ids.select("vec_id")
+    // Materialize the erasure targets BEFORE the old snapshot is deleted:
+    // if `ids` was derived lazily from idx.codes (the natural way to pick
+    // targets), any later evaluation of the retained `corpus` — e.g. the
+    // drift re-fit in a subsequent appendWith — would re-read the deleted
+    // snapshot directory and fail. Mirrors appendWith's batch checkpoint.
+    val gone = ids.select("vec_id").localCheckpoint(true)
     val path = snapshotDir()
     try idx.codes.join(gone, Seq("vec_id"), "left_anti")
       .write.mode("overwrite").parquet(path)

@@ -187,11 +187,11 @@ object DocStreams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.ops.CorpusRefresh
         val canon = spark.read.parquet(s"$artifactDir/canon").select("canon")
-        // fail fast on a hash-scheme mismatch: a stale-version band store
-        // never collides with fresh hashes → zero near-dups, silently
-        val bands = graft.ops.Dedup
-          .requireBandScheme(spark.read.parquet(s"$artifactDir/bands"))
-          .select("band", "band_hash", "hist_id")
+        // the stamped frame passes through whole: refreshAgainstIndex owns
+        // the mh_scheme fail-fast guard (a stale-version band store never
+        // collides with fresh hashes → zero near-dups, silently)
+        val bands = spark.read.parquet(s"$artifactDir/bands")
+          .select("band", "band_hash", "hist_id", "mh_scheme")
         val shingles = spark.read.parquet(s"$artifactDir/shingles")
           .select("doc_id", "sh")
         val b = batch.select("doc_id", "source", "text")

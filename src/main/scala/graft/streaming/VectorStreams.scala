@@ -27,6 +27,38 @@ import graft.ops.{Similarity, Tables}
   */
 object VectorStreams {
 
+  /** Test hooks: the most recently built serve index states. The
+    * termination listener fires ASYNCHRONOUSLY after `stop()` returns, so a
+    * teardown spec needs a handle to poll the storage level on — these are
+    * that handle, nothing in the serving path reads them. */
+  @volatile private[graft] var lastFilteredIndex: Similarity.FilteredIndex = null
+  @volatile private[graft] var lastMaxSimIndex: graft.ops.MaxSim.MaxSimIndex = null
+
+  /** Register a one-shot listener that runs `release` when `q` terminates
+    * (stop or failure), then removes itself — the teardown half of the
+    * index-outside-the-loop discipline: a serve that holds persisted index
+    * state ([[filteredAdcServe]], [[maxSimServe]]) must not leak it for
+    * the SparkSession lifetime after the stream stops. Listener dispatch
+    * is asynchronous, so callers that need the release observed (tests)
+    * poll the storage state rather than assuming it on stop() return. */
+  private def releaseOnTermination(
+      spark: SparkSession, q: StreamingQuery)(release: () => Unit): StreamingQuery = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          try release() finally spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    q
+  }
+
   /** Start serving `queryStream` (schema: `vec_id long, v array<double>`)
     * against the embeddings table of `dir`. Output per batch: the ADC
     * top-k per query, written to `outDir/batch_id=N`.
@@ -206,7 +238,8 @@ object VectorStreams {
     // ivfPqFilteredTopKFor call would re-fit and re-assign the corpus
     // every micro-batch and leak one persisted frame per batch
     val index = Similarity.buildFilteredIndex(spark, dir)
-    queryStream.writeStream
+    lastFilteredIndex = index
+    val q = queryStream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val queries = batch.select(
           col("vec_id").as("q_id"), col("v").as("q_v"), col("label"))
@@ -215,6 +248,7 @@ object VectorStreams {
       }
       .option("checkpointLocation", ckpt)
       .start()
+    releaseOnTermination(spark, q)(() => Similarity.releaseFilteredIndex(index))
   }
 
   /** Late-interaction (MaxSim) serving — the streaming twin of the batch
@@ -236,7 +270,8 @@ object VectorStreams {
     // chunk table + persisted chunk-level LSH index built ONCE (the
     // adcServe discipline) — not per micro-batch
     val index = graft.ops.MaxSim.buildMaxSimIndex(spark, dir)
-    queryStream.writeStream
+    lastMaxSimIndex = index
+    val q = queryStream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val qChunks = batch.select(
           col("doc").as("q_doc"), col("chunk").as("qi"), col("v").as("q_v"))
@@ -245,6 +280,7 @@ object VectorStreams {
       }
       .option("checkpointLocation", ckpt)
       .start()
+    releaseOnTermination(spark, q)(() => graft.ops.MaxSim.releaseMaxSimIndex(index))
   }
 
   /** Diversified serving: each micro-batch of query vectors runs the MMR

@@ -194,6 +194,34 @@ class Bm25Spec extends SparkSuite {
       assert(math.abs(full - score) < 1e-3,
         s"q=$q d=$d engine $score vs first-principles $full")
     }
+    // dominance tripwire: the engine releases top-k over CANDIDATES only
+    // (docs sharing ≥1 query term — the bm25 candidate convention), resting
+    // on the claim that constant-only scores of non-candidates never reach
+    // the released top-k. That claim is corpus-specific: an unmatched very
+    // short doc gets a large −qlen·ln(dl+μ) advantage. Assert it HOLDS on
+    // this corpus — every released score must exceed the best possible
+    // non-candidate score qconst − qlen·ln(min_dl+μ) — so a fixture change
+    // that breaks the dominance fails loudly instead of silently releasing
+    // a top-k wrong w.r.t. the documented formula.
+    val byQuery = got.groupBy(_.getLong(0))
+    for ((q, rows) <- byQuery) {
+      val qtfs = tf(q)
+      val qlen = qtfs.values.sum.toDouble
+      val qconst = qtfs.map { case (t, qtf) => qtf * math.log(mu * cf(t) / cTotal) }.sum
+      val candidates = rows.map(_.getLong(1)).toSet
+      val nonCandDl = docs.keys
+        .filter(d => d != q && !candidates.contains(d) &&
+          !qtfs.keys.exists(t => tf(d).contains(t)))
+        .map(dl(_)).toSeq
+      if (nonCandDl.nonEmpty) {
+        val bestNonCand = qconst - qlen * math.log(nonCandDl.min + mu)
+        for (r <- rows)
+          assert(r.getDouble(3) > bestNonCand,
+            s"q=$q released score ${r.getDouble(3)} does not dominate the best " +
+              s"constant-only non-candidate score $bestNonCand — the candidate " +
+              "rule no longer yields the true top-k on this corpus")
+      }
+    }
     // determinism + the model genuinely differs from bm25's ranking
     val again = TextAnalysis.qldTopK(spark, dir).collect().map(_.toString).toSeq
     assert(got.map(_.toString).toSeq == again)

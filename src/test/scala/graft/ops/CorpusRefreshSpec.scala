@@ -109,7 +109,8 @@ class CorpusRefreshSpec extends SparkSuite {
     val histCanon = h.select(Sampling.canonicalUrl(
       CorpusRefresh.plantedRefreshUrlForTest).as("canon")).distinct()
     val histBands = CorpusRefresh.bandsForTest(h)
-      .select(col("band"), col("band_hash"), col("doc_id").as("hist_id"))
+      .select(col("band"), col("band_hash"), col("doc_id").as("hist_id"),
+        lit(graft.functions.MinHashBands.SchemeVersion).as("mh_scheme"))
     val histSh = h.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
     histCanon.write.mode("overwrite").parquet(s"$tmp/canon")
     histBands.write.mode("overwrite").parquet(s"$tmp/bands")
@@ -122,5 +123,18 @@ class CorpusRefreshSpec extends SparkSuite {
     val viaRaw = CorpusRefresh.refreshOf(h, df(batch)).collect()
     assert(viaIndex.map(_.toString).toSeq == viaRaw.map(_.toString).toSeq,
       "artifact-table path diverged from the derive-from-raw path")
+  }
+
+  test("stored-artifact entry point fails fast on an unstamped band store") {
+    // A pre-versioning artifact (no mh_scheme column) must be rejected at
+    // refreshAgainstIndex itself, not only in the streaming wrappers — a
+    // stale-scheme store would otherwise silently report zero near-dups.
+    val h = df(history)
+    val (canon, bands, sh) = CorpusRefresh.indexArtifactsOf(h)
+    val ex = intercept[IllegalArgumentException] {
+      CorpusRefresh.refreshAgainstIndex(
+        canon, bands.drop("mh_scheme"), sh, df(batch)).collect()
+    }
+    assert(ex.getMessage.contains("mh_scheme"))
   }
 }

@@ -242,9 +242,13 @@ class SimilaritySpec extends SparkSuite {
     assert(rRer >= 0.5, s"re-ranked binary recall collapsed: $rRer")
     assert(rRer >= rBq, s"exact re-rank lost to raw Hamming: $rRer < $rBq")
     // the three-tier serve digs a 4× deeper binary shortlist before the
-    // ADC cut, so it must not fall below the two-tier's recall
+    // ADC cut; an ABSOLUTE floor, not dominance over the two-tier serve —
+    // the lossy ADC middle tier can legitimately evict a true neighbor the
+    // two-tier's direct Hamming shortlist kept, so rThree >= rRer is not
+    // mathematically guaranteed and a codebook/fixture change could flip
+    // it without any bug (measured 0.77 at sf0.01)
     val rThree = recall(Similarity.bqAdcRerankTopK(spark, dir).collect())
-    assert(rThree >= rRer, s"three-tier recall $rThree below two-tier $rRer")
+    assert(rThree >= 0.5, s"three-tier recall collapsed: $rThree")
   }
 
   test("semDedup: planted near-identical vectors dropped in favor of the min id; originals kept") {

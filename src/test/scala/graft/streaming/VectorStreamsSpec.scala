@@ -18,6 +18,17 @@ import graft.ops.{Similarity, Tables}
 class VectorStreamsSpec extends SparkSuite {
   import spark.implicits._
 
+  /** The termination listener fires asynchronously after `stop()` returns —
+    * poll until the serve's persisted index frame is actually unpersisted
+    * (or fail after ~10 s). */
+  private def awaitUnpersisted(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+        && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      s"$what still persisted after stream stop — termination release never fired")
+  }
+
   test("micro-batched ADC serving equals the batch PQ scan per query id") {
     val dir = "/root/testdata/sf0.001"
     val root = Files.createTempDirectory("graft-vec-serve").toFile
@@ -79,6 +90,13 @@ class VectorStreamsSpec extends SparkSuite {
     mem.addData(b2.toIndexedSeq)
     q.processAllAvailable()
     q.stop()
+    // teardown FIRST, before the batch comparison below re-persists the
+    // same logical plan (the cache manager keys by plan, so a later
+    // identical build would mask a leak): stopping the stream must release
+    // the persisted cell assignment — without the termination hook it
+    // leaks for the session lifetime
+    awaitUnpersisted(VectorStreams.lastFilteredIndex.assigned,
+      "filtered serve's cell assignment")
 
     val got = Sinks.readSink(spark, out)
       .select("q_id", "n_id", "rank", "adc").collect()
@@ -117,6 +135,11 @@ class VectorStreamsSpec extends SparkSuite {
     mem.addData(b2.toIndexedSeq)
     q.processAllAvailable()
     q.stop()
+    // teardown FIRST (before the batch comparison re-persists the same
+    // plan): stopping the stream must release the persisted chunk-LSH
+    // index — the filtered serve's termination-hook contract
+    awaitUnpersisted(VectorStreams.lastMaxSimIndex.banded,
+      "MaxSim serve's banded index")
 
     val got = Sinks.readSink(spark, out)
       .select("q_doc", "d_doc", "rank", "maxsim").collect()
