@@ -683,6 +683,61 @@ object TextAnalysis {
     Bm25Index(tf, df, dlb, stats)
   }
 
+  /** The lexical model tables a serving node holds NEXT TO the postings
+    * snapshot: every statistic the BM25 and QLD serves need, each a
+    * mergeable aggregate of the postings (the exactness argument in
+    * [[graft.ops.TextIndex]]'s doc), each a WRITTEN parquet table — not a
+    * cached plan — so a serve re-reads index-sized artifacts, never
+    * re-aggregates the corpus. At 100 TB these are the
+    * incrementally-maintained aggregate tables an `append`/`remove`
+    * updates alongside the postings. */
+  private[graft] final case class LexModel(tf: DataFrame, df: DataFrame,
+      dl: DataFrame, stats: DataFrame, cf: DataFrame, cTotal: DataFrame)
+
+  private val lexModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, LexModel]
+
+  /** The session-held lexical model for a corpus directory: the postings
+    * snapshot from [[TextIndex.servingIndex]] plus the five aggregate
+    * tables, derived ONCE per (session, dir) and written to disk — so
+    * every indexed retrieval serve ([[bm25PrfTopKIndexed]],
+    * [[qldTopKIndexed]], the hybrid's lexical leg) pays ZERO corpus-scale
+    * model work per query. All aggregates are integer-or-integer-ratio
+    * valued, so the parquet round-trip is bit-exact and indexed/one-shot
+    * parity is unconditional. Session-guarded like
+    * [[Similarity.servedLshIndex]]: an entry bound to a stopped session is
+    * rebuilt, never returned. */
+  private[graft] def servedLexModel(spark: SparkSession, dir: String): LexModel =
+    lexModelCache.get(dir).filter(_.tf.sparkSession eq spark).getOrElse {
+      val tf = TextIndex.servingIndex(spark, dir).tf
+      def snap(frame: DataFrame, tag: String): DataFrame = {
+        val p = IncrementalIndex.snapshotDir(s"graft_text_model_$tag")
+        try frame.write.mode("overwrite").parquet(p)
+        catch { case e: Throwable => IncrementalIndex.deleteDir(p); throw e }
+        spark.read.parquet(p)
+      }
+      val dl = snap(tf.groupBy("doc_id").agg(sum("tf").as("dl")), "dl")
+      val built = LexModel(tf,
+        snap(tf.groupBy("tok").agg(count(lit(1)).as("df")), "df"),
+        dl,
+        snap(dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl")), "stats"),
+        snap(tf.groupBy("tok").agg(sum("tf").as("cf")), "cf"),
+        snap(tf.agg(sum("tf").as("c_total")), "ct"))
+      lexModelCache.put(dir, built)
+      built
+    }
+
+  /** The BM25 view of [[servedLexModel]]: `b` folds into the stored
+    * length table with one n_docs-sized projection (never a corpus pass).
+    */
+  private[graft] def servedBm25Model(spark: SparkSession, dir: String,
+      b: Double = 0.75): Bm25Index = {
+    val m = servedLexModel(spark, dir)
+    val dlb = m.dl.crossJoin(broadcast(m.stats))
+      .select(col("doc_id"), (lit(b) * col("dl") / col("avgdl")).as("bdl"))
+    Bm25Index(m.tf, m.df, dlb, m.stats)
+  }
+
   /** The scoring core shared by the one-shot path ([[bm25Against]], which
     * derives the legs inline) and the serving path (prebuilt
     * [[Bm25Index]]): per-batch work is the query tokenize, the
@@ -851,7 +906,6 @@ object TextAnalysis {
   def bm25PrfTopK(spark: SparkSession, dir: String, k: Int = 10,
       fbDocs: Int = FbDocs, fbTerms: Int = FbTerms, beta: Double = FbBeta,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -862,17 +916,37 @@ object TextAnalysis {
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val dlb = dl.crossJoin(broadcast(stats))
       .select(col("doc_id"), (lit(b) * col("dl") / col("avgdl")).as("bdl"))
-    val qterms = tf.filter(col("doc_id") <= ServeBatchMaxId)
+    val out = bm25PrfServe(Bm25Index(tf, df, dlb, stats),
+        k, fbDocs, fbTerms, beta, k1, b)
+      .localCheckpoint(true) // bounded (|batch|×k); release the tf cache
+    tf.unpersist()
+    out
+  }
+
+  /** The PRF serving core over prebuilt BM25 model legs — shared verbatim
+    * by the one-shot [[bm25PrfTopK]] (derives the legs from a corpus
+    * tokenize per call) and the indexed [[bm25PrfTopKIndexed]] (legs held
+    * from the written postings snapshot), so one-shot/indexed parity is
+    * structural. Per-serve work: two weighted scoring passes (candidates
+    * form only through broadcast query-vocabulary term joins against the
+    * postings), the batch-bounded feedback join, and the integer expansion
+    * ranking — never a corpus text scan.
+    */
+  private[graft] def bm25PrfServe(ix: Bm25Index, k: Int = 10,
+      fbDocs: Int = FbDocs, fbTerms: Int = FbTerms, beta: Double = FbBeta,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qterms = ix.tf.filter(col("doc_id") <= ServeBatchMaxId)
       .select(col("doc_id").as("q_id"), col("tok"))
 
     // one weighted scoring pass: (q_id, tok, w) → rounded per-doc sums
     def scorePass(wq: DataFrame) = {
-      val qidf = wq.join(df, Seq("tok")).crossJoin(broadcast(stats))
+      val qidf = wq.join(ix.df, Seq("tok")).crossJoin(broadcast(ix.stats))
         .select(col("q_id"), col("tok"), col("w"),
           log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1).as("idf"))
-      tf.join(broadcast(qidf), Seq("tok"))
+      ix.tf.join(broadcast(qidf), Seq("tok"))
         .filter(col("doc_id") =!= col("q_id"))
-        .join(dlb, Seq("doc_id"))
+        .join(ix.dlb, Seq("doc_id"))
         .withColumn("s",
           col("w") * col("idf") * col("tf") * lit(k1 + 1) /
             (col("tf") + lit(k1) * (lit(1 - b) + col("bdl"))))
@@ -887,11 +961,11 @@ object TextAnalysis {
       .select("q_id", "doc_id")
     // expansion: terms of the feedback docs, NOT already in the query,
     // ranked by (feedback df DESC, collection df ASC, tok) — all integers
-    val fbt = fb.join(tf.select("doc_id", "tok"), Seq("doc_id"))
+    val fbt = fb.join(ix.tf.select("doc_id", "tok"), Seq("doc_id"))
       .groupBy("q_id", "tok").agg(count(lit(1)).as("fb_df"))
     val wTr = Window.partitionBy("q_id")
       .orderBy(col("fb_df").desc, col("df").asc, col("tok"))
-    val expansion = fbt.join(df, Seq("tok"))
+    val expansion = fbt.join(ix.df, Seq("tok"))
       .join(qterms.withColumn("orig", lit(true)), Seq("q_id", "tok"), "left")
       .filter(col("orig").isNull)
       .withColumn("tr", row_number().over(wTr)).filter(col("tr") <= fbTerms)
@@ -900,14 +974,11 @@ object TextAnalysis {
     // pass 2: original terms at weight 1, expansion at β
     val wq2 = qterms.withColumn("w", lit(1.0))
       .unionByName(expansion.withColumn("w", lit(beta)))
-    val out = scorePass(wq2)
+    scorePass(wq2)
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("doc_id"), col("rank"), col("score"))
       .orderBy("q_id", "rank")
-      .localCheckpoint(true) // bounded (|batch|×k); release the tf cache
-    tf.unpersist()
-    out
   }
 
   /** Static EXACT oracle for [[bm25PrfTopK]]: the bm25 model CTEs, the
@@ -988,6 +1059,20 @@ object TextAnalysis {
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
 
+  /** INDEXED PRF serving — [[bm25PrfTopK]]'s exact twin riding the
+    * session-held model over the written postings snapshot
+    * ([[servedBm25Model]]): both scoring passes, the feedback join, and
+    * the expansion ranking run against stored-index aggregates, never a
+    * corpus text scan — the production shape where a PRF query's cost is
+    * the serving tail only, with the index build paid once at ingest.
+    * Same oracle as the one-shot form (the postings snapshot is an exact
+    * aggregate of the corpus, so every released row is identical).
+    */
+  def bm25PrfTopKIndexed(spark: SparkSession, dir: String, k: Int = 10,
+      fbDocs: Int = FbDocs, fbTerms: Int = FbTerms, beta: Double = FbBeta,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25PrfServe(servedBm25Model(spark, dir, b), k, fbDocs, fbTerms, beta, k1, b)
+
   /** Dirichlet smoothing mass for [[qldTopK]] — the same order as the
     * corpus's ~100-token documents (Zhai & Lafferty's guidance: μ near
     * the average document length). */
@@ -1019,7 +1104,6 @@ object TextAnalysis {
     */
   def qldTopK(spark: SparkSession, dir: String, k: Int = 10,
       mu: Double = QldMu): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -1028,6 +1112,20 @@ object TextAnalysis {
     val cf = tf.groupBy("tok").agg(sum("tf").as("cf"))
     val totC = tf.agg(sum("tf").as("c_total"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val out = qldServe(tf, cf, totC, dl, k, mu)
+      .localCheckpoint(true) // bounded; release the tf cache
+    tf.unpersist()
+    out
+  }
+
+  /** The QLD serving core over prebuilt model legs (postings, per-term
+    * collection frequency, the collection-size scalar, per-doc length) —
+    * shared verbatim by the one-shot [[qldTopK]] and the indexed
+    * [[qldTopKIndexed]], so parity is structural. Per-serve work: the
+    * broadcast query-vocabulary joins and the sparse matched-term sum. */
+  private[graft] def qldServe(tf: DataFrame, cf: DataFrame, totC: DataFrame,
+      dl: DataFrame, k: Int = 10, mu: Double = QldMu): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qt = tf.filter(col("doc_id") <= ServeBatchMaxId)
       .select(col("doc_id").as("q_id"), col("tok"), col("tf").as("qtf"))
     // per-(query, term) model stats — query-vocabulary-sized, broadcast
@@ -1047,13 +1145,22 @@ object TextAnalysis {
         round(col("sp") + col("qconst") - col("qlen") * log(col("dl") + lit(mu)), 4)
           .as("score"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
-    val out = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("doc_id"), col("rank"), col("score"))
       .orderBy("q_id", "rank")
-      .localCheckpoint(true) // bounded; release the tf cache
-    tf.unpersist()
-    out
+  }
+
+  /** INDEXED QLD serving — [[qldTopK]]'s exact twin riding the
+    * session-held model over the written postings snapshot: the language
+    * model's statistics (cf, C, dl) are mergeable aggregates of the
+    * postings stored by [[servedLexModel]], so the indexed serve is exact
+    * by construction and a query pays only the serving tail. Same oracle
+    * as the one-shot form. */
+  def qldTopKIndexed(spark: SparkSession, dir: String, k: Int = 10,
+      mu: Double = QldMu): DataFrame = {
+    val m = servedLexModel(spark, dir)
+    qldServe(m.tf, m.cf, m.cTotal, m.dl, k, mu)
   }
 
   /** Static EXACT oracle for [[qldTopK]] — the decomposition restated

@@ -616,6 +616,18 @@ class PlanShapeSpec extends SparkSuite {
     // plan runs eagerly inside; per-pass shapes are the bm25 family's
     "bm25_prf_topk" -> (0, 0, 0, 0, 0, 0),
     "qld_topk" -> (0, 0, 0, 0, 0, 0),
+    // the INDEXED serves are lazy (no localCheckpoint realization), so
+    // their digests describe the true serving plan over the postings
+    // snapshot: nested-loops are the 1-row (N, avgdl)/(C) scalar-combine
+    // broadcasts, every window is q_id-partitioned over a batch-bounded
+    // frame, the one global sort presents the |batch|·k result, and the
+    // shuffles are postings-aggregate-sized (never corpus-text-sized —
+    // IndexedServeSpec pins that the documents table is absent entirely)
+    "bm25_prf_indexed" -> (0, 4, 0, 1, 18, 8),
+    "qld_indexed" -> (0, 2, 0, 1, 9, 3),
+    // hybrid serving tails + RRF fuse; the SMJ is the batch-bounded
+    // (q,doc) full-outer fuse, same as hybrid_rrf_served's pin
+    "hybrid_rrf_indexed" -> (0, 2, 1, 1, 15, 9),
     // localCheckpoint(true)-realized (the greedy driver loop runs eagerly
     // inside: k TakeOrdered argmax scans + one assignment pass)
     "kcenter_coreset" -> (0, 0, 0, 0, 0, 0),
