@@ -847,4 +847,255 @@ object PageRank {
        |WHERE anc IS NULL
        |   OR NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = anc)
        |ORDER BY doc_id""".stripMargin
+
+  /** Coreness cap: the k-core peel runs for k = 2..[[KcoreMaxK]] (the
+    * 1-core of an edge-induced node set is the set itself, so k=1 needs
+    * no peel). Docs at the cap sit in a ≥[[KcoreMaxK]]-core — the signal
+    * saturates there by design. */
+  val KcoreMaxK = 5
+
+  /** Fixed peel-round budget per k for the unrolled oracle. Spark peels
+    * to the FIXED POINT (monotone: a peel only removes nodes, so a stable
+    * count is a stable set) and fails fast if the cap doesn't cover it;
+    * the oracle always unrolls the full budget — extra rounds past the
+    * fixed point are idempotent, so both engines release the same set
+    * (the two-shapes-one-answer convention). Measured depth: the deepest
+    * cascade across sf0.001/0.01/0.1 is 8 rounds (sf0.1, k=4 from the
+    * full graph; nested starts are shallower). */
+  val KcorePeelRounds = 12
+
+  /** Iterative k-core peel → per-node CORENESS (max k ≤ [[KcoreMaxK]]
+    * with the node inside the k-core) over an undirected edge set
+    * (symmetric rows, no self-loops — [[linkGraph]]'s contract). The
+    * density-based curation signal next to [[lpaOn]]'s communities: a
+    * doc's coreness says how deep it sits in a mutually-reinforcing
+    * near-duplication/syndication cluster, where component size or
+    * degree alone overcounts stars and chains.
+    *
+    * Peels are NESTED ((k+1)-core ⊆ k-core), so each level starts from
+    * the previous survivor set. Superstep shape: per round, two
+    * node-keyed joins filter the loop-invariant persisted edge table to
+    * surviving endpoints + one degree aggregate — work ∝ surviving
+    * edges, shrinking monotonically; `localCheckpoint` truncates lineage
+    * per round ([[pageRankOn]]'s discipline). The driver-side count per
+    * round is the convergence check on an eagerly-materialized frame
+    * (the gated-driver-loop convention). All integer — exact.
+    */
+  def corenessOn(edges: DataFrame): DataFrame = {
+    val ed = edges.persist()
+    var alive = ed.select(col("src").as("node")).distinct().localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](
+      alive.withColumn("k", lit(1L)))
+    for (k <- 2 to KcoreMaxK) {
+      var n = alive.count()
+      var converged = false
+      var r = 0
+      while (!converged && r < KcorePeelRounds) {
+        r += 1
+        val next = ed
+          .join(alive.select(col("node").as("src")), Seq("src"))
+          .join(alive.select(col("node").as("dst")), Seq("dst"))
+          .groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("src").as("node"))
+          .localCheckpoint()
+        val m = next.count()
+        converged = m == n
+        n = m
+        alive = next
+      }
+      // a silent non-converged release would diverge from the oracle's
+      // full unroll — fail fast instead (the requireBandScheme posture)
+      require(converged,
+        s"k-core peel did not converge within $KcorePeelRounds rounds at k=$k")
+      levels += alive.withColumn("k", lit(k.toLong))
+    }
+    val out = levels.reduce(_ unionByName _)
+      .groupBy("node").agg(max(col("k")).as("coreness"))
+    ed.unpersist()
+    out
+  }
+
+  /** Registered query: per-doc coreness on the shingle link graph. */
+  def docCoreness(spark: SparkSession, dir: String): DataFrame =
+    corenessOn(linkGraph(Tables(spark, dir, "documents")))
+      .select(col("node").as("doc_id"), col("coreness"))
+      .orderBy("doc_id")
+
+  /** Oracle for [[docCoreness]]: the shared graph prefix + the peel
+    * unrolled to the full [[KcorePeelRounds]] budget per k, nested across
+    * levels. Every round CTE is `AS MATERIALIZED` (the docHits lesson:
+    * each survivor set feeds two join legs of the next round, and
+    * re-inlining would go exponential across the unroll). */
+  val docCorenessSql: String = {
+    val rounds = for (k <- 2 to KcoreMaxK; r <- 1 to KcorePeelRounds) yield {
+      val prev =
+        if (r == 1 && k == 2) "a0"
+        else if (r == 1) s"a${k - 1}_$KcorePeelRounds"
+        else s"a${k}_${r - 1}"
+      s"""a${k}_$r AS MATERIALIZED (
+         |  SELECT e.src AS node FROM edges e
+         |  JOIN $prev x ON e.src = x.node JOIN $prev y ON e.dst = y.node
+         |  GROUP BY e.src HAVING count(*) >= $k
+         |)""".stripMargin
+    }
+    val unions = (2 to KcoreMaxK)
+      .map(k => s"UNION ALL SELECT node, $k AS k FROM a${k}_$KcorePeelRounds")
+      .mkString("\n  ")
+    s"""WITH $linkEdSqlCtes,
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |${rounds.mkString(",\n")},
+       |lv AS (
+       |  SELECT node, 1 AS k FROM a0
+       |  $unions
+       |)
+       |SELECT node AS doc_id, max(k)::BIGINT AS coreness
+       |FROM lv GROUP BY node ORDER BY doc_id""".stripMargin
+  }
+
+  /** Session gap for the navigation graph: consecutive events of a user
+    * more than 30 minutes apart are different visits, not a transition. */
+  val NavSessionGapMicros = 30L * 60L * 1000000L
+
+  /** Rank cut for the dominant-flow edge set: the top ⌊10%⌋ most frequent
+    * transition pairs (ties broken by (src, dst) — a total order, so the
+    * cut is deterministic on both engines). A fixed count threshold can't
+    * survive scale-up — event volume grows with the corpus while the page
+    * domain stays fixed — so the cut is relative by construction. */
+  val NavTopPairPct = 10L
+
+  /** Directed page-navigation edges from the events stream: per user,
+    * consecutive in-session events (ordered by ts, event_id — the
+    * [[Events.debounceEvents]] convention) yield a `page → next page`
+    * transition on the JSON `props.k` page id; pair counts aggregate
+    * corpus-scale events down to the BOUNDED page×page domain, and the
+    * [[NavTopPairPct]] rank cut keeps the dominant flows. At 100 TB the
+    * only corpus-scale legs are the per-user window and one (src, dst)
+    * aggregate; the rank window runs on the domain-bounded pair table
+    * (the two-phase bounded-window discipline). */
+  def pageNavEdges(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "k", org.apache.spark.sql.types.IntegerType)))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = events.select(col("user_id"), col("ts"), col("event_id"),
+      from_json(col("props"), schema).getField("k").cast("long").as("page"))
+    val trans = ev
+      .withColumn("nxt", lead(col("page"), 1).over(w))
+      .withColumn("gap_us",
+        lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("page") &&
+        col("gap_us") <= NavSessionGapMicros)
+      .groupBy(col("page").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = trans.agg(count(lit(1)).as("tot"))
+    val wRank = Window.orderBy(col("n").desc, col("src"), col("dst"))
+    trans.withColumn("rk", row_number().over(wRank))
+      .crossJoin(broadcast(tot))
+      .filter(col("rk") <= expr(s"tot * $NavTopPairPct div 100"))
+      .select("src", "dst")
+  }
+
+  /** Strongly connected components on a DIRECTED edge set over a BOUNDED
+    * node domain, via mutual-reachability: scc_id(v) = min over
+    * {v} ∪ {u : u →* v and v →* u} — the forward∩backward reachability
+    * characterization. Reachability closes by PATH DOUBLING
+    * (reach ⋈ reach per round → log₂(diameter) supersteps, not
+    * diameter), localCheckpointed per round with the driver-side
+    * count-stability check (closure only grows — monotone, so a stable
+    * count is the fixed point; non-convergence inside the round cap
+    * fails fast).
+    *
+    * The closure is |domain|²-bounded by construction — the corpus-scale
+    * input (events) reduces to the bounded domain BEFORE any quadratic
+    * step (the lang×source grid convention). A doc-scale SCC (unbounded
+    * node ids) would use FW-BW decomposition instead; on the id-ordered
+    * doc link graph every orientation is a DAG and SCCs are all
+    * singletons, which is why the registered query runs on the
+    * navigation graph, where cycles are real (users circulate).
+    */
+  def sccOn(edges: DataFrame): DataFrame = {
+    // eager-materialize the bounded edge set ONCE: it feeds the closure
+    // seed, the node-domain union, and (transitively) every later stage —
+    // lazily it would re-run the corpus-scale edge derivation per branch
+    val ed = edges.select("src", "dst").distinct().localCheckpoint()
+    var reach = ed
+    var n = reach.count()
+    var converged = false
+    var r = 0
+    while (!converged && r < 12) {
+      r += 1
+      val ext = reach.select(col("src"), col("dst").as("mid"))
+        .join(reach.select(col("src").as("mid"), col("dst").as("dst2")), Seq("mid"))
+        .select(col("src"), col("dst2").as("dst"))
+      val next = reach.unionByName(ext).distinct().localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      n = m
+      reach = next
+    }
+    require(converged, s"reachability closure did not converge within 12 doubling rounds")
+    val rev = reach.select(col("dst").as("r_src"), col("src").as("r_dst"))
+    val mutual = reach
+      .join(rev, col("src") === col("r_src") && col("dst") === col("r_dst"))
+      .select(col("src").as("node"), col("dst").as("other"))
+    val nodes = ed.select(col("src").as("node"))
+      .unionByName(ed.select(col("dst").as("node"))).distinct()
+    // domain-bounded; materialized because the size rollup re-reads it
+    val scc = nodes.join(mutual, Seq("node"), "left")
+      .groupBy("node")
+      .agg(least(col("node"), coalesce(min(col("other")), col("node"))).as("scc_id"))
+      .localCheckpoint()
+    val sizes = scc.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    scc.join(sizes, Seq("scc_id")).select("node", "scc_id", "scc_size")
+  }
+
+  /** Registered query: SCCs of the dominant-flow navigation graph —
+    * page clusters users genuinely circulate among (mutually reachable)
+    * vs one-way funnel pages (singletons). */
+  def pageScc(spark: SparkSession, dir: String): DataFrame =
+    sccOn(pageNavEdges(Tables(spark, dir, "events")))
+      .select(col("node").as("page"), col("scc_id"), col("scc_size"))
+      .orderBy("page")
+
+  /** Oracle for [[pageScc]]: the same window/aggregate/rank-cut prefix,
+    * reachability as the textbook single-edge-extension recursive CTE
+    * (same fixed point as the engine's path doubling — the
+    * two-shapes-one-answer convention), mutual intersection, min-label. */
+  val pageSccSql: String =
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id, ts, event_id, json_extract(props, '$$.k')::BIGINT AS page
+       |  FROM events
+       |), seq AS (
+       |  SELECT page, lead(page) OVER w AS nxt,
+       |         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), trans AS (
+       |  SELECT page AS src, nxt AS dst, count(*) AS n FROM seq
+       |  WHERE nxt IS NOT NULL AND nxt <> page AND gap_us <= $NavSessionGapMicros
+       |  GROUP BY page, nxt
+       |), ranked AS (
+       |  SELECT src, dst, row_number() OVER (ORDER BY n DESC, src, dst) AS rk
+       |  FROM trans
+       |), edges AS (
+       |  SELECT src, dst FROM ranked
+       |  WHERE rk <= (SELECT count(*) FROM trans) * $NavTopPairPct // 100
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+       |), mutual AS (
+       |  SELECT a.src AS node, a.dst AS other
+       |  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+       |), nodes AS (
+       |  SELECT DISTINCT src AS node FROM edges
+       |  UNION SELECT DISTINCT dst FROM edges
+       |), scc AS (
+       |  SELECT n.node, least(n.node, coalesce(min(m.other), n.node)) AS scc_id
+       |  FROM nodes n LEFT JOIN mutual m ON m.node = n.node GROUP BY n.node
+       |), sizes AS (
+       |  SELECT scc_id, count(*) AS scc_size FROM scc GROUP BY scc_id
+       |)
+       |SELECT s.node AS page, s.scc_id, z.scc_size
+       |FROM scc s JOIN sizes z USING (scc_id) ORDER BY page""".stripMargin
 }

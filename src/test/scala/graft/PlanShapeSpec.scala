@@ -631,6 +631,13 @@ class PlanShapeSpec extends SparkSuite {
     // localCheckpoint(true)-realized (the greedy driver loop runs eagerly
     // inside: k TakeOrdered argmax scans + one assignment pass)
     "kcenter_coreset" -> (0, 0, 0, 0, 0, 0),
+    // peel levels materialize via localCheckpoint during the driver loop;
+    // the released plan is the bounded level union + max agg + order
+    "kcore_docs" -> (0, 0, 0, 1, 2, 0),
+    // closure/scc tables materialize during the loop; the released plan
+    // joins the two domain-bounded checkpointed tables (SMJ is scc⋈sizes
+    // on the bounded page domain)
+    "page_scc" -> (0, 0, 1, 1, 3, 0),
     // the nested-loops are the per-table 1-row tally scalar-combines
     // (erasure_cascade's shape, one more crossJoin per branch)
     "ttl_purge_plan" -> (0, 6, 0, 1, 9, 0),
