@@ -95,34 +95,40 @@ object MaxSim {
       spark: SparkSession, dir: String, qChunks: DataFrame, k: Int = 10): DataFrame =
     maxSimTopKAgainst(buildMaxSimIndex(spark, dir), qChunks, k)
 
-  /** The scoring core over an already-built [[MaxSimIndex]]. */
-  private[graft] def maxSimTopKAgainst(
-      ix: MaxSimIndex, qChunks: DataFrame, k: Int = 10): DataFrame = {
-    // candidate DOC pairs: any query chunk colliding with any corpus chunk
+  /** Candidate DOC pairs for a query-chunk frame: any query chunk
+    * colliding with any corpus chunk in the banded index, aggregated to
+    * the doc key. */
+  private def candidatesOf(ix: MaxSimIndex, qChunks: DataFrame): DataFrame = {
     val qBand = qChunks.select(col("q_doc"),
       posexplode(array(bucketsOf(col("q_v")): _*)).as(Seq("table", "bucket")))
       .select(col("table"), col("bucket"), col("q_doc"))
-    val cand = ix.banded.select(col("table"), col("bucket"), col("doc").as("d_doc"))
+    ix.banded.select(col("table"), col("bucket"), col("doc").as("d_doc"))
       .join(broadcast(qBand), Seq("table", "bucket"))
       .filter(col("d_doc") =!= col("q_doc"))
       .select("q_doc", "d_doc")
       .dropDuplicates("q_doc", "d_doc")
+  }
 
-    // late interaction: per (pair, query-chunk) the ORDER-FREE max over the
-    // candidate's chunks, folded in ONE aggregate via conditional maxima
+  /** The EXACT late-interaction scoring tail over a given candidate pair
+    * set — shared verbatim by the one-pass serve ([[maxSimTopKAgainst]],
+    * LSH candidates) and the quantized cascade ([[maxSimAdcTopK]], ADC
+    * shortlist), so the re-rank arithmetic can never drift between them:
+    * per (pair, query-chunk) the ORDER-FREE max over the candidate's
+    * chunks, folded in ONE aggregate via conditional maxima; the
+    * chunk-sum is ONE written expression — fixed order, no float agg;
+    * rounded release ranks (the ADC armor, incl. −0.0 normalization). */
+  private def exactTail(cand: DataFrame, qChunks: DataFrame,
+      dChunks: DataFrame, k: Int): DataFrame = {
     val qc = qChunks.select(col("q_doc"), col("qi"), col("q_v"))
-    val dc = ix.chunks.select(col("doc").as("d_doc"), col("v").as("d_v"))
     val maxes = (0 until MaxSimFan).map(i =>
       max(when(col("qi") === i, col("c"))).as(s"m$i"))
     val perPair = cand
       .join(broadcast(qc), Seq("q_doc"))
-      .join(dc, Seq("d_doc"))
+      .join(dChunks, Seq("d_doc"))
       .select(col("q_doc"), col("d_doc"), col("qi"),
         Similarity.cosine(col("q_v"), col("d_v")).as("c"))
       .groupBy("q_doc", "d_doc")
       .agg(maxes.head, maxes.tail: _*)
-    // the chunk-sum is ONE written expression — fixed order, no float agg;
-    // rounded release ranks (the ADC armor, incl. −0.0 normalization)
     val sumExpr = (0 until MaxSimFan)
       .map(i => coalesce(col(s"m$i"), lit(0.0)))
       .reduce[org.apache.spark.sql.Column](_ + _)
@@ -135,6 +141,146 @@ object MaxSim {
       .select(col("q_doc"), col("d_doc"), col("rank"), col("maxsim"))
       .orderBy("q_doc", "rank")
   }
+
+  /** The scoring core over an already-built [[MaxSimIndex]]. */
+  private[graft] def maxSimTopKAgainst(
+      ix: MaxSimIndex, qChunks: DataFrame, k: Int = 10): DataFrame =
+    exactTail(candidatesOf(ix, qChunks), qChunks,
+      ix.chunks.select(col("doc").as("d_doc"), col("v").as("d_v")), k)
+
+  /** Shortlist size of the quantized cascade's ADC tier (PLAID re-ranks
+    * generously — the exact tail costs |batch|·shortlist·fan² cosines, so
+    * a deep shortlist is cheap insurance against quantization error). */
+  val AdcShortlist = 100
+
+  /** QUANTIZED late-interaction serving — the PLAID/ColBERTv2 cascade
+    * shape applied to the chunk index: the LSH candidate set is scored
+    * first from the chunks' PQ CODES (every query-chunk × candidate-chunk
+    * similarity is an ADC lookup-table sum, never a raw-vector cosine),
+    * the per-pair quantized MaxSim takes a [[AdcShortlist]]-deep
+    * shortlist, and only the survivors re-attach raw vectors for the
+    * exact re-rank ([[exactTail]], shared with the one-pass serve). At
+    * 100 TB the candidate scoring pass reads 8 bytes per chunk instead of
+    * 512 — the decompression-free first tier PLAID exists for — and the
+    * raw corpus is touched only for |batch| × shortlist docs.
+    *
+    * Oracle is EXACT and compositional (fitted codebook literals + the
+    * banded prefix + the committed ADC/exact templates); recall vs the
+    * brute anchor is measured by [[maxSimAdcEval]] and floor-pinned in
+    * MaxSimSpec.
+    */
+  def maxSimAdcTopK(spark: SparkSession, dir: String, k: Int = 10,
+      shortlist: Int = AdcShortlist,
+      m: Int = Similarity.PqM, ks: Int = Similarity.PqKs): DataFrame = {
+    val ix = buildMaxSimIndex(spark, dir)
+    val books = Similarity.fitPq(spark, dir, m, ks)
+    val qChunks = ix.chunks.filter(col("doc") <= queryMaxDoc)
+      .select(col("doc").as("q_doc"), (col("vec_id") % MaxSimFan).as("qi"),
+        col("v").as("q_v"))
+    val cand = candidatesOf(ix, qChunks)
+    // chunk codes (the stored 8-byte artifact) + per-query-chunk LUTs
+    val codes = Similarity.assignCodes(
+      ix.chunks.select(col("doc").as("d_doc"), col("v")), books, Seq("d_doc"))
+    val qlut = qChunks.select(col("q_doc"), col("qi"),
+      Similarity.adcLut(books).as("lut"))
+    // tier 1: quantized MaxSim — per (pair, qi) the max ADC over the
+    // candidate's coded chunks, in the same ONE conditional aggregate as
+    // the exact tail; fixed-order chunk-sum, rounded shortlist rank
+    val maxes = (0 until MaxSimFan).map(i =>
+      max(when(col("qi") === i, col("adc"))).as(s"m$i"))
+    val perPair = cand
+      .join(broadcast(qlut), Seq("q_doc"))
+      .join(codes, Seq("d_doc"))
+      .select(col("q_doc"), col("d_doc"), col("qi"),
+        Similarity.adcScore(ks, m).as("adc"))
+      .groupBy("q_doc", "d_doc")
+      .agg(maxes.head, maxes.tail: _*)
+    val sumExpr = (0 until MaxSimFan)
+      .map(i => coalesce(col(s"m$i"), lit(0.0)))
+      .reduce[org.apache.spark.sql.Column](_ + _)
+    import org.apache.spark.sql.expressions.Window
+    val wShort = Window.partitionBy(col("q_doc")).orderBy(col("qs").desc, col("d_doc"))
+    val short = perPair
+      .select(col("q_doc"), col("d_doc"), (round(sumExpr, 4) + lit(0.0)).as("qs"))
+      .withColumn("sr", row_number().over(wShort))
+      .filter(col("sr") <= shortlist)
+      .select("q_doc", "d_doc")
+    // tier 2: exact re-rank of the survivors only
+    exactTail(short, qChunks,
+      ix.chunks.select(col("doc").as("d_doc"), col("v").as("d_v")), k)
+  }
+
+  /** EXACT generated oracle for [[maxSimAdcTopK]]: the banded prefix, the
+    * fitted-codebook code/LUT CTEs (chunk-level query predicate), the
+    * quantized conditional-maxima shortlist, and the exact tail — each a
+    * committed template restated. */
+  def maxSimAdcTopKSql(books: Array[Array[Array[Double]]], k: Int = 10,
+      shortlist: Int = AdcShortlist): String = {
+    val f = MaxSimFan
+    val ks = Similarity.PqKs
+    val qMaxCols = (0 until f).map(i =>
+      s"max(CASE WHEN ac.qi = $i THEN ac.adc END) AS m$i").mkString(",\n    ")
+    val rMaxCols = (0 until f).map(i =>
+      s"max(CASE WHEN qe.vec_id % $f = $i THEN list_cosine_similarity(qe.v, de.v) END) AS m$i")
+      .mkString(",\n    ")
+    val sum = (0 until f).map(i => s"coalesce(m$i, 0.0)").mkString(" + ")
+    s"""${Similarity.bandedSqlCtes}${Similarity.pqSqlCtes(books,
+        s"q.vec_id // $f <= $queryMaxDoc")}, cand AS (
+       |  SELECT DISTINCT q.vec_id // $f AS q_doc, b.vec_id // $f AS d_doc
+       |  FROM banded q JOIN banded b ON b.tbl = q.tbl AND b.bucket = q.bucket
+       |  WHERE q.vec_id // $f <= $queryMaxDoc AND b.vec_id // $f <> q.vec_id // $f
+       |), adcchunk AS (
+       |  SELECT l.q_id // $f AS q_doc, l.q_id % $f AS qi, cs.vec_id AS d_vid,
+       |    list_reduce(list(l.pd ORDER BY l.j), (a, b) -> a + b) AS adc
+       |  FROM cand c
+       |  JOIN lut l ON l.q_id // $f = c.q_doc
+       |  JOIN codesub cs ON cs.vec_id // $f = c.d_doc AND cs.j = l.j AND cs.code = l.code
+       |  GROUP BY l.q_id, cs.vec_id
+       |), qmx AS (
+       |  SELECT ac.q_doc, ac.d_vid // $f AS d_doc,
+       |    $qMaxCols
+       |  FROM adcchunk ac GROUP BY ac.q_doc, ac.d_vid // $f
+       |), shortl AS (
+       |  SELECT q_doc, d_doc FROM (
+       |    SELECT q_doc, d_doc,
+       |      row_number() OVER (PARTITION BY q_doc
+       |        ORDER BY round($sum, 4) + 0.0 DESC, d_doc) AS sr
+       |    FROM qmx)
+       |  WHERE sr <= $shortlist
+       |), rmx AS (
+       |  SELECT s.q_doc, s.d_doc,
+       |    $rMaxCols
+       |  FROM shortl s
+       |  JOIN ev qe ON qe.vec_id // $f = s.q_doc
+       |  JOIN ev de ON de.vec_id // $f = s.d_doc
+       |  GROUP BY s.q_doc, s.d_doc
+       |), rsc AS (
+       |  SELECT q_doc, d_doc, round($sum, 4) + 0.0 AS maxsim FROM rmx
+       |)
+       |SELECT q_doc, d_doc, rank, maxsim FROM (
+       |  SELECT q_doc, d_doc,
+       |    row_number() OVER (PARTITION BY q_doc ORDER BY maxsim DESC, d_doc) AS rank,
+       |    maxsim
+       |  FROM rsc)
+       |WHERE rank <= $k
+       |ORDER BY q_doc, rank""".stripMargin
+  }
+
+  /** Retrieval-quality metrics of the QUANTIZED cascade against the brute
+    * late-interaction truth — the quantized leg of the eval harness the
+    * raw serve already has. Bench-excluded (truth leg is the anchor). */
+  def maxSimAdcEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Similarity.evalTailOf(
+      maxSimAdcTopK(spark, dir, k)
+        .select(col("q_doc").as("q_id"), col("d_doc").as("n_id"), col("rank")),
+      maxSimBrute(spark, dir, k)
+        .select(col("q_doc").as("q_id"), col("d_doc").as("n_id")), k)
+
+  /** Oracle: the shared eval template over the quantized and brute legs. */
+  def maxSimAdcEvalSql(books: Array[Array[Array[Double]]], k: Int = 10): String =
+    Similarity.retrievalEvalSqlWith(
+      s"SELECT q_doc AS q_id, d_doc AS n_id, rank, maxsim FROM (\n${maxSimAdcTopKSql(books, k)})",
+      s"SELECT q_doc AS q_id, d_doc AS n_id, rank, maxsim FROM (\n${maxSimBruteSql(k)})", k)
 
   /** The exactness anchor of the MaxSim stack: brute late-interaction
     * top-k over ALL doc pairs for the served query docs — O(|batch|·n)

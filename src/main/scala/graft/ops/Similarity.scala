@@ -358,6 +358,8 @@ object Similarity {
         "ivf_pq_residual_topk" -> ivfPqResidualTopKSql(cent, residBooks),
         "ivf_pq_residual_rerank_topk" -> ivfPqResidualRerankTopKSql(cent, residBooks),
         "opq_topk"          -> opqTopKSql(rot, opqBooks),
+        "maxsim_adc_topk"   -> MaxSim.maxSimAdcTopKSql(books),
+        "maxsim_adc_eval"   -> MaxSim.maxSimAdcEvalSql(books),
         "opq_ivf_pq_topk"   -> opqIvfPqTopKSql(rotC, chainCent, chainBooks),
         "knn_graph_topk"    -> GraphAnn.knnGraphTopKSql(cent))
     case None => Map.empty
@@ -1155,7 +1157,7 @@ object Similarity {
     * this array per joined pair, which made ADC 16× the arithmetic of the
     * brute cosine it exists to avoid).
     */
-  private def adcLut(books: Array[Array[Array[Double]]]): Column = {
+  private[ops] def adcLut(books: Array[Array[Array[Double]]]): Column = {
     val dsub = books(0)(0).length
     array(books.zipWithIndex.flatMap { case (book, j) =>
       val qsub = slice(col("q_v"), j * dsub + 1, dsub)
@@ -1170,7 +1172,7 @@ object Similarity {
     * reassociation armor as `bm25_topk`). Bit-identical to computing the
     * dots in place — the LUT holds the very same doubles.
     */
-  private def adcScore(ks: Int, m: Int): Column =
+  private[ops] def adcScore(ks: Int, m: Int): Column =
     (0 until m).map { j =>
       element_at(col("lut"), lit(j * ks) + col(s"code$j") + 1)
     }.reduce[Column](_ + _)
@@ -1367,7 +1369,7 @@ object Similarity {
     * PQ oracles (appended after an `ev` CTE): codebooks, codes, and the
     * per-query LUT of subvector·codeword dots.
     */
-  private def pqSqlCtes(books: Array[Array[Array[Double]]],
+  private[ops] def pqSqlCtes(books: Array[Array[Array[Double]]],
       qPred: String = "q.vec_id % 50 = 0"): String = {
     val dsub = books(0)(0).length
     s"""${booksSqlCte(books)}${codesubSqlCtes("ev", dsub, books.length)}, lut AS (

@@ -145,6 +145,10 @@ class PlanShapeSpec extends SparkSuite {
     // pair dedup + the conditional-maxima aggregate + top-k window —
     // candidates form only through banded collisions, never doc×doc
     "maxsim_topk" -> (0, 0, 0, 1, 3, 3),
+    // the PLAID cascade: maxsim_topk's shape + the quantized shortlist
+    // window and the exact re-rank window — scoring tier reads the 8-byte
+    // chunk codes, the raw vectors re-attach for shortlist pairs only
+    "maxsim_adc_topk" -> (0, 0, 0, 1, 3, 5),
     // shingle-keyed exchanges only (df cap, pair agg, size joins) — pairs
     // form exclusively via shared rare shingles, never all-pairs
     "containment_pairs" -> (0, 0, 0, 1, 8, 0),

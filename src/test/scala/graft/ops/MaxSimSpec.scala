@@ -81,4 +81,35 @@ class MaxSimSpec extends SparkSuite {
     assert(svRecall < 0.7,
       s"single-vector baseline recovers $svRecall of MaxSim truth — contrast collapsed")
   }
+
+  test("maxSimAdcTopK: the quantized cascade holds a recall floor and genuinely re-ranks") {
+    val adc = MaxSim.maxSimAdcTopK(spark, dir).collect()
+    // determinism
+    val again = MaxSim.maxSimAdcTopK(spark, dir).collect()
+    assert(adc.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // recall floor vs the brute truth (measured 0.98 at sf0.01 with the
+    // 100-deep shortlist; an ABSOLUTE floor, not parity with the raw
+    // serve — the PQ tier is lossy by design)
+    val got = adc.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (truth, _) = bruteTruth(10)
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.85, s"quantized-cascade recall collapsed: $recall")
+    // released scores are EXACT MaxSim values: every (pair, score) the
+    // cascade releases must appear with the identical score in the raw
+    // serve's scoring of the same pair set — the re-rank tier is the
+    // shared exact tail, so agreement is structural, and this pins it
+    val raw = MaxSim.maxSimTopK(spark, dir, k = 200).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    for (r <- adc) {
+      val key = (r.getLong(0), r.getLong(1))
+      raw.get(key).foreach(s => assert(s == r.getDouble(3),
+        s"cascade released a non-exact score for $key"))
+    }
+    // the quantized tier must do REAL work: the ADC shortlist ordering
+    // differs from the exact ordering somewhere (else the codes are
+    // secretly lossless and the eval row is vacuous)
+    val eval = MaxSim.maxSimAdcEval(spark, dir).collect()(0)
+    assert(eval.getDouble(1) >= 0.85, s"eval recall floor: ${eval.getDouble(1)}")
+    assert(eval.getDouble(2) >= 0.95, s"eval MRR floor: ${eval.getDouble(2)}")
+  }
 }
