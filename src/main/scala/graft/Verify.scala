@@ -6,10 +6,19 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: comma-separated query names (local iteration aid;
-    // the driver always passes exactly two args → full sweep)
-    val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // optional 3rd arg: either `i/n` (shard i of n, round-robin over the
+    // sorted registry — the scaled-SF sweep runs a few bounded JVMs
+    // instead of one 290-query process accumulating state) or
+    // comma-separated query names (local iteration aid; the driver always
+    // passes exactly two args → full sweep)
+    val shard = "^(\\d+)/(\\d+)$".r
+    val only: Option[Set[String]] = args.lift(2).map {
+      case shard(i, n) =>
+        SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
+          .collect { case (q, ix) if ix % n.toInt == i.toInt % n.toInt => q }
+          .toSet
+      case names => names.split(",").toSet
+    }
     only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
       System.err.println(s"[verify] WARNING: '$n' matches no registered query — typo?")))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -36,8 +45,15 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
         // a few queries persist an internal index table; release it so
-        // caches don't accumulate across the 30+ query sweep
+        // caches don't accumulate across the 290-query sweep. The
+        // localCheckpoint blocks of the Pregel-shape queries are only
+        // freed after their RDD objects are GC'd (the graft.Bench
+        // lesson) — without the explicit unpersist+gc a scaled-SF sweep
+        // accumulates dead storage blocks until the JVM dies mid-registry
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
