@@ -11,9 +11,10 @@ object Verify {
     // instead of one 290-query process accumulating state) or
     // comma-separated query names (local iteration aid; the driver always
     // passes exactly two args → full sweep)
-    val shard = "^(\\d+)/(\\d+)$".r
+    val shard = "^(\\d{1,4})/(\\d{1,4})$".r
     val only: Option[Set[String]] = args.lift(2).map {
       case shard(i, n) =>
+        require(n.toInt > 0, s"shard count must be positive: $i/$n")
         SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
           .collect { case (q, ix) if ix % n.toInt == i.toInt % n.toInt => q }
           .toSet

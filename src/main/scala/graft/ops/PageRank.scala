@@ -883,36 +883,36 @@ object PageRank {
     */
   def corenessOn(edges: DataFrame): DataFrame = {
     val ed = edges.persist()
-    var alive = ed.select(col("src").as("node")).distinct().localCheckpoint()
-    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](
-      alive.withColumn("k", lit(1L)))
-    for (k <- 2 to KcoreMaxK) {
-      var n = alive.count()
-      var converged = false
-      var r = 0
-      while (!converged && r < KcorePeelRounds) {
-        r += 1
-        val next = ed
-          .join(alive.select(col("node").as("src")), Seq("src"))
-          .join(alive.select(col("node").as("dst")), Seq("dst"))
-          .groupBy("src").agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= k).select(col("src").as("node"))
-          .localCheckpoint()
-        val m = next.count()
-        converged = m == n
-        n = m
-        alive = next
+    try {
+      var alive = ed.select(col("src").as("node")).distinct().localCheckpoint()
+      val levels = scala.collection.mutable.ArrayBuffer[DataFrame](
+        alive.withColumn("k", lit(1L)))
+      for (k <- 2 to KcoreMaxK) {
+        var n = alive.count()
+        var converged = false
+        var r = 0
+        while (!converged && r < KcorePeelRounds) {
+          r += 1
+          val next = ed
+            .join(alive.select(col("node").as("src")), Seq("src"))
+            .join(alive.select(col("node").as("dst")), Seq("dst"))
+            .groupBy("src").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= k).select(col("src").as("node"))
+            .localCheckpoint()
+          val m = next.count()
+          converged = m == n
+          n = m
+          alive = next
+        }
+        // a silent non-converged release would diverge from the oracle's
+        // full unroll — fail fast instead (the requireBandScheme posture)
+        require(converged,
+          s"k-core peel did not converge within $KcorePeelRounds rounds at k=$k")
+        levels += alive.withColumn("k", lit(k.toLong))
       }
-      // a silent non-converged release would diverge from the oracle's
-      // full unroll — fail fast instead (the requireBandScheme posture)
-      require(converged,
-        s"k-core peel did not converge within $KcorePeelRounds rounds at k=$k")
-      levels += alive.withColumn("k", lit(k.toLong))
-    }
-    val out = levels.reduce(_ unionByName _)
-      .groupBy("node").agg(max(col("k")).as("coreness"))
-    ed.unpersist()
-    out
+      levels.reduce(_ unionByName _)
+        .groupBy("node").agg(max(col("k")).as("coreness"))
+    } finally ed.unpersist() // incl. the fail-fast path
   }
 
   /** Registered query: per-doc coreness on the shingle link graph. */

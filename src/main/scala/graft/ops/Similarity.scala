@@ -626,16 +626,22 @@ object Similarity {
     val banded = e.select(col("vec_id"),
       posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
       .persist()
-    annLshAgainst(LshIndex(e, banded), queryPred, k)
+    // one-shot form: the band table is a cached plan, not an on-disk
+    // artifact — no snapshot path to manage
+    annLshAgainst(LshIndex(e, banded, bandPath = ""), queryPred, k)
   }
 
   /** The LSH bucket artifact for a corpus: the slim (vec_id, table,
-    * bucket) band table — persisted, it IS the dense serving index — and
-    * the vector frame candidates re-attach to for exact cosine. */
-  private[graft] final case class LshIndex(e: DataFrame, banded: DataFrame)
+    * bucket) band table — written, it IS the dense serving index — and
+    * the vector frame candidates re-attach to for exact cosine.
+    * `bandPath` is the on-disk snapshot, kept for superseded-entry
+    * cleanup. */
+  private[graft] final case class LshIndex(
+      e: DataFrame, banded: DataFrame, bandPath: String)
 
   private val lshIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, LshIndex]
+  private val lshIndexLock = new Object
 
   /** The session-held LSH index for a corpus directory (the
     * [[graft.ops.TextAnalysis.servedBm25Model]] discipline on the dense
@@ -645,21 +651,28 @@ object Similarity {
     * plan), so a serve re-reads a slim stored table — at 100 TB this is
     * the persisted band artifact bucketed by (table, bucket) next to the
     * embeddings table. Unlike the fit caches (plain driver arrays), this
-    * holds DataFrames BOUND to a session — entries from a stopped session
-    * are rebuilt, never returned. */
+    * holds DataFrames BOUND to a session — entries from another session
+    * are rebuilt, never returned, and a superseded snapshot is deleted
+    * only once its session has stopped (the [[TextIndex.servingIndex]]
+    * lifecycle); the build-or-get is serialized against double-builds. */
   private[graft] def servedLshIndex(spark: SparkSession, dir: String): LshIndex =
-    lshIndexCache.get(dir).filter(_.e.sparkSession eq spark).getOrElse {
-      val e = Tables(spark, dir, "embeddings")
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val buckets = (0 until LshTables).map(l => lshBucket(col("v"), LshBits, LshDims, l))
-      val path = IncrementalIndex.snapshotDir("graft_lsh_bands")
-      try e.select(col("vec_id"),
-          posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
-        .write.mode("overwrite").parquet(path)
-      catch { case ex: Throwable => IncrementalIndex.deleteDir(path); throw ex }
-      val built = LshIndex(e, spark.read.parquet(path))
-      lshIndexCache.put(dir, built)
-      built
+    lshIndexLock.synchronized {
+      lshIndexCache.get(dir).filter(_.e.sparkSession eq spark).getOrElse {
+        lshIndexCache.get(dir)
+          .filter(_.e.sparkSession.sparkContext.isStopped)
+          .foreach(old => IncrementalIndex.deleteDir(old.bandPath))
+        val e = Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val buckets = (0 until LshTables).map(l => lshBucket(col("v"), LshBits, LshDims, l))
+        val path = IncrementalIndex.snapshotDir("graft_lsh_bands")
+        try e.select(col("vec_id"),
+            posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
+          .write.mode("overwrite").parquet(path)
+        catch { case ex: Throwable => IncrementalIndex.deleteDir(path); throw ex }
+        val built = LshIndex(e, spark.read.parquet(path), path)
+        lshIndexCache.put(dir, built)
+        built
+      }
     }
 
   /** The LSH scoring tail over a prebuilt [[LshIndex]] — shared verbatim

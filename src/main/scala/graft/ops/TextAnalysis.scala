@@ -690,12 +690,15 @@ object TextAnalysis {
     * cached plan — so a serve re-reads index-sized artifacts, never
     * re-aggregates the corpus. At 100 TB these are the
     * incrementally-maintained aggregate tables an `append`/`remove`
-    * updates alongside the postings. */
+    * updates alongside the postings. `paths` holds the five snapshot
+    * directories for superseded-entry cleanup. */
   private[graft] final case class LexModel(tf: DataFrame, df: DataFrame,
-      dl: DataFrame, stats: DataFrame, cf: DataFrame, cTotal: DataFrame)
+      dl: DataFrame, stats: DataFrame, cf: DataFrame, cTotal: DataFrame,
+      paths: Seq[String])
 
   private val lexModelCache =
     scala.collection.concurrent.TrieMap.empty[String, LexModel]
+  private val lexModelLock = new Object
 
   /** The session-held lexical model for a corpus directory: the postings
     * snapshot from [[TextIndex.servingIndex]] plus the five aggregate
@@ -704,27 +707,36 @@ object TextAnalysis {
     * [[qldTopKIndexed]], the hybrid's lexical leg) pays ZERO corpus-scale
     * model work per query. All aggregates are integer-or-integer-ratio
     * valued, so the parquet round-trip is bit-exact and indexed/one-shot
-    * parity is unconditional. Session-guarded like
-    * [[Similarity.servedLshIndex]]: an entry bound to a stopped session is
-    * rebuilt, never returned. */
+    * parity is unconditional. Session lifecycle as
+    * [[Similarity.servedLshIndex]]: an entry bound to another session is
+    * rebuilt, never returned; a superseded entry's snapshot dirs are
+    * deleted only once its session has stopped; build-or-get serialized. */
   private[graft] def servedLexModel(spark: SparkSession, dir: String): LexModel =
-    lexModelCache.get(dir).filter(_.tf.sparkSession eq spark).getOrElse {
-      val tf = TextIndex.servingIndex(spark, dir).tf
-      def snap(frame: DataFrame, tag: String): DataFrame = {
-        val p = IncrementalIndex.snapshotDir(s"graft_text_model_$tag")
-        try frame.write.mode("overwrite").parquet(p)
-        catch { case e: Throwable => IncrementalIndex.deleteDir(p); throw e }
-        spark.read.parquet(p)
+    lexModelLock.synchronized {
+      lexModelCache.get(dir).filter(_.tf.sparkSession eq spark).getOrElse {
+        lexModelCache.get(dir)
+          .filter(_.tf.sparkSession.sparkContext.isStopped)
+          .foreach(_.paths.foreach(IncrementalIndex.deleteDir))
+        val tf = TextIndex.servingIndex(spark, dir).tf
+        val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+        def snap(frame: DataFrame, tag: String): DataFrame = {
+          val p = IncrementalIndex.snapshotDir(s"graft_text_model_$tag")
+          try frame.write.mode("overwrite").parquet(p)
+          catch { case e: Throwable => IncrementalIndex.deleteDir(p); throw e }
+          paths += p
+          spark.read.parquet(p)
+        }
+        val dl = snap(tf.groupBy("doc_id").agg(sum("tf").as("dl")), "dl")
+        val built = LexModel(tf,
+          snap(tf.groupBy("tok").agg(count(lit(1)).as("df")), "df"),
+          dl,
+          snap(dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl")), "stats"),
+          snap(tf.groupBy("tok").agg(sum("tf").as("cf")), "cf"),
+          snap(tf.agg(sum("tf").as("c_total")), "ct"),
+          paths.toSeq)
+        lexModelCache.put(dir, built)
+        built
       }
-      val dl = snap(tf.groupBy("doc_id").agg(sum("tf").as("dl")), "dl")
-      val built = LexModel(tf,
-        snap(tf.groupBy("tok").agg(count(lit(1)).as("df")), "df"),
-        dl,
-        snap(dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl")), "stats"),
-        snap(tf.groupBy("tok").agg(sum("tf").as("cf")), "cf"),
-        snap(tf.agg(sum("tf").as("c_total")), "ct"))
-      lexModelCache.put(dir, built)
-      built
     }
 
   /** The BM25 view of [[servedLexModel]]: `b` folds into the stored

@@ -154,6 +154,7 @@ object TextIndex {
 
   private val servingCache =
     scala.collection.concurrent.TrieMap.empty[String, InvertedIndex]
+  private val servingLock = new Object
 
   /** The session-held serving index for a corpus directory: built (and its
     * postings snapshot written) ONCE per session, then reused by every
@@ -167,17 +168,24 @@ object TextIndex {
     * assumes an immutable corpus table, exactly like the fit caches — a
     * LIVE corpus goes through the explicit build/append lifecycle instead.
     * Session-guarded like [[TextAnalysis.servedBm25Model]]: an entry bound
-    * to a stopped session is rebuilt — and its superseded snapshot
-    * released — never returned.)
+    * to another session is rebuilt, never returned — and its superseded
+    * snapshot is released ONLY once that session has STOPPED (a second
+    * LIVE session must not delete files the first still reads; two live
+    * sessions alternating pay a rebuild per switch, never a dangling
+    * read). The build-or-get is serialized so concurrent first calls
+    * can't double-build and orphan a snapshot.)
     */
   def servingIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): InvertedIndex =
+      dir: String): InvertedIndex = servingLock.synchronized {
     servingCache.get(dir).filter(_.tf.sparkSession eq spark).getOrElse {
-      servingCache.get(dir).foreach(release)
+      servingCache.get(dir)
+        .filter(_.tf.sparkSession.sparkContext.isStopped)
+        .foreach(release)
       val built = build(Tables(spark, dir, "documents").select("doc_id", "text"))
       servingCache.put(dir, built)
       built
     }
+  }
 
   /** Registered query: build on 90% of the corpus, `append` the remaining
     * 10% ingest batch, serve the benchmark query set ([[TextAnalysis

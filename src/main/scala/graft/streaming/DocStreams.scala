@@ -189,9 +189,15 @@ object DocStreams {
         val canon = spark.read.parquet(s"$artifactDir/canon").select("canon")
         // the stamped frame passes through whole: refreshAgainstIndex owns
         // the mh_scheme fail-fast guard (a stale-version band store never
-        // collides with fresh hashes → zero near-dups, silently)
-        val bands = spark.read.parquet(s"$artifactDir/bands")
-          .select("band", "band_hash", "hist_id", "mh_scheme")
+        // collides with fresh hashes → zero near-dups, silently). A store
+        // written BEFORE versioning has no mh_scheme column at all — give
+        // it the guard's actionable message too, not an unresolved-column
+        // AnalysisException from the select below
+        val bandsRaw = spark.read.parquet(s"$artifactDir/bands")
+        require(bandsRaw.columns.contains("mh_scheme"),
+          s"band store at $artifactDir/bands predates scheme versioning — " +
+            "rebuild the index with the current MinHashBands scheme")
+        val bands = bandsRaw.select("band", "band_hash", "hist_id", "mh_scheme")
         val shingles = spark.read.parquet(s"$artifactDir/shingles")
           .select("doc_id", "sh")
         val b = batch.select("doc_id", "source", "text")

@@ -51,7 +51,10 @@ object VectorStreams {
           e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == q.id) {
+        // match on runId, not id: a query restarted from the same
+        // checkpoint keeps its id, and the OLD run's async termination
+        // event must not release the NEW run's live index
+        if (e.runId == q.runId) {
           try release() finally spark.streams.removeListener(this)
         }
     }
@@ -99,7 +102,7 @@ object VectorStreams {
       IncrementalIndex.build(Tables(spark, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
     @volatile var index = buildIndex()
-    queryStream.writeStream
+    val q = queryStream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (refreshEvery > 0 && batchId > 0 && batchId % refreshEvery == 0) {
           // a failed rebuild (corpus mid-write, fit sample too small) must
@@ -123,6 +126,10 @@ object VectorStreams {
       }
       .option("checkpointLocation", ckpt)
       .start()
+    // disk-shaped teardown, symmetric with the persisted-frame serves:
+    // the FINAL snapshot directory (refresh swaps release superseded ones
+    // promptly) leaves disk when the stream terminates
+    releaseOnTermination(spark, q)(() => IncrementalIndex.release(index))
   }
 
   /** [[adcServe]] with INCREMENTAL index maintenance
@@ -159,7 +166,7 @@ object VectorStreams {
     def liveCorpus() = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     @volatile var index = IncrementalIndex.build(liveCorpus())
-    queryStream.writeStream
+    val q = queryStream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (refreshEvery > 0 && batchId > 0 && batchId % refreshEvery == 0) {
           // ERASURE SYNC first, under its own failure isolation: ids
@@ -172,9 +179,11 @@ object VectorStreams {
           // (write-new, delete-old-last) means ITS failure leaves the
           // previous index intact.
           scala.util.Try {
+            // no caller-side checkpoint: remove() owns the materialize-
+            // before-delete invariant since the r16 advice fix — a second
+            // eager checkpoint here would just double the storage blocks
             val gone = index.codes.select("vec_id")
               .join(liveCorpus().select("vec_id"), Seq("vec_id"), "left_anti")
-              .localCheckpoint(true)
             if (gone.isEmpty) index else IncrementalIndex.remove(index, gone)
           } match {
             case scala.util.Success(pruned) =>
@@ -210,6 +219,9 @@ object VectorStreams {
       }
       .option("checkpointLocation", ckpt)
       .start()
+    // same disk-shaped teardown as adcServe: whatever snapshot the
+    // incremental maintenance is serving when the stream terminates
+    releaseOnTermination(spark, q)(() => IncrementalIndex.release(index))
   }
 
   /** Metadata-FILTERED ADC serving — the streaming twin of the batch

@@ -220,6 +220,14 @@ class Bm25Spec extends SparkSuite {
             s"q=$q released score ${r.getDouble(3)} does not dominate the best " +
               s"constant-only non-candidate score $bestNonCand — the candidate " +
               "rule no longer yields the true top-k on this corpus")
+        // blind-spot guard: a query with FEWER than k candidates releases
+        // a short list whose missing tail should (under the documented
+        // full formula) be the best non-candidates — the per-released-row
+        // dominance check above cannot see that. Require a full list
+        // whenever non-candidates exist to fill it.
+        assert(rows.size == 10,
+          s"q=$q released only ${rows.size} rows while non-candidate docs " +
+            "exist — the candidate rule is truncating the documented top-k")
       }
     }
     // determinism + the model genuinely differs from bm25's ranking
