@@ -635,6 +635,10 @@ class PlanShapeSpec extends SparkSuite {
     // localCheckpoint(true)-realized (the greedy driver loop runs eagerly
     // inside: k TakeOrdered argmax scans + one assignment pass)
     "kcenter_coreset" -> (0, 0, 0, 0, 0, 0),
+    // localCheckpoint(true)-realized like kcenter_coreset: the seed chain
+    // and Lloyd iterations (projection-only assignment scans + (k·d)-row
+    // grouped combines) run eagerly inside; released plan is the scan
+    "kmeans_clusters" -> (0, 0, 0, 0, 0, 0),
     // peel levels materialize via localCheckpoint during the driver loop;
     // the released plan is the bounded level union + max agg + order
     "kcore_docs" -> (0, 0, 0, 1, 2, 0),
