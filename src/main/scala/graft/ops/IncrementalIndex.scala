@@ -76,6 +76,39 @@ object IncrementalIndex {
     p.toString
   }
 
+  /** Write a SERVING artifact with a scan-parallelism floor on its file
+    * layout (r17 optimization round). Rationale: a serve-time scoring
+    * join fans each index row out against the query batch — the join's
+    * INPUT is index-sized but its OUTPUT is the scoring work, so the scan
+    * stage must parallelize. A small index written in one AQE-coalesced
+    * parquet file is one row group, and one row group is ONE scan task:
+    * every serve then funnels its entire scoring fan-out through a single
+    * core (measured: the bm25_prf_indexed pass was a 1.9 s single-task
+    * stage at 32 idle cores). At 100 TB the plain write already lands far
+    * more files than cores (AQE sizes shuffle partitions to the advisory
+    * target), so the floor never fires there — it reshapes only small
+    * artifacts, where the rewrite costs as much as the (tiny) write.
+    * Returns (re-read frame, path). Rows are unchanged — layout only. */
+  private[ops] def writeServing(frame: org.apache.spark.sql.DataFrame,
+      family: String): (org.apache.spark.sql.DataFrame, String) = {
+    val spark = frame.sparkSession
+    val path = snapshotDir(family)
+    try frame.write.mode("overwrite").parquet(path)
+    catch { case e: Throwable => deleteDir(path); throw e }
+    val floor = spark.sparkContext.defaultParallelism
+    val files = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .count(_.getName.endsWith(".parquet"))
+    if (files >= floor) (spark.read.parquet(path), path)
+    else {
+      val p2 = snapshotDir(family)
+      try spark.read.parquet(path).repartition(floor)
+        .write.mode("overwrite").parquet(p2)
+      catch { case e: Throwable => deleteDir(p2); throw e }
+      deleteDir(path)
+      (spark.read.parquet(p2), p2)
+    }
+  }
+
   /** Recursive delete of a superseded snapshot — the prompt-release half
     * of the swap (failure-safe: missing paths are a no-op). */
   def release(idx: PqIndex): Unit = deleteDir(idx.codesPath)

@@ -664,12 +664,15 @@ object Similarity {
         val e = Tables(spark, dir, "embeddings")
           .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         val buckets = (0 until LshTables).map(l => lshBucket(col("v"), LshBits, LshDims, l))
-        val path = IncrementalIndex.snapshotDir("graft_lsh_bands")
-        try e.select(col("vec_id"),
-            posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
-          .write.mode("overwrite").parquet(path)
-        catch { case ex: Throwable => IncrementalIndex.deleteDir(path); throw ex }
-        val built = LshIndex(e, spark.read.parquet(path), path)
+        // scan-parallelism floor on the band artifact: the bucket-probe
+        // join fans the band rows against the query batch, so a
+        // one-row-group snapshot would serialize every dense serve
+        // (IncrementalIndex.writeServing doc)
+        val (banded, path) = IncrementalIndex.writeServing(
+          e.select(col("vec_id"),
+            posexplode(array(buckets: _*)).as(Seq("table", "bucket"))),
+          "graft_lsh_bands")
+        val built = LshIndex(e, banded, path)
         lshIndexCache.put(dir, built)
         built
       }

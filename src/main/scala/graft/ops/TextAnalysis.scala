@@ -648,74 +648,107 @@ object TextAnalysis {
     * candidate join.
     */
   private[graft] def bm25Against(tf: DataFrame, queries: DataFrame, k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val dlb = dl.crossJoin(broadcast(stats))
-      .select(col("doc_id"), (lit(b) * col("dl") / col("avgdl")).as("bdl"))
-    bm25Score(Bm25Index(tf, df, dlb, stats), queries, k, k1, b)
-  }
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Score(bm25IndexOf(tf, b), queries, k, k1, b)
 
   /** The query-independent BM25 model legs, buildable (and persistable)
-    * ONCE: the `(doc_id, tok, tf)` index, the per-term df, the per-doc
-    * length term `b·dl/avgdl` (so `b` is fixed at build time), and the
-    * (N, avgdl) scalar. A serving loop that re-derived these per
-    * micro-batch would pay two corpus-scale shuffles per batch for
-    * statistics that never change — [[graft.streaming.TextStreams]]
-    * persists all four and leaves only the query tokenize + broadcast
-    * candidate join as per-batch work.
+    * ONCE, in the norms-in-postings layout of [[LexModel]]:
+    *
+    *  - `tfb` (doc_id, tok, tf, bdl): postings with the per-doc length
+    *    term `b·dl/avgdl` attached to the row (`b` fixed at build), so a
+    *    scoring pass needs NO per-doc join — previously every pass
+    *    shuffled the corpus-sized dlb table against the candidates.
+    *  - `dfi` (tok, df, idf): per-term df with idf precomputed, so the
+    *    query-term leg is one bounded join — no per-pass (N, avgdl)
+    *    scalar-combine rebuild.
+    *
+    * A serving loop that re-derived these per micro-batch would pay
+    * corpus-scale shuffles per batch for statistics that never change —
+    * [[graft.streaming.TextStreams]] persists both legs and leaves only
+    * the query tokenize + broadcast candidate join as per-batch work.
     */
-  private[graft] case class Bm25Index(
-      tf: DataFrame, df: DataFrame, dlb: DataFrame, stats: DataFrame)
+  private[graft] case class Bm25Index(tfb: DataFrame, dfi: DataFrame)
+
+  /** Derive the two serving legs from a postings frame — the shared
+    * constructor of the one-shot paths ([[bm25Against]], per call) and
+    * the persisted builders. Same expressions as always (`b·dl/avgdl`,
+    * `ln((N−df+0.5)/(df+0.5)+1)`), just attached at build instead of
+    * re-joined per pass — identical doubles, identical releases. */
+  private[graft] def bm25IndexOf(tf: DataFrame, b: Double = 0.75): Bm25Index = {
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tfb = tf.join(
+      dl.crossJoin(broadcast(stats))
+        .select(col("doc_id"), (lit(b) * col("dl") / col("avgdl")).as("bdl")),
+      Seq("doc_id"))
+    val dfi = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), col("df"),
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1).as("idf"))
+    Bm25Index(tfb, dfi)
+  }
 
   private[graft] def bm25BuildIndex(docs: DataFrame, b: Double = 0.75): Bm25Index = {
-    val tf = docs
+    val ix = bm25IndexOf(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .persist()
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl")).persist()
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df")).persist()
-    val dlb = dl.crossJoin(broadcast(stats))
-      .select(col("doc_id"), (lit(b) * col("dl") / col("avgdl")).as("bdl"))
-      .persist()
-    Bm25Index(tf, df, dlb, stats)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")), b)
+    Bm25Index(ix.tfb.persist(), ix.dfi.persist())
   }
 
   /** The lexical model tables a serving node holds NEXT TO the postings
-    * snapshot: every statistic the BM25 and QLD serves need, each a
-    * mergeable aggregate of the postings (the exactness argument in
-    * [[graft.ops.TextIndex]]'s doc), each a WRITTEN parquet table — not a
+    * snapshot — reduced (r17 optimization round) to the NORMS-IN-POSTINGS
+    * layout search engines actually serve from:
+    *
+    *  - `tfb`  (doc_id, tok, tf, dl, bdl): the postings with the per-doc
+    *    length statistics ATTACHED TO THE ROW (Lucene's norms-next-to-
+    *    postings), so a scoring pass reads only the probed postings and
+    *    needs NO per-doc join at serve time — previously every pass
+    *    shuffled a corpus-sized dl/dlb table against the candidates
+    *    (guide §2.4: remove shuffles outright). `bdl = 0.75·dl/avgdl`
+    *    (the registered queries' b, folded at build like the old dl
+    *    table's derivation — same expression, same doubles).
+    *  - `dfi`  (tok, df, cf, idf): per-term stats with the BM25 idf
+    *    PRECOMPUTED (`idf` is parameter-free), so a serve's query-term
+    *    leg is one bounded join — no per-pass (N, avgdl) scalar-combine
+    *    broadcast rebuild.
+    *  - `stats` (n_docs, avgdl, c_total): the scalars, one stored row.
+    *
+    * Every column is a mergeable aggregate of the postings (the exactness
+    * argument in [[graft.ops.TextIndex]]'s doc) or a fixed double
+    * expression of such aggregates, each a WRITTEN parquet table — not a
     * cached plan — so a serve re-reads index-sized artifacts, never
-    * re-aggregates the corpus. At 100 TB these are the
-    * incrementally-maintained aggregate tables an `append`/`remove`
-    * updates alongside the postings. `paths` holds the five snapshot
-    * directories for superseded-entry cleanup. */
-  private[graft] final case class LexModel(tf: DataFrame, df: DataFrame,
-      dl: DataFrame, stats: DataFrame, cf: DataFrame, cTotal: DataFrame,
-      paths: Seq[String])
+    * re-aggregates the corpus. At 100 TB these are the incrementally-
+    * maintained aggregate tables an `append`/`remove` updates alongside
+    * the postings. `paths` holds the snapshot directories for
+    * superseded-entry cleanup. */
+  private[graft] final case class LexModel(tfb: DataFrame, dfi: DataFrame,
+      stats: DataFrame, paths: Seq[String])
+
+  /** The registered queries' BM25 length-normalization parameter — folded
+    * into the stored `bdl` column at model build. */
+  private[graft] val DefaultB = 0.75
 
   private val lexModelCache =
     scala.collection.concurrent.TrieMap.empty[String, LexModel]
   private val lexModelLock = new Object
 
   /** The session-held lexical model for a corpus directory: the postings
-    * snapshot from [[TextIndex.servingIndex]] plus the five aggregate
-    * tables, derived ONCE per (session, dir) and written to disk — so
-    * every indexed retrieval serve ([[bm25PrfTopKIndexed]],
+    * snapshot from [[TextIndex.servingIndex]] widened to the serving
+    * layout above, derived ONCE per (session, dir) and written to disk —
+    * so every indexed retrieval serve ([[bm25PrfTopKIndexed]],
     * [[qldTopKIndexed]], the hybrid's lexical leg) pays ZERO corpus-scale
-    * model work per query. All aggregates are integer-or-integer-ratio
-    * valued, so the parquet round-trip is bit-exact and indexed/one-shot
-    * parity is unconditional. Session lifecycle as
+    * model work per query. Integer columns round-trip exactly; the double
+    * columns (bdl, idf) are single fixed expressions of integers computed
+    * once here instead of per pass — identical bits either way, so
+    * indexed/one-shot parity is unconditional. Session lifecycle as
     * [[Similarity.servedLshIndex]]: an entry bound to another session is
     * rebuilt, never returned; a superseded entry's snapshot dirs are
     * deleted only once its session has stopped; build-or-get serialized. */
   private[graft] def servedLexModel(spark: SparkSession, dir: String): LexModel =
     lexModelLock.synchronized {
-      lexModelCache.get(dir).filter(_.tf.sparkSession eq spark).getOrElse {
+      lexModelCache.get(dir).filter(_.tfb.sparkSession eq spark).getOrElse {
         lexModelCache.get(dir)
-          .filter(_.tf.sparkSession.sparkContext.isStopped)
+          .filter(_.tfb.sparkSession.sparkContext.isStopped)
           .foreach(_.paths.foreach(IncrementalIndex.deleteDir))
         val tf = TextIndex.servingIndex(spark, dir).tf
         val paths = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -726,28 +759,48 @@ object TextAnalysis {
           paths += p
           spark.read.parquet(p)
         }
-        val dl = snap(tf.groupBy("doc_id").agg(sum("tf").as("dl")), "dl")
-        val built = LexModel(tf,
-          snap(tf.groupBy("tok").agg(count(lit(1)).as("df")), "df"),
-          dl,
-          snap(dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl")), "stats"),
-          snap(tf.groupBy("tok").agg(sum("tf").as("cf")), "cf"),
-          snap(tf.agg(sum("tf").as("c_total")), "ct"),
-          paths.toSeq)
+        // the postings leg is the scoring fan-out side — written with the
+        // scan-parallelism floor so a serve's candidate join never funnels
+        // through a one-row-group file (IncrementalIndex.writeServing doc)
+        def snapServing(frame: DataFrame, tag: String): DataFrame = {
+          val (f, p) = IncrementalIndex.writeServing(
+            frame, s"graft_text_model_$tag")
+          paths += p
+          f
+        }
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val stats = snap(
+          dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+            .crossJoin(tf.agg(sum("tf").as("c_total"))), "stats")
+        val tfb = snapServing(
+          tf.join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+            .select(col("doc_id"), col("tok"), col("tf"), col("dl"),
+              (lit(DefaultB) * col("dl") / col("avgdl")).as("bdl")), "tfb")
+        val dfi = snap(
+          tf.groupBy("tok")
+            .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+            .crossJoin(broadcast(stats))
+            .select(col("tok"), col("df"), col("cf"),
+              log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+                .as("idf")), "dfi")
+        val built = LexModel(tfb, dfi, stats, paths.toSeq)
         lexModelCache.put(dir, built)
         built
       }
     }
 
-  /** The BM25 view of [[servedLexModel]]: `b` folds into the stored
-    * length table with one n_docs-sized projection (never a corpus pass).
-    */
+  /** The BM25 view of [[servedLexModel]]: at the registered queries'
+    * `b = 0.75` the stored `bdl` column serves directly; any other `b`
+    * re-folds from the stored `dl` with one projection (same expression,
+    * never a corpus pass). */
   private[graft] def servedBm25Model(spark: SparkSession, dir: String,
-      b: Double = 0.75): Bm25Index = {
+      b: Double = DefaultB): Bm25Index = {
     val m = servedLexModel(spark, dir)
-    val dlb = m.dl.crossJoin(broadcast(m.stats))
-      .select(col("doc_id"), (lit(b) * col("dl") / col("avgdl")).as("bdl"))
-    Bm25Index(m.tf, m.df, dlb, m.stats)
+    val tfb =
+      if (b == DefaultB) m.tfb
+      else m.tfb.drop("bdl").crossJoin(broadcast(m.stats.select("avgdl")))
+        .withColumn("bdl", lit(b) * col("dl") / col("avgdl")).drop("avgdl")
+    Bm25Index(tfb, m.dfi)
   }
 
   /** The scoring core shared by the one-shot path ([[bm25Against]], which
@@ -759,13 +812,10 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qidf = queries
       .select(col("q_id"), explode(tokens(col("text"))).as("tok")).distinct()
-      .join(ix.df, Seq("tok")) // inner: absent-from-corpus terms score nothing
-      .crossJoin(broadcast(ix.stats))
-      .select(col("q_id"), col("tok"),
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1).as("idf"))
-    val scored = ix.tf.join(broadcast(qidf), Seq("tok"))
+      .join(ix.dfi, Seq("tok")) // inner: absent-from-corpus terms score nothing
+      .select(col("q_id"), col("tok"), col("idf"))
+    val scored = ix.tfb.join(broadcast(qidf), Seq("tok"))
       .filter(col("doc_id") =!= col("q_id"))
-      .join(ix.dlb, Seq("doc_id"))
       .withColumn("s",
         col("idf") * col("tf") * lit(k1 + 1) /
           (col("tf") + lit(k1) * (lit(1 - b) + col("bdl"))))
@@ -923,15 +973,15 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .persist()
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val dlb = dl.crossJoin(broadcast(stats))
-      .select(col("doc_id"), (lit(b) * col("dl") / col("avgdl")).as("bdl"))
-    val out = bm25PrfServe(Bm25Index(tf, df, dlb, stats),
-        k, fbDocs, fbTerms, beta, k1, b)
-      .localCheckpoint(true) // bounded (|batch|×k); release the tf cache
-    tf.unpersist()
+    // both serving legs persisted across the two passes — previously each
+    // pass re-derived df/dl/stats from tf and re-joined the corpus-sized
+    // dlb table (guide §2.4: two operations keyed the same way share one
+    // build; the model is loop-invariant across passes)
+    val ix0 = bm25IndexOf(tf, b)
+    val ix = Bm25Index(ix0.tfb.persist(), ix0.dfi.persist())
+    val out = bm25PrfServe(ix, k, fbDocs, fbTerms, beta, k1, b)
+      .localCheckpoint(true) // bounded (|batch|×k); release the model caches
+    tf.unpersist(); ix.tfb.unpersist(); ix.dfi.unpersist()
     out
   }
 
@@ -948,17 +998,18 @@ object TextAnalysis {
       fbDocs: Int = FbDocs, fbTerms: Int = FbTerms, beta: Double = FbBeta,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qterms = ix.tf.filter(col("doc_id") <= ServeBatchMaxId)
+    val qterms = ix.tfb.filter(col("doc_id") <= ServeBatchMaxId)
       .select(col("doc_id").as("q_id"), col("tok"))
 
-    // one weighted scoring pass: (q_id, tok, w) → rounded per-doc sums
+    // one weighted scoring pass: (q_id, tok, w) → rounded per-doc sums.
+    // idf rides the dfi leg precomputed and bdl rides the postings row, so
+    // a pass is ONE broadcast candidate join + the grouped sum — no
+    // per-pass corpus-sized dl join, no (N, avgdl) scalar rebuild
     def scorePass(wq: DataFrame) = {
-      val qidf = wq.join(ix.df, Seq("tok")).crossJoin(broadcast(ix.stats))
-        .select(col("q_id"), col("tok"), col("w"),
-          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1).as("idf"))
-      ix.tf.join(broadcast(qidf), Seq("tok"))
+      val qidf = wq.join(ix.dfi, Seq("tok"))
+        .select(col("q_id"), col("tok"), col("w"), col("idf"))
+      ix.tfb.join(broadcast(qidf), Seq("tok"))
         .filter(col("doc_id") =!= col("q_id"))
-        .join(ix.dlb, Seq("doc_id"))
         .withColumn("s",
           col("w") * col("idf") * col("tf") * lit(k1 + 1) /
             (col("tf") + lit(k1) * (lit(1 - b) + col("bdl"))))
@@ -972,12 +1023,14 @@ object TextAnalysis {
       .withColumn("r", row_number().over(wRank)).filter(col("r") <= fbDocs)
       .select("q_id", "doc_id")
     // expansion: terms of the feedback docs, NOT already in the query,
-    // ranked by (feedback df DESC, collection df ASC, tok) — all integers
-    val fbt = fb.join(ix.tf.select("doc_id", "tok"), Seq("doc_id"))
+    // ranked by (feedback df DESC, collection df ASC, tok) — all integers.
+    // fb is |batch|·fbDocs — broadcast it so the postings are never
+    // shuffled for the feedback vocabulary
+    val fbt = ix.tfb.select("doc_id", "tok").join(broadcast(fb), Seq("doc_id"))
       .groupBy("q_id", "tok").agg(count(lit(1)).as("fb_df"))
     val wTr = Window.partitionBy("q_id")
       .orderBy(col("fb_df").desc, col("df").asc, col("tok"))
-    val expansion = fbt.join(ix.df, Seq("tok"))
+    val expansion = fbt.join(ix.dfi.select("tok", "df"), Seq("tok"))
       .join(qterms.withColumn("orig", lit(true)), Seq("q_id", "tok"), "left")
       .filter(col("orig").isNull)
       .withColumn("tr", row_number().over(wTr)).filter(col("tr") <= fbTerms)
@@ -1124,34 +1177,36 @@ object TextAnalysis {
     val cf = tf.groupBy("tok").agg(sum("tf").as("cf"))
     val totC = tf.agg(sum("tf").as("c_total"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val out = qldServe(tf, cf, totC, dl, k, mu)
+    val out = qldServe(tf.join(dl, Seq("doc_id")), cf, totC, k, mu)
       .localCheckpoint(true) // bounded; release the tf cache
     tf.unpersist()
     out
   }
 
-  /** The QLD serving core over prebuilt model legs (postings, per-term
-    * collection frequency, the collection-size scalar, per-doc length) —
-    * shared verbatim by the one-shot [[qldTopK]] and the indexed
-    * [[qldTopKIndexed]], so parity is structural. Per-serve work: the
-    * broadcast query-vocabulary joins and the sparse matched-term sum. */
-  private[graft] def qldServe(tf: DataFrame, cf: DataFrame, totC: DataFrame,
-      dl: DataFrame, k: Int = 10, mu: Double = QldMu): DataFrame = {
+  /** The QLD serving core over prebuilt model legs (postings WITH the
+    * per-doc length attached — the [[LexModel]] norms-in-postings layout,
+    * so scoring needs no per-doc join — plus per-term collection
+    * frequency and the collection-size scalar) — shared verbatim by the
+    * one-shot [[qldTopK]] and the indexed [[qldTopKIndexed]], so parity
+    * is structural. Per-serve work: the broadcast query-vocabulary joins
+    * and the sparse matched-term sum; `dl` rides the candidate rows
+    * through the grouping key (constant per doc — no value change). */
+  private[graft] def qldServe(tfd: DataFrame, cf: DataFrame, totC: DataFrame,
+      k: Int = 10, mu: Double = QldMu): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qt = tf.filter(col("doc_id") <= ServeBatchMaxId)
+    val qt = tfd.filter(col("doc_id") <= ServeBatchMaxId)
       .select(col("doc_id").as("q_id"), col("tok"), col("tf").as("qtf"))
     // per-(query, term) model stats — query-vocabulary-sized, broadcast
     val qstats = qt.join(cf, Seq("tok")).crossJoin(broadcast(totC))
     val qagg = qstats.groupBy("q_id").agg(
       sum("qtf").as("qlen"),
       sum(col("qtf") * log(lit(mu) * col("cf") / col("c_total"))).as("qconst"))
-    val sparse = tf.join(broadcast(qstats), Seq("tok"))
+    val sparse = tfd.join(broadcast(qstats), Seq("tok"))
       .filter(col("doc_id") =!= col("q_id"))
       .withColumn("s", col("qtf") *
         log(lit(1.0) + (col("tf") * col("c_total")) / (lit(mu) * col("cf"))))
-      .groupBy("q_id", "doc_id").agg(sum(col("s")).as("sp"))
+      .groupBy("q_id", "doc_id", "dl").agg(sum(col("s")).as("sp"))
     val scored = sparse
-      .join(dl, Seq("doc_id"))
       .join(broadcast(qagg), Seq("q_id"))
       .select(col("q_id"), col("doc_id"),
         round(col("sp") + col("qconst") - col("qlen") * log(col("dl") + lit(mu)), 4)
@@ -1166,13 +1221,13 @@ object TextAnalysis {
   /** INDEXED QLD serving — [[qldTopK]]'s exact twin riding the
     * session-held model over the written postings snapshot: the language
     * model's statistics (cf, C, dl) are mergeable aggregates of the
-    * postings stored by [[servedLexModel]], so the indexed serve is exact
-    * by construction and a query pays only the serving tail. Same oracle
-    * as the one-shot form. */
+    * postings stored by [[servedLexModel]] (dl attached to the stored
+    * postings row), so the indexed serve is exact by construction and a
+    * query pays only the serving tail. Same oracle as the one-shot form. */
   def qldTopKIndexed(spark: SparkSession, dir: String, k: Int = 10,
       mu: Double = QldMu): DataFrame = {
     val m = servedLexModel(spark, dir)
-    qldServe(m.tf, m.cf, m.cTotal, m.dl, k, mu)
+    qldServe(m.tfb, m.dfi.select("tok", "cf"), m.stats.select("c_total"), k, mu)
   }
 
   /** Static EXACT oracle for [[qldTopK]] — the decomposition restated

@@ -45,12 +45,13 @@ object TextIndex {
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
 
   /** Full build: tokenize + aggregate the corpus once, WRITE the postings
-    * snapshot, read it back as the immutable serving frame. */
+    * snapshot (with the scan-parallelism floor — the postings are every
+    * serve's scoring fan-out side, see [[IncrementalIndex.writeServing]]),
+    * read it back as the immutable serving frame. */
   def build(docs: DataFrame): InvertedIndex = {
-    val path = IncrementalIndex.snapshotDir("graft_text_index")
-    try postings(docs).write.mode("overwrite").parquet(path)
-    catch { case e: Throwable => IncrementalIndex.deleteDir(path); throw e }
-    InvertedIndex(docs.sparkSession.read.parquet(path), path, 0)
+    val (tf, path) =
+      IncrementalIndex.writeServing(postings(docs), "graft_text_index")
+    InvertedIndex(tf, path, 0)
   }
 
   /** Release the snapshot directory (swap/teardown discipline as
@@ -110,7 +111,11 @@ object TextIndex {
   private[ops] def compact(idx: InvertedIndex): InvertedIndex = {
     val bytes = Option(new java.io.File(idx.tfPath).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".parquet")).map(_.length).sum
-    val targetFiles = math.max(1L,
+    // byte-sized file target, floored at the session parallelism so the
+    // compacted snapshot stays scan-parallel (writeServing's rationale —
+    // at scale the byte target dominates and the floor is moot)
+    val targetFiles = math.max(
+      idx.tf.sparkSession.sparkContext.defaultParallelism.toLong,
       (bytes + IncrementalIndex.CompactTargetFileBytes - 1) /
         IncrementalIndex.CompactTargetFileBytes).toInt
     val path = IncrementalIndex.snapshotDir("graft_text_index")

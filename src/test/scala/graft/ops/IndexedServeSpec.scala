@@ -50,15 +50,16 @@ class IndexedServeSpec extends SparkSuite {
     val b = TextIndex.servingIndex(spark, dir)
     assert(a eq b, "second call rebuilt the session-held serving index")
     assert(new java.io.File(a.tfPath).exists(), "postings snapshot missing on disk")
-    // the BM25 view and the lexical model share the SAME postings frame,
-    // and every model aggregate is a WRITTEN table on disk
+    // the BM25 view at the registered b shares the lexical model's stored
+    // norms-in-postings frame VERBATIM (no per-serve refold), and every
+    // model leg is a WRITTEN table on disk
     val m = TextAnalysis.servedLexModel(spark, dir)
-    assert(m.tf.queryExecution.logical eq
-      TextAnalysis.servedBm25Model(spark, dir).tf.queryExecution.logical,
-      "BM25 view does not share the lexical model's postings frame")
-    for (t <- Seq(m.df, m.dl, m.stats, m.cf, m.cTotal))
+    assert(m.tfb.queryExecution.logical eq
+      TextAnalysis.servedBm25Model(spark, dir).tfb.queryExecution.logical,
+      "BM25 view does not share the lexical model's stored postings frame")
+    for (t <- Seq(m.tfb, m.dfi, m.stats))
       assert(t.queryExecution.optimizedPlan.toString.contains("parquet"),
-        "a model aggregate is a live plan, not a written table")
+        "a model leg is a live plan, not a written table")
   }
 
   test("indexed hybrid: dense leg equals the one-shot LSH serve over the same batch") {
