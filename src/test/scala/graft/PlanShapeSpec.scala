@@ -627,7 +627,12 @@ class PlanShapeSpec extends SparkSuite {
     // frame, the one global sort presents the |batch|·k result, and the
     // shuffles are postings-aggregate-sized (never corpus-text-sized —
     // IndexedServeSpec pins that the documents table is absent entirely)
-    "bm25_prf_indexed" -> (0, 4, 0, 1, 18, 8),
+    // r17 norms-in-postings model: both PRF passes serve from the stored
+    // tfb/dfi tables, so the per-pass dl/dlb joins and (N, avgdl)
+    // scalar-combine rebuilds are gone (shuffles 18 → 7, nestedLoop
+    // 4 → 0, SMJ 4 → 0); the extra window is the expansion-term rank
+    // over the batch-bounded feedback vocabulary
+    "bm25_prf_indexed" -> (0, 0, 0, 1, 7, 9),
     "qld_indexed" -> (0, 2, 0, 1, 9, 3),
     // hybrid serving tails + RRF fuse; the SMJ is the batch-bounded
     // (q,doc) full-outer fuse, same as hybrid_rrf_served's pin
