@@ -80,7 +80,7 @@ object GraphAnn {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
   /** Top-`g` edges per source by exact cosine, ties to the lower dst id. */
-  private def topPerSrc(scored: DataFrame, g: Int): DataFrame = {
+  private[ops] def topPerSrc(scored: DataFrame, g: Int): DataFrame = {
     val w = Window.partitionBy(col("src")).orderBy(col("c").desc, col("dst"))
     scored.withColumn("r", row_number().over(w)).filter(col("r") <= g)
       .select("src", "dst")

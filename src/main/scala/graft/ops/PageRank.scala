@@ -864,54 +864,72 @@ object PageRank {
     * full graph; nested starts are shallower). */
   val KcorePeelRounds = 12
 
-  /** Iterative k-core peel → per-node CORENESS (max k ≤ [[KcoreMaxK]]
-    * with the node inside the k-core) over an undirected edge set
-    * (symmetric rows, no self-loops — [[linkGraph]]'s contract). The
-    * density-based curation signal next to [[lpaOn]]'s communities: a
-    * doc's coreness says how deep it sits in a mutually-reinforcing
-    * near-duplication/syndication cluster, where component size or
-    * degree alone overcounts stars and chains.
+  /** Round budget for the [[corenessOn]] h-index fixed point — rounds
+    * needed equal the graph's longest peel cascade, which the old
+    * per-level peel measured at ≤8 on this data; 30 leaves generous
+    * headroom before the fail-fast trips. */
+  val HIndexRounds = 30
+
+  /** Per-node CORENESS (max k ≤ [[KcoreMaxK]] with the node inside the
+    * k-core) over an undirected edge set (symmetric rows, no self-loops —
+    * [[linkGraph]]'s contract). The density-based curation signal next to
+    * [[lpaOn]]'s communities: a doc's coreness says how deep it sits in a
+    * mutually-reinforcing near-duplication/syndication cluster, where
+    * component size or degree alone overcounts stars and chains.
     *
-    * Peels are NESTED ((k+1)-core ⊆ k-core), so each level starts from
-    * the previous survivor set. Superstep shape: per round, two
-    * node-keyed joins filter the loop-invariant persisted edge table to
-    * surviving endpoints + one degree aggregate — work ∝ surviving
-    * edges, shrinking monotonically; `localCheckpoint` truncates lineage
-    * per round ([[pageRankOn]]'s discipline). The driver-side count per
-    * round is the convergence check on an eagerly-materialized frame
-    * (the gated-driver-loop convention). All integer — exact.
+    * Algorithm (r17 optimization round): the H-INDEX fixed point of
+    * Lü–Chen–Ren–Zhang–Zhang–Zhou, "The H-index of a network node and its
+    * relation to degree and coreness" (Nature Communications 2016) —
+    * c₀(v) = deg(v), c_{t+1}(v) = H({c_t(u) : u~v}), which decreases
+    * monotonically to exactly coreness(v). One superstep per CASCADE WAVE
+    * across ALL core levels at once, where the previous formulation
+    * (nested per-level peel, k = 2..[[KcoreMaxK]], each peeled to its own
+    * fixed point) paid one superstep per (level, wave) — measured ~20+
+    * eagerly-checkpointed rounds at sf0.1 vs ≤8 here (guide §1.2: fix the
+    * distributed algorithm first; §2.4: remove whole shuffle rounds). The
+    * released value `min(c∞, KcoreMaxK)` is IDENTICAL to the peel's
+    * capped coreness — the unchanged unrolled-peel oracle
+    * ([[docCorenessSql]]) is the cross-algorithm equality witness.
+    *
+    * Superstep shape: one join attaching each node's current value to its
+    * incident edges (dst side), one per-src aggregate over the
+    * degree-bounded neighbor multiset (h-index = prefix length of the
+    * descending-sorted values with value ≥ position — pure integers),
+    * `localCheckpoint` lineage truncation, and a domain-bounded
+    * changed-row count as the convergence gate (values only decrease, so
+    * zero changes is the fixed point). The collect_list rows are bounded
+    * by node degree — the rare-shingle fan-out cap, the same bound the
+    * peel's per-level degree aggregate relied on.
     */
   def corenessOn(edges: DataFrame): DataFrame = {
     val ed = edges.persist()
     try {
-      var alive = ed.select(col("src").as("node")).distinct().localCheckpoint()
-      val levels = scala.collection.mutable.ArrayBuffer[DataFrame](
-        alive.withColumn("k", lit(1L)))
-      for (k <- 2 to KcoreMaxK) {
-        var n = alive.count()
-        var converged = false
-        var r = 0
-        while (!converged && r < KcorePeelRounds) {
-          r += 1
-          val next = ed
-            .join(alive.select(col("node").as("src")), Seq("src"))
-            .join(alive.select(col("node").as("dst")), Seq("dst"))
-            .groupBy("src").agg(count(lit(1)).as("deg"))
-            .filter(col("deg") >= k).select(col("src").as("node"))
-            .localCheckpoint()
-          val m = next.count()
-          converged = m == n
-          n = m
-          alive = next
-        }
-        // a silent non-converged release would diverge from the oracle's
-        // full unroll — fail fast instead (the requireBandScheme posture)
-        require(converged,
-          s"k-core peel did not converge within $KcorePeelRounds rounds at k=$k")
-        levels += alive.withColumn("k", lit(k.toLong))
+      var c = ed.groupBy("src").agg(count(lit(1)).as("c"))
+        .select(col("src").as("node"), col("c"))
+        .localCheckpoint()
+      var converged = false
+      var r = 0
+      while (!converged && r < HIndexRounds) {
+        r += 1
+        val next = ed
+          .join(c.select(col("node").as("dst"), col("c").as("nc")), Seq("dst"))
+          .groupBy("src")
+          .agg(sort_array(collect_list(col("nc")), asc = false).as("ns"))
+          .select(col("src").as("node"),
+            size(filter(
+              zip_with(col("ns"), sequence(lit(1), size(col("ns"))),
+                (v, i) => v >= i.cast("long")),
+              x => x)).cast("long").as("c"))
+          .localCheckpoint()
+        converged = next.join(c.withColumnRenamed("c", "pc"), Seq("node"))
+          .filter(col("c") =!= col("pc")).isEmpty
+        c = next
       }
-      levels.reduce(_ unionByName _)
-        .groupBy("node").agg(max(col("k")).as("coreness"))
+      // a silent non-converged release would diverge from the oracle's
+      // full unroll — fail fast instead (the requireBandScheme posture)
+      require(converged,
+        s"h-index coreness did not converge within $HIndexRounds rounds")
+      c.select(col("node"), least(col("c"), lit(KcoreMaxK.toLong)).as("coreness"))
     } finally ed.unpersist() // incl. the fail-fast path
   }
 
